@@ -1,0 +1,131 @@
+"""Table catalog: load the driver parquet tables and derived graph views.
+
+Data model (SURVEY.md §1.2): relational star schema + an events stream table
++ documents/embeddings for the LLM-pipeline operators. Graph operators run on
+*derived* vertex/edge DataFrames built here (FIXTURES.md "Derived graph
+views") — the corporate-ownership analog of the reference's property graph
+(reference README.md:25 declares Neo4j/Memgraph; we model nodes/edges as
+DataFrames, GraphFrames-convention).
+
+Single conversion point for the ns-timestamp gotcha: ``events.ts`` is read as
+bigint epoch-nanos (session conf ``nanosAsLong``) and converted to a proper
+timestamp here, floor-truncated to microseconds exactly like DuckDB's native
+read of the same file (FIXTURES.md).
+
+Scale posture: loads are lazy DataFrames (no collect); at 100 TB these would
+be partitioned/bucketed tables behind the same names — every operator sees
+only the DataFrame, so the storage layout can change freely underneath.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, applying engine-level column fixes."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns-epoch → µs timestamp; integer DIV (never float /: epoch-nanos
+        # exceed double's 53-bit mantissa) floor-matches DuckDB's ns→µs read.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load all tables and register them as temp views.
+
+    Registered views let every operator choose DataFrame or SQL form
+    (lifecycle entries E1/E2, SURVEY.md §3.2) over identical inputs.
+    """
+    tables = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        tables[name] = df
+    return tables
+
+
+# ---------------------------------------------------------------------------
+# Derived graph views (FIXTURES.md §"Derived graph views")
+# ---------------------------------------------------------------------------
+
+def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed, weighted edge list of the 3-tier ownership-tree analog.
+
+    customer→nation, supplier→nation, nation→region.  Node ids are
+    namespaced strings (``c:17``, ``n:3``, ``r:0``, ``s:5``) so the three key
+    spaces can't collide.  ``weight`` models an ownership fraction: each
+    customer's share of its nation's total positive acctbal (UBO math needs
+    multiplicative weights along paths, reference README.md:13).
+
+    Scale: built by narrow projections + a single small agg per tier; the
+    nation/region tiers are tiny (broadcastable) at any scale factor.
+    """
+    customer = spark.table("customer")
+    supplier = spark.table("supplier")
+    nation = spark.table("nation")
+
+    cust_pos = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal"),
+    )
+    nat_tot = cust_pos.groupBy("c_nationkey").agg(F.sum("bal").alias("tot"))
+    c_edges = (
+        cust_pos.join(nat_tot, "c_nationkey")
+        .select(
+            F.concat(F.lit("c:"), F.col("c_custkey")).alias("src"),
+            F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
+            F.lit("customer_of").alias("rel_type"),
+            F.when(F.col("tot") > 0, F.col("bal") / F.col("tot")).otherwise(0.0).alias("weight"),
+        )
+    )
+    s_edges = supplier.select(
+        F.concat(F.lit("s:"), F.col("s_suppkey")).alias("src"),
+        F.concat(F.lit("n:"), F.col("s_nationkey")).alias("dst"),
+        F.lit("supplier_of").alias("rel_type"),
+        F.lit(1.0).alias("weight"),
+    )
+    n_edges = nation.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+        F.lit("nation_of").alias("rel_type"),
+        F.lit(1.0).alias("weight"),
+    )
+    return c_edges.unionByName(s_edges).unionByName(n_edges)
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part—supplier co-occurrence edges from lineitem.
+
+    The tripartite order—part—supplier multigraph collapsed to its
+    part↔supplier projection (distinct pairs), used by common-neighbor /
+    triangle / component ops.  Distinct is a single shuffle on the pair key.
+    """
+    li = spark.table("lineitem")
+    return (
+        li.select(
+            F.concat(F.lit("p:"), F.col("l_partkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )

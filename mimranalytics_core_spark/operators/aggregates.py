@@ -1,0 +1,259 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Provenance: Cypher aggregates over grouped patterns (reference README.md:25);
+report rollups (README.md:19); approx-distinct is the 100 TB north-star path.
+
+Scale posture: every groupBy below compiles to two-phase hash aggregation
+(partial map-side combine → shuffle on group key → final), so shuffled bytes
+are proportional to |groups|, not |rows|. Low-cardinality group keys
+(returnflag×linestatus = 6 groups) shuffle almost nothing at any scale.
+collect_list keeps per-group lists bounded (grouped on nation → ≤ |customers
+per nation| elements); unbounded collect on a hot key would be re-designed as
+top-k or a sketch at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.operators._base import t
+from mimranalytics_core_spark.registry import register
+
+
+@register(
+    "agg_global",
+    "aggregates",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(AVG(l_extendedprice), 2) AS avg_price,
+               ROUND(MIN(l_extendedprice), 2) AS min_price,
+               ROUND(MAX(l_extendedprice), 2) AS max_price,
+               COUNT(DISTINCT l_suppkey) AS n_supp
+        FROM lineitem
+    """,
+    notes="ungrouped aggregate — single partial+final reduction, no group shuffle",
+)
+def agg_global(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+
+
+@register(
+    "agg_groupby_hash",
+    "aggregates",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               ROUND(AVG(l_quantity), 4) AS avg_qty,
+               ROUND(AVG(l_discount), 4) AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    notes="TPC-H-Q1-shaped pricing summary; 6 groups → negligible shuffle at any SF",
+)
+def agg_groupby_hash(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    "aggregates",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    notes="exact distinct → Spark expand + two-phase agg; swap to HLL at 100 TB (see agg_approx_distinct)",
+)
+def agg_count_distinct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    "aggregates",
+    oracle=None,  # approx result ≠ deterministic oracle; rows-only check
+    notes=(
+        "HyperLogLog++ distinct (rsd=0.02): constant memory per group — the "
+        "100 TB substitute for exact distinct. Unit test asserts ±5% of exact."
+    ),
+)
+def agg_approx_distinct(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users")
+    )
+
+
+@register(
+    "agg_collect",
+    "aggregates",
+    oracle="""
+        SELECT n_name,
+               list_sort(list(DISTINCT c_mktsegment)) AS segments,
+               COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    notes="Cypher collect() analog; collect_set + array_sort for deterministic compare",
+)
+def agg_collect(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.count("*").alias("n_cust"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    "aggregates",
+    oracle="""
+        SELECT r_name, n_name, COUNT(*) AS n_cust,
+               ROUND(SUM(c_acctbal), 2) AS sum_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    notes="subtotal hierarchy region→nation→grand-total (audit report shape, README.md:19)",
+)
+def agg_rollup(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_cust"), F.round(F.sum("c_acctbal"), 2).alias("sum_bal"))
+    )
+
+
+@register(
+    "agg_cube",
+    "aggregates",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    notes="all subtotal combinations (CUBE) — expand-based, groups stay tiny",
+)
+def agg_cube(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    "aggregates",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+    """,
+    notes="explicit grouping sets via SQL entry (lifecycle E2)",
+)
+def agg_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "customer")  # ensure view registered
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_cust
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey))
+        """
+    )
+
+
+@register(
+    "agg_stats",
+    "aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+               ROUND(VAR_SAMP(l_quantity), 2) AS var_qty,
+               ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+               ROUND(MEDIAN(l_quantity), 2) AS med_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    notes="statistical aggregates incl. exact median (both engines exact)",
+)
+def agg_stats(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.median("l_quantity"), 2).alias("med_qty"),
+    )
+
+
+@register(
+    "agg_conditional",
+    "aggregates",
+    oracle="""
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+               ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS rev_f
+        FROM orders GROUP BY o_orderpriority
+    """,
+    notes="filtered/pivot-style aggregates in one pass over the fact",
+)
+def agg_conditional(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+
+    def cnt(status):
+        return F.sum(F.when(F.col("o_orderstatus") == status, 1).otherwise(0))
+
+    return o.groupBy("o_orderpriority").agg(
+        cnt("F").alias("n_f"),
+        cnt("O").alias("n_o"),
+        cnt("P").alias("n_p"),
+        F.round(
+            F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)), 2
+        ).alias("rev_f"),
+    )

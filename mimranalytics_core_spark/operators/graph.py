@@ -1,0 +1,532 @@
+"""Graph operators — the reference's heart (SURVEY.md §2.9).
+
+Provenance: the reference is a corporate-ownership graph product
+(reference README.md:11 N-tier relationship mapping, README.md:13 UBO,
+README.md:15 conflict/cycle detection, README.md:17 Time-Slider,
+README.md:28 NetworkX pathfinding/centrality). We realize the same semantics
+over derived edge DataFrames (catalog.hierarchy_edges — FIXTURES.md §derived
+graph views) with two execution forms:
+
+- **Recursive CTE** (Spark 4.1 ``WITH RECURSIVE``, lifecycle E2): bounded
+  traversals — reachability, UBO weighted closure, cycle detection, BFS.
+  DuckDB speaks the same dialect, so oracles are near-verbatim.
+- **DataFrame-Pregel loop** (plans/pregel.py): unbounded fixpoints —
+  connected components, PageRank. This replaces the reference's in-heap
+  NetworkX step and is the part that actually scales: each superstep is a
+  distributed join/agg, lineage truncated by localCheckpoint.
+
+Scale posture: every traversal is depth-bounded or fixpoint-with-shrinking-
+frontier; edges are pre-projected narrow (src, dst, weight); per-superstep
+shuffles hash on node id — at 100 TB the edge table would be bucketed on src
+so supersteps co-locate. Path-enumeration ops run on bounded subgraphs
+(explicit seed/key filters) — unbounded path enumeration on a dense graph is
+O(walks) and is deliberately not declared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark import catalog
+from mimranalytics_core_spark.operators._base import t, tables
+from mimranalytics_core_spark.plans.pregel import iterate_fixpoint
+from mimranalytics_core_spark.registry import register
+
+# Shared CTE text: the hierarchy edge list in SQL, identical semantics to
+# catalog.hierarchy_edges. Valid in BOTH Spark SQL and DuckDB (probed:
+# ||-concat, GREATEST, window SUM work identically).
+HIERARCHY_SQL = """
+    edges AS (
+        SELECT 'c:' || c_custkey AS src,
+               'n:' || c_nationkey AS dst,
+               'customer_of' AS rel_type,
+               CASE WHEN tot > 0 THEN bal / tot ELSE 0.0 END AS weight
+        FROM (
+            SELECT c_custkey, c_nationkey,
+                   GREATEST(c_acctbal, 0.0) AS bal,
+                   SUM(GREATEST(c_acctbal, 0.0)) OVER (PARTITION BY c_nationkey) AS tot
+            FROM customer
+        )
+        UNION ALL
+        SELECT 's:' || s_suppkey, 'n:' || s_nationkey, 'supplier_of', 1.0 FROM supplier
+        UNION ALL
+        SELECT 'n:' || n_nationkey, 'r:' || n_regionkey, 'nation_of', 1.0 FROM nation
+    )
+"""
+
+# Trade-credit digraph for cycle detection: customer→supplier on purchase,
+# supplier→customer on shared nation (local supply relationship). Cycles =
+# customers buying from suppliers in their own nation — the circular-ownership
+# analog (README.md:15). Bounded to custkey < 200 to keep path enumeration
+# subgraph-sized at every SF (scale posture above).
+TRADE_CREDIT_SQL = """
+    tc_edges AS (
+        SELECT DISTINCT 'c:' || o.o_custkey AS src, 's:' || l.l_suppkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey < 50 AND l.l_suppkey < 50
+        UNION ALL
+        SELECT DISTINCT 's:' || s.s_suppkey, 'c:' || c.c_custkey
+        FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+        WHERE c.c_custkey < 50 AND s.s_suppkey < 50
+    )
+"""
+
+
+def _sql_both(spark, sf_dir, sql: str):
+    """Run a SQL query that is valid verbatim in Spark and DuckDB (E2 entry)."""
+    tables(spark, sf_dir)  # ensure views
+    return spark.sql(sql)
+
+
+@register(
+    "graph_build_edges",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT src, dst, rel_type, ROUND(weight, 6) AS weight FROM edges
+    """,
+    notes="typed weighted edge-list construction from relational tables (README.md:25)",
+)
+def graph_build_edges(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir)
+    return e.select("src", "dst", "rel_type", F.round("weight", 6).alias("weight"))
+
+
+@register(
+    "graph_degree",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        outd AS (SELECT src AS node, COUNT(*) AS out_deg FROM edges GROUP BY src),
+        ind  AS (SELECT dst AS node, COUNT(*) AS in_deg  FROM edges GROUP BY dst)
+        SELECT COALESCE(outd.node, ind.node) AS node,
+               COALESCE(out_deg, 0) AS out_deg,
+               COALESCE(in_deg, 0) AS in_deg,
+               COALESCE(out_deg, 0) + COALESCE(in_deg, 0) AS total_deg
+        FROM outd FULL OUTER JOIN ind ON outd.node = ind.node
+    """,
+    notes="degree centrality (README.md:28): two partial-agg'd counts + outer join",
+)
+def graph_degree(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir)
+    outd = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_deg"))
+    ind = e.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_deg"))
+    return (
+        outd.join(ind, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+            F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+            (F.coalesce("out_deg", F.lit(0)) + F.coalesce("in_deg", F.lit(0))).alias("total_deg"),
+        )
+    )
+
+
+@register(
+    "graph_khop",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        seeds AS (SELECT 'c:' || c_custkey AS node FROM customer WHERE c_custkey < 5),
+        hop1 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN seeds s ON e.src = s.node),
+        hop2 AS (SELECT DISTINCT e.dst AS node FROM edges e JOIN hop1 h ON e.src = h.node),
+        lev AS (
+            SELECT node, 0 AS hop FROM seeds
+            UNION ALL SELECT node, 1 FROM hop1
+            UNION ALL SELECT node, 2 FROM hop2
+        )
+        SELECT node, MIN(hop) AS hop FROM lev GROUP BY node
+    """,
+    notes="fixed-k interactive expansion (README.md:11): k chained joins, distinct per level",
+)
+def graph_khop(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    c = t(spark, sf_dir, "customer")
+    seeds = c.filter(F.col("c_custkey") < 5).select(
+        F.concat(F.lit("c:"), F.col("c_custkey")).alias("node")
+    )
+    hop1 = (
+        e.join(seeds, e.src == seeds.node).select(F.col("dst").alias("node")).distinct()
+    )
+    hop2 = e.join(hop1, e.src == hop1.node).select(F.col("dst").alias("node")).distinct()
+    lev = (
+        seeds.withColumn("hop", F.lit(0))
+        .unionByName(hop1.withColumn("hop", F.lit(1)))
+        .unionByName(hop2.withColumn("hop", F.lit(2)))
+    )
+    return lev.groupBy("node").agg(F.min("hop").alias("hop"))
+
+
+_REACH_SQL = """
+    WITH RECURSIVE {edges},
+    reach(node, depth) AS (
+        SELECT 'c:' || c_custkey AS node, 0 AS depth
+        FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT e.dst, r.depth + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.depth < 6
+    )
+    SELECT node, MIN(depth) AS depth FROM reach GROUP BY node
+"""
+
+
+@register(
+    "graph_reach_transitive",
+    "graph",
+    oracle=_REACH_SQL.format(edges=HIERARCHY_SQL),
+    notes=(
+        "transitive closure from seed set (N-tier, README.md:11) via recursive "
+        "CTE — identical SQL text runs in Spark 4.1 and DuckDB; depth-bounded"
+    ),
+)
+def graph_reach_transitive(spark, sf_dir):
+    return _sql_both(spark, sf_dir, _REACH_SQL.format(edges=HIERARCHY_SQL))
+
+
+_UBO_SQL = """
+    WITH RECURSIVE {edges},
+    paths(owner, entity, frac, depth) AS (
+        SELECT src AS owner, dst AS entity, weight AS frac, 1 AS depth
+        FROM edges WHERE src LIKE 'c:%'
+        UNION ALL
+        SELECT p.owner, e.dst, p.frac * e.weight, p.depth + 1
+        FROM paths p JOIN edges e ON e.src = p.entity
+        WHERE p.depth < 6
+    )
+    SELECT owner, entity, ROUND(SUM(frac), 6) AS effective_ownership
+    FROM paths
+    GROUP BY owner, entity
+    HAVING SUM(frac) >= 0.001
+"""
+
+
+@register(
+    "graph_ubo",
+    "graph",
+    oracle=_UBO_SQL.format(edges=HIERARCHY_SQL),
+    notes=(
+        "UBO (README.md:13): effective ownership = Σ over paths Π(edge "
+        "fraction), threshold-filtered — weighted transitive closure as a "
+        "recursive CTE carrying the running product. Semantics on cycles: "
+        "depth-bounded simple paths (SURVEY.md §7.8.4); diamond/cycle math "
+        "unit-tested on the 6-node fixture in tests/test_graph.py"
+    ),
+)
+def graph_ubo(spark, sf_dir):
+    return _sql_both(spark, sf_dir, _UBO_SQL.format(edges=HIERARCHY_SQL))
+
+
+_CYCLE_SQL = """
+    WITH RECURSIVE {edges},
+    walk(origin, node, depth) AS (
+        SELECT src AS origin, dst AS node, 1 AS depth FROM tc_edges
+        UNION ALL
+        SELECT w.origin, e.dst, w.depth + 1
+        FROM walk w JOIN tc_edges e ON e.src = w.node
+        WHERE w.depth < 4 AND w.node <> w.origin
+    )
+    SELECT DISTINCT origin AS node_on_cycle
+    FROM walk WHERE node = origin
+"""
+
+
+@register(
+    "graph_cycles",
+    "graph",
+    oracle=_CYCLE_SQL.format(edges=TRADE_CREDIT_SQL),
+    notes=(
+        "circular-ownership detection (README.md:15): nodes with a directed "
+        "walk back to themselves within depth 4, on the bounded trade-credit "
+        "digraph; walk stops expanding once it returns to origin"
+    ),
+)
+def graph_cycles(spark, sf_dir):
+    return _sql_both(spark, sf_dir, _CYCLE_SQL.format(edges=TRADE_CREDIT_SQL))
+
+
+_BFS_SQL = """
+    WITH RECURSIVE {edges},
+    undirected AS (
+        SELECT src, dst FROM edges
+        UNION ALL
+        SELECT dst, src FROM edges
+    ),
+    bfs(node, dist) AS (
+        SELECT 'c:1' AS node, 0 AS dist
+        UNION ALL
+        SELECT u.dst, b.dist + 1
+        FROM bfs b JOIN undirected u ON u.src = b.node
+        WHERE b.dist < 4
+    )
+    SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
+"""
+
+
+@register(
+    "graph_shortest_path",
+    "graph",
+    oracle=_BFS_SQL.format(edges=HIERARCHY_SQL),
+    notes=(
+        "min-hop BFS from a seed over the undirected hierarchy (pathfinding, "
+        "README.md:28); walks bounded by diameter 4, MIN(dist) collapses walks "
+        "to distances. Weighted SSSP = same loop with min(dist+weight) "
+        "(tests/test_graph.py covers it on the 6-node fixture)"
+    ),
+)
+def graph_shortest_path(spark, sf_dir):
+    return _sql_both(spark, sf_dir, _BFS_SQL.format(edges=HIERARCHY_SQL))
+
+
+@register(
+    "graph_connected_components",
+    "graph",
+    oracle="""
+        WITH nodes AS (
+            SELECT 'c:' || c_custkey AS node, n_regionkey AS rk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT 's:' || s_suppkey, n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            UNION ALL
+            SELECT 'n:' || n_nationkey, n_regionkey FROM nation
+            UNION ALL
+            SELECT 'r:' || r_regionkey, r_regionkey FROM region
+        )
+        SELECT node, MIN(node) OVER (PARTITION BY rk) AS component FROM nodes
+    """,
+    notes=(
+        "connected components (corporate clusters, README.md:15/28): Spark "
+        "side runs real label-propagation DF-Pregel (min-label fixpoint, "
+        "lineage-checkpointed) — the distributed replacement for NetworkX. "
+        "Oracle derives ground truth non-iteratively: hierarchy components "
+        "are exactly the region trees, so component = min node id per region"
+    ),
+)
+def graph_connected_components(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    state = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+
+    def step(labels):
+        # neighbor-min propagation: node takes min(own, min over in-neighbors)
+        prop = (
+            und.join(labels, und.src == labels.node)
+            .select(F.col("dst").alias("node"), "component")
+        )
+        return (
+            labels.select("node", "component")
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+
+    def changed(old, new):
+        o = old.withColumnRenamed("component", "old_c")
+        return new.join(o, "node").filter(F.col("component") != F.col("old_c"))
+
+    return iterate_fixpoint(state, step, changed, max_iter=10)
+
+
+@register(
+    "graph_pagerank",
+    "graph",
+    oracle=None,  # iterative fixed-N loop — rows-only per SURVEY.md §2.9
+    notes=(
+        "PageRank (influence centrality, README.md:28): 10 damped iterations "
+        "of rank/out_deg propagation over the hierarchy digraph as a DF-Pregel "
+        "loop; dangling mass redistributed uniformly. Exactness vs NetworkX-"
+        "style reference values asserted on the 6-node fixture in tests"
+    ),
+)
+def graph_pagerank(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    d = 0.85
+    for _ in range(10):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        # dangling nodes (no out-edges) leak rank; redistribute uniformly
+        dangling = (
+            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        )
+        dm = dangling.first()["dm"]
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - d) / n)
+                    + F.lit(d) * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dm / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_common_neighbors",
+    "graph",
+    oracle="""
+        WITH purchases AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey < 100
+        )
+        SELECT a.cust AS cust_a, b.cust AS cust_b, COUNT(*) AS shared_suppliers
+        FROM purchases a JOIN purchases b
+          ON a.supp = b.supp AND a.cust < b.cust
+        GROUP BY a.cust, b.cust
+        HAVING COUNT(*) >= 3
+    """,
+    notes=(
+        "shared-counterparty detection (shared director analog, README.md:15): "
+        "inverted-index self-join on the shared endpoint + pair count; the "
+        "shared key is the shuffle key — hot suppliers would be df-capped/"
+        "salted at 100 TB"
+    ),
+)
+def graph_common_neighbors(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    li = t(spark, sf_dir, "lineitem")
+    purchases = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a = purchases.alias("a")
+    b = purchases.alias("b")
+    return (
+        a.join(b, (F.col("a.supp") == F.col("b.supp")) & (F.col("a.cust") < F.col("b.cust")))
+        .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
+        .agg(F.count("*").alias("shared_suppliers"))
+        .filter(F.col("shared_suppliers") >= 3)
+    )
+
+
+@register(
+    "graph_triangles",
+    "graph",
+    oracle="""
+        WITH su AS (
+            SELECT DISTINCT l_suppkey AS supp, l_partkey AS part
+            FROM lineitem WHERE l_suppkey < 50
+        ),
+        ss AS (
+            SELECT DISTINCT a.supp AS s1, b.supp AS s2
+            FROM su a JOIN su b ON a.part = b.part AND a.supp < b.supp
+        )
+        SELECT e1.s1 AS a, e1.s2 AS b, e2.s2 AS c
+        FROM ss e1
+        JOIN ss e2 ON e2.s1 = e1.s2
+        JOIN ss e3 ON e3.s1 = e1.s1 AND e3.s2 = e2.s2
+    """,
+    notes=(
+        "triangle enumeration (tight collusion loops, README.md:15) on the "
+        "supplier co-part projection, id-ordered a<b<c so each triangle "
+        "appears once; bounded subgraph keeps the projection dense-safe"
+    ),
+)
+def graph_triangles(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 50)
+    su = li.select(F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")).distinct()
+    a = su.alias("a")
+    b = su.alias("b")
+    ss = (
+        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.supp") < F.col("b.supp")))
+        .select(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .distinct()
+    )
+    e1 = ss.alias("e1")
+    e2 = ss.alias("e2")
+    e3 = ss.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.s1") == F.col("e1.s2"))
+        .join(e3, (F.col("e3.s1") == F.col("e1.s1")) & (F.col("e3.s2") == F.col("e2.s2")))
+        .select(F.col("e1.s1").alias("a"), F.col("e1.s2").alias("b"), F.col("e2.s2").alias("c"))
+    )
+
+
+# Interaction graph (FIXTURES.md): user→event_type edges with timestamps —
+# the temporal graph for Time-Slider ops.
+_INTERACTION_SQL = """
+    iedges AS (
+        SELECT user_id, event_type, MIN(ts) AS first_seen
+        FROM events
+        GROUP BY user_id, event_type
+    )
+"""
+
+
+@register(
+    "graph_asof_snapshot",
+    "graph",
+    oracle=f"""
+        WITH {_INTERACTION_SQL}
+        SELECT user_id, event_type, first_seen
+        FROM iedges
+        WHERE first_seen <= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    notes=(
+        "Time-Slider as-of snapshot (README.md:17): validity filter composed "
+        "before any traversal — here the interaction graph as of Jan 15"
+    ),
+)
+def graph_asof_snapshot(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    edges = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_seen"))
+    return edges.filter(
+        F.col("first_seen") <= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz")
+    )
+
+
+@register(
+    "graph_temporal_diff",
+    "graph",
+    oracle=f"""
+        WITH {_INTERACTION_SQL},
+        t1 AS (SELECT user_id, event_type FROM iedges
+               WHERE first_seen <= TIMESTAMP '2024-01-10 00:00:00'),
+        t2 AS (SELECT user_id, event_type FROM iedges
+               WHERE first_seen <= TIMESTAMP '2024-01-20 00:00:00')
+        SELECT user_id, event_type, 'added' AS change
+        FROM (SELECT * FROM t2 EXCEPT SELECT * FROM t1)
+    """,
+    notes=(
+        "edges appearing between two Time-Slider snapshots (README.md:17): "
+        "two as-of filters + set difference (monotone first_seen ⇒ nothing is "
+        "ever 'removed'; the removed side is the symmetric exceptAll)"
+    ),
+)
+def graph_temporal_diff(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    edges = ev.groupBy("user_id", "event_type").agg(F.min("ts").alias("first_seen"))
+    t1 = edges.filter(
+        F.col("first_seen") <= F.lit("2024-01-10 00:00:00").cast("timestamp_ntz")
+    ).select("user_id", "event_type")
+    t2 = edges.filter(
+        F.col("first_seen") <= F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
+    ).select("user_id", "event_type")
+    return t2.subtract(t1).withColumn("change", F.lit("added"))

@@ -1,0 +1,371 @@
+"""Join operators (SURVEY.md §2.3) + the flagship query (§7.2).
+
+Provenance: Cypher ``MATCH (a)-[r]->(b)`` is an equi-join of node/edge sets
+(reference README.md:25); N-tier patterns are join chains (README.md:11);
+conflict detection is a self-join on a shared attribute (README.md:15);
+as-of / interval joins realize the Time-Slider (README.md:17).
+
+Scale posture: dimension tables (region/nation/supplier/part at TPC-H ratios)
+are broadcast — no shuffle of the fact side; fact-fact joins (lineitem⋈orders)
+shuffle on the join key and would be bucketed on l_orderkey/o_orderkey in a
+persisted 100 TB layout. Non-equi joins are written with an equi prefix
+wherever possible so Spark picks SMJ/BHJ instead of BNLJ; the pure-range join
+documents the time-bucketing rewrite used at scale (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.operators._base import t
+from mimranalytics_core_spark.registry import register
+
+
+@register(
+    "flagship_exposure_rollup",
+    "flagship",
+    oracle="""
+        WITH revenue AS (
+            SELECT o.o_custkey AS custkey,
+                   SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_custkey
+        ),
+        ranked AS (
+            SELECT r.r_name AS region_name,
+                   n.n_name AS nation_name,
+                   c.c_custkey AS custkey,
+                   ROUND(rev.rev, 2) AS revenue,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY r.r_name
+                       ORDER BY rev.rev DESC, c.c_custkey ASC
+                   ) AS rn
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            JOIN revenue rev ON rev.custkey = c.c_custkey
+        )
+        SELECT region_name, nation_name, custkey, revenue, rn
+        FROM ranked
+        WHERE rn <= 5
+        ORDER BY region_name ASC, rn ASC
+    """,
+    notes=(
+        "M1 flagship: 2-tier ownership-tree traversal (customer→nation→region, "
+        "README.md:11) ⋈ order revenue (README.md:19), top-5 'highlighted' "
+        "customers per region (README.md:13 'highlight'). Exercises scan, "
+        "broadcast join chain, partial agg, window, sort in one plan."
+    ),
+)
+def flagship_exposure_rollup(spark, sf_dir):
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+
+    # Fact-fact join shuffles on orderkey; agg is map-side partial first.
+    revenue = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(orders.o_custkey.alias("custkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    # Dim chain is broadcast: nation (25) and region (5) never shuffle the fact.
+    enriched = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(revenue, revenue.custkey == customer.c_custkey)
+    )
+    w = Window.partitionBy("r_name").orderBy(F.col("rev").desc(), F.col("c_custkey").asc())
+    return (
+        enriched.select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            F.col("c_custkey").alias("custkey"),
+            F.round("rev", 2).alias("revenue"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy(F.col("region_name").asc(), F.col("rn").asc())
+    )
+
+
+@register(
+    "join_inner_hash",
+    "joins",
+    oracle="""
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+               ROUND(l.l_extendedprice, 2) AS price
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    """,
+    notes="fact⋈fact equi join; shuffles both sides on orderkey (bucket-able at scale)",
+)
+def join_inner_hash(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        "o_orderstatus",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@register(
+    "join_multiway",
+    "joins",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, n.n_name AS nation_name, r.r_name AS region_name
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name IN ('ASIA', 'EUROPE')
+    """,
+    notes="fixed-depth N-tier traversal (README.md:11) as a broadcast join chain",
+)
+def join_multiway(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", F.col("n_name").alias("nation_name"), F.col("r_name").alias("region_name"))
+    )
+
+
+@register(
+    "join_left",
+    "joins",
+    oracle="""
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM customer c LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
+    """,
+    notes="left outer preserving customers with no qualifying order",
+)
+def join_left(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 100000)
+    return c.join(o, cond, "left").select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_full_outer",
+    "joins",
+    oracle="""
+        WITH cn AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey),
+             sn AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey)
+        SELECT COALESCE(cn.c_nationkey, sn.s_nationkey) AS nationkey, cn.n_cust, sn.n_supp
+        FROM cn FULL OUTER JOIN sn ON cn.c_nationkey = sn.s_nationkey
+    """,
+    notes="full outer join of two aggregates (snapshot union completeness, F5)",
+)
+def join_full_outer(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").groupBy("c_nationkey").agg(F.count("*").alias("n_cust"))
+    s = t(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(F.count("*").alias("n_supp"))
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.coalesce(c.c_nationkey, s.s_nationkey).alias("nationkey"),
+        "n_cust",
+        "n_supp",
+    )
+
+
+@register(
+    "join_semi",
+    "joins",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000)
+    """,
+    notes="existence filter (Cypher WHERE EXISTS analog) → left-semi hash join",
+)
+def join_semi(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    "joins",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    notes="non-existence (WHERE NOT EXISTS) → left-anti join",
+)
+def join_anti(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_broadcast",
+    "joins",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name, n.n_name AS nation_name,
+               ROUND(s.s_acctbal, 2) AS acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+    notes="explicit broadcast-hash join: zero shuffle of the probe side (100 TB posture)",
+)
+def join_broadcast(spark, sf_dir):
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey",
+        "s_name",
+        F.col("n_name").alias("nation_name"),
+        F.round("s_acctbal", 2).alias("acctbal"),
+    )
+
+
+@register(
+    "join_self_conflict",
+    "joins",
+    oracle="""
+        SELECT c1.c_custkey AS cust_a, c2.c_custkey AS cust_b,
+               c1.c_nationkey AS shared_nation
+        FROM customer c1 JOIN customer c2
+          ON c1.c_nationkey = c2.c_nationkey AND c1.c_custkey < c2.c_custkey
+        WHERE c1.c_mktsegment = 'BUILDING' AND c2.c_mktsegment = 'BUILDING'
+    """,
+    notes=(
+        "conflict detection (README.md:15): entities sharing an attribute — "
+        "self equi-join with id ordering to dedupe pairs; the shared key is "
+        "the shuffle key, skew-salted at scale if one attribute dominates"
+    ),
+)
+def join_self_conflict(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    c1 = c.alias("c1")
+    c2 = c.alias("c2")
+    return c1.join(
+        c2,
+        (F.col("c1.c_nationkey") == F.col("c2.c_nationkey"))
+        & (F.col("c1.c_custkey") < F.col("c2.c_custkey")),
+    ).select(
+        F.col("c1.c_custkey").alias("cust_a"),
+        F.col("c2.c_custkey").alias("cust_b"),
+        F.col("c1.c_nationkey").alias("shared_nation"),
+    )
+
+
+@register(
+    "join_theta_range",
+    "joins",
+    oracle="""
+        SELECT p.p_partkey, p.p_retailprice, b.band_id
+        FROM part p JOIN (
+            SELECT 0 AS band_id, 0.0 AS lo, 500.0 AS hi UNION ALL
+            SELECT 1, 500.0, 1000.0 UNION ALL
+            SELECT 2, 1000.0, 1500.0 UNION ALL
+            SELECT 3, 1500.0, 100000.0
+        ) b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    """,
+    notes=(
+        "non-equi band join; small band table broadcast → BNLJ over 4 rows is "
+        "cheap at any scale. Pure fact-fact range joins use the time-bucket "
+        "equi-prefix rewrite instead (SURVEY.md §4.3)."
+    ),
+)
+def join_theta_range(spark, sf_dir):
+    p = t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [(0, 0.0, 500.0), (1, 500.0, 1000.0), (2, 1000.0, 1500.0), (3, 1500.0, 100000.0)],
+        "band_id INT, lo DOUBLE, hi DOUBLE",
+    )
+    return p.join(
+        F.broadcast(bands),
+        (p.p_retailprice >= bands.lo) & (p.p_retailprice < bands.hi),
+    ).select("p_partkey", "p_retailprice", "band_id")
+
+
+@register(
+    "join_asof",
+    "joins",
+    oracle="""
+        SELECT o.o_orderkey, o.o_orderdate, le.last_ship
+        FROM orders o
+        LEFT JOIN (
+            SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l_orderkey
+        ) le ON le.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    notes=(
+        "as-of join (latest event at-or-before t per key, README.md:17): "
+        "keyed variant reduces to filter+max-agg+equi-join — no BNLJ. "
+        "General as-of (per-row cutoff) uses union+window: see win_first_last."
+    ),
+)
+def join_asof(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    last_event = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    return o.join(last_event, o.o_orderkey == last_event.l_orderkey, "left").select(
+        "o_orderkey", "o_orderdate", "last_ship"
+    )
+
+
+@register(
+    "join_interval_overlap",
+    "joins",
+    oracle="""
+        SELECT o.o_orderkey, l.l_linenumber
+        FROM orders o JOIN lineitem l
+          ON o.o_orderkey = l.l_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+    """,
+    notes=(
+        "interval-overlap join (validity windows, README.md:17) with an equi "
+        "prefix on the key → SMJ/SHJ + residual range filter, not a cartesian"
+    ),
+)
+def join_interval_overlap(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    cond = (
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+    )
+    return o.join(li, cond).select("o_orderkey", "l_linenumber")
+
+
+@register(
+    "join_cross_nl",
+    "joins",
+    oracle="""
+        SELECT r1.r_name AS region_a, r2.r_name AS region_b
+        FROM region r1 CROSS JOIN region r2
+        WHERE r1.r_regionkey <> r2.r_regionkey
+    """,
+    notes="explicit cartesian (BNLJ) — only ever used on bounded dims",
+)
+def join_cross_nl(spark, sf_dir):
+    r1 = t(spark, sf_dir, "region").alias("r1")
+    r2 = t(spark, sf_dir, "region").alias("r2")
+    return (
+        r1.crossJoin(r2)
+        .filter(F.col("r1.r_regionkey") != F.col("r2.r_regionkey"))
+        .select(F.col("r1.r_name").alias("region_a"), F.col("r2.r_name").alias("region_b"))
+    )

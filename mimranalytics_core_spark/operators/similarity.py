@@ -1,0 +1,233 @@
+"""Vector similarity-search operators (SURVEY.md §2.11, north star).
+
+Provenance: BASELINE.json north_star ("similarity search"); top-k similarity
+literature (PAPERS.md). Table: ``embeddings`` — 64-dim float vectors + labels
+(FIXTURES.md).
+
+Scale posture: brute-force cosine is the correctness baseline (exact, oracle-
+checkable vs DuckDB ``list_cosine_similarity``). The scale path is LSH
+bucketing (``sim_lsh_ann``): random-hyperplane signatures shrink each vector
+to a b-bit bucket key; candidate pairs are generated per bucket — the same
+candidate-generation-then-verify shape as MinHash dedup, which is what
+survives 100 TB (all-pairs is O(n²) and is never shipped as the scale path).
+Dot products use ``F.zip_with``/``F.aggregate`` (JVM, codegen) — no Python
+boundary; the pandas-UDF variant exists as the declared vectorized-UDF surface
+(udf_pandas_vec in functions_scalar).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.functions.numeric import dround, dround_sql
+from mimranalytics_core_spark.operators._base import t
+from mimranalytics_core_spark.registry import register
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a, b):
+    """Cosine similarity of two array<double> columns (JVM-side, codegen)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+@register(
+    "sim_cosine_topk",
+    "similarity",
+    oracle="""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+        ORDER BY cos_sim DESC, e.vec_id ASC
+        LIMIT 10
+    """,
+    notes=(
+        "top-10 cosine neighbors of one query vector: broadcast the query, "
+        "exact scan-and-score, TakeOrderedAndProject top-k — O(n) scan, O(k) "
+        "memory, fully partition-parallel at any scale"
+    ),
+)
+def sim_cosine_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                cosine(_as_double(F.col("embedding")), _as_double(F.col("qv"))), 6
+            ).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@register(
+    "sim_knn_join",
+    "similarity",
+    oracle="""
+        WITH qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 20)
+        SELECT q_id, vec_id AS neighbor_id, cos_sim FROM (
+            SELECT qs.q_id, e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qs.qv), 6) AS cos_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qs.q_id
+                       ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qs.qv), 6) DESC,
+                                e.vec_id ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN qs
+            WHERE e.vec_id <> qs.q_id
+        ) WHERE rn <= 5
+    """,
+    notes=(
+        "5-NN join (20-query subset × all): broadcast the query set, window "
+        "top-k per query. Scales as |queries|·|base| per partition — the "
+        "bounded-query-batch pattern; full all-pairs goes through sim_lsh_ann"
+    ),
+)
+def sim_knn_join(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    sim = cosine(_as_double(F.col("embedding")), _as_double(F.col("qv")))
+    scored = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", F.round(sim, 6).alias("cos_sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        scored.select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cos_sim",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+@register(
+    "sim_centroid_by_label",
+    "similarity",
+    oracle="""
+        SELECT label, d.dim, ROUND(AVG(CAST(embedding[d.dim] AS DOUBLE)), 6) AS centroid_val
+        FROM embeddings CROSS JOIN (SELECT CAST(unnest(range(1, 9)) AS INT) AS dim) d
+        GROUP BY label, d.dim
+    """,
+    notes=(
+        "per-label centroid (first 8 dims declared): posexplode + avg per "
+        "(label, dim) — the elementwise-mean shape; partial agg bounds shuffle "
+        "to |labels|×|dims| rows"
+    ),
+)
+def sim_centroid_by_label(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "dim_val")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "dim_val")
+    return (
+        exploded.filter(F.col("dim") <= 8)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("dim_val"), 6).alias("centroid_val"))
+    )
+
+
+@register(
+    "sim_lsh_ann",
+    "similarity",
+    oracle=None,  # approximate recall set — rows-only; exactness tested vs brute force in tests
+    notes=(
+        "LSH-bucketed ANN pairs: 12-bit random-hyperplane (sign of dot with "
+        "fixed seeded planes) signature → bucket groupBy → intra-bucket "
+        "candidate pairs → exact cosine ≥ 0.95 verify. Candidate generation "
+        "per bucket replaces O(n²) all-pairs — the 100 TB path; recall vs "
+        "brute force asserted in tests/test_similarity.py"
+    ),
+)
+def sim_lsh_ann(spark, sf_dir):
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    planes = rng.standard_normal((12, 64))  # fixed seed → deterministic buckets
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    sig_bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("emb"),
+                    F.array(*[F.lit(float(v)) for v in planes[i]]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias(f"b{i}")
+        for i in range(12)
+    ]
+    bucketed = e.select(
+        "vec_id", "emb", F.concat_ws("", *sig_bits).alias("bucket")
+    )
+    l = bucketed.alias("l")
+    r = bucketed.alias("r")
+    sim = cosine(F.col("l.emb"), F.col("r.emb"))
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(
+            F.col("l.vec_id").alias("vec_a"),
+            F.col("r.vec_id").alias("vec_b"),
+            F.round(sim, 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.95)
+    )
+
+
+@register(
+    "multimodal_struct",
+    "similarity",
+    oracle=f"""
+        SELECT vec_id, label,
+               len(embedding) AS dim,
+               {dround_sql('CAST(embedding[1] AS DOUBLE)', 6)} AS head_val,
+               CAST(json_extract(to_json(struct_pack(id := vec_id, lab := label)), '$.lab') AS INT) AS lab_rt
+        FROM embeddings
+    """,
+    notes=(
+        "multimodal column plumbing: nested struct build → JSON round-trip → "
+        "typed re-extraction, arrays carried untouched. The binary "
+        "decode/resize stage for real image/audio payloads is stubbed in "
+        "mimranalytics_core_spark.functions.multimodal (libs absent here); the Spark-side "
+        "schema/batch plumbing is what this op certifies"
+    ),
+)
+def multimodal_struct(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    packed = F.to_json(F.struct(F.col("vec_id").alias("id"), F.col("label").alias("lab")))
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        dround(F.col("embedding").getItem(0).cast("double"), 6).alias("head_val"),
+        F.get_json_object(packed, "$.lab").cast("int").alias("lab_rt"),
+    )

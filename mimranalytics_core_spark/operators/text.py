@@ -1,0 +1,428 @@
+"""Text-analysis + deduplication operators (SURVEY.md §2.11, north star).
+
+Provenance: LLM-data-pipeline extension (BASELINE.json north_star: "dedup,
+similarity search, multimodal columns, text analysis"); the ``documents``
+table is built with heavy near-duplicate structure for exactly these ops
+(FIXTURES.md).
+
+Scale posture: everything is explode→groupBy→join over built-in functions
+(JVM-side). Token explosion multiplies rows by ~doc length — at 100 TB the
+explode output is the dominant shuffle, so every pipeline projects to
+(doc_id, token) before exploding and aggregates partially before any join.
+MinHash signatures compress each doc to k ints *before* the candidate-pair
+shuffle — that reduction is the whole point of the LSH design (pairs are
+generated per-band-bucket, never all-pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.operators._base import t
+from mimranalytics_core_spark.registry import register
+
+# Tokenization used across all text ops: lowercase, split on whitespace.
+# documents.text is space-separated synthetic tokens (FIXTURES.md), so this
+# is exact; real corpora would swap in a regexp tokenizer here.
+
+
+def tokens(df):
+    """(doc_id, token) exploded view — the shared text primitive."""
+    return df.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+@register(
+    "text_tokenize_stats",
+    "text",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(lower(text), ' ')) AS n_tokens,
+               len(list_distinct(string_split(lower(text), ' '))) AS n_unique,
+               n_chars
+        FROM documents
+    """,
+    notes="per-doc token counts — the quality-scoring base (token counting north star)",
+)
+def text_tokenize_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        "n_chars",
+    )
+
+
+@register(
+    "text_word_freq",
+    "text",
+    oracle="""
+        SELECT token, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+        GROUP BY token
+    """,
+    notes="corpus word frequency: explode → two-phase hash agg (partial combine bounds shuffle)",
+)
+def text_word_freq(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return tokens(d).groupBy("token").agg(
+        F.count("*").alias("freq"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+
+
+@register(
+    "text_tfidf_topterms",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf
+            FROM toks WHERE token <> '' GROUP BY doc_id, token
+        ),
+        df AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY token
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.token,
+                   ROUND(tf.tf * LN((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+            FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        )
+        SELECT doc_id, token, tfidf FROM (
+            SELECT doc_id, token, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, token ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    notes="pure-DF tf-idf, top-3 terms per doc; df-table joined (broadcast-able: |vocab| bounded)",
+)
+def text_tfidf_topterms(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tf = tokens(d).groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_tbl = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar dim; literal below, not a driver-side loop
+    scored = tf.join(df_tbl, "token").select(
+        "doc_id",
+        "token",
+        F.round(F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("token").asc())
+    return (
+        scored.select("doc_id", "token", "tfidf", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "text_lang_partition",
+    "text",
+    oracle="""
+        SELECT lang, source, COUNT(*) AS n_docs,
+               ROUND(AVG(n_chars), 2) AS avg_chars,
+               MIN(doc_id) AS min_doc
+        FROM documents
+        GROUP BY lang, source
+    """,
+    notes="per-language/source corpus slicing (multilingual pipeline stat)",
+)
+def text_lang_partition(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+@register(
+    "text_lang_id",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        marker AS (
+            SELECT lang AS m_lang, token, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY token ORDER BY COUNT(*) DESC, lang ASC) AS rn
+            FROM toks WHERE token <> ''
+            GROUP BY lang, token
+        ),
+        votes AS (
+            SELECT t.doc_id, t.lang AS true_lang, m.m_lang,
+                   COUNT(*) AS votes,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                      ORDER BY COUNT(*) DESC, m.m_lang ASC) AS rn
+            FROM toks t JOIN (SELECT token, m_lang FROM marker WHERE rn = 1) m
+              ON t.token = m.token
+            GROUP BY t.doc_id, t.lang, m.m_lang
+        )
+        SELECT doc_id, true_lang, m_lang AS pred_lang, votes
+        FROM votes WHERE rn = 1
+    """,
+    notes=(
+        "language-ID heuristic: each token votes for the language it is most "
+        "frequent in; per-doc plurality wins. Self-trained marker table is an "
+        "aggregate join (broadcast-able vocab) — the n-gram-profile langid "
+        "pattern expressed relationally"
+    ),
+)
+def text_lang_id(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    w_tok = Window.partitionBy("token").orderBy(F.col("cnt").desc(), F.col("lang").asc())
+    marker = (
+        toks.groupBy("lang", "token")
+        .agg(F.count("*").alias("cnt"))
+        .select("lang", "token", F.row_number().over(w_tok).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(F.col("token").alias("m_token"), F.col("lang").alias("m_lang"))
+    )
+    votes = (
+        toks.join(marker, toks.token == marker.m_token)
+        .groupBy("doc_id", F.col("lang").alias("true_lang"), "m_lang")
+        .agg(F.count("*").alias("votes"))
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy(F.col("votes").desc(), F.col("m_lang").asc())
+    return (
+        votes.select(
+            "doc_id", "true_lang", F.col("m_lang").alias("pred_lang"), "votes",
+            F.row_number().over(w_doc).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "text_quality_score",
+    "text",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, n_chars,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   len(list_distinct(string_split(lower(text), ' '))) AS n_unique
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(CAST(n_unique AS DOUBLE) / n_tokens, 4) AS uniq_ratio,
+               ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4) AS avg_token_len,
+               (n_tokens >= 10 AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.3) AS passes
+        FROM s
+    """,
+    notes="doc quality scoring: repetition + length heuristics (pretraining-filter shape)",
+)
+def text_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+    )
+    uniq_ratio = F.col("n_unique").cast("double") / F.col("n_tokens")
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(F.col("n_chars").cast("double") / F.col("n_tokens"), 4).alias("avg_token_len"),
+        ((F.col("n_tokens") >= 10) & (uniq_ratio >= 0.3)).alias("passes"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    "text",
+    oracle="""
+        SELECT doc_id,
+               md5(list_aggregate(list_sort(list_distinct(
+                   string_split(lower(text), ' '))), 'string_agg', '|')) AS fingerprint
+        FROM documents
+    """,
+    notes=(
+        "order-insensitive document fingerprint: md5 of the sorted unique "
+        "token set (md5 is bit-identical across engines; the rolling-hash "
+        "variant for streaming chunking lives in tests/test_text.py)"
+    ),
+)
+def text_fingerprint(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    canon = F.array_join(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), "|")
+    return d.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+@register(
+    "dedup_exact_norm",
+    "text",
+    oracle="""
+        SELECT doc_id, lang, source FROM (
+            SELECT doc_id, lang, source,
+                   ROW_NUMBER() OVER (PARTITION BY trim(lower(text))
+                                      ORDER BY doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn = 1
+    """,
+    notes="normalized exact dedup keeping min doc_id per normalized text (north-star baseline)",
+)
+def dedup_exact_norm(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.trim(F.lower("text"))).orderBy(F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "sim_pairwise_jaccard",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents WHERE doc_id < 100
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.8
+    """,
+    notes=(
+        "exact token-set Jaccard over candidate pairs (doc_id<100 slice): "
+        "token-inverted-index self-join — the verify stage of MinHash-LSH. "
+        "At 100 TB the pair join runs only on LSH candidates (dedup_minhash_lsh), "
+        "never all-pairs; hot tokens would be df-capped (stopword pruning)"
+    ),
+)
+def sim_pairwise_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = tokens(d).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+    """,
+    notes=(
+        "MinHash+LSH near-dup pairs, exact-Jaccard-verified at θ=0.9: "
+        "token→min(xxhash64(token,seed)) per 16 bands × 4 rows → band-bucket "
+        "groupBy → candidate pairs → exact verify. Oracle is the exhaustive "
+        "exact-Jaccard join (ground truth); the LSH path must recover every "
+        "pair ≥ 0.9 (16×4 banding: P(miss|J=0.9) < 1e-6). The candidate "
+        "generation — not all-pairs — is what survives 100 TB"
+    ),
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    n_bands, rows_per_band = 16, 4
+    d = t(spark, sf_dir, "documents")
+    toks = tokens(d).distinct()
+
+    # Signature: for each (doc, seed) the min hash over the doc's token set.
+    # One explode to (doc, token) × seeds via array literal, then min-agg —
+    # partial aggregation collapses per-partition before the shuffle.
+    seeds = F.array(*[F.lit(i) for i in range(n_bands * rows_per_band)])
+    sig = (
+        toks.select("doc_id", "token", F.explode(seeds).alias("seed"))
+        .select(
+            "doc_id",
+            "seed",
+            F.xxhash64(F.col("token"), F.col("seed")).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+    # Band signature: concat the band's row minhashes, bucket docs per band.
+    banded = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("rows"))
+        .select("doc_id", "band", F.xxhash64(F.to_json(F.col("rows"))).alias("band_sig"))
+    )
+    l = banded.alias("l")
+    r = banded.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # Exact-Jaccard verification restricted to candidates.
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    inter = (
+        candidates.join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.token") == F.col("b.token")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.9)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

@@ -1,0 +1,205 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Provenance: "highlight" top owners (reference README.md:13), temporal
+evolution / running exposure (README.md:17), report percentiles (README.md:19).
+
+Scale posture: a window is one shuffle on partitionBy + a per-partition sort.
+All windows here partition on real keys (custkey/user_id/nation) so state per
+partition is bounded; an unpartitioned window (global running total) would be
+a single-task bottleneck at 100 TB and is deliberately absent — global
+ordering needs are served by sort_limit_topk (TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.functions.numeric import dround, dround_sql
+from mimranalytics_core_spark.operators._base import t
+from mimranalytics_core_spark.registry import register
+
+
+@register(
+    "win_rank",
+    "windows",
+    oracle="""
+        SELECT c_nationkey, c_custkey,
+               ROUND(c_acctbal, 2) AS acctbal,
+               ROW_NUMBER() OVER w AS rn,
+               RANK()       OVER w AS rnk,
+               DENSE_RANK() OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+    """,
+    notes="per-group ranking (top-owner highlight, README.md:13); custkey tiebreak pins order",
+)
+def win_rank(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "win_topk_per_group",
+    "windows",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    notes="top-k per group: rank window + filter; Spark prunes with WindowGroupLimit",
+)
+def win_topk_per_group(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_lag_lead",
+    "windows",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               lag(ts)  OVER w AS prev_ts,
+               lead(ts) OVER w AS next_ts,
+               CAST(date_diff('second', lag(ts) OVER w, ts) AS BIGINT) AS gap_sec
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+    notes="temporal diffing vs previous event (Time-Slider delta, README.md:17)",
+)
+def win_lag_lead(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        prev_ts.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).cast("bigint").alias("gap_sec"),
+    )
+
+
+@register(
+    "win_running_sum",
+    "windows",
+    oracle=f"""
+        SELECT user_id, event_id, ts,
+               {dround_sql("SUM(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 2)} AS running_value
+        FROM events
+    """,
+    notes="cumulative exposure over time per user (README.md:17)",
+)
+def win_running_sum(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        dround(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@register(
+    "win_range_frame",
+    "windows",
+    oracle=f"""
+        SELECT user_id, event_id, ts,
+               {dround_sql("SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(ts) RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)", 2)} AS sum_24h
+        FROM events
+    """,
+    notes="sliding 24h value-range frame (moving exposure); range on epoch seconds",
+)
+def win_range_frame(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        dround(F.sum("value").over(w), 2).alias("sum_24h"),
+    )
+
+
+@register(
+    "win_ntile_percent",
+    "windows",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               NTILE(4) OVER w AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 4) AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    notes="distribution buckets for report percentiles (README.md:19)",
+)
+def win_ntile_percent(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )
+
+
+@register(
+    "win_first_last",
+    "windows",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               FIRST_VALUE(event_type) OVER w AS first_type,
+               LAST_VALUE(event_type)  OVER w AS last_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    notes="as-of snapshot first/last per entity with a full frame (README.md:17)",
+)
+def win_first_last(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    )

@@ -1,0 +1,52 @@
+"""DataFrame-Pregel: iterate-until-fixpoint harness (SURVEY.md §4.3).
+
+The reference runs NetworkX algorithms in a single Python heap
+(reference README.md:28 — "NetworkX for pathfinding and centrality"); that is
+its scalability ceiling. This harness is the distributed replacement: each
+superstep is a join/aggregate over the full cluster, so the graph never has
+to fit on one machine — the GraphX/GraphFrames execution pattern realized on
+DataFrames (GraphX exposes no Python API).
+
+Catalyst does not optimize across iterations, so the harness handles the two
+things that kill naive loops at scale:
+
+- **Lineage truncation**: each iteration's plan references the previous one;
+  after k iterations the plan tree is O(2^k). ``localCheckpoint(eager)``
+  every ``checkpoint_every`` steps materializes the frontier and cuts the
+  plan back to a leaf.
+- **Convergence via bounded work**: the loop re-derives a delta/frontier each
+  step and stops when it is empty (``isEmpty`` touches at most one partition
+  early-out) or at ``max_iter``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def iterate_fixpoint(
+    state: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    changed: Callable[[DataFrame, DataFrame], DataFrame],
+    max_iter: int = 20,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Iterate ``state = step(state)`` until ``changed(old, new)`` is empty.
+
+    ``changed`` returns a DataFrame whose emptiness signals convergence —
+    computed distributed, only emptiness is checked on the driver.
+    """
+    state = state.localCheckpoint(eager=True)
+    for i in range(max_iter):
+        new_state = step(state)
+        if (i + 1) % checkpoint_every == 0 or True:
+            # Checkpoint every step: each step embeds a join against the
+            # previous state, and the convergence check evaluates the plan
+            # anyway — materializing is strictly cheaper than recomputing.
+            new_state = new_state.localCheckpoint(eager=True)
+        if changed(state, new_state).isEmpty():
+            return new_state
+        state = new_state
+    return state

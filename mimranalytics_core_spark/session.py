@@ -1,0 +1,64 @@
+"""SparkSession factory for the engine.
+
+Pins every session conf the engine depends on (SURVEY.md §7.1):
+
+- ``spark.sql.legacy.parquet.nanosAsLong=true`` — the ``events`` table stores
+  ``timestamp[ns]`` which Spark 4.x cannot read natively (FIXTURES.md gotcha);
+  with this conf the column reads as bigint epoch-nanos and
+  :func:`mimranalytics_core_spark.catalog.load` converts it once, centrally.
+- UTC session timezone — orders/lineitem are ``timestamp_ntz``; keeping the
+  session in UTC removes any tz-dependent drift vs the DuckDB oracle.
+- AQE on (default in Spark 4, pinned explicitly) — runtime partition
+  coalescing + skew-join handling is the 100 TB skew mitigation of record.
+- Low ``shuffle.partitions`` for the small local scale factors; on a real
+  cluster this would be sized to ~128 MB of shuffle data per partition (AQE
+  coalescing makes the initial number far less critical).
+
+Scale posture: at 100 TB nothing here changes except ``shuffle.partitions``
+(or better, ``spark.sql.adaptive.coalescePartitions.initialPartitionNum``)
+and executor sizing; the engine code never hard-codes partition counts in
+operator paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+
+
+def apply_engine_confs(builder: SparkSession.Builder) -> SparkSession.Builder:
+    """Apply the engine's required confs to any builder (driver or ours)."""
+    return (
+        builder.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+
+
+def get_spark(app_name: str = "mimranalytics-core-spark") -> SparkSession:
+    """Create (or fetch) the engine SparkSession on local[N]."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = SparkSession.builder.appName(app_name).master(f"local[{cpus}]")
+    spark = apply_engine_confs(builder).getOrCreate()
+    return spark
+
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Set the runtime-settable engine confs on an externally-provided session.
+
+    The driver hands ``entry(spark)`` a session we didn't build;
+    ``nanosAsLong`` is session-settable at runtime (verified), so the events
+    table remains readable. Static confs (driver memory) can't change here.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

@@ -1,0 +1,17 @@
+"""Shared pytest fixtures: one SparkSession per test run."""
+
+from __future__ import annotations
+
+import pytest
+
+from mimranalytics_core_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("mimranalytics-core-spark-tests")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
