@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": <suite sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is timed around a full materialization (count of the result —
+forces every stage; avoids driver-side toPandas transfer noise).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from mimranalytics_core_spark.registry import all_ops
+    from mimranalytics_core_spark.session import get_spark
+
+    spark = get_spark("mimranalytics-core-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ops = all_ops()
+    timings: dict[str, float] = {}
+    for name in sorted(ops):
+        t0 = time.perf_counter()
+        try:
+            df = ops[name].fn(spark, sf_dir)
+            df.count()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # record failures, keep the suite going
+            timings[name] = -1.0
+            print(f"# BENCH FAIL {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -358,7 +358,7 @@ def graph_pagerank(spark, sf_dir):
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     d = 0.85
-    for _ in range(10):
+    for i in range(10):
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .join(out_deg, "src")
@@ -366,23 +366,26 @@ def graph_pagerank(spark, sf_dir):
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        # dangling nodes (no out-edges) leak rank; redistribute uniformly
-        dangling = (
-            ranks.join(out_deg, ranks.node == out_deg.src, "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm"))
+        # Dangling nodes (no out-edges) leak rank; redistribute uniformly.
+        # Computed inside the plan (1-row agg cross-joined in) — no extra
+        # driver action per iteration.
+        dangling = ranks.join(out_deg, ranks.node == out_deg.src, "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
-        dm = dangling.first()["dm"]
         ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit((1 - d) / n)
-                    + F.lit(d) * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dm / n))
+                    + F.lit(d)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
         )
+        if (i + 1) % 2 == 0 or i == 9:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
 
 

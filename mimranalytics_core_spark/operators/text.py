@@ -372,28 +372,40 @@ def sim_pairwise_jaccard(spark, sf_dir):
 def dedup_minhash_lsh(spark, sf_dir):
     n_bands, rows_per_band = 16, 4
     d = t(spark, sf_dir, "documents")
-    toks = tokens(d).distinct()
 
-    # Signature: for each (doc, seed) the min hash over the doc's token set.
-    # One explode to (doc, token) × seeds via array literal, then min-agg —
-    # partial aggregation collapses per-partition before the shuffle.
-    seeds = F.array(*[F.lit(i) for i in range(n_bands * rows_per_band)])
-    sig = (
-        toks.select("doc_id", "token", F.explode(seeds).alias("seed"))
-        .select(
-            "doc_id",
-            "seed",
-            F.xxhash64(F.col("token"), F.col("seed")).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    # Per-doc distinct token array — the whole pipeline stays array-native
+    # (docs here are short; explode-joins benchmarked 2-4× slower at sf0.1).
+    doc_toks = d.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
+    ).select("doc_id", "toks", F.size("toks").alias("sz"))
+
+    # Signature: 64 minhashes computed row-local (transform + array_min) —
+    # zero shuffle, whole-stage codegen, straight off the parquet scan.
+    # NB: the seed must be bound via a single-arg closure — a two-arg lambda
+    # would make F.transform pass the ARRAY INDEX as the second argument.
+    def minhash(seed: int):
+        return F.array_min(F.transform("toks", lambda x: F.xxhash64(x, F.lit(seed))))
+
+    sig = doc_toks.select(
+        "doc_id",
+        "toks",
+        "sz",
+        *[minhash(i).alias(f"h{i}") for i in range(n_bands * rows_per_band)],
     )
-    # Band signature: concat the band's row minhashes, bucket docs per band.
-    banded = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "minhash"))).alias("rows"))
-        .select("doc_id", "band", F.xxhash64(F.to_json(F.col("rows"))).alias("band_sig"))
+    # Band signature: hash each band's 4 minhashes; emit (doc, band, band_sig).
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]).alias(
+                    "band_sig"
+                ),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
     l = banded.alias("l")
     r = banded.alias("r")
@@ -407,22 +419,27 @@ def dedup_minhash_lsh(spark, sf_dir):
         .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
-    # Exact-Jaccard verification restricted to candidates.
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    inter = (
-        candidates.join(a, F.col("a.doc_id") == F.col("doc_a"))
-        .join(b, (F.col("b.doc_id") == F.col("doc_b")) & (F.col("a.token") == F.col("b.token")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    # Exact-Jaccard verify per candidate pair via array_intersect — scalar
+    # codegen over two short arrays, no token-explode join. Tokens are
+    # compared as 64-bit hashes (cheaper than string equality; collision
+    # probability ~|toks|²/2⁶⁴ ≈ 0). Doc-token side is |docs|-sized
+    # (≪ candidate pairs) → broadcast.
+    hashed = doc_toks.select(
+        "doc_id", F.transform("toks", lambda x: F.xxhash64(x)).alias("toks"), "sz"
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("i").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    a = hashed.select(
+        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("sz").alias("a_sz")
+    )
+    b = hashed.select(
+        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"), F.col("sz").alias("b_sz")
+    )
+    paired = candidates.join(F.broadcast(a), F.col("doc_a") == F.col("a_id")).join(
+        F.broadcast(b), F.col("doc_b") == F.col("b_id")
+    )
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    jac = inter.cast("double") / (F.col("a_sz") + F.col("b_sz") - inter)
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .filter(jac >= 0.9)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        paired.select("doc_a", "doc_b", jac.alias("jac"))
+        .filter(F.col("jac") >= 0.9)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )
