@@ -1,0 +1,166 @@
+"""Reusable distributed graph algorithms over (src, dst[, weight]) DataFrames.
+
+The library layer behind operators/graph.py: each algorithm is a composition
+of joins/aggregates (DataFrame-Pregel where iterative — plans/pregel.py), so
+it runs at cluster scale; the reference's NetworkX step
+(reference README.md:28) is single-heap and is what these replace.
+
+Semantics notes:
+- ``ubo_closure``: effective ownership = Σ over directed walks ≤ max_depth of
+  Π(edge weight) (reference README.md:13). On cyclic graphs the infinite sum
+  is truncated by the depth bound — the same definition the recursive-CTE
+  oracle uses (SURVEY.md §7.8.4), so engine and oracle agree by construction.
+- ``bfs_distances`` / ``weighted_sssp``: min-hop / min-cost from a seed set;
+  per-level frontier with min-agg dedup (no walk enumeration blowup).
+- ``connected_components``: min-label propagation to fixpoint.
+- ``pagerank``: fixed-iteration damped propagation, dangling mass
+  redistributed uniformly, all inside the plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.plans.pregel import iterate_fixpoint
+
+
+def undirect(edges: DataFrame) -> DataFrame:
+    """Symmetrize a directed edge list (columns src, dst preserved)."""
+    return edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def ubo_closure(edges: DataFrame, max_depth: int = 6, threshold: float = 0.0) -> DataFrame:
+    """Σ over walks ≤ max_depth of Π(weight): (owner, entity, effective_ownership).
+
+    Iterative join-multiply-accumulate; each level is one shuffle on the
+    frontier's entity key. Lineage checkpointed per level.
+    """
+    frontier = edges.select(
+        F.col("src").alias("owner"), F.col("dst").alias("entity"), F.col("weight").alias("frac")
+    )
+    acc = frontier
+    for _ in range(max_depth - 1):
+        frontier = (
+            frontier.join(edges, frontier.entity == edges.src)
+            .select("owner", F.col("dst").alias("entity"), (F.col("frac") * F.col("weight")).alias("frac"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        acc = acc.unionByName(frontier)
+    out = acc.groupBy("owner", "entity").agg(F.sum("frac").alias("effective_ownership"))
+    return out.filter(F.col("effective_ownership") >= threshold)
+
+
+def bfs_distances(edges: DataFrame, seeds: DataFrame, max_depth: int = 10) -> DataFrame:
+    """Min-hop distance from a seed set: (node, dist). ``seeds``: (node)."""
+    dist = seeds.select("node").distinct().withColumn("dist", F.lit(0))
+    frontier = dist
+    for level in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionByName(nxt)
+        frontier = nxt
+    return dist
+
+
+def weighted_sssp(edges: DataFrame, source: str, max_iter: int = 20) -> DataFrame:
+    """Min-cost (sum of weights) from ``source``: (node, cost). Bellman-Ford
+    style relaxation to fixpoint over the distributed edge list."""
+    state = edges.sparkSession.createDataFrame([(source, 0.0)], "node STRING, cost DOUBLE")
+
+    def step(costs):
+        relaxed = (
+            costs.join(edges, costs.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("weight")).alias("cost"))
+        )
+        return (
+            costs.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+
+    def changed(old, new):
+        o = old.withColumnRenamed("cost", "old_cost")
+        return new.join(o, "node", "left").filter(
+            F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost"))
+        )
+
+    return iterate_fixpoint(state, step, changed, max_iter=max_iter)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Undirected components via min-label propagation: (node, component)."""
+    und = undirect(edges)
+    state = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+
+    def step(labels):
+        prop = und.join(labels, und.src == labels.node).select(
+            F.col("dst").alias("node"), "component"
+        )
+        return (
+            labels.select("node", "component")
+            .unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+
+    def changed(old, new):
+        o = old.withColumnRenamed("component", "old_c")
+        return new.join(o, "node").filter(F.col("component") != F.col("old_c"))
+
+    return iterate_fixpoint(state, step, changed, max_iter=max_iter)
+
+
+def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFrame:
+    """Damped PageRank, fixed iterations: (node, rank). Dangling mass is
+    redistributed uniformly inside the plan (no driver round-trips)."""
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for i in range(iters):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = ranks.join(out_deg, ranks.node == out_deg.src, "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 2 == 0 or i == iters - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

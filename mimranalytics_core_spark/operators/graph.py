@@ -307,31 +307,11 @@ def graph_shortest_path(spark, sf_dir):
     ),
 )
 def graph_connected_components(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import connected_components
+
     tables(spark, sf_dir)
     e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
-    und = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    state = und.select(F.col("src").alias("node")).distinct().withColumn(
-        "component", F.col("node")
-    )
-
-    def step(labels):
-        # neighbor-min propagation: node takes min(own, min over in-neighbors)
-        prop = (
-            und.join(labels, und.src == labels.node)
-            .select(F.col("dst").alias("node"), "component")
-        )
-        return (
-            labels.select("node", "component")
-            .unionByName(prop)
-            .groupBy("node")
-            .agg(F.min("component").alias("component"))
-        )
-
-    def changed(old, new):
-        o = old.withColumnRenamed("component", "old_c")
-        return new.join(o, "node").filter(F.col("component") != F.col("old_c"))
-
-    return iterate_fixpoint(state, step, changed, max_iter=10)
+    return connected_components(e, max_iter=10)
 
 
 @register(
@@ -346,47 +326,11 @@ def graph_connected_components(spark, sf_dir):
     ),
 )
 def graph_pagerank(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import pagerank
+
     tables(spark, sf_dir)
     e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    d = 0.85
-    for i in range(10):
-        contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        # Dangling nodes (no out-edges) leak rank; redistribute uniformly.
-        # Computed inside the plan (1-row agg cross-joined in) — no extra
-        # driver action per iteration.
-        dangling = ranks.join(out_deg, ranks.node == out_deg.src, "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1 - d) / n)
-                    + F.lit(d)
-                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") / F.lit(float(n)))
-                ).alias("rank"),
-            )
-        )
-        if (i + 1) % 2 == 0 or i == 9:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return pagerank(e, iters=10).select("node", F.round("rank", 6).alias("rank"))
 
 
 @register(

@@ -1,0 +1,160 @@
+"""Structured Streaming forms of the event-time operators (SURVEY.md §2.10).
+
+Each function mirrors a batch twin in ``operators/streaming_batch.py`` (the
+oracle-checked canonical semantics) over a real ``readStream`` source, per
+SURVEY.md §7.6. The driver's oracle cannot observe streaming state, so these
+are exercised by tests/test_streaming.py: events parquet is replayed as a
+bounded file stream, results collected with ``trigger(availableNow=True)``
+into a memory sink and asserted equal to the batch twin.
+
+Scale posture: watermarks bound state (eviction after the lateness horizon);
+stream–static joins broadcast the static dim so the stream never shuffles;
+``dropDuplicatesWithinWatermark`` keeps the dedup state window-bounded —
+unbounded keys would otherwise OOM the state store at 100 TB/day rates.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from mimranalytics_core_spark.catalog import load_table
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet replayed as a bounded file stream (schema from batch).
+
+    File streams require a directory; the read-only testdata dir mixes all
+    tables, so stage a directory of symlinks to just the events file.
+    """
+    import os
+
+    stage = f"/tmp/mimranalytics_stream/{os.path.basename(sf_dir.rstrip('/'))}/events"
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "part-00000.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(raw_schema).parquet(stage)
+    # apply the same ns→µs fix as the catalog (single conversion semantics)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return stream.select(*batch.columns)
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Streaming twin of ``stream_tumbling``: watermarked 1h windows."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("win").start.alias("win_start"), "event_type", "n", "sum_value")
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Streaming sessionization via F.session_window (30-min gap)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sess_value"))
+        .select("user_id", F.col("win").start.alias("sess_start"), "n_events", "sess_value")
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Stateful dedup by event_id, state bounded by the watermark horizon."""
+    return events.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["event_id"])
+
+
+def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream–static join; static side broadcast, stream side never shuffles."""
+    return events.join(
+        F.broadcast(dim), events.user_id % 150 == dim.join_key, "left"
+    ).select("event_id", "user_id", "event_type", "segment")
+
+
+_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("mean", DoubleType()), StructField("m2", DoubleType())]
+)
+_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("zscore", DoubleType()),
+        StructField("event_type", StringType()),
+    ]
+)
+
+
+def anomaly_flags_stateful(events: DataFrame) -> DataFrame:
+    """Custom per-key state (SURVEY.md §2.10 stream_stateful_custom): running
+    Welford mean/variance per user via applyInPandasWithState; emits each
+    event's z-score against the state *before* it. Batch twin:
+    operators/streaming_batch.stream_anomaly_flag (global stats variant).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0, 0.0, 0.0
+        rows = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for r in pdf.itertuples(index=False):
+                var = m2 / (n - 1) if n > 1 else 0.0
+                sd = var**0.5
+                z = (r.value - mean) / sd if sd > 0 else 0.0
+                rows.append((user_id, r.ts, r.value, round(z, 4), r.event_type))
+                n += 1
+                delta = r.value - mean
+                mean += delta / n
+                m2 += delta * (r.value - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA.fields])
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_available_now(
+    df: DataFrame, name: str, spark: SparkSession, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a bounded stream into a memory sink; return the result table.
+
+    Aggregating queries should pass ``output_mode='complete'`` — in append
+    mode a bounded replay never advances the watermark past the final
+    windows, so they would never emit.
+    """
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)

@@ -1,0 +1,111 @@
+"""Graph-algorithm unit tests on the hand-built 6-node ownership fixture
+(FIXTURES.md §unit-test fixture): a diamond A→{B,C}→D (checks sum-of-path
+products) and a 3-cycle D→E→F→D (checks cycle detection + depth bounding).
+Expected values computed by hand.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.functions.graph_algos import (
+    bfs_distances,
+    connected_components,
+    pagerank,
+    ubo_closure,
+    weighted_sssp,
+)
+
+EDGES = [
+    # diamond: A owns D 0.6*0.5 + 0.4*0.5 = 0.5
+    ("A", "B", 0.6),
+    ("A", "C", 0.4),
+    ("B", "D", 0.5),
+    ("C", "D", 0.5),
+    # 3-cycle
+    ("D", "E", 1.0),
+    ("E", "F", 1.0),
+    ("F", "D", 0.5),
+]
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    return spark.createDataFrame(EDGES, "src STRING, dst STRING, weight DOUBLE")
+
+
+def _map(df, k, v):
+    return {r[k]: r[v] for r in df.collect()}
+
+
+def test_ubo_diamond_sum_of_path_products(spark, edges):
+    ubo = ubo_closure(edges, max_depth=4)
+    a = {r.entity: r.effective_ownership for r in ubo.filter(F.col("owner") == "A").collect()}
+    assert a["B"] == pytest.approx(0.6)
+    assert a["C"] == pytest.approx(0.4)
+    assert a["D"] == pytest.approx(0.5)  # both diamond paths summed
+    assert a["E"] == pytest.approx(0.5)
+    assert a["F"] == pytest.approx(0.5)
+
+
+def test_ubo_cycle_is_depth_bounded(spark, edges):
+    # walks from B within depth 4: B→D (.5), B→D→E→F→D adds .5*1*1*.5 = .25
+    ubo = ubo_closure(edges, max_depth=4)
+    b = {r.entity: r.effective_ownership for r in ubo.filter(F.col("owner") == "B").collect()}
+    assert b["D"] == pytest.approx(0.75)
+    # deeper bound accumulates one more cycle pass: +0.125 at depth 7
+    ubo7 = ubo_closure(edges, max_depth=7)
+    b7 = {r.entity: r.effective_ownership for r in ubo7.filter(F.col("owner") == "B").collect()}
+    assert b7["D"] == pytest.approx(0.875)
+
+
+def test_bfs_min_hop(spark, edges):
+    seeds = spark.createDataFrame([("A",)], "node STRING")
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    d = _map(bfs_distances(und, seeds, max_depth=6), "node", "dist")
+    assert d == {"A": 0, "B": 1, "C": 1, "D": 2, "E": 3, "F": 3}
+
+
+def test_weighted_sssp(spark, edges):
+    c = _map(weighted_sssp(edges, "A"), "node", "cost")
+    assert c["D"] == pytest.approx(0.9)  # A→C→D = 0.4+0.5 beats A→B→D = 1.1
+    assert c["E"] == pytest.approx(1.9)
+    assert c["F"] == pytest.approx(2.9)
+
+
+def test_connected_components_two_islands(spark, edges):
+    extra = spark.createDataFrame([("G", "H", 1.0)], "src STRING, dst STRING, weight DOUBLE")
+    comp = _map(connected_components(edges.unionByName(extra)), "node", "component")
+    assert {comp[n] for n in "ABCDEF"} == {"A"}
+    assert comp["G"] == comp["H"] == "G"
+
+
+def test_pagerank_mass_and_ordering(spark, edges):
+    pr = _map(pagerank(edges, iters=20), "node", "rank")
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-6)
+    # cycle members accumulate rank; A (no in-edges) is the minimum
+    assert pr["D"] > pr["A"]
+    assert min(pr, key=pr.get) == "A"
+
+
+def test_cycle_detection_operator_semantics(spark):
+    """The recursive-CTE cycle query marks exactly the cycle nodes."""
+    spark.createDataFrame(EDGES, "src STRING, dst STRING, weight DOUBLE").createOrReplaceTempView(
+        "fixture_edges"
+    )
+    res = spark.sql(
+        """
+        WITH RECURSIVE walk(origin, node, depth) AS (
+            SELECT src AS origin, dst AS node, 1 AS depth FROM fixture_edges
+            UNION ALL
+            SELECT w.origin, e.dst, w.depth + 1
+            FROM walk w JOIN fixture_edges e ON e.src = w.node
+            WHERE w.depth < 4 AND w.node <> w.origin
+        )
+        SELECT DISTINCT origin AS node_on_cycle FROM walk WHERE node = origin
+        """
+    )
+    assert {r.node_on_cycle for r in res.collect()} == {"D", "E", "F"}

@@ -1,0 +1,83 @@
+"""Property-style invariants (SURVEY.md §5.4) + approx-agg tolerance checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.operators._base import t
+from mimranalytics_core_spark.registry import all_ops
+from tests.conftest import SF_SMALL
+
+OPS = all_ops()
+
+
+def test_dedup_idempotent(spark):
+    once = OPS["dedup_exact_norm"].fn(spark, SF_SMALL)
+    assert once.count() == once.distinct().count()
+
+
+def test_union_all_count_additivity(spark):
+    c = t(spark, SF_SMALL, "customer").count()
+    s = t(spark, SF_SMALL, "supplier").count()
+    assert OPS["set_union_all"].fn(spark, SF_SMALL).count() == c + s
+
+
+def test_topk_subset_of_full_sort(spark):
+    top = {r.o_orderkey for r in OPS["sort_limit_topk"].fn(spark, SF_SMALL).collect()}
+    o = t(spark, SF_SMALL, "orders")
+    full = [
+        r.o_orderkey
+        for r in o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc()).collect()
+    ]
+    assert top == set(full[:25])
+
+
+def test_approx_distinct_within_tolerance(spark):
+    approx = {
+        r.event_type: r.approx_users
+        for r in OPS["agg_approx_distinct"].fn(spark, SF_SMALL).collect()
+    }
+    exact = {
+        r.event_type: r.n_users for r in OPS["agg_count_distinct"].fn(spark, SF_SMALL).collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(2, 0.05 * ex), (k, approx[k], ex)
+
+
+def test_khop_monotone_in_k(spark):
+    """2-hop neighborhood contains the 1-hop frontier's successors."""
+    res = {r.node: r.hop for r in OPS["graph_khop"].fn(spark, SF_SMALL).collect()}
+    assert all(h in (0, 1, 2) for h in res.values())
+    assert any(h == 2 for h in res.values())  # region tier reached
+
+
+def test_cross_sf_consistency(spark):
+    """sf0.001 customers are a prefix-subset of sf0.01 (same generator):
+    flagship logic must agree on shared group keys' schema."""
+    small = OPS["flagship_exposure_rollup"].fn(spark, SF_SMALL)
+    big = OPS["flagship_exposure_rollup"].fn(spark, "/root/testdata/sf0.01")
+    assert [f.name for f in small.schema.fields] == [f.name for f in big.schema.fields]
+    assert small.count() > 0 and big.count() > 0
+
+
+def test_minhash_lsh_superset_check(spark):
+    """LSH-verified pairs at θ=0.9 must equal the exhaustive exact-Jaccard
+    pairs (recall=1 within banding probability) — checked exhaustively on
+    the small corpus."""
+    lsh = {
+        (r.doc_a, r.doc_b) for r in OPS["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    }
+    d = t(spark, SF_SMALL, "documents")
+    toks = d.select("doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"))
+    a = toks.select(F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"))
+    b = toks.select(F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"))
+    inter = F.size(F.array_intersect("a_toks", "b_toks"))
+    union = F.size(F.array_union("a_toks", "b_toks"))
+    exact = {
+        (r.a_id, r.b_id)
+        for r in a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(inter.cast("double") / union >= 0.9)
+        .collect()
+    }
+    assert lsh == exact

@@ -1,0 +1,97 @@
+"""Streaming forms equal their oracle-checked batch twins (SURVEY.md §7.6):
+events parquet replayed as a bounded file stream, drained with
+trigger(availableNow), compared to the batch computation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.operators._base import t
+from mimranalytics_core_spark.streaming import jobs
+from tests.conftest import SF_SMALL
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_matches_batch(spark):
+    stream = jobs.events_stream(spark, SF_SMALL)
+    res = jobs.run_available_now(
+        jobs.tumbling_counts(stream), "t_tumbling", spark, output_mode="complete"
+    )
+    batch = (
+        t(spark, SF_SMALL, "events")
+        .groupBy(F.window("ts", "1 hour").start.alias("win_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    cols = ["win_start", "event_type", "n", "sum_value"]
+    assert _rows(res, cols) == _rows(batch, cols)
+
+
+def test_stream_session_matches_batch(spark):
+    stream = jobs.events_stream(spark, SF_SMALL)
+    res = jobs.run_available_now(
+        jobs.session_windows(stream), "t_session", spark, output_mode="complete"
+    )
+    batch = (
+        t(spark, SF_SMALL, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sess_value"))
+        .select("user_id", F.col("win").start.alias("sess_start"), "n_events", "sess_value")
+    )
+    cols = ["user_id", "sess_start", "n_events", "sess_value"]
+    assert _rows(res, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_within_watermark(spark):
+    stream = jobs.events_stream(spark, SF_SMALL)
+    res = jobs.run_available_now(jobs.dedup_within_watermark(stream), "t_dedup", spark)
+    batch = t(spark, SF_SMALL, "events")
+    # event_id is unique in the fixture → dedup is identity on cardinality
+    assert res.count() == batch.count()
+    assert res.select("event_id").distinct().count() == res.count()
+
+
+def test_stream_enrich_matches_batch(spark):
+    from pyspark.sql import Window
+
+    stream = jobs.events_stream(spark, SF_SMALL)
+    c = t(spark, SF_SMALL, "customer")
+    w = Window.partitionBy(F.col("c_custkey") % 150).orderBy(F.col("c_custkey").asc())
+    dim = (
+        c.select("c_custkey", "c_mktsegment", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            (F.col("c_custkey") % 150).alias("join_key"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    res = jobs.run_available_now(jobs.enrich_with_dim(stream, dim), "t_enrich", spark)
+    ev = t(spark, SF_SMALL, "events")
+    batch = ev.join(F.broadcast(dim), ev.user_id % 150 == dim.join_key, "left").select(
+        "event_id", "user_id", "event_type", "segment"
+    )
+    cols = ["event_id", "user_id", "event_type", "segment"]
+    assert _rows(res, cols) == _rows(batch, cols)
+
+
+def test_stream_stateful_anomaly(spark):
+    """applyInPandasWithState runs and produces one output row per event,
+    with z-scores that reflect per-user running state (first event per user
+    has z=0: no prior state)."""
+    stream = jobs.events_stream(spark, SF_SMALL)
+    res = jobs.run_available_now(jobs.anomaly_flags_stateful(stream), "t_anom", spark)
+    ev = t(spark, SF_SMALL, "events")
+    assert res.count() == ev.count()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc())
+    firsts = (
+        res.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("zscore")
+        .collect()
+    )
+    assert all(r.zscore == 0.0 for r in firsts)
