@@ -1,0 +1,61 @@
+"""Physical-plan assertions (SURVEY.md §4): the optimizations we rely on must
+actually appear in the plan — pushdown reaching the parquet scan, broadcast
+joins on dims, TakeOrderedAndProject for top-k, whole-stage codegen present.
+A plan regression here is a 100 TB performance bug even when results match.
+"""
+
+from __future__ import annotations
+
+from mimranalytics_core_spark.registry import all_ops
+from tests.conftest import SF_SMALL
+
+OPS = all_ops()
+
+
+def _plan(spark, name: str, execute: bool = False) -> str:
+    df = OPS[name].fn(spark, SF_SMALL)
+    if execute:  # AQE: codegen spans only visible in the final (executed) plan
+        df.count()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pruned_pushes_filters_and_columns(spark):
+    plan = _plan(spark, "scan_pruned")
+    assert "PushedFilters: [" in plan and "IsNotNull(l_quantity)" in plan
+    assert "GreaterThan(l_quantity,45.0)" in plan
+    # only the needed columns in ReadSchema
+    assert "l_extendedprice" in plan.split("ReadSchema")[1][:400]
+    assert "l_tax" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = _plan(spark, "join_multiway")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_broadcasts_dims(spark):
+    plan = _plan(spark, "flagship_exposure_rollup")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    plan = _plan(spark, "agg_groupby_hash", execute=True)
+    assert "WholeStageCodegen" in plan
+    assert "HashAggregate" in plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    plan = _plan(spark, "agg_groupby_hash")
+    # two HashAggregate phases (partial + final) around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_join_stays_semi(spark):
+    plan = _plan(spark, "join_semi")
+    assert "LeftSemi" in plan
