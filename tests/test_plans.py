@@ -15,7 +15,7 @@ OPS = all_ops()
 def _plan(spark, name: str, execute: bool = False) -> str:
     df = OPS[name].fn(spark, SF_SMALL)
     if execute:  # AQE: codegen spans only visible in the final (executed) plan
-        df.count()
+        df.collect()  # count() would execute a different (re-aggregated) plan
     return df._jdf.queryExecution().executedPlan().toString()
 
 
@@ -46,7 +46,8 @@ def test_topk_uses_take_ordered(spark):
 
 def test_whole_stage_codegen_active(spark):
     plan = _plan(spark, "agg_groupby_hash", execute=True)
-    assert "WholeStageCodegen" in plan
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan and "*(2)" in plan
     assert "HashAggregate" in plan
 
 
