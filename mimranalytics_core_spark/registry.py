@@ -66,6 +66,7 @@ def _load_all_modules() -> None:
         return
     from mimranalytics_core_spark.operators import (  # noqa: F401
         aggregates,
+        extensions,
         functions_scalar,
         graph,
         joins,
