@@ -27,6 +27,13 @@ def main() -> None:
     spark = get_spark("mimranalytics-core-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Warm the session (protocol excludes one-time start): touch every table
+    # footer once so the first timed query doesn't absorb catalog setup.
+    from mimranalytics_core_spark.operators._base import tables
+
+    for df in tables(spark, sf_dir).values():
+        df.select(df.columns[0]).limit(1).count()
+
     ops = all_ops()
     timings: dict[str, float] = {}
     for name in sorted(ops):

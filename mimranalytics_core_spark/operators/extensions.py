@@ -136,3 +136,142 @@ def stream_watermark_late(spark, sf_dir):
     return jobs.run_available_now(
         jobs.tumbling_counts(stream), name, spark, output_mode="complete"
     )
+
+
+@register(
+    "sink_report_roundtrip",
+    "sinks",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               FLOOR(SUM(o_totalprice) * 100 + 0.5) / 100 AS revenue
+        FROM orders GROUP BY o_orderpriority
+    """,
+    notes=(
+        "audit-report sink (README.md:19): aggregate → parquet artifact "
+        "(sources/io.export_report) → re-read; declared result is the "
+        "re-read file, so the oracle checks the full write/read cycle"
+    ),
+)
+def sink_report_roundtrip(spark, sf_dir):
+    import os
+
+    from mimranalytics_core_spark.functions.numeric import dround
+    from mimranalytics_core_spark.sources.io import export_report, read_any
+
+    o = t(spark, sf_dir, "orders")
+    report = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        dround(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    dest = f"/tmp/mimranalytics_reports/{os.path.basename(sf_dir.rstrip('/'))}/priority_revenue"
+    export_report(report, dest, fmt="parquet", order_by=["o_orderpriority"])
+    return read_any(spark, dest, "parquet")
+
+
+@register(
+    "text_token_regex",
+    "text",
+    oracle="""
+        SELECT doc_id, token, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS token
+              FROM documents WHERE doc_id < 50)
+        GROUP BY doc_id, token
+    """,
+    notes=(
+        "BPE-ish regex tokenizer (letter-runs | digit-runs): the token-"
+        "counting north star over a non-whitespace tokenization; regex kept "
+        "in the Java/RE2-common subset"
+    ),
+)
+def text_token_regex(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+|[0-9]+"), 0)
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "dedup_simhash",
+    "text",
+    oracle=None,  # hamming-radius candidate set is engine-specific → rows-only;
+    # exact near-dup ground truth is covered by dedup_minhash_lsh's oracle
+    notes=(
+        "SimHash near-dup candidates: 64-bit fingerprint = sign of per-bit "
+        "sum of token-hash bits; docs paired when hamming distance ≤ 3 via "
+        "4-segment pigeonhole blocking (any pair within radius 3 shares ≥1 "
+        "exact 16-bit segment) — banded equi-join, never all-pairs. Exactness "
+        "of the blocking invariant tested in tests/test_text_extra.py"
+    ),
+)
+def dedup_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"))
+    # per-doc 64-bit simhash: bit j set iff sum over tokens of bit_j(±1) > 0
+    h = toks.select("doc_id", F.explode("toks").alias("token")).select(
+        "doc_id", F.xxhash64("token").alias("h")
+    )
+    bit_votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(64)
+        ]
+    )
+    sim = bit_votes.select(
+        "doc_id",
+        sum(
+            (
+                F.when(
+                    # bit 63 is the sign bit of int64 — lit(-(2^63)) sets it
+                    F.col(f"v{j}") > 0,
+                    F.lit((1 << j) if j < 63 else -(1 << 63)),
+                ).otherwise(F.lit(0))
+                for j in range(64)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("simhash"),
+    )
+    # pigeonhole blocking: 4 × 16-bit segments; hamming ≤ 3 ⇒ ≥1 segment equal
+    seg = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seg_id"),
+                        F.shiftrightunsigned(F.col("simhash"), 16 * s)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("seg"),
+                    )
+                    for s in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.seg_id").alias("seg_id"), F.col("b.seg").alias("seg"))
+    l = seg.alias("l")
+    r = seg.alias("r")
+    hamming = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+    return (
+        l.join(
+            r,
+            (F.col("l.seg_id") == F.col("r.seg_id"))
+            & (F.col("l.seg") == F.col("r.seg"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )

@@ -1,0 +1,54 @@
+"""SimHash blocking invariant + salted-join equivalence tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.functions.skew import salted_join
+from mimranalytics_core_spark.operators._base import t
+from mimranalytics_core_spark.registry import all_ops
+from tests.conftest import SF_SMALL
+
+OPS = all_ops()
+
+
+def test_simhash_pigeonhole_blocking_is_exact(spark):
+    """Pairs found via 4-segment blocking must equal exhaustive hamming≤3
+    pairs over the full simhash table (pigeonhole: d≤3 ⇒ one of the 4
+    16-bit segments is untouched)."""
+    res = OPS["dedup_simhash"].fn(spark, SF_SMALL)
+    blocked = {(r.doc_a, r.doc_b): r.hamming for r in res.collect()}
+
+    # recompute fingerprints exhaustively in python
+    d = t(spark, SF_SMALL, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token")
+    ).select("doc_id", F.xxhash64("token").alias("h"))
+    rows = toks.groupBy("doc_id").agg(F.collect_list("h").alias("hs")).collect()
+    sims = {}
+    for r in rows:
+        bits = 0
+        for j in range(64):
+            vote = sum(1 if (h >> j) & 1 else -1 for h in r.hs)
+            if vote > 0:
+                bits |= 1 << j
+        sims[r.doc_id] = bits
+    ids = sorted(sims)
+    exhaustive = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            ham = bin(sims[a] ^ sims[b]).count("1")
+            if ham <= 3:
+                exhaustive[(a, b)] = ham
+    assert blocked == exhaustive
+
+
+def test_salted_join_matches_plain_join(spark):
+    li = t(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    salted = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4).count()
+    assert plain == salted
+
+    salted_df = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4)
+    assert set(salted_df.columns) == {"l_orderkey", "l_quantity", "o_orderkey", "o_totalprice"}
