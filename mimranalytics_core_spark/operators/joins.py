@@ -369,3 +369,20 @@ def join_cross_nl(spark, sf_dir):
         .filter(F.col("r1.r_regionkey") != F.col("r2.r_regionkey"))
         .select(F.col("r1.r_name").alias("region_a"), F.col("r2.r_name").alias("region_b"))
     )
+
+
+@register(
+    "join_right",
+    "joins",
+    oracle="""
+        SELECT o.o_orderkey, c.c_custkey, c.c_name
+        FROM orders o RIGHT JOIN customer c
+          ON o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+    """,
+    notes="right outer join preserving all customers (completes the outer-join family)",
+)
+def join_right(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").alias("o")
+    c = t(spark, sf_dir, "customer").alias("c")
+    cond = (F.col("o.o_custkey") == F.col("c.c_custkey")) & (F.col("o.o_orderstatus") == "P")
+    return o.join(c, cond, "right").select("o_orderkey", "c_custkey", "c_name")
