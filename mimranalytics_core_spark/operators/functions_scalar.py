@@ -86,13 +86,19 @@ def fn_string_regex(spark, sf_dir):
     oracle="""
         SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
                levenshtein(a.s_name, b.s_name) AS lev
-        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        FROM (SELECT * FROM supplier WHERE s_suppkey < 500) a
+        JOIN (SELECT * FROM supplier WHERE s_suppkey < 500) b
+          ON a.s_suppkey < b.s_suppkey
         WHERE levenshtein(a.s_name, b.s_name) <= 3
     """,
-    notes="fuzzy name matching (near-identical entity names, README.md:15)",
+    notes=(
+        "fuzzy name matching (near-identical entity names, README.md:15); "
+        "pair space key-bounded — at 100 TB the blocking key would be a "
+        "name n-gram/phonetic bucket, not an id range (all-pairs lev is O(n²))"
+    ),
 )
 def fn_string_distance(spark, sf_dir):
-    s = t(spark, sf_dir, "supplier")
+    s = t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 500)
     a = s.alias("a")
     b = s.alias("b")
     lev = F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
