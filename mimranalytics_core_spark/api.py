@@ -1,0 +1,155 @@
+"""Product-level API: the reference's backend surface re-expressed on Spark.
+
+The reference exposes its capabilities through a Python backend
+(reference README.md:26, FastAPI): interactive expansion (README.md:11), UBO
+reports (README.md:13), conflict detection (README.md:15), the Time-Slider
+(README.md:17), audit export (README.md:19). This module is that surface —
+each function takes a SparkSession + sf_dir (the dataset root) and returns a
+DataFrame a JSON/HTTP layer would serialize. A user of the reference finds
+every product operation here, backed by the distributed operators instead of
+Neo4j+NetworkX.
+
+All functions are thin compositions over ``catalog`` edge views and
+``functions/graph_algos`` — no new execution logic, so everything inherits
+the engine's oracle-tested semantics and scale posture.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark import catalog
+from mimranalytics_core_spark.functions.graph_algos import (
+    bfs_distances,
+    connected_components,
+    pagerank,
+    ubo_closure,
+    undirect,
+)
+from mimranalytics_core_spark.operators._base import tables
+
+
+def expand_neighborhood(
+    spark: SparkSession, sf_dir: str, entities: list[str], hops: int = 2
+) -> DataFrame:
+    """Interactive relationship expansion (README.md:11): the ≤k-hop
+    undirected neighborhood of a seed entity set → (node, hop)."""
+    tables(spark, sf_dir)
+    edges = undirect(catalog.hierarchy_edges(spark, sf_dir))
+    seeds = spark.createDataFrame([(e,) for e in entities], "node STRING")
+    return bfs_distances(edges, seeds, max_depth=hops).withColumnRenamed("dist", "hop")
+
+
+def ubo_report(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.25, max_depth: int = 6
+) -> DataFrame:
+    """UBO identification (README.md:13): owners whose effective (multi-path,
+    depth-bounded) ownership of an entity meets the threshold."""
+    tables(spark, sf_dir)
+    edges = catalog.hierarchy_edges(spark, sf_dir)
+    owners = edges.filter(F.col("rel_type") == "customer_of").select("src").distinct()
+    ubo = ubo_closure(edges, max_depth=max_depth, threshold=threshold)
+    return (
+        ubo.join(owners, ubo.owner == owners.src, "left_semi")
+        .select(
+            "owner",
+            "entity",
+            F.round("effective_ownership", 6).alias("effective_ownership"),
+        )
+        .orderBy(F.col("effective_ownership").desc(), F.col("owner").asc(), F.col("entity").asc())
+    )
+
+
+def conflict_report(spark: SparkSession, sf_dir: str, max_levenshtein: int = 3) -> DataFrame:
+    """Conflict detection (README.md:15): entity pairs sharing an attribute
+    (same nation = shared-registered-address analog) whose names are also
+    near-identical — the duplicate-entity / hidden-link signal."""
+    tbls = tables(spark, sf_dir)
+    c = tbls["customer"]
+    a = c.alias("a")
+    b = c.alias("b")
+    lev = F.levenshtein(F.col("a.c_name"), F.col("b.c_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .filter(lev <= max_levenshtein)
+        .select(
+            F.col("a.c_custkey").alias("entity_a"),
+            F.col("b.c_custkey").alias("entity_b"),
+            F.col("a.c_nationkey").alias("shared_attribute"),
+            lev.alias("name_distance"),
+        )
+    )
+
+
+def circular_ownership(spark: SparkSession, sf_dir: str, max_len: int = 4) -> DataFrame:
+    """Circular-ownership loops (README.md:15) on the trade-credit digraph:
+    entities with a directed walk back to themselves within ``max_len``."""
+    from mimranalytics_core_spark.operators.graph import TRADE_CREDIT_SQL
+
+    tables(spark, sf_dir)
+    return spark.sql(
+        f"""
+        WITH RECURSIVE {TRADE_CREDIT_SQL},
+        walk(origin, node, depth) AS (
+            SELECT src AS origin, dst AS node, 1 AS depth FROM tc_edges
+            UNION ALL
+            SELECT w.origin, e.dst, w.depth + 1
+            FROM walk w JOIN tc_edges e ON e.src = w.node
+            WHERE w.depth < {int(max_len)} AND w.node <> w.origin
+        )
+        SELECT DISTINCT origin AS entity_on_cycle FROM walk WHERE node = origin
+        """
+    )
+
+
+def snapshot_asof(spark: SparkSession, sf_dir: str, as_of: str) -> DataFrame:
+    """Time-Slider (README.md:17): the interaction graph as of a timestamp."""
+    ev = tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_seen"))
+        .filter(F.col("first_seen") <= F.lit(as_of).cast("timestamp_ntz"))
+    )
+
+
+def structure_diff(spark: SparkSession, sf_dir: str, t1: str, t2: str) -> DataFrame:
+    """Time-Slider diff (README.md:17): edges added/removed between t1 and t2
+    → (user_id, event_type, change ∈ {added, removed})."""
+    s1 = snapshot_asof(spark, sf_dir, t1).select("user_id", "event_type")
+    s2 = snapshot_asof(spark, sf_dir, t2).select("user_id", "event_type")
+    added = s2.subtract(s1).withColumn("change", F.lit("added"))
+    removed = s1.subtract(s2).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
+
+
+def centrality(spark: SparkSession, sf_dir: str, kind: str = "pagerank") -> DataFrame:
+    """Centrality analysis (README.md:28): pagerank | degree | component."""
+    tables(spark, sf_dir)
+    edges = catalog.hierarchy_edges(spark, sf_dir)
+    if kind == "pagerank":
+        return pagerank(edges.select("src", "dst"), iters=10).select(
+            "node", F.round("rank", 6).alias("score")
+        )
+    if kind == "component":
+        return connected_components(edges.select("src", "dst"))
+    out_deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_deg"))
+    in_deg = edges.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_deg"))
+    return out_deg.join(in_deg, "node", "full").select(
+        "node",
+        (F.coalesce("out_deg", F.lit(0)) + F.coalesce("in_deg", F.lit(0))).alias("score"),
+    )
+
+
+def export_audit_report(
+    spark: SparkSession, sf_dir: str, df: DataFrame, path: str, fmt: str = "csv"
+) -> None:
+    """Audit-ready export (README.md:19): graph/analytic result → file
+    artifact via the engine sink."""
+    from mimranalytics_core_spark.sources.io import export_report
+
+    export_report(df, path, fmt=fmt, single_file=True)
