@@ -231,3 +231,93 @@ def multimodal_struct(spark, sf_dir):
         dround(F.col("embedding").getItem(0).cast("double"), 6).alias("head_val"),
         F.get_json_object(packed, "$.lab").cast("int").alias("lab_rt"),
     )
+
+
+def _kmeans_centroids(e, k: int = 16, iters: int = 3):
+    """DataFrame Lloyd iterations: train k coarse centroids over ``emb``.
+
+    Seeds = first k vectors by id (deterministic). Assignment broadcasts the
+    centroid table (k×dim doubles — tiny); centroid update is posexplode +
+    avg per (cluster, dim): both stages shuffle only k×dim rows. This is the
+    IVF training loop at any scale — vectors never move, only assignments.
+    """
+    centroids = [
+        (int(r.vec_id), [float(x) for x in r.emb])
+        for r in e.orderBy("vec_id").limit(k).collect()
+    ]
+    for _ in range(iters):
+        cent_rows = [(i, v) for i, (_, v) in enumerate(centroids)]
+        cdf = e.sparkSession.createDataFrame(cent_rows, "cid INT, cvec ARRAY<DOUBLE>")
+        dist = F.aggregate(
+            F.zip_with(F.col("emb"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "emb", "cid", dist.alias("d2"))
+            .groupBy("vec_id", "emb")
+            .agg(F.min_by("cid", "d2").alias("cid"))
+        )
+        new = (
+            assigned.select("cid", F.posexplode("emb").alias("dim", "val"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dims"))
+            .select("cid", F.transform("dims", lambda s: s.m).alias("cvec"))
+            .collect()
+        )
+        got = {r.cid: [float(x) for x in r.cvec] for r in new}
+        centroids = [(i, got.get(i, v)) for i, (_, v) in enumerate(centroids)]
+    return centroids
+
+
+@register(
+    "sim_ivf_topk",
+    "similarity",
+    oracle=None,  # approximate (probed subset) — rows-only; recall asserted in tests
+    notes=(
+        "IVF approximate top-k (north-star scale path): 16 coarse centroids "
+        "trained with 3 DataFrame-Lloyd iterations (assignment broadcasts "
+        "the k×dim centroid table; update shuffles only k×dim rows), query "
+        "probes the nprobe=4 nearest cells and exact-scores only those "
+        "vectors — scan cost drops to ~nprobe/k of the corpus vs brute "
+        "force. Recall vs sim_cosine_topk asserted in tests/test_similarity.py"
+    ),
+)
+def sim_ivf_topk(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    ).localCheckpoint(eager=True)
+    centroids = _kmeans_centroids(e, k=16, iters=3)
+    cdf = spark.createDataFrame(
+        [(i, v) for i, (_, v) in enumerate(centroids)], "cid INT, cvec ARRAY<DOUBLE>"
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "emb", "cid", d2.alias("d2"))
+        .groupBy("vec_id", "emb")
+        .agg(F.min_by("cid", "d2").alias("cid"))
+    )
+    # query = vec 0; probe its 4 nearest cells, exact cosine within them
+    qrow = e.filter(F.col("vec_id") == 0).select("emb").first()
+    q = [float(x) for x in qrow.emb]
+    probe = sorted(
+        ((sum((a - b) ** 2 for a, b in zip(v, q)), i) for i, (_, v) in enumerate(centroids))
+    )[:4]
+    probe_ids = [i for _, i in probe]
+    qdf = spark.createDataFrame([(q,)], "qv ARRAY<DOUBLE>")
+    sim = cosine(F.col("emb"), F.col("qv"))
+    return (
+        assigned.filter(F.col("cid").isin(probe_ids) & (F.col("vec_id") != 0))
+        .crossJoin(F.broadcast(qdf))
+        .select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

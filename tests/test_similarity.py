@@ -71,3 +71,13 @@ def test_centroid_is_mean(spark):
         mean = np.mean(vs, axis=0)
         for dim in range(1, 9):
             assert abs(got[(label, dim)] - round(float(mean[dim - 1]), 6)) < 1e-9
+
+
+def test_ivf_topk_recall_vs_brute(spark):
+    """IVF (probed subset) must recover most of the exact top-10 for the
+    same query; with 4/16 cells probed on clustered data (10 labels),
+    recall is high -- assert a conservative floor."""
+    ivf = [r.vec_id for r in OPS["sim_ivf_topk"].fn(spark, SF_SMALL).collect()]
+    brute = [r.vec_id for r in OPS["sim_cosine_topk"].fn(spark, SF_SMALL).collect()]
+    overlap = len(set(ivf) & set(brute))
+    assert overlap >= 5, f"IVF recall too low: {overlap}/10 ({ivf} vs {brute})"
