@@ -386,3 +386,83 @@ def join_right(spark, sf_dir):
     c = t(spark, sf_dir, "customer").alias("c")
     cond = (F.col("o.o_custkey") == F.col("c.c_custkey")) & (F.col("o.o_orderstatus") == "P")
     return o.join(c, cond, "right").select("o_orderkey", "c_custkey", "c_name")
+
+
+@register(
+    "report_top_unshipped",
+    "reports",
+    oracle="""
+        SELECT l.l_orderkey,
+               FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+        LIMIT 10
+    """,
+    notes=(
+        "TPC-H-Q3-shaped shipping-priority report: segment filter pushed to "
+        "the customer scan, date filters to orders/lineitem scans, 3-way "
+        "join + agg + top-k; the composite plan a product dashboard runs "
+        "(README.md:19)"
+    ),
+)
+def report_top_unshipped(spark, sf_dir):
+    from mimranalytics_core_spark.functions.numeric import dround
+
+    cut = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "report_nation_volume",
+    "reports",
+    oracle="""
+        SELECT n.n_name AS nation_name,
+               CAST(year(o.o_orderdate) AS INT) AS yr,
+               FLOOR(SUM(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, year(o.o_orderdate)
+    """,
+    notes=(
+        "TPC-H-Q9-shaped supplier-nation volume rollup: fact⋈fact shuffle on "
+        "orderkey, dims broadcast, per-(nation,year) two-phase agg — the "
+        "multi-join rollup shape of an audit report (README.md:19)"
+    ),
+)
+def report_nation_volume(spark, sf_dir):
+    from mimranalytics_core_spark.functions.numeric import dround
+
+    s = t(spark, sf_dir, "supplier")
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation_name"),
+            F.year("o_orderdate").cast("int").alias("yr"),
+        )
+        .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )

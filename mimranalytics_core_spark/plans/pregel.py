@@ -31,22 +31,27 @@ def iterate_fixpoint(
     step: Callable[[DataFrame], DataFrame],
     changed: Callable[[DataFrame, DataFrame], DataFrame],
     max_iter: int = 20,
-    checkpoint_every: int = 2,
+    check_every: int = 2,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` until ``changed(old, new)`` is empty.
 
     ``changed`` returns a DataFrame whose emptiness signals convergence —
     computed distributed, only emptiness is checked on the driver.
+    ``check_every`` batches convergence checks: a monotone step applied to an
+    already-converged state is a no-op, so checking every k-th superstep
+    trades ≤(k-1) wasted cheap supersteps for k× fewer driver round-trips —
+    per-job overhead dominates these small-frontier loops.
     """
     state = state.localCheckpoint(eager=True)
     for i in range(max_iter):
         new_state = step(state)
-        if (i + 1) % checkpoint_every == 0 or True:
-            # Checkpoint every step: each step embeds a join against the
-            # previous state, and the convergence check evaluates the plan
-            # anyway — materializing is strictly cheaper than recomputing.
-            new_state = new_state.localCheckpoint(eager=True)
-        if changed(state, new_state).isEmpty():
+        # Checkpoint every step: each step embeds a join against the previous
+        # state and is evaluated at latest by the next convergence check —
+        # materializing is strictly cheaper than recomputing a growing plan.
+        new_state = new_state.localCheckpoint(eager=True)
+        if ((i + 1) % check_every == 0 or i == max_iter - 1) and changed(
+            state, new_state
+        ).isEmpty():
             return new_state
         state = new_state
     return state
