@@ -275,3 +275,117 @@ def dedup_simhash(spark, sf_dir):
         .filter(F.col("hamming") <= 3)
         .distinct()
     )
+
+
+@register(
+    "fn_json_variant",
+    "scalar_fns",
+    oracle="""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_variant
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
+    """,
+    notes=(
+        "Spark 4 VariantType path (SURVEY.md §1.2): parse_json once, typed "
+        "field access via variant-get — the schema-flexible property-bag "
+        "representation (README.md:25) without per-access JSON re-parsing"
+    ),
+)
+def fn_json_variant(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    v = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    return ev.select("event_id", v.alias("k_variant")).filter(F.col("k_variant") % 2 == 0)
+
+
+@register(
+    "sim_ngram_jaccard",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS ts
+            FROM documents WHERE doc_id < 60
+        ),
+        sh AS (
+            SELECT DISTINCT doc_id,
+                   ts[i.n] || ' ' || ts[i.n + 1] || ' ' || ts[i.n + 2] AS shingle
+            FROM toks CROSS JOIN (SELECT unnest(range(1, 2000)) AS n) i
+            WHERE i.n + 2 <= len(ts)
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               FLOOR(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) * 10000 + 0.5) / 10000 AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+    """,
+    notes=(
+        "3-gram shingle Jaccard (north-star n-gram near-dup): shingles built "
+        "row-local via transform over token index sequence (no per-gram "
+        "shuffle), then inverted-index pair join — word-order-sensitive "
+        "companion to token-set Jaccard; subset-bounded like all O(n²) "
+        "verify ops"
+    ),
+)
+def sim_ngram_jaccard(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    ts = F.split(F.lower("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(ts) - 3),
+            lambda i: F.concat_ws(
+                " ", F.element_at(ts, i + 1), F.element_at(ts, i + 2), F.element_at(ts, i + 3)
+            ),
+        )
+    )
+    sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("i").cast("double") / (F.col("sa.sz") + F.col("sb.sz") - F.col("i"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(jac * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "stream_stateful_custom",
+    "event_time",
+    oracle=None,  # custom streaming state: rows-only per SURVEY.md §2.10
+    notes=(
+        "custom per-key stateful streaming op executed for real: "
+        "applyInPandasWithState keeps running Welford mean/variance per user "
+        "and emits each event's z-score against state-before-it (alarm-"
+        "verification pattern); availableNow replay, memory sink. Semantics "
+        "asserted against batch in tests/test_streaming.py"
+    ),
+)
+def stream_stateful_custom(spark, sf_dir):
+    import uuid
+
+    from mimranalytics_core_spark.streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    name = f"stateful_demo_{uuid.uuid4().hex[:8]}"
+    return jobs.run_available_now(
+        jobs.anomaly_flags_stateful(stream), name, spark, output_mode="append"
+    )
