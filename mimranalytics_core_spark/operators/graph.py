@@ -477,3 +477,54 @@ def graph_temporal_diff(spark, sf_dir):
         F.col("first_seen") <= F.lit("2024-01-20 00:00:00").cast("timestamp_ntz")
     ).select("user_id", "event_type")
     return t2.subtract(t1).withColumn("change", F.lit("added"))
+
+
+@register(
+    "graph_asof_traverse",
+    "graph",
+    oracle=f"""
+        WITH {_INTERACTION_SQL},
+        snap AS (
+            SELECT user_id, event_type FROM iedges
+            WHERE first_seen <= TIMESTAMP '2024-01-15 00:00:00'
+        ),
+        seeds AS (SELECT DISTINCT event_type FROM snap WHERE event_type = 'error'),
+        hop1 AS (  -- users linked to the seed event type as of t
+            SELECT DISTINCT s.user_id FROM snap s JOIN seeds ON s.event_type = seeds.event_type
+        ),
+        hop2 AS (  -- event types those users also touched as of t
+            SELECT DISTINCT s.event_type FROM snap s JOIN hop1 ON s.user_id = hop1.user_id
+        )
+        SELECT 'u:' || user_id AS node, 1 AS hop FROM hop1
+        UNION ALL
+        SELECT 'e:' || event_type, 2 FROM hop2 WHERE event_type <> 'error'
+    """,
+    notes=(
+        "Time-Slider composition (README.md:17 + README.md:11): as-of "
+        "validity filter applied FIRST, then a 2-hop traversal of the "
+        "bipartite user—event_type interaction graph — proves snapshot "
+        "composes with any downstream graph op; the filter prunes state "
+        "before the joins (cheapest order at scale)"
+    ),
+)
+def graph_asof_traverse(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    snap = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.min("ts").alias("first_seen"))
+        .filter(F.col("first_seen") <= F.lit("2024-01-15 00:00:00").cast("timestamp_ntz"))
+        .select("user_id", "event_type")
+    )
+    hop1 = snap.filter(F.col("event_type") == "error").select("user_id").distinct()
+    hop2 = (
+        snap.join(hop1, "user_id")
+        .select("event_type")
+        .distinct()
+        .filter(F.col("event_type") != "error")
+    )
+    return (
+        hop1.select(F.concat(F.lit("u:"), F.col("user_id")).alias("node"), F.lit(1).alias("hop"))
+        .unionByName(
+            hop2.select(F.concat(F.lit("e:"), F.col("event_type")).alias("node"), F.lit(2).alias("hop"))
+        )
+    )

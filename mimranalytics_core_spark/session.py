@@ -40,6 +40,7 @@ def apply_engine_confs(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir", "/tmp/mimranalytics_warehouse")
     )
 
 
