@@ -15,8 +15,14 @@ from tests.conftest import SF_SMALL
 
 @pytest.fixture(scope="module")
 def bucketed(spark):
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS li_bucketed")
     spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    # fresh sessions use an in-memory catalog: a stale warehouse dir from a
+    # previous run isn't droppable via SQL — remove the locations directly
+    for name in ("li_bucketed", "o_bucketed"):
+        shutil.rmtree(f"/tmp/mimranalytics_warehouse/{name}", ignore_errors=True)
     li = t(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_quantity", "l_extendedprice")
     o = t(spark, SF_SMALL, "orders").select("o_orderkey", "o_totalprice")
     (
