@@ -1,0 +1,112 @@
+"""Time-series analytics operators (Time-Slider analytics family,
+reference README.md:17) beyond plain windows: exponential smoothing, pivot
+reports, sampling.
+
+Scale posture: EWMA is a per-key ordered scan inside one window shuffle —
+same cost envelope as win_running_sum; pivot compiles to one pass of
+conditional aggregates (the pivoted column's domain must be bounded — it is:
+5 event types); sampling is scan-local (no shuffle)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.functions.numeric import dround, dround_sql
+from mimranalytics_core_spark.operators._base import t
+from mimranalytics_core_spark.registry import register
+
+_ALPHA = 0.3
+
+
+_EWMA_SQL = """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS rn
+        FROM events
+    ),
+    ewma_rec(user_id, event_id, ts, rn, y) AS (
+        SELECT user_id, event_id, ts, rn, value FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.ts, o.rn, 0.3 * o.value + 0.7 * e.y
+        FROM ewma_rec e JOIN ordered o
+          ON o.user_id = e.user_id AND o.rn = e.rn + 1
+        WHERE e.rn < 20
+    )
+    SELECT user_id, event_id, ts, FLOOR(y * 1e4 + 0.5) / 1e4 AS ewma
+    FROM ewma_rec
+"""
+
+
+@register(
+    "ts_ewma",
+    "event_time",
+    oracle=_EWMA_SQL,
+    notes=(
+        "per-user EWMA (alpha=0.3): y_t = 0.3 x_t + 0.7 y_(t-1), first 20 "
+        "events per key, as a recursive CTE running VERBATIM in Spark 4.1 "
+        "and DuckDB -- the sequential recurrence gives bit-identical floats "
+        "in both engines (a closed-form prefix-sum window variant matched "
+        "only to ~1e-14, which flips digits because 2-decimal inputs land "
+        "EWMA values exactly on round boundaries). Each recursion level is "
+        "one bounded equi-join; the closed-form window stays the scale path "
+        "when cross-engine bit-parity is not required"
+    ),
+)
+def ts_ewma(spark, sf_dir):
+    from mimranalytics_core_spark.operators._base import tables
+
+    tables(spark, sf_dir)
+    return spark.sql(_EWMA_SQL)
+
+
+@register(
+    "agg_pivot",
+    "aggregates",
+    oracle=f"""
+        SELECT user_id,
+               {dround_sql("COALESCE(SUM(CASE WHEN event_type = 'click' THEN value END), 0.0)", 2)} AS click_value,
+               {dround_sql("COALESCE(SUM(CASE WHEN event_type = 'view' THEN value END), 0.0)", 2)} AS view_value,
+               {dround_sql("COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END), 0.0)", 2)} AS purchase_value
+        FROM events
+        GROUP BY user_id
+    """,
+    notes=(
+        "true pivot (df.groupBy().pivot(values)) — long→wide report shape "
+        "(README.md:19); compiles to one pass of conditional aggregates, "
+        "pivot domain explicitly bounded (never pivot on unbounded keys)"
+    ),
+)
+def agg_pivot(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.sum("value"))
+    )
+    return wide.select(
+        "user_id",
+        dround(F.coalesce(F.col("click"), F.lit(0.0)), 2).alias("click_value"),
+        dround(F.coalesce(F.col("view"), F.lit(0.0)), 2).alias("view_value"),
+        dround(F.coalesce(F.col("purchase"), F.lit(0.0)), 2).alias("purchase_value"),
+    )
+
+
+@register(
+    "sample_stratified",
+    "scans",
+    oracle=None,  # RNG differs per engine → rows-only; invariants unit-tested
+    notes=(
+        "seeded stratified sample (50% of clicks, 10% of everything else) via "
+        "sampleBy — the pipeline down-sampling primitive; scan-local, no "
+        "shuffle. Fraction bounds + determinism asserted in "
+        "tests/test_invariants.py"
+    ),
+)
+def sample_stratified(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    fractions = {"click": 0.5, "view": 0.1, "purchase": 0.1, "signup": 0.1, "error": 0.1}
+    return ev.sampleBy("event_type", fractions, seed=42).select(
+        "event_id", "event_type", "user_id"
+    )

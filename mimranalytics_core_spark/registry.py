@@ -76,6 +76,7 @@ def _load_all_modules() -> None:
         sorts,
         streaming_batch,
         text,
+        timeseries,
         windows,
     )
 

@@ -81,3 +81,36 @@ def test_minhash_lsh_superset_check(spark):
         .collect()
     }
     assert lsh == exact
+
+
+def test_sample_stratified_bounds_and_determinism(spark):
+    ev = t(SF_SMALL and spark, SF_SMALL, "events")
+    s1 = OPS["sample_stratified"].fn(spark, SF_SMALL)
+    s2 = OPS["sample_stratified"].fn(spark, SF_SMALL)
+    r1 = sorted(r.event_id for r in s1.collect())
+    r2 = sorted(r.event_id for r in s2.collect())
+    assert r1 == r2  # seeded → deterministic
+    n_click_total = ev.filter(F.col("event_type") == "click").count()
+    n_click_sample = s1.filter(F.col("event_type") == "click").count()
+    assert 0 < n_click_sample < n_click_total
+
+
+def test_ewma_matches_recurrence(spark):
+    rows = OPS["ts_ewma"].fn(spark, SF_SMALL).collect()
+    ev = t(spark, SF_SMALL, "events").collect()
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    import math
+    expected = {}
+    for uid, es in by_user.items():
+        y = None
+        for r in es[:20]:
+            y = r.value if y is None else 0.3 * r.value + 0.7 * y
+            expected[(uid, r.event_id)] = math.floor(y * 1e4 + 0.5) / 1e4
+    got = {(r.user_id, r.event_id): r.ewma for r in rows}
+    assert len(got) == len(expected)
+    mismatches = [
+        k for k in expected if abs(got[k] - expected[k]) > 1e-6
+    ]
+    assert not mismatches, mismatches[:5]
