@@ -528,3 +528,57 @@ def graph_asof_traverse(spark, sf_dir):
             hop2.select(F.concat(F.lit("e:"), F.col("event_type")).alias("node"), F.lit(2).alias("hop"))
         )
     )
+
+
+@register(
+    "graph_temporal_ownership",
+    "graph",
+    oracle="""
+        WITH tedges AS (
+            SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+                   MIN(o.o_orderdate) AS valid_from,
+                   MAX(o.o_orderdate) AS valid_to,
+                   SUM(l.l_extendedprice) AS vol
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey < 100
+            GROUP BY o.o_custkey, l.l_suppkey
+        ),
+        snap AS (
+            SELECT * FROM tedges
+            WHERE valid_from <= TIMESTAMP '1998-01-01 00:00:00'
+              AND TIMESTAMP '1998-01-01 00:00:00' <= valid_to
+        )
+        SELECT cust, supp,
+               FLOOR(vol / SUM(vol) OVER (PARTITION BY cust) * 1e6 + 0.5) / 1e6 AS share,
+               valid_from, valid_to
+        FROM snap
+    """,
+    notes=(
+        "Time-Slider over the ownership graph itself (README.md:17 + 13): "
+        "relationship edges carry [valid_from, valid_to] validity; the as-of "
+        "predicate selects the structure at t and shares are renormalized "
+        "within the snapshot — the reference's slider semantics on edges, "
+        "not events. Validity intervals derived per edge by min/max "
+        "aggregation; at scale the edge table is date-partitioned so the "
+        "as-of filter prunes files"
+    ),
+)
+def graph_temporal_ownership(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    li = t(spark, sf_dir, "lineitem")
+    at = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    tedges = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.max("o_orderdate").alias("valid_to"),
+            F.sum("l_extendedprice").alias("vol"),
+        )
+    )
+    asof = tedges.filter((F.col("valid_from") <= at) & (at <= F.col("valid_to")))
+    w = Window.partitionBy("cust")
+    share = F.floor(F.col("vol") / F.sum("vol").over(w) * 1e6 + F.lit(0.5)) / 1e6
+    return asof.select("cust", "supp", share.alias("share"), "valid_from", "valid_to")
