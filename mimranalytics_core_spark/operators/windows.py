@@ -129,12 +129,20 @@ def win_running_sum(spark, sf_dir):
 @register(
     "win_range_frame",
     "windows",
-    oracle=f"""
+    oracle="""
         SELECT user_id, event_id, ts,
-               {dround_sql("SUM(value) OVER (PARTITION BY user_id ORDER BY epoch(ts) RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)", 2)} AS sum_24h
+               SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT))
+                   OVER (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+                         RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) / 100.0 AS sum_24h
         FROM events
     """,
-    notes="sliding 24h value-range frame (moving exposure); range on epoch seconds",
+    notes=(
+        "sliding 24h value-range frame (moving exposure); range on epoch "
+        "seconds. Summed as exact integer cents: float range-frame sums are "
+        "evaluated by segment tree in DuckDB vs sequentially in Spark, and "
+        "the ordering ulp flips rounded digits at scale (observed at sf0.1) "
+        "-- integer sums are order-independent and engine-exact"
+    ),
 )
 def win_range_frame(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
@@ -143,11 +151,12 @@ def win_range_frame(spark, sf_dir):
         .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-86400, 0)
     )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
     return ev.select(
         "user_id",
         "event_id",
         "ts",
-        dround(F.sum("value").over(w), 2).alias("sum_24h"),
+        (F.sum(cents).over(w) / 100.0).alias("sum_24h"),
     )
 
 
