@@ -21,10 +21,14 @@ _ALPHA = 0.3
 
 _EWMA_SQL = """
     WITH RECURSIVE ordered AS (
-        SELECT user_id, event_id, ts, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id
-                                  ORDER BY ts ASC, event_id ASC) AS rn
-        FROM events
+        -- pre-filter to the recursion horizon so each level joins 20·|users|
+        -- rows, not the full table
+        SELECT * FROM (
+            SELECT user_id, event_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn <= 20
     ),
     ewma_rec(user_id, event_id, ts, rn, y) AS (
         SELECT user_id, event_id, ts, rn, value FROM ordered WHERE rn = 1
@@ -45,20 +49,43 @@ _EWMA_SQL = """
     oracle=_EWMA_SQL,
     notes=(
         "per-user EWMA (alpha=0.3): y_t = 0.3 x_t + 0.7 y_(t-1), first 20 "
-        "events per key, as a recursive CTE running VERBATIM in Spark 4.1 "
-        "and DuckDB -- the sequential recurrence gives bit-identical floats "
-        "in both engines (a closed-form prefix-sum window variant matched "
-        "only to ~1e-14, which flips digits because 2-decimal inputs land "
-        "EWMA values exactly on round boundaries). Each recursion level is "
-        "one bounded equi-join; the closed-form window stays the scale path "
-        "when cross-engine bit-parity is not required"
+        "events per key. Spark side: grouped applyInPandas running the "
+        "recurrence sequentially per key (one shuffle, Arrow-batched) -- "
+        "plain '0.3*x + 0.7*y' doubles are bit-identical to the DuckDB "
+        "recursive-CTE oracle. A closed-form prefix-sum window variant "
+        "matched only to ~1e-14, which flips digits because 2-decimal "
+        "inputs land EWMA values exactly on round boundaries, and a Spark "
+        "recursive CTE paid ~0.4 s/level in job overhead"
     ),
 )
 def ts_ewma(spark, sf_dir):
-    from mimranalytics_core_spark.operators._base import tables
+    import math
 
-    tables(spark, sf_dir)
-    return spark.sql(_EWMA_SQL)
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).head(20)
+        y = None
+        out = []
+        # plain sequential doubles: 0.3*x + 0.7*y is the exact op sequence the
+        # recursive-CTE oracle executes → bit-identical results
+        for v in pdf["value"].tolist():
+            y = v if y is None else 0.3 * v + 0.7 * y
+            out.append(math.floor(y * 1e4 + 0.5) / 1e4)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "ewma": out,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        ewma_group, schema="user_id BIGINT, event_id BIGINT, ts TIMESTAMP_NTZ, ewma DOUBLE"
+    )
 
 
 @register(

@@ -85,7 +85,7 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
 
 
 _STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("mean", DoubleType()), StructField("m2", DoubleType())]
+    [StructField("n", LongType()), StructField("s", DoubleType()), StructField("ss", DoubleType())]
 )
 _OUT_SCHEMA = StructType(
     [
@@ -107,25 +107,41 @@ def anomaly_flags_stateful(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+
         (user_id,) = key
-        if state.exists:
-            n, mean, m2 = state.get
-        else:
-            n, mean, m2 = 0, 0.0, 0.0
-        rows = []
+        n0, s0, ss0 = state.get if state.exists else (0, 0.0, 0.0)
         for pdf in pdf_iter:
             pdf = pdf.sort_values("ts")
-            for r in pdf.itertuples(index=False):
-                var = m2 / (n - 1) if n > 1 else 0.0
-                sd = var**0.5
-                z = (r.value - mean) / sd if sd > 0 else 0.0
-                rows.append((user_id, r.ts, r.value, round(z, 4), r.event_type))
-                n += 1
-                delta = r.value - mean
-                mean += delta / n
-                m2 += delta * (r.value - mean)
-        state.update((n, mean, m2))
-        yield pd.DataFrame(rows, columns=[f.name for f in _OUT_SCHEMA.fields])
+            v = pdf["value"].to_numpy(dtype=np.float64)
+            # vectorized running stats: prior-state (count/sum/sumsq) merged
+            # with batch cumulative sums; z-score vs the state BEFORE each row
+            n_pre = n0 + np.arange(len(v), dtype=np.float64)
+            s_pre = s0 + np.concatenate(([0.0], np.cumsum(v)[:-1]))
+            ss_pre = ss0 + np.concatenate(([0.0], np.cumsum(v * v)[:-1]))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean_pre = np.where(n_pre > 0, s_pre / np.maximum(n_pre, 1), 0.0)
+                var_pre = np.where(
+                    n_pre > 1,
+                    (ss_pre - s_pre * s_pre / np.maximum(n_pre, 1)) / np.maximum(n_pre - 1, 1),
+                    0.0,
+                )
+            sd_pre = np.sqrt(np.maximum(var_pre, 0.0))
+            z = np.where(sd_pre > 0, (v - mean_pre) / np.where(sd_pre > 0, sd_pre, 1.0), 0.0)
+            out = pd.DataFrame(
+                {
+                    "user_id": user_id,
+                    "ts": pdf["ts"].to_numpy(),
+                    "value": v,
+                    "zscore": np.round(z, 4),
+                    "event_type": pdf["event_type"].to_numpy(),
+                }
+            )
+            n0 += len(v)
+            s0 += float(v.sum())
+            ss0 += float((v * v).sum())
+            yield out
+        state.update((n0, s0, ss0))
 
     return (
         events.withWatermark("ts", "10 minutes")
