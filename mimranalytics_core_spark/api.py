@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from mimranalytics_core_spark import catalog
 from mimranalytics_core_spark.functions.graph_algos import (
+    betweenness,
     bfs_distances,
     connected_components,
     pagerank,
@@ -128,7 +129,7 @@ def structure_diff(spark: SparkSession, sf_dir: str, t1: str, t2: str) -> DataFr
 
 
 def centrality(spark: SparkSession, sf_dir: str, kind: str = "pagerank") -> DataFrame:
-    """Centrality analysis (README.md:28): pagerank | degree | component."""
+    """Centrality (README.md:28): pagerank | degree | component | betweenness."""
     tables(spark, sf_dir)
     edges = catalog.hierarchy_edges(spark, sf_dir)
     if kind == "pagerank":
@@ -137,6 +138,15 @@ def centrality(spark: SparkSession, sf_dir: str, kind: str = "pagerank") -> Data
         )
     if kind == "component":
         return connected_components(edges.select("src", "dst"))
+    if kind == "betweenness":
+        und = undirect(edges)
+        sources = (
+            und.select("src")
+            .filter(F.col("src").startswith("n:") | F.col("src").startswith("r:"))
+            .distinct()
+            .select(F.col("src").alias("node"))
+        )
+        return betweenness(und, sources).withColumnRenamed("betweenness", "score")
     out_deg = edges.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("out_deg"))
     in_deg = edges.groupBy(F.col("dst").alias("node")).agg(F.count("*").alias("in_deg"))
     return out_deg.join(in_deg, "node", "full").select(

@@ -164,3 +164,104 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFr
         if (i + 1) % 2 == 0 or i == iters - 1:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def betweenness(edges: DataFrame, sources: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Brandes betweenness centrality from a source sample: (node, betweenness).
+
+    ``edges`` must already be symmetrized (undirect()) for undirected
+    semantics; ``sources``: (node). Exact for the given sources; sampling
+    sources is the standard estimator at scale (full Brandes is O(V·E)).
+
+    Forward phase: level-synchronous BFS carrying σ (shortest-path counts)
+    for ALL sources at once — state is (source, node, dist, sigma), one
+    shuffle per level. Backward phase: dependency accumulation
+    δ(v) += σ(v)/σ(w)·(1+δ(w)) processed by descending level, again one
+    join/agg per level. Total supersteps ≤ 2·diameter regardless of |V|.
+    """
+    spark_f = F
+    frontier = (
+        sources.select(spark_f.col("node").alias("source"))
+        .withColumn("node", spark_f.col("source"))
+        .withColumn("dist", spark_f.lit(0))
+        .withColumn("sigma", spark_f.lit(1.0))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    levels = [frontier]
+    for level in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("source", spark_f.col("dst").alias("node"), "sigma")
+            .join(visited.select("source", "node"), ["source", "node"], "left_anti")
+            .groupBy("source", "node")
+            .agg(spark_f.sum("sigma").alias("sigma"))
+            .withColumn("dist", spark_f.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        levels.append(nxt)
+        visited = visited.unionByName(nxt.select("source", "node", "dist", "sigma"))
+        frontier = nxt
+    # backward accumulation, deepest level first; columns renamed per role to
+    # avoid self-join ambiguity (levels share lineage)
+    delta = None  # (source, node, delta) for processed levels
+    for lev in range(len(levels) - 1, 0, -1):
+        w_nodes = levels[lev].select(
+            spark_f.col("source").alias("wsource"),
+            spark_f.col("node").alias("w"),
+            spark_f.col("sigma").alias("sigma_w"),
+        )
+        if delta is not None:
+            d = delta.select(
+                spark_f.col("source").alias("dsource"),
+                spark_f.col("node").alias("dnode"),
+                spark_f.col("delta").alias("dval"),
+            )
+            w_nodes = (
+                w_nodes.join(
+                    d,
+                    (w_nodes.wsource == d.dsource) & (w_nodes.w == d.dnode),
+                    "left",
+                )
+                .select(
+                    "wsource",
+                    "w",
+                    "sigma_w",
+                    spark_f.coalesce("dval", spark_f.lit(0.0)).alias("delta_w"),
+                )
+            )
+        else:
+            w_nodes = w_nodes.withColumn("delta_w", spark_f.lit(0.0))
+        preds = levels[lev - 1].select(
+            spark_f.col("source").alias("psource"),
+            spark_f.col("node").alias("v"),
+            spark_f.col("sigma").alias("sigma_v"),
+        )
+        contrib = (
+            edges.join(w_nodes, edges.dst == w_nodes.w)
+            .join(
+                preds,
+                (spark_f.col("v") == edges.src)
+                & (spark_f.col("psource") == spark_f.col("wsource")),
+            )
+            .select(
+                spark_f.col("psource").alias("source"),
+                spark_f.col("v").alias("node"),
+                (
+                    spark_f.col("sigma_v") / spark_f.col("sigma_w") * (1.0 + spark_f.col("delta_w"))
+                ).alias("c"),
+            )
+            .groupBy("source", "node")
+            .agg(spark_f.sum("c").alias("delta"))
+            .localCheckpoint(eager=True)
+        )
+        delta = contrib if delta is None else delta.unionByName(contrib)
+    if delta is None:
+        return sources.select("node").withColumn("betweenness", spark_f.lit(0.0))
+    return (
+        delta.filter(spark_f.col("node") != spark_f.col("source"))
+        .groupBy("node")
+        .agg(spark_f.round(spark_f.sum("delta"), 6).alias("betweenness"))
+    )

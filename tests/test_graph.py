@@ -109,3 +109,51 @@ def test_cycle_detection_operator_semantics(spark):
         """
     )
     assert {r.node_on_cycle for r in res.collect()} == {"D", "E", "F"}
+
+
+def _brandes_py(adj, sources):
+    """Reference Brandes (BFS) implementation for the test oracle."""
+    from collections import deque
+
+    bc = {v: 0.0 for v in adj}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {v: 0.0 for v in adj}
+        sigma[s] = 1.0
+        order = []
+        preds = {v: [] for v in adj}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist.get(w) == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in adj}
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_matches_reference(spark, edges):
+    from mimranalytics_core_spark.functions.graph_algos import betweenness, undirect
+
+    und = undirect(edges)
+    adj = {}
+    for r in und.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    sources = sorted(adj)
+    src_df = spark.createDataFrame([(s,) for s in sources], "node STRING")
+    got = {r.node: r.betweenness for r in betweenness(und, src_df).collect()}
+    expected = _brandes_py({k: sorted(v) for k, v in adj.items()}, sources)
+    for v in adj:
+        assert abs(got.get(v, 0.0) - round(expected[v], 6)) < 1e-6, (
+            v, got.get(v), expected[v])
