@@ -114,3 +114,29 @@ def test_ewma_matches_recurrence(spark):
         k for k in expected if abs(got[k] - expected[k]) > 1e-6
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_betweenness_nonnegative_and_hubs_dominate(spark):
+    res = {r.node: r.betweenness for r in OPS["graph_betweenness"].fn(spark, SF_SMALL).collect()}
+    assert all(v >= 0 for v in res.values())
+    # nation nodes are the only cut vertices between customers and regions →
+    # every positive-betweenness node is an interior (nation/region) node
+    top = max(res, key=res.get)
+    assert top.startswith("n:") or top.startswith("r:")
+
+
+def test_ubo_tree_shares_sum_to_one(spark):
+    """On the hierarchy tree, each nation's incoming customer weights sum to
+    1 (they are shares of positive acctbal), so UBO of a nation's customers
+    onto that nation sums to ~1."""
+    from mimranalytics_core_spark import catalog
+
+    edges = catalog.hierarchy_edges(spark, SF_SMALL)
+    sums = (
+        edges.filter(F.col("rel_type") == "customer_of")
+        .groupBy("dst")
+        .agg(F.sum("weight").alias("s"))
+        .collect()
+    )
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-9, (r.dst, r.s)

@@ -60,3 +60,26 @@ def test_partial_aggregation_before_shuffle(spark):
 def test_semi_join_stays_semi(spark):
     plan = _plan(spark, "join_semi")
     assert "LeftSemi" in plan
+
+
+def test_report_query_pushes_segment_filter(spark):
+    plan = _plan(spark, "report_top_unshipped")
+    # the segment predicate must reach the customer parquet scan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # both date predicates pushed to their scans
+    assert plan.count("PushedFilters") >= 3
+
+
+def test_ubo_recursive_plan_has_bounded_recursion(spark):
+    df = OPS["graph_ubo"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "UnionLoop" in plan or "CTERelation" in plan or "Recursion" in plan
+
+
+def test_minhash_signature_stage_has_no_shuffle_before_banding(spark):
+    """The signature computation must be scan-local (transform+array_min):
+    the first Exchange in the plan should be the band-bucket join, not a
+    per-seed aggregation."""
+    df = OPS["dedup_minhash_lsh"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "array_min(transform(" in plan
