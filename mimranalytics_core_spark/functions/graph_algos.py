@@ -100,7 +100,9 @@ def weighted_sssp(edges: DataFrame, source: str, max_iter: int = 20) -> DataFram
     return iterate_fixpoint(state, step, changed, max_iter=max_iter)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, state_partitions: int | None = None
+) -> DataFrame:
     """Undirected components via min-label propagation: (node, component)."""
     und = undirect(edges)
     state = und.select(F.col("src").alias("node")).distinct().withColumn(
@@ -122,10 +124,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         o = old.withColumnRenamed("component", "old_c")
         return new.join(o, "node").filter(F.col("component") != F.col("old_c"))
 
-    return iterate_fixpoint(state, step, changed, max_iter=max_iter)
+    return iterate_fixpoint(
+        state, step, changed, max_iter=max_iter, state_partitions=state_partitions
+    )
 
 
-def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Damped PageRank, fixed iterations: (node, rank). Dangling mass is
     redistributed uniformly inside the plan (no driver round-trips)."""
     e = edges.select("src", "dst")
@@ -162,11 +171,18 @@ def pagerank(edges: DataFrame, iters: int = 10, damping: float = 0.85) -> DataFr
             )
         )
         if (i + 1) % 2 == 0 or i == iters - 1:
+            if state_partitions is not None:
+                ranks = ranks.coalesce(state_partitions)
             ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 
-def betweenness(edges: DataFrame, sources: DataFrame, max_depth: int = 8) -> DataFrame:
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_depth: int = 8,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Brandes betweenness centrality from a source sample: (node, betweenness).
 
     ``edges`` must already be symmetrized (undirect()) for undirected
@@ -197,8 +213,10 @@ def betweenness(edges: DataFrame, sources: DataFrame, max_depth: int = 8) -> Dat
             .groupBy("source", "node")
             .agg(spark_f.sum("sigma").alias("sigma"))
             .withColumn("dist", spark_f.lit(level))
-            .localCheckpoint(eager=True)
         )
+        if state_partitions is not None:
+            nxt = nxt.coalesce(state_partitions)
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         levels.append(nxt)
@@ -255,8 +273,10 @@ def betweenness(edges: DataFrame, sources: DataFrame, max_depth: int = 8) -> Dat
             )
             .groupBy("source", "node")
             .agg(spark_f.sum("c").alias("delta"))
-            .localCheckpoint(eager=True)
         )
+        if state_partitions is not None:
+            contrib = contrib.coalesce(state_partitions)
+        contrib = contrib.localCheckpoint(eager=True)
         delta = contrib if delta is None else delta.unionByName(contrib)
     if delta is None:
         return sources.select("node").withColumn("betweenness", spark_f.lit(0.0))

