@@ -63,10 +63,18 @@ def ts_ewma(spark, sf_dir):
 
     import pandas as pd
 
-    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    w_rn = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # JVM-side pre-filter: only the recursion horizon crosses the Arrow
+    # boundary (20·|users| rows, not the full table)
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value", F.row_number().over(w_rn).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
 
     def ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"]).head(20)
+        pdf = pdf.sort_values(["ts", "event_id"])
         y = None
         out = []
         # plain sequential doubles: 0.3*x + 0.7*y is the exact op sequence the
