@@ -614,3 +614,34 @@ def graph_betweenness(spark, sf_dir):
         .select(F.col("src").alias("node"))
     )
     return betweenness(e, sources, max_depth=6, state_partitions=8)
+
+
+_WSSSP_SQL = """
+    WITH RECURSIVE {edges},
+    walk(node, cost, depth) AS (
+        SELECT 'r:0' AS node, CAST(0.0 AS DOUBLE) AS cost, 0 AS depth
+        UNION ALL
+        SELECT e.src, w.cost + (1.0 - e.weight), w.depth + 1
+        FROM walk w JOIN edges e ON e.dst = w.node
+        WHERE w.depth < 3
+    )
+    SELECT node, FLOOR(MIN(cost) * 1e6 + 0.5) / 1e6 AS cost
+    FROM walk GROUP BY node
+"""
+
+
+@register(
+    "graph_weighted_sssp",
+    "graph",
+    oracle=_WSSSP_SQL.format(edges=HIERARCHY_SQL),
+    notes=(
+        "weighted shortest path (README.md:28 pathfinding): min-cost walks "
+        "from the region root DOWN the ownership tree, edge cost = "
+        "1 - ownership fraction (strong ownership = short distance); "
+        "recursive CTE + MIN group-by, verbatim in both engines. The "
+        "unbounded-fixpoint variant is functions/graph_algos.weighted_sssp "
+        "(Bellman-Ford relaxation, fixture-tested)"
+    ),
+)
+def graph_weighted_sssp(spark, sf_dir):
+    return _sql_both(spark, sf_dir, _WSSSP_SQL.format(edges=HIERARCHY_SQL))

@@ -1,0 +1,66 @@
+"""Driver-contract tests: the exact surface the verify harness consumes
+(__spark_entry__.py entry/queries/oracle_sql + bench.py JSON line)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert [f.name for f in df.schema.fields] == [
+        "region_name",
+        "nation_name",
+        "custkey",
+        "revenue",
+        "rn",
+    ]
+
+
+def test_queries_and_oracles_aligned():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert len(q) >= 110
+    assert set(o) <= set(q)  # every oracle belongs to a declared query
+    rows_only = set(q) - set(o)
+    # rows-only ops are the declared exceptions (approx/iterative/streaming/
+    # engine-specific candidate sets)
+    assert rows_only == {
+        "agg_approx_distinct",
+        "graph_pagerank",
+        "graph_betweenness",
+        "sim_lsh_ann",
+        "sim_ivf_topk",
+        "dedup_simhash",
+        "sample_stratified",
+        "stream_watermark_late",
+        "stream_stateful_custom",
+    }
+
+
+def test_bench_emits_single_json_line():
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        timeout=540,
+        env={
+            **__import__("os").environ,
+            "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
+            "SPARK_GRAFT_CPUS": "8",
+        },
+        cwd="/root/repo",
+    )
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert len(lines) == 1, proc.stdout[:500] + proc.stderr[-500:]
+    payload = json.loads(lines[0])
+    assert payload["unit"] == "sec"
+    assert payload["sf"] == 0.001
+    assert len(payload["queries"]) >= 110
+    assert all(v >= 0 for v in payload["queries"].values())
