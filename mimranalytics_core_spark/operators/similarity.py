@@ -286,7 +286,7 @@ def _kmeans_centroids(e, k: int = 16, iters: int = 3):
         "force. Recall vs sim_cosine_topk asserted in tests/test_similarity.py"
     ),
 )
-def sim_ivf_topk(spark, sf_dir):
+def sim_ivf_topk(spark, sf_dir, nprobe: int = 4):
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     ).localCheckpoint(eager=True)
@@ -305,12 +305,12 @@ def sim_ivf_topk(spark, sf_dir):
         .groupBy("vec_id", "emb")
         .agg(F.min_by("cid", "d2").alias("cid"))
     )
-    # query = vec 0; probe its 4 nearest cells, exact cosine within them
+    # query = vec 0; probe its nprobe nearest cells, exact cosine within them
     qrow = e.filter(F.col("vec_id") == 0).select("emb").first()
     q = [float(x) for x in qrow.emb]
     probe = sorted(
         ((sum((a - b) ** 2 for a, b in zip(v, q)), i) for i, (_, v) in enumerate(centroids))
-    )[:4]
+    )[:nprobe]
     probe_ids = [i for _, i in probe]
     qdf = spark.createDataFrame([(q,)], "qv ARRAY<DOUBLE>")
     sim = cosine(F.col("emb"), F.col("qv"))

@@ -1,0 +1,146 @@
+"""Randomized equivalence tests: the distributed graph algorithms against
+straightforward single-machine references (union-find, power iteration,
+walk-product enumeration) on a seeded random graph — broader coverage than
+the hand-built fixture."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark.functions.graph_algos import (
+    bfs_distances,
+    connected_components,
+    pagerank,
+    ubo_closure,
+    undirect,
+)
+
+random.seed(42)
+N_NODES = 60
+EDGE_LIST = []
+for _ in range(90):
+    a, b = random.sample(range(N_NODES), 2)
+    EDGE_LIST.append((f"v{a}", f"v{b}", round(random.uniform(0.1, 1.0), 3)))
+EDGE_LIST = sorted(set(EDGE_LIST))
+
+
+@pytest.fixture(scope="module")
+def redges(spark):
+    return spark.createDataFrame(EDGE_LIST, "src STRING, dst STRING, weight DOUBLE")
+
+
+def test_components_match_union_find(spark, redges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for s, d, _ in EDGE_LIST:
+        union(s, d)
+    expected = {}
+    for s, d, _ in EDGE_LIST:
+        expected[s] = find(s)
+        expected[d] = find(d)
+    # canonicalize: min node id per component
+    roots = {}
+    for node, r in expected.items():
+        roots.setdefault(find(r), []).append(node)
+    exp_label = {}
+    for members in roots.values():
+        m = min(members)
+        for node in members:
+            exp_label[node] = m
+
+    got = {
+        r.node: r.component
+        for r in connected_components(redges, max_iter=30, state_partitions=4).collect()
+    }
+    assert got == exp_label
+
+
+def test_pagerank_matches_power_iteration(spark, redges):
+    nodes = sorted({x for e in EDGE_LIST for x in e[:2]})
+    out = {v: [] for v in nodes}
+    for s, d, _ in EDGE_LIST:
+        out[s].append(d)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(10):
+        nxt = {v: 0.0 for v in nodes}
+        dangling = 0.0
+        for v in nodes:
+            if out[v]:
+                share = rank[v] / len(out[v])
+                for w in out[v]:
+                    nxt[w] += share
+            else:
+                dangling += rank[v]
+        rank = {v: (1 - d) / n + d * (nxt[v] + dangling / n) for v in nodes}
+
+    got = {r.node: r.rank for r in pagerank(redges, iters=10, state_partitions=4).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - rank[v]) < 1e-9, (v, got[v], rank[v])
+
+
+def test_bfs_matches_reference(spark, redges):
+    from collections import deque
+
+    adj = {}
+    for s, d, _ in EDGE_LIST:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    src = "v0"
+    dist = {src: 0}
+    q = deque([src])
+    while q:
+        v = q.popleft()
+        for w in adj.get(v, ()):
+            if w not in dist:
+                dist[w] = dist[v] + 1
+                q.append(w)
+
+    seeds = spark.createDataFrame([(src,)], "node STRING")
+    got = {r.node: r.dist for r in bfs_distances(undirect(redges), seeds, max_depth=30).collect()}
+    assert got == dist
+
+
+def test_ubo_matches_walk_enumeration(spark, redges):
+    adj = {}
+    for s, d, w in EDGE_LIST:
+        adj.setdefault(s, []).append((d, w))
+    max_depth = 3
+    expected = {}
+
+    def walk(origin, node, frac, depth):
+        if depth > 0:
+            expected[(origin, node)] = expected.get((origin, node), 0.0) + frac
+        if depth == max_depth:
+            return
+        for nxt, w in adj.get(node, ()):
+            walk(origin, nxt, frac * w, depth + 1)
+
+    for v in {x for e in EDGE_LIST for x in e[:2]}:
+        walk(v, v, 1.0, 0)
+    expected = {k: v for k, v in expected.items() if k[0] != k[1] or v}
+
+    got = {
+        (r.owner, r.entity): r.effective_ownership
+        for r in ubo_closure(redges, max_depth=max_depth).collect()
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])

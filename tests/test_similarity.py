@@ -81,3 +81,17 @@ def test_ivf_topk_recall_vs_brute(spark):
     brute = [r.vec_id for r in OPS["sim_cosine_topk"].fn(spark, SF_SMALL).collect()]
     overlap = len(set(ivf) & set(brute))
     assert overlap >= 5, f"IVF recall too low: {overlap}/10 ({ivf} vs {brute})"
+
+
+def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark):
+    """Recall@10 must be non-decreasing in nprobe, and probing every cell
+    must equal brute force exactly (the IVF partition covers the corpus)."""
+    from mimranalytics_core_spark.operators.similarity import sim_ivf_topk
+
+    brute = [r.vec_id for r in OPS["sim_cosine_topk"].fn(spark, SF_SMALL).collect()]
+    recalls = []
+    for nprobe in (1, 4, 16):
+        ivf = [r.vec_id for r in sim_ivf_topk(spark, SF_SMALL, nprobe=nprobe).collect()]
+        recalls.append(len(set(ivf) & set(brute)) / len(brute))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0, recalls
