@@ -389,3 +389,37 @@ def stream_stateful_custom(spark, sf_dir):
     return jobs.run_available_now(
         jobs.anomaly_flags_stateful(stream), name, spark, output_mode="append"
     )
+
+
+@register(
+    "sink_csv_roundtrip",
+    "sinks",
+    oracle="""
+        SELECT l_returnflag, COUNT(*) AS n,
+               FLOOR(SUM(l_quantity) * 100 + 0.5) / 100 AS qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    notes=(
+        "CSV sink/source round-trip (audit interchange format, README.md:19): "
+        "aggregate → headered CSV via export_report → re-read with an "
+        "explicit schema (schema-on-read; CSV carries no types). Certifies "
+        "the text-format edge of the sink surface; parquet twin is "
+        "sink_report_roundtrip"
+    ),
+)
+def sink_csv_roundtrip(spark, sf_dir):
+    import os
+
+    from mimranalytics_core_spark.functions.numeric import dround
+    from mimranalytics_core_spark.sources.io import export_report, read_any
+
+    li = t(spark, sf_dir, "lineitem")
+    report = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dround(F.sum("l_quantity"), 2).alias("qty"),
+    )
+    dest = f"/tmp/mimranalytics_reports/{os.path.basename(sf_dir.rstrip('/'))}/returnflag_qty_csv"
+    export_report(report, dest, fmt="csv", order_by=["l_returnflag"])
+    return read_any(
+        spark, dest, "csv", schema="l_returnflag STRING, n BIGINT, qty DOUBLE"
+    )
