@@ -48,14 +48,31 @@ def main() -> None:
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    full = {
+        "metric": "suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Per-query detail goes to stderr + a sidecar file; stdout's LAST line is a
+    # compact summary small enough to survive tail-truncating log captures
+    # (round 1's full line was front-truncated by a ~2 KB tail capture and
+    # arrived unparseable).
+    print(json.dumps(full), file=sys.stderr)
+    with open(Path(__file__).resolve().parent / "BENCH_LOCAL.json", "w") as fh:
+        json.dump(full, fh, indent=1)
+    n_fail = sum(1 for v in timings.values() if v < 0)
     print(
         json.dumps(
             {
                 "metric": "suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "n_failed": n_fail,
             }
         )
     )

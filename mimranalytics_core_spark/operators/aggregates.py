@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mimranalytics_core_spark.functions.numeric import dround, dround_sql
 from mimranalytics_core_spark.operators._base import t
 from mimranalytics_core_spark.registry import register
 
@@ -23,12 +24,12 @@ from mimranalytics_core_spark.registry import register
 @register(
     "agg_global",
     "aggregates",
-    oracle="""
+    oracle=f"""
         SELECT COUNT(*) AS n_rows,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(AVG(l_extendedprice), 2) AS avg_price,
-               ROUND(MIN(l_extendedprice), 2) AS min_price,
-               ROUND(MAX(l_extendedprice), 2) AS max_price,
+               {dround_sql('SUM(l_quantity)', 2)} AS sum_qty,
+               {dround_sql('AVG(l_extendedprice)', 2)} AS avg_price,
+               {dround_sql('MIN(l_extendedprice)', 2)} AS min_price,
+               {dround_sql('MAX(l_extendedprice)', 2)} AS max_price,
                COUNT(DISTINCT l_suppkey) AS n_supp
         FROM lineitem
     """,
@@ -38,10 +39,10 @@ def agg_global(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
         F.count("*").alias("n_rows"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
-        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
-        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        dround(F.min("l_extendedprice"), 2).alias("min_price"),
+        dround(F.max("l_extendedprice"), 2).alias("max_price"),
         F.countDistinct("l_suppkey").alias("n_supp"),
     )
 
@@ -49,14 +50,14 @@ def agg_global(spark, sf_dir):
 @register(
     "agg_groupby_hash",
     "aggregates",
-    oracle="""
+    oracle=f"""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
+               {dround_sql('SUM(l_quantity)', 2)} AS sum_qty,
+               {dround_sql('SUM(l_extendedprice)', 2)} AS sum_base_price,
+               {dround_sql('SUM(l_extendedprice * (1 - l_discount))', 2)} AS sum_disc_price,
+               {dround_sql('SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))', 2)} AS sum_charge,
+               {dround_sql('AVG(l_quantity)', 4)} AS avg_qty,
+               {dround_sql('AVG(l_discount)', 4)} AS avg_disc,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -72,12 +73,12 @@ def agg_groupby_hash(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            dround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            dround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            dround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            dround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            dround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            dround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -122,12 +123,16 @@ def agg_approx_distinct(spark, sf_dir):
     "aggregates",
     oracle="""
         SELECT n_name,
-               list_sort(list(DISTINCT c_mktsegment)) AS segments,
+               list_aggregate(list_sort(list(DISTINCT c_mktsegment)), 'string_agg', '|')
+                   AS segments,
                COUNT(*) AS n_cust
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_name
     """,
-    notes="Cypher collect() analog; collect_set + array_sort for deterministic compare",
+    notes=(
+        "Cypher collect() analog; collect_set + array_sort, exported as a "
+        "'|'-joined string so the result is hash-stable for scalar comparators"
+    ),
 )
 def agg_collect(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
@@ -136,7 +141,7 @@ def agg_collect(spark, sf_dir):
         c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.array_sort(F.collect_set("c_mktsegment")).alias("segments"),
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), "|").alias("segments"),
             F.count("*").alias("n_cust"),
         )
     )
@@ -235,9 +240,9 @@ def agg_stats(spark, sf_dir):
     "aggregates",
     oracle="""
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
                ROUND(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS rev_f
         FROM orders GROUP BY o_orderpriority
     """,

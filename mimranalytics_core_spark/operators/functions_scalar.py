@@ -152,12 +152,12 @@ def fn_date(spark, sf_dir):
         SELECT l_orderkey, l_linenumber,
                {dround_sql('l_extendedprice', 1)} AS r1,
                ABS(l_discount - 0.05) AS abs_d,
-               CEIL(l_quantity) AS ceil_q,
-               FLOOR(l_quantity) AS floor_q,
+               CAST(CEIL(l_quantity) AS BIGINT) AS ceil_q,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS floor_q,
                {dround_sql('LN(l_extendedprice)', 6)} AS ln_price,
                {dround_sql('SQRT(l_quantity)', 6)} AS sqrt_q,
                {dround_sql('POW(1.0 + l_tax, 2)', 6)} AS tax_sq,
-               SIGN(l_discount - 0.05) AS sgn,
+               CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sgn,
                CAST(l_orderkey % 7 AS BIGINT) AS mod7,
                CAST(l_quantity AS INT) // 10 AS int_div
         FROM lineitem

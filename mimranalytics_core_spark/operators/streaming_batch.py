@@ -90,7 +90,7 @@ def stream_sliding(spark, sf_dir):
                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
             FROM flagged
         )
-        SELECT user_id, sess_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, COUNT(*) AS n_events,
                MIN(ts) AS sess_start, MAX(ts) AS sess_end,
                ROUND(SUM(value), 2) AS sess_value
         FROM sessions

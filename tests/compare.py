@@ -44,8 +44,30 @@ def _norm(v):
     return v
 
 
+def _kind(dtype) -> str:
+    """Collapse a pandas dtype to the kind the driver's hash distinguishes."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
+
 def compare(spark_df, con, sql: str, name: str = "query") -> list[str]:
-    """Return list of mismatch descriptions (empty = match)."""
+    """Return list of mismatch descriptions (empty = match).
+
+    Driver-strict: the driver canonicalizes via pandas and hashes value
+    *representations*, so 5 (int64) vs 5.0 (float64) is a mismatch there even
+    though Python ``5 == 5.0``. We therefore (a) fail on numeric-kind dtype
+    mismatches per column, (b) fail on any non-scalar cell (list/ndarray/dict
+    — the driver's canonicalizer crashes on unhashable cells), and (c) compare
+    rows by repr of the normalized tuple, which keeps int/float distinct.
+    """
     problems = []
     sdf = spark_df.toPandas()
     ddf = con.execute(sql).fetchdf()
@@ -54,19 +76,41 @@ def compare(spark_df, con, sql: str, name: str = "query") -> list[str]:
     d_cols = sorted(ddf.columns)
     if s_cols != d_cols:
         return [f"{name}: column mismatch spark={s_cols} duck={d_cols}"]
+
+    for c in s_cols:
+        sk, dk = _kind(sdf[c].dtype), _kind(ddf[c].dtype)
+        if sk != dk:
+            problems.append(
+                f"{name}: dtype-kind mismatch on '{c}': spark={sdf[c].dtype}({sk}) "
+                f"duck={ddf[c].dtype}({dk}) — driver hash would fail"
+            )
+        for frame, side in ((sdf, "spark"), (ddf, "duck")):
+            col = frame[c]
+            if _kind(col.dtype) == "object" and len(col):
+                import numpy as np
+
+                first = next((v for v in col if v is not None), None)
+                if isinstance(first, (list, tuple, dict, set, np.ndarray)):
+                    problems.append(
+                        f"{name}: non-scalar cell in {side}.'{c}' "
+                        f"({type(first).__name__}) — driver canonicalizer crashes on this"
+                    )
     if len(sdf) != len(ddf):
         problems.append(f"{name}: row count spark={len(sdf)} duck={len(ddf)}")
-
-    def canon(df):
-        rows = [tuple(_norm(v) for v in row) for row in df[s_cols].itertuples(index=False)]
-        return sorted(rows, key=repr)
-
     if problems:
         return problems
+
+    def canon(df):
+        reprs = [
+            repr(tuple(_norm(v) for v in row))
+            for row in df[s_cols].itertuples(index=False)
+        ]
+        return sorted(reprs)
+
     s_rows, d_rows = canon(sdf), canon(ddf)
     if s_rows != d_rows:
         diffs = [
-            f"  spark={s!r}\n  duck ={d!r}"
+            f"  spark={s}\n  duck ={d}"
             for s, d in zip(s_rows, d_rows)
             if s != d
         ][:5]
