@@ -145,6 +145,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
+    if n == 0:  # empty graph: no nodes to rank (avoid 1/0 below)
+        return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):

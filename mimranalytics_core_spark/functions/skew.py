@@ -28,7 +28,19 @@ def salted_join(
     Semantically identical to ``skewed.join(other, skewed[key] ==
     other[other_key], how)``; physically the shuffle key is (key, salt) so a
     hot key spreads over ``n_salts`` reducers.
+
+    Only ``how`` variants that never null-extend the replicated side are
+    allowed: for ``right``/``full`` (or right-semi/anti) every unmatched
+    *replicated* right row would be emitted once per salt — ``n_salts``
+    duplicate null-extended rows. Use AQE skew-join for those shapes.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched replicated-side "
+            f"rows (one per salt); allowed: {sorted(allowed)}"
+        )
     left = skewed.withColumn(
         "__lsalt", F.abs(F.hash(F.monotonically_increasing_id())) % n_salts
     )

@@ -6,25 +6,33 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mimranalytics_core_spark import catalog
 
-# Cache of loaded table dicts keyed by (session id, sf_dir): repeated query
-# invocations (driver runs every declared op against one sf_dir) re-use the
-# same lazy DataFrames instead of re-reading footers per op.
-_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# Cache of loaded table dicts keyed by (applicationId, sf_dir): repeated
+# query invocations (driver runs every declared op against one sf_dir) re-use
+# the same lazy DataFrames instead of re-reading footers per op.
+# applicationId (not id(spark)) — CPython can reuse an id() after a stopped
+# session is garbage-collected, which would hand back DataFrames bound to a
+# dead SparkContext.
+_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 # Which sf_dir's temp views are currently registered per session: SQL-path
 # operators (recursive CTEs, UDTF lateral joins) resolve by VIEW NAME, so
 # switching sf_dir within one session must re-point the views — a cache hit
 # alone is not enough.
-_ACTIVE_SF: dict[int, str] = {}
+_ACTIVE_SF: dict[str, str] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    key = (id(spark), sf_dir)
+    sid = _session_key(spark)
+    key = (sid, sf_dir)
     if key not in _CACHE:
         _CACHE[key] = catalog.load(spark, sf_dir)  # load() registers the views
-    elif _ACTIVE_SF.get(id(spark)) != sf_dir:
+    elif _ACTIVE_SF.get(sid) != sf_dir:
         for name, df in _CACHE[key].items():
             df.createOrReplaceTempView(name)
-    _ACTIVE_SF[id(spark)] = sf_dir
+    _ACTIVE_SF[sid] = sf_dir
     return _CACHE[key]
 
 

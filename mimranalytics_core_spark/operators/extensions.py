@@ -335,14 +335,21 @@ def fn_json_variant(spark, sf_dir):
 def sim_ngram_jaccard(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
     ts = F.split(F.lower("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(ts) - 3),
-            lambda i: F.concat_ws(
-                " ", F.element_at(ts, i + 1), F.element_at(ts, i + 2), F.element_at(ts, i + 3)
-            ),
-        )
-    )
+    # Guard short docs: with size(ts) < 3 the sequence stop goes negative and
+    # descends (step -1), driving element_at to index 0 / out-of-bounds — an
+    # error under ANSI mode and a divergence from the oracle's `i.n + 2 <=
+    # len(ts)` guard. Such docs have no 3-gram shingles: emit an empty array.
+    shingles = F.when(
+        F.size(ts) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ts, i + 1), F.element_at(ts, i + 2), F.element_at(ts, i + 3)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     sh = d.select("doc_id", F.explode(shingles).alias("shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")

@@ -36,13 +36,21 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     File streams require a directory; the read-only testdata dir mixes all
     tables, so stage a directory of symlinks to just the events file.
     """
+    import hashlib
     import os
 
-    stage = f"/tmp/mimranalytics_stream/{os.path.basename(sf_dir.rstrip('/'))}/events"
+    # Key the staging dir on the absolute source path, not just the basename:
+    # two roots sharing a basename (/a/sf0.1 vs /b/sf0.1) must not collide.
+    src = os.path.realpath(os.path.join(sf_dir, "events.parquet"))
+    tag = hashlib.sha256(src.encode()).hexdigest()[:12]
+    stage = f"/tmp/mimranalytics_stream/{tag}/events"
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "part-00000.parquet")
+    # Re-link if the symlink is stale (points somewhere else, or was replaced).
+    if os.path.islink(link) and os.readlink(link) != src:
+        os.remove(link)
     if not os.path.exists(link):
-        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+        os.symlink(src, link)
     batch = load_table(spark, sf_dir, "events")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(raw_schema).parquet(stage)

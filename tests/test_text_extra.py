@@ -52,3 +52,44 @@ def test_salted_join_matches_plain_join(spark):
 
     salted_df = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=4)
     assert set(salted_df.columns) == {"l_orderkey", "l_quantity", "o_orderkey", "o_totalprice"}
+
+
+def test_salted_join_rejects_right_extending_how(spark):
+    import pytest
+
+    li = t(spark, SF_SMALL, "lineitem").select("l_orderkey")
+    o = t(spark, SF_SMALL, "orders").select("o_orderkey")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(li, o, "l_orderkey", "o_orderkey", how=how)
+
+
+def test_ngram_jaccard_short_docs_no_crash(spark):
+    """Docs with <3 tokens must produce zero shingles (not ANSI index errors
+    or wrap-around grams) — mirror of the oracle's `i.n + 2 <= len(ts)`."""
+    d = spark.createDataFrame(
+        [(0, "one"), (1, "two words"), (2, "exactly three tokens"), (3, "")],
+        "doc_id long, text string",
+    )
+    ts = F.split(F.lower("text"), " ")
+    shingles = F.when(
+        F.size(ts) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(ts) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ts, i + 1), F.element_at(ts, i + 2), F.element_at(ts, i + 3)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    got = {r.doc_id: r.sh for r in d.select("doc_id", shingles.alias("sh")).collect()}
+    assert got[0] == [] and got[1] == [] and got[3] == []
+    assert got[2] == ["exactly three tokens"]
+
+
+def test_pagerank_empty_graph_returns_empty(spark):
+    from mimranalytics_core_spark.functions.graph_algos import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iters=3).count() == 0
