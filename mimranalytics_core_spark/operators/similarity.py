@@ -150,56 +150,120 @@ def sim_centroid_by_label(spark, sf_dir):
     )
 
 
+def _hyperplane_buckets(e, bands: int, bits: int, bucket_cap: int, dim: int = 64):
+    """(vec_id, band, sig) bucket assignments, capped per bucket.
+
+    ``bands`` independent ``bits``-bit random-hyperplane signatures per vector
+    (OR-amplification: a pair is a candidate if ANY band collides —
+    P(candidate | cosθ) = 1-(1-p^bits)^bands with p = 1-θ/π, so high-sim
+    pairs are recovered with near-certainty while the per-band bucket count
+    (2^bits per band) keeps buckets small). Each (band, sig) bucket is capped
+    at ``bucket_cap`` members (deterministic by vec_id) so the intra-bucket
+    self-join is bounded at cap² pairs no matter how the corpus grows — the
+    round-1 single-signature form was quadratic in n/2^bits per bucket.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(42)  # fixed seed → deterministic buckets
+    planes = rng.standard_normal((bands * bits, dim))
+
+    def bit(i):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("emb"),
+                F.array(*[F.lit(float(v)) for v in planes[i]]),
+                lambda x, y: x * y,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                sum(
+                    (bit(b * bits + j) * F.lit(1 << j) for j in range(bits)),
+                    F.lit(0),
+                ).cast("int").alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = e.select("vec_id", F.explode(band_structs).alias("bs")).select(
+        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    w = Window.partitionBy("band", "sig").orderBy("vec_id")
+    return banded.select("vec_id", "band", "sig", F.row_number().over(w).alias("rn")).filter(
+        F.col("rn") <= bucket_cap
+    ).drop("rn")
+
+
 @register(
     "sim_lsh_ann",
     "similarity",
     oracle=None,  # approximate recall set — rows-only; exactness tested vs brute force in tests
     notes=(
-        "LSH-bucketed ANN pairs: 12-bit random-hyperplane (sign of dot with "
-        "fixed seeded planes) signature → bucket groupBy → intra-bucket "
-        "candidate pairs → exact cosine ≥ 0.95 verify. Candidate generation "
-        "per bucket replaces O(n²) all-pairs — the 100 TB path; recall vs "
-        "brute force asserted in tests/test_similarity.py"
+        "LSH-bucketed ANN pairs: 6 bands × 10-bit random-hyperplane "
+        "signatures (OR-amplification: recall ≈ 1-(1-p^10)^6 ≈ 0.92 at "
+        "cos 0.95 vs 0.28 for one 12-bit signature) → per-band bucket "
+        "self-join, buckets capped at 256 members so candidate cost is "
+        "bounded at cap² per bucket at any corpus size → distinct pairs → "
+        "exact cosine ≥ 0.95 verify with size-conditional embedding "
+        "broadcast. Recall vs brute force + bucket bound asserted in "
+        "tests/test_similarity.py"
     ),
 )
-def sim_lsh_ann(spark, sf_dir):
-    import numpy as np
+def sim_lsh_ann(spark, sf_dir, bands: int = 6, bits: int = 10, bucket_cap: int = 256):
+    src = t(spark, sf_dir, "embeddings")
+    e = src.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    return lsh_ann_pairs(spark, e, bands=bands, bits=bits, bucket_cap=bucket_cap, source_df=src)
 
-    rng = np.random.default_rng(42)
-    planes = rng.standard_normal((12, 64))  # fixed seed → deterministic buckets
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("emb")
-    )
-    sig_bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    F.col("emb"),
-                    F.array(*[F.lit(float(v)) for v in planes[i]]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            >= 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)).alias(f"b{i}")
-        for i in range(12)
-    ]
-    bucketed = e.select(
-        "vec_id", "emb", F.concat_ws("", *sig_bits).alias("bucket")
-    )
-    l = bucketed.alias("l")
-    r = bucketed.alias("r")
-    sim = cosine(F.col("l.emb"), F.col("r.emb"))
-    return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.vec_id") < F.col("r.vec_id")))
-        .select(
-            F.col("l.vec_id").alias("vec_a"),
-            F.col("r.vec_id").alias("vec_b"),
-            F.round(sim, 6).alias("cos_sim"),
+
+def lsh_ann_pairs(
+    spark,
+    e,
+    bands: int = 6,
+    bits: int = 10,
+    bucket_cap: int = 256,
+    threshold: float = 0.95,
+    source_df=None,
+):
+    """Core banded-LSH ANN pipeline over any ``(vec_id, emb)`` frame.
+
+    Buckets per band → capped intra-bucket pairs → distinct → exact cosine ≥
+    ``threshold`` verify. Exposed separately from the registered op so recall
+    can be tested on corpora with planted near-duplicates (the synthetic
+    embeddings table is near-uniform: max pairwise cosine ≈ 0.48, so the op's
+    declared threshold finds nothing there by construction — see FIXTURES.md).
+    """
+    from mimranalytics_core_spark.functions.hints import broadcast_if_small
+
+    buckets = _hyperplane_buckets(e, bands, bits, bucket_cap)
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    candidates = (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
         )
-        .filter(F.col("cos_sim") >= 0.95)
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    # Verify: join the (slim) candidate pairs back to the vectors. The
+    # embedding side is corpus-sized → broadcast only when provably small.
+    emb = broadcast_if_small(spark, source_df if source_df is not None else e, e)
+    a = emb.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("a_emb"))
+    b = emb.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("b_emb"))
+    sim = cosine(F.col("a_emb"), F.col("b_emb"))
+    return (
+        candidates.join(a, F.col("vec_a") == F.col("a_id"))
+        .join(b, F.col("vec_b") == F.col("b_id"))
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

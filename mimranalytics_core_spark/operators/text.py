@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from mimranalytics_core_spark.functions.hints import broadcast_if_small as _broadcast_if_small
 from mimranalytics_core_spark.operators._base import t
 from mimranalytics_core_spark.registry import register
 
@@ -422,19 +423,26 @@ def dedup_minhash_lsh(spark, sf_dir):
     # Exact-Jaccard verify per candidate pair via array_intersect — scalar
     # codegen over two short arrays, no token-explode join. Tokens are
     # compared as 64-bit hashes (cheaper than string equality; collision
-    # probability ~|toks|²/2⁶⁴ ≈ 0). Doc-token side is |docs|-sized
-    # (≪ candidate pairs) → broadcast.
+    # probability ~|toks|²/2⁶⁴ ≈ 0).
+    #
+    # Broadcast is SIZE-CONDITIONAL: the hashed-token corpus is |docs|-sized
+    # and fits in one executor at test scale, but at 100 TB it cannot be
+    # broadcast — an unconditional hint would OOM every executor. Estimate
+    # the corpus from the source parquet footprint; over threshold, leave the
+    # join unhinted so it runs as a shuffle join on doc_id (and AQE may still
+    # locally broadcast genuinely-small sides at runtime).
     hashed = doc_toks.select(
         "doc_id", F.transform("toks", lambda x: F.xxhash64(x)).alias("toks"), "sz"
     )
-    a = hashed.select(
+    hint = _broadcast_if_small(spark, d, hashed)
+    a = hint.select(
         F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("sz").alias("a_sz")
     )
-    b = hashed.select(
+    b = hint.select(
         F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"), F.col("sz").alias("b_sz")
     )
-    paired = candidates.join(F.broadcast(a), F.col("doc_a") == F.col("a_id")).join(
-        F.broadcast(b), F.col("doc_b") == F.col("b_id")
+    paired = candidates.join(a, F.col("doc_a") == F.col("a_id")).join(
+        b, F.col("doc_b") == F.col("b_id")
     )
     inter = F.size(F.array_intersect("a_toks", "b_toks"))
     jac = inter.cast("double") / (F.col("a_sz") + F.col("b_sz") - inter)

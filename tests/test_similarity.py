@@ -25,16 +25,95 @@ def _brute_pairs(spark, threshold=0.95):
     }
 
 
+def _planted_corpus(spark, n_base=200, n_dup=60, dim=64, noise=0.06, seed=7):
+    """Random base vectors + perturbed near-copies: ground-truth high-cos
+    pairs exist by construction (the synthetic embeddings table is
+    near-uniform — max pairwise cosine ≈ 0.48 — so recall tests on it are
+    vacuous; see FIXTURES.md)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal((n_base, dim))
+    dup = base[:n_dup] + noise * rng.standard_normal((n_dup, dim))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)] + [
+        (n_base + i, [float(x) for x in v]) for i, v in enumerate(dup)
+    ]
+    e = spark.createDataFrame(rows, "vec_id LONG, emb ARRAY<DOUBLE>")
+    vecs = {i: v for i, v in rows}
+    truth = set()
+    ids = sorted(vecs)
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return dot / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if cos(vecs[a], vecs[b]) >= 0.95:
+                truth.add((a, b))
+    return e, truth
+
+
 def test_lsh_ann_no_false_positives_and_recall(spark):
-    lsh = {(r.vec_a, r.vec_b) for r in OPS["sim_lsh_ann"].fn(spark, SF_SMALL).collect()}
-    brute = _brute_pairs(spark)
-    assert lsh <= brute  # exact verify ⇒ no false positives
-    if brute:
-        recall = len(lsh) / len(brute)
-        # single 12-bit signature: cos≥0.95 pairs collide with
-        # p=(1-θ/π)^12, θ=acos(0.95)≈18° → p≈0.27; assert a sane floor and
-        # document that the scale path would union multiple signatures
-        assert recall >= 0.15, f"recall={recall:.2f} over {len(brute)} pairs"
+    """On a corpus with planted near-duplicates, banded LSH must recover most
+    true pairs (6×10 OR-amplification: expected recall ≈ 1-(1-p^10)^6 ≈ 0.92
+    at cos 0.95) with zero false positives (exact verify)."""
+    from mimranalytics_core_spark.operators.similarity import lsh_ann_pairs
+
+    e, truth = _planted_corpus(spark)
+    assert len(truth) >= 50  # the plant worked
+    got = {(r.vec_a, r.vec_b) for r in lsh_ann_pairs(spark, e).collect()}
+    assert got <= truth
+    recall = len(got) / len(truth)
+    assert recall >= 0.7, f"recall={recall:.2f} over {len(truth)} pairs"
+
+
+def test_lsh_ann_more_bands_monotone_recall(spark):
+    """Recall must be non-decreasing in the number of bands (OR-amplification
+    only ever adds candidates)."""
+    from mimranalytics_core_spark.operators.similarity import lsh_ann_pairs
+
+    e, truth = _planted_corpus(spark)
+    recalls = []
+    for bands in (1, 3, 6):
+        got = {(r.vec_a, r.vec_b) for r in lsh_ann_pairs(spark, e, bands=bands).collect()}
+        assert got <= truth
+        recalls.append(len(got) / len(truth))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] > recalls[0]  # amplification genuinely helps
+
+
+def test_lsh_ann_registered_op_runs_on_table(spark):
+    """The registered op itself must still run over the embeddings table
+    (0 rows expected on this near-uniform corpus — but schema and plan
+    execute end-to-end)."""
+    df = OPS["sim_lsh_ann"].fn(spark, SF_SMALL)
+    assert df.columns == ["vec_a", "vec_b", "cos_sim"]
+    assert df.count() == len(_brute_pairs(spark))
+
+
+def test_lsh_ann_bucket_cap_bounds_bucket_size(spark):
+    """No (band, sig) bucket may exceed the cap — the bound that keeps the
+    intra-bucket self-join from going quadratic at corpus scale."""
+    from mimranalytics_core_spark.operators.similarity import (
+        _as_double,
+        _hyperplane_buckets,
+    )
+
+    e = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    cap = 4
+    capped = _hyperplane_buckets(e, bands=6, bits=4, bucket_cap=cap)  # 16 buckets/band → overflow
+    maxsz = (
+        capped.groupBy("band", "sig").count().agg(F.max("count").alias("m")).first().m
+    )
+    assert maxsz <= cap, maxsz
+    # sanity: uncapped form genuinely overflows the cap on this corpus
+    full = _hyperplane_buckets(e, bands=6, bits=4, bucket_cap=10**9)
+    fullmax = full.groupBy("band", "sig").count().agg(F.max("count").alias("m")).first().m
+    assert fullmax > cap, fullmax
 
 
 def test_cosine_topk_matches_python(spark):

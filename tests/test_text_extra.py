@@ -93,3 +93,36 @@ def test_pagerank_empty_graph_returns_empty(spark):
 
     empty = spark.createDataFrame([], "src string, dst string")
     assert pagerank(empty, iters=3).count() == 0
+
+
+def test_minhash_verify_broadcast_is_size_conditional(spark):
+    """Under a tiny broadcast threshold the verify stage must plan a shuffle
+    join (SortMergeJoin/ShuffledHashJoin) on the token side, not an
+    unconditional BroadcastHashJoin — and return identical pairs."""
+    key = "spark.mimranalytics.broadcast_threshold_bytes"
+    fn = OPS["dedup_minhash_lsh"].fn
+
+    def physical(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    small = fn(spark, SF_SMALL)
+    assert "BroadcastHashJoin" in physical(small)  # test corpus is tiny
+
+    # Simulate a 100 TB corpus: our estimator says "too big" (threshold 1 B)
+    # and Catalyst's own stats-based broadcast is disabled (as it would be
+    # for a multi-TB relation). The unconditional F.broadcast hint of round 1
+    # would still force BroadcastHashJoin here; the fixed op must fall back
+    # to a shuffle join.
+    spark.conf.set(key, "1")
+    auto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        large = fn(spark, SF_SMALL)
+        plan = physical(large)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+        got_small = {(r.doc_a, r.doc_b, r.jaccard) for r in small.collect()}
+        got_large = {(r.doc_a, r.doc_b, r.jaccard) for r in large.collect()}
+        assert got_small == got_large and got_small
+    finally:
+        spark.conf.unset(key)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
