@@ -155,6 +155,98 @@ def centrality(spark: SparkSession, sf_dir: str, kind: str = "pagerank") -> Data
     )
 
 
+def match_path(
+    spark: SparkSession,
+    sf_dir: str,
+    edge_types: list[str] | None = None,
+    min_hops: int = 1,
+    max_hops: int = 3,
+    src_pred: str | None = None,
+    as_of: str | None = None,
+    carry_weight: bool = False,
+) -> DataFrame:
+    """Declarative graph-pattern entry point — the Cypher-shaped surface.
+
+    ``match_path(["owns_stake", "supplier_of"], 1, 4)`` is the analog of
+    ``MATCH (a)-[:OWNS_STAKE|SUPPLIER_OF*1..4]->(b)`` (reference README.md:25
+    — the store speaks Cypher; every semantic is already covered by the §2.9
+    operators, this builder gives reference users the pattern-shaped entry
+    point). Returns (src, dst, hops[, path_weight]).
+
+    - ``edge_types``: restrict traversed relationship types (None = any).
+    - ``min_hops``/``max_hops``: variable-length bound (``*min..max``).
+    - ``src_pred``: SQL boolean over the start node id, e.g.
+      ``"src LIKE 'c:%'"`` — the ``(a:Label {…})`` filter.
+    - ``as_of``: Time-Slider — traverse only edges whose
+      [valid_from, valid_to] contains the timestamp (validity-carrying edge
+      table; tier-1 ownership weights renormalize within the snapshot).
+    - ``carry_weight``: multiply edge weights along the path and sum over
+      parallel paths (the UBO closure shape).
+
+    Compiles to the same bounded iterative-join plan as the recursive-CTE
+    operators: ``max_hops`` self-joins on the (pre-filtered, narrow) edge
+    list — every hop is one hash shuffle on the frontier key; the type and
+    as-of filters prune edges BEFORE the first join.
+    """
+    tables(spark, sf_dir)
+    if as_of is not None:
+        e = catalog.temporal_ownership_edges(spark, sf_dir)
+        at = F.lit(as_of).cast("timestamp_ntz")
+        e = e.filter((F.col("valid_from") <= at) & (at <= F.col("valid_to")))
+        # ownership fractions are shares of the snapshot-valid volume
+        from pyspark.sql import Window
+
+        tot = F.sum(F.when(F.col("rel_type") == "owns_stake", F.col("weight"))).over(
+            Window.partitionBy("src")
+        )
+        e = e.withColumn(
+            "weight",
+            F.when(F.col("rel_type") == "owns_stake", F.col("weight") / tot).otherwise(
+                F.col("weight")
+            ),
+        )
+    else:
+        e = catalog.hierarchy_edges(spark, sf_dir)
+    if edge_types is not None:
+        e = e.filter(F.col("rel_type").isin(list(edge_types)))
+    e = e.select("src", "dst", "weight")
+
+    if not 1 <= min_hops <= max_hops:
+        raise ValueError(f"need 1 <= min_hops <= max_hops, got {min_hops}..{max_hops}")
+
+    frontier = e.select(
+        "src", "dst", F.lit(1).alias("hops"), F.col("weight").alias("path_weight")
+    )
+    if src_pred is not None:
+        frontier = frontier.filter(F.expr(src_pred))
+    levels = [frontier]
+    nxt = e.select(
+        F.col("src").alias("__m"), F.col("dst").alias("__d"), F.col("weight").alias("__w")
+    )
+    for _ in range(max_hops - 1):
+        frontier = (
+            frontier.join(nxt, frontier.dst == F.col("__m"))
+            .select(
+                "src",
+                F.col("__d").alias("dst"),
+                (F.col("hops") + 1).alias("hops"),
+                (F.col("path_weight") * F.col("__w")).alias("path_weight"),
+            )
+        )
+        levels.append(frontier)
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    out = out.filter(F.col("hops") >= min_hops)
+    if carry_weight:
+        return out.groupBy("src", "dst").agg(
+            F.min("hops").alias("hops"),
+            F.round(F.sum("path_weight"), 6).alias("path_weight"),
+        )
+    return out.select("src", "dst", "hops").distinct()
+
+
 def export_audit_report(
     spark: SparkSession, sf_dir: str, df: DataFrame, path: str, fmt: str = "csv"
 ) -> None:

@@ -114,6 +114,70 @@ def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c_edges.unionByName(s_edges).unionByName(n_edges)
 
 
+def temporal_ownership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed, weighted ownership edges carrying [valid_from, valid_to]
+    validity intervals as primary data (Time-Slider over the ownership graph
+    itself, reference README.md:17+13).
+
+    Tiers: customer→supplier (owns_stake; validity = the span of their order
+    activity, weight = the customer's volume share — renormalize within a
+    snapshot after the as-of filter), supplier→nation (supplier_of; validity
+    = the supplier's shipping span), nation→region (nation_of; timeless —
+    open interval). Mirrors the shared recursive-CTE text in
+    operators/graph.py::_UBO_ASOF_SQL.
+
+    Scale: one grouped agg per tier; validity columns make the edge table
+    date-partitionable so as-of filters prune files before any join.
+    """
+    orders = spark.table("orders")
+    lineitem = spark.table("lineitem")
+    supplier = spark.table("supplier")
+    nation = spark.table("nation")
+
+    far_past = F.lit("1900-01-01 00:00:00").cast("timestamp_ntz")
+    far_future = F.lit("9999-01-01 00:00:00").cast("timestamp_ntz")
+
+    cs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.max("o_orderdate").alias("valid_to"),
+            F.sum("l_extendedprice").alias("vol"),
+        )
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+            F.lit("owns_stake").alias("rel_type"),
+            F.col("vol").alias("weight"),  # renormalize per-src post-filter
+            "valid_from",
+            "valid_to",
+        )
+    )
+    sn = (
+        lineitem.join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(F.min("l_shipdate").alias("valid_from"), F.max("l_shipdate").alias("valid_to"))
+        .select(
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("n:"), F.col("s_nationkey")).alias("dst"),
+            F.lit("supplier_of").alias("rel_type"),
+            F.lit(1.0).alias("weight"),
+            "valid_from",
+            "valid_to",
+        )
+    )
+    nr = nation.select(
+        F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
+        F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
+        F.lit("nation_of").alias("rel_type"),
+        F.lit(1.0).alias("weight"),
+        far_past.alias("valid_from"),
+        far_future.alias("valid_to"),
+    )
+    return cs.unionByName(sn).unionByName(nr)
+
+
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected part—supplier co-occurrence edges from lineitem.
 

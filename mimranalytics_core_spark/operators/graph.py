@@ -587,6 +587,79 @@ def graph_temporal_ownership(spark, sf_dir):
     return asof.select("cust", "supp", share.alias("share"), "valid_from", "valid_to")
 
 
+_UBO_ASOF_SQL = """
+    WITH RECURSIVE tedges AS (
+        -- tier 1: customer→supplier ownership edges carrying validity
+        -- intervals as PRIMARY data (derived here from order activity)
+        SELECT 'c:' || o.o_custkey AS src, 's:' || l.l_suppkey AS dst,
+               MIN(o.o_orderdate) AS valid_from,
+               MAX(o.o_orderdate) AS valid_to,
+               SUM(l.l_extendedprice) AS vol
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_custkey < 150
+        GROUP BY o.o_custkey, l.l_suppkey
+    ),
+    snap1 AS (
+        -- as-of filter FIRST, then shares renormalized within the snapshot:
+        -- ownership fractions are relative to the structure valid at t
+        SELECT src, dst, vol / SUM(vol) OVER (PARTITION BY src) AS weight
+        FROM tedges
+        WHERE valid_from <= TIMESTAMP '{t}' AND TIMESTAMP '{t}' <= valid_to
+    ),
+    sedges AS (
+        -- tier 2: supplier→nation, valid while the supplier ships
+        SELECT 's:' || l.l_suppkey AS src, 'n:' || s.s_nationkey AS dst,
+               MIN(l.l_shipdate) AS valid_from, MAX(l.l_shipdate) AS valid_to
+        FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+        GROUP BY l.l_suppkey, s.s_nationkey
+    ),
+    snap2 AS (
+        SELECT src, dst, CAST(1 AS DOUBLE) AS weight FROM sedges
+        WHERE valid_from <= TIMESTAMP '{t}' AND TIMESTAMP '{t}' <= valid_to
+    ),
+    snap3 AS (
+        -- tier 3: nation→region, timeless structural edges
+        SELECT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst,
+               CAST(1 AS DOUBLE) AS weight
+        FROM nation
+    ),
+    vedges AS (
+        SELECT * FROM snap1 UNION ALL SELECT * FROM snap2 UNION ALL SELECT * FROM snap3
+    ),
+    paths(owner, entity, frac, depth) AS (
+        SELECT src AS owner, dst AS entity, weight AS frac, 1 AS depth
+        FROM vedges WHERE src LIKE 'c:%'
+        UNION ALL
+        SELECT p.owner, e.dst, p.frac * e.weight, p.depth + 1
+        FROM paths p JOIN vedges e ON e.src = p.entity
+        WHERE p.depth < 4
+    )
+    SELECT owner, entity,
+           FLOOR(SUM(frac) * 1e6 + 0.5) / 1e6 AS effective_ownership
+    FROM paths
+    GROUP BY owner, entity
+    HAVING SUM(frac) >= 0.001
+"""
+
+
+@register(
+    "graph_ubo_asof",
+    "graph",
+    oracle=_UBO_ASOF_SQL.format(t="1997-06-01 00:00:00"),
+    notes=(
+        "Time-Slider UBO (README.md:17 + 13): multi-tier weighted ownership "
+        "closure AS OF t over an edge table whose [valid_from, valid_to] "
+        "validity is primary data — every edge on every path must be valid "
+        "at t, and tier-1 shares renormalize within the snapshot before the "
+        "closure. Recursive CTE shared verbatim with the oracle; at scale "
+        "the validity filter prunes date-partitioned edge files before any "
+        "join, and the closure shuffles only surviving edges"
+    ),
+)
+def graph_ubo_asof(spark, sf_dir):
+    return _sql_both(spark, sf_dir, _UBO_ASOF_SQL.format(t="1997-06-01 00:00:00"))
+
+
 @register(
     "graph_betweenness",
     "graph",

@@ -62,3 +62,79 @@ def test_export_audit_report(spark, tmp_path):
     api.export_audit_report(spark, SF_SMALL, res, dest, fmt="csv")
     back = spark.read.option("header", "true").csv(dest)
     assert back.count() == res.count()
+
+
+# --- match_path: Cypher-shaped patterns mapped onto oracle-green operators ---
+
+
+def test_match_path_var_length_equals_reach_op(spark):
+    """MATCH (c:customer {key<10})-[*1..6]->(x): reached nodes + min hop must
+    equal graph_reach_transitive (recursive-CTE, oracle-green) minus its
+    depth-0 seed rows."""
+    from mimranalytics_core_spark.registry import all_ops
+
+    reach = {
+        (r.node, r.depth)
+        for r in all_ops()["graph_reach_transitive"].fn(spark, SF_SMALL).collect()
+        if r.depth > 0
+    }
+    mp = api.match_path(
+        spark,
+        SF_SMALL,
+        min_hops=1,
+        max_hops=6,
+        src_pred="src LIKE 'c:%' AND CAST(SUBSTRING(src, 3) AS INT) < 10",
+    )
+    got = {
+        (r.node, r.hops)
+        for r in mp.groupBy(F.col("dst").alias("node")).agg(F.min("hops").alias("hops")).collect()
+    }
+    assert got == reach
+
+
+def test_match_path_weighted_equals_ubo_op(spark):
+    """MATCH (c)-[*1..6]->(e) with multiplied weights = graph_ubo (weighted
+    transitive closure, oracle-green)."""
+    from mimranalytics_core_spark.registry import all_ops
+
+    ubo = {
+        (r.owner, r.entity): r.effective_ownership
+        for r in all_ops()["graph_ubo"].fn(spark, SF_SMALL).collect()
+    }
+    mp = api.match_path(
+        spark, SF_SMALL, min_hops=1, max_hops=6, src_pred="src LIKE 'c:%'", carry_weight=True
+    )
+    got = {
+        (r.src, r.dst): r.path_weight
+        for r in mp.filter(F.col("path_weight") >= 0.001).collect()
+    }
+    assert set(got) == set(ubo)
+    assert all(abs(got[k] - ubo[k]) < 2e-6 for k in ubo), "weights diverge"
+
+
+def test_match_path_asof_time_slider(spark):
+    """MATCH with as_of: before any order activity the stake tier is empty;
+    mid-history each owner's renormalized region ownership sums to ~1."""
+    early = api.match_path(
+        spark, SF_SMALL, edge_types=["owns_stake"], as_of="1990-01-01 00:00:00"
+    )
+    assert early.count() == 0
+
+    mid = api.match_path(
+        spark,
+        SF_SMALL,
+        min_hops=3,
+        max_hops=3,
+        as_of="1997-06-01 00:00:00",
+        carry_weight=True,
+    ).filter(F.col("dst").startswith("r:"))
+    sums = mid.groupBy("src").agg(F.sum("path_weight").alias("s")).collect()
+    assert sums
+    assert all(0.98 <= r.s <= 1.02 for r in sums)
+
+
+def test_match_path_type_restriction(spark):
+    """Edge-type restriction: only nation_of edges → every path is n:→r:."""
+    mp = api.match_path(spark, SF_SMALL, edge_types=["nation_of"], max_hops=2).collect()
+    assert mp
+    assert all(r.src.startswith("n:") and r.dst.startswith("r:") and r.hops == 1 for r in mp)

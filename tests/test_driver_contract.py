@@ -6,6 +6,7 @@ from __future__ import annotations
 import json
 import subprocess
 import sys
+from pathlib import Path
 
 import __spark_entry__ as entrymod
 
@@ -59,8 +60,14 @@ def test_bench_emits_single_json_line():
     )
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, proc.stdout[:500] + proc.stderr[-500:]
+    # stdout contract: ONE compact line (<2 KB — survives tail-truncating log
+    # capture); per-query detail goes to stderr + BENCH_LOCAL.json.
+    assert len(lines[0]) < 2000
     payload = json.loads(lines[0])
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
-    assert len(payload["queries"]) >= 110
-    assert all(v >= 0 for v in payload["queries"].values())
+    assert payload["n_queries"] >= 110
+    assert payload["n_failed"] == 0
+    full = json.loads((Path(__file__).resolve().parent.parent / "BENCH_LOCAL.json").read_text())
+    assert len(full["queries"]) == payload["n_queries"]
+    assert all(v >= 0 for v in full["queries"].values())

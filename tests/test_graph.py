@@ -157,3 +157,25 @@ def test_betweenness_matches_reference(spark, edges):
     for v in adj:
         assert abs(got.get(v, 0.0) - round(expected[v], 6)) < 1e-6, (
             v, got.get(v), expected[v])
+
+
+def test_ubo_asof_time_slider_semantics(spark):
+    """The as-of date genuinely changes the snapshot: before any order
+    activity the ownership graph is empty; mid-history it is populated, and
+    tier-1 shares renormalize to 1 per owner within the snapshot."""
+    from mimranalytics_core_spark.operators._base import tables
+    from mimranalytics_core_spark.operators.graph import _UBO_ASOF_SQL
+    from tests.conftest import SF_SMALL
+
+    tables(spark, SF_SMALL)
+    early = spark.sql(_UBO_ASOF_SQL.format(t="1990-01-01 00:00:00"))
+    assert early.count() == 0
+    mid = spark.sql(_UBO_ASOF_SQL.format(t="1997-06-01 00:00:00"))
+    assert mid.count() > 0
+    # every reachable region's effective ownership equals the owner's total
+    # valid tier-1 mass (=1 after renormalization, times 1.0-weight tiers)
+    regions = mid.filter(F.col("entity").startswith("r:"))
+    bad = regions.groupBy("owner").agg(F.sum("effective_ownership").alias("s")).filter(
+        (F.col("s") < 0.98) | (F.col("s") > 1.02)
+    )
+    assert bad.count() == 0, bad.limit(5).collect()
