@@ -103,8 +103,20 @@ def weighted_sssp(edges: DataFrame, source: str, max_iter: int = 20) -> DataFram
 def connected_components(
     edges: DataFrame, max_iter: int = 20, state_partitions: int | None = None
 ) -> DataFrame:
-    """Undirected components via min-label propagation: (node, component)."""
+    """Undirected components via min-label propagation: (node, component).
+
+    Convergence is folded into the step (``__changed`` flag — pregel.py
+    protocol): the step joins the label map against the aggregated incoming
+    minima ONCE and emits both the new label and whether it decreased, so no
+    separate old-vs-new join per convergence check.
+    """
+    # Materialize the symmetrized edge list once: every superstep joins
+    # against it, and the upstream edge derivation (windowed weight shares,
+    # unions) would otherwise be recomputed per iteration.
     und = undirect(edges)
+    if state_partitions is not None:
+        und = und.coalesce(state_partitions)
+    und = und.localCheckpoint(eager=True)
     state = und.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
@@ -136,7 +148,14 @@ def pagerank(
     state_partitions: int | None = None,
 ) -> DataFrame:
     """Damped PageRank, fixed iterations: (node, rank). Dangling mass is
-    redistributed uniformly inside the plan (no driver round-trips)."""
+    redistributed uniformly inside the plan (no driver round-trips).
+
+    Per-iteration cost: ONE join (pre-joined edge shares × ranks) + one
+    aggregate. The out-degree join happens once, outside the loop; dangling
+    mass needs no anti-join because total rank is conserved at 1 each
+    iteration, so Σ(dangling rank) = 1 − Σ(inflow) — a scalar already
+    available from the contribution aggregate.
+    """
     e = edges.select("src", "dst")
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -148,21 +167,31 @@ def pagerank(
     if n == 0:  # empty graph: no nodes to rank (avoid 1/0 below)
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    shares = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("share")
+    )
+    if state_partitions is not None:
+        shares = shares.coalesce(state_partitions)
+    shares = shares.localCheckpoint(eager=True)
+    # Dangling node set computed ONCE (not an anti-join per iteration); its
+    # per-iteration mass is a scan+agg over the checkpointed rank vector.
+    dangling = nodes.join(out_deg, nodes.node == out_deg.src, "left_anti").coalesce(
+        1
+    ).localCheckpoint(eager=True)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for i in range(iters):
         contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            shares.join(ranks, shares.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("share")).alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        dangling = ranks.join(out_deg, ranks.node == out_deg.src, "left_anti").agg(
+        dm = ranks.join(dangling, "node", "left_semi").agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
         )
         ranks = (
             nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(dangling))
+            .crossJoin(F.broadcast(dm))
             .select(
                 "node",
                 (
@@ -172,10 +201,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        if (i + 1) % 2 == 0 or i == iters - 1:
-            if state_partitions is not None:
-                ranks = ranks.coalesce(state_partitions)
-            ranks = ranks.localCheckpoint(eager=True)
+        # Checkpoint EVERY iteration: the next iteration's dangling-mass
+        # aggregate re-reads ``ranks``; un-checkpointed, that branch would
+        # recompute the whole previous superstep (join+agg) a second time —
+        # one cheap materialization beats one redundant shuffle.
+        if state_partitions is not None:
+            ranks = ranks.coalesce(state_partitions)
+        ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

@@ -24,20 +24,31 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+CHANGED_COL = "__changed"
 
 
 def iterate_fixpoint(
     state: DataFrame,
     step: Callable[[DataFrame], DataFrame],
-    changed: Callable[[DataFrame, DataFrame], DataFrame],
+    changed: Callable[[DataFrame, DataFrame], DataFrame] | None = None,
     max_iter: int = 20,
     check_every: int = 2,
     state_partitions: int | None = None,
 ) -> DataFrame:
-    """Iterate ``state = step(state)`` until ``changed(old, new)`` is empty.
+    """Iterate ``state = step(state)`` until no row changed.
 
-    ``changed`` returns a DataFrame whose emptiness signals convergence —
-    computed distributed, only emptiness is checked on the driver.
+    Two convergence protocols:
+
+    - **Folded flag (preferred)**: ``step`` emits a boolean ``__changed``
+      column alongside the new state. Convergence = no flagged row in the
+      already-materialized checkpoint — a filter scan, no extra join and no
+      extra shuffle. The flag is stripped from the returned state.
+    - **``changed`` callback (legacy)**: returns a DataFrame whose emptiness
+      signals convergence — costs one old-vs-new join per check.
+
     ``check_every`` batches convergence checks: a monotone step applied to an
     already-converged state is a no-op, so checking every k-th superstep
     trades ≤(k-1) wasted cheap supersteps for k× fewer driver round-trips —
@@ -51,16 +62,19 @@ def iterate_fixpoint(
     """
     state = state.localCheckpoint(eager=True)
     for i in range(max_iter):
-        new_state = step(state)
+        new_state = step(state.drop(CHANGED_COL) if CHANGED_COL in state.columns else state)
+        flagged = CHANGED_COL in new_state.columns
         if state_partitions is not None:
             new_state = new_state.coalesce(state_partitions)
         # Checkpoint every step: each step embeds a join against the previous
         # state and is evaluated at latest by the next convergence check —
         # materializing is strictly cheaper than recomputing a growing plan.
         new_state = new_state.localCheckpoint(eager=True)
-        if ((i + 1) % check_every == 0 or i == max_iter - 1) and changed(
-            state, new_state
-        ).isEmpty():
-            return new_state
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            if flagged:
+                if new_state.filter(F.col(CHANGED_COL)).isEmpty():
+                    return new_state.drop(CHANGED_COL)
+            elif changed is not None and changed(state, new_state).isEmpty():
+                return new_state
         state = new_state
-    return state
+    return state.drop(CHANGED_COL) if CHANGED_COL in state.columns else state
