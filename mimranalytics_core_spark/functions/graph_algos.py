@@ -57,6 +57,9 @@ def ubo_closure(edges: DataFrame, max_depth: int = 6, threshold: float = 0.0) ->
 
 def bfs_distances(edges: DataFrame, seeds: DataFrame, max_depth: int = 10) -> DataFrame:
     """Min-hop distance from a seed set: (node, dist). ``seeds``: (node)."""
+    # materialize once: each level joins edges; a lazy derivation would be
+    # re-executed per level
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     dist = seeds.select("node").distinct().withColumn("dist", F.lit(0))
     frontier = dist
     for level in range(1, max_depth + 1):
@@ -78,6 +81,7 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_depth: int = 10) -> Da
 def weighted_sssp(edges: DataFrame, source: str, max_iter: int = 20) -> DataFrame:
     """Min-cost (sum of weights) from ``source``: (node, cost). Bellman-Ford
     style relaxation to fixpoint over the distributed edge list."""
+    edges = edges.select("src", "dst", "weight").localCheckpoint(eager=True)
     state = edges.sparkSession.createDataFrame([(source, 0.0)], "node STRING, cost DOUBLE")
 
     def step(costs):
@@ -230,6 +234,12 @@ def betweenness(
     join/agg per level. Total supersteps ≤ 2·diameter regardless of |V|.
     """
     spark_f = F
+    # materialize once: both phases join edges per level; a lazy derivation
+    # would be re-executed 2·diameter times
+    edges = edges.select("src", "dst")
+    if state_partitions is not None:
+        edges = edges.coalesce(state_partitions)
+    edges = edges.localCheckpoint(eager=True)
     frontier = (
         sources.select(spark_f.col("node").alias("source"))
         .withColumn("node", spark_f.col("source"))

@@ -268,6 +268,69 @@ def lsh_ann_pairs(
 
 
 @register(
+    "dedup_embedding_cosine",
+    "similarity",
+    oracle="""
+        WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                             FROM embeddings WHERE vec_id < 1000),
+        pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id
+                  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+        sym AS (SELECT ia AS s, ib AS d FROM pairs
+                UNION ALL SELECT ib AS s, ia AS d FROM pairs),
+        reach(node, anc, depth) AS (
+            SELECT vec_id, vec_id, 0 FROM e
+            UNION
+            SELECT r.node, s.d, r.depth + 1
+            FROM reach r JOIN sym s ON s.s = r.anc WHERE r.depth < 8
+        ),
+        comp AS (SELECT node, MIN(anc) AS canonical_id FROM reach GROUP BY node)
+        SELECT node AS vec_id, canonical_id, node <> canonical_id AS is_dup FROM comp
+    """,
+    notes=(
+        "embedding-cosine near-dup DEDUP (north-star family member): exact "
+        "pairwise cosine ≥ 0.4 on the declared id-bounded subset → "
+        "8-round min-label clustering → canonical id per cluster (keep-min "
+        "policy), is_dup marks rows a training pipeline would drop. 8 rounds "
+        "of label propagation = min over ≤8-hop reachability, exactly the "
+        "oracle's depth-8 walk closure. At corpus scale the pair stage swaps "
+        "to lsh_ann_pairs (same downstream clustering) — the exact pair join "
+        "here is the declared verify-stage semantics, like all bounded "
+        "quadratic ops"
+    ),
+)
+def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4, max_rounds: int = 8):
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 1000)
+        .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+        .localCheckpoint(eager=True)
+    )
+    a = e.select(F.col("vec_id").alias("ia"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("emb").alias("eb"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(cosine(F.col("ea"), F.col("eb")) >= threshold)
+        .select("ia", "ib")
+    )
+    sym = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionByName(
+        pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+    from mimranalytics_core_spark.functions.graph_algos import connected_components
+
+    nodes = e.select(F.col("vec_id").alias("node"))
+    comp = connected_components(sym, max_iter=max_rounds, state_partitions=8)
+    labeled = nodes.join(comp, "node", "left").select(
+        F.col("node").alias("vec_id"),
+        F.coalesce(F.col("component"), F.col("node")).alias("canonical_id"),
+    )
+    return labeled.select(
+        "vec_id", "canonical_id", (F.col("vec_id") != F.col("canonical_id")).alias("is_dup")
+    )
+
+
+@register(
     "multimodal_struct",
     "similarity",
     oracle=f"""
