@@ -363,14 +363,28 @@ def multimodal_struct(spark, sf_dir):
 def _kmeans_centroids(e, k: int = 16, iters: int = 3):
     """DataFrame Lloyd iterations: train k coarse centroids over ``emb``.
 
-    Seeds = first k vectors by id (deterministic). Assignment broadcasts the
-    centroid table (k×dim doubles — tiny); centroid update is posexplode +
-    avg per (cluster, dim): both stages shuffle only k×dim rows. This is the
-    IVF training loop at any scale — vectors never move, only assignments.
+    Seeding: farthest-point traversal (deterministic kmeans++ variant) over a
+    bounded id-ordered sample (max(32k, 512) vectors collected to the driver
+    — bounded regardless of corpus size; the cluster-scale alternative is
+    k-means|| oversampling, same downstream loop). Spread-out seeds cut the
+    empty/duplicate-cell pathologies of first-k seeding and lift recall at
+    fixed nprobe. Assignment broadcasts the centroid table (k×dim doubles —
+    tiny); centroid update is posexplode + avg per (cluster, dim): both
+    stages shuffle only k×dim rows. This is the IVF training loop at any
+    scale — vectors never move, only assignments.
     """
+    import numpy as np
+
+    sample = e.orderBy("vec_id").limit(max(32 * k, 512)).collect()
+    pts = np.array([[float(x) for x in r.emb] for r in sample])
+    seed_idx = [0]  # id-ordered sample → deterministic start
+    d2 = ((pts - pts[0]) ** 2).sum(axis=1)
+    while len(seed_idx) < min(k, len(pts)):
+        nxt = int(np.argmax(d2))  # farthest point from chosen set
+        seed_idx.append(nxt)
+        d2 = np.minimum(d2, ((pts - pts[nxt]) ** 2).sum(axis=1))
     centroids = [
-        (int(r.vec_id), [float(x) for x in r.emb])
-        for r in e.orderBy("vec_id").limit(k).collect()
+        (int(sample[i].vec_id), [float(x) for x in pts[i]]) for i in seed_idx
     ]
     for _ in range(iters):
         cent_rows = [(i, v) for i, (_, v) in enumerate(centroids)]

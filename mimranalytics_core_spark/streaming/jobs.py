@@ -164,21 +164,50 @@ def anomaly_flags_stateful(events: DataFrame) -> DataFrame:
     )
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 def run_available_now(
-    df: DataFrame, name: str, spark: SparkSession, output_mode: str = "append"
+    df: DataFrame,
+    name: str,
+    spark: SparkSession,
+    output_mode: str = "append",
+    state_store: str | None = None,
 ) -> DataFrame:
     """Drain a bounded stream into a memory sink; return the result table.
 
     Aggregating queries should pass ``output_mode='complete'`` — in append
     mode a bounded replay never advances the watermark past the final
     windows, so they would never emit.
+
+    ``state_store='rocksdb'`` runs the query with the RocksDB state store
+    provider — the 100 TB posture for stateful streaming: per-key state
+    lives on executor local disk (spillable, changelog-checkpointed) instead
+    of the JVM heap, so watermark-bounded-but-large state (dedup sets,
+    session maps over millions of keys) cannot OOM an executor. Results are
+    provider-independent; tests assert equality against the default
+    provider. The provider conf is restored after the run (it is only read
+    at query start).
     """
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf_key, None)
+    if state_store == "rocksdb":
+        spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if state_store == "rocksdb":
+            if prev:
+                spark.conf.set(conf_key, prev)
+            else:
+                spark.conf.unset(conf_key)
     return spark.table(name)

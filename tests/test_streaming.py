@@ -95,3 +95,34 @@ def test_stream_stateful_anomaly(spark):
         .collect()
     )
     assert all(r.zscore == 0.0 for r in firsts)
+
+
+def test_rocksdb_state_store_equivalent_results(spark):
+    """The RocksDB state-store provider (executor-disk state — the 100 TB
+    posture for stateful streaming) must produce identical results to the
+    default heap provider for both built-in (dedup) and custom
+    (applyInPandasWithState) stateful queries."""
+    stream = jobs.events_stream(spark, SF_SMALL)
+    heap = jobs.run_available_now(
+        jobs.dedup_within_watermark(stream), "t_dedup_heap", spark
+    ).select("event_id")
+    rocks = jobs.run_available_now(
+        jobs.dedup_within_watermark(jobs.events_stream(spark, SF_SMALL)),
+        "t_dedup_rocks",
+        spark,
+        state_store="rocksdb",
+    ).select("event_id")
+    assert heap.exceptAll(rocks).isEmpty() and rocks.exceptAll(heap).isEmpty()
+
+    z = jobs.run_available_now(
+        jobs.anomaly_flags_stateful(jobs.events_stream(spark, SF_SMALL)),
+        "t_anom_rocks",
+        spark,
+        state_store="rocksdb",
+    )
+    assert z.count() > 0
+    # provider conf restored after the run
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
+        != jobs.ROCKSDB_PROVIDER
+    )
