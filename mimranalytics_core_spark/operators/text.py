@@ -291,6 +291,94 @@ def dedup_exact_norm(spark, sf_dir):
 
 
 @register(
+    "pipeline_corpus_curation",
+    "text",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, lang, source,
+                   len(string_split(lower(text), ' ')) AS n_tokens,
+                   len(list_distinct(string_split(lower(text), ' '))) AS n_unique,
+                   md5(list_aggregate(list_sort(list_distinct(
+                       string_split(lower(text), ' '))), 'string_agg', '|')) AS fp
+            FROM documents
+        ),
+        q AS (
+            SELECT *, (n_tokens >= 10 AND CAST(n_unique AS DOUBLE) / n_tokens >= 0.3)
+                       AS passes
+            FROM s
+        ),
+        ranked AS (
+            SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM q WHERE passes
+        ),
+        labeled AS (
+            SELECT q.lang, q.source, q.n_tokens,
+                   CASE WHEN NOT q.passes THEN 'drop_quality'
+                        WHEN r.rn = 1 THEN 'keep'
+                        ELSE 'drop_dup' END AS status
+            FROM q LEFT JOIN ranked r ON q.doc_id = r.doc_id
+        )
+        SELECT lang, source,
+               CAST(SUM(CASE WHEN status = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+               CAST(SUM(CASE WHEN status = 'drop_quality' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dropped_quality,
+               CAST(SUM(CASE WHEN status = 'drop_dup' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS dropped_dup,
+               CAST(SUM(CASE WHEN status = 'keep' THEN n_tokens ELSE 0 END) AS BIGINT)
+                   AS kept_tokens
+        FROM labeled
+        GROUP BY lang, source
+    """,
+    notes=(
+        "end-to-end training-corpus curation (north-star pipeline shape): "
+        "quality gate (length + repetition) → order-insensitive exact dedup "
+        "on the token-set fingerprint keeping min doc_id → per-(lang, "
+        "source) curation report with kept-token budget. Every stage is "
+        "scan-local except one window on the fingerprint (the dedup "
+        "shuffle) and the final partial agg — the shape a 100 TB curation "
+        "job would run"
+    ),
+)
+def pipeline_corpus_curation(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), "|")).alias("fp"),
+    )
+    passes = (F.col("n_tokens") >= 10) & (
+        F.col("n_unique").cast("double") / F.col("n_tokens") >= 0.3
+    )
+    q = base.withColumn("passes", passes)
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    ranked = q.filter("passes").select("doc_id", F.row_number().over(w).alias("rn"))
+    labeled = q.join(ranked, "doc_id", "left").select(
+        "lang",
+        "source",
+        "n_tokens",
+        F.when(~F.col("passes"), F.lit("drop_quality"))
+        .when(F.col("rn") == 1, F.lit("keep"))
+        .otherwise(F.lit("drop_dup"))
+        .alias("status"),
+    )
+
+    def n(status, expr=None):
+        inner = F.when(F.col("status") == status, expr if expr is not None else F.lit(1)).otherwise(0)
+        return F.sum(inner).cast("bigint")
+
+    return labeled.groupBy("lang", "source").agg(
+        n("keep").alias("kept"),
+        n("drop_quality").alias("dropped_quality"),
+        n("drop_dup").alias("dropped_dup"),
+        n("keep", F.col("n_tokens")).alias("kept_tokens"),
+    )
+
+
+@register(
     "sim_pairwise_jaccard",
     "text",
     oracle="""

@@ -41,7 +41,22 @@ SHOWCASE = [
     (
         "dedup_minhash_lsh",
         "MinHash signatures computed row-local (array_min(transform(...)) in "
-        "the scan stage — no shuffle before band bucketing).",
+        "the scan stage — no shuffle before band bucketing). Verify-stage "
+        "token join is broadcast only under the size threshold "
+        "(functions/hints.broadcast_if_small); at forced-large settings it "
+        "plans a shuffle join.",
+    ),
+    (
+        "sim_lsh_ann",
+        "Banded hyperplane LSH: 6×10-bit signatures row-local, per-band "
+        "bucket window caps membership, intra-bucket self-join generates "
+        "candidates — never all-pairs.",
+    ),
+    (
+        "graph_ubo_asof",
+        "Time-Slider UBO: validity filter + snapshot renormalization applied "
+        "BEFORE the recursive closure (the as-of predicate prunes edges "
+        "ahead of every join).",
     ),
 ]
 
