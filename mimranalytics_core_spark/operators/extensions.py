@@ -430,3 +430,58 @@ def sink_csv_roundtrip(spark, sf_dir):
     return read_any(
         spark, dest, "csv", schema="l_returnflag STRING, n BIGINT, qty DOUBLE"
     )
+
+
+@register(
+    "sink_json_partitioned_roundtrip",
+    "sinks",
+    oracle="""
+        SELECT r_name, n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               FLOOR(SUM(GREATEST(c_acctbal, 0)) * 100 + 0.5) / 100 AS bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    notes=(
+        "JSON sink with hive-style directory partitioning (r_name=... dirs) "
+        "→ re-read; the declared result is the re-read files, so the oracle "
+        "checks the write/read cycle including partition-column recovery "
+        "from directory names. Partitioned layout is the 100 TB export "
+        "shape: downstream scans prune partitions instead of reading the "
+        "full artifact. Completes the sink format matrix (parquet / CSV / "
+        "JSON-partitioned)"
+    ),
+)
+def sink_json_partitioned_roundtrip(spark, sf_dir):
+    import os
+
+    from mimranalytics_core_spark.functions.numeric import dround
+    from mimranalytics_core_spark.sources.io import export_report, read_any
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    report = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            dround(F.sum(F.greatest(F.col("c_acctbal"), F.lit(0.0))), 2).alias("bal"),
+        )
+    )
+    dest = (
+        f"/tmp/mimranalytics_reports/{os.path.basename(sf_dir.rstrip('/'))}/nation_bal_json"
+    )
+    export_report(report, dest, fmt="json", partition_by=["r_name"])
+    back = read_any(spark, dest, "json")
+    # JSON carries no schema: pin types (counts arrive as long, bal as
+    # double; the partition column is recovered from directory names)
+    return back.select(
+        F.col("r_name").cast("string"),
+        F.col("n_name").cast("string"),
+        F.col("n_cust").cast("bigint"),
+        F.col("bal").cast("double"),
+    )
