@@ -255,3 +255,46 @@ def export_audit_report(
     from mimranalytics_core_spark.sources.io import export_report
 
     export_report(df, path, fmt=fmt, single_file=True)
+
+
+def export_graph_viz(
+    spark: SparkSession,
+    sf_dir: str,
+    entities: list[str],
+    hops: int = 2,
+    path: str | None = None,
+) -> DataFrame:
+    """Graph-visualization payload (README.md:19): the ≤``hops`` undirected
+    neighborhood of ``entities`` as node rows (kind='node', a=id, hop) plus
+    the directed edges with both endpoints inside it (kind='edge', a=src,
+    b=dst, hop=-1). When ``path`` is given the frame is also written as a
+    JSON artifact (the serialization a viz front-end consumes)."""
+    from mimranalytics_core_spark.functions.graph_algos import bfs_distances, undirect
+    from mimranalytics_core_spark.sources.io import export_report
+
+    tables(spark, sf_dir)
+    edges = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    seeds = spark.createDataFrame([(e,) for e in entities], "node STRING")
+    nodes = bfs_distances(undirect(edges), seeds, max_depth=hops)
+    keep = nodes.select("node")
+    sub_edges = (
+        edges.join(keep.withColumnRenamed("node", "src"), "src", "left_semi")
+        .join(keep.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        .distinct()
+    )
+    payload = nodes.select(
+        F.lit("node").alias("kind"),
+        F.col("node").alias("a"),
+        F.lit("").alias("b"),
+        F.col("dist").cast("int").alias("hop"),
+    ).unionByName(
+        sub_edges.select(
+            F.lit("edge").alias("kind"),
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.lit(-1).cast("int").alias("hop"),
+        )
+    )
+    if path is not None:
+        export_report(payload, path, fmt="json", partition_by=["kind"])
+    return payload

@@ -587,6 +587,51 @@ def graph_temporal_ownership(spark, sf_dir):
     return asof.select("cust", "supp", share.alias("share"), "valid_from", "valid_to")
 
 
+_VIZ_EXPORT_SQL = """
+    WITH RECURSIVE {edges},
+    sym AS (
+        SELECT src, dst FROM edges
+        UNION SELECT dst AS src, src AS dst FROM edges
+    ),
+    reach(node, hop) AS (
+        -- UNION ALL: Spark recursive CTEs reject distinct-UNION; the walk
+        -- count is bounded by the hop<2 depth and vnodes dedups via MIN(hop)
+        SELECT 'c:' || c_custkey AS node, 0 AS hop FROM customer WHERE c_custkey < 4
+        UNION ALL
+        SELECT s.dst, r.hop + 1 FROM reach r JOIN sym s ON s.src = r.node
+        WHERE r.hop < 2
+    ),
+    vnodes AS (SELECT node, CAST(MIN(hop) AS INT) AS hop FROM reach GROUP BY node),
+    vedges AS (
+        SELECT DISTINCT e.src, e.dst FROM edges e
+        JOIN vnodes a ON e.src = a.node
+        JOIN vnodes b ON e.dst = b.node
+    )
+    SELECT 'node' AS kind, node AS a, '' AS b, hop FROM vnodes
+    UNION ALL
+    SELECT 'edge' AS kind, src AS a, dst AS b, CAST(-1 AS INT) AS hop FROM vedges
+"""
+
+
+@register(
+    "graph_export_viz",
+    "graph",
+    oracle=_VIZ_EXPORT_SQL.format(edges=HIERARCHY_SQL),
+    notes=(
+        "graph-visualization export payload (README.md:19 — 'graph "
+        "visualizations and underlying relational data'): the bounded "
+        "2-hop undirected neighborhood of a seed set as one relational "
+        "frame — node rows (id, min hop) + the directed ownership edges "
+        "whose BOTH endpoints are inside the neighborhood. The JSON/file "
+        "artifact form is api.export_graph_viz (same frame through the "
+        "partitioned sink); sentinel '' / -1 instead of NULLs keeps the "
+        "frame hashable for scalar comparators"
+    ),
+)
+def graph_export_viz(spark, sf_dir):
+    return _sql_both(spark, sf_dir, _VIZ_EXPORT_SQL.format(edges=HIERARCHY_SQL))
+
+
 _UBO_ASOF_SQL = """
     WITH RECURSIVE tedges AS (
         -- tier 1: customer→supplier ownership edges carrying validity

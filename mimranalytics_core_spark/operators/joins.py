@@ -466,3 +466,35 @@ def report_nation_volume(spark, sf_dir):
         )
         .agg(dround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+@register(
+    "join_skew_salted",
+    "joins",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(SUM(l_quantity) * 100 + 0.5) / 100 AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+    notes=(
+        "skew-mitigated equi-join (SURVEY.md §4.3): the hot side's shuffle "
+        "key is salted into 8 sub-keys and the other side replicated 8x "
+        "(functions/skew.salted_join), spreading a pathological key over 8 "
+        "reducers; the oracle is the plain join, proving salting is "
+        "semantics-preserving. This is the explicit fallback for skew AQE "
+        "cannot fix (broadcast-ineligible, known-pathological keys)"
+    ),
+)
+def join_skew_salted(spark, sf_dir):
+    from mimranalytics_core_spark.functions.numeric import dround
+    from mimranalytics_core_spark.functions.skew import salted_join
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", n_salts=8)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dround(F.sum("l_quantity"), 2).alias("qty"),
+    )

@@ -138,3 +138,26 @@ def test_match_path_type_restriction(spark):
     mp = api.match_path(spark, SF_SMALL, edge_types=["nation_of"], max_hops=2).collect()
     assert mp
     assert all(r.src.startswith("n:") and r.dst.startswith("r:") and r.hops == 1 for r in mp)
+
+
+def test_export_graph_viz_matches_declared_op(spark):
+    """api.export_graph_viz (seeds c:1..3, 2 hops) must equal the declared
+    oracle-green graph_export_viz op, and the JSON artifact round-trips."""
+    import os
+
+    from mimranalytics_core_spark.registry import all_ops
+    from mimranalytics_core_spark.sources.io import read_any
+
+    op = {
+        (r.kind, r.a, r.b, r.hop)
+        for r in all_ops()["graph_export_viz"].fn(spark, SF_SMALL).collect()
+    }
+    path = "/tmp/mimranalytics_reports/test_viz_json"
+    payload = api.export_graph_viz(
+        spark, SF_SMALL, ["c:0", "c:1", "c:2", "c:3"], hops=2, path=path
+    )
+    got = {(r.kind, r.a, r.b, r.hop) for r in payload.collect()}
+    assert got == op
+    back = read_any(spark, path, "json")
+    assert back.count() == len(op)
+    assert os.path.isdir(os.path.join(path, "kind=node"))
