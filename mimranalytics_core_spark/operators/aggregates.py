@@ -119,6 +119,52 @@ def agg_approx_distinct(spark, sf_dir):
 
 
 @register(
+    "agg_approx_percentile",
+    "aggregates",
+    oracle=None,  # sketch result ≠ deterministic oracle; rows-only check
+    notes=(
+        "approximate percentiles (Greenwald-Khanna sketch, accuracy 10k): "
+        "p50/p90/p99 of order value per priority in one pass with bounded "
+        "memory — the 100 TB substitute for exact sort-based quantiles. "
+        "Unit test asserts each within 1% rank error of the exact quantile."
+    ),
+)
+def agg_approx_percentile(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    pcts = F.percentile_approx("o_totalprice", [0.5, 0.9, 0.99], 10000)
+    return o.groupBy("o_orderpriority").agg(
+        pcts.getItem(0).alias("p50"),
+        pcts.getItem(1).alias("p90"),
+        pcts.getItem(2).alias("p99"),
+    )
+
+
+@register(
+    "agg_hll_sketch_merge",
+    "aggregates",
+    oracle=None,  # sketch bytes are engine-specific; rows-only check
+    notes=(
+        "HLL sketch build + MERGE (Apache DataSketches via hll_sketch_agg / "
+        "hll_union_agg): per-(event_type, dow) sketches built in one pass, "
+        "then UNIONED across dow to per-event_type distincts — the "
+        "pre-aggregation shape that lets a 100 TB pipeline keep daily "
+        "sketches and answer arbitrary-range distinct queries by merging "
+        "bytes instead of rescanning raw data. Unit test asserts the merged "
+        "estimate within 3% of the exact distinct."
+    ),
+)
+def agg_hll_sketch_merge(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).alias("dow")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"))
+    )
+
+
+@register(
     "agg_collect",
     "aggregates",
     oracle="""

@@ -34,6 +34,8 @@ def test_queries_and_oracles_aligned():
     # engine-specific candidate sets)
     assert rows_only == {
         "agg_approx_distinct",
+        "agg_approx_percentile",
+        "agg_hll_sketch_merge",
         "graph_pagerank",
         "graph_betweenness",
         "sim_lsh_ann",

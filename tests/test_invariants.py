@@ -140,3 +140,32 @@ def test_ubo_tree_shares_sum_to_one(spark):
     )
     for r in sums:
         assert abs(r.s - 1.0) < 1e-9, (r.dst, r.s)
+
+
+def test_approx_percentile_within_rank_error(spark):
+    """GK sketch at accuracy 10k: each approx percentile must fall between
+    the exact neighboring quantiles ±1% rank."""
+    from mimranalytics_core_spark.operators._base import t as _t
+
+    o = _t(spark, SF_SMALL, "orders")
+    approx = {r.o_orderpriority: (r.p50, r.p90, r.p99)
+              for r in OPS["agg_approx_percentile"].fn(spark, SF_SMALL).collect()}
+    for prio, (p50, p90, p99) in approx.items():
+        vals = sorted(
+            r.o_totalprice for r in o.filter(F.col("o_orderpriority") == prio).collect()
+        )
+        n = len(vals)
+        for q, got in ((0.5, p50), (0.9, p90), (0.99, p99)):
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n))]
+            assert lo <= got <= hi, (prio, q, got, lo, hi)
+
+
+def test_hll_sketch_merge_close_to_exact(spark):
+    exact = {r.event_type: r.n for r in OPS["agg_count_distinct"].fn(spark, SF_SMALL)
+             .selectExpr("event_type", "n_users AS n").collect()}
+    merged = {r.event_type: r.approx_users
+              for r in OPS["agg_hll_sketch_merge"].fn(spark, SF_SMALL).collect()}
+    assert set(merged) == set(exact)
+    for k in exact:
+        assert abs(merged[k] - exact[k]) / exact[k] <= 0.03, (k, merged[k], exact[k])
