@@ -144,3 +144,47 @@ def test_ubo_matches_walk_enumeration(spark, redges):
     assert set(got) == set(expected)
     for k in expected:
         assert abs(got[k] - expected[k]) < 1e-9, (k, got[k], expected[k])
+
+
+def test_fixed_round_components_equal_converged_on_bounded_diameter(spark, redges):
+    """check_convergence=False with max_iter >= diameter must equal the
+    converged run exactly (k rounds = min over k-hop reachability)."""
+    conv = {
+        (r.node, r.component)
+        for r in connected_components(redges.select("src", "dst")).collect()
+    }
+    fixed = {
+        (r.node, r.component)
+        for r in connected_components(
+            redges.select("src", "dst"), max_iter=20, check_convergence=False
+        ).collect()
+    }
+    assert conv == fixed
+
+
+def test_match_path_unweighted_matches_bfs_walks(spark, redges):
+    """match_path-style bounded iterative expansion must agree with
+    bfs_distances on reachable-node sets per hop bound (walks vs min-hop:
+    a node is within k hops iff some walk of length <= k reaches it)."""
+    seeds = spark.createDataFrame([("v0",), ("v1",)], "node STRING")
+    bfs = {
+        r.node
+        for r in bfs_distances(redges.select("src", "dst"), seeds, max_depth=3).collect()
+        if r.dist > 0
+    }
+    # iterative expansion identical in shape to api.match_path's loop
+    frontier = redges.join(
+        seeds, redges.src == seeds.node
+    ).select(F.col("dst").alias("cur"))
+    reached = frontier
+    for _ in range(2):
+        frontier = (
+            frontier.join(redges, frontier.cur == redges.src)
+            .select(F.col("dst").alias("cur"))
+        )
+        reached = reached.unionByName(frontier)
+    walks = {r.cur for r in reached.distinct().collect()}
+    # a cycle can walk BACK to a seed (hop>0) while BFS pins seeds at dist 0
+    # — compare non-seed reachability, where the two definitions coincide
+    seed_ids = {"v0", "v1"}
+    assert walks - seed_ids == bfs - seed_ids
