@@ -99,6 +99,46 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", IntegerType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_off", IntegerType()),
+        StructField("frame_sig", StringType()),
+    ]
+)
+
+
+def frame_sample(media: DataFrame, k: int = 3) -> DataFrame:
+    """Evenly-spaced frame sampling via Arrow-batched mapInPandas — the 1→k
+    row-expansion shape of a video pipeline.
+
+    STUB decode: "duration" is the payload byte length and a "frame" is the
+    16-byte window at the sample offset (ffmpeg absent in this container; in
+    production the window read becomes a container-aware seek+decode). The
+    expansion itself — k output rows per input row, emitted batch-wise, blobs
+    never shuffled — is the real Spark plumbing being certified.
+
+    Input: (media_id int, payload binary). Output: FRAME_SCHEMA rows.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                dur = len(payload)
+                for i in range(k):
+                    ts = i * dur // k
+                    sig = hashlib.md5(payload[ts : ts + 16]).hexdigest()
+                    out.append((r.media_id, i, ts, sig))
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def resize_plan(media: DataFrame, max_dim: int) -> DataFrame:
     """Pure-plan resize bookkeeping: target dims from metadata (no decode) —
     the cheap pre-pass that decides which payloads need the expensive stage."""

@@ -376,6 +376,40 @@ def multimodal_struct(spark, sf_dir):
     )
 
 
+@register(
+    "multimodal_frame_sample",
+    "similarity",
+    oracle="""
+        SELECT doc_id AS media_id,
+               CAST(i.n AS INT) AS frame_idx,
+               CAST(i.n * length(text) // 3 AS INT) AS ts_off,
+               md5(substr(text, CAST(i.n * length(text) // 3 AS INT) + 1, 16))
+                   AS frame_sig
+        FROM documents CROSS JOIN (SELECT unnest(range(0, 3)) AS n) i
+        WHERE doc_id < 200
+    """,
+    notes=(
+        "video frame-sampling plumbing over a real table: documents.text is "
+        "carried as an opaque binary payload (ASCII, so byte offsets == "
+        "char offsets and the SQL oracle can mirror the stub decode), and "
+        "functions/multimodal.frame_sample emits 3 evenly-spaced 'frames' "
+        "per payload via Arrow-batched mapInPandas — the 1→k expansion a "
+        "real video pipeline runs, hash-checked against the oracle rather "
+        "than rows-only"
+    ),
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from mimranalytics_core_spark.functions.multimodal import frame_sample
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").cast("int").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return frame_sample(media, k=3)
+
+
+
 def _kmeans_centroids(e, k: int = 16, iters: int = 3):
     """DataFrame Lloyd iterations: train k coarse centroids over ``emb``.
 

@@ -51,3 +51,28 @@ def test_export_report_roundtrip(spark, tmp_path, media):
     export_report(feats, dest_csv, fmt="csv", single_file=True)
     back_csv = read_any(spark, dest_csv, "csv")
     assert back_csv.count() == 3
+
+
+def test_frame_sample_expansion_shape(spark, media):
+    """1→k expansion: exactly k frames per media row, offsets evenly spaced
+    and within the payload, deterministic across runs."""
+    import hashlib
+
+    from mimranalytics_core_spark.functions.multimodal import frame_sample
+
+    frames = frame_sample(media, k=4).collect()
+    by_media = {}
+    for r in frames:
+        by_media.setdefault(r.media_id, []).append(r)
+    payloads = {r.media_id: bytes(r.payload) for r in media.collect()}
+    assert set(by_media) == set(payloads)
+    for mid, rows in by_media.items():
+        rows.sort(key=lambda r: r.frame_idx)
+        dur = len(payloads[mid])
+        assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+        assert [r.ts_off for r in rows] == [i * dur // 4 for i in range(4)]
+        for r in rows:
+            expect = hashlib.md5(payloads[mid][r.ts_off : r.ts_off + 16]).hexdigest()
+            assert r.frame_sig == expect
+    again = frame_sample(media, k=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, frames))
