@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -137,6 +138,53 @@ def frame_sample(media: DataFrame, k: int = 3) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
 
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", IntegerType()),
+        StructField("window_idx", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def audio_window_rms(media: DataFrame, window: int = 256) -> DataFrame:
+    """Windowed RMS energy over audio payloads via Arrow-batched mapInPandas.
+
+    STUB decode: the payload is treated as raw unsigned 8-bit PCM (ffmpeg /
+    soundfile absent in this container; in production the np.frombuffer line
+    becomes a codec call). Each payload is cut into fixed ``window``-byte
+    windows and reduced to per-window RMS — vectorized per batch, blobs
+    never shuffled, only the tiny (media_id, window, rms) rows move.
+
+    Determinism note: the sum of squares is accumulated as an EXACT integer
+    (uint8² ≤ 65025, window-bounded — no float rounding), so
+    ``sqrt(ss / n)`` is a single IEEE operation on identical operands in any
+    engine — results are bit-identical to a SQL oracle computing
+    ``sqrt(SUM(v*v)/COUNT(*))`` over the same integers.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                payload = bytes(r.payload) if r.payload is not None else b""
+                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                for w in range(0, max(len(samples), 1), window):
+                    chunk = samples[w : w + window]
+                    n = len(chunk)
+                    ss = int(np.sum(chunk * chunk)) if n else 0
+                    rms = math.sqrt(ss / n) if n else 0.0
+                    out.append((r.media_id, w // window, n, rms))
+            yield pd.DataFrame(out, columns=[f.name for f in AUDIO_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=AUDIO_SCHEMA)
 
 
 def resize_plan(media: DataFrame, max_dim: int) -> DataFrame:

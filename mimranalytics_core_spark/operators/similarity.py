@@ -410,6 +410,44 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 
+@register(
+    "multimodal_audio_rms",
+    "similarity",
+    oracle="""
+        WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+        samples AS (
+            SELECT doc_id,
+                   CAST((i.n - 1) // 256 AS INT) AS window_idx,
+                   ascii(substr(text, CAST(i.n AS INT), 1)) AS v
+            FROM s CROSS JOIN (SELECT unnest(range(1, 20001)) AS n) i
+            WHERE i.n <= length(text)
+        )
+        SELECT CAST(doc_id AS INT) AS media_id, window_idx,
+               CAST(COUNT(*) AS INT) AS n_samples,
+               sqrt(CAST(SUM(v * v) AS DOUBLE) / COUNT(*)) AS rms
+        FROM samples
+        GROUP BY doc_id, window_idx
+    """,
+    notes=(
+        "audio windowed-RMS plumbing over a real table (completes the "
+        "image/video/audio multimodal triple): documents.text carried as "
+        "fake 8-bit PCM, 256-sample windows reduced to RMS via Arrow-"
+        "batched mapInPandas. The sum of squares is an exact integer on "
+        "both sides, so sqrt(ss/n) is bit-identical to the oracle — "
+        "hash-checked, not rows-only"
+    ),
+)
+def multimodal_audio_rms(spark, sf_dir):
+    from mimranalytics_core_spark.functions.multimodal import audio_window_rms
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    media = d.select(
+        F.col("doc_id").cast("int").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    return audio_window_rms(media, window=256)
+
+
 def _kmeans_centroids(e, k: int = 16, iters: int = 3):
     """DataFrame Lloyd iterations: train k coarse centroids over ``emb``.
 
