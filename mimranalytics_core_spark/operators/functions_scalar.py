@@ -316,3 +316,36 @@ def udf_pandas_vec(spark, sf_dir):
 
     c = t(spark, sf_dir, "customer")
     return c.select("c_custkey", log_bal("c_acctbal").alias("log_bal"))
+
+
+@register(
+    "fn_bitwise",
+    "scalar_fns",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey & 255 AS band,
+               o_orderkey | 4096 AS flagged,
+               xor(o_orderkey, 21845) AS mixed,
+               o_orderkey << 2 AS shl,
+               o_orderkey >> 3 AS shr,
+               CAST(bit_count(o_orderkey) AS INT) AS popcount
+        FROM orders WHERE o_orderkey < 4000
+    """,
+    notes=(
+        "bitwise scalar suite (&, |, xor, shifts, popcount) — the primitive "
+        "layer under the engine's own SimHash blocking and LSH band packing, "
+        "declared as a first-class surface"
+    ),
+)
+def fn_bitwise(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("flagged"),
+        k.bitwiseXOR(F.lit(21845)).alias("mixed"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )

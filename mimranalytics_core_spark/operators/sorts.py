@@ -72,3 +72,46 @@ def sort_limit_topk(spark, sf_dir):
 def limit_offset(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     return c.select("c_custkey", "c_name").orderBy(F.col("c_custkey").asc()).offset(40).limit(20)
+
+
+@register(
+    "limit_keyset_pagination",
+    "sorts",
+    oracle="""
+        WITH anchor AS (
+            SELECT o_orderkey AS k FROM orders
+            ORDER BY o_orderkey ASC LIMIT 1 OFFSET 199
+        )
+        SELECT o_orderkey, o_custkey,
+               FLOOR(o_totalprice * 100 + 0.5) / 100 AS totalprice
+        FROM orders, anchor
+        WHERE o_orderkey > anchor.k
+        ORDER BY o_orderkey ASC
+        LIMIT 100
+    """,
+    notes=(
+        "keyset (seek) pagination — the scale-correct alternative to "
+        "LIMIT/OFFSET (README.md:26 paging): OFFSET n scans and discards n "
+        "rows on every page, O(pages²) total at 100 TB; keyset filters "
+        "`key > last_seen` so each page is a pruned range scan + top-k. "
+        "The anchor here is derived in-query (page-2 boundary) to keep the "
+        "op self-contained and oracle-checkable"
+    ),
+)
+def limit_keyset_pagination(spark, sf_dir):
+    from mimranalytics_core_spark.functions.numeric import dround
+
+    o = t(spark, sf_dir, "orders")
+    anchor = (
+        o.select(F.col("o_orderkey").alias("k"))
+        .orderBy(F.col("k").asc())
+        .offset(199)
+        .limit(1)
+    )
+    return (
+        o.crossJoin(F.broadcast(anchor))
+        .filter(F.col("o_orderkey") > F.col("k"))
+        .select("o_orderkey", "o_custkey", dround(F.col("o_totalprice"), 2).alias("totalprice"))
+        .orderBy(F.col("o_orderkey").asc())
+        .limit(100)
+    )
