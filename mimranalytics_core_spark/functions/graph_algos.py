@@ -117,10 +117,13 @@ def connected_components(
     semantics (depth-bounded closure: k rounds = min over ≤k-hop
     reachability) or when the caller knows the diameter bound.
 
-    Convergence is folded into the step (``__changed`` flag — pregel.py
-    protocol): the step joins the label map against the aggregated incoming
-    minima ONCE and emits both the new label and whether it decreased, so no
-    separate old-vs-new join per convergence check.
+    With ``check_convergence=True`` the fixpoint test is a separate
+    old-vs-new equi-join per superstep (the ``changed`` callback below —
+    pregel.py's legacy protocol), i.e. one extra join+filter job per
+    iteration on the (node, component) state. A folded-flag variant (emit a
+    ``__changed`` bit from the min-aggregate itself) would save that join but
+    is not implemented; bounded-closure callers avoid the cost entirely via
+    ``check_convergence=False``.
     """
     # Materialize the symmetrized edge list once: every superstep joins
     # against it, and the upstream edge derivation (windowed weight shares,
@@ -166,11 +169,12 @@ def pagerank(
     """Damped PageRank, fixed iterations: (node, rank). Dangling mass is
     redistributed uniformly inside the plan (no driver round-trips).
 
-    Per-iteration cost: ONE join (pre-joined edge shares × ranks) + one
-    aggregate. The out-degree join happens once, outside the loop; dangling
-    mass needs no anti-join because total rank is conserved at 1 each
-    iteration, so Σ(dangling rank) = 1 − Σ(inflow) — a scalar already
-    available from the contribution aggregate.
+    Per-iteration cost: one contribution join (pre-joined edge shares ×
+    ranks) + aggregate, plus one left_semi join of the checkpointed rank
+    vector against the once-computed dangling node set to get that
+    iteration's dangling mass (a scan+agg, not a per-iteration anti-join —
+    the dangling SET is computed once outside the loop). The scalar mass is
+    then broadcast into the rank update.
     """
     e = edges.select("src", "dst")
     nodes = (

@@ -6,22 +6,24 @@ from pyspark.sql import DataFrame, SparkSession
 
 from mimranalytics_core_spark import catalog
 
-# Cache of loaded table dicts keyed by (applicationId, sf_dir): repeated
-# query invocations (driver runs every declared op against one sf_dir) re-use
-# the same lazy DataFrames instead of re-reading footers per op.
-# applicationId (not id(spark)) — CPython can reuse an id() after a stopped
-# session is garbage-collected, which would hand back DataFrames bound to a
-# dead SparkContext.
-_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
+# Cache of loaded table dicts keyed by ((applicationId, id(spark)), sf_dir):
+# repeated query invocations (driver runs every declared op against one
+# sf_dir) re-use the same lazy DataFrames instead of re-reading footers per
+# op. The compound key closes both aliasing holes: applicationId alone would
+# alias sibling sessions created via spark.newSession() (same app, separate
+# catalogs — the second session would skip its own temp-view registration);
+# id(spark) alone can be reused by CPython after a stopped session is
+# garbage-collected, handing back DataFrames bound to a dead SparkContext.
+_CACHE: dict[tuple[tuple[str, int], str], dict[str, DataFrame]] = {}
 # Which sf_dir's temp views are currently registered per session: SQL-path
 # operators (recursive CTEs, UDTF lateral joins) resolve by VIEW NAME, so
 # switching sf_dir within one session must re-point the views — a cache hit
 # alone is not enough.
-_ACTIVE_SF: dict[str, str] = {}
+_ACTIVE_SF: dict[tuple[str, int], str] = {}
 
 
-def _session_key(spark: SparkSession) -> str:
-    return spark.sparkContext.applicationId
+def _session_key(spark: SparkSession) -> tuple[str, int]:
+    return (spark.sparkContext.applicationId, id(spark))
 
 
 def tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -161,38 +161,50 @@ def _hyperplane_buckets(e, bands: int, bits: int, bucket_cap: int, dim: int = 64
     at ``bucket_cap`` members (deterministic by vec_id) so the intra-bucket
     self-join is bounded at cap² pairs no matter how the corpus grows — the
     round-1 single-signature form was quadratic in n/2^bits per bucket.
+
+    All bands*bits hyperplane dots are computed by ONE transform over a 2-D
+    plane literal (not bands*bits separate aggregate expressions): the
+    expression tree stays O(1) in the band count, which keeps codegen small
+    enough for high-band configs like the dedup path's 48×4. Only
+    (vec_id, band, sig) reaches the bucket shuffle — the bit array is sliced
+    away in the same stage.
     """
     import numpy as np
 
     rng = np.random.default_rng(42)  # fixed seed → deterministic buckets
     planes = rng.standard_normal((bands * bits, dim))
 
-    def bit(i):
-        dot = F.aggregate(
-            F.zip_with(
-                F.col("emb"),
-                F.array(*[F.lit(float(v)) for v in planes[i]]),
-                lambda x, y: x * y,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0))
-
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                sum(
-                    (bit(b * bits + j) * F.lit(1 << j) for j in range(bits)),
-                    F.lit(0),
-                ).cast("int").alias("sig"),
+    planes_lit = F.array(*[F.array(*[F.lit(float(v)) for v in row]) for row in planes])
+    bit_arr = F.transform(
+        planes_lit,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(F.col("emb"), p, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
             )
-            for b in range(bands)
-        ]
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
     )
-    banded = e.select("vec_id", F.explode(band_structs).alias("bs")).select(
-        "vec_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    powers = F.array(*[F.lit(1 << j) for j in range(bits)])
+    sig = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("bits"), F.col("band") * F.lit(bits) + F.lit(1), F.lit(bits)),
+            powers,
+            lambda b, p: b * p,
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    banded = (
+        e.select("vec_id", bit_arr.alias("bits"))
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            F.col("bits"),
+        )
+        .select("vec_id", "band", sig.alias("sig"))
     )
     w = Window.partitionBy("band", "sig").orderBy("vec_id")
     return banded.select("vec_id", "band", "sig", F.row_number().over(w).alias("rn")).filter(
@@ -267,15 +279,41 @@ def lsh_ann_pairs(
     )
 
 
+def _cluster_pairs(pairs, nodes, max_rounds: int = 8):
+    """Min-label clustering of near-dup pairs → (vec_id, canonical_id, is_dup).
+
+    Shared tail of both embedding-dedup variants: symmetrize the pair edges,
+    run ``max_rounds`` supersteps of min-label propagation (k rounds = min
+    over ≤k-hop reachability = the oracles' depth-k walk closure — NO
+    convergence checks, the bound IS the declared semantics), then label
+    isolated vectors with their own id.
+    """
+    from mimranalytics_core_spark.functions.graph_algos import connected_components
+
+    sym = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionByName(
+        pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
+    )
+    comp = connected_components(
+        sym, max_iter=max_rounds, state_partitions=8, check_convergence=False
+    )
+    labeled = nodes.join(comp, "node", "left").select(
+        F.col("node").alias("vec_id"),
+        F.coalesce(F.col("component"), F.col("node")).alias("canonical_id"),
+    )
+    return labeled.select(
+        "vec_id", "canonical_id", (F.col("vec_id") != F.col("canonical_id")).alias("is_dup")
+    )
+
+
 @register(
     "dedup_embedding_cosine",
     "similarity",
     oracle="""
         WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                             FROM embeddings WHERE vec_id < 1000),
+                             FROM embeddings),
         pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
                   FROM e a JOIN e b ON a.vec_id < b.vec_id
-                  WHERE list_cosine_similarity(a.v, b.v) >= 0.4),
+                  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.45),
         sym AS (SELECT ia AS s, ib AS d FROM pairs
                 UNION ALL SELECT ib AS s, ia AS d FROM pairs),
         reach(node, anc, depth) AS (
@@ -288,18 +326,63 @@ def lsh_ann_pairs(
         SELECT node AS vec_id, canonical_id, node <> canonical_id AS is_dup FROM comp
     """,
     notes=(
-        "embedding-cosine near-dup DEDUP (north-star family member): exact "
-        "pairwise cosine ≥ 0.4 on the declared id-bounded subset → "
-        "8-round min-label clustering → canonical id per cluster (keep-min "
-        "policy), is_dup marks rows a training pipeline would drop. 8 rounds "
-        "of label propagation = min over ≤8-hop reachability, exactly the "
-        "oracle's depth-8 walk closure. At corpus scale the pair stage swaps "
-        "to lsh_ann_pairs (same downstream clustering) — the exact pair join "
-        "here is the declared verify-stage semantics, like all bounded "
-        "quadratic ops"
+        "embedding-cosine near-dup DEDUP, corpus-wide (north-star family "
+        "member): banded-LSH candidate generation (48 bands × 4-bit "
+        "hyperplane sigs — per-pair miss (1-p⁴)⁴⁸ < 1e-4 at cos 0.45; every "
+        "fixture pair collides in ≥3 bands, asserted in tests) → exact "
+        "cosine ≥ 0.45 verify on candidates only → 8-round min-label "
+        "clustering → canonical id per cluster (keep-min policy); is_dup "
+        "marks rows a training pipeline would drop. NO all-pairs stage "
+        "anywhere (no-cartesian asserted in tests/test_plans.py): candidate "
+        "cost is bounded per (band, sig) bucket by the 256-member cap, so "
+        "the same plan runs corpus-wide at 100 TB. The oracle is the "
+        "EXHAUSTIVE exact-cosine closure, so LSH recall at the driver gate "
+        "is exactly verified, not assumed. Both sides round the similarity "
+        "to 1e-6 before the threshold compare (fixture margin to 0.45 is "
+        "≥1e-4 at every SF — ulp-flip safe). Exact-pair verify variant: "
+        "dedup_embedding_exact"
     ),
 )
-def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4, max_rounds: int = 8):
+def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.45, max_rounds: int = 8):
+    src = t(spark, sf_dir, "embeddings")
+    e = src.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    pairs = lsh_ann_pairs(
+        spark, e, bands=48, bits=4, bucket_cap=256, threshold=threshold, source_df=src
+    ).select(F.col("vec_a").alias("ia"), F.col("vec_b").alias("ib"))
+    return _cluster_pairs(pairs, e.select(F.col("vec_id").alias("node")), max_rounds)
+
+
+@register(
+    "dedup_embedding_exact",
+    "similarity",
+    oracle="""
+        WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                             FROM embeddings WHERE vec_id < 1000),
+        pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id
+                  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+        sym AS (SELECT ia AS s, ib AS d FROM pairs
+                UNION ALL SELECT ib AS s, ia AS d FROM pairs),
+        reach(node, anc, depth) AS (
+            SELECT vec_id, vec_id, 0 FROM e
+            UNION
+            SELECT r.node, s.d, r.depth + 1
+            FROM reach r JOIN sym s ON s.s = r.anc WHERE r.depth < 8
+        ),
+        comp AS (SELECT node, MIN(anc) AS canonical_id FROM reach GROUP BY node)
+        SELECT node AS vec_id, canonical_id, node <> canonical_id AS is_dup FROM comp
+    """,
+    notes=(
+        "exact-pair embedding dedup on the declared id-bounded slice — the "
+        "VERIFY-stage variant of dedup_embedding_cosine (which generates "
+        "candidates with LSH corpus-wide): exact pairwise cosine ≥ 0.4 on "
+        "vec_id < 1000 → the same 8-round min-label clustering. The bounded "
+        "quadratic pair join is the declared semantics here (ground-truth "
+        "slice audit), never the corpus path. Similarity rounded to 1e-6 on "
+        "both sides before the threshold compare (fixture margin ≥9e-6)"
+    ),
+)
+def dedup_embedding_exact(spark, sf_dir, threshold: float = 0.4, max_rounds: int = 8):
     # Normalize ONCE before pairing: cosine(a,b) per pair would recompute
     # both norms (two extra 64-element folds per pair — 3× the work at
     # |pairs| ≫ |vectors|); unit vectors reduce the pair predicate to a dot.
@@ -321,29 +404,10 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.4, max_rounds: in
     pairs = (
         a.crossJoin(b)
         .filter(F.col("ia") < F.col("ib"))
-        .filter(_dot(F.col("ea"), F.col("eb")) >= threshold)
+        .filter(F.round(_dot(F.col("ea"), F.col("eb")), 6) >= threshold)
         .select("ia", "ib")
     )
-    sym = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionByName(
-        pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
-    )
-    from mimranalytics_core_spark.functions.graph_algos import connected_components
-
-    nodes = e.select(F.col("vec_id").alias("node"))
-    # Fixed max_rounds supersteps with NO convergence checks: k rounds of
-    # min-label propagation = min over ≤k-hop reachability, which is exactly
-    # the declared (and oracle's) depth-k closure — checking convergence
-    # would only add old-vs-new join jobs to a bounded loop.
-    comp = connected_components(
-        sym, max_iter=max_rounds, state_partitions=8, check_convergence=False
-    )
-    labeled = nodes.join(comp, "node", "left").select(
-        F.col("node").alias("vec_id"),
-        F.coalesce(F.col("component"), F.col("node")).alias("canonical_id"),
-    )
-    return labeled.select(
-        "vec_id", "canonical_id", (F.col("vec_id") != F.col("canonical_id")).alias("is_dup")
-    )
+    return _cluster_pairs(pairs, e.select(F.col("vec_id").alias("node")), max_rounds)
 
 
 @register(

@@ -76,6 +76,25 @@ def test_ubo_recursive_plan_has_bounded_recursion(spark):
     assert "UnionLoop" in plan or "CTERelation" in plan or "Recursion" in plan
 
 
+def test_embedding_dedup_pair_stage_has_no_cartesian(spark):
+    """The registered corpus-wide embedding dedup must generate candidate
+    pairs via the banded-LSH equi-join, never an all-pairs cartesian — the
+    round-2 verdict's one scale finding. The clustering tail checkpoints its
+    state (post-checkpoint plans hide upstream), so assert on the pair stage
+    itself, exactly as the op builds it."""
+    from pyspark.sql import functions as F
+
+    from mimranalytics_core_spark.operators._base import t
+    from mimranalytics_core_spark.operators.similarity import _as_double, lsh_ann_pairs
+
+    src = t(spark, SF_SMALL, "embeddings")
+    e = src.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    pairs = lsh_ann_pairs(spark, e, bands=48, bits=4, bucket_cap=256, threshold=0.45, source_df=src)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_minhash_signature_stage_has_no_shuffle_before_banding(spark):
     """The signature computation must be scan-local (transform+array_min):
     the first Exchange in the plan should be the band-bucket join, not a

@@ -116,6 +116,86 @@ def test_lsh_ann_bucket_cap_bounds_bucket_size(spark):
     assert fullmax > cap, fullmax
 
 
+def test_dedup_lsh_config_recovers_all_planted_pairs(spark):
+    """The dedup path's 48-band × 4-bit config must recover EVERY pair the
+    exact all-pairs scan finds at its 0.45 threshold on a corpus with
+    planted near-duplicates (per-pair miss probability (1-p⁴)⁴⁸ ≈ 8.6e-5
+    even at cos exactly 0.45; ≈1e-22 at the planted cos≈0.95) — the recall
+    contract behind dedup_embedding_cosine's exhaustive-closure oracle."""
+    from mimranalytics_core_spark.operators.similarity import cosine, lsh_ann_pairs
+
+    e, _ = _planted_corpus(spark)
+    a = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    truth = {
+        (r.va, r.vb)
+        for r in a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .filter(sim >= 0.45)
+        .collect()
+    }
+    assert len(truth) >= 50  # the plant worked
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in lsh_ann_pairs(
+            spark, e, bands=48, bits=4, bucket_cap=256, threshold=0.45
+        ).collect()
+    }
+    assert got == truth, f"missed={truth - got} extra={got - truth}"
+
+
+def test_dedup_registered_op_clusters_planted_dups(spark):
+    """End-to-end: LSH candidates + min-label clustering must put every
+    planted near-copy in its base vector's cluster."""
+    from mimranalytics_core_spark.operators.similarity import _cluster_pairs, lsh_ann_pairs
+
+    e, _ = _planted_corpus(spark, n_base=100, n_dup=30)
+    pairs = lsh_ann_pairs(
+        spark, e, bands=48, bits=4, bucket_cap=256, threshold=0.45
+    ).select(F.col("vec_a").alias("ia"), F.col("vec_b").alias("ib"))
+    out = _cluster_pairs(pairs, e.select(F.col("vec_id").alias("node"))).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(by_id) == 130
+    for i in range(30):  # dup 100+i was planted from base i
+        assert by_id[100 + i].canonical_id == by_id[i].canonical_id, i
+        assert by_id[100 + i].is_dup
+    # a base vector with no near-dup stays its own canonical
+    assert not by_id[99].is_dup
+
+
+def test_dedup_fixture_pairs_collide_with_band_margin(spark):
+    """Every exact ≥0.45 pair in the real fixture must share ≥2 of the 48
+    band buckets — margin against a single borderline hyperplane flipping a
+    collision away (the oracle is exhaustive, so one missed pair is a driver
+    RED)."""
+    from mimranalytics_core_spark.operators.similarity import (
+        _hyperplane_buckets,
+        cosine,
+    )
+
+    e = t(spark, SF_SMALL, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    a = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = e.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
+    truth = {
+        (r.va, r.vb)
+        for r in a.crossJoin(b)
+        .filter(F.col("va") < F.col("vb"))
+        .filter(sim >= 0.45)
+        .collect()
+    }
+    assert truth  # non-vacuous at sf0.001 (7 pairs)
+    sigs: dict[int, dict[int, int]] = {}
+    for r in _hyperplane_buckets(e, bands=48, bits=4, bucket_cap=10**9).collect():
+        sigs.setdefault(r.vec_id, {})[r.band] = r.sig
+    for va, vb in truth:
+        shared = sum(1 for band, s in sigs[va].items() if sigs[vb].get(band) == s)
+        assert shared >= 2, f"pair ({va},{vb}) collides in only {shared} bands"
+
+
 def test_cosine_topk_matches_python(spark):
     rows = t(spark, SF_SMALL, "embeddings").select("vec_id", "embedding").collect()
     vecs = {r.vec_id: r.embedding for r in rows}
