@@ -303,7 +303,7 @@ def fn_json_variant(spark, sf_dir):
     oracle="""
         WITH toks AS (
             SELECT doc_id, string_split(lower(text), ' ') AS ts
-            FROM documents WHERE doc_id < 60
+            FROM documents WHERE doc_id < 1000
         ),
         sh AS (
             SELECT DISTINCT doc_id,
@@ -333,7 +333,11 @@ def fn_json_variant(spark, sf_dir):
     ),
 )
 def sim_ngram_jaccard(spark, sf_dir):
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    # doc_id < 1000: widened from the round-1 `< 60` slice, which yielded ZERO
+    # pairs at the driver's sf0.01 gate (vacuous green — round-2 verdict). At
+    # 1000 the op returns rows at every SF (sf0.001: ~18, sf0.01: ~25,
+    # sf0.1: 7 pairs), so the hash match actually exercises the Jaccard math.
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
     ts = F.split(F.lower("text"), " ")
     # Guard short docs: with size(ts) < 3 the sequence stop goes negative and
     # descends (step -1), driving element_at to index 0 / out-of-bounds — an
