@@ -315,15 +315,59 @@ def graph_connected_components(spark, sf_dir):
     return connected_components(e, max_iter=10, state_partitions=8)
 
 
+def _pagerank_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled fixed-``iters`` damped-PageRank oracle (SURVEY.md §2.9's
+    'fixed-N unrolled iteration' option): one (contrib, dangling-mass,
+    update) CTE triple per iteration, the exact recurrence graph_algos.
+    pagerank runs — rank₀ = 1/n; rankₖ₊₁(v) = (1-d)/n + d·(inflowₖ(v) +
+    dmₖ/n). Deterministic in DuckDB because every step is a plain
+    join+aggregate over the previous iteration's table."""
+    steps = []
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""
+        c{k} AS (SELECT s.dst AS node, SUM(p.rank * s.share) AS inflow
+                 FROM shares s JOIN {prev} p ON s.src = p.node GROUP BY s.dst),
+        d{k} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev}
+                 WHERE node IN (SELECT node FROM dangling)),
+        pr{k} AS (SELECT nodes.node,
+                         (1 - {damping}) / nn.n
+                         + {damping} * (COALESCE(c{k}.inflow, 0.0) + d{k}.dm / nn.n)
+                             AS rank
+                  FROM nodes CROSS JOIN nn CROSS JOIN d{k}
+                  LEFT JOIN c{k} ON nodes.node = c{k}.node)"""
+        )
+        prev = f"pr{k}"
+    return f"""
+        WITH {HIERARCHY_SQL},
+        e AS MATERIALIZED (SELECT src, dst FROM edges),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        shares AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / outd.od AS share
+                   FROM e JOIN outd ON e.src = outd.src),
+        dangling AS MATERIALIZED (SELECT node FROM nodes
+                     WHERE node NOT IN (SELECT src FROM e)),
+        pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        {",".join(steps)}
+        SELECT node, FLOOR(rank * 1000000 + 0.5) / 1000000 AS rank FROM {prev}
+    """
+
+
 @register(
     "graph_pagerank",
     "graph",
-    oracle=None,  # iterative fixed-N loop — rows-only per SURVEY.md §2.9
+    oracle=_pagerank_oracle_sql(iters=10, damping=0.85),
     notes=(
         "PageRank (influence centrality, README.md:28): 10 damped iterations "
         "of rank/out_deg propagation over the hierarchy digraph as a DF-Pregel "
-        "loop; dangling mass redistributed uniformly. Exactness vs NetworkX-"
-        "style reference values asserted on the 6-node fixture in tests"
+        "loop; dangling mass redistributed uniformly. Oracle is the same "
+        "recurrence unrolled as 10 CTE triples in DuckDB (hash-checked, not "
+        "rows-only — closed the round-2 verdict's largest oracle gap); "
+        "exactness vs NetworkX-style reference values additionally asserted "
+        "on the 6-node fixture in tests"
     ),
 )
 def graph_pagerank(spark, sf_dir):
@@ -331,8 +375,11 @@ def graph_pagerank(spark, sf_dir):
 
     tables(spark, sf_dir)
     e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    # floor(x·1e6 + .5)/1e6, not F.round: the house half-up pairing that the
+    # DuckDB side mirrors digit-for-digit (F.round HALF_UPs the DECIMAL
+    # rendering, which can differ from the oracle's float floor at the ulp).
     return pagerank(e, iters=10, state_partitions=8).select(
-        "node", F.round("rank", 6).alias("rank")
+        "node", (F.floor(F.col("rank") * 1000000 + F.lit(0.5)) / 1000000).alias("rank")
     )
 
 
