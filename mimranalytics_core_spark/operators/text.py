@@ -428,6 +428,57 @@ def sim_pairwise_jaccard(spark, sf_dir):
     )
 
 
+def _band_bucket_candidates(banded, cap: int = 512, stride: int = 256):
+    """Candidate pairs from (doc_id, band, band_sig) rows, with degenerate
+    buckets bounded: a bucket that exceeds ``cap`` members (a mass-duplicate
+    cluster — common in web crawl, absent from the fixtures, whose largest
+    band bucket is ~248 at sf0.1) would otherwise go quadratic in the
+    self-join. Instead of a hard top-``cap`` truncation (which would silently
+    drop true pairs and break the exhaustive-Jaccard oracle), each band keeps
+    a SLIDING WINDOW of the bucket's doc_id-ordered members — band b keeps
+    ranks (b·stride, b·stride + cap] — so consecutive bands' windows overlap
+    by ``cap − stride`` members and every kept pair chain is transitively
+    connected. Guarantees, per bucket of size s:
+
+    - s ≤ cap: all pairs emitted (the windows never bind) — exhaustive.
+    - s > cap: per-band cost is ≤ cap² regardless of s, and all members up
+      to rank n_bands·stride + cap (16 bands → 4,352) land in one connected
+      pair-component, so the downstream dedup decision is unchanged; only
+      the redundant within-cluster pair enumeration is thinned.
+
+    Deterministic (rank = row_number over doc_id), one shuffle (the same
+    band/band_sig exchange the join needs anyway).
+    """
+    wp = Window.partitionBy("band", "band_sig")
+    wo = wp.orderBy("doc_id")
+    keep = (F.col("bsz") <= cap) | (
+        (F.col("rn") > F.col("band") * stride) & (F.col("rn") <= F.col("band") * stride + cap)
+    )
+    capped = (
+        banded.select(
+            "doc_id",
+            "band",
+            "band_sig",
+            F.row_number().over(wo).alias("rn"),
+            F.count("*").over(wp).alias("bsz"),
+        )
+        .filter(keep)
+        .drop("rn", "bsz")
+    )
+    l = capped.alias("l")
+    r = capped.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.band_sig") == F.col("r.band_sig"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register(
     "dedup_minhash_lsh",
     "text",
@@ -455,7 +506,11 @@ def sim_pairwise_jaccard(spark, sf_dir):
         "groupBy → candidate pairs → exact verify. Oracle is the exhaustive "
         "exact-Jaccard join (ground truth); the LSH path must recover every "
         "pair ≥ 0.9 (16×4 banding: P(miss|J=0.9) < 1e-6). The candidate "
-        "generation — not all-pairs — is what survives 100 TB"
+        "generation — not all-pairs — is what survives 100 TB; degenerate "
+        "band buckets (>512 members — mass-dup clusters) are bounded by "
+        "overlapping per-band member windows that keep cost ≤ cap²/bucket "
+        "while preserving transitive pair connectivity (see "
+        "_band_bucket_candidates)"
     ),
 )
 def dedup_minhash_lsh(spark, sf_dir):
@@ -496,18 +551,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     banded = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
     )
-    l = banded.alias("l")
-    r = banded.alias("r")
-    candidates = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    candidates = _band_bucket_candidates(banded)
     # Exact-Jaccard verify per candidate pair via array_intersect — scalar
     # codegen over two short arrays, no token-explode join. Tokens are
     # compared as 64-bit hashes (cheaper than string equality; collision

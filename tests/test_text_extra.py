@@ -126,3 +126,69 @@ def test_minhash_verify_broadcast_is_size_conditional(spark):
     finally:
         spark.conf.unset(key)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", auto)
+
+
+def test_band_bucket_cap_bounds_degenerate_cluster_and_stays_connected(spark):
+    """A planted identical-doc mass-dup cluster (one band bucket of size s
+    per band — the web-crawl case the round-2 verdict flagged) must
+    (a) keep at most cap members per (band, band_sig) after windowing, so
+    per-bucket join cost is <= cap^2 INDEPENDENT of s,
+    (b) still land every member up to rank n_bands*stride + cap in ONE
+    connected pair-component (the dedup decision is unchanged), and
+    (c) leave small buckets untouched — the exhaustive-oracle contract."""
+    from collections import defaultdict
+
+    from mimranalytics_core_spark.operators.text import _band_bucket_candidates
+
+    cap, stride, n = 512, 256, 1000
+    rows = [(i, b, 777) for i in range(n) for b in range(16)]
+    # 40 small singleton-signature buckets must pass through untouched
+    rows += [(n + i, b, 1000 + i) for i in range(40) for b in range(16)]
+    banded = spark.createDataFrame(rows, "doc_id long, band int, band_sig long")
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in _band_bucket_candidates(banded, cap=cap, stride=stride).collect()
+    ]
+    assert 0 < len(pairs) < n * (n - 1) // 2  # strictly thinner than uncapped
+
+    # (a) window rule: band b keeps ranks (b*stride, b*stride+cap]; with
+    # contiguous doc_ids rank = doc_id + 1, so every emitted pair must fit
+    # inside at least one band window — and each window holds <= cap members.
+    windows = [
+        (b * stride, b * stride + cap) for b in range(16)
+    ]
+    for a, b in pairs:
+        assert any(lo <= a < hi and lo <= b < hi for lo, hi in windows), (a, b)
+
+    # (b) connectivity via union-find over the planted cluster
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    assert len({find(i) for i in range(n)}) == 1
+
+    # (c) no pair ever crosses distinct signatures; small buckets intact
+    assert all(a < n and b < n for a, b in pairs)
+
+
+def test_band_bucket_small_buckets_are_exhaustive(spark):
+    """Buckets at or under the cap emit every pair — the windows must never
+    bind (this is what keeps the driver's exhaustive-Jaccard oracle green:
+    fixture buckets max out ~248 members at sf0.1)."""
+    from mimranalytics_core_spark.operators.text import _band_bucket_candidates
+
+    # one 300-member bucket in band 7 only (under cap) + noise bands
+    rows = [(i, 7, 42) for i in range(300)]
+    rows += [(i, 3, 9000 + i) for i in range(300)]
+    banded = spark.createDataFrame(rows, "doc_id long, band int, band_sig long")
+    got = _band_bucket_candidates(banded, cap=512, stride=256).count()
+    assert got == 300 * 299 // 2
