@@ -171,7 +171,15 @@ def match_path(
     ``MATCH (a)-[:OWNS_STAKE|SUPPLIER_OF*1..4]->(b)`` (reference README.md:25
     — the store speaks Cypher; every semantic is already covered by the §2.9
     operators, this builder gives reference users the pattern-shaped entry
-    point). Returns (src, dst, hops[, path_weight]).
+    point; :mod:`mimranalytics_core_spark.cypher` parses actual Cypher
+    strings into these args). Returns (src, dst, hops[, path_weight]).
+
+    Semantics: **bounded walk closure**, not Cypher trail semantics —
+    edges and nodes may repeat along a path (matching the UBO/reach
+    operators and their oracles), whereas Cypher variable-length patterns
+    enforce relationship uniqueness. The two coincide on DAG-shaped data
+    like the ownership hierarchy; on cyclic graphs hop counts and
+    carry_weight sums here include edge-repeating walks Cypher excludes.
 
     - ``edge_types``: restrict traversed relationship types (None = any).
     - ``min_hops``/``max_hops``: variable-length bound (``*min..max``).
@@ -245,6 +253,16 @@ def match_path(
             F.round(F.sum("path_weight"), 6).alias("path_weight"),
         )
     return out.select("src", "dst", "hops").distinct()
+
+
+def cypher(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Execute a Cypher MATCH string (the migrating-user entry point —
+    reference README.md:25). Thin delegate to
+    :func:`mimranalytics_core_spark.cypher.run`; see that module for the
+    supported subset and the walk-vs-trail semantics note."""
+    from mimranalytics_core_spark import cypher as _cypher
+
+    return _cypher.run(spark, sf_dir, query)
 
 
 def export_audit_report(

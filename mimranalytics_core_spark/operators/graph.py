@@ -810,3 +810,38 @@ _WSSSP_SQL = """
 )
 def graph_weighted_sssp(spark, sf_dir):
     return _sql_both(spark, sf_dir, _WSSSP_SQL.format(edges=HIERARCHY_SQL))
+
+
+@register(
+    "cypher_match",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        te AS (SELECT src, dst FROM edges
+               WHERE rel_type IN ('customer_of', 'nation_of')),
+        h1 AS (SELECT src, dst, 1 AS hops FROM te WHERE src LIKE 'c:%'),
+        h2 AS (SELECT a.src, b.dst, 2 AS hops
+               FROM te a JOIN te b ON a.dst = b.src WHERE a.src LIKE 'c:%')
+        SELECT DISTINCT src AS a, dst AS b, hops
+        FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+    """,
+    notes=(
+        "Cypher TEXT front-end (README.md:25 — the reference store speaks "
+        "Cypher, so migrating users arrive with saved query strings): a "
+        "fixed reference-shaped MATCH string parsed by cypher.parse into "
+        "the match_path builder (typed variable-length traversal, pushed "
+        "start-node predicate). The oracle is the same typed 1..2-hop "
+        "closure unrolled in SQL — proving string → parse → plan → result "
+        "end-to-end, not just the builder. Full subset grammar + "
+        "walk-vs-trail semantics note in mimranalytics_core_spark/cypher.py"
+    ),
+)
+def cypher_match(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (a)-[:CUSTOMER_OF|NATION_OF*1..2]->(b)
+           WHERE a.id STARTS WITH 'c:' RETURN a, b, hops""",
+    )

@@ -161,3 +161,89 @@ def test_export_graph_viz_matches_declared_op(spark):
     back = read_any(spark, path, "json")
     assert back.count() == len(op)
     assert os.path.isdir(os.path.join(path, "kind=node"))
+
+
+# --- Cypher string front-end: parses into the same oracle-green builder ---
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cypher_var_length_with_where_equals_builder(spark):
+    """A saved reference-style Cypher string must execute identically to the
+    explicit builder call it compiles to."""
+    q = """MATCH (a)-[:CUSTOMER_OF|NATION_OF*1..2]->(b)
+           WHERE a.id STARTS WITH 'c:'
+           RETURN a, b, hops"""
+    got = api.cypher(spark, SF_SMALL, q)
+    want = api.match_path(
+        spark, SF_SMALL, edge_types=["customer_of", "nation_of"],
+        min_hops=1, max_hops=2, src_pred="src LIKE 'c:%'",
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"), "hops")
+    assert got.columns == ["a", "b", "hops"]
+    r = _rows(got)
+    assert r and r == _rows(want)
+
+
+def test_cypher_weighted_return_switches_on_carry_weight(spark):
+    q = "MATCH (a)-[*1..6]->(b) WHERE a.id STARTS WITH 'c:' RETURN a, b, hops, path_weight AS w"
+    got = api.cypher(spark, SF_SMALL, q)
+    want = api.match_path(
+        spark, SF_SMALL, min_hops=1, max_hops=6,
+        src_pred="src LIKE 'c:%'", carry_weight=True,
+    ).select(F.col("src").alias("a"), F.col("dst").alias("b"), "hops",
+             F.col("path_weight").alias("w"))
+    assert got.columns == ["a", "b", "hops", "w"]
+    assert _rows(got) == _rows(want)
+
+
+def test_cypher_as_of_time_slider(spark):
+    """The AS OF extension drives the temporal edge snapshot: empty before
+    history starts, populated mid-history."""
+    early = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:OWNS_STAKE*1..3]->(b) AS OF '1990-01-01 00:00:00' RETURN a, b, hops",
+    )
+    assert early.count() == 0
+    mid = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:OWNS_STAKE*1..3]->(b) AS OF '1997-06-01 00:00:00' RETURN a, b, hops",
+    )
+    assert mid.count() > 0
+
+
+def test_cypher_single_hop_and_dst_postfilter(spark):
+    """No star = exactly one hop; a dst-referencing WHERE becomes a result
+    filter (cannot push below the join)."""
+    q = "MATCH (n)-[:NATION_OF]->(r) WHERE r.id STARTS WITH 'r:' RETURN n, r, hops"
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    assert rows
+    assert all(r.n.startswith("n:") and r.r.startswith("r:") and r.hops == 1 for r in rows)
+
+
+def test_cypher_rejects_out_of_subset():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    import pytest as _pytest
+
+    for bad in (
+        "MATCH (a)-[:X*2..]->(b) RETURN a, b",          # unbounded
+        "MATCH (a)-[:X]->(a) RETURN a",                  # same var twice
+        "MATCH (a)-[:X]->(b) WHERE a.name = 'x' RETURN a, b",  # property access
+        "CREATE (a)-[:X]->(b)",                          # not MATCH
+        "MATCH (a)-[:X]->(b) RETURN shortest_path",      # unknown item
+    ):
+        with _pytest.raises(CypherSyntaxError):
+            parse(bad)
+
+
+def test_cypher_parse_defaults():
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse("MATCH (x)-[*]->(y) RETURN x, y, hops")
+    assert (p["min_hops"], p["max_hops"]) == (1, 3)
+    assert p["edge_types"] is None and not p["carry_weight"]
+    p2 = parse("MATCH (x)-[:OWNS_STAKE*2]->(y) RETURN x, y")
+    assert (p2["min_hops"], p2["max_hops"]) == (2, 2)
+    assert p2["edge_types"] == ["owns_stake"]

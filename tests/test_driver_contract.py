@@ -36,7 +36,6 @@ def test_queries_and_oracles_aligned():
         "agg_approx_distinct",
         "agg_approx_percentile",
         "agg_hll_sketch_merge",
-        "graph_pagerank",
         "graph_betweenness",
         "sim_lsh_ann",
         "sim_ivf_topk",
