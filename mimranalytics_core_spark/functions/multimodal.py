@@ -2,11 +2,16 @@
 
 Images/audio/video are carried as opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The codec libraries (Pillow/ffmpeg/…)
-are NOT installed in this container, so the decode kernels are STUBBED —
-clearly marked below — behind deterministic fakes; everything Spark-side
-(schema, batch iteration, partitioning, UDF signatures) is real and tested
-in tests/test_multimodal.py.
+Arrow-batched ``mapInPandas`` stages.
+
+Codec status: **audio WAV decode is REAL** — ``wav_decode`` below parses
+RIFF/WAVE containers (fmt + data chunks, 8-bit unsigned / 16-bit signed
+PCM, mono or interleaved multi-channel) with stdlib ``struct`` only, and
+``audio_window_rms`` runs it on every RIFF-magic payload. The image/video
+codecs (Pillow/ffmpeg) are NOT installed in this container, so those decode
+kernels remain STUBBED — clearly marked below — behind deterministic fakes;
+everything Spark-side (schema, batch iteration, partitioning, UDF
+signatures) is real and tested in tests/test_multimodal.py.
 
 Scale posture: mapInPandas streams Arrow batches — peak memory is one batch,
 not one partition; binary payloads never pass through a Python row loop. At
@@ -140,6 +145,84 @@ def frame_sample(media: DataFrame, k: int = 3) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def wav_pack(samples: bytes, sample_rate: int = 8000) -> bytes:
+    """Build a real RIFF/WAVE container around raw 8-bit unsigned mono PCM.
+
+    Canonical 44-byte header (RIFF size, fmt chunk: PCM/1ch/8-bit, data
+    chunk size) — the deterministic fixture encoder: any external WAV reader
+    (e.g. stdlib ``wave``) accepts the output.
+    """
+    import struct
+
+    n = len(samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate, 1, 8)
+        + b"data"
+        + struct.pack("<I", n)
+        + samples
+    )
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """REAL WAV decoder (stdlib ``struct`` only — no codec library needed):
+    parse the RIFF chunk list, read the fmt chunk, and return
+    ``(sample_rate, bits, n_channels, samples)`` with samples decoded from
+    8-bit unsigned (0..255) or 16-bit signed little-endian PCM, channels
+    interleaved in file order.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])
+    rate = bits = channels = None
+    samples: list[int] = []
+    while pos + 8 <= end:
+        cid, csz = payload[pos : pos + 4], struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            fmt_tag, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt_tag != 1 or bits not in (8, 16):
+                raise ValueError(f"unsupported WAV format: tag={fmt_tag} bits={bits}")
+        elif cid == b"data":
+            if bits is None:
+                raise ValueError("data chunk before fmt chunk")
+            if bits == 8:
+                samples = list(body)
+            else:
+                samples = list(struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2]))
+        pos += 8 + csz + (csz & 1)  # chunks are word-aligned
+    if rate is None:
+        raise ValueError("missing fmt chunk")
+    return rate, bits, channels, samples
+
+
+def encode_wav_payloads(media: DataFrame, sample_rate: int = 8000) -> DataFrame:
+    """Wrap raw byte payloads into real WAV containers, batch-wise
+    (mapInPandas — the fixture-side encoder for the audio pipeline)."""
+    schema = StructType(
+        [StructField("media_id", IntegerType()), StructField("payload", BinaryType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": [
+                        wav_pack(bytes(p) if p is not None else b"", sample_rate)
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=schema)
+
+
 AUDIO_SCHEMA = StructType(
     [
         StructField("media_id", IntegerType()),
@@ -153,14 +236,16 @@ AUDIO_SCHEMA = StructType(
 def audio_window_rms(media: DataFrame, window: int = 256) -> DataFrame:
     """Windowed RMS energy over audio payloads via Arrow-batched mapInPandas.
 
-    STUB decode: the payload is treated as raw unsigned 8-bit PCM (ffmpeg /
-    soundfile absent in this container; in production the np.frombuffer line
-    becomes a codec call). Each payload is cut into fixed ``window``-byte
-    windows and reduced to per-window RMS — vectorized per batch, blobs
-    never shuffled, only the tiny (media_id, window, rms) rows move.
+    Decode is REAL for WAV: payloads carrying the RIFF magic go through
+    ``wav_decode`` (stdlib RIFF/PCM parser — 8-bit unsigned or 16-bit
+    signed); anything else is treated as headerless raw unsigned 8-bit PCM
+    (the legacy fixture encoding). Each sample stream is cut into fixed
+    ``window``-sample windows and reduced to per-window RMS — vectorized per
+    batch, blobs never shuffled, only the tiny (media_id, window, rms) rows
+    move.
 
     Determinism note: the sum of squares is accumulated as an EXACT integer
-    (uint8² ≤ 65025, window-bounded — no float rounding), so
+    (sample² bounded, window-bounded — no float rounding), so
     ``sqrt(ss / n)`` is a single IEEE operation on identical operands in any
     engine — results are bit-identical to a SQL oracle computing
     ``sqrt(SUM(v*v)/COUNT(*))`` over the same integers.
@@ -175,7 +260,11 @@ def audio_window_rms(media: DataFrame, window: int = 256) -> DataFrame:
             out = []
             for r in pdf.itertuples(index=False):
                 payload = bytes(r.payload) if r.payload is not None else b""
-                samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                if payload[:4] == b"RIFF":
+                    _, _, _, decoded = wav_decode(payload)
+                    samples = np.asarray(decoded, dtype=np.int64)
+                else:
+                    samples = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
                 for w in range(0, max(len(samples), 1), window):
                     chunk = samples[w : w + window]
                     n = len(chunk)

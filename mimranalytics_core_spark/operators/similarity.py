@@ -483,7 +483,10 @@ def multimodal_frame_sample(spark, sf_dir):
             SELECT doc_id,
                    CAST((i.n - 1) // 256 AS INT) AS window_idx,
                    ascii(substr(text, CAST(i.n AS INT), 1)) AS v
-            FROM s CROSS JOIN (SELECT unnest(range(1, 20001)) AS n) i
+            FROM s CROSS JOIN (
+                SELECT unnest(range(1,
+                    (SELECT CAST(MAX(length(text)) AS BIGINT) + 1 FROM s))) AS n
+            ) i
             WHERE i.n <= length(text)
         )
         SELECT CAST(doc_id AS INT) AS media_id, window_idx,
@@ -493,21 +496,31 @@ def multimodal_frame_sample(spark, sf_dir):
         GROUP BY doc_id, window_idx
     """,
     notes=(
-        "audio windowed-RMS plumbing over a real table (completes the "
-        "image/video/audio multimodal triple): documents.text carried as "
-        "fake 8-bit PCM, 256-sample windows reduced to RMS via Arrow-"
-        "batched mapInPandas. The sum of squares is an exact integer on "
-        "both sides, so sqrt(ss/n) is bit-identical to the oracle — "
-        "hash-checked, not rows-only"
+        "audio windowed-RMS over REAL WAV containers (completes the "
+        "image/video/audio multimodal triple): documents.text bytes are "
+        "wrapped into genuine RIFF/WAVE files (44-byte header, 8-bit mono "
+        "PCM — functions/multimodal.wav_pack) and decoded back by the real "
+        "stdlib-struct RIFF parser (wav_decode: chunk walk, fmt parse, "
+        "8/16-bit PCM) inside the Arrow-batched mapInPandas stage — a full "
+        "encode→decode round trip, not a stub. PCM samples are exactly the "
+        "text's ascii codes, so the SQL oracle stays expressible; the "
+        "sample-index range is sized from MAX(length(text)) (no silent "
+        "truncation at any fixture size). Exact-integer sum of squares ⇒ "
+        "sqrt(ss/n) bit-identical on both sides — hash-checked"
     ),
 )
 def multimodal_audio_rms(spark, sf_dir):
-    from mimranalytics_core_spark.functions.multimodal import audio_window_rms
+    from mimranalytics_core_spark.functions.multimodal import (
+        audio_window_rms,
+        encode_wav_payloads,
+    )
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    media = d.select(
-        F.col("doc_id").cast("int").alias("media_id"),
-        F.encode("text", "utf-8").alias("payload"),
+    media = encode_wav_payloads(
+        d.select(
+            F.col("doc_id").cast("int").alias("media_id"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
     )
     return audio_window_rms(media, window=256)
 

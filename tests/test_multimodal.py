@@ -76,3 +76,78 @@ def test_frame_sample_expansion_shape(spark, media):
             assert r.frame_sig == expect
     again = frame_sample(media, k=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, frames))
+
+
+def test_wav_pack_roundtrips_through_stdlib_wave():
+    """wav_pack output must be a genuine WAV file: the stdlib wave module
+    (an independent RIFF implementation) reads back identical parameters
+    and frames."""
+    import io
+    import wave
+
+    from mimranalytics_core_spark.functions.multimodal import wav_pack
+
+    payload = bytes(range(200)) * 3
+    buf = io.BytesIO(wav_pack(payload, sample_rate=8000))
+    with wave.open(buf) as w:
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 1
+        assert w.getframerate() == 8000
+        assert w.readframes(w.getnframes()) == payload
+
+
+def test_wav_decode_roundtrip_8bit():
+    from mimranalytics_core_spark.functions.multimodal import wav_decode, wav_pack
+
+    payload = b"hello wav world" * 10
+    rate, bits, ch, samples = wav_decode(wav_pack(payload, sample_rate=16000))
+    assert (rate, bits, ch) == (16000, 8, 1)
+    assert bytes(samples) == payload
+
+
+def test_wav_decode_16bit_signed():
+    """The decoder handles 16-bit signed PCM (the common real-world depth),
+    including negative samples and a stereo channel count."""
+    import struct
+
+    from mimranalytics_core_spark.functions.multimodal import wav_decode
+
+    vals = [0, 1, -1, 32767, -32768, 1000, -1000]
+    body = struct.pack(f"<{len(vals)}h", *vals)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(body)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 44100 * 2 * 2, 4, 16)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    rate, bits, ch, samples = wav_decode(wav)
+    assert (rate, bits, ch) == (44100, 16, 2)
+    assert samples == vals
+
+
+def test_wav_decode_rejects_garbage():
+    import pytest
+
+    from mimranalytics_core_spark.functions.multimodal import wav_decode
+
+    for bad in (b"", b"RIFF1234NOPE", b"not a wav at all"):
+        with pytest.raises(ValueError):
+            wav_decode(bad)
+
+
+def test_audio_rms_over_real_wav_equals_raw_path(spark):
+    """Wrapping payloads in WAV containers must not change the RMS result:
+    the decoder strips the header and yields the same PCM stream."""
+    from mimranalytics_core_spark.functions.multimodal import (
+        audio_window_rms,
+        encode_wav_payloads,
+    )
+
+    raw = spark.createDataFrame(
+        [(1, b"abcdef" * 100), (2, b"z"), (3, b"")],
+        "media_id int, payload binary",
+    )
+    direct = audio_window_rms(raw, window=64).collect()
+    via_wav = audio_window_rms(encode_wav_payloads(raw), window=64).collect()
+    key = lambda r: (r.media_id, r.window_idx)
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, via_wav))
+    assert any(r.n_samples > 0 for r in direct)
