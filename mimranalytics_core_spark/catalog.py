@@ -43,10 +43,18 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, applying engine-level column fixes."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # ns-epoch → µs timestamp; integer DIV (never float /: epoch-nanos
-        # exceed double's 53-bit mantissa) floor-matches DuckDB's ns→µs read.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        if dict(df.dtypes).get("ts") == "bigint":
+            # ns-epoch → µs timestamp; integer DIV (never float /: epoch-nanos
+            # exceed double's 53-bit mantissa) floor-matches DuckDB's ns→µs read.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        if "props" in df.columns:
+            # Catalog-level VariantType property bag (README.md:25 dynamic
+            # props): the JSON text is parsed ONCE here; every variant-path
+            # consumer reads typed fields via variant_get with no per-query
+            # re-parse. Lazy + column-pruned — operators that never touch
+            # props_v pay nothing (plan-asserted in tests/test_plans.py).
+            df = df.withColumn("props_v", F.parse_json("props"))
     return df
 
 

@@ -286,14 +286,17 @@ def dedup_simhash(spark, sf_dir):
         WHERE CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
     """,
     notes=(
-        "Spark 4 VariantType path (SURVEY.md §1.2): parse_json once, typed "
-        "field access via variant-get — the schema-flexible property-bag "
-        "representation (README.md:25) without per-access JSON re-parsing"
+        "Spark 4 VariantType path (SURVEY.md §1.2): reads the CATALOG-level "
+        "variant column (events.props_v — parsed once at load, catalog.py), "
+        "typed field access via variant-get; the plan contains exactly one "
+        "parse_json at the scan (plan-asserted) — the schema-flexible "
+        "property-bag representation (README.md:25) without per-access "
+        "JSON re-parsing"
     ),
 )
 def fn_json_variant(spark, sf_dir):
     ev = t(spark, sf_dir, "events")
-    v = F.try_variant_get(F.parse_json("props"), "$.k", "int")
+    v = F.try_variant_get(F.col("props_v"), "$.k", "int")
     return ev.select("event_id", v.alias("k_variant")).filter(F.col("k_variant") % 2 == 0)
 
 

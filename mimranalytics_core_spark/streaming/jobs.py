@@ -57,6 +57,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # apply the same ns→µs fix as the catalog (single conversion semantics)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # mirror the catalog-level variant property bag (catalog.load_table):
+    # parse_json is streaming-safe, so stream consumers see the same schema
+    if "props_v" in batch.columns and "props_v" not in stream.columns:
+        stream = stream.withColumn("props_v", F.parse_json("props"))
     return stream.select(*batch.columns)
 
 

@@ -102,3 +102,24 @@ def test_minhash_signature_stage_has_no_shuffle_before_banding(spark):
     df = OPS["dedup_minhash_lsh"].fn(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "array_min(transform(" in plan
+
+
+def test_catalog_variant_parses_json_once(spark):
+    """fn_json_variant reads the catalog-level props_v column: exactly one
+    parse_json in the analyzed plan (at the load projection), none per
+    field access."""
+    from mimranalytics_core_spark.registry import all_ops
+
+    df = all_ops()["fn_json_variant"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert plan.count("parse_json") == 1, plan
+
+
+def test_events_ops_prune_unused_variant_column(spark):
+    """Operators that never touch props must not pay for the catalog-level
+    variant parse: column pruning removes it from the optimized plan."""
+    from mimranalytics_core_spark.registry import all_ops
+
+    df = all_ops()["scan_events_ns"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "parse_json" not in plan, plan
