@@ -49,9 +49,10 @@ _EWMA_SQL = """
     oracle=_EWMA_SQL,
     notes=(
         "per-user EWMA (alpha=0.3): y_t = 0.3 x_t + 0.7 y_(t-1), first 20 "
-        "events per key. Spark side: grouped applyInPandas running the "
-        "recurrence sequentially per key (one shuffle, Arrow-batched) -- "
-        "plain '0.3*x + 0.7*y' doubles are bit-identical to the DuckDB "
+        "events per key. Spark side: grouped applyInPandas running "
+        "pandas ewm(adjust=False) per key (one shuffle, Arrow-batched, "
+        "recurrence in C — no per-row Python loop) -- the identical IEEE "
+        "op sequence, bit-identical to the DuckDB "
         "recursive-CTE oracle. A closed-form prefix-sum window variant "
         "matched only to ~1e-14, which flips digits because 2-decimal "
         "inputs land EWMA values exactly on round boundaries, and a Spark "
@@ -59,8 +60,7 @@ _EWMA_SQL = """
     ),
 )
 def ts_ewma(spark, sf_dir):
-    import math
-
+    import numpy as np
     import pandas as pd
 
     w_rn = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
@@ -75,19 +75,18 @@ def ts_ewma(spark, sf_dir):
 
     def ewma_group(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts", "event_id"])
-        y = None
-        out = []
-        # plain sequential doubles: 0.3*x + 0.7*y is the exact op sequence the
-        # recursive-CTE oracle executes → bit-identical results
-        for v in pdf["value"].tolist():
-            y = v if y is None else 0.3 * v + 0.7 * y
-            out.append(math.floor(y * 1e4 + 0.5) / 1e4)
+        # ewm(adjust=False) runs y_t = 0.3·x_t + 0.7·y_{t-1} in C — the SAME
+        # IEEE op sequence as the recursive-CTE oracle (add is commutative,
+        # the weight normalizer is exactly 1.0), so results stay
+        # bit-identical to the per-row Python loop this replaced (A/B'd:
+        # identical driver hash); floor-rounding applies to output only.
+        y = pdf["value"].ewm(alpha=0.3, adjust=False).mean()
         return pd.DataFrame(
             {
                 "user_id": pdf["user_id"].to_numpy(),
                 "event_id": pdf["event_id"].to_numpy(),
                 "ts": pdf["ts"].to_numpy(),
-                "ewma": out,
+                "ewma": np.floor(y.to_numpy() * 1e4 + 0.5) / 1e4,
             }
         )
 
