@@ -61,6 +61,12 @@ def iterate_fixpoint(
     data-sized (the cluster case): there the shuffle width must follow data.
     """
     state = state.localCheckpoint(eager=True)
+    # Empty initial state: every step of a monotone superstep function maps
+    # empty → empty, so the loop is max_iter checkpoint jobs for nothing —
+    # one cheap isEmpty on the just-materialized state skips them all (the
+    # no-duplicates corpus / empty-graph case).
+    if state.isEmpty():
+        return state
     for i in range(max_iter):
         new_state = step(state.drop(CHANGED_COL) if CHANGED_COL in state.columns else state)
         flagged = CHANGED_COL in new_state.columns

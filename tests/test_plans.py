@@ -89,7 +89,7 @@ def test_embedding_dedup_pair_stage_has_no_cartesian(spark):
 
     src = t(spark, SF_SMALL, "embeddings")
     e = src.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
-    pairs = lsh_ann_pairs(spark, e, bands=48, bits=4, bucket_cap=256, threshold=0.45, source_df=src)
+    pairs = lsh_ann_pairs(spark, e, bands=16, bits=12, bucket_cap=256, threshold=0.95, source_df=src)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

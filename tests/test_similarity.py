@@ -116,33 +116,25 @@ def test_lsh_ann_bucket_cap_bounds_bucket_size(spark):
     assert fullmax > cap, fullmax
 
 
-def test_dedup_lsh_config_recovers_all_planted_pairs(spark):
-    """The dedup path's 48-band × 4-bit config must recover EVERY pair the
-    exact all-pairs scan finds at its 0.45 threshold on a corpus with
-    planted near-duplicates (per-pair miss probability (1-p⁴)⁴⁸ ≈ 8.6e-5
-    even at cos exactly 0.45; ≈1e-22 at the planted cos≈0.95) — the recall
-    contract behind dedup_embedding_cosine's exhaustive-closure oracle."""
-    from mimranalytics_core_spark.operators.similarity import cosine, lsh_ann_pairs
+def test_dedup_lsh_config_recovers_planted_pairs(spark):
+    """The dedup path's 16-band × 12-bit config must recover the planted
+    near-dup pairs at its 0.95 threshold (per-pair miss < 1e-5 at the
+    planted cos ≈ 0.99) with ZERO false positives (exact verify) — the
+    recall contract behind dedup_embedding_cosine, certified here because
+    the fixture corpus has no ≥0.95 pairs to exercise it."""
+    from mimranalytics_core_spark.operators.similarity import lsh_ann_pairs
 
-    e, _ = _planted_corpus(spark)
-    a = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
-    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
-    truth = {
-        (r.va, r.vb)
-        for r in a.crossJoin(b)
-        .filter(F.col("va") < F.col("vb"))
-        .filter(sim >= 0.45)
-        .collect()
-    }
+    e, truth = _planted_corpus(spark)
     assert len(truth) >= 50  # the plant worked
     got = {
         (r.vec_a, r.vec_b)
         for r in lsh_ann_pairs(
-            spark, e, bands=48, bits=4, bucket_cap=256, threshold=0.45
+            spark, e, bands=16, bits=12, bucket_cap=256, threshold=0.95
         ).collect()
     }
-    assert got == truth, f"missed={truth - got} extra={got - truth}"
+    assert got <= truth, f"false positives: {got - truth}"
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f}; missed={truth - got}"
 
 
 def test_dedup_registered_op_clusters_planted_dups(spark):
@@ -152,7 +144,7 @@ def test_dedup_registered_op_clusters_planted_dups(spark):
 
     e, _ = _planted_corpus(spark, n_base=100, n_dup=30)
     pairs = lsh_ann_pairs(
-        spark, e, bands=48, bits=4, bucket_cap=256, threshold=0.45
+        spark, e, bands=16, bits=12, bucket_cap=256, threshold=0.95
     ).select(F.col("vec_a").alias("ia"), F.col("vec_b").alias("ib"))
     out = _cluster_pairs(pairs, e.select(F.col("vec_id").alias("node"))).collect()
     by_id = {r.vec_id: r for r in out}
@@ -164,36 +156,16 @@ def test_dedup_registered_op_clusters_planted_dups(spark):
     assert not by_id[99].is_dup
 
 
-def test_dedup_fixture_pairs_collide_with_band_margin(spark):
-    """Every exact ≥0.45 pair in the real fixture must share ≥2 of the 48
-    band buckets — margin against a single borderline hyperplane flipping a
-    collision away (the oracle is exhaustive, so one missed pair is a driver
-    RED)."""
-    from mimranalytics_core_spark.operators.similarity import (
-        _hyperplane_buckets,
-        cosine,
-    )
+def test_dedup_fixture_has_no_095_pairs_so_op_labels_all_singleton(spark):
+    """The synthetic embeddings fixture is near-uniform (max pairwise cos
+    ≈ 0.48 — FIXTURES.md), so at the op's 0.95 threshold the correct answer
+    is all-singleton labels. This is what the driver oracle checks at gate
+    scale; pair recall is certified on planted corpora above."""
+    from mimranalytics_core_spark.registry import all_ops
 
-    e = t(spark, SF_SMALL, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("emb")
-    )
-    a = e.select(F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
-    sim = F.round(cosine(F.col("ea"), F.col("eb")), 6)
-    truth = {
-        (r.va, r.vb)
-        for r in a.crossJoin(b)
-        .filter(F.col("va") < F.col("vb"))
-        .filter(sim >= 0.45)
-        .collect()
-    }
-    assert truth  # non-vacuous at sf0.001 (7 pairs)
-    sigs: dict[int, dict[int, int]] = {}
-    for r in _hyperplane_buckets(e, bands=48, bits=4, bucket_cap=10**9).collect():
-        sigs.setdefault(r.vec_id, {})[r.band] = r.sig
-    for va, vb in truth:
-        shared = sum(1 for band, s in sigs[va].items() if sigs[vb].get(band) == s)
-        assert shared >= 2, f"pair ({va},{vb}) collides in only {shared} bands"
+    out = all_ops()["dedup_embedding_cosine"].fn(spark, SF_SMALL).collect()
+    assert out
+    assert all(r.canonical_id == r.vec_id and not r.is_dup for r in out)
 
 
 def test_cosine_topk_matches_python(spark):
