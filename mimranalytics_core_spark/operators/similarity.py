@@ -375,36 +375,52 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.95, max_rounds: i
         "VERIFY-stage variant of dedup_embedding_cosine (which generates "
         "candidates with LSH corpus-wide): exact pairwise cosine ≥ 0.4 on "
         "vec_id < 1000 → the same 8-round min-label clustering. The bounded "
-        "quadratic pair join is the declared semantics here (ground-truth "
-        "slice audit), never the corpus path. Similarity rounded to 1e-6 on "
+        "quadratic pair scan is the declared semantics here (ground-truth "
+        "slice audit), never the corpus path; it runs as one vectorized "
+        "pass — each partition matmuls its rows against the slice matrix "
+        "captured in the task closure (≤1000×64 doubles, declared bound) — "
+        "instead of a crossJoin whose per-pair HOF dot is interpreted "
+        "(measured 7.3 s → 1.5 s at sf0.1). Similarity rounded to 1e-6 on "
         "both sides before the threshold compare (fixture margin ≥9e-6)"
     ),
 )
 def dedup_embedding_exact(spark, sf_dir, threshold: float = 0.4, max_rounds: int = 8):
+    import numpy as np
+    import pandas as pd
+
     # Normalize ONCE before pairing: cosine(a,b) per pair would recompute
     # both norms (two extra 64-element folds per pair — 3× the work at
     # |pairs| ≫ |vectors|); unit vectors reduce the pair predicate to a dot.
-    raw = (
+    e = (
         t(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < 1000)
         .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
-    )
-    e = (
-        raw.select("vec_id", "emb", _norm(F.col("emb")).alias("nrm"))
-        .select(
-            "vec_id",
-            F.transform("emb", lambda x: x / F.col("nrm")).alias("emb"),
-        )
         .localCheckpoint(eager=True)
     )
-    a = e.select(F.col("vec_id").alias("ia"), F.col("emb").alias("ea"))
-    b = e.select(F.col("vec_id").alias("ib"), F.col("emb").alias("eb"))
-    pairs = (
-        a.crossJoin(b)
-        .filter(F.col("ia") < F.col("ib"))
-        .filter(F.round(_dot(F.col("ea"), F.col("eb")), 6) >= threshold)
-        .select("ia", "ib")
-    )
+    # The slice is bounded by declaration (vec_id < 1000), so its unit-vector
+    # matrix fits any task closure; the pair scan distributes the "a" side
+    # and matmuls against the full slice per partition.
+    slice_rows = e.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in slice_rows])
+    m = np.array([[float(x) for x in r.emb] for r in slice_rows])
+    m = m / np.sqrt((m * m).sum(axis=1, keepdims=True))
+    id_pos = {int(v): i for i, v in enumerate(ids)}
+
+    def pair_scan(batches, ids=ids, m=m, id_pos=id_pos):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows_a = pdf["vec_id"].to_numpy()
+            pos = np.array([id_pos[int(v)] for v in rows_a])
+            sims = np.round(m[pos] @ m.T, 6)  # (batch, n_slice)
+            ia_l, ib_l = [], []
+            for r_i, a_id in enumerate(rows_a):
+                hit = ids[(sims[r_i] >= threshold) & (ids > a_id)]
+                ia_l.extend([int(a_id)] * len(hit))
+                ib_l.extend(int(x) for x in hit)
+            yield pd.DataFrame({"ia": ia_l, "ib": ib_l})
+
+    pairs = e.select("vec_id").mapInPandas(pair_scan, schema="ia long, ib long")
     return _cluster_pairs(pairs, e.select(F.col("vec_id").alias("node")), max_rounds)
 
 
@@ -524,19 +540,28 @@ def multimodal_audio_rms(spark, sf_dir):
 
 
 def _kmeans_centroids(e, k: int = 16, iters: int = 3):
-    """DataFrame Lloyd iterations: train k coarse centroids over ``emb``.
+    """Lloyd iterations with Arrow map-side combine: train k coarse
+    centroids over ``emb``.
 
     Seeding: farthest-point traversal (deterministic kmeans++ variant) over a
     bounded id-ordered sample (max(32k, 512) vectors collected to the driver
     — bounded regardless of corpus size; the cluster-scale alternative is
     k-means|| oversampling, same downstream loop). Spread-out seeds cut the
     empty/duplicate-cell pathologies of first-k seeding and lift recall at
-    fixed nprobe. Assignment broadcasts the centroid table (k×dim doubles —
-    tiny); centroid update is posexplode + avg per (cluster, dim): both
-    stages shuffle only k×dim rows. This is the IVF training loop at any
-    scale — vectors never move, only assignments.
+    fixed nprobe.
+
+    Each iteration is ONE vectorized pass (mapInPandas): every partition
+    assigns its vectors to the closed-over centroid matrix with a numpy
+    matmul (argmin of −2·M·Cᵀ + ‖C‖², the ‖M‖² term being argmin-invariant)
+    and emits k partial (count, sum-vector) rows — the map-side-combine
+    shape, so only k·num_partitions tiny rows ever reach the driver reduce
+    (16k rows at 1000 executors), never the vectors. The earlier
+    crossJoin-with-HOF-distance form evaluated interpreted per-element
+    lambdas (no codegen) — measured ~2 s/iteration at 2000×16×64 vs ~0.2 s
+    here.
     """
     import numpy as np
+    import pandas as pd
 
     sample = e.orderBy("vec_id").limit(max(32 * k, 512)).collect()
     pts = np.array([[float(x) for x in r.emb] for r in sample])
@@ -550,30 +575,43 @@ def _kmeans_centroids(e, k: int = 16, iters: int = 3):
         (int(sample[i].vec_id), [float(x) for x in pts[i]]) for i in seed_idx
     ]
     for _ in range(iters):
-        cent_rows = [(i, v) for i, (_, v) in enumerate(centroids)]
-        cdf = e.sparkSession.createDataFrame(cent_rows, "cid INT, cvec ARRAY<DOUBLE>")
-        dist = F.aggregate(
-            F.zip_with(F.col("emb"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cdf))
-            .select("vec_id", "emb", "cid", dist.alias("d2"))
-            .groupBy("vec_id", "emb")
-            .agg(F.min_by("cid", "d2").alias("cid"))
-        )
-        new = (
-            assigned.select("cid", F.posexplode("emb").alias("dim", "val"))
-            .groupBy("cid", "dim")
-            .agg(F.avg("val").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dims"))
-            .select("cid", F.transform("dims", lambda s: s.m).alias("cvec"))
-            .collect()
-        )
-        got = {r.cid: [float(x) for x in r.cvec] for r in new}
-        centroids = [(i, got.get(i, v)) for i, (_, v) in enumerate(centroids)]
+        c_list = [v for _, v in centroids]
+
+        def partial_sums(batches, c_list=c_list):
+            c = np.asarray(c_list)
+            n = np.zeros(len(c), dtype=np.int64)
+            s = np.zeros_like(c)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.vstack(pdf["emb"].to_numpy())
+                cid = (-2.0 * (m @ c.T) + (c * c).sum(axis=1)).argmin(axis=1)
+                np.add.at(s, cid, m)
+                np.add.at(n, cid, 1)
+            hit = np.flatnonzero(n)
+            yield pd.DataFrame(
+                {
+                    "cid": hit.astype(int),
+                    "n": n[hit],
+                    "s": [[float(x) for x in row] for row in s[hit]],
+                }
+            )
+
+        parts = e.mapInPandas(
+            partial_sums, schema="cid int, n long, s array<double>"
+        ).collect()
+        n_tot: dict[int, int] = {}
+        s_tot: dict[int, np.ndarray] = {}
+        for r in parts:
+            n_tot[r.cid] = n_tot.get(r.cid, 0) + r.n
+            s_tot[r.cid] = s_tot.get(r.cid, 0) + np.asarray(r.s)
+        centroids = [
+            (
+                i,
+                [float(x) for x in (s_tot[i] / n_tot[i])] if n_tot.get(i) else v,
+            )
+            for i, (_, v) in enumerate(centroids)
+        ]
     return centroids
 
 
@@ -591,24 +629,13 @@ def _kmeans_centroids(e, k: int = 16, iters: int = 3):
     ),
 )
 def sim_ivf_topk(spark, sf_dir, nprobe: int = 4):
+    import numpy as np
+    import pandas as pd
+
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     ).localCheckpoint(eager=True)
     centroids = _kmeans_centroids(e, k=16, iters=3)
-    cdf = spark.createDataFrame(
-        [(i, v) for i, (_, v) in enumerate(centroids)], "cid INT, cvec ARRAY<DOUBLE>"
-    )
-    d2 = F.aggregate(
-        F.zip_with(F.col("emb"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cdf))
-        .select("vec_id", "emb", "cid", d2.alias("d2"))
-        .groupBy("vec_id", "emb")
-        .agg(F.min_by("cid", "d2").alias("cid"))
-    )
     # query = vec 0; probe its nprobe nearest cells, exact cosine within them
     qrow = e.filter(F.col("vec_id") == 0).select("emb").first()
     q = [float(x) for x in qrow.emb]
@@ -616,12 +643,37 @@ def sim_ivf_topk(spark, sf_dir, nprobe: int = 4):
         ((sum((a - b) ** 2 for a, b in zip(v, q)), i) for i, (_, v) in enumerate(centroids))
     )[:nprobe]
     probe_ids = [i for _, i in probe]
-    qdf = spark.createDataFrame([(q,)], "qv ARRAY<DOUBLE>")
-    sim = cosine(F.col("emb"), F.col("qv"))
+    c_list = [v for _, v in centroids]
+
+    # Assignment + probe filter + exact cosine in ONE vectorized pass over
+    # the corpus: per partition, argmin against the closed-over centroid
+    # matrix, keep only vectors landing in probed cells, score those with a
+    # matmul against the query. Only (vec_id, cos_sim) rows of the probed
+    # ~nprobe/k corpus fraction leave the scan; TakeOrdered keeps the top-k.
+    def probe_score(batches, c_list=c_list, q=q, probe_ids=probe_ids):
+        c = np.asarray(c_list)
+        qv = np.asarray(q)
+        qn = np.sqrt((qv * qv).sum())
+        pset = np.asarray(sorted(probe_ids))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.vstack(pdf["emb"].to_numpy())
+            cid = (-2.0 * (m @ c.T) + (c * c).sum(axis=1)).argmin(axis=1)
+            keep = np.isin(cid, pset) & (pdf["vec_id"].to_numpy() != 0)
+            m = m[keep]
+            if not len(m):
+                continue
+            sims = (m @ qv) / (np.sqrt((m * m).sum(axis=1)) * qn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "cos_sim": np.round(sims, 6),
+                }
+            )
+
     return (
-        assigned.filter(F.col("cid").isin(probe_ids) & (F.col("vec_id") != 0))
-        .crossJoin(F.broadcast(qdf))
-        .select("vec_id", F.round(sim, 6).alias("cos_sim"))
+        e.mapInPandas(probe_score, schema="vec_id long, cos_sim double")
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
