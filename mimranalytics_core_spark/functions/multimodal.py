@@ -65,15 +65,73 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _decode_image(payload: bytes) -> tuple[int, int]:
-    """STUB: real implementation would be ``PIL.Image.open(BytesIO(payload))``.
+def bmp_pack(pixels: bytes, width: int) -> bytes:
+    """Build a real 8-bit grayscale BMP (BITMAPINFOHEADER + 256-entry
+    palette) around raw pixel bytes — the deterministic fixture encoder for
+    the image pipeline (mirror of ``wav_pack``). Rows are bottom-up and
+    padded to 4-byte boundaries per the format; short final rows are
+    zero-padded. Any external BMP reader accepts the output.
+    """
+    import struct
 
-    The image codec is unavailable in this container; this deterministic fake
-    derives a plausible (width, height) from the payload so the pipeline
-    stays testable end-to-end. Replace body with the PIL call in production.
+    width = max(1, width)
+    height = max(1, -(-len(pixels) // width))
+    stride = (width + 3) & ~3
+    rows = []
+    for r in range(height):
+        row = pixels[r * width : (r + 1) * width]
+        rows.append(row + b"\x00" * (stride - len(row)))
+    data = b"".join(reversed(rows))  # bottom-up
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    off = 14 + 40 + len(palette)
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 0, len(data), 2835, 2835, 256, 0)
+        + palette
+        + data
+    )
+
+
+def bmp_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL BMP decoder (stdlib ``struct`` only): parse the file header +
+    BITMAPINFOHEADER and return ``(width, height, bpp, pixels)`` with
+    8-bit-per-pixel payloads de-padded and flipped back to top-down row
+    order. Like ``wav_decode``, this replaces the former stub for one real
+    format; other compressions/depths raise (PIL territory).
+    """
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack("<I", payload[10:14])[0]
+    hdr_sz, width, height = struct.unpack("<Iii", payload[14:26])
+    bpp, compression = struct.unpack("<HI", payload[28:34])
+    if hdr_sz < 40 or compression != 0 or bpp != 8:
+        raise ValueError(f"unsupported BMP variant: hdr={hdr_sz} bpp={bpp} comp={compression}")
+    bottom_up = height > 0
+    height = abs(height)
+    stride = (width + 3) & ~3
+    rows = [
+        payload[off + r * stride : off + r * stride + width] for r in range(height)
+    ]
+    if bottom_up:
+        rows.reverse()
+    return width, height, bpp, b"".join(rows)
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """Image dimension decode: REAL for BMP (``bmp_decode`` above — stdlib
+    struct parser); other formats fall back to the deterministic STUB fake
+    (PIL/ffmpeg absent in this container — the fake keeps non-BMP plumbing
+    testable end-to-end; replace the fallback with the PIL call in
+    production).
     """
     if not payload:
         raise NotImplementedError("empty payload; real decoder not bundled")
+    if payload[:2] == b"BM":
+        w, h, _, _ = bmp_decode(payload)
+        return w, h
     w = 64 + payload[0] % 64
     h = 64 + payload[-1] % 64
     return w, h

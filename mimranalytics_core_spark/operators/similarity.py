@@ -539,6 +539,55 @@ def multimodal_audio_rms(spark, sf_dir):
     return audio_window_rms(media, window=256)
 
 
+@register(
+    "multimodal_image_meta",
+    "similarity",
+    oracle="""
+        SELECT doc_id AS media_id,
+               40 AS width,
+               GREATEST(CAST(CEIL(length(text) / 40.0) AS INT), 1) AS height,
+               text AS text_rt
+        FROM documents WHERE doc_id < 200
+    """,
+    notes=(
+        "image metadata over REAL BMP containers (the image leg of the "
+        "multimodal triple, same pattern as the WAV audio leg): "
+        "documents.text bytes become genuine 8-bit grayscale BMPs "
+        "(functions/multimodal.bmp_pack — file header, BITMAPINFOHEADER, "
+        "palette, bottom-up padded rows) and the real stdlib-struct decoder "
+        "(bmp_decode) recovers width/height AND the exact pixel bytes "
+        "inside the Arrow-batched stage; the de-padded pixels decode back "
+        "to the original text, which the oracle checks verbatim — a full "
+        "encode→decode→payload round trip, hash-checked. Video decode "
+        "remains the one stubbed kernel (ffmpeg genuinely required)"
+    ),
+)
+def multimodal_image_meta(spark, sf_dir, width: int = 40):
+    import pandas as pd
+
+    from mimranalytics_core_spark.functions.multimodal import bmp_decode, bmp_pack
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def roundtrip(batches):
+        for pdf in batches:
+            ids, ws, hs, texts = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                raw = (r.text or "").encode("utf-8")
+                w, h, _, pixels = bmp_decode(bmp_pack(raw, width))
+                ids.append(r.media_id)
+                ws.append(w)
+                hs.append(h)
+                texts.append(pixels.rstrip(b"\x00").decode("utf-8"))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "text_rt": texts}
+            )
+
+    return d.select(F.col("doc_id").cast("int").alias("media_id"), "text").mapInPandas(
+        roundtrip, schema="media_id int, width int, height int, text_rt string"
+    )
+
+
 def _kmeans_centroids(e, k: int = 16, iters: int = 3):
     """Lloyd iterations with Arrow map-side combine: train k coarse
     centroids over ``emb``.

@@ -151,3 +151,40 @@ def test_audio_rms_over_real_wav_equals_raw_path(spark):
     key = lambda r: (r.media_id, r.window_idx)
     assert sorted(map(tuple, direct)) == sorted(map(tuple, via_wav))
     assert any(r.n_samples > 0 for r in direct)
+
+
+def test_bmp_pack_decode_roundtrip():
+    from mimranalytics_core_spark.functions.multimodal import bmp_decode, bmp_pack
+
+    payload = bytes(range(256)) * 3  # 768 px -> 20 rows at width 40
+    w, h, bpp, pixels = bmp_decode(bmp_pack(payload, 40))
+    assert (w, bpp) == (40, 8)
+    assert h == 20 and h * 40 >= len(payload)
+    assert pixels[: len(payload)] == payload
+    assert all(b == 0 for b in pixels[len(payload):])  # row padding only
+
+
+def test_bmp_decode_handles_unpadded_width():
+    from mimranalytics_core_spark.functions.multimodal import bmp_decode, bmp_pack
+
+    payload = b"abcdefghij" * 7  # width 33 -> stride 36, 3 pad bytes/row
+    w, h, _, pixels = bmp_decode(bmp_pack(payload, 33))
+    assert w == 33
+    assert pixels[: len(payload)] == payload
+
+
+def test_bmp_decode_rejects_garbage():
+    import pytest
+
+    from mimranalytics_core_spark.functions.multimodal import bmp_decode
+
+    for bad in (b"", b"BMshort", b"PNG not bmp" * 10):
+        with pytest.raises(ValueError):
+            bmp_decode(bad)
+
+
+def test_decode_image_uses_real_bmp_path():
+    from mimranalytics_core_spark.functions.multimodal import _decode_image, bmp_pack
+
+    w, h = _decode_image(bmp_pack(b"x" * 100, 25))
+    assert (w, h) == (25, 4)
