@@ -257,13 +257,21 @@ _BFS_SQL = """
     ),
     bfs(node, dist) AS (
         SELECT 'c:1' AS node, 0 AS dist
-        UNION ALL
+        UNION
         SELECT u.dst, b.dist + 1
         FROM bfs b JOIN undirected u ON u.src = b.node
         WHERE b.dist < 4
     )
     SELECT node, MIN(dist) AS dist FROM bfs GROUP BY node
 """
+# ^ UNION, not UNION ALL, in the DuckDB oracle: the recursive step dedups
+# (node, dist) per level — level-synchronous BFS, O(nodes·depth) rows —
+# instead of walk enumeration, which re-reaches every nation member through
+# every shared hub (>1M walks one decade above bench scale). Spark 4.1
+# rejects UNION inside recursive CTEs (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE),
+# so the Spark side runs the equivalent DataFrame loop (bfs_distances:
+# per-level distinct + anti-join against settled nodes) rather than the
+# shared SQL text.
 
 
 @register(
@@ -272,13 +280,24 @@ _BFS_SQL = """
     oracle=_BFS_SQL.format(edges=HIERARCHY_SQL),
     notes=(
         "min-hop BFS from a seed over the undirected hierarchy (pathfinding, "
-        "README.md:28); walks bounded by diameter 4, MIN(dist) collapses walks "
-        "to distances. Weighted SSSP = same loop with min(dist+weight) "
-        "(tests/test_graph.py covers it on the 6-node fixture)"
+        "README.md:28): Spark side is the level-synchronous DataFrame loop "
+        "(functions/graph_algos.bfs_distances — per-level distinct + "
+        "anti-join, O(nodes·depth) rows at any scale); the oracle is the "
+        "same closure as a deduping recursive UNION CTE in DuckDB. The "
+        "former shared-SQL walk enumeration tripped Spark's 1M recursion "
+        "row limit one decade above bench scale (114 s at sf1 → 2 s). "
+        "Weighted SSSP twin: graph_weighted_sssp"
     ),
 )
-def graph_shortest_path(spark, sf_dir):
-    return _sql_both(spark, sf_dir, _BFS_SQL.format(edges=HIERARCHY_SQL))
+def graph_shortest_path(spark, sf_dir, max_depth: int = 4):
+    from mimranalytics_core_spark.functions.graph_algos import bfs_distances, undirect
+
+    tables(spark, sf_dir)
+    und = undirect(catalog.hierarchy_edges(spark, sf_dir))
+    seeds = spark.createDataFrame([("c:1",)], "node STRING")
+    return bfs_distances(und, seeds, max_depth=max_depth).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
 
 
 @register(

@@ -182,6 +182,8 @@ def _hyperplane_buckets(e, bands: int, bits: int, bucket_cap: int, dim: int = 64
 
     def sign_sigs(batches):
         for pdf in batches:
+            if not len(pdf):  # empty split (file-boundary partitions)
+                continue
             m = np.vstack(pdf["emb"].to_numpy())  # (n, dim)
             bits_m = (m @ planes.T >= 0).astype(np.int64)  # (n, bands·bits)
             sig_m = bits_m.reshape(len(m), bands, bits) @ powers  # (n, bands)
@@ -638,6 +640,9 @@ def _kmeans_centroids(e, k: int = 16, iters: int = 3):
                 np.add.at(s, cid, m)
                 np.add.at(n, cid, 1)
             hit = np.flatnonzero(n)
+            if not len(hit):
+                return  # empty partition: emit nothing (an empty float64
+                # ndarray column cannot Arrow-convert to list<double>)
             yield pd.DataFrame(
                 {
                     "cid": hit.astype(int),

@@ -38,6 +38,11 @@ def apply_engine_confs(builder: SparkSession.Builder) -> SparkSession.Builder:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Recursive-CTE safety valve: the 1M-row default trips on the walk
+        # closures (graph_shortest_path) one decade above the driver's bench
+        # scale; 100M keeps runaway recursion bounded while letting declared
+        # depth-bounded traversals complete at sf1+.
+        .config("spark.sql.cteRecursionRowLimit", str(100_000_000))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.warehouse.dir", "/tmp/mimranalytics_warehouse")
@@ -62,4 +67,5 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
     return spark

@@ -74,7 +74,15 @@ def main() -> None:
             ).fetchall()
         ]
         sel = ", ".join(
-            f"{c} + r.i * {spans[keymap[c]]} AS {c}" if c in keymap else c for c in cols
+            f"{c} + r.i * {spans[keymap[c]]} AS {c}"
+            if c in keymap
+            # events.ts is physically timestamp[ns] in the source and the
+            # engine reads it via nanosAsLong as epoch-nano BIGINT; DuckDB
+            # would silently rewrite it as timestamp[us] (TIMESTAMP_NTZ to
+            # Spark — breaks streaming watermarks). Emit epoch-nanos so the
+            # catalog's bigint→timestamp path applies identically.
+            else (f"epoch_ns({c}) AS {c}" if tbl == "events" and c == "ts" else c)
+            for c in cols
         )
         con.execute(
             f"COPY (SELECT {sel} FROM read_parquet('{SRC}/{tbl}.parquet') "
