@@ -58,6 +58,11 @@ SHOWCASE = [
         "BEFORE the recursive closure (the as-of predicate prunes edges "
         "ahead of every join).",
     ),
+    (
+        "cypher_match",
+        "Cypher text front-end: parsed MATCH pattern compiles to the same "
+        "typed bounded-traversal join plan as the builder API.",
+    ),
 ]
 
 
