@@ -4,14 +4,22 @@ Images/audio/video are carried as opaque ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run as
 Arrow-batched ``mapInPandas`` stages.
 
-Codec status: **audio WAV decode is REAL** — ``wav_decode`` below parses
-RIFF/WAVE containers (fmt + data chunks, 8-bit unsigned / 16-bit signed
-PCM, mono or interleaved multi-channel) with stdlib ``struct`` only, and
-``audio_window_rms`` runs it on every RIFF-magic payload. The image/video
-codecs (Pillow/ffmpeg) are NOT installed in this container, so those decode
-kernels remain STUBBED — clearly marked below — behind deterministic fakes;
-everything Spark-side (schema, batch iteration, partitioning, UDF
-signatures) is real and tested in tests/test_multimodal.py.
+Codec status — one REAL stdlib decoder per modality (no codec libraries in
+this container, so each is a from-scratch ``struct``/bit-level parser):
+
+- **audio / WAV**: ``wav_decode`` parses RIFF/WAVE (fmt + data chunks,
+  8-bit unsigned / 16-bit signed PCM, multi-channel); used by
+  ``audio_window_rms`` for every RIFF-magic payload.
+- **image / BMP**: ``bmp_decode`` parses BITMAPINFOHEADER + padded
+  bottom-up 8-bpp rows; used by ``_decode_image`` for BM-magic payloads.
+- **video / animated GIF**: ``gif_frames`` walks the container (no pixel
+  work) and ``gif_decode_frame`` LZW-decodes a single selected frame —
+  seek + selective decode, the frame-sampling access pattern.
+
+Non-(WAV|BMP|GIF) payloads fall back to clearly-marked deterministic
+fakes (PIL/ffmpeg territory); everything Spark-side (schema, batch
+iteration, partitioning, UDF signatures) is real and tested in
+tests/test_multimodal.py.
 
 Scale posture: mapInPandas streams Arrow batches — peak memory is one batch,
 not one partition; binary payloads never pass through a Python row loop. At
@@ -348,3 +356,194 @@ def resize_plan(media: DataFrame, max_dim: int) -> DataFrame:
         (F.col("meta.height") * scale).cast("int").alias("target_h"),
         (scale < 1.0).alias("needs_resize"),
     )
+
+
+def _lzw_min7_encode(pixels: bytes) -> bytes:
+    """GIF LZW stream for 7-bit pixel data using the fixed-table trick:
+    emit only literal codes and a CLEAR every 125 literals so the code
+    width never leaves 8 bits (the classic 'uncompressed GIF' encoder).
+    Returns the raw code stream (caller wraps it into data sub-blocks).
+    """
+    clear, end = 128, 129
+    out = bytearray()
+    acc = n_bits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits  # GIF packs codes LSB-first
+        n_bits += 8
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+
+    emit(clear)
+    for i, px in enumerate(pixels):
+        if i and i % 125 == 0:
+            emit(clear)
+        if px > 127:
+            raise ValueError("7-bit encoder: pixel > 127")
+        emit(px)
+    emit(end)
+    if n_bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> bytes:
+    """Full GIF LZW decoder (variable code width, CLEAR/END, table growth)."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = n_bits = pos = 0
+    while True:
+        while n_bits < width:
+            if pos >= len(data):
+                return bytes(out)  # stream ended without END code — accept
+            acc |= data[pos] << n_bits
+            pos += 1
+            n_bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        n_bits -= width
+        if code == clear:
+            table, next_code, width, prev = fresh(), end + 1, min_code_size + 1, None
+            continue
+        if code == end:
+            return bytes(out)
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"corrupt LZW stream: code {code}")
+        out += entry
+        if prev is not None:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def gif_pack(frames: list[bytes], width: int = 8) -> bytes:
+    """Build a real multi-frame GIF89a (the 'video' fixture encoder, mirror
+    of wav_pack/bmp_pack): logical screen, 128-entry grayscale palette, one
+    image descriptor + 7-bit LZW data stream per frame. Frames are 7-bit
+    pixel bytes, zero-padded to width×height. Any external GIF reader
+    accepts the output.
+    """
+    import struct
+
+    width = max(1, width)
+    frames = frames or [b""]
+    height = max(1, max(-(-len(f) // width) for f in frames))
+    palette = b"".join(bytes((i * 2, i * 2, i * 2)) for i in range(128))
+    out = bytearray()
+    out += b"GIF89a"
+    #  GCT flag=1, color resolution=7, GCT size=6 (2^(6+1)=128 entries)
+    out += struct.pack("<HHBBB", width, height, 0b11110110, 0, 0)
+    out += palette
+    for f in frames:
+        f = f + b"\x00" * (width * height - len(f))
+        out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: 4cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([7])  # LZW minimum code size
+        stream = _lzw_min7_encode(f)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"  # block terminator
+    out += b"\x3b"  # trailer
+    return bytes(out)
+
+
+def gif_frames(payload: bytes) -> list[tuple[int, int, int, int]]:
+    """REAL GIF container walk (stdlib only): parse header + extensions and
+    return one (left, top, width, height) descriptor per frame WITHOUT
+    decoding pixel data — the cheap seek pass a video pipeline runs first.
+    """
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w, h, flags, _, _ = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))  # skip global color table
+    frames = []
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, fw, fh, lflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if lflags & 0x80:
+                pos += 3 * (2 << (lflags & 0x07))
+            frames.append((left, top, fw, fh, pos))
+            pos += 1  # LZW min code size byte
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        else:
+            raise ValueError(f"corrupt GIF at offset {pos}: 0x{b:02x}")
+    return [(l, t, fw, fh) for l, t, fw, fh, _ in frames]
+
+
+def gif_decode_frame(payload: bytes, index: int) -> bytes:
+    """REAL GIF frame decode (stdlib only): walk the container to frame
+    ``index``, then LZW-decode just that frame's data stream — seek +
+    selective decode, the access pattern frame sampling needs (decoding
+    every frame to read 3 of them is the anti-pattern).
+    """
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    pos = 13
+    if flags & 0x80:
+        pos += 3 * (2 << (flags & 0x07))
+    seen = 0
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos += 2
+            while payload[pos]:
+                pos += payload[pos] + 1
+            pos += 1
+        elif b == 0x2C:
+            _, _, fw, fh, lflags = struct.unpack("<HHHHB", payload[pos + 1 : pos + 10])
+            pos += 10
+            if lflags & 0x80:
+                pos += 3 * (2 << (lflags & 0x07))
+            min_code = payload[pos]
+            pos += 1
+            stream = bytearray()
+            while payload[pos]:
+                n = payload[pos]
+                stream += payload[pos + 1 : pos + 1 + n]
+                pos += n + 1
+            pos += 1
+            if seen == index:
+                return _lzw_decode(bytes(stream), min_code)[: fw * fh]
+            seen += 1
+        else:
+            raise ValueError(f"corrupt GIF at offset {pos}: 0x{b:02x}")
+    raise IndexError(f"frame {index} not in GIF ({seen} frames)")

@@ -590,6 +590,79 @@ def multimodal_image_meta(spark, sf_dir, width: int = 40):
     )
 
 
+@register(
+    "multimodal_gif_frames",
+    "similarity",
+    oracle="""
+        WITH s AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        f AS (SELECT doc_id, text,
+                     GREATEST(CAST(CEIL(length(text) / 64.0) AS INT), 1) AS n_frames
+              FROM s)
+        SELECT CAST(doc_id AS INT) AS media_id,
+               CAST(i.n AS INT) AS sample_idx,
+               CAST(i.n * n_frames // 3 AS INT) AS frame_idx,
+               n_frames,
+               md5(substr(text, CAST(i.n * n_frames // 3 AS INT) * 64 + 1, 64))
+                   AS frame_sig
+        FROM f CROSS JOIN (SELECT unnest(range(0, 3)) AS n) i
+    """,
+    notes=(
+        "video-style frame sampling over REAL animated GIFs (upgrades the "
+        "video leg from windowed-byte fake to genuine container work): "
+        "documents.text is cut into 64-byte frames and packed into a real "
+        "multi-frame GIF89a (functions/multimodal.gif_pack — logical "
+        "screen, palette, per-frame descriptors, 7-bit LZW streams); the "
+        "sampler then walks the container to 3 evenly-spaced frames and "
+        "LZW-DECODES ONLY THOSE (gif_decode_frame: seek + selective "
+        "decode — decoding every frame to read 3 is the anti-pattern), "
+        "hashing the de-padded pixels. The oracle recomputes each sampled "
+        "frame's bytes from the text directly, so container walk, frame "
+        "indexing AND the LZW round trip are all hash-verified. Remaining "
+        "stub surface: only non-GIF video codecs (ffmpeg territory)"
+    ),
+)
+def multimodal_gif_frames(spark, sf_dir, frame_bytes: int = 64, k: int = 3):
+    import hashlib
+
+    import pandas as pd
+
+    from mimranalytics_core_spark.functions.multimodal import gif_decode_frame, gif_pack
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+    def sample(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                raw = (r.text or "").encode("utf-8")
+                chunks = [
+                    raw[i : i + frame_bytes] for i in range(0, len(raw), frame_bytes)
+                ] or [b""]
+                gif = gif_pack(chunks, width=8)
+                n = len(chunks)
+                for i in range(k):
+                    f_idx = i * n // k
+                    pixels = gif_decode_frame(gif, f_idx).rstrip(b"\x00")
+                    out.append(
+                        (
+                            r.media_id,
+                            i,
+                            f_idx,
+                            n,
+                            hashlib.md5(pixels).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "sample_idx", "frame_idx", "n_frames", "frame_sig"],
+            )
+
+    return d.select(F.col("doc_id").cast("int").alias("media_id"), "text").mapInPandas(
+        sample,
+        schema="media_id int, sample_idx int, frame_idx int, n_frames int, frame_sig string",
+    )
+
+
 def _kmeans_centroids(e, k: int = 16, iters: int = 3):
     """Lloyd iterations with Arrow map-side combine: train k coarse
     centroids over ``emb``.

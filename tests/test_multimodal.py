@@ -188,3 +188,54 @@ def test_decode_image_uses_real_bmp_path():
 
     w, h = _decode_image(bmp_pack(b"x" * 100, 25))
     assert (w, h) == (25, 4)
+
+
+def test_gif_pack_roundtrip_multiframe_long():
+    """Frames longer than 125 px exercise the CLEAR cadence that keeps the
+    7-bit literal stream at 8-bit codes."""
+    from mimranalytics_core_spark.functions.multimodal import (
+        gif_decode_frame,
+        gif_frames,
+        gif_pack,
+    )
+
+    frames = [bytes(i % 128 for i in range(n)) for n in (1, 64, 300, 1000)]
+    g = gif_pack(frames, width=8)
+    descs = gif_frames(g)
+    assert len(descs) == 4
+    assert all(fw == 8 for _, _, fw, _ in descs)
+    for i, f in enumerate(frames):
+        got = gif_decode_frame(g, i)
+        assert got[: len(f)] == f
+        assert all(b == 0 for b in got[len(f):])
+
+
+def test_lzw_decoder_handles_self_referential_code():
+    """The code==next_code case (entry = prev + prev[0]) never occurs in our
+    literal-only encoder, so pin it with a hand-packed classic vector:
+    pixels 1,1,1,1,1 at min_code_size=2 compress to [CLEAR,1,6,6,END]."""
+    from mimranalytics_core_spark.functions.multimodal import _lzw_decode
+
+    codes, width = [4, 1, 6, 6, 5], 3
+    acc = n_bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << n_bits
+        n_bits += width
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        out.append(acc & 0xFF)
+    assert _lzw_decode(bytes(out), 2) == b"\x01" * 5
+
+
+def test_gif_walk_rejects_garbage():
+    import pytest
+
+    from mimranalytics_core_spark.functions.multimodal import gif_frames
+
+    for bad in (b"", b"GIF89a", b"JPEG nope"):
+        with pytest.raises((ValueError, IndexError, Exception)):
+            gif_frames(bad)
