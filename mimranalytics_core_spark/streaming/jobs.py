@@ -230,3 +230,80 @@ def run_available_now(
             else:
                 spark.conf.unset(conf_key)
     return spark.table(name)
+
+
+def anomaly_flags_tws(events: DataFrame) -> DataFrame:
+    """Running Welford z-scores via **transformWithStateInPandas** — the
+    Spark 4 stateful-processor API (successor to applyInPandasWithState:
+    typed state handles, timers, multiple state variables per key; requires
+    the RocksDB state store provider). Identical semantics to
+    :func:`anomaly_flags_stateful`, asserted row-equal in
+    tests/test_streaming.py — same projection discipline (state operators
+    ship every input column through Arrow, so project first).
+
+    ENVIRONMENT-GATED, not registered as a driver query: the TWS driver
+    worker imports ``google.protobuf`` (its state-server wire protocol),
+    which is broken in this container and cannot be installed. The code
+    path is complete and the equivalence test runs wherever protobuf
+    exists; here it skips.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class WelfordProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", "n BIGINT, s DOUBLE, ss DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            (user_id,) = key
+            n0, s0, ss0 = self._agg.get() if self._agg.exists() else (0, 0.0, 0.0)
+            for pdf in rows:
+                pdf = pdf.sort_values("ts")
+                v = pdf["value"].to_numpy(dtype=np.float64)
+                n_pre = n0 + np.arange(len(v), dtype=np.float64)
+                s_pre = s0 + np.concatenate(([0.0], np.cumsum(v)[:-1]))
+                ss_pre = ss0 + np.concatenate(([0.0], np.cumsum(v * v)[:-1]))
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    mean_pre = np.where(n_pre > 0, s_pre / np.maximum(n_pre, 1), 0.0)
+                    var_pre = np.where(
+                        n_pre > 1,
+                        (ss_pre - s_pre * s_pre / np.maximum(n_pre, 1))
+                        / np.maximum(n_pre - 1, 1),
+                        0.0,
+                    )
+                sd_pre = np.sqrt(np.maximum(var_pre, 0.0))
+                z = np.where(
+                    sd_pre > 0, (v - mean_pre) / np.where(sd_pre > 0, sd_pre, 1.0), 0.0
+                )
+                out = pd.DataFrame(
+                    {
+                        "user_id": user_id,
+                        "ts": pdf["ts"].to_numpy(),
+                        "value": v,
+                        "zscore": np.round(z, 4),
+                        "event_type": pdf["event_type"].to_numpy(),
+                    }
+                )
+                n0 += len(v)
+                s0 += float(v.sum())
+                ss0 += float((v * v).sum())
+                yield out
+            self._agg.update((n0, s0, ss0))
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "ts", "value", "event_type")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            WelfordProcessor(),
+            outputStructType=_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )

@@ -126,3 +126,32 @@ def test_rocksdb_state_store_equivalent_results(spark):
         spark.conf.get("spark.sql.streaming.stateStore.providerClass", "unset")
         != jobs.ROCKSDB_PROVIDER
     )
+
+
+def test_transform_with_state_equals_apply_in_pandas_with_state(spark):
+    """The Spark 4 StatefulProcessor pipeline must produce row-identical
+    z-scores to the applyInPandasWithState form — same Welford recurrence,
+    two state APIs. Skips when google.protobuf is unusable (the TWS driver
+    worker speaks protobuf to the state server; this container ships a
+    broken namespace package and installs are not allowed)."""
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState env-blocked")
+    legacy = jobs.run_available_now(
+        jobs.anomaly_flags_stateful(jobs.events_stream(spark, SF_SMALL)),
+        "t_tws_legacy",
+        spark,
+    )
+    tws = jobs.run_available_now(
+        jobs.anomaly_flags_tws(jobs.events_stream(spark, SF_SMALL)),
+        "t_tws_new",
+        spark,
+        state_store="rocksdb",
+    )
+    key = lambda r: (r.user_id, r.ts, r.value)
+    assert sorted(map(tuple, tws.collect()), key=lambda t: (t[0], t[1])) == sorted(
+        map(tuple, legacy.collect()), key=lambda t: (t[0], t[1])
+    )
