@@ -523,33 +523,50 @@ def dedup_minhash_lsh(spark, sf_dir):
         "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
     ).select("doc_id", "toks", F.size("toks").alias("sz"))
 
-    # Signature: 64 minhashes computed row-local (transform + array_min) —
-    # zero shuffle, whole-stage codegen, straight off the parquet scan.
-    # NB: the seed must be bound via a single-arg closure — a two-arg lambda
-    # would make F.transform pass the ARRAY INDEX as the second argument.
-    def minhash(seed: int):
-        return F.array_min(F.transform("toks", lambda x: F.xxhash64(x, F.lit(seed))))
+    # Tokens are hashed ONCE (one HOF pass — the verify stage needs the
+    # hashed arrays anyway); the 64 minhashes + band signatures are ONE
+    # numpy pass per Arrow batch. The previous form ran 64 separate
+    # array_min(transform(xxhash64)) expressions — interpreted per element
+    # (higher-order-function lambdas get no codegen; the round-3 systemic
+    # finding), ~3 s of the op at sf0.1 vs <0.5 s here. Signatures are
+    # engine-internal (the oracle is exact Jaccard), so the hash family is
+    # free: minhash_i(t) = a_i·xxhash64(t) + b_i over Z/2⁶⁴ (multiply-shift
+    # universal hashing — same MinHash collision guarantees), band sig =
+    # the band's 4 minhashes folded with distinct odd multipliers. Still
+    # row-local: no shuffle before band bucketing (plan-asserted).
+    import numpy as np
 
-    sig = doc_toks.select(
-        "doc_id",
-        "toks",
-        "sz",
-        *[minhash(i).alias(f"h{i}") for i in range(n_bands * rows_per_band)],
-    )
-    # Band signature: hash each band's 4 minhashes; emit (doc, band, band_sig).
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows_per_band + j}") for j in range(rows_per_band)]).alias(
-                    "band_sig"
-                ),
+    rng = np.random.default_rng(1234)
+    n_hashes = n_bands * rows_per_band
+    A = (rng.integers(0, 2**63, n_hashes, dtype=np.int64).astype(np.uint64) << 1) | 1
+    B = rng.integers(0, 2**63, n_hashes, dtype=np.int64).astype(np.uint64)
+    FOLD = (rng.integers(0, 2**63, rows_per_band, dtype=np.int64).astype(np.uint64) << 1) | 1
+
+    def band_sigs(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, bands_out, sigs_out = [], [], []
+            for doc_id, hs in zip(pdf["doc_id"], pdf["hs"]):
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                if not len(h):
+                    continue  # tokenless doc: no bands (cannot near-dup)
+                mins = (A[:, None] * h[None, :] + B[:, None]).min(axis=1)
+                folded = (mins.reshape(n_bands, rows_per_band) * FOLD).sum(
+                    axis=1, dtype=np.uint64
+                )
+                ids.extend([doc_id] * n_bands)
+                bands_out.extend(range(n_bands))
+                sigs_out.extend(folded.astype(np.int64))
+            yield pd.DataFrame(
+                {"doc_id": ids, "band": bands_out, "band_sig": sigs_out}
             )
-            for b in range(n_bands)
-        ]
+
+    hashed_toks = doc_toks.select(
+        "doc_id", F.transform("toks", lambda x: F.xxhash64(x)).alias("hs")
     )
-    banded = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
-        "doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig")
+    banded = hashed_toks.mapInPandas(
+        band_sigs, schema="doc_id long, band int, band_sig long"
     )
     candidates = _band_bucket_candidates(banded)
     # Exact-Jaccard verify per candidate pair via array_intersect — scalar
