@@ -197,30 +197,80 @@ def text_token_regex(spark, sf_dir):
     )
 
 
+_SIMHASH_ORACLE = """
+    WITH toks AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        )
+    ),
+    hashed AS (
+        -- 64-bit token hash = first 16 hex chars of md5, split into 32-bit
+        -- halves (hi = nibbles 1-8, lo = nibbles 9-16) — bit-identical to the
+        -- Spark side's conv(substring(md5..)) split
+        SELECT doc_id,
+               ('0x' || substr(md5(token), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(token), 9, 8))::BIGINT AS lo
+        FROM toks
+    ),
+    votes AS (
+        SELECT doc_id, j,
+               SUM(CASE WHEN ((CASE WHEN j < 32 THEN lo ELSE hi END) >> (j % 32)) & 1 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM hashed CROSS JOIN generate_series(0, 63) AS g(j)
+        GROUP BY doc_id, j
+    ),
+    sim AS (
+        SELECT doc_id,
+               (SUM(CASE WHEN v > 0 THEN
+                    CASE WHEN j = 63 THEN -9223372036854775808
+                         ELSE (1::BIGINT << j) END
+                    ELSE 0 END))::BIGINT AS simhash
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 @register(
     "dedup_simhash",
     "text",
-    oracle=None,  # hamming-radius candidate set is engine-specific → rows-only;
-    # exact near-dup ground truth is covered by dedup_minhash_lsh's oracle
+    oracle=_SIMHASH_ORACLE,
     notes=(
         "SimHash near-dup candidates: 64-bit fingerprint = sign of per-bit "
         "sum of token-hash bits; docs paired when hamming distance ≤ 3 via "
         "4-segment pigeonhole blocking (any pair within radius 3 shares ≥1 "
-        "exact 16-bit segment) — banded equi-join, never all-pairs. Exactness "
-        "of the blocking invariant tested in tests/test_text_extra.py"
+        "exact 16-bit segment) — banded equi-join, never all-pairs. Token "
+        "hash is md5-derived (identical in both engines), so the oracle is "
+        "the EXACT all-pairs hamming-≤3 set: the hash match certifies both "
+        "the fingerprint math and that pigeonhole blocking loses no pair "
+        "(the invariant also unit-tested in tests/test_text_extra.py)"
     ),
 )
 def dedup_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks"))
-    # per-doc 64-bit simhash: bit j set iff sum over tokens of bit_j(±1) > 0
+    # per-doc 64-bit simhash: bit j set iff sum over tokens of bit_j(±1) > 0.
+    # Token hash = first 16 hex chars of md5 as two 32-bit halves — matches
+    # the DuckDB oracle exactly (xxhash64 would be engine-private)
+    hx = F.md5("token")
     h = toks.select("doc_id", F.explode("toks").alias("token")).select(
-        "doc_id", F.xxhash64("token").alias("h")
+        "doc_id",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("long").alias("hi"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("long").alias("lo"),
     )
     bit_votes = h.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+                F.when(
+                    F.shiftright(F.col("lo" if j < 32 else "hi"), j % 32)
+                    .bitwiseAND(F.lit(1))
+                    == 1,
+                    1,
+                ).otherwise(-1)
             ).alias(f"v{j}")
             for j in range(64)
         ]

@@ -57,6 +57,11 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # apply the same ns→µs fix as the catalog (single conversion semantics)
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # µs/ms-precision files load as TIMESTAMP_NTZ (sf0.001), which
+    # withWatermark rejects — cast to TIMESTAMP_LTZ; deterministic because
+    # the session timezone is pinned to UTC (session.py)
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     # mirror the catalog-level variant property bag (catalog.load_table):
     # parse_json is streaming-safe, so stream consumers see the same schema
     if "props_v" in batch.columns and "props_v" not in stream.columns:

@@ -19,17 +19,22 @@ def test_simhash_pigeonhole_blocking_is_exact(spark):
     res = OPS["dedup_simhash"].fn(spark, SF_SMALL)
     blocked = {(r.doc_a, r.doc_b): r.hamming for r in res.collect()}
 
-    # recompute fingerprints exhaustively in python
+    # recompute fingerprints exhaustively in python — hashlib.md5, fully
+    # independent of both engines (the op's hash is md5-derived: first 16
+    # hex chars big-endian, bit j = bit j of that 64-bit word)
+    import hashlib
+
     d = t(spark, SF_SMALL, "documents")
     toks = d.select(
         "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token")
-    ).select("doc_id", F.xxhash64("token").alias("h"))
-    rows = toks.groupBy("doc_id").agg(F.collect_list("h").alias("hs")).collect()
+    )
+    rows = toks.groupBy("doc_id").agg(F.collect_list("token").alias("ts")).collect()
     sims = {}
     for r in rows:
+        hs = [int(hashlib.md5(tok.encode()).hexdigest()[:16], 16) for tok in r.ts]
         bits = 0
         for j in range(64):
-            vote = sum(1 if (h >> j) & 1 else -1 for h in r.hs)
+            vote = sum(1 if (h >> j) & 1 else -1 for h in hs)
             if vote > 0:
                 bits |= 1 << j
         sims[r.doc_id] = bits
