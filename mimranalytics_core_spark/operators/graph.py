@@ -774,8 +774,31 @@ def graph_ubo_asof(spark, sf_dir):
 @register(
     "graph_betweenness",
     "graph",
-    oracle=None,  # iterative two-phase algorithm — rows-only; exactness proven
-    # against a reference Brandes implementation in tests/test_graph.py
+    oracle=f"""
+        WITH RECURSIVE {HIERARCHY_SQL.strip()},
+        ue AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        srcs AS (SELECT DISTINCT src AS s FROM ue
+                 WHERE src LIKE 'n:%' OR src LIKE 'r:%'),
+        walk(s, node, path) AS (
+            SELECT s, s, [s] FROM srcs
+            UNION ALL
+            SELECT w.s, e.dst, list_append(w.path, e.dst)
+            FROM walk w JOIN ue e ON e.src = w.node
+            WHERE NOT list_contains(w.path, e.dst) AND len(w.path) <= 6
+        ),
+        paths AS (SELECT s, node AS t, path, len(path) - 1 AS d
+                  FROM walk WHERE node != s),
+        mind AS (SELECT s, t, MIN(d) AS md FROM paths GROUP BY s, t),
+        sp AS (SELECT p.s, p.t, p.path FROM paths p
+               JOIN mind m ON p.s = m.s AND p.t = m.t AND p.d = m.md),
+        sigma AS (SELECT s, t, COUNT(*) AS sig FROM sp GROUP BY s, t),
+        interior AS (SELECT s, t, unnest(list_slice(path, 2, len(path) - 1)) AS v
+                     FROM sp),
+        via AS (SELECT s, t, v, COUNT(*) AS cnt FROM interior GROUP BY s, t, v),
+        b AS (SELECT v AS node, SUM(cnt * 1.0 / sig) AS bw
+              FROM via JOIN sigma USING (s, t) GROUP BY v)
+        SELECT node, FLOOR(bw * 1e6 + 0.5) / 1e6 AS betweenness FROM b
+    """,
     notes=(
         "Brandes betweenness centrality (README.md:28 'centrality'): "
         "level-synchronous BFS carrying shortest-path counts for a sampled "
@@ -783,7 +806,13 @@ def graph_ubo_asof(spark, sf_dir):
         "accumulation — ≤ 2·diameter supersteps total, each one join/agg, "
         "for ANY graph size; the distributed replacement for "
         "networkx.betweenness_centrality. Source sampling is the standard "
-        "estimator at scale (exact per source)"
+        "estimator at scale (exact per source). The oracle is first-"
+        "principles exact: DuckDB enumerates every min-length simple path "
+        "from the same sources (list-valued recursive CTE, depth-bounded "
+        "like the BFS) and sums per-pair fractions sigma_st(v)/sigma_st — "
+        "a completely independent formulation of the same definition, so "
+        "the hash match certifies both BFS path counting and dependency "
+        "accumulation"
     ),
 )
 def graph_betweenness(spark, sf_dir):
