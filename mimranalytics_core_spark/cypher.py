@@ -32,6 +32,15 @@ Grammar subset:
 - RETURN items: ``a``/``b`` (the endpoints), ``hops``, ``path_weight``
   (requesting path_weight switches on carry_weight aggregation); ``AS``
   aliases are honored.
+- Aggregates in RETURN (Cypher's implicit grouping): ``count(*)``,
+  ``count([DISTINCT] expr)``, ``sum/min/max/avg(hops|path_weight)`` —
+  non-aggregate RETURN items become the grouping keys, exactly as in
+  Cypher. ``sum``/``avg`` results are rounded to 6 places (the engine's
+  float-hash discipline; per-pair path_weight is already round-6).
+- ``ORDER BY item [ASC|DESC], ...`` over RETURN output columns (aliases
+  or default names), then ``SKIP n`` / ``LIMIT n``. Ties are NOT broken
+  implicitly — order by a unique column (e.g. the entity id) before
+  LIMIT for deterministic pagination, as the §2.6 operators do.
 """
 
 from __future__ import annotations
@@ -53,8 +62,18 @@ _PATTERN = re.compile(
         \(\s*(?P<b>[A-Za-z_]\w*)\s*\)
         (?:\s+AS\s+OF\s+'(?P<asof>[^']+)')?
         (?:\s+WHERE\s+(?P<where>.*?))?
-        \s+RETURN\s+(?P<ret>.+?)\s*;?\s*$""",
+        \s+RETURN\s+(?P<ret>.+?)
+        (?:\s+ORDER\s+BY\s+(?P<order>.+?))?
+        (?:\s+SKIP\s+(?P<skip>\d+))?
+        (?:\s+LIMIT\s+(?P<limit>\d+))?
+        \s*;?\s*$""",
     re.IGNORECASE | re.VERBOSE | re.DOTALL,
+)
+
+_AGG_ITEM = re.compile(
+    r"^(?P<fn>count|sum|min|max|avg)\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[\w.]+)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?$",
+    re.IGNORECASE,
 )
 
 _STARTS_WITH = re.compile(r"(?P<col>\bsrc\b|\bdst\b)\s+STARTS\s+WITH\s+'(?P<lit>[^']*)'", re.I)
@@ -120,20 +139,75 @@ def parse(query: str) -> dict:
         else:
             src_pred = pred
 
-    projection: list[tuple[str, str]] = []
+    colmap = {a: "src", b: "dst", f"{a}.id": "src", f"{b}.id": "dst"}
+
+    def _map_col(expr: str, ctx: str) -> str:
+        col = colmap.get(expr, expr.lower())
+        if col not in ("src", "dst", "hops", "path_weight"):
+            raise CypherSyntaxError(f"unsupported {ctx}: {expr!r}")
+        return col
+
+    projection: list[dict] = []
     carry_weight = False
     for item in m.group("ret").split(","):
         item = item.strip()
+        am = _AGG_ITEM.match(item)
+        if am:
+            fn = am.group("fn").lower()
+            arg = am.group("arg")
+            if arg == "*":
+                if fn != "count":
+                    raise CypherSyntaxError(f"only count(*) may take '*': {item!r}")
+                col, default = None, "count_star"
+            else:
+                col = _map_col(arg, "aggregate argument")
+                if fn in ("sum", "min", "max", "avg") and col in ("src", "dst"):
+                    raise CypherSyntaxError(
+                        f"{fn}() needs a numeric argument (hops/path_weight): {item!r}"
+                    )
+                default = f"{fn}_{col}"
+            if col == "path_weight":
+                carry_weight = True
+            projection.append(
+                {
+                    "kind": "agg",
+                    "fn": fn,
+                    "col": col,
+                    "distinct": bool(am.group("distinct")),
+                    "name": am.group("alias") or default,
+                }
+            )
+            continue
         im = re.match(r"^(?P<expr>\S+)(?:\s+AS\s+(?P<alias>\w+))?$", item, re.I)
         if not im:
             raise CypherSyntaxError(f"unsupported RETURN item: {item!r}")
         expr = im.group("expr")
-        col = {a: "src", b: "dst", f"{a}.id": "src", f"{b}.id": "dst"}.get(expr, expr.lower())
-        if col not in ("src", "dst", "hops", "path_weight"):
-            raise CypherSyntaxError(f"unsupported RETURN item: {item!r}")
+        col = _map_col(expr, "RETURN item")
         if col == "path_weight":
             carry_weight = True
-        projection.append((col, im.group("alias") or expr.replace(".", "_")))
+        projection.append(
+            {"kind": "plain", "col": col, "name": im.group("alias") or expr.replace(".", "_")}
+        )
+
+    # ORDER BY: names must resolve to RETURN output columns
+    out_names = {p["name"] for p in projection}
+    order_by: list[tuple[str, bool]] = []
+    if m.group("order"):
+        for key in m.group("order").split(","):
+            km = re.match(r"^\s*(?P<name>[\w.]+)(?:\s+(?P<dir>ASC|DESC))?\s*$", key, re.I)
+            if not km:
+                raise CypherSyntaxError(f"unsupported ORDER BY key: {key!r}")
+            name = km.group("name")
+            if name not in out_names:
+                # allow ordering by the underlying expr of an unaliased item
+                mapped = colmap.get(name, name.lower())
+                cand = [p["name"] for p in projection if p.get("col") == mapped]
+                if not cand:
+                    raise CypherSyntaxError(
+                        f"ORDER BY key {name!r} is not a RETURN output column"
+                    )
+                name = cand[0]
+            order_by.append((name, (km.group("dir") or "ASC").upper() == "ASC"))
 
     return {
         "edge_types": edge_types,
@@ -144,6 +218,9 @@ def parse(query: str) -> dict:
         "post_pred": post_pred,
         "carry_weight": carry_weight,
         "projection": projection,
+        "order_by": order_by,
+        "skip": int(m.group("skip")) if m.group("skip") else None,
+        "limit": int(m.group("limit")) if m.group("limit") else None,
     }
 
 
@@ -164,4 +241,38 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     )
     if p["post_pred"]:
         df = df.filter(F.expr(p["post_pred"]))
-    return df.select(*[F.col(c).alias(n) for c, n in p["projection"]])
+
+    aggs = [it for it in p["projection"] if it["kind"] == "agg"]
+    if aggs:
+        # Cypher's implicit grouping: non-aggregate items are the keys
+        keys = [it for it in p["projection"] if it["kind"] == "plain"]
+        exprs = []
+        for it in aggs:
+            if it["col"] is None:
+                e = F.count(F.lit(1))
+            elif it["fn"] == "count":
+                e = F.count_distinct(it["col"]) if it["distinct"] else F.count(it["col"])
+            else:
+                e = getattr(F, it["fn"])(it["col"])
+                if it["fn"] in ("sum", "avg"):
+                    e = F.round(e, 6)  # float-hash discipline (module docstring)
+            exprs.append(e.alias(it["name"]))
+        if keys:
+            df = df.groupBy(*[F.col(k["col"]).alias(k["name"]) for k in keys]).agg(*exprs)
+        else:
+            df = df.agg(*exprs)
+    else:
+        df = df.select(*[F.col(it["col"]).alias(it["name"]) for it in p["projection"]])
+
+    if p["order_by"]:
+        df = df.orderBy(
+            *[
+                F.col(n).asc_nulls_last() if asc else F.col(n).desc_nulls_last()
+                for n, asc in p["order_by"]
+            ]
+        )
+    if p["skip"] is not None:
+        df = df.offset(p["skip"])
+    if p["limit"] is not None:
+        df = df.limit(p["limit"])
+    return df

@@ -893,3 +893,44 @@ def cypher_match(spark, sf_dir):
         """MATCH (a)-[:CUSTOMER_OF|NATION_OF*1..2]->(b)
            WHERE a.id STARTS WITH 'c:' RETURN a, b, hops""",
     )
+
+
+@register(
+    "cypher_match_agg",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        te AS (SELECT src, dst FROM edges
+               WHERE rel_type IN ('customer_of', 'nation_of')),
+        h1 AS (SELECT src, dst, 1 AS hops FROM te WHERE src LIKE 'c:%'),
+        h2 AS (SELECT a.src, b.dst, 2 AS hops
+               FROM te a JOIN te b ON a.dst = b.src WHERE a.src LIKE 'c:%'),
+        pairs AS (SELECT DISTINCT src, dst, hops
+                  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)),
+        g AS (SELECT dst AS entity, COUNT(*) AS n_src, MIN(hops) AS min_hops
+              FROM pairs GROUP BY dst)
+        SELECT entity, n_src, min_hops FROM g
+        ORDER BY n_src DESC, entity ASC LIMIT 20
+    """,
+    notes=(
+        "Cypher aggregate/ORDER BY/LIMIT surface (README.md:25 — Cypher's "
+        "implicit grouping: non-aggregate RETURN items are the keys): a "
+        "saved-query shape 'most-connected entities' parsed from TEXT into "
+        "grouped aggregation + deterministic top-k (unique entity tiebreak, "
+        "so LIMIT is stable across engines). Oracle unrolls the same typed "
+        "closure + GROUP BY + ORDER BY/LIMIT in SQL. Scale: the traversal "
+        "is the same bounded join plan as cypher_match; the aggregation is "
+        "one partial+final hash agg; top-k is TakeOrderedAndProject"
+    ),
+)
+def cypher_match_agg(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (a)-[:CUSTOMER_OF|NATION_OF*1..2]->(b)
+           WHERE a.id STARTS WITH 'c:'
+           RETURN b AS entity, count(*) AS n_src, min(hops) AS min_hops
+           ORDER BY n_src DESC, entity ASC LIMIT 20""",
+    )

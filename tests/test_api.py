@@ -222,6 +222,66 @@ def test_cypher_single_hop_and_dst_postfilter(spark):
     assert all(r.n.startswith("n:") and r.r.startswith("r:") and r.hops == 1 for r in rows)
 
 
+def test_cypher_aggregate_groups_on_plain_items(spark):
+    """Cypher implicit grouping: RETURN b, count(*) groups by b; result must
+    equal the builder output grouped by hand."""
+    q = """MATCH (a)-[:CUSTOMER_OF|NATION_OF*1..2]->(b)
+           WHERE a.id STARTS WITH 'c:'
+           RETURN b AS entity, count(*) AS n, min(hops) AS mh"""
+    got = api.cypher(spark, SF_SMALL, q)
+    assert got.columns == ["entity", "n", "mh"]
+    base = api.match_path(
+        spark, SF_SMALL, edge_types=["customer_of", "nation_of"],
+        min_hops=1, max_hops=2, src_pred="src LIKE 'c:%'",
+    )
+    want = base.groupBy(F.col("dst").alias("entity")).agg(
+        F.count(F.lit(1)).alias("n"), F.min("hops").alias("mh")
+    )
+    assert _rows(got) == _rows(want)
+
+
+def test_cypher_global_aggregate_and_count_distinct(spark):
+    q = """MATCH (a)-[:CUSTOMER_OF*1..1]->(b)
+           RETURN count(*) AS n_edges, count(DISTINCT b) AS n_nations, max(hops) AS mx"""
+    row = api.cypher(spark, SF_SMALL, q).collect()[0]
+    assert row.n_nations == 25 and row.n_edges >= row.n_nations and row.mx == 1
+
+
+def test_cypher_order_by_skip_limit_paginates(spark):
+    """ORDER BY a unique key + SKIP/LIMIT must page without overlap, matching
+    the full ordered result."""
+    base = "MATCH (n)-[:NATION_OF]->(r) RETURN n AS nation, r AS region ORDER BY nation ASC"
+    all_rows = api.cypher(spark, SF_SMALL, base).collect()
+    p1 = api.cypher(spark, SF_SMALL, base + " LIMIT 10").collect()
+    p2 = api.cypher(spark, SF_SMALL, base + " SKIP 10 LIMIT 10").collect()
+    assert p1 == all_rows[:10] and p2 == all_rows[10:20]
+
+
+def test_cypher_order_by_desc_on_aggregate_alias(spark):
+    q = """MATCH (a)-[:CUSTOMER_OF|NATION_OF*1..2]->(b)
+           WHERE a.id STARTS WITH 'c:'
+           RETURN b AS entity, count(*) AS n ORDER BY n DESC, entity ASC LIMIT 5"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    assert len(rows) == 5
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_cypher_rejects_bad_aggregates_and_order_keys():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    import pytest as _pytest
+
+    for bad in (
+        "MATCH (a)-[:X]->(b) RETURN sum(b)",                    # non-numeric agg
+        "MATCH (a)-[:X]->(b) RETURN sum(*)",                    # * outside count
+        "MATCH (a)-[:X]->(b) RETURN a, b ORDER BY hops",        # not in RETURN
+        "MATCH (a)-[:X]->(b) RETURN a ORDER BY sideways",       # unknown key
+    ):
+        with _pytest.raises(CypherSyntaxError):
+            parse(bad)
+
+
 def test_cypher_rejects_out_of_subset():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 
