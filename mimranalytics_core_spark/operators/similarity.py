@@ -804,3 +804,129 @@ def sim_ivf_topk(spark, sf_dir, nprobe: int = 4):
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+def _pq_codebooks(pts, m: int, ksub: int, iters: int = 5):
+    """Per-subspace PQ codebooks via numpy Lloyd on a bounded driver sample.
+
+    ``pts``: (n, dim) sample; dim must divide into m equal subspaces. Each
+    subspace gets farthest-point seeding (deterministic, same scheme as
+    _kmeans_centroids) + ``iters`` Lloyd rounds. Returns (m, ksub, dim/m).
+    The sample is bounded (caller passes an id-ordered limit), so training
+    cost is independent of corpus size; the cluster-scale alternative is
+    one distributed Lloyd per subspace (same map-side-combine shape as
+    _kmeans_centroids), unnecessary for codebooks this small.
+    """
+    import numpy as np
+
+    n, dim = pts.shape
+    sub = dim // m
+    assert sub * m == dim, f"dim {dim} not divisible into {m} subspaces"
+    books = np.zeros((m, ksub, sub))
+    for j in range(m):
+        x = pts[:, j * sub : (j + 1) * sub]
+        k = min(ksub, len(x))
+        seed_idx = [0]
+        d2 = ((x - x[0]) ** 2).sum(axis=1)
+        while len(seed_idx) < k:
+            nxt = int(np.argmax(d2))
+            seed_idx.append(nxt)
+            d2 = np.minimum(d2, ((x - x[nxt]) ** 2).sum(axis=1))
+        c = x[seed_idx].copy()
+        for _ in range(iters):
+            codes = (-2.0 * (x @ c.T) + (c * c).sum(axis=1)).argmin(axis=1)
+            for ci in range(k):
+                hit = codes == ci
+                if hit.any():
+                    c[ci] = x[hit].mean(axis=0)
+        books[j, :k] = c
+        if k < ksub:  # degenerate tiny sample: repeat last centroid
+            books[j, k:] = c[-1]
+    return books
+
+
+def pq_topk(spark, e, query_vec_id: int = 0, m: int = 8, ksub: int = 16, k: int = 10):
+    """PQ/ADC approximate top-k over an embeddings frame (vec_id, emb).
+
+    Asymmetric distance computation: the corpus is quantized to m codes per
+    vector (argmin per subspace against the codebooks), the QUERY stays
+    exact, and the score is a table lookup — approx_dot = Σ_j q_j·C[j,code_j]
+    and approx ‖x‖² = Σ_j ‖C[j,code_j]‖², giving approximate cosine. One
+    vectorized mapInPandas pass does encode + score; only (vec_id, score)
+    rows leave the scan and TakeOrdered keeps k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sample = e.orderBy("vec_id").limit(max(32 * ksub, 512)).collect()
+    pts = np.array([[float(x) for x in r.emb] for r in sample])
+    books = _pq_codebooks(pts, m=m, ksub=ksub)
+    qrow = e.filter(F.col("vec_id") == query_vec_id).select("emb").first()
+    q = np.asarray([float(x) for x in qrow.emb])
+    dim = q.shape[0]
+    sub = dim // m
+    # ADC lookup tables: per subspace, partial dot with q and centroid norms
+    tab = np.stack([books[j] @ q[j * sub : (j + 1) * sub] for j in range(m)])
+    cn2 = (books * books).sum(axis=2)  # (m, ksub)
+    qn = float(np.sqrt((q * q).sum()))
+    b_list = [[[float(v) for v in c] for c in bj] for bj in books]
+
+    def encode_score(batches, b_list=b_list, tab=tab.tolist(), cn2=cn2.tolist()):
+        b = np.asarray(b_list)
+        tb = np.asarray(tab)
+        c2 = np.asarray(cn2)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mm = np.vstack(pdf["emb"].to_numpy())
+            keep = pdf["vec_id"].to_numpy() != query_vec_id
+            mm = mm[keep]
+            if not len(mm):
+                continue
+            dot = np.zeros(len(mm))
+            n2 = np.zeros(len(mm))
+            for j in range(b.shape[0]):
+                xj = mm[:, j * sub : (j + 1) * sub]
+                cj = b[j]
+                codes = (-2.0 * (xj @ cj.T) + (cj * cj).sum(axis=1)).argmin(axis=1)
+                dot += tb[j][codes]
+                n2 += c2[j][codes]
+            sims = dot / (np.sqrt(np.maximum(n2, 1e-30)) * qn)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "pq_cos": np.round(sims, 6),
+                }
+            )
+
+    return (
+        e.mapInPandas(encode_score, schema="vec_id long, pq_cos double")
+        .orderBy(F.col("pq_cos").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+@register(
+    "sim_pq_topk",
+    "similarity",
+    oracle=None,  # approximate (quantized scores) — rows-only; recall asserted in tests
+    notes=(
+        "product-quantization approximate top-k (north-star scale path, the "
+        "memory-compression complement to IVF): 16 subspaces × 32 centroids "
+        "trained on a bounded id-ordered sample (driver numpy Lloyd, "
+        "farthest-point seeded — corpus-size-independent), corpus encoded "
+        "to 16 codes/vector and scored via ADC lookup tables in ONE "
+        "vectorized mapInPandas pass; only (vec_id, score) rows leave the "
+        "scan, TakeOrdered keeps k. At 100 TB the codes are 16 bytes/vector "
+        "(16× smaller than 64×f32), so the scored representation fits "
+        "memory-resident where raw vectors cannot; recall vs brute force "
+        "asserted on planted corpora in tests/test_similarity.py"
+    ),
+)
+def sim_pq_topk(spark, sf_dir):
+    e = (
+        t(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+        .localCheckpoint(eager=True)
+    )
+    return pq_topk(spark, e, query_vec_id=0, m=16, ksub=32, k=10)

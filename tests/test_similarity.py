@@ -226,3 +226,43 @@ def test_ivf_recall_curve_monotone_and_exact_at_full_probe(spark):
         recalls.append(len(set(ivf) & set(brute)) / len(brute))
     assert recalls == sorted(recalls), recalls
     assert recalls[-1] == 1.0, recalls
+
+
+def test_pq_topk_ranks_planted_neighbors_first(spark):
+    """On a corpus with 5 planted near-copies of the query (cos ≈ 0.99),
+    PQ/ADC top-10 must surface all 5 — quantization error is small relative
+    to the planted separation."""
+    import numpy as np
+
+    from mimranalytics_core_spark.operators.similarity import pq_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((300, 64))
+    q = base[0]
+    planted = q + 0.05 * rng.standard_normal((5, 64))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)] + [
+        (300 + i, [float(x) for x in v]) for i, v in enumerate(planted)
+    ]
+    e = spark.createDataFrame(rows, "vec_id LONG, emb ARRAY<DOUBLE>")
+    top = [r.vec_id for r in pq_topk(spark, e, query_vec_id=0).collect()]
+    assert set(range(300, 305)) <= set(top), top
+
+
+def test_pq_topk_deterministic_and_runs_on_table(spark):
+    """The registered op must run over the embeddings table with a stable
+    schema and produce the identical result on a second invocation
+    (deterministic seeding + id-ordered sample)."""
+    df1 = OPS["sim_pq_topk"].fn(spark, SF_SMALL)
+    assert df1.columns == ["vec_id", "pq_cos"]
+    r1 = [(r.vec_id, r.pq_cos) for r in df1.collect()]
+    r2 = [(r.vec_id, r.pq_cos) for r in OPS["sim_pq_topk"].fn(spark, SF_SMALL).collect()]
+    assert len(r1) == 10 and r1 == r2
+
+
+def test_pq_topk_approximates_brute_force_on_clustered_data(spark):
+    """On the (clustered, 10-label) fixture corpus PQ top-10 must overlap
+    the exact top-10 — a conservative floor, as for IVF."""
+    pq = [r.vec_id for r in OPS["sim_pq_topk"].fn(spark, SF_SMALL).collect()]
+    brute = [r.vec_id for r in OPS["sim_cosine_topk"].fn(spark, SF_SMALL).collect()]
+    overlap = len(set(pq) & set(brute))
+    assert overlap >= 4, f"PQ recall too low: {overlap}/10 ({pq} vs {brute})"
