@@ -78,6 +78,58 @@ def bfs_distances(edges: DataFrame, seeds: DataFrame, max_depth: int = 10) -> Da
     return dist
 
 
+def multi_source_distances(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """Per-source min-hop distances: (source, node, dist), nodes reachable
+    within ``max_depth``. Level-synchronous for ALL sources at once — one
+    join + anti-join per level regardless of |sources|; the forward half of
+    the Brandes machinery without σ bookkeeping."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    frontier = (
+        sources.select(F.col("node").alias("source"))
+        .withColumn("node", F.col("source"))
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    seen = frontier
+    for level in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("source", F.col("dst").alias("node"))
+            .distinct()
+            .join(seen.select("source", "node"), ["source", "node"], "left_anti")
+            .withColumn("dist", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt)
+        frontier = nxt
+    return seen
+
+
+def closeness(edges: DataFrame, sources: DataFrame, max_depth: int = 8) -> DataFrame:
+    """Closeness centrality for each source: (node, closeness).
+
+    C(s) = |reached| / Σ_t dist(s, t) over nodes reachable within
+    ``max_depth`` (excluding s) — the standard per-component closeness when
+    the depth bound covers the component diameter. Rounded via
+    floor(x·1e6+0.5)/1e6, the engine's cross-engine HALF_UP discipline
+    (same formula as the DuckDB oracle — plain ROUND differs in ulp-edge
+    cases)."""
+    d = multi_source_distances(edges, sources, max_depth=max_depth)
+    return (
+        d.filter(F.col("node") != F.col("source"))
+        .groupBy(F.col("source").alias("node"))
+        .agg(
+            (
+                F.floor((F.count(F.lit(1)) / F.sum("dist")) * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("closeness")
+        )
+    )
+
+
 def weighted_sssp(edges: DataFrame, source: str, max_iter: int = 20) -> DataFrame:
     """Min-cost (sum of weights) from ``source``: (node, cost). Bellman-Ford
     style relaxation to fixpoint over the distributed edge list."""

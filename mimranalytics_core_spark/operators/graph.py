@@ -829,6 +829,55 @@ def graph_betweenness(spark, sf_dir):
     return betweenness(e, sources, max_depth=6, state_partitions=8)
 
 
+@register(
+    "graph_closeness",
+    "graph",
+    oracle=f"""
+        WITH RECURSIVE {HIERARCHY_SQL.strip()},
+        ue AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        srcs AS (SELECT DISTINCT src AS s FROM ue
+                 WHERE src LIKE 'n:%' OR src LIKE 'r:%'),
+        walk(s, node, path) AS (
+            SELECT s, s, [s] FROM srcs
+            UNION ALL
+            SELECT w.s, e.dst, list_append(w.path, e.dst)
+            FROM walk w JOIN ue e ON e.src = w.node
+            WHERE NOT list_contains(w.path, e.dst) AND len(w.path) <= 6
+        ),
+        md AS (SELECT s, node, MIN(len(path) - 1) AS d
+               FROM walk WHERE node != s GROUP BY s, node)
+        SELECT s AS node,
+               FLOOR(COUNT(*) * 1.0 / SUM(d) * 1e6 + 0.5) / 1e6 AS closeness
+        FROM md GROUP BY s
+    """,
+    notes=(
+        "closeness centrality (README.md:28 'centrality' — completes the "
+        "NetworkX centrality surface: degree/pagerank/betweenness/"
+        "closeness): C(s) = |reached| / Σ dist(s,t) for the nation+region "
+        "hub nodes, via ONE level-synchronous multi-source BFS (join + "
+        "anti-join per level for all 30 sources at once — supersteps ≤ "
+        "diameter regardless of |V| or |sources|). Oracle recomputes "
+        "per-pair min distances by simple-path enumeration (list-valued "
+        "recursive CTE, same depth bound) — an independent formulation, so "
+        "the hash match certifies the BFS distances and the aggregation. "
+        "Source sampling is the standard estimator at scale, as for "
+        "betweenness"
+    ),
+)
+def graph_closeness(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import closeness, undirect
+
+    tables(spark, sf_dir)
+    e = undirect(catalog.hierarchy_edges(spark, sf_dir))
+    sources = (
+        e.select("src")
+        .filter(F.col("src").startswith("n:") | F.col("src").startswith("r:"))
+        .distinct()
+        .select(F.col("src").alias("node"))
+    )
+    return closeness(e, sources, max_depth=6)
+
+
 _WSSSP_SQL = """
     WITH RECURSIVE {edges},
     walk(node, cost, depth) AS (

@@ -159,6 +159,37 @@ def test_betweenness_matches_reference(spark, edges):
             v, got.get(v), expected[v])
 
 
+def test_closeness_matches_python_bfs(spark, edges):
+    """Closeness from every node must equal a plain Python BFS recomputation
+    (|reached| / sum of distances, floor-rounded to 6)."""
+    from collections import deque
+
+    from mimranalytics_core_spark.functions.graph_algos import closeness, undirect
+
+    und = undirect(edges)
+    adj = {}
+    for r in und.collect():
+        adj.setdefault(r.src, set()).add(r.dst)
+        adj.setdefault(r.dst, set()).add(r.src)
+    sources = sorted(adj)
+    src_df = spark.createDataFrame([(s,) for s in sources], "node STRING")
+    got = {r.node: r.closeness for r in closeness(und, src_df, max_depth=8).collect()}
+    import math
+
+    for s in sources:
+        dist = {s: 0}
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        reached = [d for n, d in dist.items() if n != s]
+        want = math.floor(len(reached) / sum(reached) * 1e6 + 0.5) / 1e6
+        assert got[s] == pytest.approx(want, abs=1e-9), (s, got[s], want)
+
+
 def test_ubo_asof_time_slider_semantics(spark):
     """The as-of date genuinely changes the snapshot: before any order
     activity the ownership graph is empty; mid-history it is populated, and
