@@ -122,6 +122,51 @@ def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c_edges.unionByName(s_edges).unionByName(n_edges)
 
 
+def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node-attribute table for the hierarchy graph: (id, label, name).
+
+    The property side of the property-graph model (reference README.md:25 —
+    Neo4j nodes carry labels + properties): namespaced ids matching
+    :func:`hierarchy_edges`, the node's entity label, and its display name.
+    Cypher property access (``n.name``, ``n.label``) resolves through this
+    view via an equi-join. Scale: four narrow projections + union — no
+    shuffle; the join against it is a plain equi-join on the node id that
+    AQE sizes (the nation/region tiers are broadcast-small at any SF).
+    """
+    customer = spark.table("customer")
+    supplier = spark.table("supplier")
+    nation = spark.table("nation")
+    region = spark.table("region")
+    return (
+        customer.select(
+            F.concat(F.lit("c:"), F.col("c_custkey")).alias("id"),
+            F.lit("customer").alias("label"),
+            F.col("c_name").alias("name"),
+        )
+        .unionByName(
+            supplier.select(
+                F.concat(F.lit("s:"), F.col("s_suppkey")).alias("id"),
+                F.lit("supplier").alias("label"),
+                F.col("s_name").alias("name"),
+            )
+        )
+        .unionByName(
+            nation.select(
+                F.concat(F.lit("n:"), F.col("n_nationkey")).alias("id"),
+                F.lit("nation").alias("label"),
+                F.col("n_name").alias("name"),
+            )
+        )
+        .unionByName(
+            region.select(
+                F.concat(F.lit("r:"), F.col("r_regionkey")).alias("id"),
+                F.lit("region").alias("label"),
+                F.col("r_name").alias("name"),
+            )
+        )
+    )
+
+
 def temporal_ownership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed, weighted ownership edges carrying [valid_from, valid_to]
     validity intervals as primary data (Time-Slider over the ownership graph

@@ -1,15 +1,16 @@
 """Cypher text front-end for the graph surface (reference README.md:25 —
 the store is Neo4j/Memgraph, so migrating users arrive with saved Cypher
-strings). Parses the variable-length path subset
+strings). Parses the pattern subset
 
-    MATCH (a)-[:TYPE1|TYPE2*min..max]->(b)
+    MATCH (a)-[:TYPE1|TYPE2*min..max]->(b)[-[:TYPE3]->(c) ...]
       [AS OF '<timestamp>']            -- Time-Slider extension (README.md:17)
-      [WHERE <predicate on a.id / b.id>]
-      RETURN <items>
+      [WHERE <predicate over var.id / var.name / var.label>]
+      RETURN <items> [ORDER BY ...] [SKIP n] [LIMIT n]
 
-into :func:`mimranalytics_core_spark.api.match_path` builder args, so every
-Cypher string executes through the same oracle-verified bounded-traversal
-plan as the §2.9 operators.
+into :func:`mimranalytics_core_spark.api.match_path` builder calls — every
+segment executes through the same oracle-verified bounded-traversal plan as
+the §2.9 operators; multi-segment patterns join the segments on their
+shared variables.
 
 Semantics note (deliberate, documented divergence): variable-length
 patterns here are **bounded walk closure** — edges and nodes may repeat
@@ -17,21 +18,28 @@ along a path, matching the UBO/reach operators and their DuckDB oracles —
 whereas Cypher's ``*min..max`` enforces relationship uniqueness (trail
 semantics). On DAG-shaped data (the ownership hierarchy) the two coincide;
 on cyclic graphs walk closure can count edge-repeating paths Cypher would
-exclude. hops is min-hops per (src, dst) pair; path_weight sums the weight
-product over ALL distinct walks.
+exclude. For a single-segment pattern, ``hops`` is min-hops per (src, dst)
+pair and ``path_weight`` sums the weight product over ALL distinct walks.
+Multi-segment patterns bind DISTINCT variable assignments (one row per
+(a, b, c, …) combination, not per path), so ``hops``/``path_weight`` are
+single-segment-only.
 
 Grammar subset:
 
-- Node patterns carry no inline labels/props — start-node filtering is the
-  WHERE clause (``a.id STARTS WITH 'c:'`` → pushed below the first join).
+- Node patterns carry no inline labels/props — node filtering is the WHERE
+  clause (``a.id STARTS WITH 'c:'`` pushes below the first join when it
+  names only the first variable's id).
+- Node properties: ``var.id`` (the namespaced node id), ``var.name`` and
+  ``var.label`` (resolved by equi-joining the catalog's hierarchy_nodes
+  attribute view) — usable in WHERE and RETURN.
 - Relationship types are case-insensitive (``:CUSTOMER_OF`` → the catalog's
   ``customer_of``); omitted types traverse every edge.
 - ``*`` bounds: ``*2..4``, ``*..3`` (min 1), ``*2..`` is REJECTED (no
   unbounded traversal — the engine requires a hop bound, like the
   recursive-CTE operators), bare ``*`` defaults to 1..3, no star = 1..1.
-- RETURN items: ``a``/``b`` (the endpoints), ``hops``, ``path_weight``
-  (requesting path_weight switches on carry_weight aggregation); ``AS``
-  aliases are honored.
+- RETURN items: pattern variables, their properties, ``hops``,
+  ``path_weight`` (single-segment; requesting path_weight switches on
+  carry_weight aggregation); ``AS`` aliases are honored.
 - Aggregates in RETURN (Cypher's implicit grouping): ``count(*)``,
   ``count([DISTINCT] expr)``, ``sum/min/max/avg(hops|path_weight)`` —
   non-aggregate RETURN items become the grouping keys, exactly as in
@@ -50,17 +58,19 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_PATTERN = re.compile(
-    r"""^\s*MATCH\s*
-        \(\s*(?P<a>[A-Za-z_]\w*)\s*\)\s*
-        -\s*\[\s*
-            (?::\s*(?P<types>[A-Za-z_]\w*(?:\s*\|\s*[A-Za-z_]\w*)*))?
-            \s*(?P<star>\*)?\s*
-            (?:(?<=\*)|(?=\s*\]))        # bounds only legal after a star
-            (?P<min>\d+)?\s*(?P<dots>\.\.)?\s*(?P<max>\d+)?
-        \s*\]\s*->\s*
-        \(\s*(?P<b>[A-Za-z_]\w*)\s*\)
-        (?:\s+AS\s+OF\s+'(?P<asof>[^']+)')?
+_MATCH_HEAD = re.compile(r"^\s*MATCH\s*", re.IGNORECASE)
+_NODE_RE = re.compile(r"\(\s*([A-Za-z_]\w*)\s*\)")
+_REL_RE = re.compile(
+    r"""\s*-\s*\[\s*
+        (?::\s*(?P<types>[A-Za-z_]\w*(?:\s*\|\s*[A-Za-z_]\w*)*))?
+        \s*(?P<star>\*)?\s*
+        (?:(?<=\*)|(?=\s*\]))        # bounds only legal after a star
+        (?P<min>\d+)?\s*(?P<dots>\.\.)?\s*(?P<max>\d+)?
+    \s*\]\s*->\s*""",
+    re.IGNORECASE | re.VERBOSE,
+)
+_TAIL_RE = re.compile(
+    r"""^(?:\s+AS\s+OF\s+'(?P<asof>[^']+)')?
         (?:\s+WHERE\s+(?P<where>.*?))?
         \s+RETURN\s+(?P<ret>.+?)
         (?:\s+ORDER\s+BY\s+(?P<order>.+?))?
@@ -76,80 +86,163 @@ _AGG_ITEM = re.compile(
     re.IGNORECASE,
 )
 
-_STARTS_WITH = re.compile(r"(?P<col>\bsrc\b|\bdst\b)\s+STARTS\s+WITH\s+'(?P<lit>[^']*)'", re.I)
+_STARTS_WITH = re.compile(r"(?P<col>\b\w+\b)\s+STARTS\s+WITH\s+'(?P<lit>[^']*)'", re.I)
+
+_PROPS = ("name", "label")
+_RESERVED = {"src", "dst", "hops", "path_weight", "id", "name", "label"}
 
 
 class CypherSyntaxError(ValueError):
     """Raised when a query falls outside the supported MATCH subset."""
 
 
-def _translate_pred(where: str, a: str, b: str) -> str:
-    """Rewrite `a.id` / `b.id` to src/dst and STARTS WITH to LIKE."""
-    pred = re.sub(rf"\b{re.escape(a)}\.id\b", "src", where)
-    pred = re.sub(rf"\b{re.escape(b)}\.id\b", "dst", pred)
-    if re.search(r"\b\w+\.\w+\b", pred.replace("src", "").replace("dst", "")):
-        raise CypherSyntaxError(f"unsupported property access in WHERE: {where!r}")
-    # STARTS WITH 'x' → LIKE 'x%' (escape SQL-LIKE wildcards in the literal)
-    def _sw(m: re.Match) -> str:
-        lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
-        return f"{m.group('col')} LIKE '{lit}%'"
-
-    return _STARTS_WITH.sub(_sw, pred)
-
-
-def parse(query: str) -> dict:
-    """Parse a Cypher string → match_path kwargs + return projection.
-
-    Returns a dict with keys ``edge_types``, ``min_hops``, ``max_hops``,
-    ``as_of``, ``src_pred``, ``post_pred``, ``carry_weight``, ``projection``
-    (list of (source_col, output_name)).
-    """
-    m = _PATTERN.match(query)
-    if not m:
-        raise CypherSyntaxError(f"unsupported Cypher (MATCH subset only): {query!r}")
-    a, b = m.group("a"), m.group("b")
-    if a == b:
-        raise CypherSyntaxError("start and end variables must differ")
-
-    types = m.group("types")
-    edge_types = [t.strip().lower() for t in types.split("|")] if types else None
-
-    if m.group("star"):
-        lo = int(m.group("min")) if m.group("min") else 1
-        if m.group("dots"):
-            if m.group("max") is None:
+def _parse_bounds(rm: re.Match) -> tuple[int, int]:
+    if rm.group("star"):
+        lo = int(rm.group("min")) if rm.group("min") else 1
+        if rm.group("dots"):
+            if rm.group("max") is None:
                 raise CypherSyntaxError(
                     "unbounded variable-length patterns (*n..) are not supported: "
                     "the engine requires a hop bound"
                 )
-            hi = int(m.group("max"))
+            hi = int(rm.group("max"))
         else:
-            hi = int(m.group("min")) if m.group("min") else 3  # bare * → 1..3
-    else:
-        lo = hi = 1
+            hi = int(rm.group("min")) if rm.group("min") else 3  # bare * → 1..3
+        return lo, hi
+    return 1, 1
 
-    # WHERE: predicates naming only the start endpoint push below the first
-    # join (match_path's src_pred); anything touching dst filters the result.
+
+def parse(query: str) -> dict:
+    """Parse a Cypher string → segment list + projection/order/paging spec.
+
+    Returns a dict with ``segments`` (list of {types, min_hops, max_hops,
+    src, dst}), ``vars`` (pattern variables in order), the legacy
+    single-segment keys (``edge_types``/``min_hops``/``max_hops`` from the
+    first segment), ``as_of``, ``src_pred``, ``post_pred``,
+    ``carry_weight``, ``projection``, ``prop_vars`` (var → needed
+    properties), ``order_by``, ``skip``, ``limit``.
+    """
+    hm = _MATCH_HEAD.match(query)
+    if not hm:
+        raise CypherSyntaxError(f"unsupported Cypher (MATCH subset only): {query!r}")
+    pos = hm.end()
+    nm = _NODE_RE.match(query, pos)
+    if not nm:
+        raise CypherSyntaxError(f"expected a node pattern after MATCH: {query!r}")
+    vars_: list[str] = [nm.group(1)]
+    pos = nm.end()
+    segments: list[dict] = []
+    while True:
+        rm = _REL_RE.match(query, pos)
+        if not rm:
+            break
+        nm = _NODE_RE.match(query, rm.end())
+        if not nm:
+            raise CypherSyntaxError(f"expected a node pattern after relationship: {query!r}")
+        lo, hi = _parse_bounds(rm)
+        types = rm.group("types")
+        segments.append(
+            {
+                "types": [t.strip().lower() for t in types.split("|")] if types else None,
+                "min_hops": lo,
+                "max_hops": hi,
+                "src": vars_[-1],
+                "dst": nm.group(1),
+            }
+        )
+        vars_.append(nm.group(1))
+        pos = nm.end()
+    if not segments:
+        raise CypherSyntaxError(f"pattern needs at least one relationship: {query!r}")
+    if len(set(vars_)) != len(vars_):
+        raise CypherSyntaxError("pattern variables must be distinct")
+    bad = [v for v in vars_ if v.lower() in _RESERVED]
+    if bad:
+        raise CypherSyntaxError(f"reserved pattern variable name(s): {bad}")
+
+    tm = _TAIL_RE.match(query[pos:])
+    if not tm:
+        raise CypherSyntaxError(f"unsupported Cypher tail (need RETURN): {query!r}")
+    single = len(segments) == 1
+    varset = set(vars_)
+    prop_vars: dict[str, set] = {}
+
+    def _map_expr(expr: str, ctx: str) -> str:
+        """Map a Cypher expression to its engine column token."""
+        if expr in varset:
+            return expr
+        if "." in expr:
+            var, _, prop = expr.partition(".")
+            if var in varset:
+                if prop == "id":
+                    return var
+                if prop in _PROPS:
+                    prop_vars.setdefault(var, set()).add(prop)
+                    return f"{var}__{prop}"
+            raise CypherSyntaxError(f"unsupported property access in {ctx}: {expr!r}")
+        low = expr.lower()
+        if low in ("hops", "path_weight"):
+            if not single:
+                raise CypherSyntaxError(
+                    f"{low} is single-segment-only (multi-segment patterns bind "
+                    "distinct variable assignments, not paths)"
+                )
+            return low
+        raise CypherSyntaxError(f"unsupported {ctx}: {expr!r}")
+
+    # WHERE: map property accesses to column tokens; a predicate naming only
+    # the FIRST variable's id pushes below the first join (match_path's
+    # src_pred); anything else filters the joined result. Every identifier
+    # rewrite/scan runs OUTSIDE quoted literals — a literal like 'c:%' must
+    # never be rewritten when the variable is named c.
+    def _outside_quotes(pred: str, fn) -> str:
+        parts = re.split(r"('(?:[^'])*')", pred)
+        return "".join(p if p.startswith("'") else fn(p) for p in parts)
+
     src_pred = post_pred = None
-    where = m.group("where")
+    carry_weight = False
+    where = tm.group("where")
     if where:
-        pred = _translate_pred(where.strip(), a, b)
-        if re.search(r"\bdst\b", pred):
-            post_pred = pred
+        pred = where.strip()
+
+        def _map_props(seg: str) -> str:
+            for pm in sorted(
+                set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)), key=len, reverse=True
+            ):
+                seg = seg.replace(pm, _map_expr(pm, "WHERE"))
+            return seg
+
+        pred = _outside_quotes(pred, _map_props)
+        unquoted = "".join(
+            p for p in re.split(r"('(?:[^'])*')", pred) if not p.startswith("'")
+        )
+        if re.search(r"\b\w+\.\w+\b", unquoted):
+            raise CypherSyntaxError(f"unsupported property access in WHERE: {where!r}")
+
+        def _sw(m: re.Match) -> str:
+            lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+            return f"{m.group('col')} LIKE '{lit}%'"
+
+        pred = _STARTS_WITH.sub(_sw, pred)
+        unquoted = "".join(
+            p for p in re.split(r"('(?:[^'])*')", pred) if not p.startswith("'")
+        )
+        if "path_weight" in unquoted:
+            carry_weight = True
+        mentioned = {
+            w
+            for w in re.findall(r"\b[A-Za-z_]\w*\b", unquoted)
+            if w in varset or "__" in w or w in ("hops", "path_weight")
+        }
+        if mentioned == {vars_[0]} and f"{vars_[0]}__" not in unquoted:
+            src_pred = _outside_quotes(
+                pred, lambda s: re.sub(rf"\b{re.escape(vars_[0])}\b", "src", s)
+            )
         else:
-            src_pred = pred
-
-    colmap = {a: "src", b: "dst", f"{a}.id": "src", f"{b}.id": "dst"}
-
-    def _map_col(expr: str, ctx: str) -> str:
-        col = colmap.get(expr, expr.lower())
-        if col not in ("src", "dst", "hops", "path_weight"):
-            raise CypherSyntaxError(f"unsupported {ctx}: {expr!r}")
-        return col
+            post_pred = pred
 
     projection: list[dict] = []
-    carry_weight = False
-    for item in m.group("ret").split(","):
+    for item in tm.group("ret").split(","):
         item = item.strip()
         am = _AGG_ITEM.match(item)
         if am:
@@ -160,12 +253,12 @@ def parse(query: str) -> dict:
                     raise CypherSyntaxError(f"only count(*) may take '*': {item!r}")
                 col, default = None, "count_star"
             else:
-                col = _map_col(arg, "aggregate argument")
-                if fn in ("sum", "min", "max", "avg") and col in ("src", "dst"):
+                col = _map_expr(arg, "aggregate argument")
+                if fn in ("sum", "min", "max", "avg") and col not in ("hops", "path_weight"):
                     raise CypherSyntaxError(
                         f"{fn}() needs a numeric argument (hops/path_weight): {item!r}"
                     )
-                default = f"{fn}_{col}"
+                default = f"{fn}_{arg.replace('.', '_')}"
             if col == "path_weight":
                 carry_weight = True
             projection.append(
@@ -182,7 +275,7 @@ def parse(query: str) -> dict:
         if not im:
             raise CypherSyntaxError(f"unsupported RETURN item: {item!r}")
         expr = im.group("expr")
-        col = _map_col(expr, "RETURN item")
+        col = _map_expr(expr, "RETURN item")
         if col == "path_weight":
             carry_weight = True
         projection.append(
@@ -192,16 +285,19 @@ def parse(query: str) -> dict:
     # ORDER BY: names must resolve to RETURN output columns
     out_names = {p["name"] for p in projection}
     order_by: list[tuple[str, bool]] = []
-    if m.group("order"):
-        for key in m.group("order").split(","):
+    if tm.group("order"):
+        for key in tm.group("order").split(","):
             km = re.match(r"^\s*(?P<name>[\w.]+)(?:\s+(?P<dir>ASC|DESC))?\s*$", key, re.I)
             if not km:
                 raise CypherSyntaxError(f"unsupported ORDER BY key: {key!r}")
             name = km.group("name")
             if name not in out_names:
                 # allow ordering by the underlying expr of an unaliased item
-                mapped = colmap.get(name, name.lower())
-                cand = [p["name"] for p in projection if p.get("col") == mapped]
+                try:
+                    mapped = _map_expr(name, "ORDER BY")
+                except CypherSyntaxError:
+                    mapped = None
+                cand = [p["name"] for p in projection if mapped and p.get("col") == mapped]
                 if not cand:
                     raise CypherSyntaxError(
                         f"ORDER BY key {name!r} is not a RETURN output column"
@@ -210,35 +306,78 @@ def parse(query: str) -> dict:
             order_by.append((name, (km.group("dir") or "ASC").upper() == "ASC"))
 
     return {
-        "edge_types": edge_types,
-        "min_hops": lo,
-        "max_hops": hi,
-        "as_of": m.group("asof"),
+        "segments": segments,
+        "vars": vars_,
+        "edge_types": segments[0]["types"],
+        "min_hops": segments[0]["min_hops"],
+        "max_hops": segments[0]["max_hops"],
+        "as_of": tm.group("asof"),
         "src_pred": src_pred,
         "post_pred": post_pred,
         "carry_weight": carry_weight,
         "projection": projection,
+        "prop_vars": {k: sorted(v) for k, v in prop_vars.items()},
         "order_by": order_by,
-        "skip": int(m.group("skip")) if m.group("skip") else None,
-        "limit": int(m.group("limit")) if m.group("limit") else None,
+        "skip": int(tm.group("skip")) if tm.group("skip") else None,
+        "limit": int(tm.group("limit")) if tm.group("limit") else None,
     }
 
 
 def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """Execute a Cypher MATCH string against the hierarchy graph."""
-    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark import api, catalog
 
     p = parse(query)
-    df = api.match_path(
-        spark,
-        sf_dir,
-        edge_types=p["edge_types"],
-        min_hops=p["min_hops"],
-        max_hops=p["max_hops"],
-        src_pred=p["src_pred"],
-        as_of=p["as_of"],
-        carry_weight=p["carry_weight"],
-    )
+    segs = p["segments"]
+    single = len(segs) == 1
+
+    if single:
+        df = api.match_path(
+            spark,
+            sf_dir,
+            edge_types=segs[0]["types"],
+            min_hops=segs[0]["min_hops"],
+            max_hops=segs[0]["max_hops"],
+            src_pred=p["src_pred"],
+            as_of=p["as_of"],
+            carry_weight=p["carry_weight"],
+        )
+        cols = [
+            F.col("src").alias(segs[0]["src"]),
+            F.col("dst").alias(segs[0]["dst"]),
+            "hops",
+        ]
+        if p["carry_weight"]:
+            cols.append("path_weight")
+        df = df.select(*cols)
+    else:
+        # multi-segment: each segment is its own bounded traversal; shared
+        # variables join the segments (distinct bindings — see module doc)
+        df = None
+        for i, seg in enumerate(segs):
+            part = api.match_path(
+                spark,
+                sf_dir,
+                edge_types=seg["types"],
+                min_hops=seg["min_hops"],
+                max_hops=seg["max_hops"],
+                src_pred=p["src_pred"] if i == 0 else None,
+                as_of=p["as_of"],
+            )
+            part = part.select(
+                F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
+            ).distinct()
+            df = part if df is None else df.join(part, seg["src"])
+
+    # node-property access: equi-join the attribute view per referenced var
+    if p["prop_vars"]:
+        attrs = catalog.hierarchy_nodes(spark, sf_dir)
+        for var, props in p["prop_vars"].items():
+            sel = [F.col("id").alias(var)] + [
+                F.col(pr).alias(f"{var}__{pr}") for pr in props
+            ]
+            df = df.join(attrs.select(*sel), var, "left")
+
     if p["post_pred"]:
         df = df.filter(F.expr(p["post_pred"]))
 

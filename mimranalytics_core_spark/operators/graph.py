@@ -983,3 +983,41 @@ def cypher_match_agg(spark, sf_dir):
            RETURN b AS entity, count(*) AS n_src, min(hops) AS min_hops
            ORDER BY n_src DESC, entity ASC LIMIT 20""",
     )
+
+
+@register(
+    "cypher_multi_hop",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nation, COUNT(*) AS n_suppliers
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+        GROUP BY n.n_name
+        ORDER BY nation
+    """,
+    notes=(
+        "multi-segment Cypher pattern with node properties (README.md:25 — "
+        "the (a)-[:X]->(b)-[:Y]->(c) chain is the second most common saved "
+        "query shape after single patterns): each segment compiles to its "
+        "own bounded traversal, shared variables join the segments, and "
+        "var.name/var.label resolve by equi-joining the catalog's "
+        "hierarchy_nodes attribute view (the property side of the property "
+        "graph). The oracle is the plain relational join the pattern "
+        "denotes — proving string → multi-segment plan → property joins → "
+        "implicit grouping end-to-end. Scale: narrow per-segment edge "
+        "lists, equi-joins throughout, partial+final agg"
+    ),
+)
+def cypher_multi_hop(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (s)-[:SUPPLIER_OF]->(n)-[:NATION_OF]->(r)
+           WHERE r.name = 'EUROPE'
+           RETURN n.name AS nation, count(*) AS n_suppliers
+           ORDER BY nation""",
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mimranalytics_core_spark import api
+from mimranalytics_core_spark.operators._base import t
 from tests.conftest import SF_SMALL
 
 
@@ -267,6 +268,51 @@ def test_cypher_order_by_desc_on_aggregate_alias(spark):
     assert ns == sorted(ns, reverse=True)
 
 
+def test_cypher_multi_segment_joins_on_shared_variable(spark):
+    """(s)-[:SUPPLIER_OF]->(n)-[:NATION_OF]->(r) must equal the relational
+    supplier→nation→region join."""
+    q = """MATCH (s)-[:SUPPLIER_OF]->(n)-[:NATION_OF]->(r)
+           RETURN s AS supplier, n AS nation, r AS region"""
+    got = api.cypher(spark, SF_SMALL, q)
+    assert got.columns == ["supplier", "nation", "region"]
+    rows = {(r.supplier, r.nation, r.region) for r in got.collect()}
+    sup = t(spark, SF_SMALL, "supplier").select("s_suppkey", "s_nationkey")
+    nat = t(spark, SF_SMALL, "nation").select("n_nationkey", "n_regionkey")
+    want = {
+        (f"s:{r.s_suppkey}", f"n:{r.s_nationkey}", f"r:{r.n_regionkey}")
+        for r in sup.join(nat, sup.s_nationkey == nat.n_nationkey).collect()
+    }
+    assert rows == want
+
+
+def test_cypher_property_access_in_where_and_return(spark):
+    """var.name resolves through the node-attribute view in both WHERE and
+    RETURN; the filter must match the relational equivalent."""
+    q = """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WHERE n.name = 'NATION_2' RETURN c AS cust, n.name AS nation_name"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    assert rows and all(r.nation_name == "NATION_2" for r in rows)
+    nat = t(spark, SF_SMALL, "nation").filter(F.col("n_name") == "NATION_2").collect()
+    nk = nat[0].n_nationkey
+    want = {
+        f"c:{r.c_custkey}"
+        for r in t(spark, SF_SMALL, "customer").filter(F.col("c_nationkey") == nk).collect()
+    }
+    assert {r.cust for r in rows} == want
+
+
+def test_cypher_multi_segment_var_length_first_leg(spark):
+    """A variable-length first segment composes with a fixed second segment
+    (customer reaches region via 1..2, region's nations via reversed edge
+    is not modeled — use supplier leg instead)."""
+    q = """MATCH (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(x)-[:NATION_OF]->(r)
+           WHERE c.id STARTS WITH 'c:'
+           RETURN c AS cust, x AS via, r AS region"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    # the only (via)-[:NATION_OF]->(region) sources are nations, so via=n:*
+    assert rows and all(r.via.startswith("n:") and r.region.startswith("r:") for r in rows)
+
+
 def test_cypher_rejects_bad_aggregates_and_order_keys():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 
@@ -290,9 +336,11 @@ def test_cypher_rejects_out_of_subset():
     for bad in (
         "MATCH (a)-[:X*2..]->(b) RETURN a, b",          # unbounded
         "MATCH (a)-[:X]->(a) RETURN a",                  # same var twice
-        "MATCH (a)-[:X]->(b) WHERE a.name = 'x' RETURN a, b",  # property access
+        "MATCH (a)-[:X]->(b) WHERE a.acctbal > 0 RETURN a, b",  # unknown property
         "CREATE (a)-[:X]->(b)",                          # not MATCH
         "MATCH (a)-[:X]->(b) RETURN shortest_path",      # unknown item
+        "MATCH (a)-[:X]->(b)-[:Y]->(c) RETURN a, hops",  # hops is 1-segment-only
+        "MATCH (src)-[:X]->(b) RETURN src",              # reserved variable
     ):
         with _pytest.raises(CypherSyntaxError):
             parse(bad)
