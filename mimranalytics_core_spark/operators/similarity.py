@@ -591,6 +591,64 @@ def multimodal_image_meta(spark, sf_dir, width: int = 40):
 
 
 @register(
+    "multimodal_image_resize",
+    "similarity",
+    oracle="""
+        WITH s AS (SELECT doc_id, text,
+                          GREATEST(CAST(CEIL(length(text) / 40.0) AS INT), 1) AS h
+                   FROM documents WHERE doc_id < 200),
+        gi AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS oi),
+        gj AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS oj)
+        SELECT media_id, oi, oj,
+               CASE WHEN pos <= len THEN ascii(substr(text, pos, 1)) ELSE 0 END AS px
+        FROM (
+            SELECT doc_id AS media_id, text, length(text) AS len, oi, oj,
+                   ((oi * h) // 8) * 40 + ((oj * 40) // 8) + 1 AS pos
+            FROM s CROSS JOIN gi CROSS JOIN gj
+        )
+    """,
+    notes=(
+        "image resize over REAL BMP containers (completes the north-star "
+        "multimodal verb set: decode / feature-extract / RESIZE / "
+        "frame-sample): each document's bytes become a genuine 40-wide "
+        "8-bit grayscale BMP (bmp_pack), the stdlib-struct decoder "
+        "recovers the pixel matrix, and a nearest-neighbor 8×8 downsample "
+        "runs as one numpy fancy-index per image inside the Arrow batch — "
+        "blobs never leave the executor; only 64 (i,j,px) rows per image "
+        "shuffle. The oracle recomputes every sampled pixel's source "
+        "position arithmetically from the text (ascii fixture, as for the "
+        "WAV leg), so container round-trip AND the resize index math are "
+        "hash-verified"
+    ),
+)
+def multimodal_image_resize(spark, sf_dir, width: int = 40, out: int = 8):
+    import numpy as np
+    import pandas as pd
+
+    from mimranalytics_core_spark.functions.multimodal import bmp_decode, bmp_pack
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def resize(batches):
+        oi = np.arange(out)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                raw = (r.text or "").encode("utf-8")
+                w, h, _, pixels = bmp_decode(bmp_pack(raw, width))
+                arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w)
+                rs = arr[(oi * h) // out][:, (oi * w) // out]
+                for i in range(out):
+                    for j in range(out):
+                        rows.append((r.media_id, i, j, int(rs[i, j])))
+            yield pd.DataFrame(rows, columns=["media_id", "oi", "oj", "px"])
+
+    return d.select(F.col("doc_id").cast("int").alias("media_id"), "text").mapInPandas(
+        resize, schema="media_id int, oi int, oj int, px int"
+    )
+
+
+@register(
     "multimodal_gif_frames",
     "similarity",
     oracle="""
