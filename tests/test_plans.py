@@ -123,3 +123,27 @@ def test_events_ops_prune_unused_variant_column(spark):
     df = all_ops()["scan_events_ns"].fn(spark, SF_SMALL)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "parse_json" not in plan, plan
+
+
+def test_pq_topk_plan_is_scan_then_take_ordered(spark):
+    """PQ: one Arrow scan stage emitting (vec_id, score), then global top-k —
+    no cartesian, no wide shuffle of vectors."""
+    plan = _plan(spark, "sim_pq_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cypher_multi_hop_plan_aggregates_partially(spark):
+    """Multi-segment Cypher compiles to equi-joins + partial/final agg —
+    no nested-loop joins anywhere in the chain."""
+    plan = _plan(spark, "cypher_multi_hop")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_closeness_aggregates_distances_partially(spark):
+    """Closeness: the distance frame aggregates partial-then-final (count+sum
+    reach the driver as one row per source, never the distance rows)."""
+    plan = _plan(spark, "graph_closeness")
+    assert plan.count("HashAggregate") >= 2
