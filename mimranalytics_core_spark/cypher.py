@@ -40,11 +40,16 @@ Grammar subset:
 - RETURN items: pattern variables, their properties, ``hops``,
   ``path_weight`` (single-segment; requesting path_weight switches on
   carry_weight aggregation); ``AS`` aliases are honored.
+- ``RETURN DISTINCT`` deduplicates the projected rows (plain items only —
+  aggregates already group).
 - Aggregates in RETURN (Cypher's implicit grouping): ``count(*)``,
-  ``count([DISTINCT] expr)``, ``sum/min/max/avg(hops|path_weight)`` —
-  non-aggregate RETURN items become the grouping keys, exactly as in
-  Cypher. ``sum``/``avg`` results are rounded to 6 places (the engine's
-  float-hash discipline; per-pair path_weight is already round-6).
+  ``count([DISTINCT] expr)``, ``sum/min/max/avg(hops|path_weight)``, and
+  ``collect([DISTINCT] expr)`` (→ a SORTED array — Cypher's collect() has
+  no ordering guarantee, so the engine pins lexical order for determinism,
+  as agg_collect does) — non-aggregate RETURN items become the grouping
+  keys, exactly as in Cypher. ``sum``/``avg`` results are rounded to 6
+  places (the engine's float-hash discipline; per-pair path_weight is
+  already round-6).
 - ``ORDER BY item [ASC|DESC], ...`` over RETURN output columns (aliases
   or default names), then ``SKIP n`` / ``LIMIT n``. Ties are NOT broken
   implicitly — order by a unique column (e.g. the entity id) before
@@ -81,7 +86,7 @@ _TAIL_RE = re.compile(
 )
 
 _AGG_ITEM = re.compile(
-    r"^(?P<fn>count|sum|min|max|avg)\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[\w.]+)\s*\)"
+    r"^(?P<fn>count|sum|min|max|avg|collect)\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[\w.]+)\s*\)"
     r"(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
@@ -241,8 +246,14 @@ def parse(query: str) -> dict:
         else:
             post_pred = pred
 
+    ret = tm.group("ret")
+    dm = re.match(r"^\s*DISTINCT\s+", ret, re.I)
+    ret_distinct = bool(dm)
+    if dm:
+        ret = ret[dm.end() :]
+
     projection: list[dict] = []
-    for item in tm.group("ret").split(","):
+    for item in ret.split(","):
         item = item.strip()
         am = _AGG_ITEM.match(item)
         if am:
@@ -306,6 +317,7 @@ def parse(query: str) -> dict:
             order_by.append((name, (km.group("dir") or "ASC").upper() == "ASC"))
 
     return {
+        "ret_distinct": ret_distinct,
         "segments": segments,
         "vars": vars_,
         "edge_types": segments[0]["types"],
@@ -391,6 +403,11 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                 e = F.count(F.lit(1))
             elif it["fn"] == "count":
                 e = F.count_distinct(it["col"]) if it["distinct"] else F.count(it["col"])
+            elif it["fn"] == "collect":
+                # Cypher collect() guarantees no order — pin lexical order for
+                # cross-run determinism, as agg_collect does
+                base = F.collect_set(it["col"]) if it["distinct"] else F.collect_list(it["col"])
+                e = F.array_sort(base)
             else:
                 e = getattr(F, it["fn"])(it["col"])
                 if it["fn"] in ("sum", "avg"):
@@ -402,6 +419,8 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             df = df.agg(*exprs)
     else:
         df = df.select(*[F.col(it["col"]).alias(it["name"]) for it in p["projection"]])
+    if p.get("ret_distinct"):
+        df = df.distinct()
 
     if p["order_by"]:
         df = df.orderBy(

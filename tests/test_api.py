@@ -313,6 +313,37 @@ def test_cypher_multi_segment_var_length_first_leg(spark):
     assert rows and all(r.via.startswith("n:") and r.region.startswith("r:") for r in rows)
 
 
+def test_cypher_return_distinct_dedupes_bindings(spark):
+    """RETURN DISTINCT b: a customer reaches its nation at hop 1 only, but
+    multiple customers share a nation — distinct must collapse them."""
+    q_all = """MATCH (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(b)
+               WHERE c.id STARTS WITH 'c:' RETURN b"""
+    q_dist = """MATCH (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(b)
+                WHERE c.id STARTS WITH 'c:' RETURN DISTINCT b"""
+    n_all = api.cypher(spark, SF_SMALL, q_all).count()
+    dist = api.cypher(spark, SF_SMALL, q_dist)
+    n_dist = dist.count()
+    assert n_dist < n_all
+    assert n_dist == 30  # 25 nations + 5 regions reachable from customers
+
+
+def test_cypher_collect_aggregate_is_sorted(spark):
+    q = "MATCH (n)-[:NATION_OF]->(r) RETURN r AS region, collect(n) AS nations"
+    rows = {r.region: r.nations for r in api.cypher(spark, SF_SMALL, q).collect()}
+    nat = t(spark, SF_SMALL, "nation").collect()
+    want = {}
+    for r in nat:
+        want.setdefault(f"r:{r.n_regionkey}", []).append(f"n:{r.n_nationkey}")
+    assert rows == {k: sorted(v) for k, v in want.items()}
+
+
+def test_cypher_hops_predicate_filters_post_traversal(spark):
+    q = """MATCH (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(b)
+           WHERE hops >= 2 RETURN c AS cust, b AS dest, hops"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    assert rows and all(r.hops == 2 and r.dest.startswith("r:") for r in rows)
+
+
 def test_cypher_rejects_bad_aggregates_and_order_keys():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 
