@@ -36,10 +36,9 @@ def test_queries_and_oracles_aligned():
         "agg_approx_distinct",
         "agg_approx_percentile",
         "agg_hll_sketch_merge",
-        "graph_betweenness",
         "sim_lsh_ann",
         "sim_ivf_topk",
-        "dedup_simhash",
+        "sim_pq_topk",
         "sample_stratified",
         "stream_watermark_late",
         "stream_stateful_custom",

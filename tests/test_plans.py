@@ -96,12 +96,30 @@ def test_embedding_dedup_pair_stage_has_no_cartesian(spark):
 
 
 def test_minhash_signature_stage_has_no_shuffle_before_banding(spark):
-    """The signature computation must be scan-local (transform+array_min):
-    the first Exchange in the plan should be the band-bucket join, not a
-    per-seed aggregation."""
+    """The signature computation must be scan-local: every MapInPandas
+    (the Arrow band-signature stage) must sit directly on the parquet scan
+    with NO Exchange in its subtree — the first shuffle is the band-bucket
+    join, never a per-seed aggregation."""
+    import re
+
     df = OPS["dedup_minhash_lsh"].fn(spark, SF_SMALL)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "array_min(transform(" in plan
+    lines = plan.splitlines()
+
+    def depth(line):
+        return re.match(r"^[\s:+\-]*", line).end()
+
+    idxs = [i for i, l in enumerate(lines) if "MapInPandas" in l]
+    assert idxs, "Arrow signature stage missing from plan"
+    for i in idxs:
+        d0 = depth(lines[i])
+        sub = []
+        for line in lines[i + 1 :]:
+            if depth(line) <= d0:
+                break
+            sub.append(line)
+        assert not any("Exchange" in l for l in sub), sub
+        assert any("Scan parquet" in l for l in sub), sub
 
 
 def test_catalog_variant_parses_json_once(spark):
