@@ -378,6 +378,69 @@ def pipeline_corpus_curation(spark, sf_dir):
     )
 
 
+# Per-language acceptance rates rebalancing the en-heavy fixture corpus
+# toward uniform. Thresholds are PRE-COMPUTED 32-bit integers (rate·2³²),
+# so neither engine does any float math in the accept test.
+_MIX_RATES = {"en": 0.3, "de": 0.9, "es": 0.9, "fr": 1.0, "zh": 0.85}
+_MIX_THRESHOLDS = {lang: int(rate * 2**32) for lang, rate in _MIX_RATES.items()}
+
+
+def deterministic_mix_sample(d, thresholds=None):
+    """Hash-threshold language-mix sampling: keep doc iff u32(doc_id) < thr[lang].
+
+    u32 = first 8 hex chars of md5(doc_id) — a deterministic uniform draw
+    per document, identical in any engine and on any re-run. Selection is a
+    SCAN-LOCAL filter: no shuffle, no state, no sort — the only pattern
+    that stays reproducible AND restart-safe when mixing a 100 TB corpus
+    (rank-based quota sampling needs a per-language global sort). Rates are
+    monotone by construction: lowering a threshold yields a strict subset.
+    """
+    thresholds = thresholds or _MIX_THRESHOLDS
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    thr = F.lit(0).cast("long")
+    for lang, t_int in thresholds.items():
+        thr = F.when(F.col("lang") == lang, F.lit(t_int).cast("long")).otherwise(thr)
+    return (
+        d.select("doc_id", "lang", u32.alias("u32"), thr.alias("thr"))
+        .filter(F.col("u32") < F.col("thr"))
+        .select("doc_id", "lang", "u32")
+    )
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{lang}' THEN {t_int}" for lang, t_int in sorted(_MIX_THRESHOLDS.items())
+)
+
+
+@register(
+    "pipeline_sampling_mix",
+    "text",
+    oracle=f"""
+        SELECT doc_id, lang,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS u32
+        FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              < CASE lang {_MIX_CASE} ELSE 0 END
+    """,
+    notes=(
+        "deterministic training-mix sampling (north-star pipeline op): "
+        "per-language acceptance via u32(doc_id) < rate·2³² where u32 is an "
+        "md5-derived uniform draw — integer thresholds, zero float math. "
+        "The selection is a scan-local filter (no shuffle/sort/state): the "
+        "reproducible, restart-safe way to rebalance a 100 TB corpus, vs "
+        "rank-quota sampling which needs a per-language global sort. "
+        "Monotone in the rate (lower rate ⇒ strict subset — unit-tested), "
+        "so mixes can be tuned without resampling churn. The oracle "
+        "recomputes the identical draw in DuckDB, so the exact selected "
+        "set is hash-verified, not just its size"
+    ),
+)
+def pipeline_sampling_mix(spark, sf_dir):
+    return deterministic_mix_sample(t(spark, sf_dir, "documents"))
+
+
 @register(
     "sim_pairwise_jaccard",
     "text",

@@ -197,3 +197,40 @@ def test_band_bucket_small_buckets_are_exhaustive(spark):
     banded = spark.createDataFrame(rows, "doc_id long, band int, band_sig long")
     got = _band_bucket_candidates(banded, cap=512, stride=256).count()
     assert got == 300 * 299 // 2
+
+
+def test_mix_sample_monotone_subset_and_rates(spark):
+    """Hash-threshold sampling: halving every threshold must yield a strict
+    subset (same uniform draw), and realized per-lang rates must sit near
+    the declared ones (binomial tolerance)."""
+    from mimranalytics_core_spark.operators.text import (
+        _MIX_RATES,
+        _MIX_THRESHOLDS,
+        deterministic_mix_sample,
+    )
+
+    d = t(spark, SF_SMALL, "documents")
+    full = {(r.doc_id, r.lang) for r in deterministic_mix_sample(d).collect()}
+    half = {
+        (r.doc_id, r.lang)
+        for r in deterministic_mix_sample(
+            d, {k: v // 2 for k, v in _MIX_THRESHOLDS.items()}
+        ).collect()
+    }
+    assert half < full  # strict subset: same draw, lower bar
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {}
+    for _, lang in full:
+        got[lang] = got.get(lang, 0) + 1
+    for lang, rate in _MIX_RATES.items():
+        realized = got.get(lang, 0) / totals[lang]
+        assert abs(realized - rate) < 0.2, (lang, realized, rate)
+
+
+def test_mix_sample_deterministic_across_invocations(spark):
+    from mimranalytics_core_spark.operators.text import deterministic_mix_sample
+
+    d = t(spark, SF_SMALL, "documents")
+    a = sorted((r.doc_id, r.u32) for r in deterministic_mix_sample(d).collect())
+    b = sorted((r.doc_id, r.u32) for r in deterministic_mix_sample(d).collect())
+    assert a and a == b
