@@ -3,9 +3,17 @@ the store is Neo4j/Memgraph, so migrating users arrive with saved Cypher
 strings). Parses the pattern subset
 
     MATCH (a)-[:TYPE1|TYPE2*min..max]->(b)[-[:TYPE3]->(c) ...]
+      [OPTIONAL MATCH (x)-[:TYPE]->(y) ...]   -- left-join semantics; must
+                                              -- share a variable with an
+                                              -- earlier clause
       [AS OF '<timestamp>']            -- Time-Slider extension (README.md:17)
       [WHERE <predicate over var.id / var.name / var.label>]
       RETURN <items> [ORDER BY ...] [SKIP n] [LIMIT n]
+
+OPTIONAL MATCH note: the WHERE clause is global (applies after all joins),
+unlike Cypher's per-clause WHERE scoping — a predicate on an optional
+variable therefore filters out the NULL-extended rows, as a post-filter
+would in SQL. ``count(optional_var)`` skips NULLs, matching Cypher.
 
 into :func:`mimranalytics_core_spark.api.match_path` builder calls — every
 segment executes through the same oracle-verified bounded-traversal plan as
@@ -130,45 +138,77 @@ def parse(query: str) -> dict:
     hm = _MATCH_HEAD.match(query)
     if not hm:
         raise CypherSyntaxError(f"unsupported Cypher (MATCH subset only): {query!r}")
-    pos = hm.end()
-    nm = _NODE_RE.match(query, pos)
-    if not nm:
-        raise CypherSyntaxError(f"expected a node pattern after MATCH: {query!r}")
-    vars_: list[str] = [nm.group(1)]
-    pos = nm.end()
-    segments: list[dict] = []
-    while True:
-        rm = _REL_RE.match(query, pos)
-        if not rm:
-            break
-        nm = _NODE_RE.match(query, rm.end())
+
+    def _parse_pattern(pos: int, bound: set) -> tuple[list[str], list[dict], int]:
+        """One pattern chain (node (rel node)+) starting at ``pos``."""
+        nm = _NODE_RE.match(query, pos)
         if not nm:
-            raise CypherSyntaxError(f"expected a node pattern after relationship: {query!r}")
-        lo, hi = _parse_bounds(rm)
-        types = rm.group("types")
-        segments.append(
-            {
-                "types": [t.strip().lower() for t in types.split("|")] if types else None,
-                "min_hops": lo,
-                "max_hops": hi,
-                "src": vars_[-1],
-                "dst": nm.group(1),
-            }
-        )
-        vars_.append(nm.group(1))
+            raise CypherSyntaxError(f"expected a node pattern after MATCH: {query!r}")
+        cvars: list[str] = [nm.group(1)]
         pos = nm.end()
-    if not segments:
-        raise CypherSyntaxError(f"pattern needs at least one relationship: {query!r}")
-    if len(set(vars_)) != len(vars_):
-        raise CypherSyntaxError("pattern variables must be distinct")
-    bad = [v for v in vars_ if v.lower() in _RESERVED]
-    if bad:
-        raise CypherSyntaxError(f"reserved pattern variable name(s): {bad}")
+        segs: list[dict] = []
+        while True:
+            rm = _REL_RE.match(query, pos)
+            if not rm:
+                break
+            nm = _NODE_RE.match(query, rm.end())
+            if not nm:
+                raise CypherSyntaxError(
+                    f"expected a node pattern after relationship: {query!r}"
+                )
+            lo, hi = _parse_bounds(rm)
+            types = rm.group("types")
+            segs.append(
+                {
+                    "types": [t.strip().lower() for t in types.split("|")]
+                    if types
+                    else None,
+                    "min_hops": lo,
+                    "max_hops": hi,
+                    "src": cvars[-1],
+                    "dst": nm.group(1),
+                }
+            )
+            cvars.append(nm.group(1))
+            pos = nm.end()
+        if not segs:
+            raise CypherSyntaxError(f"pattern needs at least one relationship: {query!r}")
+        # within a clause each variable binds once; variables already bound
+        # by earlier clauses may reappear (they are the join anchors)
+        fresh = [v for v in cvars if v not in bound]
+        if len(set(fresh)) != len(fresh) or len(set(cvars)) != len(cvars):
+            raise CypherSyntaxError("pattern variables must be distinct within a clause")
+        bad = [v for v in cvars if v.lower() in _RESERVED]
+        if bad:
+            raise CypherSyntaxError(f"reserved pattern variable name(s): {bad}")
+        return cvars, segs, pos
+
+    clauses: list[dict] = []
+    vars_: list[str] = []
+    bound: set = set()
+    pos = hm.end()
+    pending_optional = False  # the first clause is the plain MATCH
+    while True:
+        cvars, segs, pos = _parse_pattern(pos, bound)
+        if clauses and not (set(cvars) & bound):
+            raise CypherSyntaxError(
+                "a follow-up MATCH clause must share a variable with an "
+                "earlier clause (cross products are not supported)"
+            )
+        clauses.append({"optional": pending_optional, "segments": segs})
+        vars_ += [v for v in cvars if v not in bound]
+        bound |= set(cvars)
+        nxt = re.match(r"\s*(?P<opt>OPTIONAL\s+)?MATCH\s*", query[pos:], re.I)
+        if not nxt:
+            break
+        pending_optional = bool(nxt.group("opt"))
+        pos += nxt.end()
+    segments = clauses[0]["segments"]
 
     tm = _TAIL_RE.match(query[pos:])
     if not tm:
         raise CypherSyntaxError(f"unsupported Cypher tail (need RETURN): {query!r}")
-    single = len(segments) == 1
+    single = len(clauses) == 1 and len(segments) == 1
     varset = set(vars_)
     prop_vars: dict[str, set] = {}
 
@@ -318,6 +358,7 @@ def parse(query: str) -> dict:
 
     return {
         "ret_distinct": ret_distinct,
+        "clauses": clauses,
         "segments": segments,
         "vars": vars_,
         "edge_types": segments[0]["types"],
@@ -340,10 +381,11 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     from mimranalytics_core_spark import api, catalog
 
     p = parse(query)
-    segs = p["segments"]
-    single = len(segs) == 1
+    clauses = p["clauses"]
+    single = len(clauses) == 1 and len(clauses[0]["segments"]) == 1
 
     if single:
+        segs = clauses[0]["segments"]
         df = api.match_path(
             spark,
             sf_dir,
@@ -363,23 +405,32 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             cols.append("path_weight")
         df = df.select(*cols)
     else:
-        # multi-segment: each segment is its own bounded traversal; shared
-        # variables join the segments (distinct bindings — see module doc)
+        # multi-segment/multi-clause: each segment is its own bounded
+        # traversal; shared variables join the segments, clause frames join
+        # the accumulated bindings — left join for OPTIONAL MATCH (distinct
+        # bindings — see module doc)
         df = None
-        for i, seg in enumerate(segs):
-            part = api.match_path(
-                spark,
-                sf_dir,
-                edge_types=seg["types"],
-                min_hops=seg["min_hops"],
-                max_hops=seg["max_hops"],
-                src_pred=p["src_pred"] if i == 0 else None,
-                as_of=p["as_of"],
-            )
-            part = part.select(
-                F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
-            ).distinct()
-            df = part if df is None else df.join(part, seg["src"])
+        for ci, clause in enumerate(clauses):
+            cframe = None
+            for si, seg in enumerate(clause["segments"]):
+                part = api.match_path(
+                    spark,
+                    sf_dir,
+                    edge_types=seg["types"],
+                    min_hops=seg["min_hops"],
+                    max_hops=seg["max_hops"],
+                    src_pred=p["src_pred"] if ci == 0 and si == 0 else None,
+                    as_of=p["as_of"],
+                )
+                part = part.select(
+                    F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
+                ).distinct()
+                cframe = part if cframe is None else cframe.join(part, seg["src"])
+            if df is None:
+                df = cframe
+            else:
+                shared = [c for c in df.columns if c in cframe.columns]
+                df = df.join(cframe, shared, "left" if clause["optional"] else "inner")
 
     # node-property access: equi-join the attribute view per referenced var
     if p["prop_vars"]:

@@ -1021,3 +1021,47 @@ def cypher_multi_hop(spark, sf_dir):
            RETURN n.name AS nation, count(*) AS n_suppliers
            ORDER BY nation""",
     )
+
+
+@register(
+    "cypher_optional_match",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        te AS (SELECT src, dst FROM edges
+               WHERE rel_type IN ('customer_of', 'nation_of')),
+        h1 AS (SELECT src, dst FROM te WHERE src LIKE 'c:%'),
+        h2 AS (SELECT a.src, b.dst
+               FROM te a JOIN te b ON a.dst = b.src WHERE a.src LIKE 'c:%'),
+        pairs AS (SELECT DISTINCT src, dst
+                  FROM (SELECT * FROM h1 UNION ALL SELECT * FROM h2)),
+        nr AS (SELECT DISTINCT src, dst FROM edges WHERE rel_type = 'nation_of')
+        SELECT p.dst AS entity,
+               COUNT(*) AS n_bindings,
+               COUNT(nr.dst) AS n_with_region
+        FROM pairs p LEFT JOIN nr ON nr.src = p.dst
+        GROUP BY p.dst
+    """,
+    notes=(
+        "OPTIONAL MATCH (README.md:25 — the left-join half of every "
+        "enrichment-style saved query): x binds both nations and regions, "
+        "the optional (x)-[:NATION_OF]->(r) leg matches only nations, so "
+        "region bindings null-extend and count(r) skips them (Cypher "
+        "semantics) while count(*) does not — both counted in one pass. "
+        "Oracle is the equivalent relational LEFT JOIN + conditional "
+        "count. Scale: clause frames join on bound variables as plain "
+        "equi-joins; the optional leg adds one left join, no new shuffle "
+        "shape"
+    ),
+)
+def cypher_optional_match(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(x)
+           OPTIONAL MATCH (x)-[:NATION_OF]->(r)
+           WHERE c.id STARTS WITH 'c:'
+           RETURN x AS entity, count(*) AS n_bindings, count(r) AS n_with_region""",
+    )

@@ -344,6 +344,53 @@ def test_cypher_hops_predicate_filters_post_traversal(spark):
     assert rows and all(r.hops == 2 and r.dest.startswith("r:") for r in rows)
 
 
+def test_cypher_optional_match_null_extends(spark):
+    """x binds nations AND regions; the optional (x)-[:NATION_OF]->(r) leg
+    matches only nations, so region bindings must survive with r NULL."""
+    q = """MATCH (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(x)
+           OPTIONAL MATCH (x)-[:NATION_OF]->(r)
+           WHERE c.id STARTS WITH 'c:'
+           RETURN DISTINCT x AS entity, r AS region"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    nations = [r for r in rows if r.entity.startswith("n:")]
+    regions = [r for r in rows if r.entity.startswith("r:")]
+    assert nations and all(r.region is not None for r in nations)
+    assert regions and all(r.region is None for r in regions)
+
+
+def test_cypher_optional_match_count_skips_nulls(spark):
+    q = """MATCH (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(x)
+           OPTIONAL MATCH (x)-[:NATION_OF]->(r)
+           WHERE c.id STARTS WITH 'c:'
+           RETURN x AS entity, count(*) AS n_bindings, count(r) AS n_with_region"""
+    rows = {r.entity: (r.n_bindings, r.n_with_region) for r in api.cypher(spark, SF_SMALL, q).collect()}
+    for entity, (nb, nr) in rows.items():
+        if entity.startswith("n:"):
+            assert nr == nb
+        else:
+            assert nr == 0 and nb > 0
+
+
+def test_cypher_second_match_clause_must_share_a_variable():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    import pytest as _pytest
+
+    with _pytest.raises(CypherSyntaxError, match="share a variable"):
+        parse("MATCH (a)-[:X]->(b) OPTIONAL MATCH (u)-[:Y]->(v) RETURN a, u")
+
+
+def test_cypher_plain_second_match_is_inner(spark):
+    """A non-optional second MATCH behaves as an inner join: region bindings
+    of x (which have no NATION_OF successor) disappear."""
+    q = """MATCH (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(x)
+           MATCH (x)-[:NATION_OF]->(r)
+           WHERE c.id STARTS WITH 'c:'
+           RETURN DISTINCT x AS entity, r AS region"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    assert rows and all(r.entity.startswith("n:") and r.region is not None for r in rows)
+
+
 def test_cypher_rejects_bad_aggregates_and_order_keys():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 
