@@ -442,6 +442,78 @@ def pipeline_sampling_mix(spark, sf_dir):
 
 
 @register(
+    "sim_containment",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, token FROM (
+                SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                FROM documents WHERE doc_id < 200
+            )
+        ),
+        rare AS (SELECT token FROM toks GROUP BY token HAVING COUNT(*) <= 20),
+        rt AS (SELECT t.doc_id, t.token FROM toks t JOIN rare r ON t.token = r.token),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rt GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM rt a JOIN rt b ON a.token = b.token AND a.doc_id <> b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               FLOOR(CAST(i AS DOUBLE) / sa.sz * 10000 + 0.5) / 10000 AS containment
+        FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+        WHERE CAST(i AS DOUBLE) / sa.sz >= 0.9
+    """,
+    notes=(
+        "token-set containment |A∩B|/|A| (north-star near-dup family: the "
+        "ASYMMETRIC measure — detects quotes/subsets that Jaccard misses "
+        "because a small doc inside a big one has low union overlap). "
+        "Head terms with document frequency > 20 are pruned before the "
+        "inverted-index pair join — the standard stopword cut, and the "
+        "move that keeps posting-list fanout bounded at corpus scale "
+        "(common-token postings are the quadratic hazard of every "
+        "inverted-index join; at 100 TB the df cap is per-partition-"
+        "estimable and the pair stage runs on LSH candidates instead of a "
+        "slice). Ordered pairs: (doc_a contained-in doc_b) and the reverse "
+        "are distinct rows. Subset-bounded like all O(n²) verify ops"
+    ),
+)
+def sim_containment(spark, sf_dir, max_df: int = 20, threshold: float = 0.9):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("token")
+    )
+    rare = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("token")
+    )
+    rt = toks.join(rare, "token")
+    sizes = rt.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = rt.alias("a"), rt.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("i"))
+    )
+    c = F.col("i") / F.col("sz")
+    return (
+        inter.join(sizes, inter.doc_a == sizes.doc_id)
+        .filter(c >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.floor(c * 10000 + F.lit(0.5)) / 10000).alias("containment"),
+        )
+    )
+
+
+@register(
     "sim_pairwise_jaccard",
     "text",
     oracle="""

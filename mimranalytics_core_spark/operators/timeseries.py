@@ -44,6 +44,80 @@ _EWMA_SQL = """
 
 
 @register(
+    "ts_resample_ffill",
+    "event_time",
+    oracle="""
+        WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, value
+                    FROM events WHERE user_id < 10),
+        daily AS (SELECT user_id, day, COUNT(*) AS n_events,
+                         FLOOR(SUM(value) * 100 + 0.5) / 100 AS day_value
+                  FROM ev GROUP BY user_id, day),
+        days AS (SELECT CAST(unnest(generate_series(DATE '2024-01-01',
+                                                    DATE '2024-01-30',
+                                                    INTERVAL 1 DAY)) AS DATE) AS day),
+        users AS (SELECT DISTINCT user_id FROM ev),
+        grid AS (SELECT user_id, day FROM users CROSS JOIN days),
+        j AS (SELECT g.user_id, g.day,
+                     COALESCE(d.n_events, 0) AS n_events, d.day_value
+              FROM grid g LEFT JOIN daily d USING (user_id, day))
+        SELECT user_id, day, n_events,
+               COALESCE(LAST_VALUE(day_value IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+                   AS filled_value
+        FROM j
+    """,
+    notes=(
+        "regular-grid resample + forward fill (Time-Slider analytics, "
+        "README.md:17 — the gap-filling step every downsampled time-series "
+        "report needs): per-user DAILY grid over the fixture's pinned "
+        "[2024-01-01, 2024-01-30] window (sequence+explode), daily sums "
+        "left-joined on, gaps carried forward with last(ignorenulls) over "
+        "an ordered per-user window, 0 before first activity. Scale: the "
+        "grid is |users|×|days| rows built without shuffle, the join is a "
+        "plain equi-join, and the fill is ONE window pass per user — same "
+        "cost envelope as win_running_sum; user slice bounds the declared "
+        "op, the helper takes any frame"
+    ),
+)
+def ts_resample_ffill(spark, sf_dir):
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 10)
+        .select("user_id", F.to_date("ts").alias("day"), "value")
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"),
+        (F.floor(F.sum("value") * 100 + F.lit(0.5)) / 100).alias("day_value"),
+    )
+    days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(days)
+    j = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.coalesce(F.last("day_value", ignorenulls=True).over(w), F.lit(0.0)).alias(
+            "filled_value"
+        ),
+    )
+
+
+@register(
     "ts_ewma",
     "event_time",
     oracle=_EWMA_SQL,
