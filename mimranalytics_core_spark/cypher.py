@@ -8,7 +8,13 @@ strings). Parses the pattern subset
                                               -- earlier clause
       [AS OF '<timestamp>']            -- Time-Slider extension (README.md:17)
       [WHERE <predicate over var.id / var.name / var.label>]
+      [WITH <items> [WHERE <predicate over WITH outputs>]]
       RETURN <items> [ORDER BY ...] [SKIP n] [LIMIT n]
+
+WITH note: one pipeline stage is supported — WITH projects/aggregates
+mid-query (pattern scope), its optional WHERE filters the aggregated rows
+(SQL HAVING), and RETURN then resolves against the WITH output names
+only, exactly Cypher's scoping. MATCH after WITH is not supported.
 
 OPTIONAL MATCH note: the WHERE clause is global (applies after all joins),
 unlike Cypher's per-clause WHERE scoping — a predicate on an optional
@@ -85,6 +91,7 @@ _REL_RE = re.compile(
 _TAIL_RE = re.compile(
     r"""^(?:\s+AS\s+OF\s+'(?P<asof>[^']+)')?
         (?:\s+WHERE\s+(?P<where>.*?))?
+        (?:\s+WITH\s+(?P<witems>.*?)(?:\s+WHERE\s+(?P<having>.*?))?)?
         \s+RETURN\s+(?P<ret>.+?)
         (?:\s+ORDER\s+BY\s+(?P<order>.+?))?
         (?:\s+SKIP\s+(?P<skip>\d+))?
@@ -205,9 +212,15 @@ def parse(query: str) -> dict:
         pos += nxt.end()
     segments = clauses[0]["segments"]
 
-    tm = _TAIL_RE.match(query[pos:])
+    # mask the WITH inside "STARTS WITH" so the clause-level WITH group
+    # can't bind to it, then unmask every extracted fragment
+    tail = re.sub(r"STARTS\s+WITH", "STARTS__WITH", query[pos:], flags=re.I)
+    tm = _TAIL_RE.match(tail)
     if not tm:
         raise CypherSyntaxError(f"unsupported Cypher tail (need RETURN): {query!r}")
+
+    def _unmask(s):
+        return re.sub("STARTS__WITH", "STARTS WITH", s) if s else s
     single = len(clauses) == 1 and len(segments) == 1
     varset = set(vars_)
     prop_vars: dict[str, set] = {}
@@ -246,7 +259,7 @@ def parse(query: str) -> dict:
 
     src_pred = post_pred = None
     carry_weight = False
-    where = tm.group("where")
+    where = _unmask(tm.group("where"))
     if where:
         pred = where.strip()
 
@@ -286,58 +299,96 @@ def parse(query: str) -> dict:
         else:
             post_pred = pred
 
-    ret = tm.group("ret")
+    def _parse_item_list(text: str, resolve, numeric_ok, ctx: str) -> list[dict]:
+        items: list[dict] = []
+        for item in text.split(","):
+            item = item.strip()
+            am = _AGG_ITEM.match(item)
+            if am:
+                fn = am.group("fn").lower()
+                arg = am.group("arg")
+                if arg == "*":
+                    if fn != "count":
+                        raise CypherSyntaxError(f"only count(*) may take '*': {item!r}")
+                    col, default = None, "count_star"
+                else:
+                    col = resolve(arg, f"aggregate argument in {ctx}")
+                    if fn in ("sum", "min", "max", "avg") and not numeric_ok(col):
+                        raise CypherSyntaxError(
+                            f"{fn}() needs a numeric argument (hops/path_weight): {item!r}"
+                        )
+                    default = f"{fn}_{arg.replace('.', '_')}"
+                items.append(
+                    {
+                        "kind": "agg",
+                        "fn": fn,
+                        "col": col,
+                        "distinct": bool(am.group("distinct")),
+                        "name": am.group("alias") or default,
+                    }
+                )
+                continue
+            im = re.match(r"^(?P<expr>\S+)(?:\s+AS\s+(?P<alias>\w+))?$", item, re.I)
+            if not im:
+                raise CypherSyntaxError(f"unsupported {ctx} item: {item!r}")
+            expr = im.group("expr")
+            col = resolve(expr, f"{ctx} item")
+            items.append(
+                {
+                    "kind": "plain",
+                    "col": col,
+                    "name": im.group("alias") or expr.replace(".", "_"),
+                }
+            )
+        return items
+
+    pattern_numeric_ok = lambda c: c in ("hops", "path_weight")  # noqa: E731
+
+    # WITH stage (optional): items parse in PATTERN scope; RETURN then
+    # resolves against the WITH output names only (Cypher's pipeline
+    # scoping). The second WHERE (after WITH) is the HAVING-style filter.
+    with_items = None
+    having = _unmask(tm.group("having"))
+    if tm.group("witems"):
+        with_items = _parse_item_list(
+            _unmask(tm.group("witems")), _map_expr, pattern_numeric_ok, "WITH"
+        )
+        with_names = {it["name"] for it in with_items}
+
+        def _ret_resolve(expr: str, ctx: str) -> str:
+            if expr in with_names:
+                return expr
+            raise CypherSyntaxError(f"unsupported {ctx} (not a WITH output): {expr!r}")
+
+        ret_numeric_ok = lambda c: True  # noqa: E731  (WITH outputs are opaque)
+        if having:
+            unq = "".join(
+                p for p in re.split(r"('(?:[^'])*')", having) if not p.startswith("'")
+            )
+            if re.search(r"\b\w+\.\w+\b", unq):
+                raise CypherSyntaxError(
+                    f"WHERE after WITH may only reference WITH outputs: {having!r}"
+                )
+    else:
+        _ret_resolve = _map_expr
+        ret_numeric_ok = pattern_numeric_ok
+
+    ret = _unmask(tm.group("ret"))
     dm = re.match(r"^\s*DISTINCT\s+", ret, re.I)
     ret_distinct = bool(dm)
     if dm:
         ret = ret[dm.end() :]
+    projection = _parse_item_list(ret, _ret_resolve, ret_numeric_ok, "RETURN")
 
-    projection: list[dict] = []
-    for item in ret.split(","):
-        item = item.strip()
-        am = _AGG_ITEM.match(item)
-        if am:
-            fn = am.group("fn").lower()
-            arg = am.group("arg")
-            if arg == "*":
-                if fn != "count":
-                    raise CypherSyntaxError(f"only count(*) may take '*': {item!r}")
-                col, default = None, "count_star"
-            else:
-                col = _map_expr(arg, "aggregate argument")
-                if fn in ("sum", "min", "max", "avg") and col not in ("hops", "path_weight"):
-                    raise CypherSyntaxError(
-                        f"{fn}() needs a numeric argument (hops/path_weight): {item!r}"
-                    )
-                default = f"{fn}_{arg.replace('.', '_')}"
-            if col == "path_weight":
-                carry_weight = True
-            projection.append(
-                {
-                    "kind": "agg",
-                    "fn": fn,
-                    "col": col,
-                    "distinct": bool(am.group("distinct")),
-                    "name": am.group("alias") or default,
-                }
-            )
-            continue
-        im = re.match(r"^(?P<expr>\S+)(?:\s+AS\s+(?P<alias>\w+))?$", item, re.I)
-        if not im:
-            raise CypherSyntaxError(f"unsupported RETURN item: {item!r}")
-        expr = im.group("expr")
-        col = _map_expr(expr, "RETURN item")
-        if col == "path_weight":
-            carry_weight = True
-        projection.append(
-            {"kind": "plain", "col": col, "name": im.group("alias") or expr.replace(".", "_")}
-        )
+    carry_weight = carry_weight or any(
+        it.get("col") == "path_weight" for it in (with_items or []) + projection
+    )
 
     # ORDER BY: names must resolve to RETURN output columns
     out_names = {p["name"] for p in projection}
     order_by: list[tuple[str, bool]] = []
     if tm.group("order"):
-        for key in tm.group("order").split(","):
+        for key in _unmask(tm.group("order")).split(","):
             km = re.match(r"^\s*(?P<name>[\w.]+)(?:\s+(?P<dir>ASC|DESC))?\s*$", key, re.I)
             if not km:
                 raise CypherSyntaxError(f"unsupported ORDER BY key: {key!r}")
@@ -345,7 +396,7 @@ def parse(query: str) -> dict:
             if name not in out_names:
                 # allow ordering by the underlying expr of an unaliased item
                 try:
-                    mapped = _map_expr(name, "ORDER BY")
+                    mapped = _ret_resolve(name, "ORDER BY")
                 except CypherSyntaxError:
                     mapped = None
                 cand = [p["name"] for p in projection if mapped and p.get("col") == mapped]
@@ -368,6 +419,8 @@ def parse(query: str) -> dict:
         "src_pred": src_pred,
         "post_pred": post_pred,
         "carry_weight": carry_weight,
+        "with_items": with_items,
+        "having": having,
         "projection": projection,
         "prop_vars": {k: sorted(v) for k, v in prop_vars.items()},
         "order_by": order_by,
@@ -444,10 +497,12 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     if p["post_pred"]:
         df = df.filter(F.expr(p["post_pred"]))
 
-    aggs = [it for it in p["projection"] if it["kind"] == "agg"]
-    if aggs:
+    def _apply_items(df: DataFrame, items: list) -> DataFrame:
+        aggs = [it for it in items if it["kind"] == "agg"]
+        if not aggs:
+            return df.select(*[F.col(it["col"]).alias(it["name"]) for it in items])
         # Cypher's implicit grouping: non-aggregate items are the keys
-        keys = [it for it in p["projection"] if it["kind"] == "plain"]
+        keys = [it for it in items if it["kind"] == "plain"]
         exprs = []
         for it in aggs:
             if it["col"] is None:
@@ -457,7 +512,9 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             elif it["fn"] == "collect":
                 # Cypher collect() guarantees no order — pin lexical order for
                 # cross-run determinism, as agg_collect does
-                base = F.collect_set(it["col"]) if it["distinct"] else F.collect_list(it["col"])
+                base = (
+                    F.collect_set(it["col"]) if it["distinct"] else F.collect_list(it["col"])
+                )
                 e = F.array_sort(base)
             else:
                 e = getattr(F, it["fn"])(it["col"])
@@ -465,11 +522,16 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                     e = F.round(e, 6)  # float-hash discipline (module docstring)
             exprs.append(e.alias(it["name"]))
         if keys:
-            df = df.groupBy(*[F.col(k["col"]).alias(k["name"]) for k in keys]).agg(*exprs)
-        else:
-            df = df.agg(*exprs)
-    else:
-        df = df.select(*[F.col(it["col"]).alias(it["name"]) for it in p["projection"]])
+            return df.groupBy(*[F.col(k["col"]).alias(k["name"]) for k in keys]).agg(*exprs)
+        return df.agg(*exprs)
+
+    if p["with_items"]:
+        # WITH stage: project/aggregate mid-pipeline, then the HAVING-style
+        # second WHERE filters over the WITH outputs
+        df = _apply_items(df, p["with_items"])
+        if p["having"]:
+            df = df.filter(F.expr(p["having"]))
+    df = _apply_items(df, p["projection"])
     if p.get("ret_distinct"):
         df = df.distinct()
 

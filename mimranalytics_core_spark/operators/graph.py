@@ -1024,6 +1024,40 @@ def cypher_multi_hop(spark, sf_dir):
 
 
 @register(
+    "cypher_with_having",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        ce AS (SELECT src, dst FROM edges WHERE rel_type = 'customer_of'),
+        g AS (SELECT dst AS nation, COUNT(*) AS n_customers FROM ce GROUP BY dst)
+        SELECT nation, n_customers FROM g WHERE n_customers >= 70
+        ORDER BY n_customers DESC, nation ASC
+    """,
+    notes=(
+        "Cypher WITH pipeline stage (README.md:25 — aggregate-then-filter "
+        "is the canonical 'flag the big ones' saved query): WITH "
+        "projects/aggregates mid-query, its WHERE filters the aggregated "
+        "rows (SQL HAVING), RETURN resolves against the WITH outputs only "
+        "— Cypher's pipeline scoping. Compiles to groupBy + filter + "
+        "project; the filter sits above the final hash agg, exactly where "
+        "HAVING belongs, so partial aggregation still runs map-side"
+    ),
+)
+def cypher_with_having(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n AS nation, count(*) AS n_customers
+           WHERE n_customers >= 70
+           RETURN nation, n_customers
+           ORDER BY n_customers DESC, nation ASC""",
+    )
+
+
+@register(
     "cypher_optional_match",
     "graph",
     oracle=f"""

@@ -391,6 +391,48 @@ def test_cypher_plain_second_match_is_inner(spark):
     assert rows and all(r.entity.startswith("n:") and r.region is not None for r in rows)
 
 
+def test_cypher_with_aggregates_then_filters(spark):
+    """WITH n, count(*) AS c WHERE c >= k RETURN ... must equal groupBy +
+    HAVING-style filter computed by hand."""
+    q = """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n AS nation, count(*) AS n_customers
+           WHERE n_customers >= 7
+           RETURN nation, n_customers"""
+    got = {(r.nation, r.n_customers) for r in api.cypher(spark, SF_SMALL, q).collect()}
+    cust = t(spark, SF_SMALL, "customer")
+    want = {
+        (f"n:{r.c_nationkey}", r.n)
+        for r in cust.groupBy("c_nationkey").agg(F.count("*").alias("n")).collect()
+        if r.n >= 7
+    }
+    assert got == want and got
+
+
+def test_cypher_return_scopes_to_with_outputs():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    import pytest as _pytest
+
+    # after WITH, the pattern variable c is out of scope
+    with _pytest.raises(CypherSyntaxError, match="WITH output"):
+        parse(
+            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
+            "WHERE k > 3 RETURN c, nation"
+        )
+
+
+def test_cypher_with_plain_projection_no_aggregate(spark):
+    """A WITH stage without aggregates is a plain projection/rename whose
+    WHERE filters rows (not groups)."""
+    q = """MATCH (n)-[:NATION_OF]->(r)
+           WITH n AS nation, r AS region
+           WHERE region = 'r:0'
+           RETURN nation, region"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    assert rows and all(r.region == "r:0" and r.nation.startswith("n:") for r in rows)
+    assert len(rows) == 5  # 5 nations per region
+
+
 def test_cypher_rejects_bad_aggregates_and_order_keys():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 
