@@ -40,9 +40,12 @@ single-segment-only.
 
 Grammar subset:
 
-- Node patterns carry no inline labels/props — node filtering is the WHERE
-  clause (``a.id STARTS WITH 'c:'`` pushes below the first join when it
-  names only the first variable's id).
+- Inline node labels filter by entity tier: ``(c:Customer)`` /
+  ``(s:Supplier)`` / ``(n:Nation)`` / ``(r:Region)`` compile to id-prefix
+  predicates (the namespaced node ids make the label a prefix test); the
+  first variable's label pushes below the first join. Other node props
+  stay out of the pattern — filter in WHERE (``a.id STARTS WITH 'c:'``,
+  which also pushes down when it names only the first variable's id).
 - Node properties: ``var.id`` (the namespaced node id), ``var.name`` and
   ``var.label`` (resolved by equi-joining the catalog's hierarchy_nodes
   attribute view) — usable in WHERE and RETURN.
@@ -78,7 +81,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MATCH_HEAD = re.compile(r"^\s*MATCH\s*", re.IGNORECASE)
-_NODE_RE = re.compile(r"\(\s*([A-Za-z_]\w*)\s*\)")
+_NODE_RE = re.compile(r"\(\s*([A-Za-z_]\w*)\s*(?::\s*([A-Za-z_]\w*))?\s*\)")
+# node labels map to the namespaced id prefixes of the hierarchy graph
+_LABEL_PREFIX = {"customer": "c:", "supplier": "s:", "nation": "n:", "region": "r:"}
 _REL_RE = re.compile(
     r"""\s*-\s*\[\s*
         (?::\s*(?P<types>[A-Za-z_]\w*(?:\s*\|\s*[A-Za-z_]\w*)*))?
@@ -146,11 +151,27 @@ def parse(query: str) -> dict:
     if not hm:
         raise CypherSyntaxError(f"unsupported Cypher (MATCH subset only): {query!r}")
 
+    labels: dict = {}
+
+    def _note_label(nm: re.Match) -> None:
+        if not nm.group(2):
+            return
+        var, label = nm.group(1), nm.group(2).lower()
+        if label not in _LABEL_PREFIX:
+            raise CypherSyntaxError(
+                f"unknown node label :{nm.group(2)} (known: "
+                f"{sorted(_LABEL_PREFIX)})"
+            )
+        if labels.get(var, label) != label:
+            raise CypherSyntaxError(f"variable {var!r} rebound with a different label")
+        labels[var] = label
+
     def _parse_pattern(pos: int, bound: set) -> tuple[list[str], list[dict], int]:
         """One pattern chain (node (rel node)+) starting at ``pos``."""
         nm = _NODE_RE.match(query, pos)
         if not nm:
             raise CypherSyntaxError(f"expected a node pattern after MATCH: {query!r}")
+        _note_label(nm)
         cvars: list[str] = [nm.group(1)]
         pos = nm.end()
         segs: list[dict] = []
@@ -163,6 +184,7 @@ def parse(query: str) -> dict:
                 raise CypherSyntaxError(
                     f"expected a node pattern after relationship: {query!r}"
                 )
+            _note_label(nm)
             lo, hi = _parse_bounds(rm)
             types = rm.group("types")
             segs.append(
@@ -298,6 +320,17 @@ def parse(query: str) -> dict:
             )
         else:
             post_pred = pred
+
+    # inline node labels become id-prefix predicates: the first variable's
+    # label pushes below the first join (src_pred), the rest post-filter
+    # (Catalyst pushes them down through the joins)
+    for lvar, label in labels.items():
+        lp = f"{lvar} LIKE '{_LABEL_PREFIX[label]}%'"
+        if lvar == vars_[0]:
+            sp = f"src LIKE '{_LABEL_PREFIX[label]}%'"
+            src_pred = f"({src_pred}) AND {sp}" if src_pred else sp
+        else:
+            post_pred = f"({post_pred}) AND {lp}" if post_pred else lp
 
     def _parse_item_list(text: str, resolve, numeric_ok, ctx: str) -> list[dict]:
         items: list[dict] = []

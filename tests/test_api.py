@@ -475,3 +475,45 @@ def test_cypher_parse_defaults():
     p2 = parse("MATCH (x)-[:OWNS_STAKE*2]->(y) RETURN x, y")
     assert (p2["min_hops"], p2["max_hops"]) == (2, 2)
     assert p2["edge_types"] == ["owns_stake"]
+
+
+def test_cypher_node_labels_filter_by_tier(spark):
+    """(c:Customer)-[:CUSTOMER_OF]->(n:Nation) must equal the unlabeled
+    pattern filtered by id prefixes, and the first label must reach
+    src_pred (pushed below the first join)."""
+    from mimranalytics_core_spark.cypher import parse
+
+    q = "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) RETURN c, n"
+    p = parse(q)
+    assert p["src_pred"] == "src LIKE 'c:%'"
+    got = _rows(api.cypher(spark, SF_SMALL, q))
+    want = _rows(
+        api.cypher(
+            spark,
+            SF_SMALL,
+            """MATCH (c)-[:CUSTOMER_OF]->(n)
+               WHERE c.id STARTS WITH 'c:' AND n.id STARTS WITH 'n:'
+               RETURN c, n""",
+        )
+    )
+    assert got and got == want
+
+
+def test_cypher_label_composes_with_where(spark):
+    q = """MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+           WHERE n.name = 'NATION_3' RETURN s, n"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    assert rows and all(r.s.startswith("s:") for r in rows)
+
+
+def test_cypher_label_rejections():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    import pytest as _pytest
+
+    with _pytest.raises(CypherSyntaxError, match="unknown node label"):
+        parse("MATCH (a:Widget)-[:X]->(b) RETURN a, b")
+    with _pytest.raises(CypherSyntaxError, match="different label"):
+        parse(
+            "MATCH (a:Customer)-[:X]->(b) MATCH (a:Nation)-[:Y]->(d) RETURN a, b, d"
+        )
