@@ -60,7 +60,7 @@ _EWMA_SQL = """
         j AS (SELECT g.user_id, g.day,
                      COALESCE(d.n_events, 0) AS n_events, d.day_value
               FROM grid g LEFT JOIN daily d USING (user_id, day))
-        SELECT user_id, day, n_events,
+        SELECT user_id, CAST(day AS TIMESTAMP) AS day, n_events,
                COALESCE(LAST_VALUE(day_value IGNORE NULLS) OVER (
                    PARTITION BY user_id ORDER BY day
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
@@ -107,9 +107,12 @@ def ts_resample_ffill(spark, sf_dir):
         .orderBy(F.col("day").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # DATE round-trips as python objects through Arrow while DuckDB DATE
+    # lands as datetime64 — emit timestamps (the kind every temporal op
+    # uses) so the canonicalized frames agree in dtype, not just in str()
     return j.select(
         "user_id",
-        "day",
+        F.col("day").cast("timestamp_ntz").alias("day"),
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.coalesce(F.last("day_value", ignorenulls=True).over(w), F.lit(0.0)).alias(
             "filled_value"
