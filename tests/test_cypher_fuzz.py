@@ -1,0 +1,74 @@
+"""Property-based fuzz for the Cypher front-end: every grammar-generated
+query must parse and plan; every parse failure anywhere must be a
+CypherSyntaxError (never an IndexError/KeyError/regex crash)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+_VARS = st.sampled_from(["a", "b", "c", "n", "x", "y"])
+_TYPES = st.sampled_from(["CUSTOMER_OF", "NATION_OF", "SUPPLIER_OF"])
+_LABELS = st.sampled_from(["Customer", "Supplier", "Nation", "Region"])
+
+
+@st.composite
+def _node(draw, var):
+    if draw(st.booleans()):
+        return f"({var}:{draw(_LABELS)})"
+    return f"({var})"
+
+
+@st.composite
+def _rel(draw):
+    types = draw(st.lists(_TYPES, min_size=0, max_size=2, unique=True))
+    tpart = (":" + "|".join(types)) if types else ""
+    star = draw(st.sampled_from(["", "*", "*2", "*1..3"]))
+    return f"-[{tpart}{star}]->"
+
+
+@st.composite
+def _query(draw):
+    nvars = draw(st.integers(2, 4))
+    vs = draw(st.lists(_VARS, min_size=nvars, max_size=nvars, unique=True))
+    pat = draw(_node(vs[0]))
+    for v in vs[1:]:
+        pat += draw(_rel()) + draw(_node(v))
+    q = f"MATCH {pat}"
+    if draw(st.booleans()):
+        q += f" WHERE {vs[0]}.id STARTS WITH 'c:'"
+    items = [vs[0], f"count(*) AS n"] if draw(st.booleans()) else list(vs[:2])
+    q += " RETURN " + ", ".join(items)
+    if draw(st.booleans()):
+        q += f" ORDER BY {items[0].split(' ')[-1]} DESC"
+    if draw(st.booleans()):
+        q += f" LIMIT {draw(st.integers(1, 50))}"
+    return q
+
+
+@settings(max_examples=150, deadline=None)
+@given(_query())
+def test_generated_queries_parse(q):
+    p = parse(q)
+    assert p["projection"] and p["segments"]
+    for seg in p["segments"]:
+        assert 1 <= seg["min_hops"] <= seg["max_hops"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=80))
+def test_garbage_never_crashes_with_foreign_exception(s):
+    try:
+        parse(s)
+    except CypherSyntaxError:
+        pass  # the one allowed failure mode
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="MATCH ()-[]>*.:|WHERERETURN abcn'", max_size=60))
+def test_near_grammar_garbage_never_crashes(s):
+    try:
+        parse("MATCH " + s)
+    except CypherSyntaxError:
+        pass
