@@ -40,8 +40,9 @@ SHOWCASE = [
     ),
     (
         "dedup_minhash_lsh",
-        "MinHash signatures computed row-local (array_min(transform(...)) in "
-        "the scan stage — no shuffle before band bucketing). Verify-stage "
+        "MinHash signatures computed row-local (Arrow mapInPandas band-sig "
+        "stage directly on the scan — no shuffle before band bucketing). "
+        "Verify-stage "
         "token join is broadcast only under the size threshold "
         "(functions/hints.broadcast_if_small); at forced-large settings it "
         "plans a shuffle join.",
@@ -62,6 +63,25 @@ SHOWCASE = [
         "cypher_match",
         "Cypher text front-end: parsed MATCH pattern compiles to the same "
         "typed bounded-traversal join plan as the builder API.",
+    ),
+    (
+        "cypher_multi_hop",
+        "Multi-segment Cypher with node properties: per-segment traversals "
+        "joined on shared variables, attribute view equi-joined for "
+        "var.name, implicit grouping as partial+final agg — all equi-joins, "
+        "no nested loops.",
+    ),
+    (
+        "graph_closeness",
+        "Multi-source BFS closeness: per-level join + anti-join for all 30 "
+        "sources at once, then ONE partial+final aggregation of distances — "
+        "only (source, count, sum) rows reach the final stage.",
+    ),
+    (
+        "sim_pq_topk",
+        "PQ/ADC approximate top-k: one Arrow encode+score pass directly on "
+        "the scan emitting (vec_id, score), TakeOrderedAndProject keeps k — "
+        "no cartesian, no vector shuffle.",
     ),
 ]
 
