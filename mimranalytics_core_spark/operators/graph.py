@@ -878,6 +878,58 @@ def graph_closeness(spark, sf_dir):
     return closeness(e, sources, max_depth=6)
 
 
+@register(
+    "graph_eccentricity",
+    "graph",
+    oracle=f"""
+        WITH RECURSIVE {HIERARCHY_SQL.strip()},
+        ue AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        srcs AS (SELECT DISTINCT src AS s FROM ue
+                 WHERE src LIKE 'n:%' OR src LIKE 'r:%'),
+        walk(s, node, path) AS (
+            SELECT s, s, [s] FROM srcs
+            UNION ALL
+            SELECT w.s, e.dst, list_append(w.path, e.dst)
+            FROM walk w JOIN ue e ON e.src = w.node
+            WHERE NOT list_contains(w.path, e.dst) AND len(w.path) <= 6
+        ),
+        md AS (SELECT s, node, MIN(len(path) - 1) AS d
+               FROM walk WHERE node != s GROUP BY s, node)
+        SELECT s AS node, CAST(MAX(d) AS INTEGER) AS eccentricity
+        FROM md GROUP BY s
+    """,
+    notes=(
+        "eccentricity per hub node (README.md:28 pathfinding family — "
+        "ecc(s) = max min-hop distance to any reachable node; the per-node "
+        "ingredient of diameter/radius): reuses the SAME level-synchronous "
+        "multi-source BFS as closeness, so the marginal cost over computing "
+        "closeness is one aggregation. Depth bound 6 covers the component "
+        "diameter (4). Oracle: simple-path enumeration CTE + MAX — the "
+        "independent-formulation pattern shared with betweenness/closeness"
+    ),
+)
+def graph_eccentricity(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import (
+        multi_source_distances,
+        undirect,
+    )
+
+    tables(spark, sf_dir)
+    e = undirect(catalog.hierarchy_edges(spark, sf_dir))
+    sources = (
+        e.select("src")
+        .filter(F.col("src").startswith("n:") | F.col("src").startswith("r:"))
+        .distinct()
+        .select(F.col("src").alias("node"))
+    )
+    d = multi_source_distances(e, sources, max_depth=6)
+    return (
+        d.filter(F.col("node") != F.col("source"))
+        .groupBy(F.col("source").alias("node"))
+        .agg(F.max("dist").cast("int").alias("eccentricity"))
+    )
+
+
 _WSSSP_SQL = """
     WITH RECURSIVE {edges},
     walk(node, cost, depth) AS (
