@@ -20,6 +20,10 @@ OPTIONAL MATCH note: the WHERE clause is global (applies after all joins),
 unlike Cypher's per-clause WHERE scoping — a predicate on an optional
 variable therefore filters out the NULL-extended rows, as a post-filter
 would in SQL. ``count(optional_var)`` skips NULLs, matching Cypher.
+Inline node LABELS, by contrast, are clause-scoped exactly as in Cypher:
+a label inside an OPTIONAL MATCH pattern (``OPTIONAL MATCH
+(x:Nation)-[:T]->(r)``) filters that clause's frame BEFORE the left
+join, so non-matching rows null-extend instead of disappearing.
 
 into :func:`mimranalytics_core_spark.api.match_path` builder calls — every
 segment executes through the same oracle-verified bounded-traversal plan as
@@ -151,7 +155,8 @@ def parse(query: str) -> dict:
     if not hm:
         raise CypherSyntaxError(f"unsupported Cypher (MATCH subset only): {query!r}")
 
-    labels: dict = {}
+    labels: dict = {}  # var -> label, whole-query consistency check
+    _cur_labels: dict = {"cur": {}}  # labels seen in the clause being parsed
 
     def _note_label(nm: re.Match) -> None:
         if not nm.group(2):
@@ -165,6 +170,7 @@ def parse(query: str) -> dict:
         if labels.get(var, label) != label:
             raise CypherSyntaxError(f"variable {var!r} rebound with a different label")
         labels[var] = label
+        _cur_labels["cur"][var] = label
 
     def _parse_pattern(pos: int, bound: set) -> tuple[list[str], list[dict], int]:
         """One pattern chain (node (rel node)+) starting at ``pos``."""
@@ -218,13 +224,20 @@ def parse(query: str) -> dict:
     pos = hm.end()
     pending_optional = False  # the first clause is the plain MATCH
     while True:
+        _cur_labels["cur"] = {}
         cvars, segs, pos = _parse_pattern(pos, bound)
         if clauses and not (set(cvars) & bound):
             raise CypherSyntaxError(
                 "a follow-up MATCH clause must share a variable with an "
                 "earlier clause (cross products are not supported)"
             )
-        clauses.append({"optional": pending_optional, "segments": segs})
+        clauses.append(
+            {
+                "optional": pending_optional,
+                "segments": segs,
+                "labels": _cur_labels["cur"],
+            }
+        )
         vars_ += [v for v in cvars if v not in bound]
         bound |= set(cvars)
         nxt = re.match(r"\s*(?P<opt>OPTIONAL\s+)?MATCH\s*", query[pos:], re.I)
@@ -296,7 +309,9 @@ def parse(query: str) -> dict:
         unquoted = "".join(
             p for p in re.split(r"('(?:[^'])*')", pred) if not p.startswith("'")
         )
-        if re.search(r"\b\w+\.\w+\b", unquoted):
+        # identifier-start required: a decimal literal (0.5) is not a
+        # property access
+        if re.search(r"\b[A-Za-z_]\w*\.\w+\b", unquoted):
             raise CypherSyntaxError(f"unsupported property access in WHERE: {where!r}")
 
         def _sw(m: re.Match) -> str:
@@ -307,6 +322,20 @@ def parse(query: str) -> dict:
         unquoted = "".join(
             p for p in re.split(r"('(?:[^'])*')", pred) if not p.startswith("'")
         )
+        # bare hops/path_weight in WHERE bypass _map_expr (it only sees
+        # var.prop tokens) — enforce the single-segment guard here too, so
+        # multi-segment queries fail at parse time with the same message
+        # instead of a Spark AnalysisException at execution
+        if not single:
+            bare = {w for w in re.findall(r"\b\w+\b", unquoted)} & {
+                "hops",
+                "path_weight",
+            }
+            if bare:
+                raise CypherSyntaxError(
+                    f"{sorted(bare)[0]} is single-segment-only (multi-segment "
+                    "patterns bind distinct variable assignments, not paths)"
+                )
         if "path_weight" in unquoted:
             carry_weight = True
         mentioned = {
@@ -321,10 +350,16 @@ def parse(query: str) -> dict:
         else:
             post_pred = pred
 
-    # inline node labels become id-prefix predicates: the first variable's
-    # label pushes below the first join (src_pred), the rest post-filter
-    # (Catalyst pushes them down through the joins)
-    for lvar, label in labels.items():
+    # inline node labels become id-prefix predicates, scoped to the clause
+    # they appear in (Cypher semantics — crucial for OPTIONAL MATCH, where a
+    # label is part of the optional pattern and must filter BEFORE the left
+    # join so non-matching rows null-extend). First clause: the first
+    # variable's label pushes below the first join (src_pred), the rest
+    # post-filter (clause-0 vars are never null-extended, so the global
+    # post filter is equivalent there and Catalyst pushes it down). Later
+    # clauses keep their labels in clause["labels"]; run() filters that
+    # clause's frame before joining it in.
+    for lvar, label in clauses[0]["labels"].items():
         lp = f"{lvar} LIKE '{_LABEL_PREFIX[label]}%'"
         if lvar == vars_[0]:
             sp = f"src LIKE '{_LABEL_PREFIX[label]}%'"
@@ -512,6 +547,14 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                     F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
                 ).distinct()
                 cframe = part if cframe is None else cframe.join(part, seg["src"])
+            if ci > 0:
+                # clause-scoped inline labels filter this clause's frame
+                # BEFORE it joins the accumulated bindings — for OPTIONAL
+                # MATCH this is what lets non-matching rows null-extend
+                # (Cypher label scoping; clause-0 labels ride src_pred/
+                # post_pred instead)
+                for lvar, label in clause.get("labels", {}).items():
+                    cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
             if df is None:
                 df = cframe
             else:

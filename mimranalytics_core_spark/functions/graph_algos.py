@@ -395,5 +395,13 @@ def betweenness(
     return (
         delta.filter(spark_f.col("node") != spark_f.col("source"))
         .groupBy("node")
-        .agg(spark_f.round(spark_f.sum("delta"), 6).alias("betweenness"))
+        .agg(
+            # floor(x·1e6+0.5)/1e6, not F.round: the engine's HALF_UP
+            # discipline, digit-for-digit with the DuckDB oracle's
+            # FLOOR(bw*1e6+0.5)/1e6 (F.round HALF_UPs the DECIMAL rendering,
+            # which can differ at the ulp — see closeness() above)
+            (
+                spark_f.floor(spark_f.sum("delta") * 1e6 + spark_f.lit(0.5)) / 1e6
+            ).alias("betweenness")
+        )
     )

@@ -506,6 +506,49 @@ def test_cypher_label_composes_with_where(spark):
     assert rows and all(r.s.startswith("s:") for r in rows)
 
 
+def test_cypher_optional_match_label_is_clause_scoped(spark):
+    """A label inside an OPTIONAL MATCH pattern filters that clause BEFORE
+    the left join (Cypher scoping): x's region bindings fail (x:Nation) on
+    the optional side, so they must null-extend — NOT disappear (the old
+    behavior routed the label into the global post-filter, silently turning
+    OPTIONAL MATCH into an inner join)."""
+    q = """MATCH (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(x)
+           OPTIONAL MATCH (x:Nation)-[:NATION_OF]->(r)
+           WHERE c.id STARTS WITH 'c:'
+           RETURN DISTINCT x AS entity, r AS region"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    nations = [r for r in rows if r.entity.startswith("n:")]
+    regions = [r for r in rows if r.entity.startswith("r:")]
+    assert nations and all(r.region is not None for r in nations)
+    # region bindings of x survive with NULL region — the regression core
+    assert regions and all(r.region is None for r in regions)
+
+
+def test_cypher_optional_label_on_fresh_var_null_extends(spark):
+    """Label on a variable INTRODUCED by the optional clause: with an
+    impossible label (r:Customer — nation_of destinations are regions) the
+    optional side matches nothing, so every binding of x null-extends."""
+    q = """MATCH (n)-[:NATION_OF]->(x)
+           OPTIONAL MATCH (x)-[:NATION_OF]->(r:Customer)
+           RETURN DISTINCT x AS entity, r AS extra"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    assert rows and all(r.extra is None for r in rows)
+
+
+def test_cypher_multi_segment_hops_in_where_is_parse_error():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    import pytest as _pytest
+
+    for bad in (
+        "MATCH (a)-[:X]->(b)-[:Y]->(c) WHERE hops >= 2 RETURN a, c",
+        "MATCH (a)-[:X]->(b)-[:Y]->(c) WHERE path_weight > 0.5 RETURN a, c",
+        "MATCH (a)-[:X]->(b) OPTIONAL MATCH (b)-[:Y]->(c) WHERE hops = 1 RETURN a, c",
+    ):
+        with _pytest.raises(CypherSyntaxError, match="single-segment-only"):
+            parse(bad)
+
+
 def test_cypher_label_rejections():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 
