@@ -155,49 +155,25 @@ def centrality(spark: SparkSession, sf_dir: str, kind: str = "pagerank") -> Data
     )
 
 
-def match_path(
+def _edge_frame(
     spark: SparkSession,
     sf_dir: str,
     edge_types: list[str] | None = None,
-    min_hops: int = 1,
-    max_hops: int = 3,
-    src_pred: str | None = None,
     as_of: str | None = None,
-    carry_weight: bool = False,
+    graph: str = "hierarchy",
 ) -> DataFrame:
-    """Declarative graph-pattern entry point — the Cypher-shaped surface.
-
-    ``match_path(["owns_stake", "supplier_of"], 1, 4)`` is the analog of
-    ``MATCH (a)-[:OWNS_STAKE|SUPPLIER_OF*1..4]->(b)`` (reference README.md:25
-    — the store speaks Cypher; every semantic is already covered by the §2.9
-    operators, this builder gives reference users the pattern-shaped entry
-    point; :mod:`mimranalytics_core_spark.cypher` parses actual Cypher
-    strings into these args). Returns (src, dst, hops[, path_weight]).
-
-    Semantics: **bounded walk closure**, not Cypher trail semantics —
-    edges and nodes may repeat along a path (matching the UBO/reach
-    operators and their oracles), whereas Cypher variable-length patterns
-    enforce relationship uniqueness. The two coincide on DAG-shaped data
-    like the ownership hierarchy; on cyclic graphs hop counts and
-    carry_weight sums here include edge-repeating walks Cypher excludes.
-
-    - ``edge_types``: restrict traversed relationship types (None = any).
-    - ``min_hops``/``max_hops``: variable-length bound (``*min..max``).
-    - ``src_pred``: SQL boolean over the start node id, e.g.
-      ``"src LIKE 'c:%'"`` — the ``(a:Label {…})`` filter.
-    - ``as_of``: Time-Slider — traverse only edges whose
-      [valid_from, valid_to] contains the timestamp (validity-carrying edge
-      table; tier-1 ownership weights renormalize within the snapshot).
-    - ``carry_weight``: multiply edge weights along the path and sum over
-      parallel paths (the UBO closure shape).
-
-    Compiles to the same bounded iterative-join plan as the recursive-CTE
-    operators: ``max_hops`` self-joins on the (pre-filtered, narrow) edge
-    list — every hop is one hash shuffle on the frontier key; the type and
-    as-of filters prune edges BEFORE the first join.
-    """
+    """Shared edge-view selection for the pattern surface: pick the graph,
+    apply the as-of validity filter (with snapshot renormalization of
+    ownership shares) and the relationship-type filter, project narrow.
+    Both filters land BEFORE any traversal join — the cheapest order."""
     tables(spark, sf_dir)
-    if as_of is not None:
+    if graph not in ("hierarchy", "trade_credit"):
+        raise ValueError(f"unknown graph {graph!r} (hierarchy | trade_credit)")
+    if graph == "trade_credit":
+        if as_of is not None:
+            raise ValueError("as_of is only supported on the hierarchy graph")
+        e = catalog.trade_credit_edges(spark, sf_dir)
+    elif as_of is not None:
         e = catalog.temporal_ownership_edges(spark, sf_dir)
         at = F.lit(as_of).cast("timestamp_ntz")
         e = e.filter((F.col("valid_from") <= at) & (at <= F.col("valid_to")))
@@ -217,36 +193,122 @@ def match_path(
         e = catalog.hierarchy_edges(spark, sf_dir)
     if edge_types is not None:
         e = e.filter(F.col("rel_type").isin(list(edge_types)))
-    e = e.select("src", "dst", "weight")
+    return e.select("src", "dst", "weight")
 
-    if not 1 <= min_hops <= max_hops:
-        raise ValueError(f"need 1 <= min_hops <= max_hops, got {min_hops}..{max_hops}")
 
-    frontier = e.select(
-        "src", "dst", F.lit(1).alias("hops"), F.col("weight").alias("path_weight")
+def shortest_paths(
+    spark: SparkSession,
+    sf_dir: str,
+    edge_types: list[str] | None = None,
+    min_hops: int = 1,
+    max_hops: int = 3,
+    src_pred: str | None = None,
+    as_of: str | None = None,
+    graph: str = "hierarchy",
+) -> DataFrame:
+    """Cypher ``shortestPath((a)-[*min..max]->(b))`` semantics: the min-hop
+    distance per reachable (src, dst) pair, for every source satisfying
+    ``src_pred`` → (src, dst, hops) with min_hops <= hops <= max_hops.
+
+    Execution is the level-synchronous multi-source BFS
+    (functions/graph_algos.multi_source_distances): one join + anti-join
+    per level for ALL sources at once — supersteps = max_hops regardless of
+    |V| or |sources|, no path enumeration (the scale-correct shortest-path
+    shape; a per-path closure would be O(walks) on cyclic graphs)."""
+    from mimranalytics_core_spark.functions.graph_algos import (
+        multi_source_distances,
     )
+
+    e = _edge_frame(spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph)
+    e = e.select("src", "dst")
+    sources = e.select("src").distinct()
     if src_pred is not None:
-        frontier = frontier.filter(F.expr(src_pred))
-    levels = [frontier]
-    nxt = e.select(
-        F.col("src").alias("__m"), F.col("dst").alias("__d"), F.col("weight").alias("__w")
+        sources = sources.filter(F.expr(src_pred))
+    d = multi_source_distances(
+        e, sources.select(F.col("src").alias("node")), max_depth=max_hops
     )
-    for _ in range(max_hops - 1):
-        frontier = (
-            frontier.join(nxt, frontier.dst == F.col("__m"))
-            .select(
-                "src",
-                F.col("__d").alias("dst"),
-                (F.col("hops") + 1).alias("hops"),
-                (F.col("path_weight") * F.col("__w")).alias("path_weight"),
-            )
+    return (
+        d.filter((F.col("dist") >= F.lit(min_hops)) & (F.col("dist") <= F.lit(max_hops)))
+        .select(
+            F.col("source").alias("src"),
+            F.col("node").alias("dst"),
+            F.col("dist").cast("int").alias("hops"),
         )
-        levels.append(frontier)
+    )
 
-    out = levels[0]
-    for lv in levels[1:]:
-        out = out.unionByName(lv)
-    out = out.filter(F.col("hops") >= min_hops)
+
+def match_path(
+    spark: SparkSession,
+    sf_dir: str,
+    edge_types: list[str] | None = None,
+    min_hops: int = 1,
+    max_hops: int = 3,
+    src_pred: str | None = None,
+    as_of: str | None = None,
+    carry_weight: bool = False,
+    graph: str = "hierarchy",
+    trail: bool = False,
+) -> DataFrame:
+    """Declarative graph-pattern entry point — the Cypher-shaped surface.
+
+    ``match_path(["owns_stake", "supplier_of"], 1, 4)`` is the analog of
+    ``MATCH (a)-[:OWNS_STAKE|SUPPLIER_OF*1..4]->(b)`` (reference README.md:25
+    — the store speaks Cypher; every semantic is already covered by the §2.9
+    operators, this builder gives reference users the pattern-shaped entry
+    point; :mod:`mimranalytics_core_spark.cypher` parses actual Cypher
+    strings into these args). Returns (src, dst, hops[, path_weight]).
+
+    Semantics — two path models, both real:
+
+    - ``trail=False`` (default): **bounded walk closure** — edges and nodes
+      may repeat along a path (the UBO/reach semantics those operators and
+      their oracles use). Output is aggregated per (src, dst): distinct
+      (src, dst, hops) rows, or with ``carry_weight`` one row per pair with
+      min hops + the weight-product summed over ALL walks.
+    - ``trail=True``: **Cypher trail semantics** — no relationship repeats
+      along one path (Neo4j's ``*min..max`` uniqueness rule; nodes may
+      still repeat). Output is ONE ROW PER PATH (src, dst, hops
+      [, path_weight = Π weight]) with multiplicities, exactly a Cypher
+      match row stream. On DAG-shaped data the two models coincide; on
+      cyclic graphs walks strictly dominate trails. The Cypher front-end
+      uses trail mode for single-segment patterns.
+
+    - ``edge_types``: restrict traversed relationship types (None = any).
+    - ``min_hops``/``max_hops``: variable-length bound (``*min..max``).
+    - ``src_pred``: SQL boolean over the start node id, e.g.
+      ``"src LIKE 'c:%'"`` — the ``(a:Label {…})`` filter.
+    - ``as_of``: Time-Slider — traverse only edges whose
+      [valid_from, valid_to] contains the timestamp (validity-carrying edge
+      table; tier-1 ownership weights renormalize within the snapshot).
+    - ``carry_weight``: multiply edge weights along the path; in walk mode
+      also sum over parallel paths (the UBO closure shape).
+    - ``graph``: which edge view to traverse — ``"hierarchy"`` (the
+      ownership-tree analog, a DAG) or ``"trade_credit"`` (the bounded
+      CYCLIC trade-credit digraph, catalog.trade_credit_edges — where trail
+      vs walk semantics actually differ).
+
+    Compiles to the same bounded iterative-join plan as the recursive-CTE
+    operators: ``max_hops`` self-joins on the (pre-filtered, narrow) edge
+    list — every hop is one hash shuffle on the frontier key; the type and
+    as-of filters prune edges BEFORE the first join. The trail guard is a
+    row-local array membership test on the accumulated edge-key list (≤
+    max_hops entries) — no extra shuffle (functions/graph_algos.path_rows).
+    """
+    e = _edge_frame(spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph)
+
+    from mimranalytics_core_spark.functions.graph_algos import path_rows
+
+    out = path_rows(
+        e, min_hops=min_hops, max_hops=max_hops, src_pred=src_pred,
+        unique_edges=trail,
+    )
+    if trail:
+        # one row PER PATH (Cypher's match row stream), multiplicities kept
+        if carry_weight:
+            return out.select(
+                "src", "dst", "hops", F.round("path_weight", 6).alias("path_weight")
+            )
+        return out.select("src", "dst", "hops")
     if carry_weight:
         return out.groupBy("src", "dst").agg(
             F.min("hops").alias("hops"),
@@ -255,14 +317,17 @@ def match_path(
     return out.select("src", "dst", "hops").distinct()
 
 
-def cypher(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+def cypher(
+    spark: SparkSession, sf_dir: str, query: str, graph: str = "hierarchy"
+) -> DataFrame:
     """Execute a Cypher MATCH string (the migrating-user entry point —
     reference README.md:25). Thin delegate to
     :func:`mimranalytics_core_spark.cypher.run`; see that module for the
-    supported subset and the walk-vs-trail semantics note."""
+    supported subset and the trail-semantics notes. ``graph`` picks the
+    catalog edge view ("hierarchy" | "trade_credit")."""
     from mimranalytics_core_spark import cypher as _cypher
 
-    return _cypher.run(spark, sf_dir, query)
+    return _cypher.run(spark, sf_dir, query, graph=graph)
 
 
 def export_audit_report(

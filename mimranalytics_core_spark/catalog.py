@@ -231,6 +231,50 @@ def temporal_ownership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cs.unionByName(sn).unionByName(nr)
 
 
+def trade_credit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed edge list of the bounded trade-credit digraph — the engine's
+    CYCLIC fixture (mirrors operators/graph.py::TRADE_CREDIT_SQL exactly).
+
+    customer→supplier (``buys_from``: the customer purchased from the
+    supplier) and supplier→customer (``co_located``: same nation — the
+    local-supply relationship), both restricted to custkey/suppkey < 50 so
+    path enumeration stays subgraph-sized at every SF (the bound is part of
+    the declared semantics, as for graph_cycles). Cycles = customers buying
+    from suppliers in their own nation — the circular-ownership analog
+    (reference README.md:15). This is the graph Cypher trail semantics and
+    shortestPath() are exercised on: walk vs trail closure only differ in
+    the presence of cycles.
+    """
+    orders = spark.table("orders")
+    lineitem = spark.table("lineitem")
+    supplier = spark.table("supplier")
+    customer = spark.table("customer")
+    buys = (
+        orders.filter(F.col("o_custkey") < 50)
+        .join(lineitem.filter(F.col("l_suppkey") < 50), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+        .select("src", "dst", F.lit("buys_from").alias("rel_type"), F.lit(1.0).alias("weight"))
+    )
+    colo = (
+        supplier.filter(F.col("s_suppkey") < 50)
+        .join(
+            customer.filter(F.col("c_custkey") < 50),
+            F.col("s_nationkey") == F.col("c_nationkey"),
+        )
+        .select(
+            F.concat(F.lit("s:"), F.col("s_suppkey")).alias("src"),
+            F.concat(F.lit("c:"), F.col("c_custkey")).alias("dst"),
+        )
+        .distinct()
+        .select("src", "dst", F.lit("co_located").alias("rel_type"), F.lit(1.0).alias("weight"))
+    )
+    return buys.unionByName(colo)
+
+
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected part—supplier co-occurrence edges from lineitem.
 

@@ -30,17 +30,23 @@ segment executes through the same oracle-verified bounded-traversal plan as
 the §2.9 operators; multi-segment patterns join the segments on their
 shared variables.
 
-Semantics note (deliberate, documented divergence): variable-length
-patterns here are **bounded walk closure** — edges and nodes may repeat
-along a path, matching the UBO/reach operators and their DuckDB oracles —
-whereas Cypher's ``*min..max`` enforces relationship uniqueness (trail
-semantics). On DAG-shaped data (the ownership hierarchy) the two coincide;
-on cyclic graphs walk closure can count edge-repeating paths Cypher would
-exclude. For a single-segment pattern, ``hops`` is min-hops per (src, dst)
-pair and ``path_weight`` sums the weight product over ALL distinct walks.
+Path semantics: single-segment variable-length patterns run with **real
+Cypher trail semantics** — no relationship repeats along one path (Neo4j's
+``*min..max`` uniqueness rule; nodes may still repeat), one output row per
+matched path, with multiplicities, exactly Cypher's match row stream.
+``hops`` is the per-path length and ``path_weight`` the per-path weight
+product (an engine extension). On DAG-shaped data trail and walk closure
+coincide; on cyclic graphs (``graph="trade_credit"``) the engine excludes
+the edge-repeating walks Cypher excludes — asserted against walk closure
+in tests and oracle-checked by a trail-enumeration recursive CTE
+(``cypher_trail_cycle``). ``shortestPath((a)-[*..k]->(b))`` returns the
+min-hop row per (src, dst) pair via the level-synchronous BFS machinery.
 Multi-segment patterns bind DISTINCT variable assignments (one row per
-(a, b, c, …) combination, not per path), so ``hops``/``path_weight`` are
-single-segment-only.
+(a, b, c, …) combination, not per path — a documented divergence from
+Cypher's per-path rows), so ``hops``/``path_weight`` are
+single-segment-only; reachable-pair sets are identical under trail and
+walk closure (any walk contains a simple path to the same endpoint), so
+segment joins use the cheaper walk-closure distinct-pair form.
 
 Grammar subset:
 
@@ -222,10 +228,32 @@ def parse(query: str) -> dict:
     vars_: list[str] = []
     bound: set = set()
     pos = hm.end()
+    # shortestPath((a)-[*..k]->(b)) — optionally bound to a path variable
+    # (MATCH p = shortestPath(...)); single clause, single segment only
+    shortest = False
+    path_var: str | None = None
+    sm = re.match(r"(?:([A-Za-z_]\w*)\s*=\s*)?shortestPath\s*\(\s*", query[pos:], re.I)
+    if sm:
+        shortest = True
+        path_var = sm.group(1)
+        pos += sm.end()
     pending_optional = False  # the first clause is the plain MATCH
     while True:
         _cur_labels["cur"] = {}
         cvars, segs, pos = _parse_pattern(pos, bound)
+        if shortest and not clauses:
+            if len(segs) != 1:
+                raise CypherSyntaxError(
+                    "shortestPath() takes a single relationship pattern"
+                )
+            if path_var in cvars or (path_var and path_var.lower() in _RESERVED):
+                raise CypherSyntaxError(
+                    f"path variable {path_var!r} collides with a pattern variable"
+                )
+            cm = re.match(r"\s*\)", query[pos:])
+            if not cm:
+                raise CypherSyntaxError("expected ')' closing shortestPath(...)")
+            pos += cm.end()
         if clauses and not (set(cvars) & bound):
             raise CypherSyntaxError(
                 "a follow-up MATCH clause must share a variable with an "
@@ -243,6 +271,10 @@ def parse(query: str) -> dict:
         nxt = re.match(r"\s*(?P<opt>OPTIONAL\s+)?MATCH\s*", query[pos:], re.I)
         if not nxt:
             break
+        if shortest:
+            raise CypherSyntaxError(
+                "shortestPath() must be the only MATCH clause in the query"
+            )
         pending_optional = bool(nxt.group("opt"))
         pos += nxt.end()
     segments = clauses[0]["segments"]
@@ -264,6 +296,9 @@ def parse(query: str) -> dict:
         """Map a Cypher expression to its engine column token."""
         if expr in varset:
             return expr
+        lm = re.match(r"^length\(\s*([A-Za-z_]\w*)\s*\)$", expr, re.I)
+        if lm and path_var and lm.group(1) == path_var:
+            return "hops"  # length(p) over the shortestPath binding
         if "." in expr:
             var, _, prop = expr.partition(".")
             if var in varset:
@@ -279,6 +314,10 @@ def parse(query: str) -> dict:
                 raise CypherSyntaxError(
                     f"{low} is single-segment-only (multi-segment patterns bind "
                     "distinct variable assignments, not paths)"
+                )
+            if low == "path_weight" and shortest:
+                raise CypherSyntaxError(
+                    "path_weight is not defined for shortestPath() patterns"
                 )
             return low
         raise CypherSyntaxError(f"unsupported {ctx}: {expr!r}")
@@ -336,6 +375,10 @@ def parse(query: str) -> dict:
                     f"{sorted(bare)[0]} is single-segment-only (multi-segment "
                     "patterns bind distinct variable assignments, not paths)"
                 )
+        if shortest and "path_weight" in unquoted:
+            raise CypherSyntaxError(
+                "path_weight is not defined for shortestPath() patterns"
+            )
         if "path_weight" in unquoted:
             carry_weight = True
         mentioned = {
@@ -477,6 +520,8 @@ def parse(query: str) -> dict:
 
     return {
         "ret_distinct": ret_distinct,
+        "shortest": shortest,
+        "path_var": path_var,
         "clauses": clauses,
         "segments": segments,
         "vars": vars_,
@@ -497,15 +542,36 @@ def parse(query: str) -> dict:
     }
 
 
-def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
-    """Execute a Cypher MATCH string against the hierarchy graph."""
+def run(
+    spark: SparkSession, sf_dir: str, query: str, graph: str = "hierarchy"
+) -> DataFrame:
+    """Execute a Cypher MATCH string against a catalog graph view
+    (``graph``: "hierarchy" — the ownership DAG — or "trade_credit", the
+    bounded cyclic digraph where trail semantics bite)."""
     from mimranalytics_core_spark import api, catalog
 
     p = parse(query)
     clauses = p["clauses"]
     single = len(clauses) == 1 and len(clauses[0]["segments"]) == 1
 
-    if single:
+    if p["shortest"]:
+        segs = clauses[0]["segments"]
+        df = api.shortest_paths(
+            spark,
+            sf_dir,
+            edge_types=segs[0]["types"],
+            min_hops=segs[0]["min_hops"],
+            max_hops=segs[0]["max_hops"],
+            src_pred=p["src_pred"],
+            as_of=p["as_of"],
+            graph=graph,
+        )
+        df = df.select(
+            F.col("src").alias(segs[0]["src"]),
+            F.col("dst").alias(segs[0]["dst"]),
+            "hops",
+        )
+    elif single:
         segs = clauses[0]["segments"]
         df = api.match_path(
             spark,
@@ -516,6 +582,8 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
             src_pred=p["src_pred"],
             as_of=p["as_of"],
             carry_weight=p["carry_weight"],
+            graph=graph,
+            trail=True,  # real Cypher trail semantics, per-path rows
         )
         cols = [
             F.col("src").alias(segs[0]["src"]),
@@ -542,6 +610,9 @@ def run(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
                     max_hops=seg["max_hops"],
                     src_pred=p["src_pred"] if ci == 0 and si == 0 else None,
                     as_of=p["as_of"],
+                    graph=graph,
+                    # walk closure: reachable-pair sets equal trail's (module
+                    # doc), and the pairs are deduped below anyway
                 )
                 part = part.select(
                     F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])

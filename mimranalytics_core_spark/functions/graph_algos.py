@@ -55,6 +55,67 @@ def ubo_closure(edges: DataFrame, max_depth: int = 6, threshold: float = 0.0) ->
     return out.filter(F.col("effective_ownership") >= threshold)
 
 
+def path_rows(
+    edges: DataFrame,
+    min_hops: int = 1,
+    max_hops: int = 3,
+    src_pred: str | None = None,
+    unique_edges: bool = False,
+) -> DataFrame:
+    """Enumerate bounded directed paths as per-path rows
+    (src, dst, hops, path_weight = Π edge weight).
+
+    ``unique_edges=False``: **walk closure** — edges and nodes may repeat
+    (the UBO/reach semantics). ``unique_edges=True``: **trail semantics** —
+    no relationship is traversed twice along one path, exactly Cypher's
+    ``*min..max`` uniqueness rule (Neo4j relationship isomorphism; nodes MAY
+    still repeat). On DAG-shaped data the two coincide; on cyclic graphs
+    walks strictly dominate trails.
+
+    Edge identity for the uniqueness check is the (src, dst) pair — callers
+    must pass a DISTINCT edge list (catalog edge views are); parallel typed
+    edges between the same endpoints would be conflated.
+
+    Plan: ``max_hops`` self-joins on the frontier's dst key (one hash
+    shuffle each); the trail guard is a row-local array_contains on the
+    accumulated edge-key array (≤ max_hops elements — negligible width for
+    bounded patterns), so it adds NO shuffle. Depth must stay bounded and
+    the subgraph pre-filtered — path enumeration on an unbounded dense
+    graph is O(paths) by definition (module scale note).
+    """
+    if not 1 <= min_hops <= max_hops:
+        raise ValueError(f"need 1 <= min_hops <= max_hops, got {min_hops}..{max_hops}")
+    e = edges.select("src", "dst", "weight")
+    ekey = F.concat_ws(">", F.col("src"), F.col("dst"))
+    frontier = e.select(
+        "src", "dst", F.lit(1).alias("hops"), F.col("weight").alias("path_weight"),
+        F.array(ekey).alias("__epath"),
+    )
+    if src_pred is not None:
+        frontier = frontier.filter(F.expr(src_pred))
+    nxt = e.select(
+        F.col("src").alias("__m"), F.col("dst").alias("__d"), F.col("weight").alias("__w")
+    )
+    step_key = F.concat_ws(">", F.col("__m"), F.col("__d"))
+    levels = [frontier]
+    for _ in range(max_hops - 1):
+        step = frontier.join(nxt, frontier.dst == F.col("__m"))
+        if unique_edges:
+            step = step.filter(~F.array_contains(F.col("__epath"), step_key))
+        frontier = step.select(
+            "src",
+            F.col("__d").alias("dst"),
+            (F.col("hops") + 1).alias("hops"),
+            (F.col("path_weight") * F.col("__w")).alias("path_weight"),
+            F.concat(F.col("__epath"), F.array(step_key)).alias("__epath"),
+        )
+        levels.append(frontier)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.filter(F.col("hops") >= min_hops).select("src", "dst", "hops", "path_weight")
+
+
 def bfs_distances(edges: DataFrame, seeds: DataFrame, max_depth: int = 10) -> DataFrame:
     """Min-hop distance from a seed set: (node, dist). ``seeds``: (node)."""
     # materialize once: each level joins edges; a lazy derivation would be

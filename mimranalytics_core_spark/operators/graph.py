@@ -54,18 +54,21 @@ HIERARCHY_SQL = """
     )
 """
 
-# Trade-credit digraph for cycle detection: customer→supplier on purchase,
-# supplier→customer on shared nation (local supply relationship). Cycles =
-# customers buying from suppliers in their own nation — the circular-ownership
-# analog (README.md:15). Bounded to custkey < 200 to keep path enumeration
-# subgraph-sized at every SF (scale posture above).
+# Trade-credit digraph for cycle detection: customer→supplier on purchase
+# (buys_from), supplier→customer on shared nation (co_located — the local
+# supply relationship). Cycles = customers buying from suppliers in their own
+# nation — the circular-ownership analog (README.md:15). Bounded to
+# custkey/suppkey < 50 to keep path enumeration subgraph-sized at every SF
+# (scale posture above). DataFrame twin: catalog.trade_credit_edges —
+# keep both in sync.
 TRADE_CREDIT_SQL = """
     tc_edges AS (
-        SELECT DISTINCT 'c:' || o.o_custkey AS src, 's:' || l.l_suppkey AS dst
+        SELECT DISTINCT 'c:' || o.o_custkey AS src, 's:' || l.l_suppkey AS dst,
+               'buys_from' AS rel_type
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         WHERE o.o_custkey < 50 AND l.l_suppkey < 50
         UNION ALL
-        SELECT DISTINCT 's:' || s.s_suppkey, 'c:' || c.c_custkey
+        SELECT DISTINCT 's:' || s.s_suppkey, 'c:' || c.c_custkey, 'co_located'
         FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
         WHERE c.c_custkey < 50 AND s.s_suppkey < 50
     )
@@ -1150,4 +1153,94 @@ def cypher_optional_match(spark, sf_dir):
            OPTIONAL MATCH (x)-[:NATION_OF]->(r)
            WHERE c.id STARTS WITH 'c:'
            RETURN x AS entity, count(*) AS n_bindings, count(r) AS n_with_region""",
+    )
+
+
+@register(
+    "cypher_trail_cycle",
+    "graph",
+    oracle=f"""
+        WITH RECURSIVE {TRADE_CREDIT_SQL.strip()},
+        trail(src, node, epath, hops) AS (
+            SELECT src, dst, [src || '>' || dst], 1
+            FROM tc_edges WHERE src LIKE 'c:%'
+            UNION ALL
+            SELECT t.src, e.dst, list_append(t.epath, e.src || '>' || e.dst),
+                   t.hops + 1
+            FROM trail t JOIN tc_edges e ON e.src = t.node
+            WHERE t.hops < 4
+              AND NOT list_contains(t.epath, e.src || '>' || e.dst)
+        )
+        SELECT src AS a, node AS b, COUNT(*) AS n_trails,
+               CAST(MIN(hops) AS INTEGER) AS min_hops
+        FROM trail WHERE hops >= 2
+        GROUP BY src, node
+    """,
+    notes=(
+        "Cypher TRAIL semantics on a CYCLIC graph (README.md:25 — Neo4j's "
+        "*min..max enforces relationship uniqueness per path; the one place "
+        "walk closure would return a DIFFERENT answer to a migrated query): "
+        "variable-length pattern over the bounded trade-credit digraph, one "
+        "row per trail, Cypher's implicit grouping counting trails per "
+        "(a, b). The engine enforces edge uniqueness with a row-local "
+        "array-membership guard on the accumulated edge-key list (no extra "
+        "shuffle — functions/graph_algos.path_rows); the oracle enumerates "
+        "the same trails with a list-valued recursive CTE and an edge NOT "
+        "IN path check. Walk closure provably differs on this fixture "
+        "(strictly more paths — asserted in tests/test_api.py)"
+    ),
+)
+def cypher_trail_cycle(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (a)-[:BUYS_FROM|CO_LOCATED*2..4]->(b)
+           WHERE a.id STARTS WITH 'c:'
+           RETURN a, b, count(*) AS n_trails, min(hops) AS min_hops""",
+        graph="trade_credit",
+    )
+
+
+@register(
+    "cypher_shortest_path",
+    "graph",
+    oracle=f"""
+        WITH RECURSIVE {TRADE_CREDIT_SQL.strip()},
+        walk(src, node, hops) AS (
+            SELECT src, dst, 1 FROM tc_edges WHERE src LIKE 'c:%'
+            UNION
+            SELECT w.src, e.dst, w.hops + 1
+            FROM walk w JOIN tc_edges e ON e.src = w.node
+            WHERE w.hops < 4
+        )
+        SELECT src AS a, node AS b, CAST(MIN(hops) AS INTEGER) AS hops
+        FROM walk WHERE node <> src
+        GROUP BY src, node
+    """,
+    notes=(
+        "Cypher shortestPath() (README.md:28 — pathfinding is a headline "
+        "capability; this makes it reachable from a QUERY STRING, not just "
+        "the programmatic bfs surface): MATCH p = shortestPath((a)-[*1..4]"
+        "->(b)) compiles onto the level-synchronous multi-source BFS "
+        "(functions/graph_algos.multi_source_distances — one join + "
+        "anti-join per level for ALL sources at once, no path enumeration; "
+        "supersteps = hop bound at any |V|). length(p) resolves to the "
+        "min-hop distance. Self-pairs are excluded (their min distance is "
+        "0, the empty path). Oracle: deduping recursive-UNION walk closure "
+        "+ MIN per pair — the graph_shortest_path oracle pattern on the "
+        "cyclic fixture"
+    ),
+)
+def cypher_shortest_path(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH p = shortestPath((a)-[:BUYS_FROM|CO_LOCATED*1..4]->(b))
+           WHERE a.id STARTS WITH 'c:'
+           RETURN a, b, length(p) AS hops""",
+        graph="trade_credit",
     )

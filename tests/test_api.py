@@ -549,6 +549,96 @@ def test_cypher_multi_segment_hops_in_where_is_parse_error():
             parse(bad)
 
 
+def test_path_rows_trail_vs_walk_on_two_cycle(spark):
+    """On the 2-cycle a<->b, depth-4 walks repeat edges; trails cannot:
+    from each node exactly 2 trails exist (the edge, then the way back),
+    while walks keep going — the defining Cypher-uniqueness difference."""
+    from mimranalytics_core_spark.functions.graph_algos import path_rows
+
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src STRING, dst STRING, weight DOUBLE"
+    )
+    trails = {
+        (r.src, r.dst, r.hops)
+        for r in path_rows(e, 1, 4, unique_edges=True).collect()
+    }
+    assert trails == {("a", "b", 1), ("a", "a", 2), ("b", "a", 1), ("b", "b", 2)}
+    walks = path_rows(e, 1, 4, unique_edges=False).collect()
+    assert len(walks) == 8  # 1..4 hops from each of a, b — edge reuse allowed
+
+
+def test_cypher_trail_differs_from_walk_closure_on_cyclic_fixture(spark):
+    """The verdict-mandated divergence proof: on the cyclic trade-credit
+    graph, walk closure counts strictly more paths than Cypher trail
+    semantics at the same bounds (2..4 hops) — so the old walk-based Cypher
+    would have returned a DIFFERENT answer to a migrated Neo4j query."""
+    from mimranalytics_core_spark import catalog
+    from mimranalytics_core_spark.functions.graph_algos import path_rows
+    from mimranalytics_core_spark.operators._base import tables
+
+    tables(spark, SF_SMALL)
+    e = catalog.trade_credit_edges(spark, SF_SMALL)
+    n_trails = path_rows(e, 2, 4, src_pred="src LIKE 'c:%'", unique_edges=True).count()
+    n_walks = path_rows(e, 2, 4, src_pred="src LIKE 'c:%'", unique_edges=False).count()
+    assert 0 < n_trails < n_walks
+    # and the declared query counts exactly the trails
+    got = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (a)-[:BUYS_FROM|CO_LOCATED*2..4]->(b)
+           WHERE a.id STARTS WITH 'c:'
+           RETURN a, b, count(*) AS n_trails, min(hops) AS min_hops""",
+        graph="trade_credit",
+    )
+    assert sum(r.n_trails for r in got.collect()) == n_trails
+
+
+def test_cypher_shortest_path_equals_min_over_trails(spark):
+    """shortestPath() must return the per-pair minimum trail length (for
+    b != a, min over walks == min over trails == BFS distance)."""
+    from mimranalytics_core_spark import catalog
+    from mimranalytics_core_spark.functions.graph_algos import path_rows
+    from mimranalytics_core_spark.operators._base import tables
+
+    got = {
+        (r.a, r.b): r.hops
+        for r in api.cypher(
+            spark,
+            SF_SMALL,
+            """MATCH p = shortestPath((a)-[:BUYS_FROM|CO_LOCATED*1..4]->(b))
+               WHERE a.id STARTS WITH 'c:'
+               RETURN a, b, length(p) AS hops""",
+            graph="trade_credit",
+        ).collect()
+    }
+    tables(spark, SF_SMALL)
+    e = catalog.trade_credit_edges(spark, SF_SMALL)
+    walks = path_rows(e, 1, 4, src_pred="src LIKE 'c:%'", unique_edges=False)
+    want = {}
+    for r in walks.collect():
+        if r.src != r.dst:
+            want[(r.src, r.dst)] = min(want.get((r.src, r.dst), 99), r.hops)
+    assert got == want and got
+
+
+def test_cypher_shortest_path_parse_rejections():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    import pytest as _pytest
+
+    with _pytest.raises(CypherSyntaxError, match="single relationship pattern"):
+        parse("MATCH p = shortestPath((a)-[:X]->(b)-[:Y]->(c)) RETURN a, c")
+    with _pytest.raises(CypherSyntaxError, match="only MATCH clause"):
+        parse("MATCH p = shortestPath((a)-[:X*1..3]->(b)) MATCH (b)-[:Y]->(c) RETURN a, c")
+    with _pytest.raises(CypherSyntaxError, match="path_weight"):
+        parse("MATCH p = shortestPath((a)-[:X*1..3]->(b)) RETURN a, b, path_weight")
+    with _pytest.raises(CypherSyntaxError, match="closing shortestPath"):
+        parse("MATCH p = shortestPath((a)-[:X*1..3]->(b) RETURN a, b")
+    # unbound path function name must not resolve
+    with _pytest.raises(CypherSyntaxError):
+        parse("MATCH (a)-[:X*1..3]->(b) RETURN a, b, length(q)")
+
+
 def test_cypher_label_rejections():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 
