@@ -8,13 +8,19 @@ strings). Parses the pattern subset
                                               -- earlier clause
       [AS OF '<timestamp>']            -- Time-Slider extension (README.md:17)
       [WHERE <predicate over var.id / var.name / var.label>]
-      [WITH <items> [WHERE <predicate over WITH outputs>]]
+      [WITH <items> [WHERE <predicate over WITH outputs>]
+        [MATCH <pattern> [OPTIONAL MATCH <pattern>] ... [WHERE <pred>]]]
       RETURN <items> [ORDER BY ...] [SKIP n] [LIMIT n]
 
 WITH note: one pipeline stage is supported — WITH projects/aggregates
 mid-query (pattern scope), its optional WHERE filters the aggregated rows
-(SQL HAVING), and RETURN then resolves against the WITH output names
-only, exactly Cypher's scoping. MATCH after WITH is not supported.
+(SQL HAVING). A **MATCH after WITH** opens a second pattern stage
+(Cypher's aggregate-then-rematch pipeline): its clauses must share a
+variable with the WITH outputs (the join anchors), OPTIONAL MATCH
+left-joins, labels are clause-scoped, and the trailing WHERE filters the
+joined frame. RETURN then resolves against the WITH outputs plus the
+post-WITH pattern variables (and their properties); without a post-WITH
+MATCH it sees the WITH outputs only — exactly Cypher's scoping.
 
 OPTIONAL MATCH note: the WHERE clause is global (applies after all joins),
 unlike Cypher's per-clause WHERE scoping — a predicate on an optional
@@ -106,7 +112,10 @@ _REL_RE = re.compile(
 _TAIL_RE = re.compile(
     r"""^(?:\s+AS\s+OF\s+'(?P<asof>[^']+)')?
         (?:\s+WHERE\s+(?P<where>.*?))?
-        (?:\s+WITH\s+(?P<witems>.*?)(?:\s+WHERE\s+(?P<having>.*?))?)?
+        (?:\s+WITH\s+(?P<witems>.*?)
+            (?:\s+WHERE\s+(?P<having>.*?))?
+            (?P<m2>\s+(?:OPTIONAL\s+)?MATCH\s.*?)?   # MATCH after WITH
+        )?
         \s+RETURN\s+(?P<ret>.+?)
         (?:\s+ORDER\s+BY\s+(?P<order>.+?))?
         (?:\s+SKIP\s+(?P<skip>\d+))?
@@ -178,9 +187,14 @@ def parse(query: str) -> dict:
         labels[var] = label
         _cur_labels["cur"][var] = label
 
-    def _parse_pattern(pos: int, bound: set) -> tuple[list[str], list[dict], int]:
-        """One pattern chain (node (rel node)+) starting at ``pos``."""
-        nm = _NODE_RE.match(query, pos)
+    def _parse_pattern(
+        pos: int, bound: set, text: str | None = None
+    ) -> tuple[list[str], list[dict], int]:
+        """One pattern chain (node (rel node)+) starting at ``pos`` in
+        ``text`` (default: the whole query — stage-2 clauses parse their own
+        substring)."""
+        s = query if text is None else text
+        nm = _NODE_RE.match(s, pos)
         if not nm:
             raise CypherSyntaxError(f"expected a node pattern after MATCH: {query!r}")
         _note_label(nm)
@@ -188,10 +202,10 @@ def parse(query: str) -> dict:
         pos = nm.end()
         segs: list[dict] = []
         while True:
-            rm = _REL_RE.match(query, pos)
+            rm = _REL_RE.match(s, pos)
             if not rm:
                 break
-            nm = _NODE_RE.match(query, rm.end())
+            nm = _NODE_RE.match(s, rm.end())
             if not nm:
                 raise CypherSyntaxError(
                     f"expected a node pattern after relationship: {query!r}"
@@ -331,6 +345,15 @@ def parse(query: str) -> dict:
         parts = re.split(r"('(?:[^'])*')", pred)
         return "".join(p if p.startswith("'") else fn(p) for p in parts)
 
+    def _unquoted(pred: str) -> str:
+        return "".join(
+            p for p in re.split(r"('(?:[^'])*')", pred) if not p.startswith("'")
+        )
+
+    def _sw(m: re.Match) -> str:
+        lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+        return f"{m.group('col')} LIKE '{lit}%'"
+
     src_pred = post_pred = None
     carry_weight = False
     where = _unmask(tm.group("where"))
@@ -345,22 +368,14 @@ def parse(query: str) -> dict:
             return seg
 
         pred = _outside_quotes(pred, _map_props)
-        unquoted = "".join(
-            p for p in re.split(r"('(?:[^'])*')", pred) if not p.startswith("'")
-        )
+        unquoted = _unquoted(pred)
         # identifier-start required: a decimal literal (0.5) is not a
         # property access
         if re.search(r"\b[A-Za-z_]\w*\.\w+\b", unquoted):
             raise CypherSyntaxError(f"unsupported property access in WHERE: {where!r}")
 
-        def _sw(m: re.Match) -> str:
-            lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
-            return f"{m.group('col')} LIKE '{lit}%'"
-
         pred = _STARTS_WITH.sub(_sw, pred)
-        unquoted = "".join(
-            p for p in re.split(r"('(?:[^'])*')", pred) if not p.startswith("'")
-        )
+        unquoted = _unquoted(pred)
         # bare hops/path_weight in WHERE bypass _map_expr (it only sees
         # var.prop tokens) — enforce the single-segment guard here too, so
         # multi-segment queries fail at parse time with the same message
@@ -455,31 +470,118 @@ def parse(query: str) -> dict:
 
     pattern_numeric_ok = lambda c: c in ("hops", "path_weight")  # noqa: E731
 
-    # WITH stage (optional): items parse in PATTERN scope; RETURN then
-    # resolves against the WITH output names only (Cypher's pipeline
-    # scoping). The second WHERE (after WITH) is the HAVING-style filter.
+    # WITH stage (optional): items parse in PATTERN scope; what follows
+    # resolves against the WITH output names (Cypher's pipeline scoping).
+    # The second WHERE (after WITH) is the HAVING-style filter. A MATCH
+    # after WITH opens a SECOND pattern stage whose clauses join the WITH
+    # output on shared variable names; RETURN then sees the WITH outputs
+    # plus the post-WITH pattern variables (and their properties).
     with_items = None
+    stage2 = None
     having = _unmask(tm.group("having"))
     if tm.group("witems"):
         with_items = _parse_item_list(
             _unmask(tm.group("witems")), _map_expr, pattern_numeric_ok, "WITH"
         )
         with_names = {it["name"] for it in with_items}
-
-        def _ret_resolve(expr: str, ctx: str) -> str:
-            if expr in with_names:
-                return expr
-            raise CypherSyntaxError(f"unsupported {ctx} (not a WITH output): {expr!r}")
-
-        ret_numeric_ok = lambda c: True  # noqa: E731  (WITH outputs are opaque)
         if having:
-            unq = "".join(
-                p for p in re.split(r"('(?:[^'])*')", having) if not p.startswith("'")
-            )
-            if re.search(r"\b\w+\.\w+\b", unq):
+            unq = _unquoted(having)
+            if re.search(r"\b[A-Za-z_]\w*\.\w+\b", unq):
                 raise CypherSyntaxError(
                     f"WHERE after WITH may only reference WITH outputs: {having!r}"
                 )
+
+        if tm.group("m2"):
+            # ---- MATCH after WITH (second pattern stage) ----
+            s2text = tm.group("m2")  # masked is fine: patterns hold no quotes
+            m2h = re.match(r"\s*(?P<opt>OPTIONAL\s+)?MATCH\s*", s2text, re.I)
+            pos2 = m2h.end()
+            pending2 = bool(m2h.group("opt"))
+            bound2 = set(with_names)
+            vars2: list[str] = []
+            clauses2: list[dict] = []
+            while True:
+                _cur_labels["cur"] = {}
+                cvars, segs, pos2 = _parse_pattern(pos2, bound2, text=s2text)
+                if not (set(cvars) & bound2):
+                    raise CypherSyntaxError(
+                        "a MATCH after WITH must share a variable with the "
+                        "WITH outputs (or an earlier post-WITH clause)"
+                    )
+                clauses2.append(
+                    {
+                        "optional": pending2,
+                        "segments": segs,
+                        "labels": _cur_labels["cur"],
+                    }
+                )
+                vars2 += [v for v in cvars if v not in bound2]
+                bound2 |= set(cvars)
+                nxt2 = re.match(r"\s*(?P<opt>OPTIONAL\s+)?MATCH\s*", s2text[pos2:], re.I)
+                if not nxt2:
+                    break
+                pending2 = bool(nxt2.group("opt"))
+                pos2 += nxt2.end()
+            rest2 = s2text[pos2:]
+            prop_vars2: dict[str, set] = {}
+            vars2set = set(vars2)
+
+            def _stage2_resolve(expr: str, ctx: str) -> str:
+                if expr in with_names or expr in vars2set:
+                    return expr
+                if "." in expr:
+                    var, _, prop = expr.partition(".")
+                    if var in vars2set or var in with_names:
+                        if prop == "id":
+                            return var
+                        if prop in _PROPS:
+                            prop_vars2.setdefault(var, set()).add(prop)
+                            return f"{var}__{prop}"
+                raise CypherSyntaxError(f"unsupported {ctx}: {expr!r}")
+
+            post2 = None
+            wm2 = re.match(r"\s*WHERE\s+(?P<pred>.*)$", rest2, re.I | re.S)
+            if wm2:
+                pred2 = _unmask(wm2.group("pred")).strip()
+
+                def _map_props2(seg: str) -> str:
+                    for pm in sorted(
+                        set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)),
+                        key=len,
+                        reverse=True,
+                    ):
+                        seg = seg.replace(pm, _stage2_resolve(pm, "WHERE after MATCH"))
+                    return seg
+
+                pred2 = _outside_quotes(pred2, _map_props2)
+                unq2 = _unquoted(pred2)
+                if re.search(r"\b[A-Za-z_]\w*\.\w+\b", unq2):
+                    raise CypherSyntaxError(
+                        f"unsupported property access in post-WITH WHERE: {pred2!r}"
+                    )
+                if {w for w in re.findall(r"\b\w+\b", unq2)} & {"hops", "path_weight"}:
+                    raise CypherSyntaxError(
+                        "hops/path_weight are not available after WITH "
+                        "(pattern-stage scope only)"
+                    )
+                post2 = _STARTS_WITH.sub(_sw, pred2)
+            elif rest2.strip():
+                raise CypherSyntaxError(
+                    f"unsupported text after post-WITH MATCH: {rest2.strip()!r}"
+                )
+            stage2 = {"clauses": clauses2, "post_pred": post2, "prop_vars": prop_vars2}
+            _ret_resolve = _stage2_resolve
+            ret_numeric_ok = lambda c: True  # noqa: E731
+        else:
+
+            def _ret_resolve(expr: str, ctx: str) -> str:
+                if expr in with_names:
+                    return expr
+                raise CypherSyntaxError(
+                    f"unsupported {ctx} (not a WITH output): {expr!r}"
+                )
+
+            ret_numeric_ok = lambda c: True  # noqa: E731  (WITH outputs are opaque)
     else:
         _ret_resolve = _map_expr
         ret_numeric_ok = pattern_numeric_ok
@@ -534,6 +636,11 @@ def parse(query: str) -> dict:
         "carry_weight": carry_weight,
         "with_items": with_items,
         "having": having,
+        "stage2": (
+            {**stage2, "prop_vars": {k: sorted(v) for k, v in stage2["prop_vars"].items()}}
+            if stage2
+            else None
+        ),
         "projection": projection,
         "prop_vars": {k: sorted(v) for k, v in prop_vars.items()},
         "order_by": order_by,
@@ -678,6 +785,42 @@ def run(
         df = _apply_items(df, p["with_items"])
         if p["having"]:
             df = df.filter(F.expr(p["having"]))
+        if p.get("stage2"):
+            # MATCH after WITH: each post-WITH clause frame (distinct
+            # variable bindings, as in the multi-clause path) joins the
+            # WITH output on the shared variable names — plain equi-joins,
+            # left for OPTIONAL MATCH. Clause labels filter their frame
+            # BEFORE the join (Cypher clause scoping).
+            s2 = p["stage2"]
+            for clause in s2["clauses"]:
+                cframe = None
+                for seg in clause["segments"]:
+                    part = api.match_path(
+                        spark,
+                        sf_dir,
+                        edge_types=seg["types"],
+                        min_hops=seg["min_hops"],
+                        max_hops=seg["max_hops"],
+                        as_of=p["as_of"],
+                        graph=graph,
+                    )
+                    part = part.select(
+                        F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
+                    ).distinct()
+                    cframe = part if cframe is None else cframe.join(part, seg["src"])
+                for lvar, label in clause.get("labels", {}).items():
+                    cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
+                shared = [c for c in df.columns if c in cframe.columns]
+                df = df.join(cframe, shared, "left" if clause["optional"] else "inner")
+            if s2["prop_vars"]:
+                attrs = catalog.hierarchy_nodes(spark, sf_dir)
+                for var, props in s2["prop_vars"].items():
+                    sel = [F.col("id").alias(var)] + [
+                        F.col(pr).alias(f"{var}__{pr}") for pr in props
+                    ]
+                    df = df.join(attrs.select(*sel), var, "left")
+            if s2["post_pred"]:
+                df = df.filter(F.expr(s2["post_pred"]))
     df = _apply_items(df, p["projection"])
     if p.get("ret_distinct"):
         df = df.distinct()

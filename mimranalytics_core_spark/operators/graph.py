@@ -1157,6 +1157,45 @@ def cypher_optional_match(spark, sf_dir):
 
 
 @register(
+    "cypher_with_match",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        cn AS (SELECT dst AS nation, COUNT(*) AS n_customers
+               FROM edges WHERE rel_type = 'customer_of' GROUP BY dst),
+        sn AS (SELECT DISTINCT src, dst FROM edges
+               WHERE rel_type = 'supplier_of')
+        SELECT cn.nation, cn.n_customers, COUNT(*) AS n_suppliers
+        FROM cn JOIN sn ON sn.dst = cn.nation
+        GROUP BY cn.nation, cn.n_customers
+        ORDER BY nation
+    """,
+    notes=(
+        "MATCH after WITH (README.md:25 — Cypher's aggregate-then-rematch "
+        "pipeline, the most common multi-stage saved-query shape): stage 1 "
+        "aggregates customers per nation, WITH pipes (nation, n_customers), "
+        "stage 2 re-matches suppliers joining on the piped nation variable, "
+        "RETURN aggregates again over the joined frame. Compiles to "
+        "groupBy → equi-join → groupBy — two partial+final hash aggs and "
+        "one shuffle join, no new shuffle shape. Oracle is the equivalent "
+        "two-level relational aggregation"
+    ),
+)
+def cypher_with_match(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n AS nation, count(*) AS n_customers
+           MATCH (s)-[:SUPPLIER_OF]->(nation)
+           RETURN nation, n_customers, count(*) AS n_suppliers
+           ORDER BY nation""",
+    )
+
+
+@register(
     "cypher_trail_cycle",
     "graph",
     oracle=f"""

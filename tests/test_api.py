@@ -433,6 +433,79 @@ def test_cypher_with_plain_projection_no_aggregate(spark):
     assert len(rows) == 5  # 5 nations per region
 
 
+def test_cypher_match_after_with_aggregate_then_rematch(spark):
+    """MATCH…WITH…MATCH…RETURN: stage 1 aggregates, stage 2 re-matches on
+    the piped variable — verified against the hand-built equivalent."""
+    q = """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n AS nation, count(*) AS n_customers
+           MATCH (s)-[:SUPPLIER_OF]->(nation)
+           RETURN nation, n_customers, count(*) AS n_suppliers"""
+    got = {
+        (r.nation, r.n_customers, r.n_suppliers)
+        for r in api.cypher(spark, SF_SMALL, q).collect()
+    }
+    cust = t(spark, SF_SMALL, "customer")
+    supp = t(spark, SF_SMALL, "supplier")
+    nc = {f"n:{r.c_nationkey}": r.n for r in cust.groupBy("c_nationkey").agg(F.count("*").alias("n")).collect()}
+    ns = {f"n:{r.s_nationkey}": r.n for r in supp.groupBy("s_nationkey").agg(F.count("*").alias("n")).collect()}
+    want = {(k, nc[k], ns[k]) for k in nc if k in ns}
+    assert got == want and got
+
+
+def test_cypher_match_after_with_optional_null_extends(spark):
+    """OPTIONAL MATCH after WITH left-joins the piped frame: nations with
+    zero suppliers keep their row with the optional variable NULL."""
+    q = """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n AS nation, count(*) AS n_customers
+           OPTIONAL MATCH (s)-[:SUPPLIER_OF]->(nation)
+           RETURN nation, n_customers, count(s) AS n_suppliers"""
+    got = {r.nation: (r.n_customers, r.n_suppliers) for r in api.cypher(spark, SF_SMALL, q).collect()}
+    cust = t(spark, SF_SMALL, "customer")
+    supp = t(spark, SF_SMALL, "supplier")
+    nc = {f"n:{r.c_nationkey}": r.n for r in cust.groupBy("c_nationkey").agg(F.count("*").alias("n")).collect()}
+    ns = {f"n:{r.s_nationkey}": r.n for r in supp.groupBy("s_nationkey").agg(F.count("*").alias("n")).collect()}
+    assert set(got) == set(nc)  # every customer-nation survives
+    for k, (ncust, nsupp) in got.items():
+        assert ncust == nc[k] and nsupp == ns.get(k, 0)
+
+
+def test_cypher_match_after_with_where_and_props(spark):
+    """Stage-2 WHERE filters the joined frame; properties of post-WITH
+    pattern variables resolve through the attribute view."""
+    q = """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n AS nation, count(*) AS n_customers
+           MATCH (nation)-[:NATION_OF]->(r)
+           WHERE r.name = 'AFRICA'
+           RETURN nation, n_customers, r.name AS region_name"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    assert rows and all(r.region_name == "AFRICA" for r in rows)
+
+
+def test_cypher_match_after_with_scope_rules():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    import pytest as _pytest
+
+    # stage-2 clause must share a variable with the WITH outputs
+    with _pytest.raises(CypherSyntaxError, match="share a variable"):
+        parse(
+            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
+            "MATCH (s)-[:Y]->(q) RETURN nation, s"
+        )
+    # stage-1 vars are out of scope after WITH even with a stage-2 MATCH
+    with _pytest.raises(CypherSyntaxError):
+        parse(
+            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
+            "MATCH (s)-[:Y]->(nation) RETURN c, nation"
+        )
+    # hops is pattern-stage-scoped: not available in post-WITH WHERE
+    with _pytest.raises(CypherSyntaxError, match="not available after WITH"):
+        parse(
+            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
+            "MATCH (s)-[:Y*1..2]->(nation) WHERE hops = 2 RETURN nation"
+        )
+
+
 def test_cypher_rejects_bad_aggregates_and_order_keys():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 

@@ -32,13 +32,30 @@ def _rel(draw):
 def _query(draw):
     nvars = draw(st.integers(2, 4))
     vs = draw(st.lists(_VARS, min_size=nvars, max_size=nvars, unique=True))
+    shortest = nvars == 2 and draw(st.booleans())
     pat = draw(_node(vs[0]))
     for v in vs[1:]:
         pat += draw(_rel()) + draw(_node(v))
-    q = f"MATCH {pat}"
+    if shortest:
+        q = f"MATCH p = shortestPath({pat})"
+    else:
+        q = f"MATCH {pat}"
     if draw(st.booleans()):
         q += f" WHERE {vs[0]}.id STARTS WITH 'c:'"
-    items = [vs[0], f"count(*) AS n"] if draw(st.booleans()) else list(vs[:2])
+    # optionally pipe through WITH, then optionally MATCH again (stage 2)
+    with_match = not shortest and draw(st.booleans())
+    if with_match:
+        q += f" WITH {vs[0]} AS piped, count(*) AS n"
+        if draw(st.booleans()):
+            q += " WHERE n >= 2"
+        stage2 = draw(st.booleans())
+        if stage2:
+            fresh = draw(st.sampled_from(["u", "v", "w"]))
+            opt = "OPTIONAL " if draw(st.booleans()) else ""
+            q += f" {opt}MATCH ({fresh})" + draw(_rel()) + "(piped)"
+        items = ["piped", "n"]
+    else:
+        items = [vs[0], "count(*) AS n"] if draw(st.booleans()) else list(vs[:2])
     q += " RETURN " + ", ".join(items)
     if draw(st.booleans()):
         q += f" ORDER BY {items[0].split(' ')[-1]} DESC"
