@@ -344,6 +344,122 @@ def pagerank(
     return ranks
 
 
+def kcore(edges: DataFrame, k: int = 2, max_iter: int = 12) -> DataFrame:
+    """k-core of the undirected graph: (node, core_deg) — the maximal
+    subgraph where every node keeps degree ≥ k, plus each survivor's
+    in-core degree. Standard iterative peel: drop nodes with degree < k,
+    recompute degrees on the induced subgraph, repeat to fixpoint (bounded
+    by ``max_iter``; peeling is monotone, so an early fixpoint equals any
+    longer unrolling — the DuckDB oracle unrolls exactly ``max_iter``
+    rounds).
+
+    Scale: each round is one induced-edge semi-join pair + one partial-agg
+    degree count on the (shrinking) alive set; the symmetrized edge list is
+    checkpointed once. Rounds ≤ max_iter regardless of |V|; at 100 TB the
+    edge list would be bucketed on src so the semi-joins co-locate.
+    """
+    sym = undirect(edges).distinct().localCheckpoint(eager=True)
+    alive = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    prev_n = alive.count()
+    for _ in range(max_iter):
+        if prev_n == 0:
+            break
+        e = sym.join(
+            alive.withColumnRenamed("node", "src"), "src", "left_semi"
+        ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+        deg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("node").localCheckpoint(eager=True)
+        n = alive.count()
+        if n == prev_n:
+            break  # fixpoint — further peels are identity
+        prev_n = n
+    final = sym.join(
+        alive.withColumnRenamed("node", "src"), "src", "left_semi"
+    ).join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+    return final.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("core_deg")
+    )
+
+
+def pagerank_personalized(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Personalized (seeded) PageRank: (node, rank) — "influence of THIS
+    entity set" (reference README.md:13 'highlight'). The teleport vector is
+    restricted to ``seeds`` (node): rank₀ = tele; rankₖ₊₁(v) = (1-d)·tele(v)
+    + d·(inflowₖ(v) + dmₖ·tele(v)) where tele(v) = 1/|S| on seeds, else 0 —
+    the standard PPR recurrence; dangling mass returns to the seed set.
+
+    Same per-iteration cost shape as :func:`pagerank` (one contribution
+    join + agg, one dangling scan+agg, scalar broadcast); the teleport
+    column rides the checkpointed node frame, so personalization adds no
+    extra shuffle. Kept as its own function (not a pagerank() parameter) so
+    the uniform op's oracle-matched float sequence stays byte-stable.
+    """
+    e = edges.select("src", "dst")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = seeds.select("node").distinct()
+    ns = s.count()
+    if ns == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    nodes = (
+        nodes.join(s.withColumn("__seed", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            F.when(F.col("__seed").isNotNull(), F.lit(1.0) / F.lit(float(ns)))
+            .otherwise(F.lit(0.0))
+            .alias("tele"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    shares = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("share")
+    )
+    if state_partitions is not None:
+        shares = shares.coalesce(state_partitions)
+    shares = shares.localCheckpoint(eager=True)
+    dangling = nodes.join(out_deg, nodes.node == out_deg.src, "left_anti").coalesce(
+        1
+    ).localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.col("tele").alias("rank"))
+    d = float(damping)
+    for _ in range(iters):
+        contribs = (
+            shares.join(ranks, shares.src == ranks.node)
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("share")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dm = ranks.join(dangling.select("node"), "node", "left_semi").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dm))
+            .select(
+                "node",
+                (
+                    F.lit(1 - d) * F.col("tele")
+                    + F.lit(d)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("dm") * F.col("tele"))
+                ).alias("rank"),
+            )
+        )
+        if state_partitions is not None:
+            ranks = ranks.coalesce(state_partitions)
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
 def betweenness(
     edges: DataFrame,
     sources: DataFrame,

@@ -405,6 +405,83 @@ def graph_pagerank(spark, sf_dir):
     )
 
 
+def _ppr_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank oracle: the pagerank oracle's CTE
+    triples with the teleport vector restricted to the seed set (customers
+    with custkey < 10) — rank₀ = tele; rankₖ₊₁(v) = (1-d)·tele(v) +
+    d·(inflowₖ(v) + dmₖ·tele(v)); dangling mass returns to the seeds."""
+    steps = []
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""
+        c{k} AS (SELECT s.dst AS node, SUM(p.rank * s.share) AS inflow
+                 FROM shares s JOIN {prev} p ON s.src = p.node GROUP BY s.dst),
+        d{k} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev}
+                 WHERE node IN (SELECT node FROM dangling)),
+        pr{k} AS (SELECT tele.node,
+                         (1 - {damping}) * tele.t
+                         + {damping} * (COALESCE(c{k}.inflow, 0.0) + d{k}.dm * tele.t)
+                             AS rank
+                  FROM tele CROSS JOIN d{k}
+                  LEFT JOIN c{k} ON tele.node = c{k}.node)"""
+        )
+        prev = f"pr{k}"
+    return f"""
+        WITH {HIERARCHY_SQL},
+        e AS MATERIALIZED (SELECT src, dst FROM edges),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        seeds AS MATERIALIZED (SELECT 'c:' || c_custkey AS node
+                               FROM customer WHERE c_custkey < 10),
+        ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+        tele AS MATERIALIZED (
+            SELECT nodes.node,
+                   CASE WHEN seeds.node IS NOT NULL THEN 1.0 / ns.n
+                        ELSE 0.0 END AS t
+            FROM nodes CROSS JOIN ns LEFT JOIN seeds ON nodes.node = seeds.node),
+        outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        shares AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / outd.od AS share
+                   FROM e JOIN outd ON e.src = outd.src),
+        dangling AS MATERIALIZED (SELECT node FROM nodes
+                     WHERE node NOT IN (SELECT src FROM e)),
+        pr0 AS (SELECT node, t AS rank FROM tele),
+        {",".join(steps)}
+        SELECT node, FLOOR(rank * 1000000 + 0.5) / 1000000 AS rank FROM {prev}
+    """
+
+
+@register(
+    "graph_pagerank_personalized",
+    "graph",
+    oracle=_ppr_oracle_sql(iters=10, damping=0.85),
+    notes=(
+        "personalized PageRank (README.md:13 'automatically calculate and "
+        "highlight' — influence of THIS entity set, the natural seeded "
+        "variant for an ownership-graph product): teleport restricted to a "
+        "seed set (customers custkey < 10), dangling mass returned to the "
+        "seeds, 10 damped iterations. One small delta on the uniform "
+        "pagerank loop — the teleport column rides the checkpointed node "
+        "frame, so personalization adds no extra shuffle. Oracle: the "
+        "pagerank unrolled-CTE recurrence with the seed-restricted "
+        "teleport vector, hash-checked"
+    ),
+)
+def graph_pagerank_personalized(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import pagerank_personalized
+
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    seeds = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < 10)
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("node"))
+    )
+    return pagerank_personalized(e, seeds, iters=10, state_partitions=8).select(
+        "node", (F.floor(F.col("rank") * 1000000 + F.lit(0.5)) / 1000000).alias("rank")
+    )
+
+
 @register(
     "graph_common_neighbors",
     "graph",
@@ -931,6 +1008,67 @@ def graph_eccentricity(spark, sf_dir):
         .groupBy(F.col("source").alias("node"))
         .agg(F.max("dist").cast("int").alias("eccentricity"))
     )
+
+
+def _kcore_oracle_sql(k: int = 12, rounds: int = 12) -> str:
+    """Unrolled iterative-peel oracle for the k-core: each round induces the
+    subgraph on the surviving node set, recomputes degrees, and drops nodes
+    below k. Peeling is monotone, so ``rounds`` ≥ the convergence round
+    makes the unrolling exact (the engine stops at the fixpoint)."""
+    parts = [
+        # MATERIALIZED: every peel round references sym — a plain CTE would
+        # re-open the parquet per reference (fd exhaustion, the pagerank-
+        # oracle lesson from round 3)
+        "sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+        "(SELECT src, dst FROM tc_edges UNION ALL SELECT dst, src FROM tc_edges))",
+        "n0 AS (SELECT DISTINCT src AS node FROM sym)",
+    ]
+    prev = "n0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"e{i} AS (SELECT s.src, s.dst FROM sym s "
+            f"JOIN {prev} a ON s.src = a.node JOIN {prev} b ON s.dst = b.node)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT src AS node, COUNT(*) AS deg FROM e{i} GROUP BY src)"
+        )
+        # MATERIALIZED: each n{{i}} is referenced twice by e{{i+1}} — an
+        # inlined chain would re-evaluate the whole peel history per
+        # reference (exponential blowup across 12 rounds)
+        parts.append(f"n{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k})")
+        prev = f"n{i}"
+    return f"""
+        WITH {TRADE_CREDIT_SQL.strip()},
+        {",".join(parts)},
+        ef AS (SELECT s.src, s.dst FROM sym s
+               JOIN {prev} a ON s.src = a.node JOIN {prev} b ON s.dst = b.node)
+        SELECT src AS node, COUNT(*) AS core_deg FROM ef GROUP BY src
+    """
+
+
+@register(
+    "graph_kcore",
+    "graph",
+    oracle=_kcore_oracle_sql(k=12, rounds=12),
+    notes=(
+        "k-core decomposition (README.md:28 — completes the NetworkX "
+        "structural-analysis surface next to components/centralities): the "
+        "maximal subgraph of the undirected trade-credit graph where every "
+        "node keeps degree >= 12, with each survivor's in-core degree. "
+        "Iterative peel-below-k to fixpoint (functions/graph_algos.kcore) — "
+        "each round one induced-subgraph semi-join pair + partial-agg "
+        "degree count on the shrinking alive set, <= 12 rounds. Oracle "
+        "unrolls the same peel 12 rounds in DuckDB (monotone, so an early "
+        "engine fixpoint is exact). Random-graph agreement vs a pure-Python "
+        "reference peel in tests/test_graph_random.py"
+    ),
+)
+def graph_kcore(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import kcore
+
+    tables(spark, sf_dir)
+    e = catalog.trade_credit_edges(spark, sf_dir).select("src", "dst")
+    return kcore(e, k=12, max_iter=12)
 
 
 _WSSSP_SQL = """

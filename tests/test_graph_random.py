@@ -188,3 +188,31 @@ def test_match_path_unweighted_matches_bfs_walks(spark, redges):
     # — compare non-seed reachability, where the two definitions coincide
     seed_ids = {"v0", "v1"}
     assert walks - seed_ids == bfs - seed_ids
+
+
+def test_kcore_matches_reference_peel(spark, redges):
+    """Distributed k-core vs a straightforward in-memory peel on the seeded
+    random graph, for several k."""
+    from mimranalytics_core_spark.functions.graph_algos import kcore
+
+    # symmetrized unique neighbor pairs
+    sym = set()
+    for s, d, _ in EDGE_LIST:
+        sym.add((s, d))
+        sym.add((d, s))
+
+    def ref_core(k):
+        alive = {a for a, _ in sym}
+        while True:
+            deg = {}
+            for a, b in sym:
+                if a in alive and b in alive:
+                    deg[a] = deg.get(a, 0) + 1
+            nxt = {n for n in alive if deg.get(n, 0) >= k}
+            if nxt == alive:
+                return {n: deg.get(n, 0) for n in alive}
+            alive = nxt
+
+    for k in (2, 3, 4):
+        got = {r.node: r.core_deg for r in kcore(redges, k=k, max_iter=30).collect()}
+        assert got == ref_core(k), f"k={k}"
