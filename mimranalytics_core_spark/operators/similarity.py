@@ -353,6 +353,66 @@ def dedup_embedding_cosine(spark, sf_dir, threshold: float = 0.95, max_rounds: i
 
 
 @register(
+    "dedup_embedding_planted",
+    "similarity",
+    oracle="""
+        WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                                FROM embeddings),
+        clones AS (SELECT vec_id + 1000000 AS vec_id,
+                          list_prepend(v[1] + 0.1, v[2:]) AS v
+                   FROM base WHERE vec_id < 20),
+        e AS (SELECT * FROM base UNION ALL SELECT * FROM clones),
+        pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib
+                  FROM e a JOIN e b ON a.vec_id < b.vec_id
+                  WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.95),
+        sym AS (SELECT ia AS s, ib AS d FROM pairs
+                UNION ALL SELECT ib AS s, ia AS d FROM pairs),
+        reach(node, anc, depth) AS (
+            SELECT vec_id, vec_id, 0 FROM e
+            UNION
+            SELECT r.node, s.d, r.depth + 1
+            FROM reach r JOIN sym s ON s.s = r.anc WHERE r.depth < 8
+        ),
+        comp AS (SELECT node, MIN(anc) AS canonical_id FROM reach GROUP BY node)
+        SELECT node AS vec_id, canonical_id, node <> canonical_id AS is_dup FROM comp
+    """,
+    notes=(
+        "RECALL-SENSITIVE twin of dedup_embedding_cosine: the fixture is "
+        "near-uniform (max pairwise cos ~ 0.48), so the corpus op's "
+        "exhaustive-closure oracle certifies labeling and false positives "
+        "but would stay green even if LSH missed every true pair. This "
+        "variant PLANTS deterministic >= 0.95 pairs — for each vec_id < 20 "
+        "a clone (id + 1e6) whose first component is shifted by +0.1 "
+        "(the embeddings are UNIT vectors, so cos(v, v+0.1e0) = "
+        "(1+0.1v0)/sqrt(1.01+0.2v0) >= 1/sqrt(1.01) ~ 0.995 for ANY unit "
+        "vector — provably above the rounded threshold) — with the "
+        "identical seed-free construction on both sides (same double "
+        "arithmetic in Spark and DuckDB), then runs the SAME banded-LSH -> "
+        "exact-verify -> min-label pipeline over the union. The oracle's "
+        "exhaustive closure now contains 20 true clusters, so the "
+        "driver-visible hash check certifies RECALL (a missed pair flips "
+        "canonical ids) as well as precision — closing the round-3 "
+        "verdict's 'recall-blind at fixture scale' caveat. LSH miss "
+        "probability at cos 0.995: (1 - p_bit^12)^16 ~ 1e-8"
+    ),
+)
+def dedup_embedding_planted(spark, sf_dir, threshold: float = 0.95, max_rounds: int = 8):
+    src = t(spark, sf_dir, "embeddings")
+    e = src.select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    clones = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + F.lit(1000000)).alias("vec_id"),
+        F.concat(
+            F.array(F.col("emb")[0] + F.lit(0.1)), F.slice("emb", 2, 63)
+        ).alias("emb"),
+    )
+    u = e.unionByName(clones)
+    pairs = lsh_ann_pairs(
+        spark, u, bands=16, bits=12, bucket_cap=256, threshold=threshold, source_df=u
+    ).select(F.col("vec_a").alias("ia"), F.col("vec_b").alias("ib"))
+    return _cluster_pairs(pairs, u.select(F.col("vec_id").alias("node")), max_rounds)
+
+
+@register(
     "dedup_embedding_exact",
     "similarity",
     oracle="""

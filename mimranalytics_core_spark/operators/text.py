@@ -268,6 +268,54 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "text_chunk_sliding",
+    "text",
+    oracle="""
+        WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+                      FROM documents),
+        st AS (SELECT doc_id, tk,
+                      unnest(generate_series(1, len(tk), 40)) AS start
+               FROM toks),
+        ch AS (SELECT doc_id,
+                      CAST((start - 1) // 40 AS INT) AS chunk_id,
+                      list_slice(tk, start, least(start + 49, len(tk))) AS chunk
+               FROM st)
+        SELECT doc_id, chunk_id, len(chunk) AS n_chunk_tokens,
+               array_to_string(chunk, ' ') AS chunk_text
+        FROM ch
+    """,
+    notes=(
+        "sliding-window document chunking (LLM-pipeline staple: fixed-size "
+        "token windows with overlap feed embedding/training stages): 50-"
+        "token windows, stride 40 (10-token overlap) per document → "
+        "(doc_id, chunk_id, n_chunk_tokens, chunk_text). Entirely "
+        "scan-local — tokenize, sequence of starts, posexplode, slice, "
+        "rejoin are all row-local (ZERO shuffles; embarrassingly parallel "
+        "at any corpus size, the chunker shape a 100 TB pipeline needs). "
+        "Oracle: generate_series over token counts + list_slice in DuckDB "
+        "— the same windows by construction"
+    ),
+)
+def text_chunk_sliding(spark, sf_dir, window: int = 50, stride: int = 40):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    starts = d.select("doc_id", toks.alias("tk")).select(
+        "doc_id",
+        "tk",
+        F.posexplode(F.sequence(F.lit(1), F.size("tk"), F.lit(stride))).alias(
+            "chunk_id", "start"
+        ),
+    )
+    chunk = F.slice(F.col("tk"), F.col("start"), window)
+    return starts.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+@register(
     "dedup_exact_norm",
     "text",
     oracle="""

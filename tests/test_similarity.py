@@ -266,3 +266,17 @@ def test_pq_topk_approximates_brute_force_on_clustered_data(spark):
     brute = [r.vec_id for r in OPS["sim_cosine_topk"].fn(spark, SF_SMALL).collect()]
     overlap = len(set(pq) & set(brute))
     assert overlap >= 4, f"PQ recall too low: {overlap}/10 ({pq} vs {brute})"
+
+
+def test_dedup_embedding_planted_recovers_all_clones(spark):
+    """The recall-sensitive declared variant: every planted clone
+    (vec_id + 1e6, first component +0.1 on a unit vector => cos >= 0.995)
+    must cluster with its original, canonical = the original id — if the
+    LSH stage missed a pair, its clone would stay singleton and this (and
+    the driver's oracle hash) would fail."""
+    out = all_ops()["dedup_embedding_planted"].fn(spark, SF_SMALL).collect()
+    dups = {r.vec_id: r.canonical_id for r in out if r.is_dup}
+    assert dups == {1000000 + i: i for i in range(20)}
+    # originals stay canonical; everything else is singleton
+    n_all = len(out)
+    assert sum(1 for r in out if not r.is_dup) == n_all - 20

@@ -234,3 +234,30 @@ def test_mix_sample_deterministic_across_invocations(spark):
     a = sorted((r.doc_id, r.u32) for r in deterministic_mix_sample(d).collect())
     b = sorted((r.doc_id, r.u32) for r in deterministic_mix_sample(d).collect())
     assert a and a == b
+
+
+def test_text_chunk_sliding_covers_and_overlaps(spark):
+    """Chunk invariants on real docs: every token position is covered, chunk
+    starts advance by the stride, the last chunk ends at the doc end, and
+    non-final chunks are exactly window-sized."""
+    W, S = 50, 40
+    d = t(spark, SF_SMALL, "documents").select("doc_id", F.lower("text").alias("lt"))
+    n_tok = {r.doc_id: len(r.lt.split(" ")) for r in d.collect()}
+    rows = all_ops()["text_chunk_sliding"].fn(spark, SF_SMALL).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(n_tok)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        n = n_tok[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        # number of chunks = number of stride starts <= n
+        assert len(chunks) == (n - 1) // S + 1
+        for i, c in enumerate(chunks):
+            start = i * S  # 0-based
+            want = min(W, n - start)
+            assert c.n_chunk_tokens == want
+            assert c.n_chunk_tokens == len(c.chunk_text.split(" ")) or c.chunk_text == ""
+        # coverage: last chunk reaches the end
+        assert (len(chunks) - 1) * S + chunks[-1].n_chunk_tokens == n
