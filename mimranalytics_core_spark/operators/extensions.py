@@ -139,6 +139,34 @@ def stream_watermark_late(spark, sf_dir):
 
 
 @register(
+    "stream_session_real",
+    "event_time",
+    oracle=None,  # streaming-state semantics: rows-only per SURVEY.md §2.10
+    notes=(
+        "gap-based sessionization executed as a REAL Structured Streaming "
+        "query (F.session_window, 30-minute gap, 10-minute watermark; "
+        "availableNow replay of the events table into a memory sink) — the "
+        "streaming form of the oracle-checked batch twin stream_session. "
+        "Session-window state merges adjacent windows per key and is "
+        "evicted once the watermark passes a session's close — the bounded-"
+        "state shape for unbounded streams. Batch/stream agreement on the "
+        "replay fixture asserted in tests/test_streaming.py (same rows as "
+        "the batch F.session_window computation)"
+    ),
+)
+def stream_session_real(spark, sf_dir):
+    import uuid
+
+    from mimranalytics_core_spark.streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    name = f"sess_demo_{uuid.uuid4().hex[:8]}"
+    return jobs.run_available_now(
+        jobs.session_windows(stream), name, spark, output_mode="complete"
+    )
+
+
+@register(
     "sink_report_roundtrip",
     "sinks",
     oracle="""

@@ -155,3 +155,20 @@ def test_transform_with_state_equals_apply_in_pandas_with_state(spark):
     assert sorted(map(tuple, tws.collect()), key=lambda t: (t[0], t[1])) == sorted(
         map(tuple, legacy.collect()), key=lambda t: (t[0], t[1])
     )
+
+
+def test_stream_session_real_registered_op_agrees_with_batch(spark):
+    """The declared rows-only query (stream_session_real) drains the real
+    F.session_window streaming query; its rows must equal the batch
+    session_window computation on the same fixture."""
+    from mimranalytics_core_spark.registry import all_ops
+
+    res = all_ops()["stream_session_real"].fn(spark, SF_SMALL)
+    batch = (
+        t(spark, SF_SMALL, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sess_value"))
+        .select("user_id", F.col("win").start.alias("sess_start"), "n_events", "sess_value")
+    )
+    cols = ["user_id", "sess_start", "n_events", "sess_value"]
+    assert _rows(res, cols) == _rows(batch, cols)
