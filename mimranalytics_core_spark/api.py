@@ -237,6 +237,47 @@ def shortest_paths(
     )
 
 
+def all_shortest_paths(
+    spark: SparkSession,
+    sf_dir: str,
+    edge_types: list[str] | None = None,
+    min_hops: int = 1,
+    max_hops: int = 3,
+    src_pred: str | None = None,
+    as_of: str | None = None,
+    graph: str = "hierarchy",
+) -> DataFrame:
+    """Cypher ``allShortestPaths((a)-[*min..max]->(b))`` semantics: for each
+    reachable (src, dst) pair, the min-hop distance AND the number of
+    distinct shortest paths σ → (src, dst, hops, n_paths).
+
+    σ is computed by the Brandes forward phase
+    (functions/graph_algos.multi_source_sigma) — a level-synchronous BFS
+    summing path counts over predecessors — WITHOUT enumerating paths, so
+    the cost is supersteps = hop bound at any graph size (min-hop paths
+    never repeat nodes, so σ equals the simple-path count by construction).
+    """
+    from mimranalytics_core_spark.functions.graph_algos import multi_source_sigma
+
+    e = _edge_frame(spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph)
+    e = e.select("src", "dst")
+    sources = e.select("src").distinct()
+    if src_pred is not None:
+        sources = sources.filter(F.expr(src_pred))
+    sig = multi_source_sigma(
+        e, sources.select(F.col("src").alias("node")), max_depth=max_hops
+    )
+    return (
+        sig.filter((F.col("dist") >= F.lit(min_hops)) & (F.col("dist") <= F.lit(max_hops)))
+        .select(
+            F.col("source").alias("src"),
+            F.col("node").alias("dst"),
+            F.col("dist").cast("int").alias("hops"),
+            F.col("sigma").alias("n_paths"),
+        )
+    )
+
+
 def match_path(
     spark: SparkSession,
     sf_dir: str,

@@ -46,7 +46,10 @@ coincide; on cyclic graphs (``graph="trade_credit"``) the engine excludes
 the edge-repeating walks Cypher excludes — asserted against walk closure
 in tests and oracle-checked by a trail-enumeration recursive CTE
 (``cypher_trail_cycle``). ``shortestPath((a)-[*..k]->(b))`` returns the
-min-hop row per (src, dst) pair via the level-synchronous BFS machinery.
+min-hop row per (src, dst) pair via the level-synchronous BFS machinery;
+``allShortestPaths(...)`` returns one row per shortest path (σ
+multiplicity from the Brandes forward phase — path counts summed over
+predecessors, no enumeration).
 Multi-segment patterns bind DISTINCT variable assignments (one row per
 (a, b, c, …) combination, not per path — a documented divergence from
 Cypher's per-path rows), so ``hops``/``path_weight`` are
@@ -242,13 +245,21 @@ def parse(query: str) -> dict:
     vars_: list[str] = []
     bound: set = set()
     pos = hm.end()
-    # shortestPath((a)-[*..k]->(b)) — optionally bound to a path variable
-    # (MATCH p = shortestPath(...)); single clause, single segment only
+    # shortestPath((a)-[*..k]->(b)) / allShortestPaths(...) — optionally
+    # bound to a path variable (MATCH p = ...); single clause, single
+    # segment only. allShortestPaths yields one row PER shortest path
+    # (σ multiplicity), exactly Cypher's row stream.
     shortest = False
+    shortest_all = False
     path_var: str | None = None
-    sm = re.match(r"(?:([A-Za-z_]\w*)\s*=\s*)?shortestPath\s*\(\s*", query[pos:], re.I)
+    sm = re.match(
+        r"(?:([A-Za-z_]\w*)\s*=\s*)?(allShortestPaths|shortestPath)\s*\(\s*",
+        query[pos:],
+        re.I,
+    )
     if sm:
         shortest = True
+        shortest_all = sm.group(2).lower() == "allshortestpaths"
         path_var = sm.group(1)
         pos += sm.end()
     pending_optional = False  # the first clause is the plain MATCH
@@ -623,6 +634,7 @@ def parse(query: str) -> dict:
     return {
         "ret_distinct": ret_distinct,
         "shortest": shortest,
+        "shortest_all": shortest_all,
         "path_var": path_var,
         "clauses": clauses,
         "segments": segments,
@@ -663,9 +675,7 @@ def run(
 
     if p["shortest"]:
         segs = clauses[0]["segments"]
-        df = api.shortest_paths(
-            spark,
-            sf_dir,
+        args = dict(
             edge_types=segs[0]["types"],
             min_hops=segs[0]["min_hops"],
             max_hops=segs[0]["max_hops"],
@@ -673,11 +683,24 @@ def run(
             as_of=p["as_of"],
             graph=graph,
         )
-        df = df.select(
-            F.col("src").alias(segs[0]["src"]),
-            F.col("dst").alias(segs[0]["dst"]),
-            "hops",
-        )
+        if p.get("shortest_all"):
+            # one row per shortest path: σ multiplicity expanded row-locally
+            # (sequence+explode over the path COUNT — the paths themselves
+            # are never enumerated or shuffled)
+            base = api.all_shortest_paths(spark, sf_dir, **args)
+            df = base.withColumn(
+                "__p", F.explode(F.sequence(F.lit(1), F.col("n_paths")))
+            ).select(
+                F.col("src").alias(segs[0]["src"]),
+                F.col("dst").alias(segs[0]["dst"]),
+                "hops",
+            )
+        else:
+            df = api.shortest_paths(spark, sf_dir, **args).select(
+                F.col("src").alias(segs[0]["src"]),
+                F.col("dst").alias(segs[0]["dst"]),
+                "hops",
+            )
     elif single:
         segs = clauses[0]["segments"]
         df = api.match_path(

@@ -170,6 +170,41 @@ def multi_source_distances(
     return seen
 
 
+def multi_source_sigma(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """Per-source shortest-path COUNTS: (source, node, dist, sigma) — the
+    forward half of the Brandes machinery (level-synchronous BFS summing σ
+    over predecessors) exposed standalone for allShortestPaths(): σ(s, v) =
+    number of distinct min-hop paths s→v, computed WITHOUT enumerating
+    paths (one join + σ-summing aggregate per level for all sources at
+    once; supersteps = ``max_depth`` at any |V| or |sources|)."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    frontier = (
+        sources.select(F.col("node").alias("source"))
+        .withColumn("node", F.col("source"))
+        .withColumn("dist", F.lit(0))
+        .withColumn("sigma", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    seen = frontier
+    for level in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("source", F.col("dst").alias("node"), "sigma")
+            .join(seen.select("source", "node"), ["source", "node"], "left_anti")
+            .groupBy("source", "node")
+            .agg(F.sum("sigma").alias("sigma"))
+            .withColumn("dist", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt.select("source", "node", "dist", "sigma"))
+        frontier = nxt
+    return seen
+
+
 def closeness(edges: DataFrame, sources: DataFrame, max_depth: int = 8) -> DataFrame:
     """Closeness centrality for each source: (node, closeness).
 

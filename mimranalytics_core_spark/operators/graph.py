@@ -523,6 +523,67 @@ def graph_common_neighbors(spark, sf_dir):
 
 
 @register(
+    "graph_link_prediction",
+    "graph",
+    oracle="""
+        WITH purchases AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey < 100
+        ),
+        deg AS (SELECT supp, COUNT(*) AS d FROM purchases GROUP BY supp)
+        SELECT a.cust AS cust_a, b.cust AS cust_b,
+               COUNT(*) AS n_shared,
+               FLOOR(SUM(1.0 / LN(deg.d)) * 1e6 + 0.5) / 1e6 AS aa_score
+        FROM purchases a
+        JOIN purchases b ON a.supp = b.supp AND a.cust < b.cust
+        JOIN deg ON deg.supp = a.supp
+        GROUP BY a.cust, b.cust
+        HAVING COUNT(*) >= 3
+    """,
+    notes=(
+        "Adamic–Adar link prediction (README.md:28 — the NetworkX "
+        "link-prediction family next to common-neighbors; README.md:15 "
+        "hidden-link signal): AA(u,v) = Σ over shared counterparties w of "
+        "1/ln(deg(w)) — rare shared suppliers weigh more than ubiquitous "
+        "ones. Same inverted-index self-join as graph_common_neighbors "
+        "plus one broadcast-sized degree join; the shared key is the "
+        "shuffle key (hot counterparties df-capped/salted at 100 TB). "
+        "deg(w) >= 2 for every shared counterparty by construction, so "
+        "1/ln is always finite. floor-HALF_UP rounding discipline on the "
+        "float sum, LN parity with DuckDB proven by fn_math"
+    ),
+)
+def graph_link_prediction(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    li = t(spark, sf_dir, "lineitem")
+    purchases = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    # rename the degree key: deg shares lineage with both self-join sides,
+    # so an unrenamed `supp` would be ambiguous
+    deg = purchases.groupBy("supp").agg(F.count("*").alias("d")).select(
+        F.col("supp").alias("dsupp"), "d"
+    )
+    a = purchases.alias("a")
+    b = purchases.alias("b")
+    return (
+        a.join(b, (F.col("a.supp") == F.col("b.supp")) & (F.col("a.cust") < F.col("b.cust")))
+        .join(deg, F.col("a.supp") == F.col("dsupp"))
+        .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            (
+                F.floor(F.sum(F.lit(1.0) / F.log(F.col("d"))) * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("aa_score"),
+        )
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+@register(
     "graph_triangles",
     "graph",
     oracle="""
@@ -1419,5 +1480,53 @@ def cypher_shortest_path(spark, sf_dir):
         """MATCH p = shortestPath((a)-[:BUYS_FROM|CO_LOCATED*1..4]->(b))
            WHERE a.id STARTS WITH 'c:'
            RETURN a, b, length(p) AS hops""",
+        graph="trade_credit",
+    )
+
+
+@register(
+    "cypher_all_shortest_paths",
+    "graph",
+    oracle=f"""
+        WITH RECURSIVE {TRADE_CREDIT_SQL.strip()},
+        walk(src, node, hops) AS (
+            SELECT src, dst, 1 FROM tc_edges WHERE src LIKE 'c:%'
+            UNION ALL
+            SELECT w.src, e.dst, w.hops + 1
+            FROM walk w JOIN tc_edges e ON e.src = w.node
+            WHERE w.hops < 3
+        ),
+        m AS (SELECT src, node, MIN(hops) AS mh FROM walk
+              WHERE node <> src GROUP BY src, node)
+        SELECT w.src AS a, w.node AS b, CAST(m.mh AS INT) AS hops,
+               COUNT(*) AS n_paths
+        FROM walk w JOIN m ON w.src = m.src AND w.node = m.node
+                          AND w.hops = m.mh
+        GROUP BY w.src, w.node, m.mh
+    """,
+    notes=(
+        "Cypher allShortestPaths() (README.md:28 pathfinding — the σ side "
+        "of the headline capability): one row per shortest path, Cypher's "
+        "implicit grouping counting them per pair. σ comes from the "
+        "Brandes FORWARD phase (functions/graph_algos.multi_source_sigma): "
+        "level-synchronous BFS summing path counts over predecessors — no "
+        "path enumeration anywhere in the engine (supersteps = hop bound "
+        "at any graph size); the per-path row stream is reconstructed "
+        "row-locally by exploding a 1..σ sequence. Oracle enumerates the "
+        "bounded walks in DuckDB and counts the min-length ones per pair — "
+        "min-hop walks never repeat nodes, so the walk count IS σ. The "
+        "independent formulations make the hash match certify the σ "
+        "recurrence itself"
+    ),
+)
+def cypher_all_shortest_paths(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH p = allShortestPaths((a)-[:BUYS_FROM|CO_LOCATED*1..3]->(b))
+           WHERE a.id STARTS WITH 'c:'
+           RETURN a, b, length(p) AS hops, count(*) AS n_paths""",
         graph="trade_credit",
     )

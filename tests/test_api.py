@@ -694,6 +694,41 @@ def test_cypher_shortest_path_equals_min_over_trails(spark):
     assert got == want and got
 
 
+def test_cypher_all_shortest_paths_sigma_equals_min_length_path_count(spark):
+    """allShortestPaths must emit exactly sigma rows per pair — verified
+    against brute-force enumeration (min-hop walks never repeat nodes, so
+    counting min-length walks IS sigma)."""
+    from collections import Counter
+
+    from mimranalytics_core_spark import catalog
+    from mimranalytics_core_spark.functions.graph_algos import path_rows
+    from mimranalytics_core_spark.operators._base import tables
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH p = allShortestPaths((a)-[:BUYS_FROM|CO_LOCATED*1..3]->(b))
+           WHERE a.id STARTS WITH 'c:'
+           RETURN a, b, length(p) AS hops, count(*) AS n_paths""",
+        graph="trade_credit",
+    ).collect()
+    got = {(r.a, r.b): (r.hops, r.n_paths) for r in rows}
+    tables(spark, SF_SMALL)
+    e = catalog.trade_credit_edges(spark, SF_SMALL)
+    walks = path_rows(e, 1, 3, src_pred="src LIKE 'c:%'", unique_edges=False).collect()
+    minh: dict = {}
+    for r in walks:
+        if r.src != r.dst:
+            minh[(r.src, r.dst)] = min(minh.get((r.src, r.dst), 99), r.hops)
+    cnt = Counter(
+        (r.src, r.dst) for r in walks if r.src != r.dst and r.hops == minh[(r.src, r.dst)]
+    )
+    want = {p: (minh[p], cnt[p]) for p in minh}
+    assert got == want and got
+    # sigma > 1 somewhere, or the op is vacuously the single-path case
+    assert any(n > 1 for _, n in got.values())
+
+
 def test_cypher_shortest_path_parse_rejections():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 

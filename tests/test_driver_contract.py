@@ -42,6 +42,7 @@ def test_queries_and_oracles_aligned():
         "sample_stratified",
         "stream_watermark_late",
         "stream_stateful_custom",
+        "stream_session_real",
     }
 
 

@@ -165,3 +165,32 @@ def test_closeness_aggregates_distances_partially(spark):
     reach the driver as one row per source, never the distance rows)."""
     plan = _plan(spark, "graph_closeness")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_trail_closure_plan_is_equi_join_no_cartesian(spark):
+    """cypher_trail_cycle: the trail guard is a row-local array filter —
+    the plan must stay all equi-joins (one per hop extension), with no
+    cartesian/BNL stage anywhere."""
+    plan = _plan(spark, "cypher_trail_cycle")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_contains" in plan  # the uniqueness guard, inside the join stage
+
+
+def test_cypher_shortest_path_plan_has_no_path_enumeration(spark):
+    """shortestPath() compiles to the BFS anti-join loop: equi-joins +
+    aggregates only, no cartesian stage, and partial aggregation for the
+    per-pair reduction."""
+    plan = _plan(spark, "cypher_shortest_path")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kcore_final_round_is_semi_joins(spark):
+    """graph_kcore: induced-subgraph restriction must stay semi-joins (never
+    materializing node×node), with partial aggregation for the degree
+    count."""
+    plan = _plan(spark, "graph_kcore")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
