@@ -268,6 +268,78 @@ def text_fingerprint(spark, sf_dir):
 
 
 @register(
+    "pipeline_decontamination",
+    "text",
+    oracle="""
+        WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                    FROM documents),
+        st AS (SELECT doc_id, t,
+                      unnest(generate_series(1, greatest(len(t) - 7, 0))) AS s
+               FROM tk),
+        ng AS (SELECT DISTINCT doc_id,
+                      array_to_string(list_slice(t, s, s + 7), ' ') AS ngram
+               FROM st),
+        bench AS (SELECT ngram, doc_id AS bench_id FROM ng
+                  WHERE doc_id % 10 = 0),
+        train AS (SELECT doc_id, ngram FROM ng WHERE doc_id % 10 <> 0)
+        SELECT t.doc_id,
+               COUNT(DISTINCT t.ngram) AS n_shared_ngrams,
+               COUNT(DISTINCT b.bench_id) AS n_bench_docs
+        FROM train t JOIN bench b ON t.ngram = b.ngram
+        GROUP BY t.doc_id
+    """,
+    notes=(
+        "train/eval DECONTAMINATION (LLM-pipeline staple: training "
+        "corpora must not contain benchmark text — the standard check is "
+        "8-gram overlap, as used by public LLM training reports): the "
+        "deterministic doc_id%10==0 slice plays the benchmark set (a 10% "
+        "holdout; the 1% slice was probed vacuous — zero overlaps); every "
+        "training doc sharing at least one lowercase 8-gram with any "
+        "benchmark doc is reported with its overlap breadth (distinct "
+        "shared 8-grams, distinct benchmark docs hit). Shape: row-local "
+        "n-gram explode on both sides (the chunker pattern), one "
+        "equi-join on the n-gram string, partial+final agg — at 100 TB "
+        "the benchmark side is tiny and broadcast, so the corpus side "
+        "never shuffles (the contamination join every training pipeline "
+        "runs). Short docs (<8 tokens) emit no n-grams by construction "
+        "(guarded sequence — Spark's sequence(1,0) would count DOWN)"
+    ),
+)
+def pipeline_decontamination(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    ng = (
+        d.select("doc_id", toks.alias("tk"))
+        .select(
+            "doc_id",
+            "tk",
+            F.posexplode(
+                F.when(
+                    F.size("tk") >= 8, F.sequence(F.lit(1), F.size("tk") - 7)
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("pos", "s"),
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.slice(F.col("tk"), F.col("s"), 8), " ").alias("ngram"),
+        )
+        .distinct()
+    )
+    bench = ng.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("ngram").alias("b_ngram"), F.col("doc_id").alias("bench_id")
+    )
+    train = ng.filter(F.col("doc_id") % 10 != 0)
+    return (
+        train.join(F.broadcast(bench), train.ngram == bench.b_ngram)
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("ngram").alias("n_shared_ngrams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+@register(
     "text_chunk_sliding",
     "text",
     oracle="""

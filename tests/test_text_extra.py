@@ -261,3 +261,27 @@ def test_text_chunk_sliding_covers_and_overlaps(spark):
             assert c.n_chunk_tokens == len(c.chunk_text.split(" ")) or c.chunk_text == ""
         # coverage: last chunk reaches the end
         assert (len(chunks) - 1) * S + chunks[-1].n_chunk_tokens == n
+
+
+def test_pipeline_decontamination_flags_only_train_docs(spark):
+    """Contamination report: only non-benchmark docs appear, every reported
+    doc genuinely shares an 8-gram with a benchmark doc (recomputed in
+    Python), and the planted near-duplicate corpus makes the check
+    non-vacuous."""
+    rows = all_ops()["pipeline_decontamination"].fn(spark, SF_SMALL).collect()
+    docs = {r.doc_id: r.text.lower().split(" ") for r in t(spark, SF_SMALL, "documents").collect()}
+
+    def ngrams(toks):
+        return {" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)}
+
+    bench = {d: ngrams(tk) for d, tk in docs.items() if d % 10 == 0}
+    bench_all = set().union(*bench.values()) if bench else set()
+    got = {r.doc_id: (r.n_shared_ngrams, r.n_bench_docs) for r in rows}
+    assert all(d % 10 != 0 for d in got)
+    for d, (n_sh, n_bd) in got.items():
+        shared = ngrams(docs[d]) & bench_all
+        assert len(shared) == n_sh > 0
+        assert n_bd == sum(1 for b in bench.values() if ngrams(docs[d]) & b)
+    # and nothing contaminated was missed
+    want = {d for d, tk in docs.items() if d % 10 != 0 and ngrams(tk) & bench_all}
+    assert set(got) == want
