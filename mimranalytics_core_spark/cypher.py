@@ -8,19 +8,20 @@ strings). Parses the pattern subset
                                               -- earlier clause
       [AS OF '<timestamp>']            -- Time-Slider extension (README.md:17)
       [WHERE <predicate over var.id / var.name / var.label>]
-      [WITH <items> [WHERE <predicate over WITH outputs>]
-        [MATCH <pattern> [OPTIONAL MATCH <pattern>] ... [WHERE <pred>]]]
+      (WITH <items> [WHERE <predicate over WITH outputs>]
+        [MATCH <pattern> [OPTIONAL MATCH <pattern>] ... [WHERE <pred>]])*
       RETURN <items> [ORDER BY ...] [SKIP n] [LIMIT n]
 
-WITH note: one pipeline stage is supported — WITH projects/aggregates
-mid-query (pattern scope), its optional WHERE filters the aggregated rows
-(SQL HAVING). A **MATCH after WITH** opens a second pattern stage
+WITH note: pipeline stages CHAIN (any number of pipes —
+``MATCH…WITH…MATCH…WITH…RETURN``). Each WITH projects/aggregates the
+current scope, its optional first WHERE filters the piped rows (SQL
+HAVING); a **MATCH after WITH** re-matches against the piped frame
 (Cypher's aggregate-then-rematch pipeline): its clauses must share a
-variable with the WITH outputs (the join anchors), OPTIONAL MATCH
+variable with the stage's outputs (the join anchors), OPTIONAL MATCH
 left-joins, labels are clause-scoped, and the trailing WHERE filters the
-joined frame. RETURN then resolves against the WITH outputs plus the
-post-WITH pattern variables (and their properties); without a post-WITH
-MATCH it sees the WITH outputs only — exactly Cypher's scoping.
+joined frame. The next stage (or RETURN) resolves against the previous
+stage's outputs plus its pattern variables and their properties; earlier
+scopes are gone — exactly Cypher's pipeline scoping.
 
 OPTIONAL MATCH note: the WHERE clause is global (applies after all joins),
 unlike Cypher's per-clause WHERE scoping — a predicate on an optional
@@ -112,21 +113,6 @@ _REL_RE = re.compile(
     \s*\]\s*->\s*""",
     re.IGNORECASE | re.VERBOSE,
 )
-_TAIL_RE = re.compile(
-    r"""^(?:\s+AS\s+OF\s+'(?P<asof>[^']+)')?
-        (?:\s+WHERE\s+(?P<where>.*?))?
-        (?:\s+WITH\s+(?P<witems>.*?)
-            (?:\s+WHERE\s+(?P<having>.*?))?
-            (?P<m2>\s+(?:OPTIONAL\s+)?MATCH\s.*?)?   # MATCH after WITH
-        )?
-        \s+RETURN\s+(?P<ret>.+?)
-        (?:\s+ORDER\s+BY\s+(?P<order>.+?))?
-        (?:\s+SKIP\s+(?P<skip>\d+))?
-        (?:\s+LIMIT\s+(?P<limit>\d+))?
-        \s*;?\s*$""",
-    re.IGNORECASE | re.VERBOSE | re.DOTALL,
-)
-
 _AGG_ITEM = re.compile(
     r"^(?P<fn>count|sum|min|max|avg|collect)\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[\w.]+)\s*\)"
     r"(?:\s+AS\s+(?P<alias>\w+))?$",
@@ -304,15 +290,33 @@ def parse(query: str) -> dict:
         pos += nxt.end()
     segments = clauses[0]["segments"]
 
-    # mask the WITH inside "STARTS WITH" so the clause-level WITH group
-    # can't bind to it, then unmask every extracted fragment
+    # mask the WITH inside "STARTS WITH" so the pipeline scanner's WITH
+    # keyword can't bind to it, then unmask every extracted fragment
     tail = re.sub(r"STARTS\s+WITH", "STARTS__WITH", query[pos:], flags=re.I)
-    tm = _TAIL_RE.match(tail)
-    if not tm:
-        raise CypherSyntaxError(f"unsupported Cypher tail (need RETURN): {query!r}")
 
     def _unmask(s):
         return re.sub("STARTS__WITH", "STARTS WITH", s) if s else s
+
+    # ---- pipeline scanner over the tail ----
+    # tail := [AS OF 't'] [WHERE pred]
+    #         (WITH items [WHERE pred] [clauses [WHERE pred]])*
+    #         RETURN items [ORDER BY ...] [SKIP n] [LIMIT n]
+    tpos = 0
+    as_of = None
+    am_ = re.match(r"\s*AS\s+OF\s+'(?P<asof>[^']+)'", tail, re.I)
+    if am_:
+        as_of = am_.group("asof")
+        tpos = am_.end()
+    where = None
+    wm_ = re.match(
+        r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+WITH\s|\s+RETURN\s)",
+        tail[tpos:],
+        re.I | re.S,
+    )
+    if wm_:
+        where = _unmask(wm_.group("p")).strip()
+        tpos += wm_.end()
+
     single = len(clauses) == 1 and len(segments) == 1
     varset = set(vars_)
     prop_vars: dict[str, set] = {}
@@ -367,9 +371,8 @@ def parse(query: str) -> dict:
 
     src_pred = post_pred = None
     carry_weight = False
-    where = _unmask(tm.group("where"))
     if where:
-        pred = where.strip()
+        pred = where
 
         def _map_props(seg: str) -> str:
             for pm in sorted(
@@ -481,138 +484,167 @@ def parse(query: str) -> dict:
 
     pattern_numeric_ok = lambda c: c in ("hops", "path_weight")  # noqa: E731
 
-    # WITH stage (optional): items parse in PATTERN scope; what follows
-    # resolves against the WITH output names (Cypher's pipeline scoping).
-    # The second WHERE (after WITH) is the HAVING-style filter. A MATCH
-    # after WITH opens a SECOND pattern stage whose clauses join the WITH
-    # output on shared variable names; RETURN then sees the WITH outputs
-    # plus the post-WITH pattern variables (and their properties).
-    with_items = None
-    stage2 = None
-    having = _unmask(tm.group("having"))
-    if tm.group("witems"):
-        with_items = _parse_item_list(
-            _unmask(tm.group("witems")), _map_expr, pattern_numeric_ok, "WITH"
+    # ---- WITH pipeline stages (any number — Cypher's chained pipes) ----
+    # Each WITH projects/aggregates the CURRENT scope; its optional first
+    # WHERE filters the piped rows (SQL HAVING over aggregates); optional
+    # MATCH clauses then re-match against the piped frame (joining on
+    # shared variable names, OPTIONAL → left join, labels clause-scoped);
+    # an optional trailing WHERE filters the joined frame. The next stage
+    # (or RETURN) resolves against the stage's outputs + its pattern
+    # variables + their properties — exactly Cypher's pipeline scoping.
+    pipes: list[dict] = []
+    scope_resolve = _map_expr
+    scope_numeric_ok = pattern_numeric_ok
+    while True:
+        m_ = re.match(r"\s*WITH\s+", tail[tpos:], re.I)
+        if not m_:
+            break
+        tpos += m_.end()
+        im_ = re.match(
+            r"(?P<items>.*?)(?=\s+WHERE\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
+            tail[tpos:],
+            re.I | re.S,
         )
-        with_names = {it["name"] for it in with_items}
-        if having:
-            unq = _unquoted(having)
-            if re.search(r"\b[A-Za-z_]\w*\.\w+\b", unq):
+        if not im_:
+            raise CypherSyntaxError(f"unsupported WITH items: {query!r}")
+        with_items_i = _parse_item_list(
+            _unmask(im_.group("items")).strip(), scope_resolve, scope_numeric_ok, "WITH"
+        )
+        tpos += im_.end()
+        with_names = {it["name"] for it in with_items_i}
+        having_i = None
+        hm_ = re.match(
+            r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
+            tail[tpos:],
+            re.I | re.S,
+        )
+        if hm_:
+            having_i = _unmask(hm_.group("p")).strip()
+            if re.search(r"\b[A-Za-z_]\w*\.\w+\b", _unquoted(having_i)):
                 raise CypherSyntaxError(
-                    f"WHERE after WITH may only reference WITH outputs: {having!r}"
+                    f"WHERE after WITH may only reference WITH outputs: {having_i!r}"
                 )
-
-        if tm.group("m2"):
-            # ---- MATCH after WITH (second pattern stage) ----
-            s2text = tm.group("m2")  # masked is fine: patterns hold no quotes
-            m2h = re.match(r"\s*(?P<opt>OPTIONAL\s+)?MATCH\s*", s2text, re.I)
-            pos2 = m2h.end()
-            pending2 = bool(m2h.group("opt"))
-            bound2 = set(with_names)
-            vars2: list[str] = []
-            clauses2: list[dict] = []
-            while True:
-                _cur_labels["cur"] = {}
-                cvars, segs, pos2 = _parse_pattern(pos2, bound2, text=s2text)
-                if not (set(cvars) & bound2):
-                    raise CypherSyntaxError(
-                        "a MATCH after WITH must share a variable with the "
-                        "WITH outputs (or an earlier post-WITH clause)"
-                    )
-                clauses2.append(
-                    {
-                        "optional": pending2,
-                        "segments": segs,
-                        "labels": _cur_labels["cur"],
-                    }
-                )
-                vars2 += [v for v in cvars if v not in bound2]
-                bound2 |= set(cvars)
-                nxt2 = re.match(r"\s*(?P<opt>OPTIONAL\s+)?MATCH\s*", s2text[pos2:], re.I)
-                if not nxt2:
-                    break
-                pending2 = bool(nxt2.group("opt"))
-                pos2 += nxt2.end()
-            rest2 = s2text[pos2:]
-            prop_vars2: dict[str, set] = {}
-            vars2set = set(vars2)
-
-            def _stage2_resolve(expr: str, ctx: str) -> str:
-                if expr in with_names or expr in vars2set:
-                    return expr
-                if "." in expr:
-                    var, _, prop = expr.partition(".")
-                    if var in vars2set or var in with_names:
-                        if prop == "id":
-                            return var
-                        if prop in _PROPS:
-                            prop_vars2.setdefault(var, set()).add(prop)
-                            return f"{var}__{prop}"
-                raise CypherSyntaxError(f"unsupported {ctx}: {expr!r}")
-
-            post2 = None
-            wm2 = re.match(r"\s*WHERE\s+(?P<pred>.*)$", rest2, re.I | re.S)
-            if wm2:
-                pred2 = _unmask(wm2.group("pred")).strip()
-
-                def _map_props2(seg: str) -> str:
-                    for pm in sorted(
-                        set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)),
-                        key=len,
-                        reverse=True,
-                    ):
-                        seg = seg.replace(pm, _stage2_resolve(pm, "WHERE after MATCH"))
-                    return seg
-
-                pred2 = _outside_quotes(pred2, _map_props2)
-                unq2 = _unquoted(pred2)
-                if re.search(r"\b[A-Za-z_]\w*\.\w+\b", unq2):
-                    raise CypherSyntaxError(
-                        f"unsupported property access in post-WITH WHERE: {pred2!r}"
-                    )
-                if {w for w in re.findall(r"\b\w+\b", unq2)} & {"hops", "path_weight"}:
-                    raise CypherSyntaxError(
-                        "hops/path_weight are not available after WITH "
-                        "(pattern-stage scope only)"
-                    )
-                post2 = _STARTS_WITH.sub(_sw, pred2)
-            elif rest2.strip():
+            tpos += hm_.end()
+        # optional MATCH clauses re-matching against the piped frame
+        pclauses: list[dict] = []
+        bound_p = set(with_names)
+        vars_p: list[str] = []
+        cm_ = re.match(r"\s*(?P<opt>OPTIONAL\s+)?MATCH\s*", tail[tpos:], re.I)
+        while cm_:
+            pending_p = bool(cm_.group("opt"))
+            tpos += cm_.end()
+            _cur_labels["cur"] = {}
+            cvars, segs, tpos = _parse_pattern(tpos, bound_p, text=tail)
+            if not (set(cvars) & bound_p):
                 raise CypherSyntaxError(
-                    f"unsupported text after post-WITH MATCH: {rest2.strip()!r}"
+                    "a MATCH after WITH must share a variable with the "
+                    "WITH outputs (or an earlier post-WITH clause)"
                 )
-            stage2 = {"clauses": clauses2, "post_pred": post2, "prop_vars": prop_vars2}
-            _ret_resolve = _stage2_resolve
-            ret_numeric_ok = lambda c: True  # noqa: E731
-        else:
+            pclauses.append(
+                {"optional": pending_p, "segments": segs, "labels": _cur_labels["cur"]}
+            )
+            vars_p += [v for v in cvars if v not in bound_p]
+            bound_p |= set(cvars)
+            cm_ = re.match(r"\s*(?P<opt>OPTIONAL\s+)?MATCH\s*", tail[tpos:], re.I)
+        prop_vars_p: dict[str, set] = {}
+        vars_pset = set(vars_p)
 
-            def _ret_resolve(expr: str, ctx: str) -> str:
-                if expr in with_names:
-                    return expr
+        def _scope_resolve(
+            expr: str, ctx: str, _names=with_names, _vars=vars_pset, _props=prop_vars_p
+        ) -> str:
+            if expr in _names or expr in _vars:
+                return expr
+            if "." in expr:
+                var, _, prop = expr.partition(".")
+                if var in _vars or var in _names:
+                    if prop == "id":
+                        return var
+                    if prop in _PROPS:
+                        _props.setdefault(var, set()).add(prop)
+                        return f"{var}__{prop}"
+            raise CypherSyntaxError(
+                f"unsupported {ctx} (not a WITH output or post-WITH pattern "
+                f"variable of the current pipeline stage): {expr!r}"
+            )
+
+        post_p = None
+        swm_ = re.match(
+            r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+WITH\s|\s+RETURN\s)",
+            tail[tpos:],
+            re.I | re.S,
+        )
+        if swm_:
+            if not pclauses:
                 raise CypherSyntaxError(
-                    f"unsupported {ctx} (not a WITH output): {expr!r}"
+                    f"unexpected second WHERE after WITH (no MATCH between): {query!r}"
                 )
+            predp = _unmask(swm_.group("p")).strip()
 
-            ret_numeric_ok = lambda c: True  # noqa: E731  (WITH outputs are opaque)
-    else:
-        _ret_resolve = _map_expr
-        ret_numeric_ok = pattern_numeric_ok
+            def _map_props_p(seg: str, _res=_scope_resolve) -> str:
+                for pm_ in sorted(
+                    set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)), key=len, reverse=True
+                ):
+                    seg = seg.replace(pm_, _res(pm_, "WHERE after MATCH"))
+                return seg
 
-    ret = _unmask(tm.group("ret"))
+            predp = _outside_quotes(predp, _map_props_p)
+            unqp = _unquoted(predp)
+            if re.search(r"\b[A-Za-z_]\w*\.\w+\b", unqp):
+                raise CypherSyntaxError(
+                    f"unsupported property access in post-WITH WHERE: {predp!r}"
+                )
+            if {w for w in re.findall(r"\b\w+\b", unqp)} & {"hops", "path_weight"}:
+                raise CypherSyntaxError(
+                    "hops/path_weight are not available after WITH "
+                    "(pattern-stage scope only)"
+                )
+            post_p = _STARTS_WITH.sub(_sw, predp)
+            tpos += swm_.end()
+        pipes.append(
+            {
+                "with_items": with_items_i,
+                "having": having_i,
+                "clauses": pclauses,
+                "post_pred": post_p,
+                "prop_vars": prop_vars_p,
+            }
+        )
+        scope_resolve = _scope_resolve
+        scope_numeric_ok = lambda c: True  # noqa: E731  (piped outputs are opaque)
+
+    rm_ = re.match(
+        r"""\s+RETURN\s+(?P<ret>.+?)
+            (?:\s+ORDER\s+BY\s+(?P<order>.+?))?
+            (?:\s+SKIP\s+(?P<skip>\d+))?
+            (?:\s+LIMIT\s+(?P<limit>\d+))?
+            \s*;?\s*$""",
+        tail[tpos:],
+        re.IGNORECASE | re.VERBOSE | re.DOTALL,
+    )
+    if not rm_:
+        raise CypherSyntaxError(f"unsupported Cypher tail (need RETURN): {query!r}")
+    _ret_resolve = scope_resolve
+    ret_numeric_ok = scope_numeric_ok
+
+    ret = _unmask(rm_.group("ret"))
     dm = re.match(r"^\s*DISTINCT\s+", ret, re.I)
     ret_distinct = bool(dm)
     if dm:
         ret = ret[dm.end() :]
     projection = _parse_item_list(ret, _ret_resolve, ret_numeric_ok, "RETURN")
 
+    # path_weight can only be requested from pattern scope (stage 0): the
+    # first pipe's WITH items, or RETURN itself when there is no pipe
+    scope0_items = pipes[0]["with_items"] if pipes else projection
     carry_weight = carry_weight or any(
-        it.get("col") == "path_weight" for it in (with_items or []) + projection
+        it.get("col") == "path_weight" for it in scope0_items
     )
 
     # ORDER BY: names must resolve to RETURN output columns
     out_names = {p["name"] for p in projection}
     order_by: list[tuple[str, bool]] = []
-    if tm.group("order"):
-        for key in _unmask(tm.group("order")).split(","):
+    if rm_.group("order"):
+        for key in _unmask(rm_.group("order")).split(","):
             km = re.match(r"^\s*(?P<name>[\w.]+)(?:\s+(?P<dir>ASC|DESC))?\s*$", key, re.I)
             if not km:
                 raise CypherSyntaxError(f"unsupported ORDER BY key: {key!r}")
@@ -642,22 +674,22 @@ def parse(query: str) -> dict:
         "edge_types": segments[0]["types"],
         "min_hops": segments[0]["min_hops"],
         "max_hops": segments[0]["max_hops"],
-        "as_of": tm.group("asof"),
+        "as_of": as_of,
         "src_pred": src_pred,
         "post_pred": post_pred,
         "carry_weight": carry_weight,
-        "with_items": with_items,
-        "having": having,
-        "stage2": (
-            {**stage2, "prop_vars": {k: sorted(v) for k, v in stage2["prop_vars"].items()}}
-            if stage2
-            else None
-        ),
+        # legacy single-stage views of the pipe list (first pipe)
+        "with_items": pipes[0]["with_items"] if pipes else None,
+        "having": pipes[0]["having"] if pipes else None,
+        "pipes": [
+            {**pp, "prop_vars": {k: sorted(v) for k, v in pp["prop_vars"].items()}}
+            for pp in pipes
+        ],
         "projection": projection,
         "prop_vars": {k: sorted(v) for k, v in prop_vars.items()},
         "order_by": order_by,
-        "skip": int(tm.group("skip")) if tm.group("skip") else None,
-        "limit": int(tm.group("limit")) if tm.group("limit") else None,
+        "skip": int(rm_.group("skip")) if rm_.group("skip") else None,
+        "limit": int(rm_.group("limit")) if rm_.group("limit") else None,
     }
 
 
@@ -802,48 +834,46 @@ def run(
             return df.groupBy(*[F.col(k["col"]).alias(k["name"]) for k in keys]).agg(*exprs)
         return df.agg(*exprs)
 
-    if p["with_items"]:
-        # WITH stage: project/aggregate mid-pipeline, then the HAVING-style
-        # second WHERE filters over the WITH outputs
-        df = _apply_items(df, p["with_items"])
-        if p["having"]:
-            df = df.filter(F.expr(p["having"]))
-        if p.get("stage2"):
-            # MATCH after WITH: each post-WITH clause frame (distinct
-            # variable bindings, as in the multi-clause path) joins the
-            # WITH output on the shared variable names — plain equi-joins,
-            # left for OPTIONAL MATCH. Clause labels filter their frame
-            # BEFORE the join (Cypher clause scoping).
-            s2 = p["stage2"]
-            for clause in s2["clauses"]:
-                cframe = None
-                for seg in clause["segments"]:
-                    part = api.match_path(
-                        spark,
-                        sf_dir,
-                        edge_types=seg["types"],
-                        min_hops=seg["min_hops"],
-                        max_hops=seg["max_hops"],
-                        as_of=p["as_of"],
-                        graph=graph,
-                    )
-                    part = part.select(
-                        F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
-                    ).distinct()
-                    cframe = part if cframe is None else cframe.join(part, seg["src"])
-                for lvar, label in clause.get("labels", {}).items():
-                    cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
-                shared = [c for c in df.columns if c in cframe.columns]
-                df = df.join(cframe, shared, "left" if clause["optional"] else "inner")
-            if s2["prop_vars"]:
-                attrs = catalog.hierarchy_nodes(spark, sf_dir)
-                for var, props in s2["prop_vars"].items():
-                    sel = [F.col("id").alias(var)] + [
-                        F.col(pr).alias(f"{var}__{pr}") for pr in props
-                    ]
-                    df = df.join(attrs.select(*sel), var, "left")
-            if s2["post_pred"]:
-                df = df.filter(F.expr(s2["post_pred"]))
+    # WITH pipeline stages, in order: each pipe projects/aggregates the
+    # current frame (HAVING-style WHERE over the piped rows), then its
+    # MATCH clauses re-match against the piped frame — distinct variable
+    # bindings joined on shared variable names, plain equi-joins, left for
+    # OPTIONAL MATCH, labels filtering each clause frame BEFORE the join
+    # (Cypher clause scoping) — then attribute joins for the stage's
+    # property accesses and the trailing WHERE over the joined frame.
+    for pipe in p.get("pipes") or []:
+        df = _apply_items(df, pipe["with_items"])
+        if pipe["having"]:
+            df = df.filter(F.expr(pipe["having"]))
+        for clause in pipe["clauses"]:
+            cframe = None
+            for seg in clause["segments"]:
+                part = api.match_path(
+                    spark,
+                    sf_dir,
+                    edge_types=seg["types"],
+                    min_hops=seg["min_hops"],
+                    max_hops=seg["max_hops"],
+                    as_of=p["as_of"],
+                    graph=graph,
+                )
+                part = part.select(
+                    F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
+                ).distinct()
+                cframe = part if cframe is None else cframe.join(part, seg["src"])
+            for lvar, label in clause.get("labels", {}).items():
+                cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
+            shared = [c for c in df.columns if c in cframe.columns]
+            df = df.join(cframe, shared, "left" if clause["optional"] else "inner")
+        if pipe["prop_vars"]:
+            attrs = catalog.hierarchy_nodes(spark, sf_dir)
+            for var, props in pipe["prop_vars"].items():
+                sel = [F.col("id").alias(var)] + [
+                    F.col(pr).alias(f"{var}__{pr}") for pr in props
+                ]
+                df = df.join(attrs.select(*sel), var, "left")
+        if pipe["post_pred"]:
+            df = df.filter(F.expr(pipe["post_pred"]))
     df = _apply_items(df, p["projection"])
     if p.get("ret_distinct"):
         df = df.distinct()

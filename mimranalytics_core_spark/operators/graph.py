@@ -1395,6 +1395,55 @@ def cypher_with_match(spark, sf_dir):
 
 
 @register(
+    "cypher_pipeline_chain",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        cn AS (SELECT dst AS nation, COUNT(*) AS n_customers
+               FROM edges WHERE rel_type = 'customer_of' GROUP BY dst),
+        sn AS (SELECT DISTINCT src, dst FROM edges
+               WHERE rel_type = 'supplier_of'),
+        j AS (SELECT cn.nation, cn.n_customers, COUNT(*) AS n_suppliers
+              FROM cn JOIN sn ON sn.dst = cn.nation
+              GROUP BY cn.nation, cn.n_customers),
+        nr AS (SELECT DISTINCT src, dst FROM edges
+               WHERE rel_type = 'nation_of')
+        SELECT j.nation, j.n_customers, j.n_suppliers, nr.dst AS region
+        FROM j JOIN nr ON nr.src = j.nation
+        WHERE j.n_suppliers >= 1
+        ORDER BY nation
+    """,
+    notes=(
+        "CHAINED Cypher pipeline (README.md:25 — real saved Cypher strings "
+        "chain WITH stages: MATCH…WITH…MATCH…WITH…MATCH…RETURN): stage 0 "
+        "counts customers per nation, pipe 1 re-matches suppliers, pipe 2 "
+        "re-aggregates with a HAVING filter and re-matches the region leg "
+        "onto the twice-aggregated frame. Exercises the general "
+        "pipeline scanner (any number of pipes, per-stage scoping — "
+        "earlier scopes expire exactly as in Cypher). Compiles to "
+        "groupBy → join → groupBy → filter → join: two partial+final "
+        "aggs and two dimension-sized equi-joins, no new shuffle shape. "
+        "Oracle is the equivalent staged relational aggregation"
+    ),
+)
+def cypher_pipeline_chain(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n AS nation, count(*) AS n_customers
+           MATCH (s)-[:SUPPLIER_OF]->(nation)
+           WITH nation, n_customers, count(*) AS n_suppliers
+           WHERE n_suppliers >= 1
+           MATCH (nation)-[:NATION_OF]->(r)
+           RETURN nation, n_customers, n_suppliers, r AS region
+           ORDER BY nation""",
+    )
+
+
+@register(
     "cypher_trail_cycle",
     "graph",
     oracle=f"""

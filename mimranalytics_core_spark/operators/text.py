@@ -298,10 +298,11 @@ def text_fingerprint(spark, sf_dir):
         "benchmark doc is reported with its overlap breadth (distinct "
         "shared 8-grams, distinct benchmark docs hit). Shape: row-local "
         "n-gram explode on both sides (the chunker pattern), one "
-        "equi-join on the n-gram string, partial+final agg — at 100 TB "
-        "the benchmark side is tiny and broadcast, so the corpus side "
-        "never shuffles (the contamination join every training pipeline "
-        "runs). Short docs (<8 tokens) emit no n-grams by construction "
+        "equi-join on the n-gram string, partial+final agg — one distinct "
+        "shuffle on (doc_id, n-gram) bounds the join input; at 100 TB the "
+        "benchmark side is tiny and broadcast, so the JOIN adds no corpus "
+        "shuffle (the contamination join every training pipeline runs). "
+        "Short docs (<8 tokens) emit no n-grams by construction "
         "(guarded sequence — Spark's sequence(1,0) would count DOWN)"
     ),
 )

@@ -506,6 +506,53 @@ def test_cypher_match_after_with_scope_rules():
         )
 
 
+def test_cypher_chained_with_stages(spark):
+    """Two WITH pipes: aggregate -> re-match -> aggregate -> filter ->
+    project, verified against the hand-built equivalent."""
+    q = """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n AS nation, count(*) AS n_customers
+           MATCH (s)-[:SUPPLIER_OF]->(nation)
+           WITH nation, n_customers, count(*) AS n_suppliers
+           WHERE n_suppliers >= 1
+           RETURN nation, n_customers, n_suppliers"""
+    got = {
+        (r.nation, r.n_customers, r.n_suppliers)
+        for r in api.cypher(spark, SF_SMALL, q).collect()
+    }
+    cust = t(spark, SF_SMALL, "customer")
+    supp = t(spark, SF_SMALL, "supplier")
+    nc = {f"n:{r.c_nationkey}": r.n for r in cust.groupBy("c_nationkey").agg(F.count("*").alias("n")).collect()}
+    ns = {f"n:{r.s_nationkey}": r.n for r in supp.groupBy("s_nationkey").agg(F.count("*").alias("n")).collect()}
+    want = {(k, nc[k], ns[k]) for k in nc if ns.get(k, 0) >= 1}
+    assert got == want and got
+
+
+def test_cypher_third_pipe_and_scope_expiry(spark):
+    """Three pipes chain; names from two stages back are out of scope."""
+    q = """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n AS nation, count(*) AS k
+           WITH nation AS nid, k AS n_customers
+           RETURN nid, n_customers"""
+    rows = api.cypher(spark, SF_SMALL, q).collect()
+    assert rows and all(r.nid.startswith("n:") for r in rows)
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    import pytest as _pytest
+
+    # `nation` died at the second pipe
+    with _pytest.raises(CypherSyntaxError):
+        parse(
+            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
+            "WITH k AS n_customers RETURN nation"
+        )
+    # a second WHERE in one pipe without a MATCH between is rejected
+    with _pytest.raises(CypherSyntaxError, match="second WHERE"):
+        parse(
+            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
+            "WHERE k > 1 WHERE k > 2 RETURN nation"
+        )
+
+
 def test_cypher_rejects_bad_aggregates_and_order_keys():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 

@@ -49,11 +49,16 @@ def _query(draw):
         if draw(st.booleans()):
             q += " WHERE n >= 2"
         stage2 = draw(st.booleans())
+        items = ["piped", "n"]
         if stage2:
             fresh = draw(st.sampled_from(["u", "v", "w"]))
             opt = "OPTIONAL " if draw(st.booleans()) else ""
             q += f" {opt}MATCH ({fresh})" + draw(_rel()) + "(piped)"
-        items = ["piped", "n"]
+            if draw(st.booleans()):  # chain a second pipe
+                q += " WITH piped, count(*) AS n2"
+                if draw(st.booleans()):
+                    q += " WHERE n2 >= 1"
+                items = ["piped", "n2"]
     else:
         items = [vs[0], "count(*) AS n"] if draw(st.booleans()) else list(vs[:2])
     q += " RETURN " + ", ".join(items)

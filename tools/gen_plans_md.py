@@ -83,6 +83,38 @@ SHOWCASE = [
         "the scan emitting (vec_id, score), TakeOrderedAndProject keeps k — "
         "no cartesian, no vector shuffle.",
     ),
+    (
+        "cypher_trail_cycle",
+        "Cypher trail semantics on the cyclic graph: each hop extension is "
+        "an equi-join; the relationship-uniqueness guard is a row-local "
+        "array_contains filter INSIDE the join stage — no extra shuffle, "
+        "no cartesian.",
+    ),
+    (
+        "cypher_shortest_path",
+        "shortestPath() compiles to the level-synchronous BFS: per-level "
+        "equi-join + left-anti dedup against settled pairs — no path "
+        "enumeration anywhere in the plan.",
+    ),
+    (
+        "cypher_with_match",
+        "MATCH after WITH: partial+final hash agg (stage 1), equi-join on "
+        "the piped variable, partial+final agg again (RETURN) — two "
+        "aggregations and one join, no new shuffle shape.",
+    ),
+    (
+        "graph_kcore",
+        "k-core peel round: induced-subgraph restriction as two LeftSemi "
+        "joins + partial-agg degree count on the shrinking alive set — "
+        "node×node never materializes.",
+    ),
+    (
+        "pipeline_decontamination",
+        "Decontamination join: row-local 8-gram explode on both sides; one "
+        "distinct shuffle on (doc_id, n-gram) bounds the join input, then "
+        "the join itself broadcasts the benchmark side (no corpus shuffle "
+        "for the join), partial+final distinct-count agg.",
+    ),
 ]
 
 
