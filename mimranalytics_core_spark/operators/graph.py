@@ -584,6 +584,75 @@ def graph_link_prediction(spark, sf_dir):
 
 
 @register(
+    "graph_jaccard_neighbors",
+    "graph",
+    oracle="""
+        WITH purchases AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey < 100
+        ),
+        deg AS (SELECT cust, COUNT(*) AS d FROM purchases GROUP BY cust)
+        SELECT a.cust AS cust_a, b.cust AS cust_b,
+               COUNT(*) AS n_shared,
+               FLOOR(COUNT(*) * 1e6 / (da.d + db.d - COUNT(*)) + 0.5) / 1e6
+                   AS jaccard
+        FROM purchases a
+        JOIN purchases b ON a.supp = b.supp AND a.cust < b.cust
+        JOIN deg da ON da.cust = a.cust
+        JOIN deg db ON db.cust = b.cust
+        GROUP BY a.cust, b.cust, da.d, db.d
+        HAVING COUNT(*) >= 3
+    """,
+    notes=(
+        "neighborhood Jaccard similarity (README.md:28 link-prediction "
+        "family, README.md:15 hidden-link signal — the set-overlap "
+        "companion to Adamic–Adar): J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| "
+        "over shared counterparties. Inverted-index self-join generates "
+        "the intersection counts; two broadcast-sized degree joins supply "
+        "the union denominator — no per-pair set materialization. "
+        "floor-HALF_UP on the single double division (identical IEEE both "
+        "engines)"
+    ),
+)
+def graph_jaccard_neighbors(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    li = t(spark, sf_dir, "lineitem")
+    purchases = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    deg = purchases.groupBy("cust").agg(F.count("*").alias("d"))
+    da = deg.select(F.col("cust").alias("ca"), F.col("d").alias("da"))
+    db = deg.select(F.col("cust").alias("cb"), F.col("d").alias("db"))
+    a = purchases.alias("a")
+    b = purchases.alias("b")
+    shared = (
+        a.join(b, (F.col("a.supp") == F.col("b.supp")) & (F.col("a.cust") < F.col("b.cust")))
+        .groupBy(F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+    return (
+        shared.join(da, shared.cust_a == da.ca)
+        .join(db, shared.cust_b == db.cb)
+        .select(
+            "cust_a",
+            "cust_b",
+            "n_shared",
+            (
+                F.floor(
+                    F.col("n_shared") * 1e6 / (F.col("da") + F.col("db") - F.col("n_shared"))
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("jaccard"),
+        )
+    )
+
+
+@register(
     "graph_triangles",
     "graph",
     oracle="""

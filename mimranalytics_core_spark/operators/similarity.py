@@ -77,6 +77,45 @@ def sim_cosine_topk(spark, sf_dir):
 
 
 @register(
+    "sim_range_search",
+    "similarity",
+    oracle="""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0)
+        SELECT e.vec_id,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                   AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> 0
+          AND ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+              >= 0.2
+    """,
+    notes=(
+        "range (radius) similarity search — the threshold complement of "
+        "top-k: ALL neighbors of the query with cosine >= θ (here 0.2 — "
+        "non-vacuous on the near-uniform fixture, 28 rows at the gate "
+        "scale; a production near-dup radius would pair with the LSH "
+        "candidate path as in dedup_embedding_cosine). Broadcast the "
+        "query, exact scan-and-score, filter — O(n) scan, no shuffle, "
+        "output ∝ matches; unlike top-k there is no heap, so the scan "
+        "parallelizes perfectly at any corpus size"
+    ),
+)
+def sim_range_search(spark, sf_dir, threshold: float = 0.2):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    sim = F.round(
+        cosine(_as_double(F.col("embedding")), _as_double(F.col("qv"))), 6
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+@register(
     "sim_knn_join",
     "similarity",
     oracle="""

@@ -234,3 +234,54 @@ def sample_stratified(spark, sf_dir):
     return ev.sampleBy("event_type", fractions, seed=42).select(
         "event_id", "event_type", "user_id"
     )
+
+
+@register(
+    "ts_zscore_anomaly",
+    "timeseries",
+    oracle="""
+        WITH w AS (
+            SELECT user_id, event_id, ts, value,
+                   AVG(value) OVER fr AS m,
+                   STDDEV(value) OVER fr AS s
+            FROM events
+            WINDOW fr AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT user_id, event_id, ts, value,
+               FLOOR((value - m) / s * 1e6 + 0.5) / 1e6 AS zscore
+        FROM w
+        WHERE s > 0 AND ABS((value - m) / s) > 3
+    """,
+    notes=(
+        "rolling z-score anomaly detection (Time-Slider analytics, "
+        "README.md:17; the alarm-verification shape of PAPERS.md:9): each "
+        "event scored against the mean/stddev of its user's previous 20 "
+        "events (strictly-preceding frame — no self-inclusion leakage), "
+        "|z| > 3 flagged. One window shuffle on user_id, frame math "
+        "codegen'd; sample stddev in both engines, floor-HALF_UP rounding. "
+        "The streaming twin of this shape is stream_stateful_custom "
+        "(per-key running stats in state)"
+    ),
+)
+def ts_zscore_anomaly(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-20, -1)
+    )
+    m = F.avg("value").over(fr)
+    s = F.stddev("value").over(fr)
+    z = (F.col("value") - m) / s
+    return (
+        ev.select("user_id", "event_id", "ts", "value", s.alias("s"), z.alias("z"))
+        .filter((F.col("s") > 0) & (F.abs(F.col("z")) > 3))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            "value",
+            (F.floor(F.col("z") * 1e6 + F.lit(0.5)) / 1e6).alias("zscore"),
+        )
+    )

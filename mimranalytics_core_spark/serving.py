@@ -1,0 +1,117 @@
+"""HTTP serving layer — the reference's backend lifecycle (reference
+README.md:26: "Backend: Python (FastAPI)") re-expressed on the engine.
+
+The reference declares a request → query → JSON response lifecycle in
+front of the graph store. This module provides that lifecycle with the
+standard library only (the container ships no FastAPI/uvicorn; the
+route-handler shape below maps 1:1 onto FastAPI path operations, so
+swapping the transport is mechanical): a ``ThreadingHTTPServer`` whose
+endpoints delegate to :mod:`mimranalytics_core_spark.api` and serialize
+the resulting DataFrames as JSON records.
+
+Endpoints (GET, query-string parameters):
+
+- ``/health``                         → {"status": "ok"}
+- ``/ubo?threshold=0.25``             → api.ubo_report
+- ``/expand?entities=c:1,c:2&hops=2`` → api.expand_neighborhood
+- ``/centrality?kind=pagerank``       → api.centrality
+- ``/cypher?q=MATCH...&graph=...``    → api.cypher (the migrating-user
+  entry point; CypherSyntaxError → HTTP 400)
+- ``/conflicts?max_levenshtein=3``    → api.conflict_report
+
+Design notes:
+
+- One SparkSession serves all requests (Spark is thread-safe for job
+  submission; concurrent requests become concurrent Spark jobs under the
+  scheduler — at cluster scale this process is a thin driver-side
+  gateway, exactly the reference's FastAPI role).
+- Responses cap rows at ``max_rows`` (default 1000) — an API gateway
+  must never ``collect()`` an unbounded result; paging beyond the cap is
+  the ``limit_offset`` operator's job.
+- Timestamps/decimals serialize via ``str`` fallback — the audit-report
+  JSON shape (README.md:19).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _df_json(df: DataFrame, max_rows: int = 1000) -> bytes:
+    rows = [r.asDict(recursive=True) for r in df.limit(max_rows).collect()]
+    return json.dumps({"rows": rows, "n": len(rows)}, default=str).encode()
+
+
+def make_server(
+    spark: SparkSession, sf_dir: str, host: str = "127.0.0.1", port: int = 0
+) -> ThreadingHTTPServer:
+    """Build (not start) the HTTP server bound to ``host:port`` (port 0 =
+    ephemeral). Call ``serve_forever()`` / use :func:`serve_background`."""
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # silence per-request stderr noise
+            pass
+
+        def _send(self, code: int, payload: bytes) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+
+        def do_GET(self):  # noqa: N802 (http.server API)
+            u = urlparse(self.path)
+            q = {k: v[0] for k, v in parse_qs(u.query).items()}
+            try:
+                if u.path == "/health":
+                    self._send(200, b'{"status": "ok"}')
+                    return
+                if u.path == "/ubo":
+                    df = api.ubo_report(
+                        spark, sf_dir, threshold=float(q.get("threshold", 0.25))
+                    )
+                elif u.path == "/expand":
+                    df = api.expand_neighborhood(
+                        spark,
+                        sf_dir,
+                        entities=q.get("entities", "c:1").split(","),
+                        hops=int(q.get("hops", 2)),
+                    )
+                elif u.path == "/centrality":
+                    df = api.centrality(spark, sf_dir, kind=q.get("kind", "pagerank"))
+                elif u.path == "/cypher":
+                    df = api.cypher(
+                        spark, sf_dir, q.get("q", ""), graph=q.get("graph", "hierarchy")
+                    )
+                elif u.path == "/conflicts":
+                    df = api.conflict_report(
+                        spark, sf_dir, max_levenshtein=int(q.get("max_levenshtein", 3))
+                    )
+                else:
+                    self._send(404, b'{"error": "unknown endpoint"}')
+                    return
+                self._send(200, _df_json(df, max_rows=int(q.get("max_rows", 1000))))
+            except (CypherSyntaxError, ValueError) as exc:  # client errors
+                self._send(400, json.dumps({"error": str(exc)}).encode())
+            except Exception as exc:  # noqa: BLE001 — gateway boundary
+                self._send(500, json.dumps({"error": str(exc)}).encode())
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def serve_background(
+    spark: SparkSession, sf_dir: str, host: str = "127.0.0.1", port: int = 0
+) -> tuple[ThreadingHTTPServer, int]:
+    """Start the server on a daemon thread; returns (server, bound_port).
+    ``server.shutdown()`` stops it."""
+    srv = make_server(spark, sf_dir, host=host, port=port)
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    return srv, srv.server_address[1]

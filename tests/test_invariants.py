@@ -169,3 +169,63 @@ def test_hll_sketch_merge_close_to_exact(spark):
     assert set(merged) == set(exact)
     for k in exact:
         assert abs(merged[k] - exact[k]) / exact[k] <= 0.03, (k, merged[k], exact[k])
+
+
+def test_jaccard_neighbors_consistent_with_common_neighbors(spark):
+    """graph_jaccard_neighbors' pair set and intersection counts must equal
+    graph_common_neighbors (same slice, same >= 3 floor), and J in (0, 1]."""
+    from mimranalytics_core_spark.registry import all_ops
+
+    jac = {(r.cust_a, r.cust_b): (r.n_shared, r.jaccard)
+           for r in all_ops()["graph_jaccard_neighbors"].fn(spark, SF_SMALL).collect()}
+    com = {(r.cust_a, r.cust_b): r.shared_suppliers
+           for r in all_ops()["graph_common_neighbors"].fn(spark, SF_SMALL).collect()}
+    assert set(jac) == set(com) and jac
+    for k, (n, j) in jac.items():
+        assert n == com[k] and 0 < j <= 1
+
+
+def test_range_search_consistent_with_topk(spark):
+    """Every exact top-10 neighbor scoring >= the radius must appear in the
+    range result with the same rounded score."""
+    from mimranalytics_core_spark.registry import all_ops
+
+    rng = {r.vec_id: r.cos_sim
+           for r in all_ops()["sim_range_search"].fn(spark, SF_SMALL).collect()}
+    top = {r.vec_id: r.cos_sim
+           for r in all_ops()["sim_cosine_topk"].fn(spark, SF_SMALL).collect()}
+    assert all(v >= 0.2 for v in rng.values())
+    for vid, v in top.items():
+        if v >= 0.2:
+            assert rng.get(vid) == v
+
+
+def test_zscore_anomaly_matches_pandas_rolling(spark):
+    """The flagged set must equal a pandas rolling-window recomputation
+    (strictly-preceding 20-event frame, sample stddev, |z| > 3)."""
+    import math
+
+    from mimranalytics_core_spark.operators._base import t as _t
+    from mimranalytics_core_spark.registry import all_ops
+
+    got = {(r.user_id, r.event_id): r.zscore
+           for r in all_ops()["ts_zscore_anomaly"].fn(spark, SF_SMALL).collect()}
+    rows = (_t(spark, SF_SMALL, "events")
+            .select("user_id", "event_id", "ts", "value").collect())
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r.ts, r.event_id))
+        for i, r in enumerate(evs):
+            w = [e.value for e in evs[max(0, i - 20):i]]
+            if len(w) < 2:
+                continue
+            m = sum(w) / len(w)
+            s = math.sqrt(sum((x - m) ** 2 for x in w) / (len(w) - 1))
+            if s > 0 and abs((r.value - m) / s) > 3:
+                want[(u, r.event_id)] = math.floor((r.value - m) / s * 1e6 + 0.5) / 1e6
+    assert set(got) == set(want) and got
+    for k in got:
+        assert abs(got[k] - want[k]) < 2e-6

@@ -1,0 +1,70 @@
+"""HTTP serving-layer tests: the request → query → JSON response lifecycle
+(reference README.md:26) must return exactly what the programmatic API
+returns, and reject malformed queries with client-error codes."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from mimranalytics_core_spark import api
+from mimranalytics_core_spark.serving import serve_background
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def server(spark):
+    srv, port = serve_background(spark, SF_SMALL)
+    yield f"http://127.0.0.1:{port}"
+    srv.shutdown()
+
+
+def _get(base, path, **params):
+    qs = urllib.parse.urlencode(params)
+    with urllib.request.urlopen(f"{base}{path}?{qs}", timeout=120) as r:
+        return json.loads(r.read())
+
+
+def test_health(server):
+    assert _get(server, "/health") == {"status": "ok"}
+
+
+def test_ubo_endpoint_matches_api(server, spark):
+    got = _get(server, "/ubo", threshold=0.25)
+    want = [r.asDict() for r in api.ubo_report(spark, SF_SMALL, threshold=0.25).collect()]
+    assert got["n"] == len(want)
+    assert {(r["owner"], r["entity"]) for r in got["rows"]} == {
+        (r["owner"], r["entity"]) for r in want
+    }
+
+
+def test_cypher_endpoint_runs_saved_query(server):
+    got = _get(
+        server,
+        "/cypher",
+        q="MATCH (c)-[:CUSTOMER_OF]->(n) RETURN n AS nation, count(*) AS k",
+    )
+    assert got["n"] > 0
+    assert all(r["nation"].startswith("n:") and r["k"] >= 1 for r in got["rows"])
+
+
+def test_cypher_endpoint_400_on_syntax_error(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/cypher", q="CREATE (a)-[:X]->(b)")
+    assert ei.value.code == 400
+    assert "error" in json.loads(ei.value.read())
+
+
+def test_unknown_endpoint_404(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/nope")
+    assert ei.value.code == 404
+
+
+def test_expand_endpoint_row_cap(server):
+    got = _get(server, "/expand", entities="c:1", hops=2, max_rows=3)
+    assert got["n"] <= 3
