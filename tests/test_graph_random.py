@@ -216,3 +216,29 @@ def test_kcore_matches_reference_peel(spark, redges):
     for k in (2, 3, 4):
         got = {r.node: r.core_deg for r in kcore(redges, k=k, max_iter=30).collect()}
         assert got == ref_core(k), f"k={k}"
+
+
+def test_trail_closure_invariants_on_random_graph(spark, redges):
+    """On the seeded random digraph: every trail is a walk (multiset
+    containment per (src, dst, hops)), reachable-pair sets coincide, and
+    per-pair min hops agree — the invariants behind using walk closure for
+    segment joins and BFS for shortestPath()."""
+    from collections import Counter
+
+    from mimranalytics_core_spark.functions.graph_algos import path_rows
+
+    walks = [(r.src, r.dst, r.hops) for r in path_rows(redges, 1, 4).collect()]
+    trails = [
+        (r.src, r.dst, r.hops)
+        for r in path_rows(redges, 1, 4, unique_edges=True).collect()
+    ]
+    cw, ct = Counter(walks), Counter(trails)
+    assert all(ct[k] <= cw[k] for k in ct)  # trails ⊆ walks with multiplicity
+    assert {(s, d) for s, d, _ in walks} == {(s, d) for s, d, _ in trails}
+    minw: dict = {}
+    mint: dict = {}
+    for s, d, h in walks:
+        minw[(s, d)] = min(minw.get((s, d), 99), h)
+    for s, d, h in trails:
+        mint[(s, d)] = min(mint.get((s, d), 99), h)
+    assert minw == mint  # a min-hop walk never repeats an edge
