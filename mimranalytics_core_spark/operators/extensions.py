@@ -167,6 +167,32 @@ def stream_session_real(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_real",
+    "event_time",
+    oracle=None,  # streaming-state semantics: rows-only per SURVEY.md §2.10
+    notes=(
+        "stateful streaming dedup by event_id executed as a REAL Structured "
+        "Streaming query (dropDuplicatesWithinWatermark, 10-minute horizon, "
+        "availableNow replay) — the streaming form of the north-star dedup "
+        "family: per-key state bounded by the watermark (evicted past the "
+        "horizon), payload projected BEFORE the dedup so the state store "
+        "holds narrow rows (the round-3 lesson — dropDuplicates state "
+        "stores FULL rows per key). Batch twin stream_dedup_state is "
+        "oracle-checked; cardinality/uniqueness agreement on the replay "
+        "fixture asserted in tests/test_streaming.py"
+    ),
+)
+def stream_dedup_real(spark, sf_dir):
+    import uuid
+
+    from mimranalytics_core_spark.streaming import jobs
+
+    stream = jobs.events_stream(spark, sf_dir)
+    name = f"dedup_demo_{uuid.uuid4().hex[:8]}"
+    return jobs.run_available_now(jobs.dedup_within_watermark(stream), name, spark)
+
+
+@register(
     "sink_report_roundtrip",
     "sinks",
     oracle="""

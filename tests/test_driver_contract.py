@@ -43,6 +43,7 @@ def test_queries_and_oracles_aligned():
         "stream_watermark_late",
         "stream_stateful_custom",
         "stream_session_real",
+        "stream_dedup_real",
     }
 
 

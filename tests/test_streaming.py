@@ -172,3 +172,14 @@ def test_stream_session_real_registered_op_agrees_with_batch(spark):
     )
     cols = ["user_id", "sess_start", "n_events", "sess_value"]
     assert _rows(res, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_real_registered_op(spark):
+    """The declared rows-only query (stream_dedup_real): replay keeps every
+    unique event_id exactly once."""
+    from mimranalytics_core_spark.registry import all_ops
+
+    res = all_ops()["stream_dedup_real"].fn(spark, SF_SMALL)
+    batch = t(spark, SF_SMALL, "events")
+    assert res.count() == batch.select("event_id").distinct().count()
+    assert res.select("event_id").distinct().count() == res.count()
