@@ -1648,3 +1648,162 @@ def cypher_all_shortest_paths(spark, sf_dir):
            RETURN a, b, length(p) AS hops, count(*) AS n_paths""",
         graph="trade_credit",
     )
+
+
+@register(
+    "graph_scc",
+    "graph",
+    oracle=f"""
+        WITH RECURSIVE {TRADE_CREDIT_SQL.strip()},
+        e AS (SELECT src, dst FROM tc_edges),
+        reach(src, dst) AS (
+            SELECT src, dst FROM e
+            UNION
+            SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst
+        ),
+        nodes AS (SELECT DISTINCT src AS node FROM e
+                  UNION SELECT DISTINCT dst FROM e),
+        mutual AS (
+            SELECT a.src AS node, a.dst AS peer
+            FROM reach a JOIN reach b ON b.src = a.dst AND b.dst = a.src
+        )
+        SELECT n.node AS node,
+               COALESCE(LEAST(MIN(m.peer), n.node), n.node) AS scc_id
+        FROM nodes n LEFT JOIN mutual m ON m.node = n.node
+        GROUP BY n.node
+    """,
+    notes=(
+        "strongly connected components on the cyclic trade-credit fixture "
+        "(README.md:15 circular-ownership rings, generalized from pairwise "
+        "cycle detection to full ring membership): scc_id(v) = min node "
+        "mutually reachable with v. Set-semantics closure (distinct per "
+        "superstep, NOT walk enumeration — terminates on cycles) via the "
+        "Pregel harness; the closure pair-set is bounded by the declared "
+        "subgraph (|V|^2 <= ~10k). Oracle: DuckDB recursive UNION-distinct "
+        "closure + identical min-mutual-reach formula"
+    ),
+)
+def graph_scc(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = (
+        catalog.trade_credit_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # static edges: scanned every superstep
+    )
+
+    def step(reach):
+        ext = (
+            reach.alias("r")
+            .join(e.alias("e2"), F.col("e2.src") == F.col("r.dst"))
+            .select(F.col("r.src").alias("src"), F.col("e2.dst").alias("dst"))
+        )
+        return reach.unionByName(ext).distinct()
+
+    def changed(old, new):
+        return new.join(old, ["src", "dst"], "left_anti")
+
+    reach = iterate_fixpoint(e, step, changed=changed, max_iter=12, state_partitions=8)
+    a = reach.alias("a")
+    b = reach.alias("b")
+    mutual = a.join(
+        b,
+        (F.col("b.src") == F.col("a.dst")) & (F.col("b.dst") == F.col("a.src")),
+    ).select(F.col("a.src").alias("node"), F.col("a.dst").alias("peer"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(mutual, "node", "left")
+        .groupBy("node")
+        .agg(F.min("peer").alias("min_peer"))
+        .select(
+            "node",
+            F.coalesce(F.least(F.col("min_peer"), F.col("node")), F.col("node")).alias("scc_id"),
+        )
+    )
+
+
+@register(
+    "graph_clustering_coeff",
+    "graph",
+    oracle="""
+        WITH su AS (
+            SELECT DISTINCT l_suppkey AS supp, l_partkey AS part
+            FROM lineitem WHERE l_suppkey < 50
+        ),
+        ss AS (
+            SELECT DISTINCT a.supp AS s1, b.supp AS s2
+            FROM su a JOIN su b ON a.part = b.part AND a.supp < b.supp
+        ),
+        sym AS (SELECT s1 AS v, s2 AS w FROM ss
+                UNION ALL SELECT s2, s1 FROM ss),
+        deg AS (SELECT v, COUNT(*) AS degree FROM sym GROUP BY v),
+        tri AS (
+            SELECT w1.v AS v, COUNT(*) AS triangles
+            FROM sym w1
+            JOIN sym w2 ON w2.v = w1.v AND w1.w < w2.w
+            JOIN ss e ON e.s1 = w1.w AND e.s2 = w2.w
+            GROUP BY w1.v
+        )
+        SELECT d.v AS node, d.degree AS degree,
+               COALESCE(t.triangles, 0) AS triangles,
+               CASE WHEN d.degree >= 2
+                    THEN FLOOR((2.0 * COALESCE(t.triangles, 0)
+                                / (d.degree * (d.degree - 1.0))) * 1000000.0 + 0.5)
+                         / 1000000.0
+                    ELSE 0.0 END AS clustering_coeff
+        FROM deg d LEFT JOIN tri t ON t.v = d.v
+    """,
+    notes=(
+        "local clustering coefficient (README.md:28 NetworkX centrality "
+        "surface) on the supplier co-part projection: wedge join (v's "
+        "ordered neighbor pairs) semi-checked against the edge set — the "
+        "node-iterator triangle algorithm. Scale: at 100 TB the wedge join "
+        "is bounded by orienting edges low-degree->high (the ss s1<s2 "
+        "orientation already halves it); all stages are joins/partial aggs "
+        "on the edge key, no path enumeration"
+    ),
+)
+def graph_clustering_coeff(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 50)
+    su = li.select(F.col("l_suppkey").alias("supp"), F.col("l_partkey").alias("part")).distinct()
+    a = su.alias("a")
+    b = su.alias("b")
+    ss = (
+        a.join(b, (F.col("a.part") == F.col("b.part")) & (F.col("a.supp") < F.col("b.supp")))
+        .select(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .distinct()
+    )
+    sym = ss.select(F.col("s1").alias("v"), F.col("s2").alias("w")).unionByName(
+        ss.select(F.col("s2").alias("v"), F.col("s1").alias("w"))
+    )
+    deg = sym.groupBy("v").agg(F.count("*").alias("degree"))
+    w1 = sym.alias("w1")
+    w2 = sym.alias("w2")
+    e = ss.alias("e")
+    tri = (
+        w1.join(w2, (F.col("w2.v") == F.col("w1.v")) & (F.col("w1.w") < F.col("w2.w")))
+        .join(e, (F.col("e.s1") == F.col("w1.w")) & (F.col("e.s2") == F.col("w2.w")))
+        .groupBy(F.col("w1.v").alias("v"))
+        .agg(F.count("*").alias("triangles"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        F.floor(
+            (2.0 * F.coalesce(F.col("triangles"), F.lit(0)) / (F.col("degree") * (F.col("degree") - 1.0)))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6,
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tri, "v", "left")
+        .select(
+            F.col("v").alias("node"),
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            coeff.alias("clustering_coeff"),
+        )
+    )

@@ -856,3 +856,138 @@ def dedup_minhash_lsh(spark, sf_dir):
         .filter(F.col("jac") >= 0.9)
         .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )
+
+
+@register(
+    "text_repetition_score",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, n_chars, string_split(lower(text), ' ') AS tk
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, n_chars,
+                   len(tk) AS n_tokens,
+                   len(list_distinct(tk)) AS n_unique,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i + 1])
+                        ELSE [] END AS bg
+            FROM toks
+        ),
+        bgf AS (
+            SELECT doc_id, MAX(c) AS max_bigram
+            FROM (
+                SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(bg) AS b FROM base)
+                GROUP BY doc_id, b
+            )
+            GROUP BY doc_id
+        )
+        SELECT b.doc_id AS doc_id,
+               b.n_tokens AS n_tokens,
+               FLOOR((1.0 - b.n_unique * 1.0 / b.n_tokens) * 1000000.0 + 0.5)
+                   / 1000000.0 AS dup_token_ratio,
+               FLOOR((2.0 * COALESCE(f.max_bigram, 0) / b.n_tokens) * 1000000.0 + 0.5)
+                   / 1000000.0 AS top_bigram_frac,
+               CASE WHEN (1.0 - b.n_unique * 1.0 / b.n_tokens) > 0.6
+                         OR (2.0 * COALESCE(f.max_bigram, 0) / b.n_tokens) > 0.2
+                    THEN TRUE ELSE FALSE END AS repetitive
+        FROM base b LEFT JOIN bgf f ON f.doc_id = b.doc_id
+    """,
+    notes=(
+        "Gopher-style repetition quality signals (Rae et al. 2021 §A1.1, "
+        "public): duplicate-token ratio and fraction of tokens covered by "
+        "the most frequent bigram, per doc. Row-local array math (no "
+        "explode for the dup ratio; bigram counts explode but re-aggregate "
+        "on doc_id — the partial agg keeps the shuffle narrow). The "
+        "`repetitive` gate is the curation filter a 100 TB pipeline "
+        "applies scan-side before any dedup shuffle"
+    ),
+)
+def text_repetition_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = F.split(F.lower("text"), " ")
+    base = d.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_unique"),
+        F.when(
+            F.size(tk) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(lower(text), ' ')) - 1), "
+                "i -> concat(element_at(split(lower(text), ' '), i), ' ', "
+                "element_at(split(lower(text), ' '), i + 1)))"
+            ),
+        )
+        .otherwise(F.array())
+        .alias("bg"),
+    )
+    bgf = (
+        base.select("doc_id", F.explode("bg").alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("max_bigram"))
+    )
+    dup = 1.0 - F.col("n_unique") * 1.0 / F.col("n_tokens")
+    top = 2.0 * F.coalesce(F.col("max_bigram"), F.lit(0)) / F.col("n_tokens")
+    return (
+        base.join(bgf, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.floor(dup * 1e6 + F.lit(0.5)) / 1e6).alias("dup_token_ratio"),
+            (F.floor(top * 1e6 + F.lit(0.5)) / 1e6).alias("top_bigram_frac"),
+            ((dup > 0.6) | (top > 0.2)).alias("repetitive"),
+        )
+    )
+
+
+@register(
+    "text_lm_unigram_score",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tokf AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        freq AS (SELECT token, COUNT(*) AS f FROM tokf GROUP BY token),
+        tot AS (SELECT SUM(f) AS total FROM freq),
+        scored AS (
+            SELECT t.doc_id,
+                   FLOOR(LN(fr.f * 1.0 / tot.total) * 1000000000.0 + 0.5)
+                       / 1000000000.0 AS lp
+            FROM tokf t JOIN freq fr ON fr.token = t.token CROSS JOIN tot
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_tokens,
+               FLOOR(AVG(lp) * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
+        FROM scored
+        GROUP BY doc_id
+    """,
+    notes=(
+        "corpus-fit scoring: per-doc mean log-probability under the "
+        "corpus's own unigram LM — the classic cheap perplexity proxy for "
+        "quality filtering (CCNet-style, public). Two passes: corpus freq "
+        "table (partial-agg'd, vocab-sized -> broadcast join), then "
+        "explode-join-agg per doc. Per-token log is dround'd to 9 digits "
+        "BEFORE the avg so the cross-engine sum runs over identical "
+        "decimals; the final 6-digit dround absorbs summation-order ulps"
+    ),
+)
+def text_lm_unigram_score(spark, sf_dir):
+    from mimranalytics_core_spark.operators.text import tokens as _tokens
+
+    d = t(spark, sf_dir, "documents")
+    tk = _tokens(d)
+    freq = tk.groupBy("token").agg(F.count("*").alias("f"))
+    total = freq.agg(F.sum("f")).collect()[0][0]  # scalar dim, folded as a literal
+    lp = F.floor(F.log(F.col("f") * 1.0 / F.lit(float(total))) * 1e9 + F.lit(0.5)) / 1e9
+    scored = tk.join(_broadcast_if_small(spark, d, freq), "token").select("doc_id", lp.alias("lp"))
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        (F.floor(F.avg("lp") * 1e6 + F.lit(0.5)) / 1e6).alias("avg_logprob"),
+    )

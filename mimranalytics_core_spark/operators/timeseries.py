@@ -285,3 +285,189 @@ def ts_zscore_anomaly(spark, sf_dir):
             (F.floor(F.col("z") * 1e6 + F.lit(0.5)) / 1e6).alias("zscore"),
         )
     )
+
+
+@register(
+    "ts_mad_outlier",
+    "timeseries",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS m FROM events GROUP BY event_type
+        ),
+        dev AS (
+            SELECT e.event_id, e.event_type, e.value, m.m,
+                   ABS(e.value - m.m) AS d
+            FROM events e JOIN med m ON m.event_type = e.event_type
+        ),
+        mad AS (SELECT event_type, median(d) AS mad FROM dev GROUP BY event_type)
+        SELECT dev.event_id AS event_id, dev.event_type AS event_type,
+               dev.value AS value,
+               FLOOR(dev.m * 1000000.0 + 0.5) / 1000000.0 AS med,
+               FLOOR(mad.mad * 1000000.0 + 0.5) / 1000000.0 AS mad
+        FROM dev JOIN mad ON mad.event_type = dev.event_type
+        WHERE dev.d > 4.4478 * mad.mad
+    """,
+    notes=(
+        "robust outlier detection: median absolute deviation per event "
+        "type, flag |x-med| > 3*1.4826*MAD (=4.4478, the normal-consistency "
+        "constant). Two exact-median passes (Spark F.median == DuckDB "
+        "median incl. even-count interpolation); the per-type stats are "
+        "5-row dims broadcast back — at 100 TB this is two partial-agg "
+        "shuffles on a 5-key column plus a broadcast join, no sort of the "
+        "full data (median via exact percentile is per-group, bounded key "
+        "domain)"
+    ),
+)
+def ts_mad_outlier(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("m"))
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", "value", "m", F.abs(F.col("value") - F.col("m")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(F.median("d").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("d") > 4.4478 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            dround(F.col("m"), 6).alias("med"),
+            dround(F.col("mad"), 6).alias("mad"),
+        )
+    )
+
+
+@register(
+    "ts_scd2_intervals",
+    "timeseries",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events
+        ),
+        ch AS (
+            SELECT user_id, event_type, ts, event_id FROM ordered
+            WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+               (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+                   AS is_current
+        FROM ch
+    """,
+    notes=(
+        "SCD-type-2 history build: collapse each user's event stream to "
+        "state-change rows and derive [valid_from, valid_to) validity "
+        "intervals (open interval = current). The warehouse-dimension "
+        "staple. One window shuffle on user_id serves both the change "
+        "filter and the interval windows (same partitioning reused across "
+        "stages — no second shuffle)"
+    ),
+)
+def ts_scd2_intervals(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ch = (
+        ev.select("user_id", "event_type", "ts", "event_id",
+                  F.lag("event_type").over(w).alias("prev"))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return ch.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+
+
+@register(
+    "ts_interpolate_linear",
+    "timeseries",
+    oracle="""
+        WITH known AS (
+            SELECT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                   FLOOR(AVG(value) * 1000000.0 + 0.5) / 1000000.0 AS val
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (SELECT user_id, MIN(d) AS mn, MAX(d) AS mx FROM known GROUP BY user_id),
+        grid AS (SELECT user_id, unnest(generate_series(mn, mx)) AS d FROM bounds),
+        j AS (
+            SELECT g.user_id, g.d, k.val
+            FROM grid g LEFT JOIN known k ON k.user_id = g.user_id AND k.d = g.d
+        ),
+        f AS (
+            SELECT user_id, d, val,
+                   LAST_VALUE(val IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                   LAST_VALUE(CASE WHEN val IS NOT NULL THEN d END IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                   FIRST_VALUE(val IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY d
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                   FIRST_VALUE(CASE WHEN val IS NOT NULL THEN d END IGNORE NULLS) OVER
+                       (PARTITION BY user_id ORDER BY d
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+            FROM j
+        )
+        SELECT user_id, d AS day_idx, (val IS NOT NULL) AS is_observed,
+               FLOOR((CASE WHEN val IS NOT NULL THEN val
+                           WHEN pv IS NOT NULL AND nv IS NOT NULL
+                                THEN pv + (nv - pv) * (d - pd) / (nd - pd)
+                           ELSE COALESCE(pv, nv) END) * 1000000.0 + 0.5)
+                   / 1000000.0 AS value
+        FROM f
+    """,
+    notes=(
+        "gap-filling by linear interpolation on the per-user daily grid "
+        "(complement of ts_resample_ffill's step-fill): day buckets as "
+        "integer day numbers (no tz arithmetic), per-user sequence() grid, "
+        "prev/next located with IGNORE NULLS frame scans — one window "
+        "shuffle on user_id covers all four scans. Daily knowns are "
+        "dround'd BEFORE interpolating so both engines interpolate from "
+        "identical decimals"
+    ),
+)
+def ts_interpolate_linear(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    known = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+            "value",
+        )
+        .groupBy("user_id", "d")
+        .agg((F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("val"))
+    )
+    bounds = known.groupBy("user_id").agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    grid = bounds.select("user_id", F.explode(F.sequence("mn", "mx")).alias("d"))
+    j = grid.join(known, ["user_id", "d"], "left")
+    wp = Window.partitionBy("user_id").orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wn = Window.partitionBy("user_id").orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    pv = F.last("val", ignorenulls=True).over(wp)
+    pd_ = F.last(F.when(F.col("val").isNotNull(), F.col("d")), ignorenulls=True).over(wp)
+    nv = F.first("val", ignorenulls=True).over(wn)
+    nd = F.first(F.when(F.col("val").isNotNull(), F.col("d")), ignorenulls=True).over(wn)
+    interp = (
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .when(
+            pv.isNotNull() & nv.isNotNull(),
+            pv + (nv - pv) * (F.col("d") - pd_) / (nd - pd_),
+        )
+        .otherwise(F.coalesce(pv, nv))
+    )
+    return j.select(
+        "user_id",
+        F.col("d").alias("day_idx"),
+        F.col("val").isNotNull().alias("is_observed"),
+        (F.floor(interp * 1e6 + F.lit(0.5)) / 1e6).alias("value"),
+    )

@@ -1,0 +1,196 @@
+"""Independent (pure-Python) verification of the round-4 continuation ops:
+SCC, clustering coefficient, repetition/LM text quality, MAD outliers,
+SCD2 intervals, linear interpolation."""
+
+from __future__ import annotations
+
+import math
+import statistics
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from mimranalytics_core_spark import catalog
+from mimranalytics_core_spark.operators._base import t, tables
+from mimranalytics_core_spark.registry import all_ops
+from tests.conftest import SF_SMALL
+
+OPS = all_ops()
+
+
+def _closure(edges):
+    """Set-semantics transitive closure of an edge set (python reference)."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    reach = {}
+    for v in set(adj) | {d for _, d in edges}:
+        seen, stack = set(), list(adj.get(v, ()))
+        while stack:
+            u = stack.pop()
+            if u not in seen:
+                seen.add(u)
+                stack.extend(adj.get(u, ()))
+        reach[v] = seen
+    return reach
+
+
+def test_graph_scc_matches_python_closure(spark):
+    tables(spark, SF_SMALL)
+    edges = [
+        (r.src, r.dst)
+        for r in catalog.trade_credit_edges(spark, SF_SMALL).select("src", "dst").collect()
+    ]
+    reach = _closure(edges)
+    expected = {}
+    for v in reach:
+        mutual = {u for u in reach[v] if v in reach.get(u, ())}
+        expected[v] = min(mutual | {v})
+    got = {r.node: r.scc_id for r in OPS["graph_scc"].fn(spark, SF_SMALL).collect()}
+    assert got == expected
+    # the trade-credit fixture is cyclic: at least one non-singleton SCC
+    sizes = Counter(got.values())
+    assert max(sizes.values()) >= 2
+
+
+def test_graph_clustering_coeff_matches_python(spark):
+    res = {r.node: r for r in OPS["graph_clustering_coeff"].fn(spark, SF_SMALL).collect()}
+    li = t(spark, SF_SMALL, "lineitem").filter(F.col("l_suppkey") < 50)
+    su = li.select("l_suppkey", "l_partkey").distinct().collect()
+    by_part = {}
+    for r in su:
+        by_part.setdefault(r.l_partkey, set()).add(r.l_suppkey)
+    nbrs = {}
+    for members in by_part.values():
+        for a in members:
+            for b in members:
+                if a != b:
+                    nbrs.setdefault(a, set()).add(b)
+    for v, ns in nbrs.items():
+        deg = len(ns)
+        tri = sum(
+            1 for x in ns for y in ns if x < y and y in nbrs.get(x, ())
+        )
+        coeff = (
+            math.floor((2.0 * tri / (deg * (deg - 1.0))) * 1e6 + 0.5) / 1e6
+            if deg >= 2
+            else 0.0
+        )
+        row = res[v]
+        assert row.degree == deg and row.triangles == tri
+        assert abs(row.clustering_coeff - coeff) < 1e-9
+
+
+def test_text_repetition_score_bounds_and_sample(spark):
+    rows = OPS["text_repetition_score"].fn(spark, SF_SMALL).collect()
+    assert rows
+    docs = {r.doc_id: r.text for r in t(spark, SF_SMALL, "documents").collect()}
+    n_rep = 0
+    for r in rows:
+        assert 0.0 <= r.dup_token_ratio <= 1.0
+        assert 0.0 <= r.top_bigram_frac <= 1.0
+        n_rep += bool(r.repetitive)
+        toks = docs[r.doc_id].lower().split(" ")
+        dup = 1.0 - len(set(toks)) / len(toks)
+        bigrams = Counter(
+            f"{toks[i]} {toks[i + 1]}" for i in range(len(toks) - 1)
+        )
+        top = 2.0 * max(bigrams.values()) / len(toks) if bigrams else 0.0
+        assert abs(r.dup_token_ratio - math.floor(dup * 1e6 + 0.5) / 1e6) < 1e-9
+        assert abs(r.top_bigram_frac - math.floor(top * 1e6 + 0.5) / 1e6) < 1e-9
+        assert r.repetitive == (dup > 0.6 or top > 0.2)
+    # the flag must split the corpus (non-vacuous gate)
+    assert 0 < n_rep < len(rows)
+
+
+def test_text_lm_unigram_score_matches_python(spark):
+    rows = {r.doc_id: r for r in OPS["text_lm_unigram_score"].fn(spark, SF_SMALL).collect()}
+    docs = {r.doc_id: r.text for r in t(spark, SF_SMALL, "documents").collect()}
+    freq = Counter()
+    for text in docs.values():
+        freq.update(tok for tok in text.lower().split(" ") if tok)
+    total = sum(freq.values())
+    for doc_id, text in docs.items():
+        toks = [tok for tok in text.lower().split(" ") if tok]
+        lps = [math.floor(math.log(freq[tk] / total) * 1e9 + 0.5) / 1e9 for tk in toks]
+        want = math.floor((sum(lps) / len(lps)) * 1e6 + 0.5) / 1e6
+        got = rows[doc_id]
+        assert got.n_tokens == len(toks)
+        assert abs(got.avg_logprob - want) < 2e-6  # summation-order ulps
+        assert got.avg_logprob < 0.0
+
+
+def test_ts_mad_outlier_matches_python(spark):
+    ev = [
+        (r.event_id, r.event_type, r.value)
+        for r in t(spark, SF_SMALL, "events").select("event_id", "event_type", "value").collect()
+    ]
+    by_type = {}
+    for eid, et, v in ev:
+        by_type.setdefault(et, []).append(v)
+    med = {et: statistics.median(vs) for et, vs in by_type.items()}
+    mad = {
+        et: statistics.median([abs(v - med[et]) for v in vs]) for et, vs in by_type.items()
+    }
+    expected = {
+        eid for eid, et, v in ev if abs(v - med[et]) > 4.4478 * mad[et]
+    }
+    got = {r.event_id for r in OPS["ts_mad_outlier"].fn(spark, SF_SMALL).collect()}
+    assert got == expected
+    assert got  # non-vacuous: heavy-tailed fixture has outliers
+
+
+def test_ts_scd2_intervals_invariants(spark):
+    rows = OPS["ts_scd2_intervals"].fn(spark, SF_SMALL).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    ev_first = {
+        r.user_id: r.event_type
+        for r in t(spark, SF_SMALL, "events")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.version)
+        assert [r.version for r in rs] == list(range(1, len(rs) + 1))
+        assert sum(r.is_current for r in rs) == 1
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from  # contiguous history
+            assert a.valid_from < a.valid_to
+            assert a.event_type != b.event_type  # change rows only
+        assert rs[-1].valid_to is None and rs[-1].is_current
+        assert rs[0].event_type == ev_first[user]
+
+
+def test_ts_interpolate_linear_invariants(spark):
+    rows = OPS["ts_interpolate_linear"].fn(spark, SF_SMALL).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    interpolated = 0
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.day_idx)
+        days = [r.day_idx for r in rs]
+        assert days == list(range(days[0], days[-1] + 1))  # contiguous grid
+        assert rs[0].is_observed and rs[-1].is_observed  # grid spans knowns
+        known = [(r.day_idx, r.value) for r in rs if r.is_observed]
+        for r in rs:
+            if r.is_observed:
+                continue
+            interpolated += 1
+            prev = max((d, v) for d, v in known if d < r.day_idx)
+            nxt = min((d, v) for d, v in known if d > r.day_idx)
+            lo, hi = sorted((prev[1], nxt[1]))
+            assert lo - 1e-6 <= r.value <= hi + 1e-6  # linear ⇒ between endpoints
+            want = prev[1] + (nxt[1] - prev[1]) * (r.day_idx - prev[0]) / (nxt[0] - prev[0])
+            assert abs(r.value - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-9
+    assert interpolated > 0  # gaps exist at this SF
