@@ -308,3 +308,84 @@ def agg_conditional(spark, sf_dir):
             F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)), 2
         ).alias("rev_f"),
     )
+
+
+@register(
+    "agg_mode_exact",
+    "aggregates",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS mode_count
+        FROM (
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                      ORDER BY COUNT(*) DESC, o_orderpriority ASC) AS rn
+            FROM orders GROUP BY o_orderstatus, o_orderpriority
+        ) WHERE rn = 1
+    """,
+    notes=(
+        "deterministic exact mode per group (most frequent value, ties "
+        "broken lexicographically — unlike F.mode, whose tie choice is "
+        "unspecified): two-level agg, count per (group, value) then "
+        "row_number pick. Both shuffles hash on bounded key domains; at "
+        "100 TB the first agg partial-combines map-side so the shuffle "
+        "carries one row per distinct (group, value)"
+    ),
+)
+def agg_mode_exact(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority").asc()
+    )
+    return (
+        counts.select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("mode_count"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "agg_corr",
+    "aggregates",
+    oracle="""
+        SELECT 'qty_price' AS pair,
+               FLOOR(corr(l_quantity, l_extendedprice) * 1000000.0 + 0.5)
+                   / 1000000.0 AS r
+        FROM lineitem
+        UNION ALL
+        SELECT 'qty_discount',
+               FLOOR(corr(l_quantity, l_discount) * 1000000.0 + 0.5) / 1000000.0
+        FROM lineitem
+        UNION ALL
+        SELECT 'price_discount',
+               FLOOR(corr(l_extendedprice, l_discount) * 1000000.0 + 0.5) / 1000000.0
+        FROM lineitem
+    """,
+    notes=(
+        "pairwise Pearson correlation over the fact's measure columns in "
+        "ONE scan (all three F.corr aggregates share the pass — Catalyst "
+        "fuses them into a single partial-agg shuffle of constant-size "
+        "state; the oracle's UNION ALL form is three scans but DuckDB-"
+        "exact). corr's sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) "
+        "are mergeable — the 100 TB shape"
+    ),
+)
+def agg_corr(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        dround(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price"),
+        dround(F.corr("l_quantity", "l_discount"), 6).alias("qty_discount"),
+        dround(F.corr("l_extendedprice", "l_discount"), 6).alias("price_discount"),
+    )
+    unpivot = F.expr(
+        "stack(3, 'qty_price', qty_price, 'qty_discount', qty_discount, "
+        "'price_discount', price_discount) AS (pair, r)"
+    )
+    return agg.select(unpivot)

@@ -596,3 +596,71 @@ def sink_json_partitioned_roundtrip(spark, sf_dir):
         F.col("n_cust").cast("bigint"),
         F.col("bal").cast("double"),
     )
+
+
+@register(
+    "sink_orc_roundtrip",
+    "sinks",
+    oracle="""
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_supp,
+               FLOOR(SUM(s_acctbal) * 100 + 0.5) / 100 AS bal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    notes=(
+        "ORC sink/source roundtrip — the third columnar format on the "
+        "source/sink surface (parquet, csv, json, orc): supplier balance "
+        "report written as ORC and re-read; the declared result is the "
+        "re-read file, so the oracle certifies the full write/read cycle "
+        "including ORC's type mapping (DECIMAL-free doubles, BIGINT "
+        "counts). ORC readers get the same pushdown/pruning treatment as "
+        "parquet in Spark (format-native PPD)"
+    ),
+)
+def sink_orc_roundtrip(spark, sf_dir):
+    import os
+
+    from mimranalytics_core_spark.functions.numeric import dround
+    from mimranalytics_core_spark.sources.io import export_report, read_any
+
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    report = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_supp"),
+            dround(F.sum("s_acctbal"), 2).alias("bal"),
+        )
+    )
+    dest = f"/tmp/mimranalytics_reports/{os.path.basename(sf_dir.rstrip('/'))}/nation_supp_orc"
+    export_report(report, dest, fmt="orc", order_by=["n_name"])
+    return read_any(spark, dest, "orc")
+
+
+@register(
+    "stream_stream_join",
+    "event_time",
+    oracle=None,  # streaming-state semantics: rows-only per SURVEY.md §2.10
+    notes=(
+        "REAL stream-stream interval join (views ⋈ purchases within 1h per "
+        "user, both sides watermarked 30 min, availableNow replay of two "
+        "independent file streams) — the funnel/attribution staple and the "
+        "last headline Structured Streaming join shape not yet declared "
+        "(stream_join_enrich is stream-static). The time-range predicate + "
+        "double watermark is what bounds both state stores; batch/stream "
+        "agreement on the replay fixture asserted in tests/test_streaming.py"
+    ),
+)
+def stream_stream_join(spark, sf_dir):
+    import uuid
+
+    from mimranalytics_core_spark.streaming import jobs
+
+    views = jobs.events_stream(spark, sf_dir)
+    purchases = jobs.events_stream(spark, sf_dir)
+    name = f"ssj_demo_{uuid.uuid4().hex[:8]}"
+    return jobs.run_available_now(
+        jobs.purchase_after_view_join(views, purchases), name, spark
+    )

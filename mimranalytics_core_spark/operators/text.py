@@ -991,3 +991,62 @@ def text_lm_unigram_score(spark, sf_dir):
         F.count("*").alias("n_tokens"),
         (F.floor(F.avg("lp") * 1e6 + F.lit(0.5)) / 1e6).alias("avg_logprob"),
     )
+
+
+@register(
+    "dedup_canonical_docs",
+    "text",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM toks GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+        ),
+        e2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+            UNION
+            SELECT e2.a, r.lab FROM reach r JOIN e2 ON e2.b = r.node
+        ),
+        lbl AS (SELECT node, MIN(lab) AS canonical_id FROM reach GROUP BY node)
+        SELECT node AS doc_id, canonical_id,
+               COUNT(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        FROM lbl
+    """,
+    notes=(
+        "end-to-end near-dup CANONICALIZATION — the step a 100 TB curation "
+        "pipeline actually ships: MinHash-LSH verified pairs (exactly the "
+        "dedup_minhash_lsh stage) -> connected components over the pair "
+        "graph (min-label Pregel; transitive closure of near-dup-ness) -> "
+        "canonical doc = min doc_id per cluster. Keep doc_id==canonical_id "
+        "rows, drop the rest. The pair graph holds only docs WITH a "
+        "duplicate (corpus-sized graphs never materialize); the oracle is "
+        "the exhaustive exact-Jaccard pair set closed by a recursive "
+        "min-label CTE — certifying pairs, clustering, AND canonical "
+        "choice in one hash"
+    ),
+)
+def dedup_canonical_docs(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import connected_components
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    comp = connected_components(edges, max_iter=20, state_partitions=8)
+    w = Window.partitionBy("canonical_id")
+    return (
+        comp.select(F.col("node").alias("doc_id"), F.col("component").alias("canonical_id"))
+        .select("doc_id", "canonical_id", F.count("*").over(w).alias("cluster_size"))
+    )

@@ -37,6 +37,8 @@ def export_report(
         writer.option("header", "true").csv(path)
     elif fmt == "json":
         writer.json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         writer.parquet(path)
 
@@ -50,4 +52,6 @@ def read_any(spark: SparkSession, path: str, fmt: str, schema=None) -> DataFrame
         return reader.option("header", "true").option("inferSchema", schema is None).csv(path)
     if fmt == "json":
         return reader.json(path)
+    if fmt == "orc":
+        return reader.orc(path)
     return reader.parquet(path)

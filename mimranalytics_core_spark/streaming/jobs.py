@@ -312,3 +312,41 @@ def anomaly_flags_tws(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def purchase_after_view_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """Stream-stream interval join: purchases within 1h after a view, per user.
+
+    Both sides are watermarked (30 min) and the join carries a time-range
+    predicate — together these let Spark bound BOTH state stores: a buffered
+    view can be evicted once the purchase-side watermark passes v_ts + 1h,
+    and vice versa. Without the range condition the state would grow
+    unboundedly (the planner rejects it for outer joins and buffers forever
+    for inner). This is the canonical funnel/attribution shape at 100 TB:
+    state per key ~ events within the horizon, not the stream's history.
+    """
+    v = (
+        views.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("view_id"),
+        )
+        .withWatermark("v_ts", "30 minutes")
+    )
+    p = (
+        purchases.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("p_ts", "30 minutes")
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("v_user", "view_id", "v_ts", "purchase_id", "p_ts", "amount")

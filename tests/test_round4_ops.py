@@ -194,3 +194,43 @@ def test_ts_interpolate_linear_invariants(spark):
             want = prev[1] + (nxt[1] - prev[1]) * (r.day_idx - prev[0]) / (nxt[0] - prev[0])
             assert abs(r.value - math.floor(want * 1e6 + 0.5) / 1e6) < 1e-9
     assert interpolated > 0  # gaps exist at this SF
+
+
+def test_dedup_canonical_docs_invariants(spark):
+    """Canonical = min doc_id of its cluster; membership = exactly the docs
+    appearing in a verified near-dup pair; cluster sizes consistent."""
+    rows = OPS["dedup_canonical_docs"].fn(spark, SF_SMALL).collect()
+    pair_rows = OPS["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    in_pairs = {r.doc_a for r in pair_rows} | {r.doc_b for r in pair_rows}
+    assert {r.doc_id for r in rows} == in_pairs
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r.canonical_id, []).append(r)
+    for canon, members in by_canon.items():
+        assert canon == min(m.doc_id for m in members)
+        assert all(m.cluster_size == len(members) for m in members)
+        assert len(members) >= 2  # singletons never enter the pair graph
+
+
+def test_agg_mode_exact_deterministic_tiebreak(spark):
+    from collections import Counter as C
+
+    rows = OPS["agg_mode_exact"].fn(spark, SF_SMALL).collect()
+    o = t(spark, SF_SMALL, "orders").select("o_orderstatus", "o_orderpriority").collect()
+    by_status = {}
+    for r in o:
+        by_status.setdefault(r.o_orderstatus, C())[r.o_orderpriority] += 1
+    for r in rows:
+        c = by_status[r.o_orderstatus]
+        best = max(c.values())
+        assert r.mode_count == best
+        assert r.mode_priority == min(k for k, v in c.items() if v == best)
+
+
+def test_sink_orc_roundtrip_rows(spark):
+    res = OPS["sink_orc_roundtrip"].fn(spark, SF_SMALL)
+    n_nations = t(spark, SF_SMALL, "supplier").join(
+        t(spark, SF_SMALL, "nation"),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("n_name").distinct().count()
+    assert res.count() == n_nations

@@ -183,3 +183,30 @@ def test_stream_dedup_real_registered_op(spark):
     batch = t(spark, SF_SMALL, "events")
     assert res.count() == batch.select("event_id").distinct().count()
     assert res.select("event_id").distinct().count() == res.count()
+
+
+def test_stream_stream_join_agrees_with_batch(spark):
+    """The declared rows-only query (stream_stream_join): the watermarked
+    stream-stream interval join must emit exactly the batch join's rows on
+    the bounded replay (availableNow drains everything, so no row is late)."""
+    from mimranalytics_core_spark.registry import all_ops
+
+    res = all_ops()["stream_stream_join"].fn(spark, SF_SMALL)
+    ev = t(spark, SF_SMALL, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"), F.col("value").alias("amount"),
+    )
+    batch = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("v_user", "view_id", "v_ts", "purchase_id", "p_ts", "amount")
+    cols = ["v_user", "view_id", "purchase_id"]
+    assert _rows(res, cols) == _rows(batch, cols)
+    assert res.count() > 0
