@@ -389,3 +389,35 @@ def agg_corr(spark, sf_dir):
         "'price_discount', price_discount) AS (pair, r)"
     )
     return agg.select(unpivot)
+
+
+@register(
+    "agg_percentile_exact",
+    "aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               FLOOR(quantile_cont(l_quantity, 0.25) * 1000000.0 + 0.5)
+                   / 1000000.0 AS p25,
+               FLOOR(quantile_cont(l_quantity, 0.5) * 1000000.0 + 0.5)
+                   / 1000000.0 AS p50,
+               FLOOR(quantile_cont(l_quantity, 0.75) * 1000000.0 + 0.5)
+                   / 1000000.0 AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    notes=(
+        "exact linear-interpolated percentiles per group (the hash-checked "
+        "counterpart of the rows-only agg_approx_percentile sketch): Spark "
+        "F.percentile == DuckDB quantile_cont semantics. Exact percentiles "
+        "sort per group — the scale note is explicit: at 100 TB you use "
+        "approx_percentile (mergeable KLL-style sketch, declared "
+        "separately); this op is the audit/verification form on bounded "
+        "groups, and the oracle pins the sketch's ground truth"
+    ),
+)
+def agg_percentile_exact(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.percentile("l_quantity", F.lit(0.25)), 6).alias("p25"),
+        dround(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
+        dround(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
+    )

@@ -1807,3 +1807,47 @@ def graph_clustering_coeff(spark, sf_dir):
             coeff.alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "graph_bipartite_project",
+    "graph",
+    oracle="""
+        WITH cs AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_suppkey < 50
+        )
+        SELECT a.supp AS s1, b.supp AS s2,
+               CAST(COUNT(*) AS BIGINT) AS shared_customers
+        FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+        GROUP BY a.supp, b.supp
+        HAVING COUNT(*) >= 3
+    """,
+    notes=(
+        "weighted one-mode projection of the customer-supplier bipartite "
+        "graph (README.md:11 N-tier relationship mapping): suppliers linked "
+        "by the number of shared customers, thresholded (>=3) to the "
+        "significant co-purchase edges. The self-join on the bounded side "
+        "(cust) with s1<s2 orientation + partial agg is the standard "
+        "projection shape; at 100 TB the skew guard is capping the "
+        "per-customer supplier list (hub customers would otherwise emit "
+        "deg^2 pairs) — the same cap discipline as the LSH band buckets"
+    ),
+)
+def graph_bipartite_project(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 50)
+    cs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a = cs.alias("a")
+    b = cs.alias("b")
+    return (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .agg(F.count("*").alias("shared_customers"))
+        .filter(F.col("shared_customers") >= 3)
+    )

@@ -1050,3 +1050,101 @@ def dedup_canonical_docs(spark, sf_dir):
         comp.select(F.col("node").alias("doc_id"), F.col("component").alias("canonical_id"))
         .select("doc_id", "canonical_id", F.count("*").over(w).alias("cluster_size"))
     )
+
+
+@register(
+    "pipeline_curation_end2end",
+    "text",
+    oracle="""
+        WITH RECURSIVE jtoks AS (
+            SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM jtoks GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM jtoks a JOIN jtoks b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+        ),
+        e2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+            UNION
+            SELECT e2.a, r.lab FROM reach r JOIN e2 ON e2.b = r.node
+        ),
+        lbl AS (SELECT node, MIN(lab) AS canonical_id FROM reach GROUP BY node),
+        rtoks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+        ),
+        rbase AS (
+            SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_unique,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i + 1])
+                        ELSE [] END AS bg
+            FROM rtoks
+        ),
+        bgf AS (
+            SELECT doc_id, MAX(c) AS max_bigram
+            FROM (
+                SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(bg) AS b FROM rbase)
+                GROUP BY doc_id, b
+            )
+            GROUP BY doc_id
+        ),
+        rep AS (
+            SELECT b.doc_id, b.n_tokens,
+                   ((1.0 - b.n_unique * 1.0 / b.n_tokens) > 0.6
+                    OR (2.0 * COALESCE(f.max_bigram, 0) / b.n_tokens) > 0.2)
+                       AS repetitive
+            FROM rbase b LEFT JOIN bgf f ON f.doc_id = b.doc_id
+        ),
+        kept AS (
+            SELECT r.doc_id, r.n_tokens
+            FROM rep r LEFT JOIN lbl ON lbl.node = r.doc_id
+            WHERE NOT r.repetitive AND r.n_tokens >= 20
+              AND (lbl.canonical_id IS NULL OR lbl.canonical_id = r.doc_id)
+        )
+        SELECT d.source AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens
+        FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+        GROUP BY d.source
+    """,
+    notes=(
+        "the FLAGSHIP curation pipeline composed end-to-end, exactly as a "
+        "100 TB training-data job runs it: repetition quality gate "
+        "(scan-local) -> length gate -> near-dup canonicalization (LSH "
+        "pairs -> components -> keep canonical) -> per-source corpus "
+        "accounting. Every stage is the already-oracle-checked operator; "
+        "this op certifies their COMPOSITION in one hash (gates before "
+        "shuffles: the quality filters cut the corpus before the dedup "
+        "exchange — the ordering that matters at scale)"
+    ),
+)
+def pipeline_curation_end2end(spark, sf_dir):
+    rep = text_repetition_score(spark, sf_dir)
+    canon = dedup_canonical_docs(spark, sf_dir).select("doc_id", "canonical_id")
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = (
+        rep.filter((~F.col("repetitive")) & (F.col("n_tokens") >= 20))
+        .join(canon, "doc_id", "left")
+        .filter(F.col("canonical_id").isNull() | (F.col("canonical_id") == F.col("doc_id")))
+    )
+    return (
+        kept.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

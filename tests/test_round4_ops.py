@@ -234,3 +234,44 @@ def test_sink_orc_roundtrip_rows(spark):
         F.col("s_nationkey") == F.col("n_nationkey"),
     ).select("n_name").distinct().count()
     assert res.count() == n_nations
+
+
+def test_pipeline_curation_composes_component_ops(spark):
+    """The flagship pipeline's per-source accounting must equal recomposing
+    its three component ops' own Spark outputs."""
+    rep = {r.doc_id: r for r in OPS["text_repetition_score"].fn(spark, SF_SMALL).collect()}
+    canon = {
+        r.doc_id: r.canonical_id
+        for r in OPS["dedup_canonical_docs"].fn(spark, SF_SMALL).collect()
+    }
+    src = {r.doc_id: r.source for r in t(spark, SF_SMALL, "documents").collect()}
+    want = {}
+    for doc_id, r in rep.items():
+        if r.repetitive or r.n_tokens < 20:
+            continue
+        if doc_id in canon and canon[doc_id] != doc_id:
+            continue
+        s = src[doc_id]
+        n, tot = want.get(s, (0, 0))
+        want[s] = (n + 1, tot + r.n_tokens)
+    got = {
+        r.source: (r.n_docs, r.total_tokens)
+        for r in OPS["pipeline_curation_end2end"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert sum(n for n, _ in got.values()) < len(rep)  # gates are non-vacuous
+
+
+def test_agg_percentile_exact_matches_python(spark):
+    rows = {r.l_returnflag: r for r in OPS["agg_percentile_exact"].fn(spark, SF_SMALL).collect()}
+    vals = {}
+    for r in t(spark, SF_SMALL, "lineitem").select("l_returnflag", "l_quantity").collect():
+        vals.setdefault(r.l_returnflag, []).append(r.l_quantity)
+    for flag, vs in vals.items():
+        vs.sort()
+        for attr, q in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+            idx = q * (len(vs) - 1)
+            lo, frac = int(idx), idx - int(idx)
+            want = vs[lo] + (vs[min(lo + 1, len(vs) - 1)] - vs[lo]) * frac
+            want = math.floor(want * 1e6 + 0.5) / 1e6
+            assert abs(getattr(rows[flag], attr) - want) < 1e-9
