@@ -25,6 +25,7 @@ O(walks) and is deliberately not declared.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mimranalytics_core_spark import catalog
@@ -1851,3 +1852,99 @@ def graph_bipartite_project(spark, sf_dir):
         .agg(F.count("*").alias("shared_customers"))
         .filter(F.col("shared_customers") >= 3)
     )
+
+
+@register(
+    "graph_random_walks",
+    "graph",
+    oracle=f"""
+        WITH RECURSIVE {TRADE_CREDIT_SQL.strip()},
+        e AS (SELECT DISTINCT src, dst FROM tc_edges),
+        nbr AS (
+            SELECT src, dst,
+                   ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn,
+                   COUNT(*) OVER (PARTITION BY src) AS deg
+            FROM e
+        ),
+        seeds AS (
+            SELECT DISTINCT src AS seed FROM e
+            WHERE src LIKE 'c:%' AND CAST(substr(src, 3) AS INT) < 20
+        ),
+        walk(seed, step, node) AS (
+            SELECT seed, 0, seed FROM seeds
+            UNION ALL
+            SELECT w.seed, w.step + 1, n.dst
+            FROM walk w
+            JOIN nbr n ON n.src = w.node
+             AND n.rn = (('0x' || substr(md5(w.seed || ':' || w.node || ':' || w.step), 1, 8))::BIGINT
+                         % n.deg) + 1
+            WHERE w.step < 5
+        )
+        SELECT seed, step, node FROM walk
+    """,
+    notes=(
+        "DETERMINISTIC random-walk sampling (the node2vec/DeepWalk corpus "
+        "generator, made reproducible): next hop = md5(seed:node:step)-"
+        "derived index into the sorted neighbor list — a seeded hash walk, "
+        "so reruns and engines agree bit-for-bit (the property a training "
+        "pipeline needs for restartable sampling; true RNG walks cannot be "
+        "oracle-checked or resumed). 5 fixed unrolled steps: each is one "
+        "join frontier⋈neighbors — at 100 TB walk state is (seed, node) "
+        "pairs hashed on node, the same superstep shape as BFS; the "
+        "neighbor rank/deg table is computed once. md5-hex→BIGINT parity "
+        "with DuckDB proven by the simhash family"
+    ),
+)
+def graph_random_walks(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = catalog.trade_credit_edges(spark, sf_dir).select("src", "dst").distinct()
+    wsp = Window.partitionBy("src")
+    nbr = e.select(
+        "src",
+        "dst",
+        F.row_number().over(wsp.orderBy("dst")).alias("rn"),
+        F.count("*").over(wsp).alias("deg"),
+    ).localCheckpoint(eager=True)
+    seeds = (
+        e.filter(
+            F.col("src").startswith("c:")
+            & (F.substring("src", 3, 10).cast("int") < 20)
+        )
+        .select(F.col("src").alias("seed"))
+        .distinct()
+    )
+    walk = seeds.select("seed", F.lit(0).alias("step"), F.col("seed").alias("node"))
+    out = walk
+    for _ in range(5):
+        pick = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("w.seed"),
+                            F.lit(":"),
+                            F.col("w.node"),
+                            F.lit(":"),
+                            F.col("w.step").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("n.deg")
+            + 1
+        )
+        walk = (
+            walk.alias("w")
+            .join(nbr.alias("n"), (F.col("n.src") == F.col("w.node")) & (F.col("n.rn") == pick))
+            .select(
+                F.col("w.seed").alias("seed"),
+                (F.col("w.step") + 1).alias("step"),
+                F.col("n.dst").alias("node"),
+            )
+        )
+        out = out.unionByName(walk)
+    return out

@@ -498,3 +498,66 @@ def join_skew_salted(spark, sf_dir):
         F.count("*").cast("bigint").alias("n"),
         dround(F.sum("l_quantity"), 2).alias("qty"),
     )
+
+
+@register(
+    "cdc_merge_upsert",
+    "cdc",
+    oracle="""
+        WITH upd AS (
+            SELECT o_orderkey,
+                   FLOOR(o_totalprice * 1.1 * 100 + 0.5) / 100 AS o_totalprice,
+                   'updated' AS src
+            FROM orders WHERE o_orderkey % 97 = 0
+        ),
+        ins AS (
+            SELECT o_orderkey + 1000000000 AS o_orderkey,
+                   FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+                   'inserted' AS src
+            FROM orders WHERE o_orderkey % 101 = 0
+        ),
+        kept AS (
+            SELECT o.o_orderkey,
+                   FLOOR(o.o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+                   'kept' AS src
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM upd WHERE upd.o_orderkey = o.o_orderkey)
+        )
+        SELECT * FROM kept
+        UNION ALL SELECT * FROM upd
+        UNION ALL SELECT * FROM ins
+    """,
+    notes=(
+        "MERGE INTO / CDC-apply realized Spark-native (no table format in "
+        "the container, so the MERGE is the plan, not the metadata op): "
+        "change set = deterministic updates (key % 97: price uplift) + "
+        "inserts (key % 101, offset key space); merged = target anti-join "
+        "changes (WHEN MATCHED THEN UPDATE) union change rows (WHEN NOT "
+        "MATCHED THEN INSERT). At 100 TB both the anti-join and the union "
+        "hash on the table's bucket key, so a bucketed target makes the "
+        "apply co-located — the Delta/Iceberg MERGE execution shape"
+    ),
+)
+def cdc_merge_upsert(spark, sf_dir):
+    from mimranalytics_core_spark.functions.numeric import dround
+
+    o = t(spark, sf_dir, "orders")
+    upd = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        dround(F.col("o_totalprice") * 1.1, 2).alias("o_totalprice"),
+        F.lit("updated").alias("src"),
+    )
+    ins = o.filter(F.col("o_orderkey") % 101 == 0).select(
+        (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+        dround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        F.lit("inserted").alias("src"),
+    )
+    kept = (
+        o.join(upd.select("o_orderkey"), "o_orderkey", "left_anti")
+        .select(
+            "o_orderkey",
+            dround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.lit("kept").alias("src"),
+        )
+    )
+    return kept.unionByName(upd).unionByName(ins)

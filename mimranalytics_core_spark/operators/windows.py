@@ -212,3 +212,61 @@ def win_first_last(spark, sf_dir):
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("last_type"),
     )
+
+
+@register(
+    "win_funnel_pattern",
+    "windows",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type, ts,
+                   LEAD(event_type) OVER w AS nxt_type,
+                   LEAD(event_id) OVER w AS nxt_id,
+                   LEAD(ts) OVER w AS nxt_ts
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id AS view_id, nxt_id AS purchase_id,
+               CAST(date_diff('microsecond', ts, nxt_ts) // 1000000 AS BIGINT)
+                   AS gap_seconds
+        FROM ordered
+        WHERE event_type = 'view' AND nxt_type = 'purchase'
+          AND date_diff('microsecond', ts, nxt_ts) <= 3600000000
+    """,
+    notes=(
+        "MATCH_RECOGNIZE-style consecutive-row sequence detection: a view "
+        "IMMEDIATELY followed by a purchase within 1h, per user — the "
+        "strict-adjacency funnel (stream_stream_join is the relaxed "
+        "any-pair form; together they cover both funnel semantics). One "
+        "window shuffle on user_id, row-local pattern predicate — "
+        "MATCH_RECOGNIZE compiles to exactly this shape for fixed-length "
+        "patterns"
+    ),
+)
+def win_funnel_pattern(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    o = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.lead("event_type").over(w).alias("nxt_type"),
+        F.lead("event_id").over(w).alias("nxt_id"),
+        F.lead("ts").over(w).alias("nxt_ts"),
+    )
+    gap_us = F.expr("timestampdiff(MICROSECOND, ts, nxt_ts)")
+    gap = F.floor(gap_us / F.lit(1000000)).cast("long")
+    return (
+        o.filter(
+            (F.col("event_type") == "view")
+            & (F.col("nxt_type") == "purchase")
+            & (gap_us <= 3600000000)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("nxt_id").alias("purchase_id"),
+            gap.alias("gap_seconds"),
+        )
+    )

@@ -194,3 +194,34 @@ def test_kcore_final_round_is_semi_joins(spark):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_mad_outlier_broadcasts_stats(spark):
+    """The 5-row per-type median/MAD dims must come back as broadcast joins,
+    never a shuffle of the full events table against them."""
+    plan = _plan(spark, "ts_mad_outlier")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_cdc_merge_has_no_cartesian(spark):
+    plan = _plan(spark, "cdc_merge_upsert")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_repetition_score_is_scan_local_until_docid_agg(spark):
+    """Bigram counting aggregates on doc_id (partial+final HashAggregate);
+    no join-induced extra exchange beyond the doc_id ones."""
+    plan = _plan(spark, "text_repetition_score")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_clustering_coeff_no_cartesian(spark):
+    plan = _plan(spark, "graph_clustering_coeff")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_curation_pipeline_no_cartesian(spark):
+    plan = _plan(spark, "pipeline_curation_end2end")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

@@ -275,3 +275,65 @@ def test_agg_percentile_exact_matches_python(spark):
             want = vs[lo] + (vs[min(lo + 1, len(vs) - 1)] - vs[lo]) * frac
             want = math.floor(want * 1e6 + 0.5) / 1e6
             assert abs(getattr(rows[flag], attr) - want) < 1e-9
+
+
+def test_win_funnel_pattern_matches_python(spark):
+    ev = sorted(
+        (
+            (r.user_id, r.ts, r.event_id, r.event_type)
+            for r in t(spark, SF_SMALL, "events").collect()
+        ),
+    )
+    by_user = {}
+    for u, ts, eid, et in ev:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    want = set()
+    for u, rows in by_user.items():
+        rows.sort()
+        for (ts, eid, et), (nts, nid, net) in zip(rows, rows[1:]):
+            us = (nts - ts).total_seconds() * 1e6
+            if et == "view" and net == "purchase" and us <= 3600 * 1e6:
+                want.add((u, eid, nid, int(us // 1e6)))
+    got = {
+        (r.user_id, r.view_id, r.purchase_id, r.gap_seconds)
+        for r in OPS["win_funnel_pattern"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+    assert got  # funnel pairs exist at this SF
+
+
+def test_cdc_merge_upsert_key_semantics(spark):
+    rows = OPS["cdc_merge_upsert"].fn(spark, SF_SMALL).collect()
+    orders = {r.o_orderkey for r in t(spark, SF_SMALL, "orders").collect()}
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.src, set()).add(r.o_orderkey)
+    upd_keys = {k for k in orders if k % 97 == 0}
+    ins_base = {k for k in orders if k % 101 == 0}
+    assert by_src.get("updated", set()) == upd_keys
+    assert by_src.get("inserted", set()) == {k + 1000000000 for k in ins_base}
+    assert by_src.get("kept", set()) == orders - upd_keys
+    # merged table: every key exactly once
+    keys = [r.o_orderkey for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_graph_random_walks_deterministic_and_valid(spark):
+    tables(spark, SF_SMALL)
+    edges = {
+        (r.src, r.dst)
+        for r in catalog.trade_credit_edges(spark, SF_SMALL).select("src", "dst").collect()
+    }
+    a = OPS["graph_random_walks"].fn(spark, SF_SMALL).collect()
+    b = OPS["graph_random_walks"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    by_walk = {}
+    for r in a:
+        by_walk.setdefault(r.seed, {})[r.step] = r.node
+    assert len(by_walk) > 0
+    for seed, steps in by_walk.items():
+        assert steps[0] == seed
+        ks = sorted(steps)
+        assert ks == list(range(len(ks)))  # contiguous prefix (stops at sinks)
+        for i, j in zip(ks, ks[1:]):
+            assert (steps[i], steps[j]) in edges  # every hop is a real edge
