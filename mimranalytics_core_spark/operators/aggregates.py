@@ -421,3 +421,36 @@ def agg_percentile_exact(spark, sf_dir):
         dround(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50"),
         dround(F.percentile("l_quantity", F.lit(0.75)), 6).alias("p75"),
     )
+
+
+@register(
+    "agg_regr",
+    "aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               FLOOR(regr_slope(l_extendedprice, l_quantity) * 10000.0 + 0.5)
+                   / 10000.0 AS slope,
+               FLOOR(regr_intercept(l_extendedprice, l_quantity) * 10000.0 + 0.5)
+                   / 10000.0 AS intercept,
+               FLOOR(regr_r2(l_extendedprice, l_quantity) * 1000000.0 + 0.5)
+                   / 1000000.0 AS r2,
+               CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    notes=(
+        "grouped OLS regression aggregates (price ~ quantity per return "
+        "flag): slope/intercept/R² from the standard sufficient statistics "
+        "(n, Σx, Σy, Σxy, Σx², Σy²) — fully mergeable partial aggs, one "
+        "scan for all four functions; the in-database linear-model shape "
+        "that replaces a driver-side sklearn fit at 100 TB"
+    ),
+)
+def agg_regr(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.regr_slope(y, x), 4).alias("slope"),
+        dround(F.regr_intercept(y, x), 4).alias("intercept"),
+        dround(F.regr_r2(y, x), 6).alias("r2"),
+        F.regr_count(y, x).alias("n"),
+    )

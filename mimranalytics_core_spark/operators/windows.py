@@ -270,3 +270,51 @@ def win_funnel_pattern(spark, sf_dir):
             gap.alias("gap_seconds"),
         )
     )
+
+
+@register(
+    "win_gap_islands",
+    "windows",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+            FROM events
+        ),
+        numbered AS (
+            SELECT user_id, d,
+                   d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+            FROM days
+        )
+        SELECT user_id, MIN(d) AS start_day, MAX(d) AS end_day,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM numbered
+        GROUP BY user_id, grp
+    """,
+    notes=(
+        "gaps-and-islands: maximal runs of consecutive active days per "
+        "user via the classic d - row_number() constant-per-run key — "
+        "activity-streak analytics without self-joins or iteration. One "
+        "window shuffle on user_id; the groupBy reuses the same "
+        "partitioning (no second exchange)"
+    ),
+)
+def win_gap_islands(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.select(
+        "user_id", "d", (F.col("d") - F.row_number().over(w)).alias("grp")
+    )
+    return (
+        numbered.groupBy("user_id", "grp")
+        .agg(
+            F.min("d").alias("start_day"),
+            F.max("d").alias("end_day"),
+            F.count("*").alias("n_days"),
+        )
+        .drop("grp")
+    )

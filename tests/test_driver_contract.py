@@ -44,6 +44,7 @@ def test_queries_and_oracles_aligned():
         "stream_stateful_custom",
         "stream_session_real",
         "stream_dedup_real",
+        "stream_stream_join",
     }
 
 
