@@ -617,3 +617,54 @@ def betweenness(
             ).alias("betweenness")
         )
     )
+
+
+def hits(edges: DataFrame, iters: int = 10, state_partitions: int | None = None) -> DataFrame:
+    """HITS hub/authority scores, fixed iterations: (node, hub, authority).
+
+    Kleinberg 1999 (public). Per iteration: authority(v) = Σ_{u→v} hub(u),
+    then hub(u) = Σ_{u→v} authority(v), each L1-normalized. The normalizer
+    is a broadcast scalar folded into the plan (the pagerank dangling-mass
+    pattern — no driver round-trips); both vectors are checkpointed per
+    iteration to cut lineage. All supersteps are join+partial-agg on the
+    node key — the BFS/PageRank cost envelope at any scale."""
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    if nodes.isEmpty():
+        return nodes.withColumn("hub", F.lit(0.0)).withColumn("authority", F.lit(0.0))
+    h = nodes.withColumn("v", F.lit(1.0)).localCheckpoint(eager=True)
+    a = h
+
+    def _phase(vec: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        raw = (
+            e.join(vec, F.col(key_in) == F.col("node"))
+            .groupBy(F.col(key_out).alias("n2"))
+            .agg(F.sum("v").alias("raw"))
+        )
+        filled = (
+            nodes.join(raw, nodes.node == raw.n2, "left")
+            .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw"))
+        )
+        tot = filled.agg(F.sum("raw").alias("tot"))
+        out = filled.crossJoin(F.broadcast(tot)).select(
+            "node", (F.col("raw") / F.col("tot")).alias("v")
+        )
+        if state_partitions is not None:
+            out = out.coalesce(state_partitions)
+        return out.localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        a = _phase(h, "src", "dst")   # authority from hubs over in-edges
+        h = _phase(a, "dst", "src")   # hub from authorities over out-edges
+    return (
+        nodes.join(h.select(F.col("node").alias("hn"), F.col("v").alias("hub")),
+                   nodes.node == F.col("hn"))
+        .join(a.select(F.col("node").alias("an"), F.col("v").alias("authority")),
+              nodes.node == F.col("an"))
+        .select("node", "hub", "authority")
+    )

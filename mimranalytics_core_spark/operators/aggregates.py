@@ -454,3 +454,44 @@ def agg_regr(spark, sf_dir):
         dround(F.regr_r2(y, x), 6).alias("r2"),
         F.regr_count(y, x).alias("n"),
     )
+
+
+@register(
+    "agg_entropy",
+    "aggregates",
+    oracle="""
+        WITH counts AS (
+            SELECT user_id, event_type, COUNT(*) AS n
+            FROM events GROUP BY user_id, event_type
+        ),
+        tot AS (SELECT user_id, SUM(n) AS tot FROM counts GROUP BY user_id),
+        terms AS (
+            SELECT c.user_id,
+                   FLOOR((-(c.n * 1.0 / t.tot) * LN(c.n * 1.0 / t.tot))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS term
+            FROM counts c JOIN tot t ON t.user_id = c.user_id
+        )
+        SELECT user_id,
+               FLOOR(SUM(term) * 1000000.0 + 0.5) / 1000000.0 AS entropy
+        FROM terms GROUP BY user_id
+    """,
+    notes=(
+        "Shannon entropy of each user's event-type distribution — the "
+        "behavioral-diversity / anomaly feature. Two partial-agg passes on "
+        "user_id (the second reuses the first's partitioning); per-term "
+        "-p·ln p is dround'd to 9 digits before the sum so cross-engine "
+        "summation order cannot move the 6-digit result"
+    ),
+)
+def agg_entropy(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    tot = counts.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") * 1.0 / F.col("tot")
+    term = F.floor((-p * F.log(p)) * 1e9 + F.lit(0.5)) / 1e9
+    return (
+        counts.join(tot, "user_id")
+        .select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg((F.floor(F.sum("term") * 1e6 + F.lit(0.5)) / 1e6).alias("entropy"))
+    )

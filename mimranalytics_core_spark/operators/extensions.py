@@ -664,3 +664,52 @@ def stream_stream_join(spark, sf_dir):
     return jobs.run_available_now(
         jobs.purchase_after_view_join(views, purchases), name, spark
     )
+
+
+@register(
+    "scan_schema_evolution",
+    "sinks",
+    oracle="""
+        SELECT o_orderkey,
+               FLOOR(o_totalprice * 100 + 0.5) / 100 AS o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey,
+               FLOOR(o_totalprice * 100 + 0.5) / 100,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    """,
+    notes=(
+        "schema evolution across file generations: generation 1 written "
+        "without o_orderpriority, generation 2 with it; one mergeSchema "
+        "read reconciles both (older rows null-extend) — the additive-"
+        "column evolution every long-lived 100 TB table undergoes. The "
+        "declared result is the merged READ, so the oracle certifies "
+        "write + merge + null-extension semantics. mergeSchema costs a "
+        "footer pass per file group; production tables pin the merged "
+        "schema in a metastore instead — noted, but the reconciliation "
+        "semantics are what this op pins"
+    ),
+)
+def scan_schema_evolution(spark, sf_dir):
+    import os
+
+    from mimranalytics_core_spark.functions.numeric import dround
+
+    o = t(spark, sf_dir, "orders")
+    base = f"/tmp/mimranalytics_reports/{os.path.basename(sf_dir.rstrip('/'))}/schema_evo"
+    g1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", dround(F.col("o_totalprice"), 2).alias("o_totalprice")
+    )
+    g2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        dround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    g1.write.mode("overwrite").parquet(f"{base}/gen=1")
+    g2.write.mode("overwrite").parquet(f"{base}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{base}/gen=1", f"{base}/gen=2"
+    )
+    return merged.select("o_orderkey", "o_totalprice", "o_orderpriority")

@@ -1955,3 +1955,69 @@ def graph_random_walks(spark, sf_dir):
         )
         out = out.unionByName(walk)
     return out
+
+
+def _hits_oracle_sql(iters: int = 10) -> str:
+    """Unrolled HITS oracle: each iteration is an in/out aggregation plus an
+    L1 window normalization. MATERIALIZED per step — the kcore-oracle
+    lesson (inlined chains re-open the parquet per reference)."""
+    parts = [
+        "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM tc_edges)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e)",
+        "ht0 AS (SELECT node, 1.0 AS v FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"ar{i} AS (SELECT n.node, COALESCE(SUM(h.v), 0.0) AS v "
+            f"FROM nodes n LEFT JOIN e ON e.dst = n.node "
+            f"LEFT JOIN ht{i - 1} h ON h.node = e.src GROUP BY n.node)"
+        )
+        parts.append(
+            f"at{i} AS MATERIALIZED (SELECT node, v / SUM(v) OVER () AS v FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT n.node, COALESCE(SUM(a.v), 0.0) AS v "
+            f"FROM nodes n LEFT JOIN e ON e.src = n.node "
+            f"LEFT JOIN at{i} a ON a.node = e.dst GROUP BY n.node)"
+        )
+        parts.append(
+            f"ht{i} AS MATERIALIZED (SELECT node, v / SUM(v) OVER () AS v FROM hr{i})"
+        )
+    return f"""
+        WITH {TRADE_CREDIT_SQL.strip()},
+        {",".join(parts)}
+        SELECT n.node AS node,
+               FLOOR(h.v * 1000000.0 + 0.5) / 1000000.0 AS hub,
+               FLOOR(a.v * 1000000.0 + 0.5) / 1000000.0 AS authority
+        FROM nodes n
+        JOIN ht{iters} h ON h.node = n.node
+        JOIN at{iters} a ON a.node = n.node
+    """
+
+
+@register(
+    "graph_hits",
+    "graph",
+    oracle=_hits_oracle_sql(10),
+    notes=(
+        "HITS hub/authority centrality (Kleinberg 1999; NetworkX surface, "
+        "README.md:28) on the trade-credit digraph — hubs = customers "
+        "whose purchases span well-connected suppliers, authorities = "
+        "suppliers co-located with active buyers. 10 fixed power-iteration "
+        "steps; L1 normalizers fold into the plan as broadcast scalars "
+        "(the pagerank dangling-mass pattern). Oracle: fully unrolled "
+        "20-step CTE with window-SUM normalization, hash-exact at 6 digits"
+    ),
+)
+def graph_hits(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import hits
+
+    tables(spark, sf_dir)
+    e = catalog.trade_credit_edges(spark, sf_dir).select("src", "dst")
+    res = hits(e, iters=10, state_partitions=8)
+    return res.select(
+        "node",
+        (F.floor(F.col("hub") * 1e6 + F.lit(0.5)) / 1e6).alias("hub"),
+        (F.floor(F.col("authority") * 1e6 + F.lit(0.5)) / 1e6).alias("authority"),
+    )

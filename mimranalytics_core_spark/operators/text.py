@@ -1195,3 +1195,85 @@ def pipeline_curation_end2end(spark, sf_dir):
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+@register(
+    "text_js_divergence",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tokf AS (SELECT source, token FROM toks WHERE token <> ''),
+        sc AS (SELECT source, token, COUNT(*) AS n FROM tokf GROUP BY source, token),
+        st AS (SELECT source, SUM(n) AS tot FROM sc GROUP BY source),
+        cc AS (SELECT token, COUNT(*) AS n FROM tokf GROUP BY token),
+        ct AS (SELECT SUM(n) AS tot FROM cc),
+        grid AS (
+            SELECT s.source, c.token,
+                   COALESCE(sc.n, 0) * 1.0 / s.tot AS p,
+                   c.n * 1.0 / ct.tot AS q
+            FROM st s
+            CROSS JOIN cc c
+            CROSS JOIN ct
+            LEFT JOIN sc ON sc.source = s.source AND sc.token = c.token
+        ),
+        terms AS (
+            SELECT source,
+                   FLOOR(((CASE WHEN p > 0
+                                THEN 0.5 * p * LN(p / (0.5 * (p + q)))
+                                ELSE 0.0 END)
+                          + 0.5 * q * LN(q / (0.5 * (p + q))))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS term
+            FROM grid
+        )
+        SELECT source,
+               FLOOR(SUM(term) * 1000000.0 + 0.5) / 1000000.0 AS js_divergence
+        FROM terms GROUP BY source
+    """,
+    notes=(
+        "Jensen-Shannon divergence of each source's unigram distribution "
+        "from the corpus distribution — the domain-drift / mixture-"
+        "monitoring metric a curation pipeline tracks per ingest source "
+        "(public: Lin 1991). The source×vocab grid is |sources|·|vocab| "
+        "(both bounded — vocab is a dimension, not the corpus); counts "
+        "come from two partial-agg passes over the exploded tokens, and "
+        "the grid joins are broadcast-sized. Per-term dround(9) before "
+        "the sum, the engine's cross-engine float discipline"
+    ),
+)
+def text_js_divergence(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sc = tk.groupBy("source", "token").agg(F.count("*").alias("n"))
+    st = sc.groupBy("source").agg(F.sum("n").alias("tot"))
+    cc = tk.groupBy("token").agg(F.count("*").alias("cn"))
+    ct = float(cc.agg(F.sum("cn")).collect()[0][0])  # scalar dim literal
+    grid = (
+        st.crossJoin(F.broadcast(cc))
+        .join(
+            sc.select("source", "token", "n"),
+            ["source", "token"],
+            "left",
+        )
+        .select(
+            "source",
+            "token",
+            (F.coalesce(F.col("n"), F.lit(0)) * 1.0 / F.col("tot")).alias("p"),
+            (F.col("cn") * 1.0 / F.lit(ct)).alias("q"),
+        )
+    )
+    m = 0.5 * (F.col("p") + F.col("q"))
+    term_expr = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + 0.5 * F.col("q") * F.log(F.col("q") / m)
+    )
+    term = F.floor(term_expr * 1e9 + F.lit(0.5)) / 1e9
+    return (
+        grid.select("source", term.alias("term"))
+        .groupBy("source")
+        .agg((F.floor(F.sum("term") * 1e6 + F.lit(0.5)) / 1e6).alias("js_divergence"))
+    )

@@ -337,3 +337,69 @@ def test_graph_random_walks_deterministic_and_valid(spark):
         assert ks == list(range(len(ks)))  # contiguous prefix (stops at sinks)
         for i, j in zip(ks, ks[1:]):
             assert (steps[i], steps[j]) in edges  # every hop is a real edge
+
+
+def test_agg_entropy_matches_python(spark):
+    rows = {r.user_id: r.entropy for r in OPS["agg_entropy"].fn(spark, SF_SMALL).collect()}
+    ev = t(spark, SF_SMALL, "events").select("user_id", "event_type").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, Counter())[r.event_type] += 1
+    for user, c in by_user.items():
+        tot = sum(c.values())
+        terms = [
+            math.floor((-(n / tot) * math.log(n / tot)) * 1e9 + 0.5) / 1e9
+            for n in c.values()
+        ]
+        want = math.floor(sum(terms) * 1e6 + 0.5) / 1e6
+        assert abs(rows[user] - want) < 2e-6
+        assert 0.0 <= rows[user] <= math.log(5) + 1e-9  # ≤ ln(#event types)
+
+
+def test_graph_hits_matches_python_power_iteration(spark):
+    tables(spark, SF_SMALL)
+    edges = sorted(
+        {
+            (r.src, r.dst)
+            for r in catalog.trade_credit_edges(spark, SF_SMALL).select("src", "dst").collect()
+        }
+    )
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {v: 1.0 for v in nodes}
+    for _ in range(10):
+        a = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        asum = sum(a.values())
+        a = {v: x / asum for v, x in a.items()}
+        h = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+        hsum = sum(h.values())
+        h = {v: x / hsum for v, x in h.items()}
+    got = {r.node: r for r in OPS["graph_hits"].fn(spark, SF_SMALL).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v].hub - h[v]) < 1e-5
+        assert abs(got[v].authority - a[v]) < 1e-5
+
+
+def test_text_js_divergence_bounds(spark):
+    rows = OPS["text_js_divergence"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 20  # one per source
+    for r in rows:
+        # JS divergence (nats) is bounded by ln 2 and positive for
+        # distinct distributions
+        assert 0.0 <= r.js_divergence <= math.log(2) + 1e-9
+    assert any(r.js_divergence > 0 for r in rows)
+
+
+def test_scan_schema_evolution_null_extension(spark):
+    res = OPS["scan_schema_evolution"].fn(spark, SF_SMALL).collect()
+    orders = t(spark, SF_SMALL, "orders").count()
+    assert len(res) == orders
+    for r in res:
+        if r.o_orderkey % 2 == 0:
+            assert r.o_orderpriority is None  # gen-1 rows null-extend
+        else:
+            assert r.o_orderpriority is not None
