@@ -1264,3 +1264,113 @@ def sim_pq_topk(spark, sf_dir):
         .localCheckpoint(eager=True)
     )
     return pq_topk(spark, e, query_vec_id=0, m=16, ksub=32, k=10)
+
+
+@register(
+    "sim_rrf_fusion",
+    "similarity",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 5
+        ),
+        scored AS (
+            SELECT q.qid, e.vec_id,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 6)
+                       AS cos_s,
+                   ROUND(list_sum(list_transform(
+                       generate_series(1, len(q.qv)),
+                       i -> ABS(CAST(e.embedding[i] AS DOUBLE) - q.qv[i]))), 6)
+                       AS l1_d
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id >= 5
+        ),
+        ra AS (SELECT qid, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cos_s DESC, vec_id ASC) AS r
+               FROM scored),
+        rb AS (SELECT qid, vec_id,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY l1_d ASC, vec_id ASC) AS r
+               FROM scored),
+        fused AS (
+            SELECT COALESCE(a.qid, b.qid) AS qid,
+                   COALESCE(a.vec_id, b.vec_id) AS vec_id,
+                   COALESCE(1.0 / (60 + a.r), 0) + COALESCE(1.0 / (60 + b.r), 0) AS rrf
+            FROM (SELECT * FROM ra WHERE r <= 20) a
+            FULL OUTER JOIN (SELECT * FROM rb WHERE r <= 20) b
+              ON b.qid = a.qid AND b.vec_id = a.vec_id
+        )
+        SELECT qid, vec_id, FLOOR(rrf * 1000000000.0 + 0.5) / 1000000000.0 AS rrf
+        FROM (
+            SELECT qid, vec_id, rrf,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY rrf DESC, vec_id ASC) AS rn
+            FROM fused
+        ) WHERE rn <= 10
+    """,
+    notes=(
+        "reciprocal-rank fusion (Cormack et al. 2009, the hybrid-search "
+        "staple): fuse a cosine ranking with an L1-distance ranking via "
+        "Σ 1/(60+rank) over each list's top-20, emit the fused top-10 per "
+        "query. L1 is the second ranking because the fixture's embeddings "
+        "are unit-norm — L2 would be rank-identical to cosine (the fusion "
+        "would be vacuous; probed before registering). Scores are rounded "
+        "BEFORE ranking so tie order is engine-identical; one scan scores "
+        "both metrics, ranks reuse the same qid partitioning"
+    ),
+)
+def sim_rrf_fusion(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _as_double(F.col("embedding")).alias("qv")
+    )
+    ev = _as_double(F.col("embedding"))
+    l1 = F.aggregate(
+        F.zip_with(ev, F.col("qv"), lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= 5)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(ev, F.col("qv")), 6).alias("cos_s"),
+            F.round(l1, 6).alias("l1_d"),
+        )
+    )
+    wa = Window.partitionBy("qid").orderBy(F.col("cos_s").desc(), F.col("vec_id").asc())
+    wb = Window.partitionBy("qid").orderBy(F.col("l1_d").asc(), F.col("vec_id").asc())
+    ra = scored.select("qid", "vec_id", F.row_number().over(wa).alias("r")).filter(
+        F.col("r") <= 20
+    )
+    rb = scored.select("qid", "vec_id", F.row_number().over(wb).alias("r")).filter(
+        F.col("r") <= 20
+    )
+    fused = (
+        ra.withColumnRenamed("r", "ra")
+        .join(rb.withColumnRenamed("r", "rb"), ["qid", "vec_id"], "full")
+        .select(
+            "qid",
+            "vec_id",
+            (
+                F.coalesce(1.0 / (60 + F.col("ra")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("rb")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("rrf").desc(), F.col("vec_id").asc())
+    return (
+        fused.select(
+            "qid",
+            "vec_id",
+            "rrf",
+            F.row_number().over(wf).alias("rn"),
+        )
+        .filter(F.col("rn") <= 10)
+        .select(
+            "qid", "vec_id", (F.floor(F.col("rrf") * 1e9 + F.lit(0.5)) / 1e9).alias("rrf")
+        )
+    )

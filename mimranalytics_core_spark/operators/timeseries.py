@@ -471,3 +471,113 @@ def ts_interpolate_linear(spark, sf_dir):
         F.col("val").isNotNull().alias("is_observed"),
         (F.floor(interp * 1e6 + F.lit(0.5)) / 1e6).alias("value"),
     )
+
+
+@register(
+    "ts_forecast_backtest",
+    "timeseries",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                   FLOOR(AVG(value) * 1000000.0 + 0.5) / 1000000.0 AS val
+            FROM events GROUP BY 1, 2
+        ),
+        feat AS (
+            SELECT user_id, d, val,
+                   LAG(val) OVER w AS naive_pred,
+                   FLOOR(AVG(val) OVER (PARTITION BY user_id ORDER BY d
+                                        ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                         * 1000000.0 + 0.5) / 1000000.0 AS ma_pred
+            FROM daily
+            WINDOW w AS (PARTITION BY user_id ORDER BY d)
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_evals,
+               FLOOR(AVG(ABS(val - naive_pred)) * 1000000.0 + 0.5) / 1000000.0
+                   AS mae_naive,
+               FLOOR(AVG(ABS(val - ma_pred)) * 1000000.0 + 0.5) / 1000000.0
+                   AS mae_ma,
+               (AVG(ABS(val - ma_pred)) < AVG(ABS(val - naive_pred))) AS ma_wins
+        FROM feat
+        WHERE naive_pred IS NOT NULL AND ma_pred IS NOT NULL
+        GROUP BY user_id
+    """,
+    notes=(
+        "rolling-origin forecast backtest: per user-day, score the naive "
+        "(yesterday) and 7-day-moving-average forecasters against the "
+        "actual, report per-user MAE and the winner — the standard "
+        "baseline-model evaluation loop done in-engine. Daily values are "
+        "dround'd before differencing (cross-engine float discipline); one "
+        "window shuffle on user_id feeds both forecasters and the final "
+        "agg reuses the partitioning"
+    ),
+)
+def ts_forecast_backtest(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+            "value",
+        )
+        .groupBy("user_id", "d")
+        .agg((F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("val"))
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    wma = Window.partitionBy("user_id").orderBy("d").rowsBetween(-7, -1)
+    feat = daily.select(
+        "user_id",
+        "val",
+        F.lag("val").over(w).alias("naive_pred"),
+        (F.floor(F.avg("val").over(wma) * 1e6 + F.lit(0.5)) / 1e6).alias("ma_pred"),
+    )
+    return (
+        feat.filter(F.col("naive_pred").isNotNull() & F.col("ma_pred").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_evals"),
+            (F.floor(F.avg(F.abs(F.col("val") - F.col("naive_pred"))) * 1e6 + F.lit(0.5)) / 1e6).alias("mae_naive"),
+            (F.floor(F.avg(F.abs(F.col("val") - F.col("ma_pred"))) * 1e6 + F.lit(0.5)) / 1e6).alias("mae_ma"),
+            (
+                F.avg(F.abs(F.col("val") - F.col("ma_pred")))
+                < F.avg(F.abs(F.col("val") - F.col("naive_pred")))
+            ).alias("ma_wins"),
+        )
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    "sampling",
+    oracle="""
+        SELECT event_type, event_id, user_id
+        FROM (
+            SELECT event_type, event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY md5(CAST(event_id AS VARCHAR)),
+                                               event_id) AS rn
+            FROM events
+        ) WHERE rn <= 100
+    """,
+    notes=(
+        "deterministic stratified sampling: rank rows inside each stratum "
+        "by md5(id) — a uniform pseudo-random order that is REPRODUCIBLE "
+        "across engines, reruns, and partitionings (true RNG samplers "
+        "cannot be oracle-checked or resumed; this one is hash-exact). "
+        "The oracle-checked counterpart of the rows-only "
+        "sample_stratified. Top-100-per-stratum via rank-over-window; at "
+        "100 TB the same semantics run as a per-partition TakeOrdered "
+        "heap per stratum (k·strata memory)"
+    ),
+)
+def sample_hash_deterministic(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id").asc()
+    )
+    return (
+        ev.select("event_type", "event_id", "user_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 100)
+        .drop("rn")
+    )

@@ -403,3 +403,63 @@ def test_scan_schema_evolution_null_extension(spark):
             assert r.o_orderpriority is None  # gen-1 rows null-extend
         else:
             assert r.o_orderpriority is not None
+
+
+def test_sim_rrf_fusion_invariants(spark):
+    rows = OPS["sim_rrf_fusion"].fn(spark, SF_SMALL).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for q, rs in by_q.items():
+        assert len(rs) == 10
+        # rrf scores are sums of 1/(60+r) terms: bounded by 2/61
+        for r in rs:
+            assert 0 < r.rrf <= 2 / 61 + 1e-12
+            assert r.vec_id >= 5  # queries excluded from the corpus
+
+
+def test_ts_forecast_backtest_matches_python(spark):
+    rows = {r.user_id: r for r in OPS["ts_forecast_backtest"].fn(spark, SF_SMALL).collect()}
+    ev = t(spark, SF_SMALL, "events").collect()
+    daily = {}
+    for r in ev:
+        d = (r.ts.date() - __import__("datetime").date(1970, 1, 1)).days
+        daily.setdefault(r.user_id, {}).setdefault(d, []).append(r.value)
+    for user, dv in daily.items():
+        days = sorted(dv)
+        vals = {d: math.floor((sum(v) / len(v)) * 1e6 + 0.5) / 1e6 for d, v in dv.items()}
+        naive_err, ma_err = [], []
+        for i, d in enumerate(days):
+            if i == 0:
+                continue
+            prev7 = [vals[x] for x in days[max(0, i - 7):i]]
+            naive = vals[days[i - 1]]
+            ma = math.floor((sum(prev7) / len(prev7)) * 1e6 + 0.5) / 1e6
+            naive_err.append(abs(vals[d] - naive))
+            ma_err.append(abs(vals[d] - ma))
+        if not naive_err:
+            assert user not in rows
+            continue
+        got = rows[user]
+        assert got.n_evals == len(naive_err)
+        assert abs(got.mae_naive - math.floor(sum(naive_err) / len(naive_err) * 1e6 + 0.5) / 1e6) < 2e-6
+        assert abs(got.mae_ma - math.floor(sum(ma_err) / len(ma_err) * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_sample_hash_deterministic_reproducible(spark):
+    a = OPS["sample_hash_deterministic"].fn(spark, SF_SMALL).collect()
+    b = OPS["sample_hash_deterministic"].fn(spark, SF_SMALL).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    by_type = {}
+    for r in a:
+        by_type.setdefault(r.event_type, []).append(r.event_id)
+    import hashlib
+
+    ev = t(spark, SF_SMALL, "events").select("event_type", "event_id").collect()
+    pool = {}
+    for r in ev:
+        pool.setdefault(r.event_type, []).append(r.event_id)
+    for et, ids in pool.items():
+        want = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:100]
+        assert sorted(by_type[et]) == sorted(want)
