@@ -495,3 +495,35 @@ def agg_entropy(spark, sf_dir):
         .groupBy("user_id")
         .agg((F.floor(F.sum("term") * 1e6 + F.lit(0.5)) / 1e6).alias("entropy"))
     )
+
+
+@register(
+    "agg_histogram",
+    "aggregates",
+    oracle="""
+        SELECT event_type,
+               CAST(FLOOR(value / 50.0) AS BIGINT) AS bucket,
+               CAST(FLOOR(value / 50.0) * 50 AS DOUBLE) AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events
+        GROUP BY event_type, FLOOR(value / 50.0)
+    """,
+    notes=(
+        "fixed-width histogram per measure group (width 50) — the BI/"
+        "profiling staple: bucket = floor(value/width), one partial-agg "
+        "pass; bucket keys are bounded by the value range so the shuffle "
+        "carries one row per (group, bucket) at any scale"
+    ),
+)
+def agg_histogram(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50.0)
+    return ev.groupBy(
+        "event_type",
+        bucket.cast("long").alias("bucket"),
+    ).agg(F.count("*").alias("n")).select(
+        "event_type",
+        "bucket",
+        (F.col("bucket") * 50).cast("double").alias("bucket_lo"),
+        "n",
+    )

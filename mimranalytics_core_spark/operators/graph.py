@@ -2021,3 +2021,109 @@ def graph_hits(spark, sf_dir):
         (F.floor(F.col("hub") * 1e6 + F.lit(0.5)) / 1e6).alias("hub"),
         (F.floor(F.col("authority") * 1e6 + F.lit(0.5)) / 1e6).alias("authority"),
     )
+
+
+@register(
+    "graph_assortativity",
+    "graph",
+    oracle="""
+        WITH e AS (SELECT DISTINCT src, dst FROM (
+            SELECT 'c:' || o.o_custkey AS src, 's:' || l.l_suppkey AS dst
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey < 200 AND l.l_suppkey < 200
+        )),
+        sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM sym GROUP BY src)
+        SELECT FLOOR(corr(ds.d, dd.d) * 1000000.0 + 0.5) / 1000000.0
+                   AS assortativity,
+               CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM sym
+        JOIN deg ds ON ds.node = sym.src
+        JOIN deg dd ON dd.node = sym.dst
+    """,
+    notes=(
+        "degree assortativity (Newman 2002; NetworkX parity, README.md:28) "
+        "of the buys-from graph: Pearson correlation of endpoint degrees "
+        "over the symmetrized edge list — do high-degree customers buy "
+        "from high-degree suppliers? corr's sufficient statistics are "
+        "mergeable; the degree table is a partial agg broadcast back onto "
+        "edges — two narrow shuffles at any scale"
+    ),
+)
+def graph_assortativity(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 200)
+    e = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    sym = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    ds = deg.select(F.col("node").alias("src"), F.col("d").alias("d_src"))
+    dd = deg.select(F.col("node").alias("dst"), F.col("d").alias("d_dst"))
+    return (
+        sym.join(F.broadcast(ds), "src")
+        .join(F.broadcast(dd), "dst")
+        .agg(
+            (F.floor(F.corr("d_src", "d_dst") * 1e6 + F.lit(0.5)) / 1e6).alias("assortativity"),
+            F.count("*").alias("n_edges"),
+        )
+    )
+
+
+@register(
+    "graph_butterfly_count",
+    "graph",
+    oracle="""
+        WITH cs AS (
+            SELECT DISTINCT o.o_custkey AS cust, l.l_suppkey AS supp
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE l.l_suppkey < 50
+        ),
+        wedges AS (
+            SELECT a.supp AS s1, b.supp AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS shared
+            FROM cs a JOIN cs b ON a.cust = b.cust AND a.supp < b.supp
+            GROUP BY a.supp, b.supp
+        )
+        SELECT s1, s2, shared,
+               CAST(shared * (shared - 1) // 2 AS BIGINT) AS butterflies
+        FROM wedges
+        WHERE shared >= 2
+    """,
+    notes=(
+        "butterfly (2x2 biclique / 4-cycle) counting on the customer-"
+        "supplier bipartite graph — the bipartite clustering primitive "
+        "(Wang et al., public): supplier pairs sharing c customers form "
+        "C(c,2) butterflies. Counted from the wedge aggregate, never by "
+        "4-path enumeration — the per-pair combinatorial identity is what "
+        "makes butterfly counting feasible at scale; hub-vertex wedge "
+        "blowup is the known hazard (cap/sample hubs, the LSH bucket "
+        "discipline)"
+    ),
+)
+def graph_butterfly_count(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") < 50)
+    cs = (
+        o.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    a = cs.alias("a")
+    b = cs.alias("b")
+    wedges = (
+        a.join(b, (F.col("a.cust") == F.col("b.cust")) & (F.col("a.supp") < F.col("b.supp")))
+        .groupBy(F.col("a.supp").alias("s1"), F.col("b.supp").alias("s2"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return wedges.filter(F.col("shared") >= 2).select(
+        "s1",
+        "s2",
+        "shared",
+        (F.col("shared") * (F.col("shared") - 1) / 2).cast("long").alias("butterflies"),
+    )

@@ -318,3 +318,43 @@ def win_gap_islands(spark, sf_dir):
         )
         .drop("grp")
     )
+
+
+@register(
+    "win_retention_cohorts",
+    "windows",
+    oracle="""
+        WITH activity AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7
+                       AS week
+            FROM events
+        ),
+        cohorts AS (
+            SELECT user_id, MIN(week) AS cohort FROM activity GROUP BY user_id
+        )
+        SELECT c.cohort,
+               CAST(a.week - c.cohort AS BIGINT) AS age_weeks,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+        FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+        GROUP BY c.cohort, a.week - c.cohort
+    """,
+    notes=(
+        "cohort retention matrix — the product-analytics staple: cohort = "
+        "first-activity week, age = weeks since cohort, cell = distinct "
+        "users still active. Two partial-agg passes on user_id (the "
+        "cohort dim re-joins the activity rows, broadcast-sized per "
+        "cohort-week domain); count-distinct is the only wide agg and "
+        "its key domain is |cohorts|x|ages| — bounded"
+    ),
+)
+def win_retention_cohorts(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    week = (F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")) / 7).cast("long")
+    activity = ev.select("user_id", week.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        activity.join(F.broadcast(cohorts), "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("age_weeks"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

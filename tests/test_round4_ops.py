@@ -463,3 +463,59 @@ def test_sample_hash_deterministic_reproducible(spark):
     for et, ids in pool.items():
         want = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:100]
         assert sorted(by_type[et]) == sorted(want)
+
+
+def test_graph_butterfly_matches_python(spark):
+    cs = {
+        (r.o_custkey, r.l_suppkey)
+        for r in t(spark, SF_SMALL, "orders")
+        .join(
+            t(spark, SF_SMALL, "lineitem").filter(F.col("l_suppkey") < 50),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("o_custkey", "l_suppkey")
+        .collect()
+    }
+    by_cust = {}
+    for c, s in cs:
+        by_cust.setdefault(c, set()).add(s)
+    shared = Counter()
+    for supps in by_cust.values():
+        ss = sorted(supps)
+        for i, s1 in enumerate(ss):
+            for s2 in ss[i + 1:]:
+                shared[(s1, s2)] += 1
+    want = {
+        pair: (n, n * (n - 1) // 2) for pair, n in shared.items() if n >= 2
+    }
+    got = {
+        (r.s1, r.s2): (r.shared, r.butterflies)
+        for r in OPS["graph_butterfly_count"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
+
+
+def test_win_retention_cohorts_invariants(spark):
+    rows = OPS["win_retention_cohorts"].fn(spark, SF_SMALL).collect()
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort, {})[r.age_weeks] = r.active_users
+    n_users = t(spark, SF_SMALL, "events").select("user_id").distinct().count()
+    assert sum(ages[0] for ages in by_cohort.values()) == n_users  # age-0 covers all
+    for ages in by_cohort.values():
+        assert all(n <= ages[0] for n in ages.values())  # retention ≤ cohort size
+        assert min(ages) == 0 and all(a >= 0 for a in ages)
+
+
+def test_agg_histogram_covers_all_events(spark):
+    rows = OPS["agg_histogram"].fn(spark, SF_SMALL).collect()
+    total = sum(r.n for r in rows)
+    assert total == t(spark, SF_SMALL, "events").count()
+    for r in rows:
+        assert r.bucket_lo == r.bucket * 50
+
+
+def test_graph_assortativity_bounds(spark):
+    row = OPS["graph_assortativity"].fn(spark, SF_SMALL).collect()[0]
+    assert -1.0 <= row.assortativity <= 1.0
+    assert row.n_edges > 0 and row.n_edges % 2 == 0  # symmetrized
