@@ -349,3 +349,45 @@ def fn_bitwise(spark, sf_dir):
         F.shiftright(k, 3).alias("shr"),
         F.bit_count(k).alias("popcount"),
     )
+
+
+@register(
+    "fn_try_arithmetic",
+    "functions",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN user_id % 5 = 0 THEN NULL
+                    ELSE FLOOR(value / (user_id % 5) * 1000000.0 + 0.5) / 1000000.0
+               END AS safe_div,
+               TRY_CAST(CASE WHEN event_id % 3 = 0 THEN event_type
+                             ELSE CAST(event_id AS VARCHAR) END AS INTEGER)
+                   AS maybe_int
+        FROM events
+    """,
+    notes=(
+        "ANSI-safe error-tolerant arithmetic: try_divide returns NULL on "
+        "division by zero and try_cast NULL on malformed input instead of "
+        "failing the job — the semantics a 100 TB pipeline needs (one bad "
+        "row must not kill a 6-hour job; collect the NULLs, don't crash). "
+        "Oracle expresses the identical null-on-error contract via CASE/"
+        "TRY_CAST in DuckDB"
+    ),
+)
+def fn_try_arithmetic(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    denom = F.col("user_id") % 5
+    return ev.select(
+        "event_id",
+        F.when(
+            denom != 0,
+            F.floor(F.try_divide(F.col("value"), denom) * 1e6 + F.lit(0.5)) / 1e6,
+        ).alias("safe_div"),
+        F.try_to_number(
+            F.when(F.col("event_id") % 3 == 0, F.col("event_type")).otherwise(
+                F.col("event_id").cast("string")
+            ),
+            F.lit("999999999"),
+        )
+        .cast("int")
+        .alias("maybe_int"),
+    )

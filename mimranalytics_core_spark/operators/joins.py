@@ -561,3 +561,67 @@ def cdc_merge_upsert(spark, sf_dir):
         )
     )
     return kept.unionByName(upd).unionByName(ins)
+
+
+@register(
+    "join_asof_nearest",
+    "joins",
+    oracle="""
+        WITH err AS (
+            SELECT user_id, event_id AS err_id, ts AS err_ts
+            FROM events WHERE event_type = 'error'
+        ),
+        pur AS (
+            SELECT user_id, event_id AS pur_id, ts AS pur_ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        ranked AS (
+            SELECT e.user_id, e.err_id, p.pur_id,
+                   ABS(date_diff('microsecond', e.err_ts, p.pur_ts)) AS gap_us,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.err_id
+                       ORDER BY ABS(date_diff('microsecond', e.err_ts, p.pur_ts)),
+                                p.pur_id) AS rn
+            FROM err e JOIN pur p ON p.user_id = e.user_id
+        )
+        SELECT user_id, err_id, pur_id,
+               CAST(gap_us // 1000000 AS BIGINT) AS gap_seconds
+        FROM ranked WHERE rn = 1
+    """,
+    notes=(
+        "NEAREST-match asof join (join_asof is the backward/most-recent "
+        "form): each error event pairs with its temporally closest "
+        "purchase by the same user, either direction — the event-"
+        "correlation shape (incident ↔ nearest transaction). Per-key "
+        "candidate join + rank; at 100 TB the candidate set is bounded by "
+        "bucketing both sides on user and windowing candidates to a time "
+        "horizon (here per-user streams are small by fixture design). "
+        "Exact-microsecond gaps keep both engines tie-identical"
+    ),
+)
+def join_asof_nearest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("pur_id"),
+        F.col("ts").alias("pur_ts"),
+    )
+    gap_us = F.abs(F.expr("timestampdiff(MICROSECOND, err_ts, pur_ts)"))
+    w = Window.partitionBy("err_id").orderBy(F.col("gap_us").asc(), F.col("pur_id").asc())
+    return (
+        err.join(pur, err.user_id == pur.p_user)
+        .select("user_id", "err_id", "pur_id", gap_us.alias("gap_us"))
+        .select("user_id", "err_id", "pur_id", "gap_us", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "err_id",
+            "pur_id",
+            F.floor(F.col("gap_us") / F.lit(1000000)).cast("long").alias("gap_seconds"),
+        )
+    )

@@ -519,3 +519,44 @@ def test_graph_assortativity_bounds(spark):
     row = OPS["graph_assortativity"].fn(spark, SF_SMALL).collect()[0]
     assert -1.0 <= row.assortativity <= 1.0
     assert row.n_edges > 0 and row.n_edges % 2 == 0  # symmetrized
+
+
+def test_fn_try_arithmetic_null_semantics(spark):
+    rows = OPS["fn_try_arithmetic"].fn(spark, SF_SMALL).collect()
+    ev = {r.event_id: r for r in t(spark, SF_SMALL, "events").collect()}
+    assert len(rows) == len(ev)
+    for r in rows:
+        src = ev[r.event_id]
+        if src.user_id % 5 == 0:
+            assert r.safe_div is None  # divide-by-zero → NULL, not a crash
+        else:
+            want = math.floor(src.value / (src.user_id % 5) * 1e6 + 0.5) / 1e6
+            assert abs(r.safe_div - want) < 1e-9
+        if r.event_id % 3 == 0:
+            assert r.maybe_int is None  # non-numeric string → NULL
+        else:
+            assert r.maybe_int == r.event_id
+
+
+def test_join_asof_nearest_matches_python(spark):
+    ev = t(spark, SF_SMALL, "events").collect()
+    errs = [(r.user_id, r.event_id, r.ts) for r in ev if r.event_type == "error"]
+    purs = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            purs.setdefault(r.user_id, []).append((r.event_id, r.ts))
+    want = {}
+    for u, eid, ets in errs:
+        if u not in purs:
+            continue
+        best = min(
+            purs[u],
+            key=lambda p: (abs((p[1] - ets).total_seconds()), p[0]),
+        )
+        gap_us = abs((best[1] - ets).total_seconds()) * 1e6
+        want[eid] = (best[0], int(round(gap_us) // 1e6))
+    got = {
+        r.err_id: (r.pur_id, r.gap_seconds)
+        for r in OPS["join_asof_nearest"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == want
