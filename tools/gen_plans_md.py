@@ -115,6 +115,32 @@ SHOWCASE = [
         "the join itself broadcasts the benchmark side (no corpus shuffle "
         "for the join), partial+final distinct-count agg.",
     ),
+    (
+        "dedup_canonical_docs",
+        "Near-dup canonicalization: the verified pair set is checkpointed "
+        "once (leaf in the plan), star-contraction is one partial agg + "
+        "two joins, and the Pregel component loop runs on the contracted "
+        "remnant — the clique mass never reaches the iteration.",
+    ),
+    (
+        "ts_mad_outlier",
+        "Robust outliers: two exact-median partial aggs over a 5-key "
+        "domain; both stat dims return as BroadcastHashJoin — the fact "
+        "table is never sorted or shuffled.",
+    ),
+    (
+        "sim_rrf_fusion",
+        "Hybrid-search fusion: ONE corpus scan scores cosine and L1 "
+        "together (broadcast query batch), two rank windows share the qid "
+        "exchange, and the fusion is a full-outer join of two k-row lists "
+        "per query.",
+    ),
+    (
+        "win_retention_cohorts",
+        "Cohort retention: distinct-activity partial agg, broadcast "
+        "cohort dim, then one count-distinct agg on the bounded "
+        "(cohort, age) key — three narrow shuffles, no fact re-scan.",
+    ),
 ]
 
 
