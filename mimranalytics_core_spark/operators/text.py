@@ -1277,3 +1277,77 @@ def text_js_divergence(spark, sf_dir):
         .groupBy("source")
         .agg((F.floor(F.sum("term") * 1e6 + F.lit(0.5)) / 1e6).alias("js_divergence"))
     )
+
+
+@register(
+    "text_bm25_search",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tokf AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+        dl AS (SELECT doc_id, COUNT(*) AS len FROM tokf GROUP BY doc_id),
+        stats AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avg_len FROM dl),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tokf
+            WHERE token IN ('merge', 'scan', 'hash')
+            GROUP BY doc_id, token
+        ),
+        df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+        scored AS (
+            SELECT tf.doc_id,
+                   FLOOR(LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                         * (tf.tf * 2.2)
+                         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.len / s.avg_len))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS term_score
+            FROM tf
+            JOIN df ON df.token = tf.token
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats s
+        )
+        SELECT doc_id,
+               FLOOR(SUM(term_score) * 1000000.0 + 0.5) / 1000000.0 AS bm25
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 20
+    """,
+    notes=(
+        "BM25 keyword retrieval (Robertson/Sparck Jones, k1=1.2 b=0.75, "
+        "Lucene +1 idf) for the query {merge, scan, hash}: the lexical "
+        "side of hybrid search (sim_rrf_fusion is the fusion machinery, "
+        "sim_cosine_topk the dense side). Doc-length and df stats are "
+        "dimension-sized aggregates folded in as broadcast joins; per-term "
+        "scores dround(9) before the sum. Scan-and-score + TakeOrdered — "
+        "the inverted-index-free form; at 100 TB the tf table IS the "
+        "posting list, partitioned by token"
+    ),
+)
+def text_bm25_search(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = tokens(d)
+    dl = tk.groupBy("doc_id").agg(F.count("*").alias("len"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("len").alias("avg_len")).collect()[0]
+    n_docs, avg_len = float(stats.n_docs), float(stats.avg_len)
+    tf = (
+        tk.filter(F.col("token").isin("merge", "scan", "hash"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tbl = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * F.col("len") / F.lit(avg_len))
+    term_score = F.floor(idf * (F.col("tf") * 2.2) / denom * 1e9 + F.lit(0.5)) / 1e9
+    scored = (
+        tf.join(F.broadcast(df_tbl), "token")
+        .join(dl, "doc_id")
+        .select("doc_id", term_score.alias("term_score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg((F.floor(F.sum("term_score") * 1e6 + F.lit(0.5)) / 1e6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

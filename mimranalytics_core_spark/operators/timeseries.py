@@ -581,3 +581,97 @@ def sample_hash_deterministic(spark, sf_dir):
         .filter(F.col("rn") <= 100)
         .drop("rn")
     )
+
+
+@register(
+    "pipeline_train_test_split",
+    "sampling",
+    oracle="""
+        WITH tagged AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10
+                       AS bucket
+            FROM documents
+        ),
+        split AS (
+            SELECT doc_id,
+                   CASE WHEN bucket < 8 THEN 'train'
+                        WHEN bucket = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM tagged
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+        FROM split GROUP BY split
+    """,
+    notes=(
+        "deterministic train/val/test split (80/10/10) by md5(doc_id) "
+        "bucket — the split is a PURE FUNCTION of the id: reproducible "
+        "across engines, reruns, repartitions, and incremental ingests (a "
+        "new doc never moves an old one between splits — the property "
+        "random splits lack and training pipelines require). Row-local, "
+        "zero shuffles before the summary agg; md5-hex→BIGINT parity with "
+        "DuckDB proven by the simhash/random-walk family"
+    ),
+)
+def pipeline_train_test_split(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "ml_feature_scale",
+    "sampling",
+    oracle="""
+        WITH stats AS (
+            SELECT event_type,
+                   MIN(value) AS mn, MAX(value) AS mx,
+                   AVG(value) AS mu, stddev_samp(value) AS sigma
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type,
+               FLOOR((e.value - s.mn) / (s.mx - s.mn) * 1000000.0 + 0.5)
+                   / 1000000.0 AS minmax,
+               FLOOR((e.value - s.mu) / s.sigma * 1000000.0 + 0.5)
+                   / 1000000.0 AS zscore
+        FROM events e JOIN stats s ON s.event_type = e.event_type
+    """,
+    notes=(
+        "feature scaling for training pipelines: min-max to [0,1] and "
+        "z-score per event type in one pass — per-group stats are a "
+        "5-row dim broadcast back onto the fact (no sort, no second "
+        "fact shuffle); the fit/transform split every feature store "
+        "implements, expressed as agg + broadcast join"
+    ),
+)
+def ml_feature_scale(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        (F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 1e6 + F.lit(0.5)) / 1e6).alias("minmax"),
+        (F.floor((F.col("value") - F.col("mu")) / F.col("sigma") * 1e6 + F.lit(0.5)) / 1e6).alias("zscore"),
+    )

@@ -560,3 +560,58 @@ def test_join_asof_nearest_matches_python(spark):
         for r in OPS["join_asof_nearest"].fn(spark, SF_SMALL).collect()
     }
     assert got == want
+
+
+def test_text_bm25_matches_python(spark):
+    docs = {r.doc_id: r.text.lower().split(" ") for r in t(spark, SF_SMALL, "documents").collect()}
+    docs = {k: [x for x in v if x] for k, v in docs.items()}
+    n_docs = len(docs)
+    avg_len = sum(len(v) for v in docs.values()) / n_docs
+    terms = ("merge", "scan", "hash")
+    df = {q: sum(1 for v in docs.values() if q in v) for q in terms}
+    want = {}
+    for d, toks in docs.items():
+        score = 0.0
+        for q in terms:
+            tf = toks.count(q)
+            if not tf:
+                continue
+            idf = math.log((n_docs - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+            ts = idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * len(toks) / avg_len))
+            score += math.floor(ts * 1e9 + 0.5) / 1e9
+        if score > 0:
+            want[d] = math.floor(score * 1e6 + 0.5) / 1e6
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r.doc_id, r.bm25) for r in OPS["text_bm25_search"].fn(spark, SF_SMALL).collect()]
+    for (gd, gs), (wd, ws) in zip(got, top):
+        assert gd == wd and abs(gs - ws) < 2e-6
+
+
+def test_train_test_split_deterministic_and_complete(spark):
+    import hashlib
+
+    rows = {r.split: r for r in OPS["pipeline_train_test_split"].fn(spark, SF_SMALL).collect()}
+    doc_ids = [r.doc_id for r in t(spark, SF_SMALL, "documents").collect()]
+    want = Counter()
+    for d in doc_ids:
+        b = int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 10
+        want["train" if b < 8 else "val" if b == 8 else "test"] += 1
+    assert {k: rows[k].n_docs for k in rows} == dict(want)
+    assert sum(r.n_docs for r in rows.values()) == len(doc_ids)
+    # roughly 80/10/10 at this corpus size
+    assert rows["train"].n_docs > rows["val"].n_docs
+    assert rows["train"].n_docs > rows["test"].n_docs
+
+
+def test_ml_feature_scale_bounds(spark):
+    rows = OPS["ml_feature_scale"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == t(spark, SF_SMALL, "events").count()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        mm = [r.minmax for r in rs]
+        assert min(mm) == 0.0 and max(mm) == 1.0  # endpoints hit exactly
+        zs = [r.zscore for r in rs]
+        mean_z = sum(zs) / len(zs)
+        assert abs(mean_z) < 1e-3  # standardized
