@@ -2127,3 +2127,52 @@ def graph_butterfly_count(spark, sf_dir):
         "shared",
         (F.col("shared") * (F.col("shared") - 1) / 2).cast("long").alias("butterflies"),
     )
+
+
+@register(
+    "graph_ego_edges",
+    "graph",
+    oracle=f"""
+        WITH {TRADE_CREDIT_SQL.strip()},
+        e AS (SELECT DISTINCT src, dst FROM tc_edges),
+        sym AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        n1 AS (SELECT DISTINCT dst AS node FROM sym WHERE src = 'c:1'),
+        n2 AS (SELECT DISTINCT s.dst AS node FROM sym s JOIN n1 ON n1.node = s.src),
+        ego AS (SELECT 'c:1' AS node UNION SELECT node FROM n1
+                UNION SELECT node FROM n2)
+        SELECT e.src, e.dst FROM e
+        JOIN ego a ON a.node = e.src
+        JOIN ego b ON b.node = e.dst
+    """,
+    notes=(
+        "2-hop ego-network extraction for one entity (the README.md:11 "
+        "interactive expand-around-a-company view, materialized as a "
+        "dataset): undirected 2-hop neighborhood, then the INDUCED "
+        "directed edge set — two frontier joins + two semi-join "
+        "restrictions, no path enumeration; the frontier is bounded by "
+        "the declared subgraph (and by branching-factor caps at corpus "
+        "scale, as for khop)"
+    ),
+)
+def graph_ego_edges(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = catalog.trade_credit_edges(spark, sf_dir).select("src", "dst").distinct()
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    n1 = sym.filter(F.col("src") == "c:1").select(F.col("dst").alias("node")).distinct()
+    n2 = (
+        sym.join(n1.withColumnRenamed("node", "f"), F.col("src") == F.col("f"))
+        .select(F.col("dst").alias("node"))
+        .distinct()
+    )
+    ego = (
+        spark.createDataFrame([("c:1",)], "node STRING")
+        .union(n1)
+        .union(n2)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    return (
+        e.join(ego.withColumnRenamed("node", "s"), F.col("src") == F.col("s"))
+        .join(ego.withColumnRenamed("node", "d"), F.col("dst") == F.col("d"))
+        .select("src", "dst")
+    )

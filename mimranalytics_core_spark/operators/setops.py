@@ -129,3 +129,34 @@ def dedup_keyed_latest(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "set_symmetric_diff",
+    "setops",
+    oracle="""
+        WITH h1 AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderdate < TIMESTAMP '1994-01-01'),
+        h2 AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1994-01-01'),
+        only1 AS (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2),
+        only2 AS (SELECT o_custkey FROM h2 EXCEPT SELECT o_custkey FROM h1)
+        SELECT o_custkey, 'early_only' AS cohort FROM only1
+        UNION ALL
+        SELECT o_custkey, 'late_only' FROM only2
+    """,
+    notes=(
+        "symmetric difference (customers active ONLY before vs ONLY after "
+        "a cutover) — churn/new-arrival identification; completes the set-"
+        "op family as two anti-join-shaped EXCEPTs over distinct key sets, "
+        "labeled and unioned (each EXCEPT is one shuffle on the key)"
+    ),
+)
+def set_symmetric_diff(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    cutoff = F.lit("1994-01-01").cast("timestamp")
+    h1 = o.filter(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
+    h2 = o.filter(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    only1 = h1.exceptAll(h2).select("o_custkey", F.lit("early_only").alias("cohort"))
+    only2 = h2.exceptAll(h1).select("o_custkey", F.lit("late_only").alias("cohort"))
+    return only1.unionByName(only2)

@@ -1351,3 +1351,48 @@ def text_bm25_search(spark, sf_dir):
         .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@register(
+    "text_kwic",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+            WHERE doc_id < 100
+        ),
+        pos AS (
+            SELECT doc_id, tk,
+                   unnest(tk) AS tok,
+                   generate_subscripts(tk, 1) AS p
+            FROM toks
+        )
+        SELECT doc_id, p AS position,
+               array_to_string(
+                   list_slice(tk, GREATEST(p - 3, 1), LEAST(p + 3, len(tk))),
+                   ' ') AS context
+        FROM pos WHERE tok = 'hash'
+    """,
+    notes=(
+        "keyword-in-context (KWIC) concordance for the term 'hash': every "
+        "occurrence with a ±3-token window — the corpus-inspection tool "
+        "behind every quality-filter debugging session. posexplode keeps "
+        "the token ARRAY alongside the position so the context slice is "
+        "array indexing, never a re-tokenization (the HOF re-evaluation "
+        "lesson); row-local, zero shuffles"
+    ),
+)
+def text_kwic(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select("doc_id", F.split(F.lower("text"), " ").alias("tk"))
+    pos = toks.select(
+        "doc_id", "tk", F.posexplode("tk").alias("p0", "tok")
+    ).filter(F.col("tok") == "hash")
+    p = F.col("p0") + 1  # 1-based to match the oracle
+    start = F.greatest(p - 3, F.lit(1))
+    length = F.least(p + 3, F.size("tk")) - start + 1
+    return pos.select(
+        "doc_id",
+        p.alias("position"),
+        F.array_join(F.slice("tk", start, length), " ").alias("context"),
+    )

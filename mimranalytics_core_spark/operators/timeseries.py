@@ -675,3 +675,90 @@ def ml_feature_scale(spark, sf_dir):
         (F.floor((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 1e6 + F.lit(0.5)) / 1e6).alias("minmax"),
         (F.floor((F.col("value") - F.col("mu")) / F.col("sigma") * 1e6 + F.lit(0.5)) / 1e6).alias("zscore"),
     )
+
+
+@register(
+    "ts_changepoint_naive",
+    "timeseries",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                   FLOOR(AVG(value) * 1000000.0 + 0.5) / 1000000.0 AS val
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT user_id, d, val,
+                   SUM(val) OVER w AS cs, COUNT(*) OVER w AS cn,
+                   SUM(val) OVER (PARTITION BY user_id) AS ts_,
+                   COUNT(*) OVER (PARTITION BY user_id) AS tn
+            FROM daily
+            WINDOW w AS (PARTITION BY user_id ORDER BY d
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        scored AS (
+            SELECT user_id, d,
+                   FLOOR(ABS(cs / cn - (ts_ - cs) / (tn - cn)) * 1000000000.0 + 0.5)
+                       / 1000000000.0 AS shift
+            FROM cum
+            WHERE cn >= 3 AND tn - cn >= 3
+        )
+        SELECT user_id, d AS changepoint_day,
+               FLOOR(shift * 1000000.0 + 0.5) / 1000000.0 AS mean_shift
+        FROM (
+            SELECT user_id, d, shift,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY shift DESC, d ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    notes=(
+        "naive changepoint detection: the split day maximizing "
+        "|mean(before) - mean(after)| with >=3 points per side — the "
+        "binary-segmentation primitive, computed from cumulative sums in "
+        "ONE window pass (no per-candidate rescan: O(n) per key, not "
+        "O(n^2)). Shift dround(9)'d before the argmax ranking so both "
+        "engines pick identical ties"
+    ),
+)
+def ts_changepoint_naive(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+            "value",
+        )
+        .groupBy("user_id", "d")
+        .agg((F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("val"))
+    )
+    w = Window.partitionBy("user_id").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy("user_id")
+    cum = daily.select(
+        "user_id",
+        "d",
+        F.sum("val").over(w).alias("cs"),
+        F.count("*").over(w).alias("cn"),
+        F.sum("val").over(wall).alias("ts_"),
+        F.count("*").over(wall).alias("tn"),
+    )
+    shift = F.floor(
+        F.abs(F.col("cs") / F.col("cn") - (F.col("ts_") - F.col("cs")) / (F.col("tn") - F.col("cn")))
+        * 1e9
+        + F.lit(0.5)
+    ) / 1e9
+    scored = cum.filter((F.col("cn") >= 3) & (F.col("tn") - F.col("cn") >= 3)).select(
+        "user_id", "d", shift.alias("shift")
+    )
+    wr = Window.partitionBy("user_id").orderBy(F.col("shift").desc(), F.col("d").asc())
+    return (
+        scored.select("user_id", "d", "shift", F.row_number().over(wr).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("d").alias("changepoint_day"),
+            (F.floor(F.col("shift") * 1e6 + F.lit(0.5)) / 1e6).alias("mean_shift"),
+        )
+    )

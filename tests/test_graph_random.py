@@ -242,3 +242,69 @@ def test_trail_closure_invariants_on_random_graph(spark, redges):
     for s, d, h in trails:
         mint[(s, d)] = min(mint.get((s, d), 99), h)
     assert minw == mint  # a min-hop walk never repeats an edge
+
+
+def test_star_contraction_components_match_union_find(spark):
+    """The star-contraction + CC pipeline inside dedup_canonical_docs,
+    exercised on seeded random pair graphs (including chain/clique mixes)
+    against union-find. Guards the contraction's correctness argument
+    (min-label preservation) beyond the fixture's clique-heavy shape."""
+    from mimranalytics_core_spark.functions.graph_algos import connected_components
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = set()
+        # mix: random edges + an explicit chain + an explicit clique
+        for _ in range(25):
+            a, b = rng.sample(range(n), 2)
+            edges.add((min(a, b), max(a, b)))
+        chain = list(range(30, 38))
+        edges |= {(a, a + 1) for a in chain[:-1]}
+        clique = [2, 5, 9, 13]
+        edges |= {(min(a, b), max(a, b)) for a in clique for b in clique if a < b}
+
+        # union-find reference
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        want = {v: min(u for u in touched if find(u) == find(v)) for v in touched}
+
+        pairs = spark.createDataFrame(
+            [(a, b) for a, b in sorted(edges)], "doc_a LONG, doc_b LONG"
+        )
+        # replicate the dedup_canonical_docs contraction inline
+        e2 = pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ).unionByName(
+            pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+        ).localCheckpoint(eager=True)
+        l0 = e2.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("lab")
+        ).localCheckpoint(eager=True)
+        la = l0.select(F.col("a").alias("a"), F.col("lab").alias("la"))
+        lb = l0.select(F.col("a").alias("b"), F.col("lab").alias("lb"))
+        contracted = (
+            e2.join(la, "a").join(lb, "b")
+            .filter(F.col("la") != F.col("lb"))
+            .select(F.col("la").alias("src"), F.col("lb").alias("dst"))
+            .distinct()
+        )
+        comp = connected_components(contracted, max_iter=12, state_partitions=4)
+        final = (
+            l0.join(comp, l0.lab == comp.node, "left")
+            .select(
+                F.col("a").alias("node"),
+                F.coalesce(F.col("component"), F.col("lab")).alias("canonical"),
+            )
+        )
+        got = {r.node: r.canonical for r in final.collect()}
+        assert got == want, f"trial {trial}"

@@ -615,3 +615,74 @@ def test_ml_feature_scale_bounds(spark):
         zs = [r.zscore for r in rs]
         mean_z = sum(zs) / len(zs)
         assert abs(mean_z) < 1e-3  # standardized
+
+
+def test_ts_changepoint_matches_python(spark):
+    rows = {r.user_id: r for r in OPS["ts_changepoint_naive"].fn(spark, SF_SMALL).collect()}
+    ev = t(spark, SF_SMALL, "events").collect()
+    daily = {}
+    for r in ev:
+        d = (r.ts.date() - __import__("datetime").date(1970, 1, 1)).days
+        daily.setdefault(r.user_id, {}).setdefault(d, []).append(r.value)
+    for user, dv in daily.items():
+        days = sorted(dv)
+        vals = [math.floor(sum(v) / len(v) * 1e6 + 0.5) / 1e6 for v in (dv[d] for d in days)]
+        best = None
+        for i in range(len(days)):
+            cn = i + 1
+            if cn < 3 or len(days) - cn < 3:
+                continue
+            before = sum(vals[: i + 1]) / cn
+            after = sum(vals[i + 1:]) / (len(days) - cn)
+            shift = math.floor(abs(before - after) * 1e9 + 0.5) / 1e9
+            if best is None or shift > best[1]:
+                best = (days[i], shift)
+        if best is None:
+            assert user not in rows
+            continue
+        got = rows[user]
+        assert got.changepoint_day == best[0]
+        assert abs(got.mean_shift - math.floor(best[1] * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_graph_ego_edges_induced(spark):
+    tables(spark, SF_SMALL)
+    edges = {
+        (r.src, r.dst)
+        for r in catalog.trade_credit_edges(spark, SF_SMALL).select("src", "dst").collect()
+    }
+    nbr = {}
+    for s, d in edges:
+        nbr.setdefault(s, set()).add(d)
+        nbr.setdefault(d, set()).add(s)
+    ego = {"c:1"} | nbr.get("c:1", set())
+    ego = ego | {x for n in list(ego) for x in nbr.get(n, set())}
+    want = {(s, d) for s, d in edges if s in ego and d in ego}
+    got = {(r.src, r.dst) for r in OPS["graph_ego_edges"].fn(spark, SF_SMALL).collect()}
+    assert got == want and got
+
+
+def test_set_symmetric_diff_disjoint_and_complete(spark):
+    rows = OPS["set_symmetric_diff"].fn(spark, SF_SMALL).collect()
+    early = {r.o_custkey for r in rows if r.cohort == "early_only"}
+    late = {r.o_custkey for r in rows if r.cohort == "late_only"}
+    assert not (early & late)
+    import datetime
+
+    o = t(spark, SF_SMALL, "orders").collect()
+    cut = datetime.datetime(1994, 1, 1)
+    h1 = {r.o_custkey for r in o if r.o_orderdate < cut}
+    h2 = {r.o_custkey for r in o if r.o_orderdate >= cut}
+    assert early == h1 - h2 and late == h2 - h1
+
+
+def test_text_kwic_window_contains_term(spark):
+    rows = OPS["text_kwic"].fn(spark, SF_SMALL).collect()
+    assert rows
+    docs = {r.doc_id: r.text.lower().split(" ") for r in t(spark, SF_SMALL, "documents").collect()}
+    for r in rows:
+        ctx = r.context.split(" ")
+        assert "hash" in ctx
+        assert len(ctx) <= 7
+        toks = docs[r.doc_id]
+        assert toks[r.position - 1] == "hash"
