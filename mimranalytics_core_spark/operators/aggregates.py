@@ -527,3 +527,125 @@ def agg_histogram(spark, sf_dir):
         (F.col("bucket") * 50).cast("double").alias("bucket_lo"),
         "n",
     )
+
+
+@register(
+    "agg_funnel_conversion",
+    "aggregates",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_pur
+            FROM events GROUP BY user_id
+        ),
+        flags AS (
+            SELECT user_id,
+                   (t_view IS NOT NULL) AS s1,
+                   (t_view IS NOT NULL AND t_click IS NOT NULL
+                    AND t_click > t_view) AS s2,
+                   (t_view IS NOT NULL AND t_click IS NOT NULL
+                    AND t_click > t_view AND t_pur IS NOT NULL
+                    AND t_pur > t_click) AS s3
+            FROM firsts
+        )
+        SELECT CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after,
+               CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_after,
+               FLOOR(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) * 1.0
+                     / SUM(CASE WHEN s1 THEN 1 ELSE 0 END)
+                     * 1000000.0 + 0.5) / 1000000.0 AS conversion
+        FROM flags
+    """,
+    notes=(
+        "ordered funnel conversion (view -> first click after it -> first "
+        "purchase after that) at corpus level: one conditional-MIN pass "
+        "per user, then row-local stage flags and a global roll-up — the "
+        "product-analytics complement of win_funnel_pattern (which finds "
+        "the per-user adjacent pairs). Single shuffle on user_id; the "
+        "ordering constraint is pure MIN-timestamp comparison, no "
+        "sequence enumeration"
+    ),
+)
+def agg_funnel_conversion(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+
+    def first(et):
+        return F.min(F.when(F.col("event_type") == et, F.col("ts")))
+
+    firsts = ev.groupBy("user_id").agg(
+        first("view").alias("t_view"),
+        first("click").alias("t_click"),
+        first("purchase").alias("t_pur"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & F.col("t_pur").isNotNull() & (F.col("t_pur") > F.col("t_click"))
+    flags = firsts.select(
+        s1.cast("int").alias("s1"), s2.cast("int").alias("s2"), s3.cast("int").alias("s3")
+    )
+    return flags.agg(
+        F.sum("s1").alias("n_view"),
+        F.sum("s2").alias("n_click_after"),
+        F.sum("s3").alias("n_purchase_after"),
+        (
+            F.floor(F.sum("s3") * 1.0 / F.sum("s1") * 1e6 + F.lit(0.5)) / 1e6
+        ).alias("conversion"),
+    )
+
+
+@register(
+    "agg_gini",
+    "aggregates",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey) AS i,
+                   COUNT(*) OVER (PARTITION BY o_orderpriority) AS n,
+                   SUM(o_totalprice) OVER (PARTITION BY o_orderpriority) AS tot
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               FLOOR((2.0 * SUM(i * o_totalprice) / (n * tot) - (n + 1.0) / n)
+                     * 1000000.0 + 0.5) / 1000000.0 AS gini,
+               CAST(n AS BIGINT) AS n
+        FROM ranked
+        GROUP BY o_orderpriority, n, tot
+    """,
+    notes=(
+        "Gini concentration coefficient of order value per priority class "
+        "(the inequality/profiling metric): rank-weighted-sum identity "
+        "G = 2Σ(i·x_i)/(n·Σx) − (n+1)/n over one rank window + one agg — "
+        "a per-group sort (window) and nothing quadratic; deterministic "
+        "rank ties via orderkey"
+    ),
+)
+def agg_gini(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority")
+    wr = wp.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wp).alias("n"),
+        F.sum("o_totalprice").over(wp).alias("tot"),
+    )
+    gini = (
+        F.floor(
+            (2.0 * F.sum(F.col("i") * F.col("o_totalprice")) / (F.col("n") * F.col("tot"))
+             - (F.col("n") + 1.0) / F.col("n"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return (
+        ranked.groupBy("o_orderpriority", "n", "tot")
+        .agg(gini.alias("gini"))
+        .select("o_orderpriority", "gini", F.col("n").cast("long").alias("n"))
+    )

@@ -2176,3 +2176,56 @@ def graph_ego_edges(spark, sf_dir):
         .join(ego.withColumnRenamed("node", "d"), F.col("dst") == F.col("d"))
         .select("src", "dst")
     )
+
+
+@register(
+    "graph_reciprocity",
+    "graph",
+    oracle=f"""
+        WITH {TRADE_CREDIT_SQL.strip()},
+        e AS (SELECT DISTINCT src, dst FROM tc_edges)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN EXISTS (
+                   SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+               ) THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+               FLOOR(SUM(CASE WHEN EXISTS (
+                   SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+               ) THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 1000000.0 + 0.5)
+                   / 1000000.0 AS reciprocity
+        FROM e
+    """,
+    notes=(
+        "edge reciprocity of the trade-credit digraph (share of directed "
+        "edges with a reverse edge — the mutual-dependency indicator for "
+        "circular-exposure screening, README.md:15): one self-semi-join "
+        "on the reversed key + a global roll-up; the semi join hashes on "
+        "the edge key, nothing quadratic"
+    ),
+)
+def graph_reciprocity(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = (
+        catalog.trade_credit_edges(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)  # scanned twice: base + reversed probe
+    )
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("m")
+    )
+    # marker left-join + single aggregate: the whole metric stays in the
+    # plan (no driver-side counts)
+    return (
+        e.join(rev, ["src", "dst"], "left")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.coalesce(F.sum("m"), F.lit(0)).alias("n_reciprocal"),
+            (
+                F.floor(
+                    F.coalesce(F.sum("m"), F.lit(0)) * 1.0 / F.count("*") * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
+            ).alias("reciprocity"),
+        )
+    )

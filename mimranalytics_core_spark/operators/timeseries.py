@@ -762,3 +762,67 @@ def ts_changepoint_naive(spark, sf_dir):
             (F.floor(F.col("shift") * 1e6 + F.lit(0.5)) / 1e6).alias("mean_shift"),
         )
     )
+
+
+@register(
+    "ts_autocorr",
+    "timeseries",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+                   FLOOR(AVG(value) * 1000000.0 + 0.5) / 1000000.0 AS val
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT user_id, val,
+                   LAG(val, 1) OVER w AS l1,
+                   LAG(val, 2) OVER w AS l2
+            FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d)
+        )
+        SELECT user_id,
+               FLOOR(corr(val, l1) * 1000000.0 + 0.5) / 1000000.0 AS acf1,
+               FLOOR(corr(val, l2) * 1000000.0 + 0.5) / 1000000.0 AS acf2,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM lagged
+        GROUP BY user_id
+        HAVING COUNT(l2) >= 5
+    """,
+    notes=(
+        "autocorrelation at lags 1-2 per user's daily series — the "
+        "seasonality/persistence screen before any forecasting model: one "
+        "lag window + grouped corr (mergeable sufficient statistics); the "
+        "window and the agg share the user_id partitioning. Pairwise-"
+        "deletion semantics: corr ignores rows whose lag is NULL "
+        "(identical in both engines)"
+    ),
+)
+def ts_autocorr(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("d"),
+            "value",
+        )
+        .groupBy("user_id", "d")
+        .agg((F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("val"))
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    lagged = daily.select(
+        "user_id",
+        "val",
+        F.lag("val", 1).over(w).alias("l1"),
+        F.lag("val", 2).over(w).alias("l2"),
+    )
+    return (
+        lagged.groupBy("user_id")
+        .agg(
+            (F.floor(F.corr("val", "l1") * 1e6 + F.lit(0.5)) / 1e6).alias("acf1"),
+            (F.floor(F.corr("val", "l2") * 1e6 + F.lit(0.5)) / 1e6).alias("acf2"),
+            F.count("*").alias("n_days"),
+            F.count("l2").alias("n_l2"),
+        )
+        .filter(F.col("n_l2") >= 5)
+        .drop("n_l2")
+    )

@@ -686,3 +686,66 @@ def test_text_kwic_window_contains_term(spark):
         assert len(ctx) <= 7
         toks = docs[r.doc_id]
         assert toks[r.position - 1] == "hash"
+
+
+def test_agg_funnel_conversion_matches_python(spark):
+    ev = t(spark, SF_SMALL, "events").collect()
+    firsts = {}
+    for r in ev:
+        d = firsts.setdefault(r.user_id, {})
+        if r.event_type in ("view", "click", "purchase"):
+            if r.event_type not in d or r.ts < d[r.event_type]:
+                d[r.event_type] = r.ts
+    s1 = s2 = s3 = 0
+    for d in firsts.values():
+        if "view" in d:
+            s1 += 1
+            if "click" in d and d["click"] > d["view"]:
+                s2 += 1
+                if "purchase" in d and d["purchase"] > d["click"]:
+                    s3 += 1
+    row = OPS["agg_funnel_conversion"].fn(spark, SF_SMALL).collect()[0]
+    assert (row.n_view, row.n_click_after, row.n_purchase_after) == (s1, s2, s3)
+    assert abs(row.conversion - math.floor(s3 / s1 * 1e6 + 0.5) / 1e6) < 1e-9
+    assert 0 < s3 < s1  # ordered funnel is non-vacuous at this SF
+
+
+def test_agg_gini_matches_python(spark):
+    rows = {r.o_orderpriority: r for r in OPS["agg_gini"].fn(spark, SF_SMALL).collect()}
+    o = t(spark, SF_SMALL, "orders").collect()
+    by_p = {}
+    for r in o:
+        by_p.setdefault(r.o_orderpriority, []).append((r.o_totalprice, r.o_orderkey))
+    for p, vals in by_p.items():
+        vals.sort()
+        n = len(vals)
+        tot = sum(v for v, _ in vals)
+        ws = sum((i + 1) * v for i, (v, _) in enumerate(vals))
+        gini = 2.0 * ws / (n * tot) - (n + 1.0) / n
+        assert abs(rows[p].gini - math.floor(gini * 1e6 + 0.5) / 1e6) < 2e-6
+        assert 0.0 <= rows[p].gini <= 1.0
+        assert rows[p].n == n
+
+
+def test_graph_reciprocity_matches_python(spark):
+    tables(spark, SF_SMALL)
+    edges = {
+        (r.src, r.dst)
+        for r in catalog.trade_credit_edges(spark, SF_SMALL).select("src", "dst").collect()
+    }
+    recip = sum(1 for s, d in edges if (d, s) in edges)
+    row = OPS["graph_reciprocity"].fn(spark, SF_SMALL).collect()[0]
+    assert row.n_edges == len(edges)
+    assert row.n_reciprocal == recip
+    assert 0.0 < row.reciprocity <= 1.0  # cyclic fixture has mutual edges
+
+
+def test_ts_autocorr_range(spark):
+    rows = OPS["ts_autocorr"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r.acf1 is not None:
+            assert -1.0 - 1e-9 <= r.acf1 <= 1.0 + 1e-9
+        if r.acf2 is not None:
+            assert -1.0 - 1e-9 <= r.acf2 <= 1.0 + 1e-9
+        assert r.n_days >= 7
