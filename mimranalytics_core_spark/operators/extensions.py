@@ -713,3 +713,81 @@ def scan_schema_evolution(spark, sf_dir):
         f"{base}/gen=1", f"{base}/gen=2"
     )
     return merged.select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+@register(
+    "profile_events_table",
+    "profiling",
+    oracle="""
+        SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+               CAST(MIN(event_id) AS VARCHAR) AS min_val,
+               CAST(MAX(event_id) AS VARCHAR) AS max_val
+        FROM events
+        UNION ALL
+        SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+               CAST(COUNT(DISTINCT user_id) AS BIGINT),
+               CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+               CAST(COUNT(DISTINCT event_type) AS BIGINT),
+               CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'value', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(value) AS BIGINT),
+               CAST(COUNT(DISTINCT value) AS BIGINT),
+               CAST(FLOOR(MIN(value) * 1000000.0 + 0.5) / 1000000.0 AS VARCHAR),
+               CAST(FLOOR(MAX(value) * 1000000.0 + 0.5) / 1000000.0 AS VARCHAR)
+        FROM events
+    """,
+    notes=(
+        "data-quality profile of a table (null rate, cardinality, range "
+        "per column) — the ingest-gate report every pipeline runs before "
+        "trusting a new drop. ONE scan computes all columns' stats "
+        "(Catalyst fuses the aggregates; the oracle's UNION ALL form is "
+        "four scans but value-identical); count-distinct is the only "
+        "wide state and at 100 TB each column's would switch to its "
+        "approx sketch (declared separately)"
+    ),
+)
+def profile_events_table(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+
+    def num_s(c):
+        return (F.floor(c * 1e6 + F.lit(0.5)) / 1e6).cast("string")
+
+    agg = ev.agg(
+        F.count("*").alias("n_rows"),
+        (F.count("*") - F.count("event_id")).alias("null_event_id"),
+        F.countDistinct("event_id").alias("d_event_id"),
+        F.min("event_id").cast("string").alias("mn_event_id"),
+        F.max("event_id").cast("string").alias("mx_event_id"),
+        (F.count("*") - F.count("user_id")).alias("null_user_id"),
+        F.countDistinct("user_id").alias("d_user_id"),
+        F.min("user_id").cast("string").alias("mn_user_id"),
+        F.max("user_id").cast("string").alias("mx_user_id"),
+        (F.count("*") - F.count("event_type")).alias("null_event_type"),
+        F.countDistinct("event_type").alias("d_event_type"),
+        F.min("event_type").alias("mn_event_type"),
+        F.max("event_type").alias("mx_event_type"),
+        (F.count("*") - F.count("value")).alias("null_value"),
+        F.countDistinct("value").alias("d_value"),
+        num_s(F.min("value")).alias("mn_value"),
+        num_s(F.max("value")).alias("mx_value"),
+    )
+    stack = F.expr(
+        "stack(4, "
+        "'event_id', null_event_id, d_event_id, mn_event_id, mx_event_id, "
+        "'user_id', null_user_id, d_user_id, mn_user_id, mx_user_id, "
+        "'event_type', null_event_type, d_event_type, mn_event_type, mx_event_type, "
+        "'value', null_value, d_value, mn_value, mx_value"
+        ") AS (col, n_null, n_distinct, min_val, max_val)"
+    )
+    return agg.select("n_rows", stack).select(
+        "col", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
+    )

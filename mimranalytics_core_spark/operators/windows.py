@@ -358,3 +358,49 @@ def win_retention_cohorts(spark, sf_dir):
         .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("age_weeks"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "win_sessionize_ids",
+    "windows",
+    oracle="""
+        WITH marked AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                                > 1800000000
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, event_id, ts,
+               CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM marked
+    """,
+    notes=(
+        "explicit session-ID assignment (30-minute gap rule): the gap-flag "
+        "+ running-sum idiom — stream_session aggregates sessions, this op "
+        "LABELS every event with its session so downstream joins can use "
+        "the id. Both windows share one user_id shuffle; exact-microsecond "
+        "gaps keep the engines' boundary decisions identical"
+    ),
+)
+def win_sessionize_ids(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_us = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) over "
+        "(partition by user_id order by ts, event_id), ts)"
+    )
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 1800000000), 1).otherwise(0).alias("new_sess"),
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return marked.select(
+        "user_id", "event_id", "ts", F.sum("new_sess").over(wsum).alias("session_id")
+    )

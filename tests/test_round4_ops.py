@@ -749,3 +749,36 @@ def test_ts_autocorr_range(spark):
         if r.acf2 is not None:
             assert -1.0 - 1e-9 <= r.acf2 <= 1.0 + 1e-9
         assert r.n_days >= 7
+
+
+def test_profile_events_table_matches_python(spark):
+    rows = {r.col: r for r in OPS["profile_events_table"].fn(spark, SF_SMALL).collect()}
+    ev = t(spark, SF_SMALL, "events").collect()
+    assert rows["event_id"].n_rows == len(ev)
+    assert rows["event_id"].n_distinct == len({r.event_id for r in ev})
+    assert rows["user_id"].n_distinct == len({r.user_id for r in ev})
+    assert rows["event_type"].n_distinct == 5
+    for r in rows.values():
+        assert r.n_null == 0  # fixture has no nulls
+    assert rows["event_type"].min_val == min(r.event_type for r in ev)
+    mx = max(r.value for r in ev)
+    assert rows["value"].max_val == str(math.floor(mx * 1e6 + 0.5) / 1e6)
+
+
+def test_win_sessionize_ids_gap_rule(spark):
+    rows = OPS["win_sessionize_ids"].fn(spark, SF_SMALL).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_multi = 0
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        assert rs[0].session_id == 1
+        for a, b in zip(rs, rs[1:]):
+            gap = (b.ts - a.ts).total_seconds()
+            if gap > 1800:
+                assert b.session_id == a.session_id + 1
+            else:
+                assert b.session_id == a.session_id
+        n_multi += rs[-1].session_id > 1
+    assert n_multi > 0  # 30-day fixture spans many sessions
