@@ -2229,3 +2229,251 @@ def graph_reciprocity(spark, sf_dir):
             ).alias("reciprocity"),
         )
     )
+
+
+@register(
+    "graph_harmonic",
+    "graph",
+    oracle=f"""
+        WITH RECURSIVE {HIERARCHY_SQL.strip()},
+        ue AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        srcs AS (SELECT DISTINCT src AS s FROM ue
+                 WHERE src LIKE 'n:%' OR src LIKE 'r:%'),
+        walk(s, node, path) AS (
+            SELECT s, s, [s] FROM srcs
+            UNION ALL
+            SELECT w.s, e.dst, list_append(w.path, e.dst)
+            FROM walk w JOIN ue e ON e.src = w.node
+            WHERE NOT list_contains(w.path, e.dst) AND len(w.path) <= 6
+        ),
+        md AS (SELECT s, node, MIN(len(path) - 1) AS d
+               FROM walk WHERE node != s GROUP BY s, node)
+        SELECT s AS node,
+               FLOOR(SUM(FLOOR(1e9 / d + 0.5) / 1e9) * 1e6 + 0.5) / 1e6
+                   AS harmonic
+        FROM md GROUP BY s
+    """,
+    notes=(
+        "harmonic centrality (README.md:28 'centrality' — the "
+        "disconnected-robust closeness variant NetworkX ships next to "
+        "closeness): H(s) = sum over reached t of 1/dist(s,t) for the "
+        "nation+region hub nodes. Reuses the SAME level-synchronous "
+        "multi-source BFS as closeness/eccentricity — marginal cost over "
+        "those is one aggregation; at 100 TB the hub set is the standard "
+        "sampled-source estimator. Per-term 1/d is dround'd to 9 digits "
+        "BEFORE the sum in both engines (distances are small ints, so the "
+        "reciprocals are bit-identical and the sum is over identical "
+        "addends; final dround 6)"
+    ),
+)
+def graph_harmonic(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import (
+        multi_source_distances,
+        undirect,
+    )
+
+    tables(spark, sf_dir)
+    e = undirect(catalog.hierarchy_edges(spark, sf_dir))
+    sources = (
+        e.select("src")
+        .filter(F.col("src").startswith("n:") | F.col("src").startswith("r:"))
+        .distinct()
+        .select(F.col("src").alias("node"))
+    )
+    d = multi_source_distances(e, sources, max_depth=6)
+    term = F.floor(F.lit(1e9) / F.col("dist") + F.lit(0.5)) / F.lit(1e9)
+    return (
+        d.filter(F.col("node") != F.col("source"))
+        .groupBy(F.col("source").alias("node"))
+        .agg((F.floor(F.sum(term) * 1e6 + F.lit(0.5)) / 1e6).alias("harmonic"))
+    )
+
+
+def _katz_oracle_sql(iters: int = 4, alpha: float = 0.1) -> str:
+    """Unrolled truncated-Katz oracle: x0 = 1; x_{k+1}(v) = 1 + alpha *
+    sum over incoming u->v of x_k(u) — the same plain join+aggregate per
+    iteration as the pagerank oracle (graph.py:341), minus damping/dangling
+    bookkeeping. MATERIALIZED per level (the doubly-referenced-CTE lesson,
+    NOTES_r4.md)."""
+    steps = []
+    prev = "x0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""
+        i{k} AS (SELECT e.dst AS node, SUM(x.v) AS inflow
+                 FROM e JOIN {prev} x ON e.src = x.node GROUP BY e.dst),
+        x{k} AS MATERIALIZED (SELECT n.node,
+                        1.0 + {alpha} * COALESCE(i{k}.inflow, 0.0) AS v
+                 FROM nodes n LEFT JOIN i{k} ON n.node = i{k}.node)"""
+        )
+        prev = f"x{k}"
+    return f"""
+        WITH {HIERARCHY_SQL},
+        e AS MATERIALIZED (SELECT src, dst FROM edges),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        x0 AS (SELECT node, 1.0 AS v FROM nodes),
+        {",".join(steps)}
+        SELECT node, FLOOR(v * 1e6 + 0.5) / 1e6 AS katz FROM {prev}
+    """
+
+
+@register(
+    "graph_katz",
+    "graph",
+    oracle=_katz_oracle_sql(iters=4, alpha=0.1),
+    notes=(
+        "Katz centrality (README.md:28 'centrality' — the walk-counting "
+        "influence measure NetworkX ships alongside pagerank): truncated "
+        "series x(v) = sum over k<=4 of alpha^k * |walks of length k ending "
+        "at v| on the ownership digraph, computed as 4 fixed "
+        "x -> 1 + alpha*A'x sweeps (each one join + partial-agg shuffle on "
+        "dst — the pagerank superstep shape, so the 100 TB posture is "
+        "identical: bucket edges on src, state on node). Oracle unrolls the "
+        "same recurrence as 4 CTE pairs in DuckDB"
+    ),
+)
+def graph_katz(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = (
+        catalog.hierarchy_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # reused every sweep
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    x = nodes.withColumn("v", F.lit(1.0))
+    for _ in range(4):
+        inflow = (
+            e.join(x, e.src == x.node)
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.sum("v").alias("inflow"))
+        )
+        x = (
+            nodes.join(inflow, nodes.node == inflow.n2, "left")
+            .select(
+                "node",
+                (F.lit(1.0) + F.lit(0.1) * F.coalesce("inflow", F.lit(0.0))).alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return x.select("node", (F.floor(F.col("v") * 1e6 + F.lit(0.5)) / 1e6).alias("katz"))
+
+
+def _lpa_oracle_sql(iters: int = 4) -> str:
+    """Unrolled synchronous label propagation: l0 = own id; each round every
+    node adopts the most frequent neighbor label, ties broken by MIN label,
+    isolated nodes keep theirs. Integer counts + string labels end to end —
+    no float anywhere, so the hash is exact by construction."""
+    steps = []
+    prev = "l0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""
+        c{k} AS (SELECT ue.dst AS node, l.label, COUNT(*) AS cnt
+                 FROM ue JOIN {prev} l ON ue.src = l.node
+                 GROUP BY ue.dst, l.label),
+        p{k} AS (SELECT node, label FROM (
+                     SELECT node, label, ROW_NUMBER() OVER (
+                         PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+                     FROM c{k}) WHERE rn = 1),
+        l{k} AS MATERIALIZED (SELECT o.node, COALESCE(p{k}.label, o.label) AS label
+                 FROM {prev} o LEFT JOIN p{k} ON o.node = p{k}.node)"""
+        )
+        prev = f"l{k}"
+    return f"""
+        WITH {TRADE_CREDIT_SQL},
+        ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM tc_edges
+            UNION ALL SELECT dst, src FROM tc_edges)),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ue),
+        l0 AS (SELECT node, node AS label FROM nodes),
+        {",".join(steps)}
+        SELECT node, label AS community FROM {prev}
+    """
+
+
+@register(
+    "graph_label_propagation",
+    "graph",
+    oracle=_lpa_oracle_sql(iters=4),
+    notes=(
+        "community detection by synchronous label propagation (README.md:28 "
+        "— NetworkX ships label_propagation_communities; corporate-cluster "
+        "views are the product's F3 grouping surface): 4 deterministic "
+        "sweeps over the undirected trade-credit graph, each node adopting "
+        "the most frequent neighbor label with MIN tie-break (the "
+        "determinism knob async LPA lacks — async is order-dependent and "
+        "could never hash-match an oracle). Each sweep = one edge-state "
+        "join + (node,label) count + per-node top-1 window; all shuffles "
+        "hash on node id, the Pregel superstep shape. Oracle unrolls the "
+        "identical 4 sweeps; integer counts + string labels, so no float "
+        "discipline is even needed"
+    ),
+)
+def graph_label_propagation(spark, sf_dir):
+    tables(spark, sf_dir)
+    tc = catalog.trade_credit_edges(spark, sf_dir).select("src", "dst")
+    ue = (
+        tc.unionAll(tc.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = ue.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("n2").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(4):
+        cnt = (
+            ue.join(lab, ue.src == lab.node)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        top = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("n2", F.col("label").alias("new_label"))
+        )
+        lab = (
+            lab.join(top, lab.node == top.n2, "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return lab.select("node", F.col("label").alias("community"))
+
+
+_TOPO_SQL = """
+    WITH RECURSIVE {edges},
+    e AS (SELECT DISTINCT src, dst FROM edges),
+    roots AS (SELECT DISTINCT src FROM e
+              WHERE src NOT IN (SELECT dst FROM e)),
+    walk(node, depth) AS (
+        SELECT src, 0 FROM roots
+        UNION ALL
+        SELECT e.dst, w.depth + 1 FROM walk w JOIN e ON e.src = w.node
+        WHERE w.depth < 4
+    )
+    SELECT node, CAST(MAX(depth) AS INTEGER) AS level FROM walk GROUP BY node
+"""
+
+
+@register(
+    "graph_topo_levels",
+    "graph",
+    oracle=_TOPO_SQL.format(edges=HIERARCHY_SQL.strip()),
+    notes=(
+        "topological levels of the ownership DAG (README.md:11 'N-tier' — "
+        "the tier number itself: level(v) = longest path from any root, the "
+        "Kahn-layer a scheduler or tier-report needs): recursive CTE from "
+        "the in-degree-0 roots + MAX group-by, verbatim in both engines "
+        "(the E2 SQL entry, like graph_weighted_sssp). Depth bound 4 > DAG "
+        "height 2; walk fan-out is |paths to root|, linear here because "
+        "every node has exactly one parent chain"
+    ),
+)
+def graph_topo_levels(spark, sf_dir):
+    return _sql_both(spark, sf_dir, _TOPO_SQL.format(edges=HIERARCHY_SQL.strip()))

@@ -782,3 +782,93 @@ def test_win_sessionize_ids_gap_rule(spark):
                 assert b.session_id == a.session_id
         n_multi += rs[-1].session_id > 1
     assert n_multi > 0  # 30-day fixture spans many sessions
+
+
+def test_graph_katz_matches_python_power_series(spark):
+    tables(spark, SF_SMALL)
+    edges = [
+        (r.src, r.dst)
+        for r in catalog.hierarchy_edges(spark, SF_SMALL).select("src", "dst").collect()
+    ]
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    x = {v: 1.0 for v in nodes}
+    for _ in range(4):
+        inflow = Counter()
+        for s, d in edges:
+            inflow[d] += x[s]
+        x = {v: 1.0 + 0.1 * inflow.get(v, 0.0) for v in nodes}
+    got = {r.node: r.katz for r in OPS["graph_katz"].fn(spark, SF_SMALL).collect()}
+    assert set(got) == nodes
+    for v in nodes:
+        assert abs(got[v] - x[v]) < 1e-5, v
+
+
+def test_graph_label_propagation_matches_python(spark):
+    tables(spark, SF_SMALL)
+    tc = [
+        (r.src, r.dst)
+        for r in catalog.trade_credit_edges(spark, SF_SMALL).select("src", "dst").collect()
+    ]
+    ue = set(tc) | {(d, s) for s, d in tc}
+    adj = {}
+    for s, d in ue:
+        adj.setdefault(s, set()).add(d)
+    lab = {v: v for v in adj}
+    for _ in range(4):
+        new = {}
+        for v in adj:
+            cnt = Counter(lab[u] for u in adj[v])
+            best = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0] if cnt else lab[v]
+            new[v] = best
+        lab = new
+    got = {
+        r.node: r.community
+        for r in OPS["graph_label_propagation"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == lab
+    # non-trivial: fewer communities than nodes (densely connected fixture)
+    assert len(set(got.values())) < len(got)
+
+
+def test_graph_topo_levels_semantics(spark):
+    got = {r.node: r.level for r in OPS["graph_topo_levels"].fn(spark, SF_SMALL).collect()}
+    # customers/suppliers are roots (level 0), nations level 1, region level 2
+    assert all(lvl == 1 for n, lvl in got.items() if n.startswith("n:"))
+    assert all(lvl == 2 for n, lvl in got.items() if n.startswith("r:"))
+    assert all(lvl == 0 for n, lvl in got.items() if n[:2] in ("c:", "s:"))
+
+
+def test_graph_harmonic_vs_python_bfs(spark):
+    tables(spark, SF_SMALL)
+    edges = [
+        (r.src, r.dst)
+        for r in catalog.hierarchy_edges(spark, SF_SMALL).select("src", "dst").collect()
+    ]
+    ue = set(edges) | {(d, s) for s, d in edges}
+    adj = {}
+    for s, d in ue:
+        adj.setdefault(s, set()).add(d)
+    import collections
+
+    def bfs(s):
+        dist = {s: 0}
+        q = collections.deque([s])
+        while q:
+            u = q.popleft()
+            if dist[u] >= 6:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    got = {r.node: r.harmonic for r in OPS["graph_harmonic"].fn(spark, SF_SMALL).collect()}
+    hubs = [v for v in adj if v[:2] in ("n:", "r:")]
+    assert set(got) == set(hubs)
+    for s in hubs:
+        dist = bfs(s)
+        expected = sum(
+            math.floor(1e9 / d + 0.5) / 1e9 for v, d in dist.items() if v != s
+        )
+        assert abs(got[s] - math.floor(expected * 1e6 + 0.5) / 1e6) < 2e-6, s
