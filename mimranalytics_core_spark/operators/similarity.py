@@ -1374,3 +1374,205 @@ def sim_rrf_fusion(spark, sf_dir):
             "qid", "vec_id", (F.floor(F.col("rrf") * 1e9 + F.lit(0.5)) / 1e9).alias("rrf")
         )
     )
+
+
+@register(
+    "sim_knn_classify",
+    "similarity",
+    oracle="""
+        WITH qs AS (SELECT vec_id AS q_id, label AS true_label,
+                           CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 20),
+        nn AS (
+            SELECT q_id, true_label, label FROM (
+                SELECT qs.q_id, qs.true_label, e.label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qs.q_id
+                           ORDER BY ROUND(list_cosine_similarity(
+                                        CAST(e.embedding AS DOUBLE[]), qs.qv), 6)
+                                        DESC,
+                                    e.vec_id ASC
+                       ) AS rn
+                FROM embeddings e CROSS JOIN qs
+                WHERE e.vec_id >= 50
+            ) WHERE rn <= 5
+        ),
+        votes AS (SELECT q_id, true_label, label, COUNT(*) AS cnt
+                  FROM nn GROUP BY q_id, true_label, label)
+        SELECT q_id, true_label, label AS pred_label,
+               CASE WHEN label = true_label THEN 1 ELSE 0 END AS correct
+        FROM (
+            SELECT q_id, true_label, label, ROW_NUMBER() OVER (
+                       PARTITION BY q_id ORDER BY cnt DESC, label ASC) AS rn
+            FROM votes
+        ) WHERE rn = 1
+    """,
+    notes=(
+        "k-NN classification (majority vote of the 5 nearest train vectors, "
+        "the baseline every embedding-quality eval runs): 20 held-out "
+        "queries vs the vec_id >= 50 train split, broadcast-query "
+        "scan-and-score exactly like sim_knn_join, then an integer vote "
+        "with MIN-label tie-break (deterministic — F.mode's tie is "
+        "unspecified, the agg_mode_exact lesson). Scales as "
+        "|queries|x|train| per partition with bounded query batches; the "
+        "corpus-scale variant swaps the scan for the LSH/IVF candidate "
+        "paths already declared"
+    ),
+)
+def sim_knn_classify(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qv"),
+    )
+    base = e.filter(F.col("vec_id") >= 50).select("vec_id", "label", "embedding")
+    sim = F.round(cosine(_as_double(F.col("embedding")), _as_double(F.col("qv"))), 6)
+    w_nn = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    nn = (
+        base.crossJoin(F.broadcast(qs))
+        .select("q_id", "true_label", "label", "vec_id", sim.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w_nn))
+        .filter(F.col("rn") <= 5)
+    )
+    votes = nn.groupBy("q_id", "true_label", "label").agg(F.count("*").alias("cnt"))
+    w_vote = Window.partitionBy("q_id").orderBy(F.desc("cnt"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .filter(F.col("rn") == 1)
+        .select(
+            "q_id",
+            "true_label",
+            F.col("label").alias("pred_label"),
+            F.when(F.col("label") == F.col("true_label"), 1).otherwise(0).alias("correct"),
+        )
+    )
+
+
+def _mmr_oracle_sql(k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled maximal-marginal-relevance oracle: top-20 candidates by
+    relevance to query vec 0, then k greedy steps, each picking
+    argmax lam*rel - (1-lam)*max_sim_to_selected (tie -> vec_id ASC).
+    rel and pairwise sims are ROUND(...,6) so both engines score identical
+    doubles; the comparison key is the raw product expression, the emitted
+    score is dround'd."""
+    steps = [
+        f"""
+        s1 AS MATERIALIZED (SELECT vec_id, FLOOR({lam} * rel * 1e6 + 0.5) / 1e6
+                       AS score, 1 AS rank
+                FROM cand ORDER BY rel DESC, vec_id ASC LIMIT 1),
+        sel1 AS MATERIALIZED (SELECT vec_id, score, rank FROM s1)"""
+    ]
+    for i in range(2, k + 1):
+        steps.append(
+            f"""
+        m{i} AS (SELECT p.a AS vec_id, MAX(p.sim) AS ms
+                 FROM pairs p JOIN sel{i - 1} s ON p.b = s.vec_id
+                 WHERE p.a NOT IN (SELECT vec_id FROM sel{i - 1})
+                 GROUP BY p.a),
+        s{i} AS MATERIALIZED (
+            SELECT c.vec_id,
+                   FLOOR(({lam} * c.rel - {1 - lam:.1f} * m{i}.ms) * 1e6 + 0.5)
+                       / 1e6 AS score,
+                   {i} AS rank
+            FROM cand c JOIN m{i} ON c.vec_id = m{i}.vec_id
+            ORDER BY ({lam} * c.rel - {1 - lam:.1f} * m{i}.ms) DESC, c.vec_id ASC
+            LIMIT 1),
+        sel{i} AS MATERIALIZED (
+            SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})"""
+        )
+    return f"""
+        WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id = 0),
+        cand AS MATERIALIZED (
+            SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+                   ROUND(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]), q.qv), 6) AS rel
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> 0
+            ORDER BY rel DESC, e.vec_id ASC LIMIT 20),
+        pairs AS MATERIALIZED (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   ROUND(list_cosine_similarity(a.v, b.v), 6) AS sim
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        {",".join(steps)}
+        SELECT rank, vec_id, score FROM sel{k}
+    """
+
+
+@register(
+    "sim_mmr_rerank",
+    "similarity",
+    oracle=_mmr_oracle_sql(k=5, lam=0.7),
+    notes=(
+        "maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998, "
+        "public — the diversity re-rank every RAG retrieval stack applies "
+        "after top-k): greedy k=5 selection from the top-20 candidates, "
+        "score = 0.7*rel - 0.3*max_sim_to_selected, ties -> vec_id. The "
+        "greedy argmax is inherently sequential, so the 5 steps are "
+        "UNROLLED IN THE PLAN (per step: anti-join + 20-row max-sim agg + "
+        "TakeOrdered(1)) — no driver-side collect; candidate/pair frames "
+        "are 20 and 380 rows by declaration (re-rank always runs on a "
+        "bounded candidate page, so this is the 100 TB shape too). Oracle "
+        "unrolls the identical greedy recurrence in DuckDB"
+    ),
+)
+def sim_mmr_rerank(spark, sf_dir, k: int = 5, lam: float = 0.7):
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("embedding").alias("v"),
+            F.round(cosine(_as_double(F.col("embedding")), _as_double(F.col("qv"))), 6).alias(
+                "rel"
+            ),
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(20)
+        .localCheckpoint(eager=True)  # 20 rows; reused by every greedy step
+    )
+    ca = cand.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    cb = cand.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    pairs = (
+        ca.crossJoin(cb)
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(cosine(_as_double(F.col("va")), _as_double(F.col("vb"))), 6).alias("sim"),
+        )
+        .localCheckpoint(eager=True)  # 380 rows by declaration
+    )
+    sel = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            "vec_id",
+            (F.floor(F.lit(lam) * F.col("rel") * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
+            F.lit(1).alias("rank"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for i in range(2, k + 1):
+        ms = (
+            pairs.join(sel.select(F.col("vec_id").alias("b")), "b")
+            .join(sel.select(F.col("vec_id").alias("a")), "a", "left_anti")
+            .groupBy("a")
+            .agg(F.max("sim").alias("ms"))
+        )
+        raw = F.lit(lam) * F.col("rel") - F.lit(round(1 - lam, 1)) * F.col("ms")
+        pick = (
+            cand.join(ms, cand.vec_id == ms.a)
+            .orderBy(raw.desc(), F.asc("vec_id"))
+            .limit(1)
+            .select(
+                "vec_id",
+                (F.floor(raw * 1e6 + F.lit(0.5)) / 1e6).alias("score"),
+                F.lit(i).alias("rank"),
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    return sel.select("rank", "vec_id", "score")

@@ -1396,3 +1396,162 @@ def text_kwic(spark, sf_dir):
         p.alias("position"),
         F.array_join(F.slice("tk", start, length), " ").alias("context"),
     )
+
+
+@register(
+    "text_pmi_bigrams",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+            FROM documents
+        ),
+        uni AS (SELECT unnest(tk) AS w FROM toks),
+        uc AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+        nu AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni),
+        bg AS (
+            SELECT unnest(CASE WHEN len(tk) >= 2
+                               THEN list_transform(generate_series(1, len(tk) - 1),
+                                                   i -> [tk[i], tk[i + 1]])
+                               ELSE [] END) AS p
+            FROM toks
+        ),
+        bc AS (SELECT p[1] AS w1, p[2] AS w2, COUNT(*) AS c12 FROM bg GROUP BY p[1], p[2]),
+        nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bg)
+        SELECT w1, w2, c12,
+               FLOOR(LN((c12 * 1.0 / nb.n) /
+                        ((u1.c * 1.0 / nu.n) * (u2.c * 1.0 / nu.n))) * 1e6 + 0.5)
+                   / 1e6 AS pmi
+        FROM bc
+        JOIN uc u1 ON bc.w1 = u1.w
+        JOIN uc u2 ON bc.w2 = u2.w
+        CROSS JOIN nu CROSS JOIN nb
+        WHERE c12 >= 5
+        ORDER BY FLOOR(LN((c12 * 1.0 / nb.n) /
+                          ((u1.c * 1.0 / nu.n) * (u2.c * 1.0 / nu.n))) * 1e6 + 0.5)
+                     / 1e6 DESC,
+                 w1 ASC, w2 ASC
+        LIMIT 20
+    """,
+    notes=(
+        "PMI collocation mining (Church & Hanks 1990, public — the "
+        "association score behind phrase detection in every corpus "
+        "pipeline): pmi(w1,w2) = ln(p(w1 w2)/(p(w1)p(w2))) over adjacent "
+        "token pairs, support >= 5, top-20. Bigrams via the zip_with "
+        "row-local pairing (the O(tokens) form — NOTES_r4 lesson), counts "
+        "partial-agg'd; the two scalar totals ride a broadcast cross join. "
+        "PMI args are exact int-ratio doubles in both engines, ln on "
+        "identical bits, dround 6 with bigram tie-break — deterministic"
+    ),
+)
+def text_pmi_bigrams(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    toks = d.select("doc_id", tk.alias("tk"))
+    uni = toks.select(F.explode("tk").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.count("*").cast("double").alias("nu"))
+    bg = toks.select(
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    F.col("tk"),
+                    F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                ),
+                lambda s: s.getField("w2").isNotNull(),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bc = bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    nb = bg.agg(F.count("*").cast("double").alias("nb"))
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    pmi_raw = F.log(
+        (F.col("c12") * 1.0 / F.col("nb"))
+        / ((F.col("c1") * 1.0 / F.col("nu")) * (F.col("c2") * 1.0 / F.col("nu")))
+    )
+    pmi = F.floor(pmi_raw * 1e6 + F.lit(0.5)) / 1e6
+    return (
+        bc.filter(F.col("c12") >= 5)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_zipf_slope",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                AS w
+            FROM documents
+        ),
+        freq AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w),
+        ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS r FROM freq
+        ),
+        pts AS (
+            SELECT FLOOR(LN(r) * 1e9 + 0.5) / 1e9 AS x,
+                   FLOOR(LN(c) * 1e9 + 0.5) / 1e9 AS y
+            FROM ranked WHERE r <= 100
+        ),
+        s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                     SUM(x * y) AS sxy, SUM(x * x) AS sxx
+              FROM pts)
+        SELECT CAST(n AS BIGINT) AS n_terms,
+               FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+                   AS zipf_slope,
+               FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+                     * 1e6 + 0.5) / 1e6 AS intercept
+        FROM s
+    """,
+    notes=(
+        "Zipf rank-frequency fit (public corpus-linguistics diagnostic — a "
+        "natural corpus shows slope near -1; synthetic or degenerate text "
+        "does not, so the slope is a cheap corpus-health gate for curation "
+        "pipelines): OLS of ln(freq) on ln(rank) over the top-100 tokens. "
+        "One explode + count shuffle, a 100-row ranked frame, one scalar "
+        "aggregate — corpus-size independent after the count. Per-point "
+        "ln values dround'd to 1e-9 before the sums (the lm_unigram "
+        "sum-order discipline); slope/intercept dround 6"
+    ),
+)
+def text_zipf_slope(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    freq = (
+        d.select(F.explode(tk).alias("w")).groupBy("w").agg(F.count("*").alias("c"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+    ).filter(F.col("r") <= 100)
+    pts = ranked.select(
+        (F.floor(F.log(F.col("r").cast("double")) * 1e9 + F.lit(0.5)) / 1e9).alias("x"),
+        (F.floor(F.log(F.col("c").cast("double")) * 1e9 + F.lit(0.5)) / 1e9).alias("y"),
+    )
+    s = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        (F.floor(slope * 1e6 + F.lit(0.5)) / 1e6).alias("zipf_slope"),
+        (
+            F.floor((F.col("sy") - slope * F.col("sx")) / F.col("n") * 1e6 + F.lit(0.5))
+            / 1e6
+        ).alias("intercept"),
+    )

@@ -872,3 +872,112 @@ def test_graph_harmonic_vs_python_bfs(spark):
             math.floor(1e9 / d + 0.5) / 1e9 for v, d in dist.items() if v != s
         )
         assert abs(got[s] - math.floor(expected * 1e6 + 0.5) / 1e6) < 2e-6, s
+
+
+def _cos(a, b):
+    num = sum(x * y for x, y in zip(a, b))
+    den = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+    return num / den
+
+
+def test_sim_knn_classify_matches_python(spark):
+    rows = t(spark, SF_SMALL, "embeddings").collect()
+    vecs = {r.vec_id: ([float(x) for x in r.embedding], r.label) for r in rows}
+    got = {r.q_id: r for r in OPS["sim_knn_classify"].fn(spark, SF_SMALL).collect()}
+    n_right = 0
+    for q in range(20):
+        qv, true_label = vecs[q]
+        scored = sorted(
+            ((round(_cos(v, qv), 6), vid) for vid, (v, _) in vecs.items() if vid >= 50),
+            key=lambda p: (-p[0], p[1]),
+        )[:5]
+        votes = Counter(vecs[vid][1] for _, vid in scored)
+        pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[q].pred_label == pred, q
+        assert got[q].true_label == true_label
+        n_right += got[q].correct
+    assert 0 <= n_right <= 20
+
+
+def test_sim_mmr_rerank_matches_python_greedy(spark):
+    rows = t(spark, SF_SMALL, "embeddings").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    qv = vecs[0]
+    rel = sorted(
+        ((round(_cos(v, qv), 6), vid) for vid, v in vecs.items() if vid != 0),
+        key=lambda p: (-p[0], p[1]),
+    )[:20]
+    cand = {vid: r for r, vid in rel}
+    sel, expected = [], []
+    for step in range(1, 6):
+        best = None
+        for vid, r in cand.items():
+            if vid in sel:
+                continue
+            if not sel:
+                score = 0.7 * r
+            else:
+                ms = max(round(_cos(vecs[vid], vecs[s]), 6) for s in sel)
+                score = 0.7 * r - 0.3 * ms
+            key = (-score, vid)
+            if best is None or key < best[0]:
+                best = (key, vid, score)
+        sel.append(best[1])
+        expected.append((step, best[1], math.floor(best[2] * 1e6 + 0.5) / 1e6))
+    got = [
+        (r.rank, r.vec_id, r.score)
+        for r in sorted(OPS["sim_mmr_rerank"].fn(spark, SF_SMALL).collect())
+    ]
+    assert got == expected
+    # diversity: the MMR picks differ from plain top-5 relevance
+    top5 = [vid for _, vid in rel[:5]]
+    assert sel != top5 or len(set(sel)) == 5
+
+
+def test_text_pmi_bigrams_matches_python(spark):
+    docs = t(spark, SF_SMALL, "documents").select("text").collect()
+    uni, big = Counter(), Counter()
+    for (text,) in docs:
+        tk = [w for w in text.lower().split(" ") if w]
+        uni.update(tk)
+        big.update(zip(tk, tk[1:]))
+    nu, nb = sum(uni.values()), sum(big.values())
+    scored = []
+    for (w1, w2), c12 in big.items():
+        if c12 < 5:
+            continue
+        pmi = math.log((c12 / nb) / ((uni[w1] / nu) * (uni[w2] / nu)))
+        scored.append((math.floor(pmi * 1e6 + 0.5) / 1e6, w1, w2, c12))
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    expected = [(w1, w2, c12, p) for p, w1, w2, c12 in scored[:20]]
+    got = [
+        (r.w1, r.w2, r.c12, r.pmi)
+        for r in OPS["text_pmi_bigrams"].fn(spark, SF_SMALL).collect()
+    ]
+    assert got == expected
+
+
+def test_text_zipf_slope_matches_python(spark):
+    docs = t(spark, SF_SMALL, "documents").select("text").collect()
+    uni = Counter()
+    for (text,) in docs:
+        uni.update(w for w in text.lower().split(" ") if w)
+    ranked = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    pts = [
+        (
+            math.floor(math.log(i + 1) * 1e9 + 0.5) / 1e9,
+            math.floor(math.log(c) * 1e9 + 0.5) / 1e9,
+        )
+        for i, (_, c) in enumerate(ranked)
+    ]
+    n = float(len(pts))
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    row = OPS["text_zipf_slope"].fn(spark, SF_SMALL).collect()[0]
+    assert row.n_terms == len(pts)
+    assert abs(row.zipf_slope - math.floor(slope * 1e6 + 0.5) / 1e6) < 2e-6
+    # synthetic near-uniform corpus: slope should be shallow (> -1)
+    assert row.zipf_slope > -1.0
