@@ -649,3 +649,67 @@ def agg_gini(spark, sf_dir):
         .agg(gini.alias("gini"))
         .select("o_orderpriority", "gini", F.col("n").cast("long").alias("n"))
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    "aggregates",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                        AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS DOUBLE) AS s3,
+                   CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                            * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                        AS DOUBLE) AS s4
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               FLOOR(((s3 / n) - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n))
+                     / POWER((s2 / n) - (s1 / n) * (s1 / n), 1.5) * 1e6 + 0.5) / 1e6
+                   AS skewness,
+               FLOOR(((s4 / n) - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                     / (((s2 / n) - (s1 / n) * (s1 / n)) * ((s2 / n) - (s1 / n) * (s1 / n)))
+                     * 1e6 + 0.5) / 1e6 - 3.0 AS kurtosis
+        FROM s
+    """,
+    notes=(
+        "population skewness + excess kurtosis per group from EXACT integer "
+        "power sums S1..S4 (quantity is integer-valued; q^4 * |group| stays "
+        "far inside int64, so the moments are bit-identical in both engines "
+        "and the float formula runs on identical operands — the engine "
+        "built-ins are deliberately NOT used because Spark's skewness is "
+        "population-form while DuckDB's is sample-adjusted). One fused "
+        "partial-agg scan; 5 longs of mergeable state — the 100 TB shape"
+    ),
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(q * q).cast("double").alias("s2"),
+        F.sum(q * q * q).cast("double").alias("s3"),
+        F.sum(q * q * q * q).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = (s2 / n) - mean * mean
+    m3 = (s3 / n) - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * mean * mean * mean
+    m4 = (
+        (s4 / n)
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * mean * mean * mean * mean
+    )
+    return s.select(
+        "l_returnflag",
+        (F.floor(m3 / F.pow(m2, 1.5) * 1e6 + F.lit(0.5)) / 1e6).alias("skewness"),
+        (F.floor(m4 / (m2 * m2) * 1e6 + F.lit(0.5)) / 1e6 - F.lit(3.0)).alias("kurtosis"),
+    )

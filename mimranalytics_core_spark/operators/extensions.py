@@ -791,3 +791,45 @@ def profile_events_table(spark, sf_dir):
     return agg.select("n_rows", stack).select(
         "col", "n_rows", "n_null", "n_distinct", "min_val", "max_val"
     )
+
+
+@register(
+    "reshape_unpivot",
+    "scalar_fns",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'extendedprice',
+               CAST(l_extendedprice AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount',
+               CAST(l_discount AS DOUBLE) FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax',
+               CAST(l_tax AS DOUBLE) FROM lineitem
+    """,
+    notes=(
+        "wide-to-long unpivot/melt (the report-reshaping verb of the F5 "
+        "export surface, and the long-format feed every metrics store "
+        "ingests): DataFrame.unpivot — ONE scan emitting 4 rows per input "
+        "row (Spark's Expand node), vs the oracle's 4-scan UNION ALL "
+        "formulation. Scan-local, zero shuffle, output 4x input — the "
+        "exact shape at any scale"
+    ),
+)
+def reshape_unpivot(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("quantity"),
+        F.col("l_extendedprice").cast("double").alias("extendedprice"),
+        F.col("l_discount").cast("double").alias("discount"),
+        F.col("l_tax").cast("double").alias("tax"),
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "measure",
+        "value",
+    )

@@ -625,3 +625,55 @@ def join_asof_nearest(spark, sf_dir):
             F.floor(F.col("gap_us") / F.lit(1000000)).cast("long").alias("gap_seconds"),
         )
     )
+
+
+@register(
+    "join_range_bucketed",
+    "joins",
+    oracle="""
+        SELECT o.o_orderkey, l.l_orderkey, l.l_linenumber
+        FROM orders o JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        WHERE o.o_custkey < 10
+    """,
+    notes=(
+        "PURE range join (no equi prefix — 'all shipments within a week of "
+        "this order', across orders) executed via the documented 100 TB "
+        "mitigation (SURVEY.md §4.3.2): both sides bucketed to the window "
+        "width (7 days), orders exploded to the 2 covering buckets, "
+        "EQUI-join on bucket + residual range filter. Each matching pair "
+        "lands in exactly one bucket (the lineitem side has one bucket), "
+        "so no dedup shuffle is needed. Turns the O(n*m) BNLJ Spark would "
+        "otherwise pick into per-bucket hash joins — the plan assertion in "
+        "tests/test_plans.py checks no CartesianProduct/BNLJ survives. "
+        "Oracle is the naive range join, proving the rewrite exact"
+    ),
+)
+def join_range_bucketed(spark, sf_dir):
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 10)
+    li = t(spark, sf_dir, "lineitem")
+    epoch = F.lit("1992-01-01").cast("date")
+    ob = o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.floor(F.datediff("o_orderdate", epoch) / 7).alias("b0"),
+    ).select(
+        "o_orderkey",
+        "o_orderdate",
+        F.explode(F.array(F.col("b0"), F.col("b0") + 1)).alias("bucket"),
+    )
+    lb = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        F.floor(F.datediff("l_shipdate", epoch) / 7).alias("bucket"),
+    )
+    return (
+        ob.join(lb, "bucket")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.date_add("o_orderdate", 7))
+        )
+        .select("o_orderkey", "l_orderkey", "l_linenumber")
+    )

@@ -826,3 +826,146 @@ def ts_autocorr(spark, sf_dir):
         .filter(F.col("n_l2") >= 5)
         .drop("n_l2")
     )
+
+
+@register(
+    "ts_rolling_corr",
+    "timeseries",
+    oracle="""
+        WITH base AS (
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p
+            FROM lineitem
+        ),
+        fr AS (
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   COUNT(*) OVER w AS n,
+                   SUM(q) OVER w AS sq, SUM(p) OVER w AS sp,
+                   SUM(q * p) OVER w AS sqp,
+                   SUM(q * q) OVER w AS sqq, SUM(p * p) OVER w AS spp,
+                   ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate ASC, l_orderkey ASC,
+                                l_linenumber ASC) AS rn
+            FROM base
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate ASC, l_orderkey ASC,
+                                  l_linenumber ASC
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+               CASE WHEN (CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                          - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)) = 0
+                      OR (CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                          - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) = 0
+                    THEN NULL
+                    ELSE FLOOR(
+                        (CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+                         - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                        / (SQRT(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE)
+                                - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                           * SQRT(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE)
+                                  - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                        * 1e6 + 0.5) / 1e6
+               END AS rolling_r
+        FROM fr WHERE rn >= 20
+    """,
+    notes=(
+        "rolling 20-row Pearson correlation (price vs quantity per "
+        "supplier — the co-movement screen a risk desk runs per "
+        "counterparty): computed from EXACT integer power sums (quantity "
+        "as int, price as cents) over the ordered frame, so the sufficient "
+        "statistics are bit-identical in both engines regardless of frame "
+        "accumulation order (DuckDB's segment-tree window merges vs "
+        "Spark's streaming frames — float sums would ulp-diverge, integer "
+        "sums cannot). One window shuffle on suppkey; per-row state is 5 "
+        "longs. Full-frame rows only (rn >= 20)"
+    ),
+)
+def ts_rolling_corr(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint").alias("p"),
+    )
+    order = [F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    w = (
+        Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-19, Window.currentRow)
+    )
+    wr = Window.partitionBy("l_suppkey").orderBy(*order)
+    fr = base.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.count("*").over(w).alias("n"),
+        F.sum("q").over(w).alias("sq"),
+        F.sum("p").over(w).alias("sp"),
+        F.sum(F.col("q") * F.col("p")).over(w).alias("sqp"),
+        F.sum(F.col("q") * F.col("q")).over(w).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).over(w).alias("spp"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    nd = F.col("n").cast("double")
+    sq = F.col("sq").cast("double")
+    sp = F.col("sp").cast("double")
+    sqp = F.col("sqp").cast("double")
+    sqq = F.col("sqq").cast("double")
+    spp = F.col("spp").cast("double")
+    var_q = nd * sqq - sq * sq
+    var_p = nd * spp - sp * sp
+    r = (nd * sqp - sq * sp) / (F.sqrt(var_q) * F.sqrt(var_p))
+    return (
+        fr.filter(F.col("rn") >= 20)
+        .select(
+            "l_suppkey",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            F.when((var_q == 0) | (var_p == 0), F.lit(None).cast("double"))
+            .otherwise(F.floor(r * 1e6 + F.lit(0.5)) / 1e6)
+            .alias("rolling_r"),
+        )
+    )
+
+
+@register(
+    "ts_seasonal_hour",
+    "timeseries",
+    oracle="""
+        WITH h AS (SELECT event_type, hour(ts) AS hr, COUNT(*) AS cnt
+                   FROM events GROUP BY event_type, hour(ts)),
+        tot AS (SELECT event_type, SUM(cnt) AS total FROM h GROUP BY event_type)
+        SELECT h.event_type, CAST(h.hr AS INTEGER) AS hr,
+               CAST(h.cnt AS BIGINT) AS cnt,
+               FLOOR(h.cnt * 24.0 / tot.total * 1e6 + 0.5) / 1e6
+                   AS seasonal_index
+        FROM h JOIN tot ON h.event_type = tot.event_type
+    """,
+    notes=(
+        "hour-of-day seasonal profile per event type (the multiplicative "
+        "seasonal-index step of classical decomposition — index > 1 marks "
+        "peak hours; the load-shaping signal for the Time-Slider stream, "
+        "README.md:17): two partial-agg shuffles on a 5x24-cell grid, "
+        "index math on exact integer ratios. At 100 TB the hour counts "
+        "are mergeable partials — the canonical pre-aggregation shape"
+    ),
+)
+def ts_seasonal_hour(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", F.hour("ts").alias("hr")).agg(
+        F.count("*").alias("cnt")
+    )
+    tot = h.groupBy("event_type").agg(F.sum("cnt").alias("total"))
+    return h.join(tot, "event_type").select(
+        "event_type",
+        F.col("hr").cast("int").alias("hr"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.floor(F.col("cnt") * 24.0 / F.col("total") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "seasonal_index"
+        ),
+    )

@@ -404,3 +404,46 @@ def win_sessionize_ids(spark, sf_dir):
     return marked.select(
         "user_id", "event_id", "ts", F.sum("new_sess").over(wsum).alias("session_id")
     )
+
+
+@register(
+    "win_distinct_running",
+    "windows",
+    oracle="""
+        SELECT user_id, event_id,
+               CAST(SUM(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_types_seen
+        FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts ASC, event_id ASC) = 1
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        )
+    """,
+    notes=(
+        "running DISTINCT count per key (how many event types has this "
+        "user touched so far) — a feature Spark SQL lacks natively "
+        "(COUNT(DISTINCT) OVER is unsupported): implemented as "
+        "size(collect_set() OVER rows-unbounded-preceding), state bounded "
+        "by the type domain (5). The oracle is an INDEPENDENT formulation "
+        "— first-occurrence marker + running integer sum — so the hash "
+        "match certifies the semantics, not the implementation. One "
+        "window shuffle on user_id, integer-only"
+    ),
+)
+def win_distinct_running(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_types_seen"),
+    )

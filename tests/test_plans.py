@@ -225,3 +225,17 @@ def test_clustering_coeff_no_cartesian(spark):
 def test_curation_pipeline_no_cartesian(spark):
     plan = _plan(spark, "pipeline_curation_end2end")
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_bucketed_join_is_equi_not_bnlj(spark):
+    plan = _plan(spark, "join_range_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bucket key made it an equi join (hash or sort-merge)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_mmr_rerank_plan_has_no_cartesian_beyond_bounded(spark):
+    # the only cross joins are against 1-row/20-row declared-bounded frames
+    plan = _plan(spark, "sim_mmr_rerank")
+    assert "CartesianProduct" not in plan

@@ -981,3 +981,84 @@ def test_text_zipf_slope_matches_python(spark):
     assert abs(row.zipf_slope - math.floor(slope * 1e6 + 0.5) / 1e6) < 2e-6
     # synthetic near-uniform corpus: slope should be shallow (> -1)
     assert row.zipf_slope > -1.0
+
+
+def test_ts_rolling_corr_matches_python(spark):
+    li = (
+        t(spark, SF_SMALL, "lineitem")
+        .filter(F.col("l_suppkey") == 1)
+        .select("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    rows = sorted(li, key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber))
+    qs = [int(r.l_quantity) for r in rows]
+    ps = [int(math.floor(r.l_extendedprice * 100.0 + 0.5)) for r in rows]
+    got = {
+        (r.l_shipdate, r.l_orderkey, r.l_linenumber): r.rolling_r
+        for r in OPS["ts_rolling_corr"].fn(spark, SF_SMALL)
+        .filter(F.col("l_suppkey") == 1)
+        .collect()
+    }
+    assert len(got) == max(0, len(rows) - 19)
+    for i in range(19, len(rows)):
+        q, p = qs[i - 19 : i + 1], ps[i - 19 : i + 1]
+        n = 20.0
+        sq, sp = float(sum(q)), float(sum(p))
+        sqp = float(sum(a * b for a, b in zip(q, p)))
+        sqq, spp = float(sum(a * a for a in q)), float(sum(b * b for b in p))
+        vq, vp = n * sqq - sq * sq, n * spp - sp * sp
+        key = (rows[i].l_shipdate, rows[i].l_orderkey, rows[i].l_linenumber)
+        if vq == 0 or vp == 0:
+            assert got[key] is None
+        else:
+            r = (n * sqp - sq * sp) / (math.sqrt(vq) * math.sqrt(vp))
+            assert abs(got[key] - math.floor(r * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_agg_skew_kurtosis_matches_python(spark):
+    rows = t(spark, SF_SMALL, "lineitem").select("l_returnflag", "l_quantity").collect()
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(int(r.l_quantity))
+    got = {r.l_returnflag: r for r in OPS["agg_skew_kurtosis"].fn(spark, SF_SMALL).collect()}
+    for flag, qs in by_flag.items():
+        n = float(len(qs))
+        mean = sum(qs) / n
+        m2 = sum(q * q for q in qs) / n - mean * mean
+        m3 = sum(q**3 for q in qs) / n - 3 * mean * sum(q * q for q in qs) / n + 2 * mean**3
+        m4 = (
+            sum(q**4 for q in qs) / n
+            - 4 * mean * sum(q**3 for q in qs) / n
+            + 6 * mean * mean * sum(q * q for q in qs) / n
+            - 3 * mean**4
+        )
+        assert abs(got[flag].skewness - math.floor(m3 / m2**1.5 * 1e6 + 0.5) / 1e6) < 2e-6
+        assert abs(got[flag].kurtosis - (math.floor(m4 / (m2 * m2) * 1e6 + 0.5) / 1e6 - 3.0)) < 2e-6
+        # quantity is ~uniform: near-zero skew, platykurtic (kurtosis ~ -1.2)
+        assert abs(got[flag].skewness) < 0.2
+        assert -1.5 < got[flag].kurtosis < -0.8
+
+
+def test_win_distinct_running_monotone_and_bounded(spark):
+    res = OPS["win_distinct_running"].fn(spark, SF_SMALL)
+    ev = t(spark, SF_SMALL, "events")
+    n_types = ev.select("event_type").distinct().count()
+    import pandas as pd
+
+    pdf = res.toPandas()
+    assert (pdf.n_types_seen >= 1).all() and (pdf.n_types_seen <= n_types).all()
+    # running distinct counts are monotone nondecreasing per user in event order
+    evp = ev.select("user_id", "event_id", "ts").toPandas()
+    m = pdf.merge(evp, on=["user_id", "event_id"])
+    m = m.sort_values(["user_id", "ts", "event_id"])
+    assert (m.groupby("user_id").n_types_seen.diff().fillna(0) >= 0).all()
+
+
+def test_reshape_unpivot_count_and_roundtrip(spark):
+    li = t(spark, SF_SMALL, "lineitem")
+    res = OPS["reshape_unpivot"].fn(spark, SF_SMALL)
+    assert res.count() == 4 * li.count()
+    back = res.groupBy("l_orderkey", "l_linenumber").pivot("measure").sum("value")
+    row = back.filter((F.col("l_orderkey") == 1)).collect()
+    orig = li.filter(F.col("l_orderkey") == 1).collect()
+    assert len(row) == len(orig)
