@@ -91,6 +91,13 @@ Grammar subset:
   or default names), then ``SKIP n`` / ``LIMIT n``. Ties are NOT broken
   implicitly — order by a unique column (e.g. the entity id) before
   LIMIT for deterministic pagination, as the §2.6 operators do.
+- Relationship variables: ``-[r:TYPE]->`` binds ``r``; ``r.weight`` (the
+  ownership fraction) is readable in WHERE/RETURN and maps onto the
+  path_weight machinery (so it is single-segment-only and round-6; for a
+  1..1 segment it is exactly the edge weight).
+- ``UNION`` / ``UNION ALL`` between complete queries (same RETURN column
+  names required; plain UNION deduplicates; mixing the two is rejected —
+  all Neo4j semantics).
 """
 
 from __future__ import annotations
@@ -106,6 +113,7 @@ _NODE_RE = re.compile(r"\(\s*([A-Za-z_]\w*)\s*(?::\s*([A-Za-z_]\w*))?\s*\)")
 _LABEL_PREFIX = {"customer": "c:", "supplier": "s:", "nation": "n:", "region": "r:"}
 _REL_RE = re.compile(
     r"""\s*-\s*\[\s*
+        (?P<rvar>[A-Za-z_]\w*)?\s*
         (?::\s*(?P<types>[A-Za-z_]\w*(?:\s*\|\s*[A-Za-z_]\w*)*))?
         \s*(?P<star>\*)?\s*
         (?:(?<=\*)|(?=\s*\]))        # bounds only legal after a star
@@ -211,6 +219,7 @@ def parse(query: str) -> dict:
                     "max_hops": hi,
                     "src": cvars[-1],
                     "dst": nm.group(1),
+                    "rvar": rm.group("rvar"),
                 }
             )
             cvars.append(nm.group(1))
@@ -290,6 +299,21 @@ def parse(query: str) -> dict:
         pos += nxt.end()
     segments = clauses[0]["segments"]
 
+    # relationship variables: `-[r:TYPE]->` binds r; only `r.weight` is
+    # readable (it maps onto the path_weight machinery, so it inherits the
+    # single-segment / non-shortestPath guards)
+    relvars: set = set()
+    for cl in clauses:
+        for seg in cl["segments"]:
+            rv = seg.get("rvar")
+            if not rv:
+                continue
+            if rv.lower() in _RESERVED or rv in bound or rv in relvars:
+                raise CypherSyntaxError(
+                    f"relationship variable {rv!r} collides with another name"
+                )
+            relvars.add(rv)
+
     # mask the WITH inside "STARTS WITH" so the pipeline scanner's WITH
     # keyword can't bind to it, then unmask every extracted fragment
     tail = re.sub(r"STARTS\s+WITH", "STARTS__WITH", query[pos:], flags=re.I)
@@ -336,6 +360,12 @@ def parse(query: str) -> dict:
                 if prop in _PROPS:
                     prop_vars.setdefault(var, set()).add(prop)
                     return f"{var}__{prop}"
+            if var in relvars:
+                if prop == "weight":
+                    return _map_expr("path_weight", ctx)
+                raise CypherSyntaxError(
+                    f"unsupported relationship property (only .weight): {expr!r}"
+                )
             raise CypherSyntaxError(f"unsupported property access in {ctx}: {expr!r}")
         low = expr.lower()
         if low in ("hops", "path_weight"):
@@ -693,12 +723,58 @@ def parse(query: str) -> dict:
     }
 
 
+_UNION_RE = re.compile(r"\bUNION(?P<all>\s+ALL)?\b", re.I)
+
+
+def _split_union(query: str) -> tuple[list[str], str | None]:
+    """Split a query on top-level UNION [ALL] keywords (outside quoted
+    literals). Returns (branches, kind) with kind in {None, "distinct",
+    "all"}. Mixing UNION and UNION ALL is rejected, as in Neo4j."""
+    masked = re.sub(r"'(?:[^'])*'", lambda m: "'" + "x" * (len(m.group(0)) - 2) + "'", query)
+    spans, kinds = [], []
+    for m in _UNION_RE.finditer(masked):
+        spans.append((m.start(), m.end()))
+        kinds.append(bool(m.group("all")))
+    if not spans:
+        return [query], None
+    if len(set(kinds)) > 1:
+        raise CypherSyntaxError("cannot mix UNION and UNION ALL in one query")
+    pieces, last = [], 0
+    for s, e in spans:
+        pieces.append(query[last:s])
+        last = e
+    pieces.append(query[last:])
+    return pieces, "all" if kinds[0] else "distinct"
+
+
 def run(
     spark: SparkSession, sf_dir: str, query: str, graph: str = "hierarchy"
 ) -> DataFrame:
-    """Execute a Cypher MATCH string against a catalog graph view
-    (``graph``: "hierarchy" — the ownership DAG — or "trade_credit", the
-    bounded cyclic digraph where trail semantics bite)."""
+    """Execute a Cypher string against a catalog graph view (``graph``:
+    "hierarchy" — the ownership DAG — or "trade_credit", the bounded cyclic
+    digraph where trail semantics bite). Top-level ``UNION [ALL]`` combines
+    complete sub-queries (same RETURN column names required, as in Neo4j;
+    plain UNION deduplicates)."""
+    pieces, kind = _split_union(query)
+    if kind is None:
+        return _run_single(spark, sf_dir, query, graph=graph)
+    dfs = [_run_single(spark, sf_dir, q, graph=graph) for q in pieces]
+    cols = dfs[0].columns
+    for d in dfs[1:]:
+        if d.columns != cols:
+            raise CypherSyntaxError(
+                f"UNION branches must return the same columns: {cols} vs {d.columns}"
+            )
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.distinct() if kind == "distinct" else out
+
+
+def _run_single(
+    spark: SparkSession, sf_dir: str, query: str, graph: str = "hierarchy"
+) -> DataFrame:
+    """Execute one (UNION-free) Cypher MATCH string; see :func:`run`."""
     from mimranalytics_core_spark import api, catalog
 
     p = parse(query)

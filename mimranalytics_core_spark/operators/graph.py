@@ -2477,3 +2477,71 @@ _TOPO_SQL = """
 )
 def graph_topo_levels(spark, sf_dir):
     return _sql_both(spark, sf_dir, _TOPO_SQL.format(edges=HIERARCHY_SQL.strip()))
+
+
+@register(
+    "cypher_rel_weight",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT src AS customer, dst AS nation, ROUND(weight, 6) AS w
+        FROM edges
+        WHERE rel_type = 'customer_of' AND ROUND(weight, 6) >= 0.01
+    """,
+    notes=(
+        "Cypher relationship variables (README.md:25 — Neo4j edges carry "
+        "properties; ownership queries read the fraction off the edge): "
+        "`-[r:CUSTOMER_OF]->` binds r and `r.weight` is readable in WHERE "
+        "and RETURN, compiled onto the path_weight machinery (for a 1..1 "
+        "segment it is exactly the round-6 edge weight; the single-segment "
+        "guard is inherited). Oracle reads the same weights straight off "
+        "the edge CTE"
+    ),
+)
+def cypher_rel_weight(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[r:CUSTOMER_OF]->(n)
+           WHERE r.weight >= 0.01
+           RETURN c.id AS customer, n.id AS nation, r.weight AS w""",
+    )
+
+
+@register(
+    "cypher_union",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        cu AS (SELECT dst AS entity, COUNT(*) AS members FROM edges
+               WHERE rel_type = 'customer_of' GROUP BY dst),
+        su AS (SELECT dst AS entity, COUNT(*) AS members FROM edges
+               WHERE rel_type = 'supplier_of' GROUP BY dst)
+        SELECT entity, members FROM cu
+        UNION
+        SELECT entity, members FROM su
+    """,
+    notes=(
+        "Cypher UNION (README.md:25 — combining member rosters from two "
+        "relationship types is the textbook UNION use): two complete "
+        "aggregate queries combined with set semantics (plain UNION "
+        "deduplicates; branches must return the same column names, "
+        "mixing UNION/UNION ALL rejected — all Neo4j rules). Each branch "
+        "plans independently (one edge-scan + partial agg); the union "
+        "adds one distinct shuffle only in the plain-UNION case"
+    ),
+)
+def cypher_union(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+           RETURN n.id AS entity, count(*) AS members
+           UNION
+           MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+           RETURN n.id AS entity, count(*) AS members""",
+    )

@@ -805,3 +805,86 @@ def test_cypher_label_rejections():
         parse(
             "MATCH (a:Customer)-[:X]->(b) MATCH (a:Nation)-[:Y]->(d) RETURN a, b, d"
         )
+
+
+def test_cypher_rel_weight_equals_edge_weight(spark):
+    from mimranalytics_core_spark import api, catalog
+    from pyspark.sql import functions as F
+
+    got = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[r:CUSTOMER_OF]->(n) RETURN c.id AS c, r.weight AS w",
+    )
+    exp = (
+        catalog.hierarchy_edges(spark, SF_SMALL)
+        .filter(F.col("rel_type") == "customer_of")
+        .select(F.col("src").alias("c"), F.round("weight", 6).alias("w"))
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_cypher_rel_weight_rejects_other_props_and_multiseg(spark):
+    import pytest as _pytest
+
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with _pytest.raises(CypherSyntaxError):
+        parse("MATCH (a)-[r:CUSTOMER_OF]->(b) RETURN r.since")
+    with _pytest.raises(CypherSyntaxError):
+        parse(
+            "MATCH (a)-[r:CUSTOMER_OF]->(b)-[:NATION_OF]->(c) RETURN r.weight"
+        )
+    with _pytest.raises(CypherSyntaxError):
+        # rel var colliding with a node var
+        parse("MATCH (a)-[a:CUSTOMER_OF]->(b) RETURN a")
+
+
+def test_cypher_union_all_vs_union_distinct(spark):
+    from mimranalytics_core_spark import api
+
+    q = (
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN n.id AS e "
+        "{u} "
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN n.id AS e"
+    )
+    dall = api.cypher(spark, SF_SMALL, q.format(u="UNION ALL"))
+    ddis = api.cypher(spark, SF_SMALL, q.format(u="UNION"))
+    n_nations = (
+        api.cypher(spark, SF_SMALL, "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN DISTINCT n.id AS e")
+    ).count()
+    assert ddis.count() == n_nations
+    assert dall.count() == 2 * api.cypher(
+        spark, SF_SMALL, "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN n.id AS e"
+    ).count()
+
+
+def test_cypher_union_mismatched_columns_and_mixing_rejected(spark):
+    import pytest as _pytest
+
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    with _pytest.raises(CypherSyntaxError):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (a)-[:CUSTOMER_OF]->(b) RETURN a.id AS x "
+            "UNION MATCH (a)-[:CUSTOMER_OF]->(b) RETURN a.id AS y",
+        )
+    with _pytest.raises(CypherSyntaxError):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (a)-[:CUSTOMER_OF]->(b) RETURN a.id AS x "
+            "UNION MATCH (a)-[:CUSTOMER_OF]->(b) RETURN a.id AS x "
+            "UNION ALL MATCH (a)-[:CUSTOMER_OF]->(b) RETURN a.id AS x",
+        )
+    # STARTS WITH literal containing the word UNION must NOT split
+    df = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (a)-[:CUSTOMER_OF]->(b) WHERE a.name STARTS WITH 'UNION' "
+        "RETURN a.id AS x",
+    )
+    assert df.count() == 0

@@ -21,11 +21,11 @@ def _node(draw, var):
 
 
 @st.composite
-def _rel(draw):
+def _rel(draw, rvar: str = ""):
     types = draw(st.lists(_TYPES, min_size=0, max_size=2, unique=True))
     tpart = (":" + "|".join(types)) if types else ""
     star = draw(st.sampled_from(["", "*", "*2", "*1..3"]))
-    return f"-[{tpart}{star}]->"
+    return f"-[{rvar}{tpart}{star}]->"
 
 
 @st.composite
@@ -33,9 +33,11 @@ def _query(draw):
     nvars = draw(st.integers(2, 4))
     vs = draw(st.lists(_VARS, min_size=nvars, max_size=nvars, unique=True))
     shortest = nvars == 2 and draw(st.booleans())
+    # single-segment patterns may bind a relationship variable
+    rvar = "r" if nvars == 2 and not shortest and draw(st.booleans()) else ""
     pat = draw(_node(vs[0]))
     for v in vs[1:]:
-        pat += draw(_rel()) + draw(_node(v))
+        pat += draw(_rel(rvar)) + draw(_node(v))
     if shortest:
         q = f"MATCH p = shortestPath({pat})"
     else:
@@ -61,21 +63,28 @@ def _query(draw):
                 items = ["piped", "n2"]
     else:
         items = [vs[0], "count(*) AS n"] if draw(st.booleans()) else list(vs[:2])
+    if rvar and not with_match and draw(st.booleans()):
+        items.append("r.weight AS w")
     q += " RETURN " + ", ".join(items)
     if draw(st.booleans()):
         q += f" ORDER BY {items[0].split(' ')[-1]} DESC"
     if draw(st.booleans()):
         q += f" LIMIT {draw(st.integers(1, 50))}"
+    if not with_match and not shortest and draw(st.integers(0, 9)) == 0:
+        q = q + " UNION ALL " + q  # same columns by construction
     return q
 
 
 @settings(max_examples=150, deadline=None)
 @given(_query())
 def test_generated_queries_parse(q):
-    p = parse(q)
-    assert p["projection"] and p["segments"]
-    for seg in p["segments"]:
-        assert 1 <= seg["min_hops"] <= seg["max_hops"]
+    from mimranalytics_core_spark.cypher import _split_union
+
+    for piece in _split_union(q)[0]:
+        p = parse(piece)
+        assert p["projection"] and p["segments"]
+        for seg in p["segments"]:
+            assert 1 <= seg["min_hops"] <= seg["max_hops"]
 
 
 @settings(max_examples=200, deadline=None)
