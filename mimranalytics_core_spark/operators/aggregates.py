@@ -14,6 +14,7 @@ top-k or a sketch at 100 TB.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mimranalytics_core_spark.functions.numeric import dround, dround_sql
@@ -712,4 +713,57 @@ def agg_skew_kurtosis(spark, sf_dir):
         "l_returnflag",
         (F.floor(m3 / F.pow(m2, 1.5) * 1e6 + F.lit(0.5)) / 1e6).alias("skewness"),
         (F.floor(m4 / (m2 * m2) * 1e6 + F.lit(0.5)) / 1e6 - F.lit(3.0)).alias("kurtosis"),
+    )
+
+
+@register(
+    "agg_weighted_median",
+    "aggregates",
+    oracle="""
+        WITH w AS (
+            SELECT l_returnflag, l_extendedprice,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice ASC, l_orderkey ASC,
+                                l_linenumber ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_w,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER (
+                       PARTITION BY l_returnflag) AS tot_w
+            FROM lineitem
+        )
+        SELECT l_returnflag, MIN(l_extendedprice) AS weighted_median
+        FROM w WHERE cum_w * 2 >= tot_w
+        GROUP BY l_returnflag
+    """,
+    notes=(
+        "exact quantity-weighted median price per group (the "
+        "volume-weighted mid-price a trade report quotes): ordered running "
+        "weight sum, first row whose cumulative weight crosses half the "
+        "total — deterministic because the weights are exact integers and "
+        "the order pins ties with the row key. One window shuffle on the "
+        "group key; the 100 TB form replaces the full sort with the "
+        "grouped exact-percentile pre-aggregation (agg_percentile_exact's "
+        "note) when groups are huge"
+    ),
+)
+def agg_weighted_median(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.asc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    q = F.col("l_quantity").cast("bigint")
+    w = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum(q).over(wc).alias("cum_w"),
+        F.sum(q).over(wt).alias("tot_w"),
+    )
+    return (
+        w.filter(F.col("cum_w") * 2 >= F.col("tot_w"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median"))
     )

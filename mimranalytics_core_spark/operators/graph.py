@@ -2364,11 +2364,13 @@ def graph_katz(spark, sf_dir):
     return x.select("node", (F.floor(F.col("v") * 1e6 + F.lit(0.5)) / 1e6).alias("katz"))
 
 
-def _lpa_oracle_sql(iters: int = 4) -> str:
+def _lpa_cte_sql(iters: int = 4) -> str:
     """Unrolled synchronous label propagation: l0 = own id; each round every
     node adopts the most frequent neighbor label, ties broken by MIN label,
     isolated nodes keep theirs. Integer counts + string labels end to end —
-    no float anywhere, so the hash is exact by construction."""
+    no float anywhere, so the hash is exact by construction. Returns the
+    CTE chain ending in ``lpa(node, community)`` so dependent oracles
+    (modularity) can build on the same fixpoint."""
     steps = []
     prev = "l0"
     for k in range(1, iters + 1):
@@ -2385,16 +2387,21 @@ def _lpa_oracle_sql(iters: int = 4) -> str:
                  FROM {prev} o LEFT JOIN p{k} ON o.node = p{k}.node)"""
         )
         prev = f"l{k}"
-    return f"""
+    cte = f"""
         WITH {TRADE_CREDIT_SQL},
         ue AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
             SELECT src, dst FROM tc_edges
             UNION ALL SELECT dst, src FROM tc_edges)),
         nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM ue),
         l0 AS (SELECT node, node AS label FROM nodes),
-        {",".join(steps)}
-        SELECT node, label AS community FROM {prev}
-    """
+        {",".join(steps)},
+        lpa AS MATERIALIZED (SELECT node, label AS community FROM {prev})"""
+    return cte
+
+
+def _lpa_oracle_sql(iters: int = 4) -> str:
+    """Full LPA oracle query (CTE chain + projection)."""
+    return _lpa_cte_sql(iters) + "\n        SELECT node, community FROM lpa"
 
 
 @register(
@@ -2416,6 +2423,14 @@ def _lpa_oracle_sql(iters: int = 4) -> str:
     ),
 )
 def graph_label_propagation(spark, sf_dir):
+    _, lab = _lpa_labels(spark, sf_dir, iters=4)
+    return lab.select("node", F.col("label").alias("community"))
+
+
+def _lpa_labels(spark, sf_dir, iters: int = 4):
+    """(undirected edge frame, converged label frame) — the Spark twin of
+    the ``_lpa_cte_sql`` recurrence, shared by graph_label_propagation and
+    graph_modularity."""
     tables(spark, sf_dir)
     tc = catalog.trade_credit_edges(spark, sf_dir).select("src", "dst")
     ue = (
@@ -2427,7 +2442,7 @@ def graph_label_propagation(spark, sf_dir):
         "label", F.col("node")
     )
     w = Window.partitionBy("n2").orderBy(F.desc("cnt"), F.asc("label"))
-    for _ in range(4):
+    for _ in range(iters):
         cnt = (
             ue.join(lab, ue.src == lab.node)
             .groupBy(F.col("dst").alias("n2"), "label")
@@ -2443,7 +2458,84 @@ def graph_label_propagation(spark, sf_dir):
             .select("node", F.coalesce("new_label", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-    return lab.select("node", F.col("label").alias("community"))
+    return ue, lab
+
+
+@register(
+    "graph_modularity",
+    "graph",
+    oracle=_lpa_cte_sql(iters=4)
+    + """,
+        und AS (SELECT src, dst FROM ue WHERE src < dst),
+        m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m FROM und),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM ue GROUP BY src),
+        cdeg AS (SELECT l.community, CAST(SUM(deg.d) AS DOUBLE) AS dtot,
+                        CAST(COUNT(*) AS BIGINT) AS n_nodes
+                 FROM deg JOIN lpa l ON deg.node = l.node GROUP BY l.community),
+        cin AS (SELECT la.community, CAST(COUNT(*) AS DOUBLE) AS lin
+                FROM und e
+                JOIN lpa la ON e.src = la.node
+                JOIN lpa lb ON e.dst = lb.node
+                WHERE la.community = lb.community
+                GROUP BY la.community)
+        SELECT c.community, c.n_nodes,
+               CAST(COALESCE(cin.lin, 0.0) AS BIGINT) AS intra_edges,
+               CAST(c.dtot AS BIGINT) AS degree_total,
+               FLOOR((COALESCE(cin.lin, 0.0) / m.m
+                      - (c.dtot / (2.0 * m.m)) * (c.dtot / (2.0 * m.m)))
+                     * 1e6 + 0.5) / 1e6 AS q_contrib
+        FROM cdeg c LEFT JOIN cin ON c.community = cin.community
+        CROSS JOIN m
+    """,
+    notes=(
+        "Newman modularity of the label-propagation partition (README.md:28 "
+        "— the quality score NetworkX pairs with community detection; "
+        "Q = sum_c [L_c/m - (D_c/2m)^2]): per-community intra-edge and "
+        "degree totals from the SAME deterministic 4-sweep LPA fixpoint as "
+        "graph_label_propagation (oracle literally extends that op's "
+        "unrolled CTE chain). Every ingredient is an integer count, so the "
+        "one float expression runs on identical bits in both engines. Two "
+        "hash-join + partial-agg shuffles over the edge list — linear at "
+        "any graph size once labels exist"
+    ),
+)
+def graph_modularity(spark, sf_dir):
+    ue, lab = _lpa_labels(spark, sf_dir, iters=4)
+    und = ue.filter(F.col("src") < F.col("dst")).localCheckpoint(eager=True)
+    # global edge count stays IN the plan (broadcast scalar, no driver count)
+    mdf = und.agg(F.count("*").cast("double").alias("m"))
+    deg = ue.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    la = lab.select(F.col("node"), F.col("label").alias("community"))
+    cdeg = (
+        deg.join(la, "node")
+        .groupBy("community")
+        .agg(
+            F.sum("d").cast("double").alias("dtot"),
+            F.count("*").cast("bigint").alias("n_nodes"),
+        )
+    )
+    cin = (
+        und.join(la.select(F.col("node").alias("src"), F.col("community").alias("ca")), "src")
+        .join(la.select(F.col("node").alias("dst"), F.col("community").alias("cb")), "dst")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").cast("double").alias("lin"))
+    )
+    lin = F.coalesce(F.col("lin"), F.lit(0.0))
+    q = lin / F.col("m") - (F.col("dtot") / (2.0 * F.col("m"))) * (
+        F.col("dtot") / (2.0 * F.col("m"))
+    )
+    return (
+        cdeg.join(cin, "community", "left")
+        .crossJoin(F.broadcast(mdf))
+        .select(
+            "community",
+            "n_nodes",
+            lin.cast("bigint").alias("intra_edges"),
+            F.col("dtot").cast("bigint").alias("degree_total"),
+            (F.floor(q * 1e6 + F.lit(0.5)) / 1e6).alias("q_contrib"),
+        )
+    )
 
 
 _TOPO_SQL = """

@@ -1555,3 +1555,73 @@ def text_zipf_slope(spark, sf_dir):
             / 1e6
         ).alias("intercept"),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+            FROM documents
+        ),
+        ng AS (
+            SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(tk) >= 8
+                              THEN list_transform(generate_series(1, len(tk) - 7),
+                                                  i -> array_to_string(tk[i:i+7], ' '))
+                              ELSE [] END) AS g
+                FROM toks)
+        ),
+        fo AS (SELECT g, MIN(doc_id) AS first_doc FROM ng GROUP BY g)
+        SELECT ng.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+               CAST(SUM(CASE WHEN fo.first_doc = ng.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               FLOOR(SUM(CASE WHEN fo.first_doc = ng.doc_id THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*) * 1e6 + 0.5) / 1e6 AS novelty_frac
+        FROM ng JOIN fo ON ng.g = fo.g
+        GROUP BY ng.doc_id
+    """,
+    notes=(
+        "8-gram novelty fraction per document (the self-repetition screen "
+        "of LLM corpus curation — Lee et al. 2022's dedup family, public: "
+        "a doc whose 8-grams all appeared in earlier docs adds nothing to "
+        "the training mix): distinct word-8-grams per doc, first-occurrence "
+        "attributed by MIN doc_id, novelty = |first-occurrences|/|8-grams|. "
+        "The 8-gram build is row-local over the MATERIALIZED token array "
+        "(transform over sequence + slice — the array is a column, not a "
+        "re-split expression: the NOTES_r4 HOF lesson); counts partial-agg "
+        "on the ngram hash then on doc_id — the two-shuffle shape that "
+        "holds at corpus scale, same as pipeline_decontamination"
+    ),
+)
+def text_ngram_novelty(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("tk"),
+    )
+    grams = F.when(
+        F.size("tk") >= 8,
+        F.transform(
+            F.sequence(F.lit(1), F.size("tk") - 7),
+            lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = toks.select("doc_id", F.explode(grams).alias("g")).distinct()
+    fo = ng.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        ng.join(fo, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ngrams"),
+            novel.cast("bigint").alias("n_novel"),
+            (F.floor(novel * 1.0 / F.count("*") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "novelty_frac"
+            ),
+        )
+    )

@@ -1062,3 +1062,85 @@ def test_reshape_unpivot_count_and_roundtrip(spark):
     row = back.filter((F.col("l_orderkey") == 1)).collect()
     orig = li.filter(F.col("l_orderkey") == 1).collect()
     assert len(row) == len(orig)
+
+
+def test_graph_modularity_matches_python(spark):
+    tables(spark, SF_SMALL)
+    tc = [
+        (r.src, r.dst)
+        for r in catalog.trade_credit_edges(spark, SF_SMALL).select("src", "dst").collect()
+    ]
+    ue = set(tc) | {(d, s) for s, d in tc}
+    adj = {}
+    for s, d in ue:
+        adj.setdefault(s, set()).add(d)
+    lab = {v: v for v in adj}
+    for _ in range(4):
+        new = {}
+        for v in adj:
+            cnt = Counter(lab[u] for u in adj[v])
+            new[v] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0] if cnt else lab[v]
+        lab = new
+    und = {(s, d) for s, d in ue if s < d}
+    m = float(len(und))
+    lin, dtot, nn = Counter(), Counter(), Counter()
+    for s, d in und:
+        if lab[s] == lab[d]:
+            lin[lab[s]] += 1
+    for v in adj:
+        dtot[lab[v]] += len(adj[v])
+        nn[lab[v]] += 1
+    got = {r.community: r for r in OPS["graph_modularity"].fn(spark, SF_SMALL).collect()}
+    assert set(got) == set(nn)
+    q_total = 0.0
+    for c in nn:
+        q = lin.get(c, 0) / m - (dtot[c] / (2.0 * m)) ** 2
+        assert got[c].n_nodes == nn[c] and got[c].intra_edges == lin.get(c, 0)
+        assert got[c].degree_total == dtot[c]
+        assert abs(got[c].q_contrib - math.floor(q * 1e6 + 0.5) / 1e6) < 2e-6
+        q_total += q
+    assert -1.0 <= q_total <= 1.0
+
+
+def test_text_ngram_novelty_matches_python(spark):
+    docs = t(spark, SF_SMALL, "documents").select("doc_id", "text").collect()
+    seen_first = {}
+    per_doc = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        tk = [w for w in r.text.lower().split(" ") if w]
+        grams = {" ".join(tk[i : i + 8]) for i in range(len(tk) - 7)} if len(tk) >= 8 else set()
+        per_doc[r.doc_id] = grams
+        for g in grams:
+            seen_first.setdefault(g, r.doc_id)
+    got = {r.doc_id: r for r in OPS["text_ngram_novelty"].fn(spark, SF_SMALL).collect()}
+    for doc_id, grams in per_doc.items():
+        if not grams:
+            assert doc_id not in got
+            continue
+        novel = sum(1 for g in grams if seen_first[g] == doc_id)
+        assert got[doc_id].n_ngrams == len(grams)
+        assert got[doc_id].n_novel == novel
+    # the near-duplicate-heavy fixture must show real non-novelty
+    assert any(r.n_novel < r.n_ngrams for r in got.values())
+
+
+def test_agg_weighted_median_matches_python(spark):
+    rows = t(spark, SF_SMALL, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    ).collect()
+    by_flag = {}
+    for r in rows:
+        by_flag.setdefault(r.l_returnflag, []).append(r)
+    got = {
+        r.l_returnflag: r.weighted_median
+        for r in OPS["agg_weighted_median"].fn(spark, SF_SMALL).collect()
+    }
+    for flag, rs in by_flag.items():
+        rs.sort(key=lambda r: (r.l_extendedprice, r.l_orderkey, r.l_linenumber))
+        tot = sum(int(r.l_quantity) for r in rs)
+        cum = 0
+        for r in rs:
+            cum += int(r.l_quantity)
+            if cum * 2 >= tot:
+                assert got[flag] == r.l_extendedprice
+                break
