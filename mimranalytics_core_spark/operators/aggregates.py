@@ -767,3 +767,37 @@ def agg_weighted_median(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.min("l_extendedprice").alias("weighted_median"))
     )
+
+
+@register(
+    "agg_string_agg",
+    "aggregates",
+    oracle="""
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_cust,
+               string_agg(c_name, '|' ORDER BY c_name ASC) AS roster
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    notes=(
+        "ordered string aggregation (the roster/concat column every audit "
+        "report export wants, F5 README.md:19): "
+        "array_join(array_sort(collect_list())) — Cypher collect() + "
+        "join in one op, with the engine's pinned-lexical-order "
+        "determinism (DuckDB's ORDER BY inside string_agg is the oracle "
+        "twin). Per-group state is the member list — bounded by the "
+        "group's cardinality; at 100 TB the roster column is capped or "
+        "top-k'd, as OPERATORS.md notes for agg_collect"
+    ),
+)
+def agg_string_agg(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("roster"),
+        )
+    )

@@ -147,3 +147,70 @@ def filter_asof(spark, sf_dir):
         (F.col("o_orderdate") <= F.lit("1997-06-30 00:00:00").cast("timestamp_ntz"))
         & (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
     ).select("o_orderkey", "o_orderdate", "o_totalprice")
+
+
+_CORR_SUBQ_SQL = """
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE c_acctbal > (SELECT FLOOR(AVG(c2.c_acctbal) * 1e6 + 0.5) / 1e6
+                       FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
+@register(
+    "subquery_scalar_correlated",
+    "scans",
+    oracle=_CORR_SUBQ_SQL,
+    notes=(
+        "correlated scalar subquery (Cypher WHERE-over-aggregate analog, "
+        "F6 — 'customers above their nation's average balance'): verbatim "
+        "SQL in both engines (E2 entry). Catalyst DECORRELATES it "
+        "(RewriteCorrelatedScalarSubquery) into one grouped aggregate + "
+        "equi-join — no per-row subquery execution; asserted in "
+        "tests/test_plans.py. The threshold is dround'd to 1e-6 inside the "
+        "subquery so the comparison runs on the same bits in both engines "
+        "(AVG's partial-sum order is engine-specific at the ulp)"
+    ),
+)
+def subquery_scalar_correlated(spark, sf_dir):
+    from mimranalytics_core_spark.operators._base import tables
+
+    tables(spark, sf_dir)
+    return spark.sql(_CORR_SUBQ_SQL)
+
+
+@register(
+    "scan_partition_pruned",
+    "scans",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F'
+    """,
+    notes=(
+        "hive-partitioned parquet layout + partition-PRUNED read (the "
+        "100 TB table layout: a filter on the partition key reads only "
+        "that directory, no footer even opened elsewhere): orders written "
+        "partitionBy(o_orderstatus), read back with the status filter; "
+        "the plan shows the predicate under PartitionFilters (asserted in "
+        "tests/test_plans.py) rather than as a data filter. The declared "
+        "result is the re-read frame, so the oracle certifies the "
+        "write/prune/read cycle including partition-column recovery"
+    ),
+)
+def scan_partition_pruned(spark, sf_dir):
+    import os
+
+    dest = (
+        f"/tmp/mimranalytics_reports/{os.path.basename(sf_dir.rstrip('/'))}/orders_by_status"
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dest)
+    back = spark.read.parquet(dest).filter(F.col("o_orderstatus") == "F")
+    return back.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+    )

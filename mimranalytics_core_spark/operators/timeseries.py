@@ -969,3 +969,99 @@ def ts_seasonal_hour(spark, sf_dir):
             "seasonal_index"
         ),
     )
+
+
+_HOLT_SQL = """
+    WITH RECURSIVE ordered AS (
+        SELECT * FROM (
+            SELECT user_id, event_id, ts, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        ) WHERE rn <= 20
+    ),
+    holt(user_id, event_id, ts, rn, l, b) AS (
+        SELECT user_id, event_id, ts, rn, CAST(value AS DOUBLE),
+               CAST(0.0 AS DOUBLE)
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_id, o.ts, o.rn,
+               0.5 * o.value + 0.5 * (h.l + h.b),
+               0.3 * ((0.5 * o.value + 0.5 * (h.l + h.b)) - h.l) + 0.7 * h.b
+        FROM holt h JOIN ordered o
+          ON o.user_id = h.user_id AND o.rn = h.rn + 1
+        WHERE h.rn < 20
+    )
+    SELECT user_id, event_id, ts,
+           FLOOR(l * 1e4 + 0.5) / 1e4 AS level,
+           FLOOR(b * 1e4 + 0.5) / 1e4 AS trend,
+           FLOOR((l + b) * 1e4 + 0.5) / 1e4 AS forecast_next
+    FROM holt
+"""
+
+
+@register(
+    "ts_holt_linear",
+    "timeseries",
+    oracle=_HOLT_SQL,
+    notes=(
+        "Holt double exponential smoothing (level + trend, alpha=0.5 "
+        "beta=0.3, b0=0 — the one-step forecaster a Time-Slider overlay "
+        "draws, README.md:17) over each user's first 20 events: the "
+        "ts_ewma execution pattern — JVM pre-filter to the recursion "
+        "horizon, ONE Arrow batch per partition, the coupled recurrence "
+        "run as a numpy loop whose op sequence matches the oracle's "
+        "recursive CTE term for term (the CTE computes l_new twice — "
+        "identical expressions give identical bits, so the duplication is "
+        "free determinism); floor-round on output only. Per-user state is "
+        "two doubles — the applyInPandasWithState shape if run streaming"
+    ),
+)
+def ts_holt_linear(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    w_rn = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ev = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value", F.row_number().over(w_rn).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+
+    def holt_partition(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if not len(pdf):
+            return
+        pdf = pdf.sort_values(["user_id", "ts", "event_id"])
+        levels = np.empty(len(pdf))
+        trends = np.empty(len(pdf))
+        i = 0
+        for _, g in pdf.groupby("user_id", sort=False):
+            x = g["value"].to_numpy()
+            l, b = x[0], 0.0
+            levels[i], trends[i] = l, b
+            for j in range(1, len(x)):
+                l_new = 0.5 * x[j] + 0.5 * (l + b)
+                b = 0.3 * (l_new - l) + 0.7 * b
+                l = l_new
+                levels[i + j], trends[i + j] = l, b
+            i += len(x)
+        yield pd.DataFrame(
+            {
+                "user_id": pdf["user_id"].to_numpy(),
+                "event_id": pdf["event_id"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "level": np.floor(levels * 1e4 + 0.5) / 1e4,
+                "trend": np.floor(trends * 1e4 + 0.5) / 1e4,
+                "forecast_next": np.floor((levels + trends) * 1e4 + 0.5) / 1e4,
+            }
+        )
+
+    return ev.mapInPandas(
+        holt_partition,
+        schema=(
+            "user_id bigint, event_id bigint, ts timestamp, "
+            "level double, trend double, forecast_next double"
+        ),
+    )

@@ -239,3 +239,18 @@ def test_mmr_rerank_plan_has_no_cartesian_beyond_bounded(spark):
     # the only cross joins are against 1-row/20-row declared-bounded frames
     plan = _plan(spark, "sim_mmr_rerank")
     assert "CartesianProduct" not in plan
+
+
+def test_correlated_subquery_is_decorrelated(spark):
+    plan = _plan(spark, "subquery_scalar_correlated")
+    # Catalyst rewrote the per-row subquery into aggregate + join
+    assert "Subquery" not in plan or "SubqueryExec" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "Join" in plan
+
+
+def test_partition_pruned_scan_prunes(spark):
+    plan = _plan(spark, "scan_partition_pruned")
+    assert "PartitionFilters: [" in plan
+    seg = plan.split("PartitionFilters: [")[1][:200]
+    assert "o_orderstatus" in seg

@@ -1144,3 +1144,60 @@ def test_agg_weighted_median_matches_python(spark):
             if cum * 2 >= tot:
                 assert got[flag] == r.l_extendedprice
                 break
+
+
+def test_ts_holt_linear_matches_python(spark):
+    ev = (
+        t(spark, SF_SMALL, "events")
+        .filter(F.col("user_id") == 1)
+        .select("event_id", "ts", "value")
+        .collect()
+    )
+    rows = sorted(ev, key=lambda r: (r.ts, r.event_id))[:20]
+    xs = [r.value for r in rows]
+    l, b = xs[0], 0.0
+    exp = [(l, b)]
+    for x in xs[1:]:
+        l_new = 0.5 * x + 0.5 * (l + b)
+        b = 0.3 * (l_new - l) + 0.7 * b
+        l = l_new
+        exp.append((l, b))
+    got = {
+        r.event_id: r
+        for r in OPS["ts_holt_linear"].fn(spark, SF_SMALL)
+        .filter(F.col("user_id") == 1)
+        .collect()
+    }
+    assert len(got) == len(rows)
+    for r, (l_e, b_e) in zip(rows, exp):
+        g = got[r.event_id]
+        assert g.level == math.floor(l_e * 1e4 + 0.5) / 1e4
+        assert g.trend == math.floor(b_e * 1e4 + 0.5) / 1e4
+        assert g.forecast_next == math.floor((l_e + b_e) * 1e4 + 0.5) / 1e4
+
+
+def test_agg_string_agg_roster_sorted(spark):
+    rows = OPS["agg_string_agg"].fn(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    for r in rows:
+        names = r.roster.split("|")
+        assert names == sorted(names)
+        assert len(names) == r.n_cust
+
+
+def test_subquery_scalar_correlated_matches_python(spark):
+    import statistics
+
+    rows = t(spark, SF_SMALL, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    ).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.c_nationkey, []).append(r.c_acctbal)
+    thr = {
+        k: math.floor(statistics.fmean(v) * 1e6 + 0.5) / 1e6
+        for k, v in by_nation.items()
+    }
+    expected = {r.c_custkey for r in rows if r.c_acctbal > thr[r.c_nationkey]}
+    got = {r.c_custkey for r in OPS["subquery_scalar_correlated"].fn(spark, SF_SMALL).collect()}
+    assert got == expected
