@@ -15,6 +15,7 @@ documents the time-bucketing rewrite used at scale (SURVEY.md §4.3).
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from mimranalytics_core_spark.operators._base import t
@@ -676,4 +677,120 @@ def join_range_bucketed(spark, sf_dir):
             & (F.col("l_shipdate") < F.date_add("o_orderdate", 7))
         )
         .select("o_orderkey", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "join_fuzzy_name_blocked",
+    "joins",
+    oracle="""
+        SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+               a.c_name AS a_name, b.c_name AS b_name,
+               CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS lev
+        FROM customer a JOIN customer b
+          ON substr(a.c_name, 1, length(a.c_name) - 2)
+             = substr(b.c_name, 1, length(b.c_name) - 2)
+         AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    notes=(
+        "BLOCKED fuzzy-name join (F3 conflict detection, README.md:15 — "
+        "near-identical entity names are the classic duplicate-registration "
+        "signal): candidate pairs equi-joined on a blocking key (name minus "
+        "its last 2 chars) then verified with levenshtein <= 1 — the "
+        "candidate-generation-then-verify shape shared with MinHash/LSH; "
+        "never all-pairs (block size is bounded by the key's tail "
+        "cardinality, here <= 100). At 100 TB the blocking key would be a "
+        "phonetic/normalized form; the plan shape — hash join on block + "
+        "residual edit-distance filter — is identical"
+    ),
+)
+def join_fuzzy_name_blocked(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    block = F.expr("substring(c_name, 1, length(c_name) - 2)")
+    a = c.select(
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+        block.alias("blk"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+        block.alias("blk"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .filter(F.levenshtein("a_name", "b_name") <= 1)
+        .select(
+            "a_key",
+            "b_key",
+            "a_name",
+            "b_name",
+            F.levenshtein("a_name", "b_name").cast("int").alias("lev"),
+        )
+    )
+
+
+@register(
+    "pipeline_entity_resolution",
+    "pipeline",
+    oracle="""
+        WITH RECURSIVE pairs AS (
+            SELECT a.c_custkey AS a, b.c_custkey AS b
+            FROM customer a JOIN customer b
+              ON substr(a.c_name, 1, length(a.c_name) - 2)
+                 = substr(b.c_name, 1, length(b.c_name) - 2)
+             AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
+        ),
+        e2 AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+        reach(node, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+            UNION
+            SELECT e2.a, r.lab FROM reach r JOIN e2 ON e2.b = r.node
+        ),
+        lbl AS (SELECT node, MIN(lab) AS canon FROM reach GROUP BY node)
+        SELECT c.c_custkey,
+               COALESCE(lbl.canon, c.c_custkey) AS canonical_key,
+               CAST(COALESCE(COUNT(*) OVER (PARTITION BY COALESCE(lbl.canon,
+                                                                  c.c_custkey)),
+                             1) AS BIGINT) AS cluster_size
+        FROM customer c LEFT JOIN lbl ON c.c_custkey = lbl.node
+    """,
+    notes=(
+        "end-to-end ENTITY RESOLUTION (F3, README.md:15 — the dedup every "
+        "registry product ships): blocked fuzzy pairs (exactly the "
+        "join_fuzzy_name_blocked stage) -> connected components over the "
+        "pair graph (min-label Pregel, transitive closure of same-entity-"
+        "ness) -> canonical id = MIN custkey per cluster, singletons kept "
+        "as their own canonical entity. The pair graph holds only entities "
+        "WITH a candidate duplicate; the full-population frame arrives via "
+        "one left join. Same composition shape as dedup_canonical_docs, "
+        "over the entity table — oracle is the recursive min-label closure "
+        "of the identical pair set"
+    ),
+)
+def pipeline_entity_resolution(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import connected_components
+
+    c = t(spark, sf_dir, "customer")
+    pairs = join_fuzzy_name_blocked(spark, sf_dir).select("a_key", "b_key")
+    comp = connected_components(
+        pairs.select(F.col("a_key").alias("src"), F.col("b_key").alias("dst")),
+        max_iter=10,
+    )
+    base = c.select("c_custkey").join(
+        comp.select(F.col("node").alias("c_custkey"), F.col("component")),
+        "c_custkey",
+        "left",
+    ).select(
+        "c_custkey",
+        F.coalesce("component", "c_custkey").alias("canonical_key"),
+    )
+    wc = Window.partitionBy("canonical_key")
+    return base.select(
+        "c_custkey",
+        "canonical_key",
+        F.count("*").over(wc).cast("bigint").alias("cluster_size"),
     )

@@ -1201,3 +1201,59 @@ def test_subquery_scalar_correlated_matches_python(spark):
     expected = {r.c_custkey for r in rows if r.c_acctbal > thr[r.c_nationkey]}
     got = {r.c_custkey for r in OPS["subquery_scalar_correlated"].fn(spark, SF_SMALL).collect()}
     assert got == expected
+
+
+def test_entity_resolution_matches_python_union_find(spark):
+    rows = t(spark, SF_SMALL, "customer").select("c_custkey", "c_name").collect()
+    names = {r.c_custkey: r.c_name for r in rows}
+
+    def lev(a, b):
+        if len(a) == len(b):
+            d = sum(1 for x, y in zip(a, b) if x != y)
+            if d <= 1:
+                return d
+        # full DP only when the cheap same-length check is inconclusive
+        import functools
+
+        @functools.lru_cache(maxsize=None)
+        def rec(i, j):
+            if i == 0:
+                return j
+            if j == 0:
+                return i
+            return min(
+                rec(i - 1, j) + 1,
+                rec(i, j - 1) + 1,
+                rec(i - 1, j - 1) + (a[i - 1] != b[j - 1]),
+            )
+
+        return rec(len(a), len(b))
+
+    parent = {k: k for k in names}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    blocks = {}
+    for k, n in names.items():
+        blocks.setdefault(n[:-2], []).append(k)
+    n_pairs = 0
+    for blk in blocks.values():
+        blk.sort()
+        for i, a in enumerate(blk):
+            for b in blk[i + 1 :]:
+                if lev(names[a], names[b]) <= 1:
+                    n_pairs += 1
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    assert OPS["join_fuzzy_name_blocked"].fn(spark, SF_SMALL).count() == n_pairs
+    expected = {k: find(k) for k in names}
+    clusters = Counter(expected.values())
+    got = {r.c_custkey: r for r in OPS["pipeline_entity_resolution"].fn(spark, SF_SMALL).collect()}
+    assert {k: v.canonical_key for k, v in got.items()} == expected
+    for k, v in got.items():
+        assert v.cluster_size == clusters[expected[k]]
