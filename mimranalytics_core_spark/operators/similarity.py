@@ -1576,3 +1576,94 @@ def sim_mmr_rerank(spark, sf_dir, k: int = 5, lam: float = 0.7):
         )
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel.select("rank", "vec_id", "score")
+
+
+@register(
+    "multimodal_phash_dedup",
+    "similarity",
+    oracle="""
+        WITH s AS (SELECT doc_id AS media_id, text, length(text) AS len,
+                          GREATEST(CAST(CEIL(length(text) / 40.0) AS INT), 1) AS h
+                   FROM documents WHERE doc_id < 200),
+        gi AS (SELECT CAST(unnest(range(0, 8)) AS INT) AS oi),
+        gj AS (SELECT CAST(unnest(range(0, 9)) AS INT) AS oj),
+        px AS (
+            SELECT media_id, oi, oj,
+                   CASE WHEN pos <= len THEN ascii(substr(text, pos, 1)) ELSE 0 END
+                       AS px
+            FROM (SELECT media_id, text, len, oi, oj,
+                         ((oi * h) // 8) * 40 + ((oj * 40) // 9) + 1 AS pos
+                  FROM s CROSS JOIN gi CROSS JOIN gj)
+        ),
+        bits AS (
+            SELECT a.media_id, a.oi,
+                   CAST(SUM(CASE WHEN b.px > a.px THEN 1 ELSE 0 END
+                            * CAST(POWER(2, a.oj) AS INT)) AS INT) AS byte
+            FROM px a JOIN px b
+              ON b.media_id = a.media_id AND b.oi = a.oi AND b.oj = a.oj + 1
+            WHERE a.oj < 8
+            GROUP BY a.media_id, a.oi
+        ),
+        hashes AS (
+            SELECT media_id,
+                   string_agg(printf('%02x', byte), '' ORDER BY oi ASC) AS dhash
+            FROM bits GROUP BY media_id
+        )
+        SELECT media_id, dhash,
+               MIN(media_id) OVER (PARTITION BY dhash) AS canonical_media_id,
+               CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS cluster_size
+        FROM hashes
+    """,
+    notes=(
+        "perceptual-hash IMAGE dedup (the dHash every multimodal training "
+        "pipeline runs before embedding: Krawetz 2013, public): each "
+        "document's bytes become a REAL 40-wide grayscale BMP (bmp_pack), "
+        "the stdlib-struct decoder recovers the pixel matrix, an 8x9 "
+        "nearest-neighbor downsample (the multimodal_image_resize "
+        "arithmetic) feeds the adjacent-pixel gradient hash (64 bits as 16 "
+        "hex chars), and images sharing a dhash collapse to the MIN-id "
+        "canonical — byte-exact duplicates of the near-dup-heavy corpus "
+        "surface as real clusters. Decode+hash is row-local Arrow-batched "
+        "Python over real decoded pixels; the only shuffle is the window "
+        "on the 16-char hash. The oracle recomputes the identical sampling "
+        "arithmetic from the text formula — so the hash match certifies "
+        "the decoder's pixel bytes, the downsample, and the dedup"
+    ),
+)
+def multimodal_phash_dedup(spark, sf_dir, width: int = 40):
+    import pandas as pd
+
+    from mimranalytics_core_spark.functions.multimodal import bmp_decode, bmp_pack
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def phash(batches):
+        for pdf in batches:
+            ids, hashes = [], []
+            for r in pdf.itertuples(index=False):
+                raw = (r.text or "").encode("utf-8")
+                w, h, _, pixels = bmp_decode(bmp_pack(raw, width))
+                out = []
+                for oi in range(8):
+                    byte = 0
+                    row = (oi * h) // 8
+                    for oj in range(8):
+                        p1 = pixels[row * w + (oj * w) // 9]
+                        p2 = pixels[row * w + ((oj + 1) * w) // 9]
+                        if p2 > p1:
+                            byte += 1 << oj
+                    out.append(f"{byte:02x}")
+                ids.append(r.media_id)
+                hashes.append("".join(out))
+            yield pd.DataFrame({"media_id": ids, "dhash": hashes})
+
+    hashes = d.select(F.col("doc_id").cast("int").alias("media_id"), "text").mapInPandas(
+        phash, schema="media_id int, dhash string"
+    )
+    wd = Window.partitionBy("dhash")
+    return hashes.select(
+        "media_id",
+        "dhash",
+        F.min("media_id").over(wd).alias("canonical_media_id"),
+        F.count("*").over(wd).cast("bigint").alias("cluster_size"),
+    )

@@ -1065,3 +1065,54 @@ def ts_holt_linear(spark, sf_dir):
             "level double, trend double, forecast_next double"
         ),
     )
+
+
+@register(
+    "ts_week_over_week",
+    "timeseries",
+    oracle="""
+        WITH wk AS (
+            SELECT event_type, date_trunc('week', ts) AS week_start,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type, CAST(week_start AS TIMESTAMP) AS week_start,
+               CAST(n AS BIGINT) AS n,
+               CAST(LAG(n) OVER (PARTITION BY event_type
+                                 ORDER BY week_start ASC) AS BIGINT) AS prev_n,
+               CASE WHEN LAG(n) OVER (PARTITION BY event_type
+                                      ORDER BY week_start ASC) IS NULL THEN NULL
+                    ELSE FLOOR((n - LAG(n) OVER (PARTITION BY event_type
+                                                 ORDER BY week_start ASC))
+                               * 1.0
+                               / LAG(n) OVER (PARTITION BY event_type
+                                              ORDER BY week_start ASC)
+                               * 1e6 + 0.5) / 1e6
+               END AS wow_change
+        FROM wk
+    """,
+    notes=(
+        "week-over-week growth per event type (the KPI delta every "
+        "monitoring report leads with, Time-Slider family README.md:17): "
+        "weekly partial-agg counts (mergeable — the 100 TB shape), one lag "
+        "window over the tiny type-by-week grid, integer-ratio change "
+        "dround 6. date_trunc('week') is Monday-start in both engines "
+        "(probed)"
+    ),
+)
+def ts_week_over_week(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    wk = ev.groupBy(
+        "event_type", F.date_trunc("week", "ts").alias("week_start")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.asc("week_start"))
+    prev = F.lag("n").over(w)
+    return wk.select(
+        "event_type",
+        F.col("week_start").cast("timestamp_ntz").alias("week_start"),
+        F.col("n").cast("bigint").alias("n"),
+        prev.cast("bigint").alias("prev_n"),
+        F.when(prev.isNull(), F.lit(None).cast("double"))
+        .otherwise(F.floor((F.col("n") - prev) * 1.0 / prev * 1e6 + F.lit(0.5)) / 1e6)
+        .alias("wow_change"),
+    )

@@ -447,3 +447,70 @@ def win_distinct_running(spark, sf_dir):
         "event_id",
         F.size(F.collect_set("event_type").over(w)).cast("bigint").alias("n_types_seen"),
     )
+
+
+@register(
+    "win_pareto_share",
+    "windows",
+    oracle="""
+        WITH rev AS (
+            SELECT o.o_custkey, c.c_nationkey,
+                   CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY o.o_custkey, c.c_nationkey
+        )
+        SELECT c_nationkey, o_custkey, rev_cents,
+               FLOOR(CAST(SUM(rev_cents) OVER (
+                         PARTITION BY c_nationkey
+                         ORDER BY rev_cents DESC, o_custkey ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS DOUBLE)
+                     / CAST(SUM(rev_cents) OVER (PARTITION BY c_nationkey)
+                            AS DOUBLE) * 1e6 + 0.5) / 1e6 AS cum_share,
+               CASE WHEN CAST(SUM(rev_cents) OVER (
+                             PARTITION BY c_nationkey
+                             ORDER BY rev_cents DESC, o_custkey ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                         ) AS DOUBLE)
+                        - CAST(rev_cents AS DOUBLE)
+                        < 0.8 * CAST(SUM(rev_cents) OVER (
+                              PARTITION BY c_nationkey) AS DOUBLE)
+                    THEN TRUE ELSE FALSE END AS in_top80
+        FROM rev
+    """,
+    notes=(
+        "Pareto / 80-20 concentration analysis per nation (the 'which "
+        "customers carry 80% of exposure' highlight, README.md:13): "
+        "revenue in EXACT integer cents, descending cumulative share from "
+        "one ordered window (running integer sums — immune to frame "
+        "accumulation order, the ts_rolling_corr discipline), in_top80 "
+        "marks customers whose cumulative share before them is under the "
+        "threshold (so the flag set always covers >= 80%). One partial-agg "
+        "shuffle + one window shuffle on the nation key"
+    ),
+)
+def win_pareto_share(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.sum(cents).cast("bigint").alias("rev_cents"))
+    )
+    wc = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("c_nationkey")
+    cum = F.sum("rev_cents").over(wc).cast("double")
+    tot = F.sum("rev_cents").over(wt).cast("double")
+    return rev.select(
+        "c_nationkey",
+        "o_custkey",
+        "rev_cents",
+        (F.floor(cum / tot * 1e6 + F.lit(0.5)) / 1e6).alias("cum_share"),
+        (cum - F.col("rev_cents").cast("double") < 0.8 * tot).alias("in_top80"),
+    )

@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import pytest
 
+from mimranalytics_core_spark.operators._base import tables
+from tests.conftest import SF_SMALL
 from mimranalytics_core_spark.functions.multimodal import (
     MEDIA_SCHEMA,
     extract_features,
@@ -239,3 +241,34 @@ def test_gif_walk_rejects_garbage():
     for bad in (b"", b"GIF89a", b"JPEG nope"):
         with pytest.raises((ValueError, IndexError, Exception)):
             gif_frames(bad)
+
+
+def test_phash_dedup_has_real_clusters_and_matches_formula(spark):
+    from mimranalytics_core_spark.registry import all_ops
+
+    rows = all_ops()["multimodal_phash_dedup"].fn(spark, SF_SMALL).collect()
+    assert rows
+    # near-dup-heavy corpus: at least one multi-image cluster
+    assert any(r.cluster_size > 1 for r in rows)
+    # recompute a few hashes straight from the text formula (the oracle's
+    # arithmetic), independent of the BMP codec
+    texts = {
+        r.doc_id: r.text
+        for r in tables(spark, SF_SMALL)["documents"].filter("doc_id < 5").collect()
+    }
+    got = {r.media_id: r.dhash for r in rows}
+    for doc_id, text in texts.items():
+        n = len(text)
+        h = max((n + 39) // 40, 1)
+        out = []
+        for oi in range(8):
+            byte = 0
+            for oj in range(8):
+                p1pos = ((oi * h) // 8) * 40 + (oj * 40) // 9
+                p2pos = ((oi * h) // 8) * 40 + ((oj + 1) * 40) // 9
+                p1 = ord(text[p1pos]) if p1pos < n else 0
+                p2 = ord(text[p2pos]) if p2pos < n else 0
+                if p2 > p1:
+                    byte += 1 << oj
+            out.append(f"{byte:02x}")
+        assert got[doc_id] == "".join(out), doc_id

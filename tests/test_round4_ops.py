@@ -1257,3 +1257,40 @@ def test_entity_resolution_matches_python_union_find(spark):
     assert {k: v.canonical_key for k, v in got.items()} == expected
     for k, v in got.items():
         assert v.cluster_size == clusters[expected[k]]
+
+
+def test_win_pareto_share_invariants(spark):
+    import pandas as pd
+
+    pdf = OPS["win_pareto_share"].fn(spark, SF_SMALL).toPandas()
+    for _, g in pdf.groupby("c_nationkey"):
+        g = g.sort_values(["rev_cents", "o_custkey"], ascending=[False, True])
+        # cumulative share is monotone, ends at 1.0
+        assert (g.cum_share.diff().fillna(g.cum_share.iloc[0]) > -1e-9).all()
+        assert abs(g.cum_share.iloc[-1] - 1.0) < 2e-6
+        # the flagged set covers at least 80% of revenue
+        top = g[g.in_top80]
+        assert top.rev_cents.sum() / g.rev_cents.sum() >= 0.8 - 1e-9
+
+
+def test_ts_week_over_week_matches_python(spark):
+    ev = t(spark, SF_SMALL, "events").select("event_type", "ts").collect()
+    import datetime
+
+    wk = Counter()
+    for r in ev:
+        monday = r.ts.date() - datetime.timedelta(days=r.ts.weekday())
+        wk[(r.event_type, monday)] += 1
+    got = {
+        (r.event_type, r.week_start.date()): r
+        for r in OPS["ts_week_over_week"].fn(spark, SF_SMALL).collect()
+    }
+    assert {(t_, d) for t_, d in got} == set(wk)
+    for (t_, d), r in got.items():
+        assert r.n == wk[(t_, d)]
+        prev = wk.get((t_, d - datetime.timedelta(days=7)))
+        if prev is None:
+            assert r.prev_n is None and r.wow_change is None
+        else:
+            assert r.prev_n == prev
+            assert abs(r.wow_change - math.floor((r.n - prev) / prev * 1e6 + 0.5) / 1e6) < 2e-6
