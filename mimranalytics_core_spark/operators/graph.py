@@ -2637,3 +2637,124 @@ def cypher_union(spark, sf_dir):
            MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
            RETURN n.id AS entity, count(*) AS members""",
     )
+
+
+def _risk_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Composite-risk oracle: the pagerank recurrence (graph.py:341's CTE
+    triples) re-instantiated over the DISTINCT trade-credit edge set, plus
+    total degree and the cycle-membership walk, combined into the declared
+    weighted score on round-6 operands."""
+    steps = []
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""
+        c{k} AS (SELECT s.dst AS node, SUM(p.rank * s.share) AS inflow
+                 FROM shares s JOIN {prev} p ON s.src = p.node GROUP BY s.dst),
+        d{k} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev}
+                 WHERE node IN (SELECT node FROM dangling)),
+        pr{k} AS (SELECT nodes.node,
+                         (1 - {damping}) / nn.n
+                         + {damping} * (COALESCE(c{k}.inflow, 0.0) + d{k}.dm / nn.n)
+                             AS rank
+                  FROM nodes CROSS JOIN nn CROSS JOIN d{k}
+                  LEFT JOIN c{k} ON nodes.node = c{k}.node)"""
+        )
+        prev = f"pr{k}"
+    return f"""
+        WITH RECURSIVE {TRADE_CREDIT_SQL},
+        e AS MATERIALIZED (SELECT DISTINCT src, dst FROM tc_edges),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        outd AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+        shares AS MATERIALIZED (SELECT e.src, e.dst, 1.0 / outd.od AS share
+                   FROM e JOIN outd ON e.src = outd.src),
+        dangling AS MATERIALIZED (SELECT node FROM nodes
+                     WHERE node NOT IN (SELECT src FROM e)),
+        pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        {",".join(steps)},
+        pr AS MATERIALIZED (SELECT node, FLOOR(rank * 1e6 + 0.5) / 1e6 AS pr
+                            FROM {prev}),
+        deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+                  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+                GROUP BY node),
+        walk(origin, node, depth) AS (
+            SELECT src AS origin, dst AS node, 1 AS depth FROM e
+            UNION ALL
+            SELECT w.origin, e2.dst, w.depth + 1
+            FROM walk w JOIN e e2 ON e2.src = w.node
+            WHERE w.depth < 4 AND w.node <> w.origin
+        ),
+        cyc AS (SELECT DISTINCT origin AS node FROM walk WHERE node = origin),
+        mx AS (SELECT MAX(pr.pr) AS prmax, MAX(deg.degree) AS degmax
+               FROM pr JOIN deg ON pr.node = deg.node)
+        SELECT pr.node, pr.pr, deg.degree,
+               CASE WHEN cyc.node IS NOT NULL THEN TRUE ELSE FALSE END AS on_cycle,
+               FLOOR((0.5 * (pr.pr / mx.prmax)
+                      + 0.3 * (CAST(deg.degree AS DOUBLE) / CAST(mx.degmax AS DOUBLE))
+                      + 0.2 * (CASE WHEN cyc.node IS NOT NULL THEN 1.0 ELSE 0.0 END))
+                     * 1e6 + 0.5) / 1e6 AS risk_score
+        FROM pr
+        JOIN deg ON pr.node = deg.node
+        LEFT JOIN cyc ON pr.node = cyc.node
+        CROSS JOIN mx
+    """
+
+
+@register(
+    "graph_risk_score",
+    "graph",
+    oracle=_risk_oracle_sql(iters=10, damping=0.85),
+    notes=(
+        "composite entity RISK SCORE — the reference's headline promise "
+        "('identify hidden risks in seconds', README.md:6) as one declared "
+        "frame: 0.5*normalized PageRank influence + 0.3*normalized degree "
+        "+ 0.2*circular-exposure membership, on the trade-credit digraph. "
+        "Influence is the SAME 10-iteration DF-Pregel recurrence as "
+        "graph_pagerank (here over tc edges), cycles the SAME depth-4 walk "
+        "as graph_cycles; every operand is dround'd (ranks) or integer "
+        "(degrees, membership) BEFORE the one float combination, so both "
+        "engines combine identical bits. Max-normalizers ride a broadcast "
+        "scalar — nothing leaves the plan"
+    ),
+)
+def graph_risk_score(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import pagerank
+
+    tables(spark, sf_dir)
+    tc = (
+        catalog.trade_credit_edges(spark, sf_dir)
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    pr = pagerank(tc, iters=10, state_partitions=8).select(
+        "node", (F.floor(F.col("rank") * 1e6 + F.lit(0.5)) / 1e6).alias("pr")
+    )
+    deg = (
+        tc.select(F.col("src").alias("node"))
+        .unionAll(tc.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    cyc = _sql_both(spark, sf_dir, _CYCLE_SQL.format(edges=TRADE_CREDIT_SQL)).select(
+        F.col("node_on_cycle").alias("node"), F.lit(True).alias("cyc")
+    )
+    base = pr.join(deg, "node").join(cyc, "node", "left")
+    mx = base.agg(
+        F.max("pr").alias("prmax"), F.max("degree").alias("degmax")
+    )
+    on_cycle = F.coalesce(F.col("cyc"), F.lit(False))
+    risk = (
+        F.lit(0.5) * (F.col("pr") / F.col("prmax"))
+        + F.lit(0.3) * (F.col("degree").cast("double") / F.col("degmax").cast("double"))
+        + F.lit(0.2) * F.when(on_cycle, 1.0).otherwise(0.0)
+    )
+    return base.crossJoin(F.broadcast(mx)).select(
+        "node",
+        "pr",
+        "degree",
+        on_cycle.alias("on_cycle"),
+        (F.floor(risk * 1e6 + F.lit(0.5)) / 1e6).alias("risk_score"),
+    )

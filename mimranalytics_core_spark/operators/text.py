@@ -1625,3 +1625,97 @@ def text_ngram_novelty(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "pipeline_dataset_card",
+    "pipeline",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, source,
+                   list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk,
+                   lower(trim(text)) AS norm
+            FROM documents
+        ),
+        flat AS (SELECT doc_id, unnest(tk) AS w FROM toks),
+        dup AS (SELECT COUNT(*) AS dup_docs FROM (
+                    SELECT norm FROM toks GROUP BY norm HAVING COUNT(*) > 1
+                ) g JOIN toks USING (norm)),
+        rep AS (SELECT COUNT(*) AS rep_docs FROM (
+                    SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS u
+                    FROM toks)
+                WHERE n > 0 AND (1.0 - u * 1.0 / n) > 0.6)
+        SELECT 'n_docs' AS metric, CAST((SELECT COUNT(*) FROM toks) AS DOUBLE) AS value
+        UNION ALL SELECT 'n_tokens', (SELECT CAST(COUNT(*) AS DOUBLE) FROM flat)
+        UNION ALL SELECT 'vocab_size', (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) FROM flat)
+        UNION ALL SELECT 'n_langs', (SELECT CAST(COUNT(DISTINCT lang) AS DOUBLE) FROM toks)
+        UNION ALL SELECT 'n_sources', (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) FROM toks)
+        UNION ALL SELECT 'exact_dup_docs', (SELECT CAST(dup_docs AS DOUBLE) FROM dup)
+        UNION ALL SELECT 'repetitive_docs', (SELECT CAST(rep_docs AS DOUBLE) FROM rep)
+        UNION ALL SELECT 'avg_tokens_per_doc',
+            (SELECT FLOOR((SELECT COUNT(*) FROM flat) * 1.0
+                          / (SELECT COUNT(*) FROM toks) * 1e6 + 0.5) / 1e6)
+    """,
+    notes=(
+        "DATASET CARD metrics frame (the summary sheet shipped with every "
+        "curated training corpus — datasheets-for-datasets, Gebru et al. "
+        "2021, public): corpus size, token count, vocabulary, language/"
+        "source coverage, exact-duplicate and high-repetition doc counts, "
+        "mean doc length — one (metric, value) row each. Every metric is "
+        "an integer count or exact ratio (dround 6), computed from two "
+        "scans (doc-level + token-level) fused by Catalyst into shared "
+        "partial aggregates; the card is corpus-size-independent output "
+        "(8 rows) so it runs identically at 100 TB"
+    ),
+)
+def pipeline_dataset_card(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        tk.alias("tk"),
+        F.lower(F.trim("text")).alias("norm"),
+    ).localCheckpoint(eager=True)  # feeds four aggregates below
+    flat = toks.select("doc_id", F.explode("tk").alias("w"))
+    doc_stats = toks.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.count_distinct("lang").cast("double").alias("n_langs"),
+        F.count_distinct("source").cast("double").alias("n_sources"),
+    )
+    tok_stats = flat.agg(
+        F.count("*").cast("double").alias("n_tokens"),
+        F.count_distinct("w").cast("double").alias("vocab_size"),
+    )
+    dup = (
+        toks.groupBy("norm")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("double").alias("exact_dup_docs"))
+    )
+    rep = (
+        toks.select(
+            F.size("tk").alias("n"), F.size(F.array_distinct("tk")).alias("u")
+        )
+        .filter((F.col("n") > 0) & ((1.0 - F.col("u") * 1.0 / F.col("n")) > 0.6))
+        .agg(F.count("*").cast("double").alias("repetitive_docs"))
+    )
+    row = (
+        doc_stats.crossJoin(tok_stats)
+        .crossJoin(dup)
+        .crossJoin(rep)
+        .withColumn(
+            "avg_tokens_per_doc",
+            F.floor(F.col("n_tokens") / F.col("n_docs") * 1e6 + F.lit(0.5)) / 1e6,
+        )
+    )
+    return row.select(
+        F.expr(
+            "stack(8, 'n_docs', n_docs, 'n_tokens', n_tokens, "
+            "'vocab_size', vocab_size, 'n_langs', n_langs, "
+            "'n_sources', n_sources, 'exact_dup_docs', exact_dup_docs, "
+            "'repetitive_docs', repetitive_docs, "
+            "'avg_tokens_per_doc', avg_tokens_per_doc) AS (metric, value)"
+        )
+    )

@@ -514,3 +514,84 @@ def win_pareto_share(spark, sf_dir):
         (F.floor(cum / tot * 1e6 + F.lit(0.5)) / 1e6).alias("cum_share"),
         (cum - F.col("rev_cents").cast("double") < 0.8 * tot).alias("in_top80"),
     )
+
+
+@register(
+    "win_median_rolling",
+    "windows",
+    oracle="""
+        WITH base AS (
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        fr AS (
+            SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+                   list(cents) OVER w AS l,
+                   ROW_NUMBER() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate ASC, l_orderkey ASC,
+                                l_linenumber ASC) AS rn
+            FROM base
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY l_shipdate ASC, l_orderkey ASC,
+                                  l_linenumber ASC
+                         ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+        )
+        SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+               (CAST(list_sort(l)[10] AS DOUBLE)
+                + CAST(list_sort(l)[11] AS DOUBLE)) / 2.0 / 100.0
+                   AS rolling_median
+        FROM fr WHERE rn >= 20
+    """,
+    notes=(
+        "rolling 20-row exact MEDIAN price per supplier — a window Spark "
+        "SQL cannot express natively (no median/percentile over frames): "
+        "array_sort(collect_list() OVER frame) + the two middle elements, "
+        "on exact integer cents so the interpolated midpoint is "
+        "bit-identical in both engines regardless of frame accumulation "
+        "order (the ts_rolling_corr discipline; the oracle sorts a "
+        "windowed list() the same way). Full frames only; per-row state "
+        "is the 20-element frame list — bounded by the frame, not the "
+        "partition"
+    ),
+)
+def win_median_rolling(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_suppkey",
+        "l_shipdate",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    order = [F.asc("l_shipdate"), F.asc("l_orderkey"), F.asc("l_linenumber")]
+    w = (
+        Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-19, Window.currentRow)
+    )
+    wr = Window.partitionBy("l_suppkey").orderBy(*order)
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    return (
+        base.select(
+            "l_suppkey",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            arr.alias("l"),
+            F.row_number().over(wr).alias("rn"),
+        )
+        .filter(F.col("rn") >= 20)
+        .select(
+            "l_suppkey",
+            "l_shipdate",
+            "l_orderkey",
+            "l_linenumber",
+            (
+                (
+                    F.element_at("l", 10).cast("double")
+                    + F.element_at("l", 11).cast("double")
+                )
+                / 2.0
+                / 100.0
+            ).alias("rolling_median"),
+        )
+    )

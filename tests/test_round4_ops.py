@@ -1294,3 +1294,61 @@ def test_ts_week_over_week_matches_python(spark):
         else:
             assert r.prev_n == prev
             assert abs(r.wow_change - math.floor((r.n - prev) / prev * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_graph_risk_score_matches_python(spark):
+    tables(spark, SF_SMALL)
+    rows = OPS["graph_risk_score"].fn(spark, SF_SMALL).collect()
+    prmax = max(r.pr for r in rows)
+    degmax = max(r.degree for r in rows)
+    for r in rows:
+        exp = (
+            0.5 * (r.pr / prmax)
+            + 0.3 * (r.degree / degmax)
+            + 0.2 * (1.0 if r.on_cycle else 0.0)
+        )
+        assert abs(r.risk_score - math.floor(exp * 1e6 + 0.5) / 1e6) < 2e-6
+    # the cyclic fixture has both on-cycle and off-cycle entities
+    assert any(r.on_cycle for r in rows) and any(not r.on_cycle for r in rows)
+    assert max(r.risk_score for r in rows) <= 1.0
+
+
+def test_win_median_rolling_matches_python(spark):
+    li = (
+        t(spark, SF_SMALL, "lineitem")
+        .filter(F.col("l_suppkey") == 1)
+        .select("l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice")
+        .collect()
+    )
+    rows = sorted(li, key=lambda r: (r.l_shipdate, r.l_orderkey, r.l_linenumber))
+    cents = [int(math.floor(r.l_extendedprice * 100.0 + 0.5)) for r in rows]
+    got = {
+        (r.l_shipdate, r.l_orderkey, r.l_linenumber): r.rolling_median
+        for r in OPS["win_median_rolling"].fn(spark, SF_SMALL)
+        .filter(F.col("l_suppkey") == 1)
+        .collect()
+    }
+    for i in range(19, len(rows)):
+        frame = sorted(cents[i - 19 : i + 1])
+        exp = (frame[9] + frame[10]) / 2.0 / 100.0
+        key = (rows[i].l_shipdate, rows[i].l_orderkey, rows[i].l_linenumber)
+        assert got[key] == exp
+
+
+def test_pipeline_dataset_card_matches_python(spark):
+    docs = t(spark, SF_SMALL, "documents").select("text", "lang", "source").collect()
+    toks = [[w for w in r.text.lower().split(" ") if w] for r in docs]
+    norm = Counter(r.text.lower().strip() for r in docs)
+    got = {r.metric: r.value for r in OPS["pipeline_dataset_card"].fn(spark, SF_SMALL).collect()}
+    assert got["n_docs"] == len(docs)
+    assert got["n_tokens"] == sum(len(tk) for tk in toks)
+    assert got["vocab_size"] == len({w for tk in toks for w in tk})
+    assert got["n_langs"] == len({r.lang for r in docs})
+    assert got["n_sources"] == len({r.source for r in docs})
+    assert got["exact_dup_docs"] == sum(c for c in norm.values() if c > 1)
+    rep = sum(
+        1
+        for tk in toks
+        if tk and (1.0 - len(set(tk)) / len(tk)) > 0.6
+    )
+    assert got["repetitive_docs"] == rep
