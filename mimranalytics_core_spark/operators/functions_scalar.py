@@ -391,3 +391,31 @@ def fn_try_arithmetic(spark, sf_dir):
         .cast("int")
         .alias("maybe_int"),
     )
+
+
+@register(
+    "fn_hash_digests",
+    "scalar_fns",
+    oracle="""
+        SELECT c_custkey, md5(c_name) AS md5_hex,
+               sha256(c_name) AS sha256_hex,
+               md5(c_name || '|' || c_mktsegment) AS composite_md5
+        FROM customer
+    """,
+    notes=(
+        "cryptographic digest functions (the content-fingerprint "
+        "primitives under the dedup stack — dedup_simhash already derives "
+        "its bits from md5): md5/sha256 hex digests plus a composite-key "
+        "digest, identical lowercase-hex semantics in both engines. "
+        "Row-local, zero shuffle; at 100 TB digests are computed scan-side "
+        "exactly like this"
+    ),
+)
+def fn_hash_digests(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("md5_hex"),
+        F.sha2(F.col("c_name"), 256).alias("sha256_hex"),
+        F.md5(F.concat_ws("|", "c_name", "c_mktsegment")).alias("composite_md5"),
+    )

@@ -2758,3 +2758,71 @@ def graph_risk_score(spark, sf_dir):
         on_cycle.alias("on_cycle"),
         (F.floor(risk * 1e6 + F.lit(0.5)) / 1e6).alias("risk_score"),
     )
+
+
+_CYCLE_PATHS_SQL = """
+    WITH RECURSIVE {edges},
+    walk(origin, node, path, depth) AS (
+        SELECT src, dst, src || '->' || dst, 1 FROM tc_edges
+        UNION ALL
+        SELECT w.origin, e.dst, w.path || '->' || e.dst, w.depth + 1
+        FROM walk w JOIN tc_edges e ON e.src = w.node
+        WHERE w.depth < 4 AND w.node <> w.origin
+    )
+    SELECT origin, path, CAST(depth AS INTEGER) AS cycle_len
+    FROM walk WHERE node = origin
+"""
+
+
+@register(
+    "graph_cycle_paths",
+    "graph",
+    oracle=_CYCLE_PATHS_SQL.format(edges=TRADE_CREDIT_SQL.strip()),
+    notes=(
+        "cycle PATH enumeration (README.md:15 — membership alone "
+        "(graph_cycles) flags the entity; the audit report must SHOW the "
+        "loop): every closed walk up to length 4 on the bounded "
+        "trade-credit digraph as an arrow-joined path string, verbatim "
+        "recursive CTE in both engines (E2). The walk stops expanding once "
+        "it returns to origin, and the subgraph is bounded by declaration "
+        "(<50 keys — path enumeration NEVER runs on unbounded graphs, the "
+        "module's scale posture), so the frontier stays subgraph-sized at "
+        "every SF"
+    ),
+)
+def graph_cycle_paths(spark, sf_dir):
+    return _sql_both(spark, sf_dir, _CYCLE_PATHS_SQL.format(edges=TRADE_CREDIT_SQL.strip()))
+
+
+_CHAINS_SQL = """
+    WITH {edges},
+    c1 AS (SELECT src, dst, weight FROM edges WHERE rel_type = 'customer_of'),
+    s1 AS (SELECT src, dst, weight FROM edges WHERE rel_type = 'supplier_of'),
+    n1 AS (SELECT src, dst FROM edges WHERE rel_type = 'nation_of')
+    SELECT c1.src AS entity,
+           c1.src || '->' || c1.dst || '->' || n1.dst AS chain,
+           FLOOR(c1.weight * 1e6 + 0.5) / 1e6 AS effective_share
+    FROM c1 JOIN n1 ON c1.dst = n1.src
+    UNION ALL
+    SELECT s1.src, s1.src || '->' || s1.dst || '->' || n1.dst,
+           FLOOR(s1.weight * 1e6 + 0.5) / 1e6
+    FROM s1 JOIN n1 ON s1.dst = n1.src
+"""
+
+
+@register(
+    "graph_ownership_chains",
+    "graph",
+    oracle=_CHAINS_SQL.format(edges=HIERARCHY_SQL.strip()),
+    notes=(
+        "ownership CHAIN report (F1/F2, README.md:11/13 — the per-entity "
+        "'who do I roll up to, through whom, at what share' line every "
+        "audit export prints): entity -> nation -> region path strings "
+        "with the effective share (weight product; tier-2/3 edges carry "
+        "1.0 so the customer fraction is the product), verbatim-shared "
+        "SQL. Two broadcast-sized joins — the chains frame is exactly "
+        "|entities| rows at any scale"
+    ),
+)
+def graph_ownership_chains(spark, sf_dir):
+    return _sql_both(spark, sf_dir, _CHAINS_SQL.format(edges=HIERARCHY_SQL.strip()))

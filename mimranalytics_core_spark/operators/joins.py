@@ -794,3 +794,34 @@ def pipeline_entity_resolution(spark, sf_dir):
         "canonical_key",
         F.count("*").over(wc).cast("bigint").alias("cluster_size"),
     )
+
+
+@register(
+    "join_null_safe",
+    "joins",
+    oracle="""
+        WITH a AS (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+                   FROM customer),
+        b AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg,
+                     CAST(COUNT(*) AS BIGINT) AS seg_size
+              FROM customer GROUP BY 1)
+        SELECT a.c_custkey, a.seg, b.seg_size
+        FROM a JOIN b ON a.seg IS NOT DISTINCT FROM b.seg
+    """,
+    notes=(
+        "NULL-safe equality join (Spark's <=> / eqNullSafe vs SQL's IS "
+        "NOT DISTINCT FROM): the suppressed segment becomes NULL on both "
+        "sides and still matches — a plain equi join would silently drop "
+        "those rows, the classic dimension-with-unknown-bucket bug. "
+        "Catalyst plans null-safe equality as a HASH join key (not a "
+        "theta fallback), so the scale shape is identical to join_inner_hash"
+    ),
+)
+def join_null_safe(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    a = c.select("c_custkey", seg.alias("seg"))
+    b = c.select(seg.alias("seg_b")).groupBy("seg_b").agg(
+        F.count("*").cast("bigint").alias("seg_size")
+    )
+    return a.join(b, a.seg.eqNullSafe(b.seg_b)).select("c_custkey", "seg", "seg_size")

@@ -160,3 +160,31 @@ def set_symmetric_diff(spark, sf_dir):
     only1 = h1.exceptAll(h2).select("o_custkey", F.lit("early_only").alias("cohort"))
     only2 = h2.exceptAll(h1).select("o_custkey", F.lit("late_only").alias("cohort"))
     return only1.unionByName(only2)
+
+
+@register(
+    "set_union_schema_evolve",
+    "setops",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+            FROM orders WHERE o_orderstatus = 'F'
+            UNION ALL BY NAME
+            SELECT o_orderkey, o_orderpriority FROM orders
+            WHERE o_orderstatus = 'O'
+        )
+    """,
+    notes=(
+        "schema-evolving union (unionByName allowMissingColumns — the "
+        "append every long-lived pipeline needs when a column arrives "
+        "mid-stream; the read-side twin is scan_schema_evolution): an old "
+        "frame (key, price) and a new frame (key, priority) union by NAME "
+        "with missing columns null-filled, matching DuckDB's UNION ALL BY "
+        "NAME. Scan-local, no shuffle"
+    ),
+)
+def set_union_schema_evolve(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderstatus") == "O").select("o_orderkey", "o_orderpriority")
+    return old.unionByName(new, allowMissingColumns=True)

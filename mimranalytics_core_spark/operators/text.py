@@ -1719,3 +1719,98 @@ def pipeline_dataset_card(spark, sf_dir):
             "'avg_tokens_per_doc', avg_tokens_per_doc) AS (metric, value)"
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        marker AS (
+            SELECT lang AS m_lang, token, COUNT(*) AS cnt,
+                   ROW_NUMBER() OVER (PARTITION BY token
+                                      ORDER BY COUNT(*) DESC, lang ASC) AS rn
+            FROM toks WHERE token <> ''
+            GROUP BY lang, token
+        ),
+        votes AS (
+            SELECT t.doc_id, t.lang AS true_lang, m.m_lang,
+                   COUNT(*) AS votes,
+                   ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                      ORDER BY COUNT(*) DESC, m.m_lang ASC) AS rn
+            FROM toks t JOIN (SELECT token, m_lang FROM marker WHERE rn = 1) m
+              ON t.token = m.token
+            GROUP BY t.doc_id, t.lang, m.m_lang
+        ),
+        pred AS (SELECT doc_id, true_lang, m_lang AS pred_lang
+                 FROM votes WHERE rn = 1),
+        tot AS (SELECT true_lang, COUNT(*) AS n_true FROM pred GROUP BY true_lang)
+        SELECT p.true_lang, p.pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               FLOOR(COUNT(*) * 1.0 / tot.n_true * 1e6 + 0.5) / 1e6 AS frac_of_true
+        FROM pred p JOIN tot ON p.true_lang = tot.true_lang
+        GROUP BY p.true_lang, p.pred_lang, tot.n_true
+    """,
+    notes=(
+        "language-ID CONFUSION MATRIX (the eval artifact behind every "
+        "classifier gate in a curation pipeline — text_lang_id predicts, "
+        "this op grades): (true, predicted) doc counts plus each cell's "
+        "share of its true-language row. Composes the lang_id frame "
+        "(identical logic, its oracle extended by one aggregate) with a "
+        "per-class total join — two small shuffles over the 5x5 grid"
+    ),
+)
+def text_langid_confusion(spark, sf_dir):
+    pred = text_lang_id(spark, sf_dir).select("true_lang", "pred_lang")
+    tot = pred.groupBy("true_lang").agg(F.count("*").alias("n_true"))
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .join(tot, "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            "n_docs",
+            (F.floor(F.col("n_docs") * 1.0 / F.col("n_true") * 1e6 + F.lit(0.5)) / 1e6).alias(
+                "frac_of_true"
+            ),
+        )
+    )
+
+
+@register(
+    "pipeline_sample_inspection",
+    "pipeline",
+    oracle="""
+        SELECT doc_id, lang, source, rank FROM (
+            SELECT doc_id, lang, source,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+                   ) AS INTEGER) AS rank
+            FROM documents
+        ) WHERE rank <= 2
+    """,
+    notes=(
+        "deterministic inspection sample (the human-review draw every "
+        "curation run ships alongside the dataset card): 2 docs per "
+        "(lang, source) stratum, ranked by a content-independent md5 of "
+        "the doc id — unbiased w.r.t. document content, reproducible "
+        "across runs and engines, no RNG state (the "
+        "sample_hash_deterministic principle applied per stratum). One "
+        "window shuffle on the stratum key; output is |strata|*2 rows at "
+        "any corpus size"
+    ),
+)
+def pipeline_sample_inspection(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    return (
+        d.select("doc_id", "lang", "source", F.row_number().over(w).cast("int").alias("rank"))
+        .filter(F.col("rank") <= 2)
+    )

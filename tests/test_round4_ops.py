@@ -1352,3 +1352,63 @@ def test_pipeline_dataset_card_matches_python(spark):
         if tk and (1.0 - len(set(tk)) / len(tk)) > 0.6
     )
     assert got["repetitive_docs"] == rep
+
+
+def test_graph_cycle_paths_all_close_and_bounded(spark):
+    rows = OPS["graph_cycle_paths"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        hops = r.path.split("->")
+        assert hops[0] == r.origin and hops[-1] == r.origin
+        assert len(hops) - 1 == r.cycle_len <= 4
+    # bipartite buys_from/co_located structure: cycles have even length
+    assert {r.cycle_len for r in rows} <= {2, 4}
+
+
+def test_graph_ownership_chains_share_sums_to_one_per_nation(spark):
+    import pandas as pd
+
+    pdf = OPS["graph_ownership_chains"].fn(spark, SF_SMALL).toPandas()
+    assert (pdf.chain.str.split("->").str.len() == 3).all()
+    cust = pdf[pdf.entity.str.startswith("c:")].copy()
+    cust["nation"] = cust.chain.str.split("->").str[1]
+    sums = cust.groupby("nation").effective_share.sum()
+    assert ((sums - 1.0).abs() < 1e-3).all()
+
+
+def test_join_null_safe_keeps_null_bucket(spark):
+    rows = OPS["join_null_safe"].fn(spark, SF_SMALL).collect()
+    c = t(spark, SF_SMALL, "customer")
+    assert len(rows) == c.count()  # nobody dropped
+    null_rows = [r for r in rows if r.seg is None]
+    n_building = c.filter(F.col("c_mktsegment") == "BUILDING").count()
+    assert len(null_rows) == n_building
+    assert all(r.seg_size == n_building for r in null_rows)
+
+
+def test_pipeline_sample_inspection_is_deterministic_and_stratified(spark):
+    a = sorted(
+        (r.lang, r.source, r.rank, r.doc_id)
+        for r in OPS["pipeline_sample_inspection"].fn(spark, SF_SMALL).collect()
+    )
+    b = sorted(
+        (r.lang, r.source, r.rank, r.doc_id)
+        for r in OPS["pipeline_sample_inspection"].fn(spark, SF_SMALL).collect()
+    )
+    assert a == b
+    per_stratum = Counter((lang, src) for lang, src, _, _ in a)
+    assert all(v <= 2 for v in per_stratum.values())
+
+
+def test_text_langid_confusion_diag_dominates(spark):
+    rows = OPS["text_langid_confusion"].fn(spark, SF_SMALL).collect()
+    total = sum(r.n_docs for r in rows)
+    diag = sum(r.n_docs for r in rows if r.true_lang == r.pred_lang)
+    # self-trained markers: accuracy must beat the 1/5 uniform baseline
+    assert diag / total > 0.2
+    by_true = {}
+    for r in rows:
+        by_true.setdefault(r.true_lang, 0.0)
+        by_true[r.true_lang] += r.frac_of_true
+    for v in by_true.values():
+        assert abs(v - 1.0) < 1e-4
