@@ -500,6 +500,7 @@ def betweenness(
     sources: DataFrame,
     max_depth: int = 8,
     state_partitions: int | None = None,
+    edge_scores: bool = False,
 ) -> DataFrame:
     """Brandes betweenness centrality from a source sample: (node, betweenness).
 
@@ -512,6 +513,13 @@ def betweenness(
     shuffle per level. Backward phase: dependency accumulation
     δ(v) += σ(v)/σ(w)·(1+δ(w)) processed by descending level, again one
     join/agg per level. Total supersteps ≤ 2·diameter regardless of |V|.
+
+    ``edge_scores=True`` returns EDGE betweenness instead — (src, dst,
+    edge_betweenness) over canonical undirected pairs: the per-(v, w)
+    backward-phase contribution σ_v/σ_w·(1+δ_w) IS Brandes' edge
+    dependency, so the variant only re-keys the same terms before the
+    final sum (Girvan–Newman's scoring phase; the node recursion is
+    unchanged and bit-identical).
     """
     spark_f = F
     # materialize once: both phases join edges per level; a lazy derivation
@@ -549,6 +557,7 @@ def betweenness(
     # backward accumulation, deepest level first; columns renamed per role to
     # avoid self-join ambiguity (levels share lineage)
     delta = None  # (source, node, delta) for processed levels
+    edelta = None  # (ea, eb, c) edge-dependency terms when edge_scores
     for lev in range(len(levels) - 1, 0, -1):
         w_nodes = levels[lev].select(
             spark_f.col("source").alias("wsource"),
@@ -581,7 +590,7 @@ def betweenness(
             spark_f.col("node").alias("v"),
             spark_f.col("sigma").alias("sigma_v"),
         )
-        contrib = (
+        terms = (
             edges.join(w_nodes, edges.dst == w_nodes.w)
             .join(
                 preds,
@@ -591,17 +600,40 @@ def betweenness(
             .select(
                 spark_f.col("psource").alias("source"),
                 spark_f.col("v").alias("node"),
+                spark_f.col("w"),
                 (
                     spark_f.col("sigma_v") / spark_f.col("sigma_w") * (1.0 + spark_f.col("delta_w"))
                 ).alias("c"),
             )
-            .groupBy("source", "node")
-            .agg(spark_f.sum("c").alias("delta"))
         )
+        if edge_scores:
+            e_part = terms.select(
+                spark_f.least("node", "w").alias("ea"),
+                spark_f.greatest("node", "w").alias("eb"),
+                "c",
+            )
+            edelta = e_part if edelta is None else edelta.unionByName(e_part)
+        contrib = terms.groupBy("source", "node").agg(spark_f.sum("c").alias("delta"))
         if state_partitions is not None:
             contrib = contrib.coalesce(state_partitions)
         contrib = contrib.localCheckpoint(eager=True)
         delta = contrib if delta is None else delta.unionByName(contrib)
+    if edge_scores:
+        if edelta is None:
+            return edges.select(
+                spark_f.least("src", "dst").alias("src"),
+                spark_f.greatest("src", "dst").alias("dst"),
+            ).distinct().withColumn("edge_betweenness", spark_f.lit(0.0))
+        return (
+            edelta.groupBy(
+                spark_f.col("ea").alias("src"), spark_f.col("eb").alias("dst")
+            )
+            .agg(
+                (
+                    spark_f.floor(spark_f.sum("c") * 1e6 + spark_f.lit(0.5)) / 1e6
+                ).alias("edge_betweenness")
+            )
+        )
     if delta is None:
         return sources.select("node").withColumn("betweenness", spark_f.lit(0.0))
     return (

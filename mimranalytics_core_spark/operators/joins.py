@@ -825,3 +825,70 @@ def join_null_safe(spark, sf_dir):
         F.count("*").cast("bigint").alias("seg_size")
     )
     return a.join(b, a.seg.eqNullSafe(b.seg_b)).select("c_custkey", "seg", "seg_size")
+
+
+@register(
+    "join_bucketed_colocated",
+    "joins",
+    oracle="""
+        SELECT o.o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderstatus
+    """,
+    notes=(
+        "co-located BUCKETED fact-to-fact join — THE 100 TB layout move "
+        "(SCALE.md; tests/test_bucketing.py carries the no-Exchange plan "
+        "evidence): both facts are written bucketBy(8, orderkey) + sortBy "
+        "into warehouse tables once per sf_dir, and the join then reads "
+        "Bucketed: true with NO shuffle Exchange on either side — at real "
+        "scale neither fact side broadcasts, which is exactly when "
+        "bucketing pays. The declared result aggregates revenue in exact "
+        "integer cents per status; the oracle runs the plain (unbucketed) "
+        "join, proving layout changes nothing semantically"
+    ),
+)
+def join_bucketed_colocated(spark, sf_dir):
+    import os
+
+    import shutil
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_").replace("-", "_")
+    li_tbl, o_tbl = f"li_bkt_{tag}", f"o_bkt_{tag}"
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if not spark.catalog.tableExists(li_tbl):
+        # fresh sessions use an in-memory catalog: a location left by a
+        # previous session isn't droppable via SQL — clear it directly
+        # (the test_bucketing fixture's lesson)
+        shutil.rmtree(os.path.join(warehouse, li_tbl), ignore_errors=True)
+        (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_extendedprice")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(li_tbl)
+        )
+    if not spark.catalog.tableExists(o_tbl):
+        shutil.rmtree(os.path.join(warehouse, o_tbl), ignore_errors=True)
+        (
+            t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(o_tbl)
+        )
+    li = spark.table(li_tbl)
+    o = spark.table(o_tbl)
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum(cents).cast("bigint").alias("rev_cents"),
+        )
+    )

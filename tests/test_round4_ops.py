@@ -1412,3 +1412,65 @@ def test_text_langid_confusion_diag_dominates(spark):
         by_true[r.true_lang] += r.frac_of_true
     for v in by_true.values():
         assert abs(v - 1.0) < 1e-4
+
+
+def test_graph_betweenness_edge_matches_python_brandes(spark):
+    tables(spark, SF_SMALL)
+    edges = [
+        (r.src, r.dst)
+        for r in catalog.hierarchy_edges(spark, SF_SMALL).select("src", "dst").collect()
+    ]
+    ue = set(edges) | {(d, s) for s, d in edges}
+    adj = {}
+    for s, d in ue:
+        adj.setdefault(s, set()).add(d)
+    sources = [v for v in adj if v[:2] in ("n:", "r:")]
+    import collections
+
+    eb = Counter()
+    for s in sources:
+        # Brandes single-source with edge accumulation, depth<=6
+        dist, sigma, preds = {s: 0}, {s: 1.0}, {}
+        order, q = [], collections.deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            if dist[v] >= 6:
+                continue
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] = sigma.get(w, 0.0) + sigma[v]
+                    preds.setdefault(w, []).append(v)
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for v in preds.get(w, ()):
+                c = sigma[v] / sigma[w] * (1.0 + delta[w])
+                delta[v] += c
+                eb[(min(v, w), max(v, w))] += c
+    got = {
+        (r.src, r.dst): r.edge_betweenness
+        for r in OPS["graph_betweenness_edge"].fn(spark, SF_SMALL).collect()
+    }
+    assert set(got) == set(eb)
+    for k, v in eb.items():
+        assert abs(got[k] - math.floor(v * 1e6 + 0.5) / 1e6) < 2e-6, k
+
+
+def test_join_bucketed_colocated_equals_plain_join(spark):
+    got = {r.o_orderstatus: r for r in OPS["join_bucketed_colocated"].fn(spark, SF_SMALL).collect()}
+    li = t(spark, SF_SMALL, "lineitem")
+    o = t(spark, SF_SMALL, "orders")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    exp = {
+        r.o_orderstatus: r
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("rc"))
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k].n_items == exp[k].n and got[k].rev_cents == exp[k].rc
