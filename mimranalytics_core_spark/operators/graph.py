@@ -2887,3 +2887,140 @@ def graph_betweenness_edge(spark, sf_dir):
         .select(F.col("src").alias("node"))
     )
     return betweenness(e, sources, max_depth=6, state_partitions=8, edge_scores=True)
+
+
+@register(
+    "graph_rich_club",
+    "graph",
+    oracle=f"""
+        WITH {TRADE_CREDIT_SQL},
+        ue AS (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM tc_edges
+            UNION ALL SELECT dst, src FROM tc_edges)),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM ue GROUP BY src),
+        und AS (SELECT src, dst FROM ue WHERE src < dst),
+        ks AS (SELECT unnest([5, 10, 15, 20]) AS k),
+        rich AS (SELECT k, node FROM ks JOIN deg ON deg.d > ks.k),
+        nk AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_rich FROM rich GROUP BY k),
+        ek AS (SELECT r1.k, CAST(COUNT(*) AS BIGINT) AS e_rich
+               FROM und e
+               JOIN rich r1 ON e.src = r1.node
+               JOIN rich r2 ON e.dst = r2.node AND r1.k = r2.k
+               GROUP BY r1.k),
+        base AS (SELECT nk.k, nk.n_rich, COALESCE(ek.e_rich, 0) AS e_rich
+                 FROM nk LEFT JOIN ek ON nk.k = ek.k)
+        SELECT CAST(k AS INTEGER) AS k, n_rich, e_rich,
+               CASE WHEN n_rich >= 2
+                    THEN FLOOR(2.0 * e_rich
+                               / (CAST(n_rich AS DOUBLE) * (n_rich - 1))
+                               * 1e6 + 0.5) / 1e6
+                    ELSE NULL END AS phi
+        FROM base
+    """,
+    notes=(
+        "rich-club coefficient (Zhou & Mondragon 2004, public; NetworkX "
+        "rich_club_coefficient — do the best-connected entities trade "
+        "preferentially with EACH OTHER, the elite-collusion screen of "
+        "README.md:15): phi(k) = 2*E_k / (N_k*(N_k-1)) over nodes of "
+        "degree > k for four k levels. Degrees and within-club edge "
+        "counts are one partial-agg and one semi-join-shaped join each; "
+        "all ingredients integer, one float ratio dround 6"
+    ),
+)
+def graph_rich_club(spark, sf_dir):
+    tables(spark, sf_dir)
+    tc = catalog.trade_credit_edges(spark, sf_dir).select("src", "dst")
+    ue = (
+        tc.unionAll(tc.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = ue.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    und = ue.filter(F.col("src") < F.col("dst"))
+    ks = spark.range(1).select(F.explode(F.array(*[F.lit(k) for k in (5, 10, 15, 20)])).alias("k"))
+    rich = ks.crossJoin(deg).filter(F.col("d") > F.col("k")).select("k", "node")
+    nk = rich.groupBy("k").agg(F.count("*").cast("bigint").alias("n_rich"))
+    r1 = rich.select(F.col("k"), F.col("node").alias("src"))
+    r2 = rich.select(F.col("k").alias("k2"), F.col("node").alias("dst2"))
+    ek = (
+        und.join(r1, "src")
+        .join(r2, (F.col("dst") == F.col("dst2")) & (F.col("k") == F.col("k2")))
+        .groupBy("k")
+        .agg(F.count("*").cast("bigint").alias("e_rich"))
+    )
+    base = nk.join(ek, "k", "left").select(
+        "k", "n_rich", F.coalesce("e_rich", F.lit(0)).cast("bigint").alias("e_rich")
+    )
+    phi = (
+        F.floor(
+            2.0 * F.col("e_rich") / (F.col("n_rich").cast("double") * (F.col("n_rich") - 1))
+            * 1e6
+            + F.lit(0.5)
+        )
+        / 1e6
+    )
+    return base.select(
+        F.col("k").cast("int").alias("k"),
+        "n_rich",
+        "e_rich",
+        F.when(F.col("n_rich") >= 2, phi).otherwise(F.lit(None).cast("double")).alias("phi"),
+    )
+
+
+@register(
+    "graph_path_stats",
+    "graph",
+    oracle=f"""
+        WITH RECURSIVE {HIERARCHY_SQL.strip()},
+        ue AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        srcs AS (SELECT DISTINCT src AS s FROM ue
+                 WHERE src LIKE 'n:%' OR src LIKE 'r:%'),
+        walk(s, node, path) AS (
+            SELECT s, s, [s] FROM srcs
+            UNION ALL
+            SELECT w.s, e.dst, list_append(w.path, e.dst)
+            FROM walk w JOIN ue e ON e.src = w.node
+            WHERE NOT list_contains(w.path, e.dst) AND len(w.path) <= 6
+        ),
+        md AS (SELECT s, node, MIN(len(path) - 1) AS d
+               FROM walk WHERE node != s GROUP BY s, node)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               FLOOR(AVG(CAST(d AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS avg_path_len,
+               CAST(MAX(d) AS INTEGER) AS diameter_lb
+        FROM md
+    """,
+    notes=(
+        "small-world path statistics from the hub sample (README.md:28 — "
+        "NetworkX's average_shortest_path_length/diameter pair): reached-"
+        "pair count, mean min-hop distance, and the sampled diameter lower "
+        "bound, ONE extra aggregation on the same multi-source BFS that "
+        "already powers closeness/eccentricity/harmonic (the marginal-cost "
+        "pattern of the centrality family). AVG over small-int distances "
+        "dround 6 — the sum is integer-exact, only the final division is "
+        "float"
+    ),
+)
+def graph_path_stats(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import (
+        multi_source_distances,
+        undirect,
+    )
+
+    tables(spark, sf_dir)
+    e = undirect(catalog.hierarchy_edges(spark, sf_dir))
+    sources = (
+        e.select("src")
+        .filter(F.col("src").startswith("n:") | F.col("src").startswith("r:"))
+        .distinct()
+        .select(F.col("src").alias("node"))
+    )
+    d = multi_source_distances(e, sources, max_depth=6).filter(
+        F.col("node") != F.col("source")
+    )
+    return d.agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.floor(F.avg(F.col("dist").cast("double")) * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "avg_path_len"
+        ),
+        F.max("dist").cast("int").alias("diameter_lb"),
+    )

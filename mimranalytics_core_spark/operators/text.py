@@ -1814,3 +1814,57 @@ def pipeline_sample_inspection(spark, sf_dir):
         d.select("doc_id", "lang", "source", F.row_number().over(w).cast("int").alias("rank"))
         .filter(F.col("rank") <= 2)
     )
+
+
+@register(
+    "text_char_ngram_profile",
+    "text",
+    oracle="""
+        WITH base AS (SELECT lang, lower(text) AS lt FROM documents),
+        bg AS (
+            SELECT lang,
+                   unnest(list_transform(generate_series(1, length(lt) - 1),
+                                         i -> substr(lt, i, 2))) AS g
+            FROM base WHERE length(lt) >= 2
+        ),
+        cnt AS (SELECT lang, g, COUNT(*) AS c FROM bg GROUP BY lang, g)
+        SELECT lang, g AS bigram, CAST(c AS BIGINT) AS cnt,
+               CAST(rnk AS INTEGER) AS rnk
+        FROM (
+            SELECT lang, g, c, ROW_NUMBER() OVER (
+                       PARTITION BY lang ORDER BY c DESC, g ASC) AS rnk
+            FROM cnt
+        ) WHERE rnk <= 10
+    """,
+    notes=(
+        "per-language character-bigram profile (Cavnar & Trenkle 1994's "
+        "n-gram-profile langid, public — the CHARACTER-level counterpart "
+        "of the engine's token-vote text_lang_id, and what real language "
+        "identifiers actually use): top-10 char bigrams per language by "
+        "frequency with deterministic ties. The bigram build is row-local "
+        "over the MATERIALIZED lowercase column (transform over sequence "
+        "— the NOTES_r4 HOF discipline); counts partial-agg per (lang, "
+        "gram) then a top-k window over the tiny profile grid"
+    ),
+)
+def text_char_ngram_profile(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    base = d.select("lang", F.lower("text").alias("lt")).filter(F.length("lt") >= 2)
+    bg = base.select(
+        "lang",
+        F.explode(
+            F.expr("transform(sequence(1, length(lt) - 1), i -> substr(lt, i, 2))")
+        ).alias("g"),
+    )
+    cnt = bg.groupBy("lang", "g").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("g"))
+    return (
+        cnt.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "lang",
+            F.col("g").alias("bigram"),
+            F.col("c").cast("bigint").alias("cnt"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -1474,3 +1474,48 @@ def test_join_bucketed_colocated_equals_plain_join(spark):
     assert set(got) == set(exp)
     for k in exp:
         assert got[k].n_items == exp[k].n and got[k].rev_cents == exp[k].rc
+
+
+def test_graph_rich_club_matches_python(spark):
+    tables(spark, SF_SMALL)
+    tc = [
+        (r.src, r.dst)
+        for r in catalog.trade_credit_edges(spark, SF_SMALL).select("src", "dst").collect()
+    ]
+    ue = set(tc) | {(d, s) for s, d in tc}
+    deg = Counter(s for s, _ in ue)
+    und = {(s, d) for s, d in ue if s < d}
+    got = {r.k: r for r in OPS["graph_rich_club"].fn(spark, SF_SMALL).collect()}
+    for k in (5, 10, 15, 20):
+        club = {v for v, d in deg.items() if d > k}
+        ew = sum(1 for s, d in und if s in club and d in club)
+        assert got[k].n_rich == len(club)
+        assert got[k].e_rich == ew
+        if len(club) >= 2:
+            phi = 2.0 * ew / (len(club) * (len(club) - 1))
+            assert abs(got[k].phi - math.floor(phi * 1e6 + 0.5) / 1e6) < 2e-6
+        else:
+            assert got[k].phi is None
+
+
+def test_graph_path_stats_consistent_with_eccentricity(spark):
+    row = OPS["graph_path_stats"].fn(spark, SF_SMALL).collect()[0]
+    ecc = OPS["graph_eccentricity"].fn(spark, SF_SMALL).collect()
+    assert row.diameter_lb == max(r.eccentricity for r in ecc)
+    assert 1.0 <= row.avg_path_len <= row.diameter_lb
+
+
+def test_text_char_ngram_profile_matches_python(spark):
+    docs = t(spark, SF_SMALL, "documents").select("lang", "text").collect()
+    cnt = {}
+    for r in docs:
+        lt = r.text.lower()
+        for i in range(len(lt) - 1):
+            cnt.setdefault(r.lang, Counter())[lt[i : i + 2]] += 1
+    got = {}
+    for r in OPS["text_char_ngram_profile"].fn(spark, SF_SMALL).collect():
+        got.setdefault(r.lang, []).append((r.rnk, r.bigram, r.cnt))
+    for lang, c in cnt.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+        exp = [(i + 1, g, n) for i, (g, n) in enumerate(top)]
+        assert sorted(got[lang]) == exp, lang
