@@ -833,3 +833,69 @@ def reshape_unpivot(spark, sf_dir):
         "measure",
         "value",
     )
+
+
+@register(
+    "udtf_table_arg",
+    "udfs",
+    oracle="""
+        SELECT c_nationkey, CAST(COUNT(*) AS INTEGER) AS n_cust,
+               FLOOR(COALESCE(MAX(gap), 0.0) * 100 + 0.5) / 100 AS max_gap
+        FROM (
+            SELECT c_nationkey,
+                   c_acctbal - LAG(c_acctbal) OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY c_acctbal ASC, c_custkey ASC) AS gap
+            FROM customer
+        )
+        GROUP BY c_nationkey
+    """,
+    notes=(
+        "Python UDTF with a TABLE argument + PARTITION BY/ORDER BY (the "
+        "Spark 4 polymorphic-table-function surface, README.md:26's "
+        "Python extension point in its newest form): the UDTF receives "
+        "each nation's customers as an ordered partition stream (eval per "
+        "row, terminate emits), computing the largest balance gap between "
+        "consecutive customers — per-group sequential logic that plain "
+        "UDFs/window functions would need multiple passes to express. "
+        "One shuffle on the partition key; Arrow-batched rows; oracle is "
+        "the LAG-window reformulation"
+    ),
+)
+def udtf_table_arg(spark, sf_dir):
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="c_nationkey INT, n_cust INT, max_gap DOUBLE")
+    class BalanceGaps:
+        def __init__(self):
+            self._prev = None
+            self._mx = 0.0
+            self._n = 0
+            self._key = None
+
+        def eval(self, row):
+            self._key = row["c_nationkey"]
+            self._n += 1
+            if self._prev is not None:
+                g = row["c_acctbal"] - self._prev
+                if g > self._mx:
+                    self._mx = g
+            self._prev = row["c_acctbal"]
+
+        def terminate(self):
+            if self._key is not None:
+                yield self._key, self._n, math.floor(self._mx * 100 + 0.5) / 100
+
+    t(spark, sf_dir, "customer")  # register the customer view
+    spark.udtf.register("balance_gaps", BalanceGaps)
+    return spark.sql(
+        """
+        SELECT * FROM balance_gaps(
+            TABLE(SELECT c_nationkey, c_acctbal, c_custkey FROM customer)
+            PARTITION BY c_nationkey
+            ORDER BY (c_acctbal ASC, c_custkey ASC)
+        )
+        """
+    )

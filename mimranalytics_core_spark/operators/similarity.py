@@ -1667,3 +1667,65 @@ def multimodal_phash_dedup(spark, sf_dir, width: int = 40):
         F.min("media_id").over(wd).alias("canonical_media_id"),
         F.count("*").over(wd).cast("bigint").alias("cluster_size"),
     )
+
+
+@register(
+    "sim_embedding_quantize_int8",
+    "similarity",
+    oracle="""
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        s AS (SELECT vec_id, x,
+                     list_aggregate(list_transform(x, e -> abs(e)), 'max') / 127.0
+                         AS scale
+              FROM v),
+        q AS (SELECT vec_id, x, scale,
+                     list_transform(x, e -> FLOOR(e / scale + 0.5) * scale) AS recon
+              FROM s),
+        err AS (SELECT vec_id, scale,
+                       list_aggregate(list_transform(
+                           list_zip(x, recon),
+                           p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum')
+                           / len(x) AS mse,
+                       list_aggregate(list_transform(
+                           list_zip(x, recon),
+                           p -> abs(p[1] - p[2])), 'max') AS mae
+                FROM q)
+        SELECT vec_id,
+               FLOOR(scale * 1e9 + 0.5) / 1e9 AS scale,
+               FLOOR(mse * 1e9 + 0.5) / 1e9 AS mse,
+               FLOOR(mae * 1e9 + 0.5) / 1e9 AS max_abs_err
+        FROM err
+    """,
+    notes=(
+        "int8 scalar quantization of the embedding column (the production "
+        "vector-store memory move — 4x smaller than float32, the "
+        "coarse-grained sibling of sim_pq_topk's 16-byte codes): per "
+        "vector, symmetric scale = max|x|/127, half-up code rounding, "
+        "reconstruction MSE and max-abs error. Entirely row-local array "
+        "math (zip_with/aggregate, JVM codegen, zero shuffle); both "
+        "engines run the identical float expression sequence on identical "
+        "doubles, dround 9 on output. The quantized corpus then serves "
+        "the same scan-and-score/LSH paths at a quarter the bytes"
+    ),
+)
+def sim_embedding_quantize_int8(spark, sf_dir):
+    e = t(spark, sf_dir, "embeddings")
+    x = _as_double(F.col("embedding"))
+    scale = (
+        F.aggregate(x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))) / 127.0
+    )
+    v = e.select("vec_id", x.alias("x"), scale.alias("scale"))
+    recon = F.transform(
+        F.col("x"), lambda ev: F.floor(ev / F.col("scale") + F.lit(0.5)) * F.col("scale")
+    )
+    q = v.select("vec_id", "scale", F.col("x"), recon.alias("recon"))
+    sq_err = F.zip_with(F.col("x"), F.col("recon"), lambda a, b: (a - b) * (a - b))
+    abs_err = F.zip_with(F.col("x"), F.col("recon"), lambda a, b: F.abs(a - b))
+    mse = F.aggregate(sq_err, F.lit(0.0), lambda acc, v2: acc + v2) / F.size("x")
+    mae = F.aggregate(abs_err, F.lit(0.0), lambda acc, v2: F.greatest(acc, v2))
+    return q.select(
+        "vec_id",
+        (F.floor(F.col("scale") * 1e9 + F.lit(0.5)) / 1e9).alias("scale"),
+        (F.floor(mse * 1e9 + F.lit(0.5)) / 1e9).alias("mse"),
+        (F.floor(mae * 1e9 + F.lit(0.5)) / 1e9).alias("max_abs_err"),
+    )

@@ -1519,3 +1519,30 @@ def test_text_char_ngram_profile_matches_python(spark):
         top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
         exp = [(i + 1, g, n) for i, (g, n) in enumerate(top)]
         assert sorted(got[lang]) == exp, lang
+
+
+def test_udtf_table_arg_matches_python(spark):
+    rows = t(spark, SF_SMALL, "customer").select(
+        "c_nationkey", "c_acctbal", "c_custkey"
+    ).collect()
+    by_nation = {}
+    for r in rows:
+        by_nation.setdefault(r.c_nationkey, []).append((r.c_acctbal, r.c_custkey))
+    got = {r.c_nationkey: r for r in OPS["udtf_table_arg"].fn(spark, SF_SMALL).collect()}
+    assert set(got) == set(by_nation)
+    for nk, vals in by_nation.items():
+        vals.sort()
+        mx = max(
+            (b2 - b1 for (b1, _), (b2, _) in zip(vals, vals[1:])), default=0.0
+        )
+        assert got[nk].n_cust == len(vals)
+        assert got[nk].max_gap == math.floor(mx * 100 + 0.5) / 100
+
+
+def test_sim_embedding_quantize_error_bounded(spark):
+    rows = OPS["sim_embedding_quantize_int8"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        # half-up rounding error is at most scale/2 per component
+        assert r.max_abs_err <= r.scale / 2 + 1e-9
+        assert 0.0 <= r.mse <= (r.scale / 2) ** 2 + 1e-12
