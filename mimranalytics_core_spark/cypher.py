@@ -91,6 +91,10 @@ Grammar subset:
   or default names), then ``SKIP n`` / ``LIMIT n``. Ties are NOT broken
   implicitly — order by a unique column (e.g. the entity id) before
   LIMIT for deterministic pagination, as the §2.6 operators do.
+- String predicates: ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``
+  compile to prefix/suffix/infix LIKE with escaped literals (ENDS WITH
+  is masked during the pipeline scan, like STARTS WITH, so its WITH
+  keyword cannot bind a pipe stage).
 - Relationship variables: ``-[r:TYPE]->`` binds ``r``; ``r.weight`` (the
   ownership fraction) is readable in WHERE/RETURN and maps onto the
   path_weight machinery (so it is single-segment-only and round-6; for a
@@ -128,6 +132,8 @@ _AGG_ITEM = re.compile(
 )
 
 _STARTS_WITH = re.compile(r"(?P<col>\b\w+\b)\s+STARTS\s+WITH\s+'(?P<lit>[^']*)'", re.I)
+_ENDS_WITH = re.compile(r"(?P<col>\b\w+\b)\s+ENDS\s+WITH\s+'(?P<lit>[^']*)'", re.I)
+_CONTAINS = re.compile(r"(?P<col>\b\w+\b)\s+CONTAINS\s+'(?P<lit>[^']*)'", re.I)
 
 _PROPS = ("name", "label")
 _RESERVED = {"src", "dst", "hops", "path_weight", "id", "name", "label"}
@@ -317,9 +323,13 @@ def parse(query: str) -> dict:
     # mask the WITH inside "STARTS WITH" so the pipeline scanner's WITH
     # keyword can't bind to it, then unmask every extracted fragment
     tail = re.sub(r"STARTS\s+WITH", "STARTS__WITH", query[pos:], flags=re.I)
+    tail = re.sub(r"ENDS\s+WITH", "ENDS__WITH", tail, flags=re.I)
 
     def _unmask(s):
-        return re.sub("STARTS__WITH", "STARTS WITH", s) if s else s
+        if not s:
+            return s
+        s = re.sub("STARTS__WITH", "STARTS WITH", s)
+        return re.sub("ENDS__WITH", "ENDS WITH", s)
 
     # ---- pipeline scanner over the tail ----
     # tail := [AS OF 't'] [WHERE pred]
@@ -399,6 +409,14 @@ def parse(query: str) -> dict:
         lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
         return f"{m.group('col')} LIKE '{lit}%'"
 
+    def _ew(m: re.Match) -> str:
+        lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+        return f"{m.group('col')} LIKE '%{lit}'"
+
+    def _ct(m: re.Match) -> str:
+        lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+        return f"{m.group('col')} LIKE '%{lit}%'"
+
     src_pred = post_pred = None
     carry_weight = False
     if where:
@@ -419,6 +437,8 @@ def parse(query: str) -> dict:
             raise CypherSyntaxError(f"unsupported property access in WHERE: {where!r}")
 
         pred = _STARTS_WITH.sub(_sw, pred)
+        pred = _ENDS_WITH.sub(_ew, pred)
+        pred = _CONTAINS.sub(_ct, pred)
         unquoted = _unquoted(pred)
         # bare hops/path_weight in WHERE bypass _map_expr (it only sees
         # var.prop tokens) — enforce the single-segment guard here too, so
@@ -628,7 +648,7 @@ def parse(query: str) -> dict:
                     "hops/path_weight are not available after WITH "
                     "(pattern-stage scope only)"
                 )
-            post_p = _STARTS_WITH.sub(_sw, predp)
+            post_p = _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, predp)))
             tpos += swm_.end()
         pipes.append(
             {

@@ -3024,3 +3024,35 @@ def graph_path_stats(spark, sf_dir):
         ),
         F.max("dist").cast("int").alias("diameter_lb"),
     )
+
+
+@register(
+    "cypher_string_predicates",
+    "graph",
+    oracle="""
+        SELECT 'c:' || c_custkey AS cust, c_name AS cname, n_name AS nname
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_name LIKE '%7' AND n_name LIKE '%A%'
+    """,
+    notes=(
+        "Cypher string predicates (README.md:25 — STARTS WITH / ENDS WITH "
+        "/ CONTAINS are the Cypher string-matching triple; saved queries "
+        "use them constantly): ENDS WITH and CONTAINS now compile to "
+        "suffix/infix LIKE with escaped literals, joining the existing "
+        "STARTS WITH support (ENDS WITH is masked during the pipeline "
+        "scan so its WITH keyword cannot bind a pipe stage — the same "
+        "guard STARTS WITH already needed). Property access resolves "
+        "through the hierarchy_nodes attribute view; the oracle states "
+        "the equivalent relational form directly"
+    ),
+)
+def cypher_string_predicates(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+           WHERE c.name ENDS WITH '7' AND n.name CONTAINS 'A'
+           RETURN c.id AS cust, c.name AS cname, n.name AS nname""",
+    )

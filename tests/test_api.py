@@ -888,3 +888,31 @@ def test_cypher_union_mismatched_columns_and_mixing_rejected(spark):
         "RETURN a.id AS x",
     )
     assert df.count() == 0
+
+
+def test_cypher_ends_with_contains(spark):
+    from mimranalytics_core_spark import api
+    from pyspark.sql import functions as F
+
+    got = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) WHERE c.name ENDS WITH '3' "
+        "RETURN c.id AS cust",
+    )
+    from mimranalytics_core_spark.operators._base import t as _t
+
+    exp = (
+        _t(spark, SF_SMALL, "customer")
+        .filter(F.col("c_name").endswith("3"))
+        .select(F.concat(F.lit("c:"), F.col("c_custkey")).alias("cust"))
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+    # CONTAINS with a LIKE metacharacter in the literal must be escaped
+    none = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) WHERE c.name CONTAINS '%' "
+        "RETURN c.id AS cust",
+    )
+    assert none.count() == 0
