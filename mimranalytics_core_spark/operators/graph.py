@@ -3056,3 +3056,91 @@ def cypher_string_predicates(spark, sf_dir):
            WHERE c.name ENDS WITH '7' AND n.name CONTAINS 'A'
            RETURN c.id AS cust, c.name AS cname, n.name AS nname""",
     )
+
+
+@register(
+    "graph_degree_distribution",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        ue AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+        deg AS (SELECT src AS node, COUNT(*) AS d FROM ue GROUP BY src),
+        hist AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d),
+        tot AS (SELECT CAST(SUM(n_nodes) AS DOUBLE) AS n FROM hist)
+        SELECT CAST(d AS BIGINT) AS degree, n_nodes,
+               FLOOR(SUM(n_nodes) OVER (ORDER BY d DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     / tot.n * 1e6 + 0.5) / 1e6 AS ccdf
+        FROM hist CROSS JOIN tot
+    """,
+    notes=(
+        "degree distribution + CCDF (the first chart every graph product "
+        "draws, README.md:11 — and the heavy-tail check that decides "
+        "whether skew mitigation is needed at scale): undirected degree "
+        "histogram with the complementary cumulative share (fraction of "
+        "nodes with degree >= d, an ordered window over the tiny "
+        "histogram). Two partial-agg shuffles; histogram size is "
+        "|distinct degrees|, not |V|"
+    ),
+)
+def graph_degree_distribution(spark, sf_dir):
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    ue = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = ue.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("d"))
+    hist = deg.groupBy("d").agg(F.count("*").cast("bigint").alias("n_nodes"))
+    tot = hist.agg(F.sum("n_nodes").cast("double").alias("n"))
+    w = Window.orderBy(F.desc("d")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").cast("bigint").alias("degree"),
+            "n_nodes",
+            (
+                F.floor(F.sum("n_nodes").over(w) / F.col("n") * 1e6 + F.lit(0.5)) / 1e6
+            ).alias("ccdf"),
+        )
+    )
+
+
+@register(
+    "graph_component_sizes",
+    "graph",
+    oracle="""
+        WITH nodes AS (
+            SELECT 'c:' || c_custkey AS node, n_regionkey AS rk
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT 's:' || s_suppkey, n_regionkey
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            UNION ALL
+            SELECT 'n:' || n_nationkey, n_regionkey FROM nation
+            UNION ALL
+            SELECT 'r:' || r_regionkey, r_regionkey FROM region
+        ),
+        comp AS (SELECT node, MIN(node) OVER (PARTITION BY rk) AS component
+                 FROM nodes),
+        sizes AS (SELECT component, COUNT(*) AS sz FROM comp GROUP BY component)
+        SELECT CAST(sz AS BIGINT) AS component_size,
+               CAST(COUNT(*) AS BIGINT) AS n_components
+        FROM sizes GROUP BY sz
+    """,
+    notes=(
+        "component-size histogram (the cluster-landscape summary a "
+        "corporate-registry product shows first, README.md:15): the SAME "
+        "min-label Pregel as graph_connected_components, reduced twice "
+        "(component -> size -> histogram). The oracle reuses that op's "
+        "non-iterative region-tree ground truth. Output is "
+        "|distinct sizes| rows — constant-ish at any scale"
+    ),
+)
+def graph_component_sizes(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import connected_components
+
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    comp = connected_components(e, max_iter=10, state_partitions=8)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    return sizes.groupBy("sz").agg(
+        F.count("*").cast("bigint").alias("n_components")
+    ).select(F.col("sz").cast("bigint").alias("component_size"), "n_components")

@@ -1546,3 +1546,34 @@ def test_sim_embedding_quantize_error_bounded(spark):
         # half-up rounding error is at most scale/2 per component
         assert r.max_abs_err <= r.scale / 2 + 1e-9
         assert 0.0 <= r.mse <= (r.scale / 2) ** 2 + 1e-12
+
+
+def test_graph_degree_distribution_matches_python(spark):
+    tables(spark, SF_SMALL)
+    edges = [
+        (r.src, r.dst)
+        for r in catalog.hierarchy_edges(spark, SF_SMALL).select("src", "dst").collect()
+    ]
+    deg = Counter()
+    for s, d in edges:
+        deg[s] += 1
+        deg[d] += 1
+    hist = Counter(deg.values())
+    n = float(sum(hist.values()))
+    got = {r.degree: r for r in OPS["graph_degree_distribution"].fn(spark, SF_SMALL).collect()}
+    assert set(got) == set(hist)
+    for d_, cnt in hist.items():
+        assert got[d_].n_nodes == cnt
+        ge = sum(c for dd, c in hist.items() if dd >= d_)
+        assert abs(got[d_].ccdf - math.floor(ge / n * 1e6 + 0.5) / 1e6) < 2e-6
+    # CCDF at the min degree covers everyone
+    assert got[min(hist)].ccdf == 1.0
+
+
+def test_graph_component_sizes_totals(spark):
+    rows = OPS["graph_component_sizes"].fn(spark, SF_SMALL).collect()
+    total_nodes = sum(r.component_size * r.n_components for r in rows)
+    comp = OPS["graph_connected_components"].fn(spark, SF_SMALL)
+    assert total_nodes == comp.count()
+    n_regions = t(spark, SF_SMALL, "region").count()
+    assert sum(r.n_components for r in rows) == n_regions
