@@ -801,3 +801,76 @@ def agg_string_agg(spark, sf_dir):
             F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("roster"),
         )
     )
+
+
+@register(
+    "agg_stats_rollup_merge",
+    "aggregates",
+    oracle="""
+        SELECT r_name,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               FLOOR(AVG(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) / 100.0
+                     * 1e6 + 0.5) / 1e6 AS mean_bal,
+               FLOOR(((SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)
+                           * CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                       - CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                              AS DOUBLE)
+                         * SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT))
+                         / COUNT(*))
+                      / COUNT(*) / 10000.0) * 1e6 + 0.5) / 1e6 AS var_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    notes=(
+        "hierarchical statistics roll-up from MERGEABLE PARTIALS — the "
+        "explicit demonstration of the pattern every 100 TB aggregate "
+        "rides: per-NATION sufficient statistics (n, sum, sum-of-squares "
+        "over exact integer cents) are merged into REGION mean/variance "
+        "WITHOUT rescanning rows (the second aggregate sums the partials; "
+        "Chan's merge reduces to plain sums because the statistics are "
+        "raw power sums). The oracle computes region stats straight from "
+        "the raw rows — the hash match proves partial-merge exactness. "
+        "Integer cents make the partials bit-identical; only the final "
+        "mean/variance division is float, on identical operands"
+    ),
+)
+def agg_stats_rollup_merge(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cents = F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("bigint")
+    # stage 1: per-nation partials (the map-side/pre-aggregated layer a
+    # 100 TB pipeline would keep materialized)
+    partials = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("pn"),
+            F.sum(cents).alias("ps"),
+            F.sum(cents * cents).alias("pss"),
+        )
+    )
+    # stage 2: merge partials to regions — sums of sums, never the raw rows
+    merged = partials.groupBy("r_name").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("ps").alias("s"),
+        F.sum("pss").alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n") / 100.0
+    var = (
+        (
+            F.col("ss").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / F.col("n")
+        / 10000.0
+    )
+    return merged.select(
+        "r_name",
+        "n",
+        (F.floor(mean * 1e6 + F.lit(0.5)) / 1e6).alias("mean_bal"),
+        (F.floor(var * 1e6 + F.lit(0.5)) / 1e6).alias("var_bal"),
+    )

@@ -1577,3 +1577,26 @@ def test_graph_component_sizes_totals(spark):
     assert total_nodes == comp.count()
     n_regions = t(spark, SF_SMALL, "region").count()
     assert sum(r.n_components for r in rows) == n_regions
+
+
+def test_agg_stats_rollup_merge_matches_python(spark):
+    rows = (
+        t(spark, SF_SMALL, "customer")
+        .join(t(spark, SF_SMALL, "nation"), F.expr("c_nationkey = n_nationkey"))
+        .join(t(spark, SF_SMALL, "region"), F.expr("n_regionkey = r_regionkey"))
+        .select("r_name", "c_acctbal")
+        .collect()
+    )
+    by_region = {}
+    for r in rows:
+        by_region.setdefault(r.r_name, []).append(
+            int(math.floor(r.c_acctbal * 100.0 + 0.5))
+        )
+    got = {r.r_name: r for r in OPS["agg_stats_rollup_merge"].fn(spark, SF_SMALL).collect()}
+    for name, cents in by_region.items():
+        n = len(cents)
+        mean = sum(cents) / n / 100.0
+        var = (sum(c * c for c in cents) - sum(cents) ** 2 / n) / n / 10000.0
+        assert got[name].n == n
+        assert abs(got[name].mean_bal - math.floor(mean * 1e6 + 0.5) / 1e6) < 2e-6
+        assert abs(got[name].var_bal - math.floor(var * 1e6 + 0.5) / 1e6) < 2e-6
