@@ -141,6 +141,32 @@ SHOWCASE = [
         "cohort dim, then one count-distinct agg on the bounded "
         "(cohort, age) key — three narrow shuffles, no fact re-scan.",
     ),
+    (
+        "join_range_bucketed",
+        "PURE range join rewritten to the bucket form: explode to the 2 "
+        "covering 7-day buckets, EQUI-join on bucket + residual range "
+        "filter — no CartesianProduct/BNLJ anywhere in the plan (the "
+        "SURVEY.md §4.3.2 mitigation as an executed plan).",
+    ),
+    (
+        "subquery_scalar_correlated",
+        "Correlated scalar subquery DECORRELATED by Catalyst: the "
+        "per-row subquery becomes one grouped aggregate + equi-join "
+        "(RewriteCorrelatedScalarSubquery) — no per-row execution.",
+    ),
+    (
+        "scan_partition_pruned",
+        "Hive-partitioned layout: the status predicate sits under "
+        "PartitionFilters (directory pruning), not as a post-scan data "
+        "filter — only one partition's files are read.",
+    ),
+    (
+        "graph_risk_score",
+        "Composite risk frame: the pagerank superstep joins, degree "
+        "partial agg and cycle CTE meet in plain hash joins on node id; "
+        "max-normalizers enter as a BroadcastExchange of one row — the "
+        "entire score is computed in-plan.",
+    ),
 ]
 
 
