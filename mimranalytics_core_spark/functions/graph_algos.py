@@ -313,9 +313,17 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     state_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Damped PageRank, fixed iterations: (node, rank). Dangling mass is
     redistributed uniformly inside the plan (no driver round-trips).
+
+    ``weight_col``: edge-weighted variant — each source splits its rank
+    proportionally to the (positive) edge weights instead of uniformly
+    (share = w / Σw per src). Zero-weight edges carry no mass and are
+    dropped before the share computation; a source whose edges ALL have
+    zero weight therefore becomes dangling, which is exactly the
+    "no outgoing mass" semantics.
 
     Per-iteration cost: one contribution join (pre-joined edge shares ×
     ranks) + aggregate, plus one left_semi join of the checkpointed rank
@@ -324,7 +332,9 @@ def pagerank(
     the dangling SET is computed once outside the loop). The scalar mass is
     then broadcast into the rank update.
     """
-    e = edges.select("src", "dst")
+    e = edges.select("src", "dst") if weight_col is None else edges.select(
+        "src", "dst", F.col(weight_col).alias("w")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -334,10 +344,17 @@ def pagerank(
     n = nodes.count()
     if n == 0:  # empty graph: no nodes to rank (avoid 1/0 below)
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
-    shares = e.join(out_deg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("share")
-    )
+    if weight_col is None:
+        out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+        shares = e.join(out_deg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("share")
+        )
+    else:
+        pos = e.filter(F.col("w") > 0)
+        out_deg = pos.groupBy("src").agg(F.sum("w").alias("wsum"))
+        shares = pos.join(out_deg, "src").select(
+            "src", "dst", (F.col("w") / F.col("wsum")).alias("share")
+        )
     if state_partitions is not None:
         shares = shares.coalesce(state_partitions)
     shares = shares.localCheckpoint(eager=True)

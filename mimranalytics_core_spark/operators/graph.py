@@ -3144,3 +3144,70 @@ def graph_component_sizes(spark, sf_dir):
     return sizes.groupBy("sz").agg(
         F.count("*").cast("bigint").alias("n_components")
     ).select(F.col("sz").cast("bigint").alias("component_size"), "n_components")
+
+
+def _wpr_oracle_sql(iters: int = 10, damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED-pagerank oracle: the pagerank recurrence
+    (graph.py:341) with proportional shares w/Σw per source over the
+    dround-6 edge weights (zero-weight edges dropped; all-zero sources
+    therefore dangle)."""
+    steps = []
+    prev = "pr0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""
+        c{k} AS (SELECT s.dst AS node, SUM(p.rank * s.share) AS inflow
+                 FROM shares s JOIN {prev} p ON s.src = p.node GROUP BY s.dst),
+        d{k} AS (SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev}
+                 WHERE node IN (SELECT node FROM dangling)),
+        pr{k} AS (SELECT nodes.node,
+                         (1 - {damping}) / nn.n
+                         + {damping} * (COALESCE(c{k}.inflow, 0.0) + d{k}.dm / nn.n)
+                             AS rank
+                  FROM nodes CROSS JOIN nn CROSS JOIN d{k}
+                  LEFT JOIN c{k} ON nodes.node = c{k}.node)"""
+        )
+        prev = f"pr{k}"
+    return f"""
+        WITH {HIERARCHY_SQL},
+        ew AS (SELECT src, dst, FLOOR(weight * 1e6 + 0.5) / 1e6 AS w FROM edges),
+        nodes AS MATERIALIZED (SELECT DISTINCT node FROM
+                  (SELECT src AS node FROM ew UNION ALL SELECT dst FROM ew)),
+        nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+        pos AS MATERIALIZED (SELECT src, dst, w FROM ew WHERE w > 0),
+        wsum AS (SELECT src, SUM(w) AS ws FROM pos GROUP BY src),
+        shares AS MATERIALIZED (SELECT pos.src, pos.dst, pos.w / wsum.ws AS share
+                   FROM pos JOIN wsum ON pos.src = wsum.src),
+        dangling AS MATERIALIZED (SELECT node FROM nodes
+                     WHERE node NOT IN (SELECT src FROM pos)),
+        pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+        {",".join(steps)}
+        SELECT node, FLOOR(rank * 1e6 + 0.5) / 1e6 AS rank FROM {prev}
+    """
+
+
+@register(
+    "graph_pagerank_weighted",
+    "graph",
+    oracle=_wpr_oracle_sql(iters=10, damping=0.85),
+    notes=(
+        "ownership-WEIGHTED PageRank (README.md:13 — influence should "
+        "follow the stake, not the edge count: a 90% owner carries 9x the "
+        "mass of a 10% owner): each source splits its rank proportionally "
+        "to its dround-6 edge weights (share = w/Σw; zero-weight edges "
+        "carry nothing, so all-zero sources dangle — the 'no outgoing "
+        "mass' semantics). Same superstep shape and cost as "
+        "graph_pagerank; the oracle is the unrolled recurrence with "
+        "proportional shares"
+    ),
+)
+def graph_pagerank_weighted(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import pagerank
+
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select(
+        "src", "dst", (F.floor(F.col("weight") * 1e6 + F.lit(0.5)) / 1e6).alias("w")
+    )
+    return pagerank(e, iters=10, state_partitions=8, weight_col="w").select(
+        "node", (F.floor(F.col("rank") * 1000000 + F.lit(0.5)) / 1000000).alias("rank")
+    )

@@ -1600,3 +1600,33 @@ def test_agg_stats_rollup_merge_matches_python(spark):
         assert got[name].n == n
         assert abs(got[name].mean_bal - math.floor(mean * 1e6 + 0.5) / 1e6) < 2e-6
         assert abs(got[name].var_bal - math.floor(var * 1e6 + 0.5) / 1e6) < 2e-6
+
+
+def test_graph_pagerank_weighted_matches_python_power_iteration(spark):
+    tables(spark, SF_SMALL)
+    rows = catalog.hierarchy_edges(spark, SF_SMALL).select("src", "dst", "weight").collect()
+    edges = [(r.src, r.dst, math.floor(r.weight * 1e6 + 0.5) / 1e6) for r in rows]
+    nodes = sorted({s for s, _, _ in edges} | {d for _, d, _ in edges})
+    n = len(nodes)
+    pos = [(s, d, w) for s, d, w in edges if w > 0]
+    wsum = Counter()
+    for s, _, w in pos:
+        wsum[s] += w
+    shares = [(s, d, w / wsum[s]) for s, d, w in pos]
+    dangling = {v for v in nodes if v not in wsum}
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(10):
+        inflow = Counter()
+        for s, d, sh in shares:
+            inflow[d] += rank[s] * sh
+        dm = sum(rank[v] for v in dangling)
+        rank = {
+            v: 0.15 / n + 0.85 * (inflow.get(v, 0.0) + dm / n) for v in nodes
+        }
+    got = {r.node: r.rank for r in OPS["graph_pagerank_weighted"].fn(spark, SF_SMALL).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - math.floor(rank[v] * 1e6 + 0.5) / 1e6) < 2e-6, v
+    # weighting changes the answer: weighted ranks differ from uniform
+    uni = {r.node: r.rank for r in OPS["graph_pagerank"].fn(spark, SF_SMALL).collect()}
+    assert any(abs(got[v] - uni[v]) > 1e-4 for v in nodes)
