@@ -419,3 +419,33 @@ def fn_hash_digests(spark, sf_dir):
         F.sha2(F.col("c_name"), 256).alias("sha256_hex"),
         F.md5(F.concat_ws("|", "c_name", "c_mktsegment")).alias("composite_md5"),
     )
+
+
+@register(
+    "fn_regex_extract_all",
+    "scalar_fns",
+    oracle="""
+        SELECT doc_id,
+               array_to_string(regexp_extract_all(text, '[a-z]+a'), '|')
+                   AS a_words,
+               len(regexp_extract_all(text, '[a-z]+a')) AS n_matches
+        FROM documents WHERE doc_id < 100
+    """,
+    notes=(
+        "regexp_extract_all (the multi-match companion of "
+        "fn_string_regex's single extract — token mining pulls EVERY "
+        "match per row): all lowercase runs ending in 'a', with the match "
+        "count. Matches are '|'-joined for the hash comparator (the "
+        "agg_collect discipline — the driver canonicalizer cannot sort "
+        "list cells); identical RE2-class semantics in both engines; "
+        "row-local, zero shuffle"
+    ),
+)
+def fn_regex_extract_all(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ex = F.expr("regexp_extract_all(text, '[a-z]+a', 0)")
+    return d.select(
+        "doc_id",
+        F.array_join(ex, "|").alias("a_words"),
+        F.size(ex).alias("n_matches"),
+    )

@@ -1868,3 +1868,56 @@ def text_char_ngram_profile(spark, sf_dir):
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@register(
+    "pipeline_token_budget",
+    "pipeline",
+    oracle="""
+        WITH toks AS (
+            SELECT lang, source,
+                   len(list_filter(string_split(lower(text), ' '), x -> x <> ''))
+                       AS n
+            FROM documents
+        ),
+        per AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(n) AS BIGINT) AS n_tokens
+                FROM toks GROUP BY lang, source),
+        tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM per)
+        SELECT lang, source, n_docs, n_tokens,
+               FLOOR(n_tokens / tot.t * 1e6 + 0.5) / 1e6 AS token_share,
+               CAST(FLOOR(n_tokens / tot.t * 1000000000.0) AS BIGINT)
+                   AS budget_at_1b
+        FROM per CROSS JOIN tot
+    """,
+    notes=(
+        "token-budget accounting per (lang, source) stratum — the mixing "
+        "planner's worksheet (how many of a 1B-token budget each stratum "
+        "would contribute at natural proportions; pipeline_sampling_mix "
+        "then enforces chosen weights): row-local token counts, one "
+        "partial-agg shuffle on the stratum key, the corpus total as a "
+        "broadcast scalar. Output is |strata| rows at any corpus size"
+    ),
+)
+def pipeline_token_budget(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    n = F.size(F.filter(F.split(F.lower("text"), " "), lambda x: x != ""))
+    per = (
+        d.select("lang", "source", n.alias("n"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = per.agg(F.sum("n_tokens").cast("double").alias("t"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.floor(F.col("n_tokens") / F.col("t") * 1e6 + F.lit(0.5)) / 1e6).alias(
+            "token_share"
+        ),
+        F.floor(F.col("n_tokens") / F.col("t") * 1e9).cast("bigint").alias("budget_at_1b"),
+    )

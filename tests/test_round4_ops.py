@@ -1630,3 +1630,24 @@ def test_graph_pagerank_weighted_matches_python_power_iteration(spark):
     # weighting changes the answer: weighted ranks differ from uniform
     uni = {r.node: r.rank for r in OPS["graph_pagerank"].fn(spark, SF_SMALL).collect()}
     assert any(abs(got[v] - uni[v]) > 1e-4 for v in nodes)
+
+
+def test_fn_regex_extract_all_matches_python(spark):
+    import re as _re
+
+    docs = t(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    ).collect()
+    got = {r.doc_id: r for r in OPS["fn_regex_extract_all"].fn(spark, SF_SMALL).collect()}
+    for r in docs:
+        m = _re.findall(r"[a-z]+a", r.text)
+        assert got[r.doc_id].a_words == "|".join(m)
+        assert got[r.doc_id].n_matches == len(m)
+
+
+def test_pipeline_token_budget_shares_sum_to_one(spark):
+    rows = OPS["pipeline_token_budget"].fn(spark, SF_SMALL).collect()
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-3
+    total = sum(r.n_tokens for r in rows)
+    for r in rows:
+        assert abs(r.budget_at_1b - math.floor(r.n_tokens / total * 1e9)) <= 1
