@@ -73,15 +73,35 @@ def main() -> None:
                 f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{tbl}.parquet')"
             ).fetchall()
         ]
+        # entity NAMES must track the offset keys ("Customer#%09d" etc.):
+        # keeping the source strings would put the SAME name in every
+        # replica, making replicas non-disjoint and inflating name-blocked
+        # ops (join_fuzzy_name_blocked / pipeline_entity_resolution)
+        # quadratically in K — measured 197 s at K=10 vs 2.2 s at sf0.1
+        # before this fix, pure fixture artifact.
+        name_fixes = {
+            ("customer", "c_name"): (
+                "printf('Customer#%09d', c_custkey + r.i * {o}) AS c_name",
+                "cust",
+            ),
+            ("supplier", "s_name"): (
+                "printf('Supplier#%09d', s_suppkey + r.i * {o}) AS s_name",
+                "supp",
+            ),
+        }
         sel = ", ".join(
             f"{c} + r.i * {spans[keymap[c]]} AS {c}"
             if c in keymap
-            # events.ts is physically timestamp[ns] in the source and the
-            # engine reads it via nanosAsLong as epoch-nano BIGINT; DuckDB
-            # would silently rewrite it as timestamp[us] (TIMESTAMP_NTZ to
-            # Spark — breaks streaming watermarks). Emit epoch-nanos so the
-            # catalog's bigint→timestamp path applies identically.
-            else (f"epoch_ns({c}) AS {c}" if tbl == "events" and c == "ts" else c)
+            else (
+                name_fixes[(tbl, c)][0].format(o=spans[name_fixes[(tbl, c)][1]])
+                if (tbl, c) in name_fixes
+                # events.ts is physically timestamp[ns] in the source and the
+                # engine reads it via nanosAsLong as epoch-nano BIGINT; DuckDB
+                # would silently rewrite it as timestamp[us] (TIMESTAMP_NTZ to
+                # Spark — breaks streaming watermarks). Emit epoch-nanos so the
+                # catalog's bigint→timestamp path applies identically.
+                else (f"epoch_ns({c}) AS {c}" if tbl == "events" and c == "ts" else c)
+            )
             for c in cols
         )
         con.execute(
