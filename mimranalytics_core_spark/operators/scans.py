@@ -214,3 +214,46 @@ def scan_partition_pruned(spark, sf_dir):
         "o_totalprice",
         F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
     )
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    "scans",
+    oracle="""
+        WITH dim AS (SELECT DISTINCT o_orderpriority AS pri FROM orders
+                     WHERE o_orderpriority LIKE '1-%')
+        SELECT o.o_orderkey, o.o_custkey, o.o_orderpriority
+        FROM orders o JOIN dim ON o.o_orderpriority = dim.pri
+    """,
+    notes=(
+        "DYNAMIC partition pruning (the runtime sibling of "
+        "scan_partition_pruned's static pruning — at 100 TB the fact's "
+        "partition filter usually arrives from a dimension join, not a "
+        "literal): orders re-written hive-partitioned by priority, joined "
+        "to a filtered priority dim; Spark injects a dynamicpruning "
+        "subquery so only the dim-selected partitions are even read "
+        "(asserted in tests/test_plans.py). The oracle runs the plain "
+        "join — layout and DPP change nothing semantically"
+    ),
+)
+def scan_dynamic_partition_pruning(spark, sf_dir):
+    import os
+
+    dest = (
+        f"/tmp/mimranalytics_reports/{os.path.basename(sf_dir.rstrip('/'))}/orders_by_pri"
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
+        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dest)
+    fact = spark.read.parquet(dest)
+    dim = (
+        t(spark, sf_dir, "orders")
+        .select(F.col("o_orderpriority").alias("pri"))
+        .filter(F.col("pri").like("1-%"))
+        .distinct()
+    )
+    return fact.join(dim, fact.o_orderpriority == dim.pri).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+    )

@@ -254,3 +254,8 @@ def test_partition_pruned_scan_prunes(spark):
     assert "PartitionFilters: [" in plan
     seg = plan.split("PartitionFilters: [")[1][:200]
     assert "o_orderstatus" in seg
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    plan = _plan(spark, "scan_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower()

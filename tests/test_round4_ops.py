@@ -1651,3 +1651,15 @@ def test_pipeline_token_budget_shares_sum_to_one(spark):
     total = sum(r.n_tokens for r in rows)
     for r in rows:
         assert abs(r.budget_at_1b - math.floor(r.n_tokens / total * 1e9)) <= 1
+
+
+def test_agg_bitmap_distinct_equals_exact(spark):
+    got = {r.event_type: r.n_users for r in OPS["agg_bitmap_distinct"].fn(spark, SF_SMALL).collect()}
+    exp = {
+        r.event_type: r.n
+        for r in t(spark, SF_SMALL, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert got == exp
