@@ -907,3 +907,41 @@ def agg_bitmap_distinct(spark, sf_dir):
     return buckets.groupBy("event_type").agg(
         F.sum(F.bitmap_count("b")).alias("n_users")
     )
+
+
+@register(
+    "agg_skew_salted",
+    "aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    notes=(
+        "two-stage SALTED aggregation for a hot group key (the agg-side "
+        "twin of join_skew_salted): stage 1 aggregates on "
+        "(key, hash(row) % 16) so a skewed key's rows spread over 16 "
+        "reducers, stage 2 merges the 16 salted partials per key — sums "
+        "over exact integer cents, so the two-stage result is provably "
+        "identical to the direct group-by oracle. With only 3 return "
+        "flags over millions of rows, the UNSALTED plan would bottleneck "
+        "on 3 reducers at scale (Spark's partial agg already mitigates "
+        "for algebraic functions; salting is the explicit form that also "
+        "covers non-algebraic per-key work)"
+    ),
+)
+def agg_skew_salted(spark, sf_dir):
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    salted = (
+        li.select("l_returnflag", cents.alias("c"))
+        .withColumn("salt", F.pmod(F.hash("c"), 16))  # value-derived, seed-free
+        .groupBy("l_returnflag", "salt")
+        .agg(F.count("*").alias("pn"), F.sum("c").alias("ps"))
+    )
+    return salted.groupBy("l_returnflag").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("ps").cast("bigint").alias("rev_cents"),
+    )

@@ -1116,3 +1116,50 @@ def ts_week_over_week(spark, sf_dir):
         .otherwise(F.floor((F.col("n") - prev) * 1.0 / prev * 1e6 + F.lit(0.5)) / 1e6)
         .alias("wow_change"),
     )
+
+
+@register(
+    "ts_gap_distribution",
+    "timeseries",
+    oracle="""
+        WITH g AS (
+            SELECT event_type,
+                   (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC)))
+                       // 1000000 AS gap_s
+            FROM events
+        ),
+        b AS (SELECT event_type,
+                     CAST(FLOOR(LN(gap_s + 1.0) / LN(2.0)) AS INTEGER)
+                         AS log2_bucket
+              FROM g WHERE gap_s IS NOT NULL)
+        SELECT event_type, log2_bucket, CAST(COUNT(*) AS BIGINT) AS n_gaps
+        FROM b GROUP BY event_type, log2_bucket
+    """,
+    notes=(
+        "inter-arrival gap distribution per event type (the burstiness "
+        "profile an ops monitor draws; heavy upper buckets = outage "
+        "candidates, cf. win_gap_islands): per-user consecutive gaps in "
+        "whole seconds (integer microsecond diff + floor division — the "
+        "win_funnel_pattern cross-engine lesson), bucketed on log2(gap+1). "
+        "One lag window on user_id + one partial agg over the tiny "
+        "(type, bucket) grid; ln-ratio on exact integer inputs, "
+        "floor-bucketed, so the bucket index is deterministic"
+    ),
+)
+def ts_gap_distribution(spark, sf_dir):
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    prev = F.lag("ts").over(w)
+    gap_us = F.expr("timestampdiff(MICROSECOND, __prev_ts, ts)")
+    g = (
+        ev.select("event_type", "ts", prev.alias("__prev_ts"))
+        .select("event_type", F.floor(gap_us / F.lit(1000000)).alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+    )
+    bucket = F.floor(F.log(F.col("gap_s") + 1.0) / F.log(F.lit(2.0))).cast("int")
+    return (
+        g.select("event_type", bucket.alias("log2_bucket"))
+        .groupBy("event_type", "log2_bucket")
+        .agg(F.count("*").cast("bigint").alias("n_gaps"))
+    )

@@ -1663,3 +1663,37 @@ def test_agg_bitmap_distinct_equals_exact(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_agg_skew_salted_equals_direct(spark):
+    got = {r.l_returnflag: r for r in OPS["agg_skew_salted"].fn(spark, SF_SMALL).collect()}
+    li = t(spark, SF_SMALL, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("bigint")
+    exp = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("rc"))
+        .collect()
+    }
+    assert {k: (v.n, v.rev_cents) for k, v in got.items()} == {
+        k: (v.n, v.rc) for k, v in exp.items()
+    }
+
+
+def test_ts_gap_distribution_matches_python(spark):
+    ev = t(spark, SF_SMALL, "events").select("user_id", "event_id", "ts", "event_type").collect()
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    buckets = Counter()
+    for rows in by_user.values():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        for a, b in zip(rows, rows[1:]):
+            gap_us = int((b.ts - a.ts).total_seconds() * 1e6 + 0.5)
+            gap_s = gap_us // 1000000
+            buckets[(b.event_type, int(math.floor(math.log(gap_s + 1.0) / math.log(2.0))))] += 1
+    got = {
+        (r.event_type, r.log2_bucket): r.n_gaps
+        for r in OPS["ts_gap_distribution"].fn(spark, SF_SMALL).collect()
+    }
+    assert got == dict(buckets)
