@@ -1921,3 +1921,63 @@ def pipeline_token_budget(spark, sf_dir):
         ),
         F.floor(F.col("n_tokens") / F.col("t") * 1e9).cast("bigint").alias("budget_at_1b"),
     )
+
+
+@register(
+    "text_hashing_features",
+    "text",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+                                              x -> x <> '')) AS token
+            FROM documents WHERE doc_id < 200
+        ),
+        b AS (SELECT doc_id,
+                     ('0x' || substr(md5(token), 1, 8))::BIGINT % 32 AS bucket
+              FROM toks),
+        c AS (SELECT doc_id, bucket, COUNT(*) AS cnt
+              FROM b GROUP BY doc_id, bucket)
+        SELECT doc_id,
+               string_agg(printf('%02d:%d', CAST(bucket AS INTEGER), cnt), '|'
+                          ORDER BY bucket ASC) AS features,
+               CAST(SUM(cnt) AS BIGINT) AS n_tokens
+        FROM c GROUP BY doc_id
+    """,
+    notes=(
+        "hashing-trick feature vectors (Weinberger et al. 2009, public — "
+        "HashingTF's relational form, the fixed-width featurizer feeding "
+        "linear models without a vocabulary pass): each token lands in "
+        "one of 32 md5-derived buckets (the dedup_simhash cross-engine "
+        "hash idiom — engine-native murmur differs between engines, md5 "
+        "does not), per-doc bucket counts exported as a sorted "
+        "'bucket:count' string (the list-cell canonicalizer discipline). "
+        "One explode + (doc, bucket) partial agg — vocabulary-free, so "
+        "the width never grows with corpus size: the 100 TB property "
+        "that makes the trick standard"
+    ),
+)
+def text_hashing_features(spark, sf_dir):
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower("text"), " "), lambda x: x != "")).alias(
+            "token"
+        ),
+    )
+    bucket = F.pmod(F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long"), 32)
+    c = toks.select("doc_id", bucket.alias("bucket")).groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    feat = F.format_string("%02d:%d", F.col("bucket").cast("int"), F.col("cnt"))
+    return (
+        c.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(F.struct("bucket", feat.alias("f")))).getField(
+                    "f"
+                ),
+                "|",
+            ).alias("features"),
+            F.sum("cnt").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -1697,3 +1697,20 @@ def test_ts_gap_distribution_matches_python(spark):
         for r in OPS["ts_gap_distribution"].fn(spark, SF_SMALL).collect()
     }
     assert got == dict(buckets)
+
+
+def test_text_hashing_features_matches_python(spark):
+    import hashlib
+
+    docs = t(spark, SF_SMALL, "documents").filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    ).collect()
+    got = {r.doc_id: r for r in OPS["text_hashing_features"].fn(spark, SF_SMALL).collect()}
+    for r in docs:
+        toks = [w for w in r.text.lower().split(" ") if w]
+        cnt = Counter(
+            int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % 32 for w in toks
+        )
+        exp = "|".join(f"{b:02d}:{c}" for b, c in sorted(cnt.items()))
+        assert got[r.doc_id].features == exp
+        assert got[r.doc_id].n_tokens == len(toks)
