@@ -272,3 +272,49 @@ def test_phash_dedup_has_real_clusters_and_matches_formula(spark):
                     byte += 1 << oj
             out.append(f"{byte:02x}")
         assert got[doc_id] == "".join(out), doc_id
+
+
+def test_png_codec_roundtrip_and_filters():
+    import random as _random
+    import struct as _struct
+    import zlib as _zlib
+
+    from mimranalytics_core_spark.functions.multimodal import png_decode, png_pack
+
+    _random.seed(11)
+    for n in (1, 39, 40, 41, 1000):
+        px = bytes(_random.randrange(256) for _ in range(n))
+        w, h, d, back = png_decode(png_pack(px, 40))
+        assert (w, d) == (40, 8)
+        assert h == max(-(-n // 40), 1)
+        assert back.rstrip(b"\x00") == px.rstrip(b"\x00")
+    # corrupted CRC must be rejected, not silently decoded
+    payload = bytearray(png_pack(b"hello world", 8))
+    payload[-5] ^= 0xFF  # flip a bit in the IEND CRC
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        png_decode(bytes(payload))
+    # a filtered PNG (Sub on every row) decodes to the true pixels
+    rows = [bytes([10, 20, 30, 40]), bytes([200, 1, 2, 250])]
+
+    def chunk(tag, body):
+        return (
+            _struct.pack(">I", len(body))
+            + tag
+            + body
+            + _struct.pack(">I", _zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    for r in rows:
+        raw.append(1)
+        raw.append(r[0])
+        raw += bytes((r[i] - r[i - 1]) & 0xFF for i in range(1, len(r)))
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert png_decode(png)[3] == b"".join(rows)
