@@ -98,7 +98,10 @@ Grammar subset:
 - Relationship variables: ``-[r:TYPE]->`` binds ``r``; ``r.weight`` (the
   ownership fraction) is readable in WHERE/RETURN and maps onto the
   path_weight machinery (so it is single-segment-only and round-6; for a
-  1..1 segment it is exactly the edge weight).
+  1..1 segment it is exactly the edge weight). Documented subset limit:
+  a relationship variable binds ONCE — reusing it in a later clause
+  (Neo4j: "the same relationship") is rejected at parse time rather than
+  given same-relationship join semantics.
 - ``UNION`` / ``UNION ALL`` between complete queries (same RETURN column
   names required; plain UNION deduplicates; mixing the two is rejected —
   all Neo4j semantics).

@@ -622,6 +622,13 @@ def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + ln
     raw = zlib.decompress(bytes(idat))
     stride = width
+    if width == 0 or height == 0:
+        raise ValueError("PNG missing or empty IHDR (IHDR must precede IDAT)")
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"corrupt PNG IDAT: inflated {len(raw)} bytes, expected "
+            f"{height * (stride + 1)} (height*(stride+1))"
+        )
     out = bytearray()
     prev = bytearray(stride)
     for r in range(height):

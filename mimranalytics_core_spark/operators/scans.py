@@ -243,8 +243,10 @@ def scan_dynamic_partition_pruning(spark, sf_dir):
         f"/tmp/mimranalytics_reports/{os.path.basename(sf_dir.rstrip('/'))}/orders_by_pri"
     )
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
-    if not os.path.exists(os.path.join(dest, "_SUCCESS")):
-        o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dest)
+    # overwrite unconditionally (like scan_partition_pruned): a _SUCCESS-keyed
+    # cache served stale data when a source fixture was regenerated under the
+    # same sf_dir basename (round-4 ADVICE)
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(dest)
     fact = spark.read.parquet(dest)
     dim = (
         t(spark, sf_dir, "orders")

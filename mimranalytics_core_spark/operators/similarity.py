@@ -1627,7 +1627,12 @@ def sim_mmr_rerank(spark, sf_dir, k: int = 5, lam: float = 0.7):
         "Python over real decoded pixels; the only shuffle is the window "
         "on the 16-char hash. The oracle recomputes the identical sampling "
         "arithmetic from the text formula — so the hash match certifies "
-        "the decoder's pixel bytes, the downsample, and the dedup"
+        "the decoder's pixel bytes, the downsample, and the dedup. "
+        "ASCII-fixture assumption (round-4 ADVICE): the oracle samples by "
+        "CHARACTER position (ascii/substr) while the engine indexes the "
+        "UTF-8 BYTES packed into the BMP — identical only while the "
+        "documents fixture is ASCII (it is, by generation); a non-ASCII "
+        "corpus would need a byte-position oracle (blob indexing)"
     ),
 )
 def multimodal_phash_dedup(spark, sf_dir, width: int = 40):
@@ -1679,7 +1684,8 @@ def multimodal_phash_dedup(spark, sf_dir, width: int = 40):
                          AS scale
               FROM v),
         q AS (SELECT vec_id, x, scale,
-                     list_transform(x, e -> FLOOR(e / scale + 0.5) * scale) AS recon
+                     list_transform(x, e -> CASE WHEN scale = 0 THEN 0.0
+                         ELSE FLOOR(e / scale + 0.5) * scale END) AS recon
               FROM s),
         err AS (SELECT vec_id, scale,
                        list_aggregate(list_transform(
@@ -1715,8 +1721,13 @@ def sim_embedding_quantize_int8(spark, sf_dir):
         F.aggregate(x, F.lit(0.0), lambda acc, v: F.greatest(acc, F.abs(v))) / 127.0
     )
     v = e.select("vec_id", x.alias("x"), scale.alias("scale"))
+    # all-zero vector guard (round-4 ADVICE): scale = 0 would make e/scale a
+    # 0/0 NaN — an all-zero vector quantizes exactly, so reconstruct 0.0
     recon = F.transform(
-        F.col("x"), lambda ev: F.floor(ev / F.col("scale") + F.lit(0.5)) * F.col("scale")
+        F.col("x"),
+        lambda ev: F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(
+            F.floor(ev / F.col("scale") + F.lit(0.5)) * F.col("scale")
+        ),
     )
     q = v.select("vec_id", "scale", F.col("x"), recon.alias("recon"))
     sq_err = F.zip_with(F.col("x"), F.col("recon"), lambda a, b: (a - b) * (a - b))
