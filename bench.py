@@ -4,8 +4,11 @@
 JSON line: {"metric": ..., "value": <suite sec>, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed around a full materialization (count of the result —
-forces every stage; avoids driver-side toPandas transfer noise).
+Each query is timed around a full materialization: a noop-sink write
+(``df.write.format("noop")``), which forces EVERY output column through the
+plan — ``df.count()`` let Catalyst prune computed columns that don't affect
+the row count, under-timing projection-only ops (round-4 verdict) — while
+still avoiding driver-side toPandas transfer noise.
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = ops[name].fn(spark, sf_dir)
-            df.count()
+            df.write.format("noop").mode("overwrite").save()
             return round(time.perf_counter() - t0, 3)
         except Exception as exc:  # record failures, keep the suite going
             print(f"# BENCH FAIL {name}: {exc}", file=sys.stderr)

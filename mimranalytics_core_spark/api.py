@@ -196,6 +196,22 @@ def _edge_frame(
     return e.select("src", "dst", "weight")
 
 
+def _directed_view(e: DataFrame, direction: str) -> DataFrame:
+    """Apply a traversal direction to a (src, dst[, ...]) edge frame:
+    ``out`` = as-is, ``in`` = reversed, ``both`` = symmetrized distinct
+    (for BFS-style consumers that need no relationship identity)."""
+    if direction == "out":
+        return e
+    if direction == "in":
+        return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    if direction == "both":
+        s = e.select("src", "dst")
+        return s.unionByName(
+            s.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+    raise ValueError(f"unknown direction {direction!r} (out | in | both)")
+
+
 def shortest_paths(
     spark: SparkSession,
     sf_dir: str,
@@ -205,6 +221,7 @@ def shortest_paths(
     src_pred: str | None = None,
     as_of: str | None = None,
     graph: str = "hierarchy",
+    direction: str = "out",
 ) -> DataFrame:
     """Cypher ``shortestPath((a)-[*min..max]->(b))`` semantics: the min-hop
     distance per reachable (src, dst) pair, for every source satisfying
@@ -220,7 +237,7 @@ def shortest_paths(
     )
 
     e = _edge_frame(spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph)
-    e = e.select("src", "dst")
+    e = _directed_view(e.select("src", "dst"), direction)
     sources = e.select("src").distinct()
     if src_pred is not None:
         sources = sources.filter(F.expr(src_pred))
@@ -246,6 +263,7 @@ def all_shortest_paths(
     src_pred: str | None = None,
     as_of: str | None = None,
     graph: str = "hierarchy",
+    direction: str = "out",
 ) -> DataFrame:
     """Cypher ``allShortestPaths((a)-[*min..max]->(b))`` semantics: for each
     reachable (src, dst) pair, the min-hop distance AND the number of
@@ -260,7 +278,7 @@ def all_shortest_paths(
     from mimranalytics_core_spark.functions.graph_algos import multi_source_sigma
 
     e = _edge_frame(spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph)
-    e = e.select("src", "dst")
+    e = _directed_view(e.select("src", "dst"), direction)
     sources = e.select("src").distinct()
     if src_pred is not None:
         sources = sources.filter(F.expr(src_pred))
@@ -289,6 +307,7 @@ def match_path(
     carry_weight: bool = False,
     graph: str = "hierarchy",
     trail: bool = False,
+    direction: str = "out",
 ) -> DataFrame:
     """Declarative graph-pattern entry point — the Cypher-shaped surface.
 
@@ -327,6 +346,11 @@ def match_path(
       ownership-tree analog, a DAG) or ``"trade_credit"`` (the bounded
       CYCLIC trade-credit digraph, catalog.trade_credit_edges — where trail
       vs walk semantics actually differ).
+    - ``direction``: ``"out"`` (default — Cypher ``-[]->``), ``"in"``
+      (``<-[]-``: the edge view is reversed before traversal), or
+      ``"both"`` (``-[]-``: the symmetrized view; in trail mode each
+      ORIGINAL relationship may be used once per path in either direction —
+      Neo4j's undirected uniqueness).
 
     Compiles to the same bounded iterative-join plan as the recursive-CTE
     operators: ``max_hops`` self-joins on the (pre-filtered, narrow) edge
@@ -336,12 +360,18 @@ def match_path(
     max_hops entries) — no extra shuffle (functions/graph_algos.path_rows).
     """
     e = _edge_frame(spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph)
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"unknown direction {direction!r} (out | in | both)")
+    if direction == "in":
+        e = e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
 
     from mimranalytics_core_spark.functions.graph_algos import path_rows
 
     out = path_rows(
         e, min_hops=min_hops, max_hops=max_hops, src_pred=src_pred,
-        unique_edges=trail,
+        unique_edges=trail, undirected=(direction == "both"),
     )
     if trail:
         # one row PER PATH (Cypher's match row stream), multiplicities kept

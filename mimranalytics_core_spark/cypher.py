@@ -60,6 +60,14 @@ segment joins use the cheaper walk-closure distinct-pair form.
 
 Grammar subset:
 
+- Relationship direction: forward ``-[…]->``, reverse ``<-[…]-`` (parsed by
+  swapping the endpoint variables into a forward segment — zero runtime
+  cost; WHERE/label pushdown keys on the traversal start variable), and
+  undirected ``-[…]-`` (the symmetrized edge view; in trail mode each
+  ORIGINAL relationship is usable once per path in either direction —
+  Neo4j's undirected uniqueness, so a backtrack over one relationship is
+  excluded while parallel opposite relationships count as two hops).
+  ``<-[…]->`` is rejected.
 - Inline node labels filter by entity tier: ``(c:Customer)`` /
   ``(s:Supplier)`` / ``(n:Nation)`` / ``(r:Region)`` compile to id-prefix
   predicates (the namespaced node ids make the label a prefix test); the
@@ -119,13 +127,13 @@ _NODE_RE = re.compile(r"\(\s*([A-Za-z_]\w*)\s*(?::\s*([A-Za-z_]\w*))?\s*\)")
 # node labels map to the namespaced id prefixes of the hierarchy graph
 _LABEL_PREFIX = {"customer": "c:", "supplier": "s:", "nation": "n:", "region": "r:"}
 _REL_RE = re.compile(
-    r"""\s*-\s*\[\s*
+    r"""\s*(?P<larr><)?\s*-\s*\[\s*
         (?P<rvar>[A-Za-z_]\w*)?\s*
         (?::\s*(?P<types>[A-Za-z_]\w*(?:\s*\|\s*[A-Za-z_]\w*)*))?
         \s*(?P<star>\*)?\s*
         (?:(?<=\*)|(?=\s*\]))        # bounds only legal after a star
         (?P<min>\d+)?\s*(?P<dots>\.\.)?\s*(?P<max>\d+)?
-    \s*\]\s*->\s*""",
+    \s*\]\s*-\s*(?P<rarr>>)?\s*""",
     re.IGNORECASE | re.VERBOSE,
 )
 _AGG_ITEM = re.compile(
@@ -219,6 +227,19 @@ def parse(query: str) -> dict:
             _note_label(nm)
             lo, hi = _parse_bounds(rm)
             types = rm.group("types")
+            if rm.group("larr") and rm.group("rarr"):
+                raise CypherSyntaxError(
+                    f"a relationship cannot point both ways (<-[…]->): {query!r}"
+                )
+            # direction: ->  out;  <-  normalized to a forward segment by
+            # swapping the endpoint variables;  no arrow  undirected
+            left_var, right_var = cvars[-1], nm.group(1)
+            if rm.group("larr"):
+                src_var, dst_var, direction = right_var, left_var, "out"
+            elif rm.group("rarr"):
+                src_var, dst_var, direction = left_var, right_var, "out"
+            else:
+                src_var, dst_var, direction = left_var, right_var, "both"
             segs.append(
                 {
                     "types": [t.strip().lower() for t in types.split("|")]
@@ -226,9 +247,10 @@ def parse(query: str) -> dict:
                     else None,
                     "min_hops": lo,
                     "max_hops": hi,
-                    "src": cvars[-1],
-                    "dst": nm.group(1),
+                    "src": src_var,
+                    "dst": dst_var,
                     "rvar": rm.group("rvar"),
+                    "direction": direction,
                 }
             )
             cvars.append(nm.group(1))
@@ -243,6 +265,35 @@ def parse(query: str) -> dict:
         bad = [v for v in cvars if v.lower() in _RESERVED]
         if bad:
             raise CypherSyntaxError(f"reserved pattern variable name(s): {bad}")
+        return cvars, segs, pos
+
+    def _parse_clause(
+        pos: int, bound: set, text: str | None = None
+    ) -> tuple[list[str], list[dict], int]:
+        """One MATCH clause: comma-separated pattern chains
+        ``(a)-[:R1]->(b), (a)-[:R2]->(c)`` (Cypher multi-pattern MATCH).
+        Each chain after the first must share a variable with the clause so
+        far or an earlier clause — cartesian products are rejected, matching
+        the follow-up-MATCH rule. Variables may repeat ACROSS chains (the
+        join anchors), not within one chain."""
+        s = query if text is None else text
+        cvars, segs, pos = _parse_pattern(pos, bound, text=text)
+        while True:
+            cm = re.match(r"\s*,\s*", s[pos:])
+            if not cm:
+                break
+            pos += cm.end()
+            nvars, nsegs, pos2 = _parse_pattern(
+                pos + 0, bound | set(cvars), text=text
+            )
+            pos = pos2
+            if not (set(nvars) & (set(cvars) | bound)):
+                raise CypherSyntaxError(
+                    "a comma-separated pattern must share a variable with "
+                    "the pattern so far (cartesian products are not supported)"
+                )
+            cvars += [v for v in nvars if v not in cvars]
+            segs += nsegs
         return cvars, segs, pos
 
     clauses: list[dict] = []
@@ -357,6 +408,10 @@ def parse(query: str) -> dict:
     single = len(clauses) == 1 and len(segments) == 1
     varset = set(vars_)
     prop_vars: dict[str, set] = {}
+    # the TRAVERSAL start variable of the first segment — after reverse
+    # normalization ((a)<-[:R]-(b) traverses from b), this is where a
+    # WHERE predicate / inline label can push below the first join
+    start_var = segments[0]["src"]
 
     def _map_expr(expr: str, ctx: str) -> str:
         """Map a Cypher expression to its engine column token."""
@@ -468,9 +523,9 @@ def parse(query: str) -> dict:
             for w in re.findall(r"\b[A-Za-z_]\w*\b", unquoted)
             if w in varset or "__" in w or w in ("hops", "path_weight")
         }
-        if mentioned == {vars_[0]} and f"{vars_[0]}__" not in unquoted:
+        if mentioned == {start_var} and f"{start_var}__" not in unquoted:
             src_pred = _outside_quotes(
-                pred, lambda s: re.sub(rf"\b{re.escape(vars_[0])}\b", "src", s)
+                pred, lambda s: re.sub(rf"\b{re.escape(start_var)}\b", "src", s)
             )
         else:
             post_pred = pred
@@ -486,7 +541,7 @@ def parse(query: str) -> dict:
     # clause's frame before joining it in.
     for lvar, label in clauses[0]["labels"].items():
         lp = f"{lvar} LIKE '{_LABEL_PREFIX[label]}%'"
-        if lvar == vars_[0]:
+        if lvar == start_var:
             sp = f"src LIKE '{_LABEL_PREFIX[label]}%'"
             src_pred = f"({src_pred}) AND {sp}" if src_pred else sp
         else:
@@ -813,6 +868,7 @@ def _run_single(
             src_pred=p["src_pred"],
             as_of=p["as_of"],
             graph=graph,
+            direction=segs[0].get("direction", "out"),
         )
         if p.get("shortest_all"):
             # one row per shortest path: σ multiplicity expanded row-locally
@@ -845,6 +901,7 @@ def _run_single(
             carry_weight=p["carry_weight"],
             graph=graph,
             trail=True,  # real Cypher trail semantics, per-path rows
+            direction=segs[0].get("direction", "out"),
         )
         cols = [
             F.col("src").alias(segs[0]["src"]),
@@ -872,13 +929,18 @@ def _run_single(
                     src_pred=p["src_pred"] if ci == 0 and si == 0 else None,
                     as_of=p["as_of"],
                     graph=graph,
+                    direction=seg.get("direction", "out"),
                     # walk closure: reachable-pair sets equal trail's (module
                     # doc), and the pairs are deduped below anyway
                 )
                 part = part.select(
                     F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
                 ).distinct()
-                cframe = part if cframe is None else cframe.join(part, seg["src"])
+                if cframe is None:
+                    cframe = part
+                else:
+                    shared_c = [c for c in cframe.columns if c in part.columns]
+                    cframe = cframe.join(part, shared_c)
             if ci > 0:
                 # clause-scoped inline labels filter this clause's frame
                 # BEFORE it joins the accumulated bindings — for OPTIONAL
@@ -955,11 +1017,16 @@ def _run_single(
                     max_hops=seg["max_hops"],
                     as_of=p["as_of"],
                     graph=graph,
+                    direction=seg.get("direction", "out"),
                 )
                 part = part.select(
                     F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
                 ).distinct()
-                cframe = part if cframe is None else cframe.join(part, seg["src"])
+                if cframe is None:
+                    cframe = part
+                else:
+                    shared_c = [c for c in cframe.columns if c in part.columns]
+                    cframe = cframe.join(part, shared_c)
             for lvar, label in clause.get("labels", {}).items():
                 cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
             shared = [c for c in df.columns if c in cframe.columns]

@@ -61,6 +61,7 @@ def path_rows(
     max_hops: int = 3,
     src_pred: str | None = None,
     unique_edges: bool = False,
+    undirected: bool = False,
 ) -> DataFrame:
     """Enumerate bounded directed paths as per-path rows
     (src, dst, hops, path_weight = Π edge weight).
@@ -72,6 +73,13 @@ def path_rows(
     still repeat). On DAG-shaped data the two coincide; on cyclic graphs
     walks strictly dominate trails.
 
+    ``undirected=True`` traverses the symmetrized view of ``edges`` —
+    Cypher's ``(a)-[:R]-(b)`` — while keeping each ORIGINAL directed edge as
+    the relationship identity for the trail guard: one relationship may be
+    used once per path, in either direction (Neo4j uniqueness; in
+    particular a 2-hop a—b—a backtrack over one relationship is excluded,
+    but distinct parallel relationships a→b and b→a are two hops).
+
     Edge identity for the uniqueness check is the (src, dst) pair — callers
     must pass a DISTINCT edge list (catalog edge views are); parallel typed
     edges between the same endpoints would be conflated.
@@ -79,14 +87,27 @@ def path_rows(
     Plan: ``max_hops`` self-joins on the frontier's dst key (one hash
     shuffle each); the trail guard is a row-local array_contains on the
     accumulated edge-key array (≤ max_hops elements — negligible width for
-    bounded patterns), so it adds NO shuffle. Depth must stay bounded and
+    bounded patterns), so it adds NO shuffle. Symmetrization is a row-local
+    union (2× the edge rows, no shuffle). Depth must stay bounded and
     the subgraph pre-filtered — path enumeration on an unbounded dense
     graph is O(paths) by definition (module scale note).
     """
     if not 1 <= min_hops <= max_hops:
         raise ValueError(f"need 1 <= min_hops <= max_hops, got {min_hops}..{max_hops}")
-    e = edges.select("src", "dst", "weight")
-    ekey = F.concat_ws(">", F.col("src"), F.col("dst"))
+    if undirected:
+        # relationship identity = the original directed (src, dst) pair,
+        # carried through both traversal directions
+        ident = F.concat_ws(">", F.col("src"), F.col("dst")).alias("__ek")
+        d0 = edges.select("src", "dst", "weight", ident)
+        e = d0.unionByName(
+            d0.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "weight", "__ek"
+            )
+        )
+        ekey = F.col("__ek")
+    else:
+        e = edges.select("src", "dst", "weight")
+        ekey = F.concat_ws(">", F.col("src"), F.col("dst"))
     frontier = e.select(
         "src", "dst", F.lit(1).alias("hops"), F.col("weight").alias("path_weight"),
         F.array(ekey).alias("__epath"),
@@ -94,9 +115,14 @@ def path_rows(
     if src_pred is not None:
         frontier = frontier.filter(F.expr(src_pred))
     nxt = e.select(
-        F.col("src").alias("__m"), F.col("dst").alias("__d"), F.col("weight").alias("__w")
+        F.col("src").alias("__m"),
+        F.col("dst").alias("__d"),
+        F.col("weight").alias("__w"),
+        *([F.col("__ek").alias("__sk")] if undirected else []),
     )
-    step_key = F.concat_ws(">", F.col("__m"), F.col("__d"))
+    step_key = (
+        F.col("__sk") if undirected else F.concat_ws(">", F.col("__m"), F.col("__d"))
+    )
     levels = [frontier]
     for _ in range(max_hops - 1):
         step = frontier.join(nxt, frontier.dst == F.col("__m"))

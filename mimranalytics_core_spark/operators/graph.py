@@ -3211,3 +3211,121 @@ def graph_pagerank_weighted(spark, sf_dir):
     return pagerank(e, iters=10, state_partitions=8, weight_col="w").select(
         "node", (F.floor(F.col("rank") * 1000000 + F.lit(0.5)) / 1000000).alias("rank")
     )
+
+
+@register(
+    "cypher_reverse_direction",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        ce AS (SELECT src, dst FROM edges
+               WHERE rel_type = 'customer_of' AND src LIKE 'c:1%')
+        SELECT dst AS n, COUNT(*) AS n_customers
+        FROM ce GROUP BY dst ORDER BY n
+    """,
+    notes=(
+        "REVERSE-direction Cypher pattern (round-4 verdict item 1 — "
+        "(a)<-[:R]-(b) is the most common idiom after forward match; any "
+        "saved Neo4j query set contains it on page one): the parser now "
+        "accepts <-[…]- and normalizes it to a forward segment by swapping "
+        "the endpoint variables, so (n)<-[:CUSTOMER_OF]-(c) traverses FROM "
+        "c — and the WHERE predicate on c still pushes below the first "
+        "join (the pushdown keys on the traversal start variable, not the "
+        "first-written variable). Oracle is the equivalent forward closure "
+        "+ GROUP BY. Scale: identical plan to cypher_match_agg — the "
+        "direction is resolved at parse time, zero runtime cost"
+    ),
+)
+def cypher_reverse_direction(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n)<-[:CUSTOMER_OF]-(c) WHERE c.id STARTS WITH 'c:1'
+           RETURN n, count(*) AS n_customers ORDER BY n""",
+    )
+
+
+@register(
+    "cypher_undirected",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        sym AS (
+            SELECT src, dst, src || '>' || dst AS ek FROM edges
+            UNION ALL
+            SELECT dst, src, src || '>' || dst AS ek FROM edges
+        ),
+        h1 AS (SELECT src, dst, 1 AS hops, ek FROM sym WHERE src LIKE 'n:%'),
+        h2 AS (SELECT a.src, b.dst, 2 AS hops
+               FROM h1 a JOIN sym b ON a.dst = b.src AND b.ek <> a.ek)
+        SELECT src AS a, dst AS b, hops
+        FROM (SELECT src, dst, hops FROM h1
+              UNION ALL SELECT src, dst, hops FROM h2)
+    """,
+    notes=(
+        "UNDIRECTED Cypher pattern with variable length and REAL trail "
+        "semantics (round-4 verdict item 1 — conflict detection over "
+        "shared attributes is naturally undirected): (a:Nation)-[*1..2]-(b) "
+        "traverses the symmetrized edge view, per-path rows, where each "
+        "ORIGINAL relationship may be used once per path in either "
+        "direction (Neo4j undirected uniqueness — in particular the 2-hop "
+        "n—c—n backtrack over one customer_of edge is excluded, while "
+        "n—r—n' via a shared region survives). The oracle enumerates the "
+        "same trails over a symmetrized CTE with the edge-identity "
+        "inequality — certifying symmetrization + identity + multiplicity "
+        "in one hash. Scale: symmetrization is a row-local union (2x edge "
+        "rows, no shuffle); the label pushes to the frontier scan"
+    ),
+)
+def cypher_undirected(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        "MATCH (a:Nation)-[*1..2]-(b) RETURN a, b, hops",
+    )
+
+
+@register(
+    "cypher_undirected_parallel",
+    "graph",
+    oracle=f"""
+        WITH {TRADE_CREDIT_SQL},
+        sym AS (
+            SELECT src, dst, src || '>' || dst AS ek FROM tc_edges
+            UNION ALL
+            SELECT dst, src, src || '>' || dst AS ek FROM tc_edges
+        ),
+        h1 AS (SELECT src, dst, ek FROM sym WHERE src LIKE 'c:1%'),
+        h2 AS (SELECT a.src, b.dst AS dst
+               FROM h1 a JOIN sym b ON a.dst = b.src AND b.ek <> a.ek)
+        SELECT src AS a, CAST(COUNT(*) AS BIGINT) AS n_trails
+        FROM h2 GROUP BY src ORDER BY a
+    """,
+    notes=(
+        "undirected 2-hop trails on the CYCLIC trade-credit graph, where "
+        "PARALLEL opposite-direction relationships exist between the same "
+        "endpoints (c buys_from s AND s co_located c): the relationship "
+        "identity is the original directed edge, so the c—s—c round trip "
+        "over TWO DISTINCT relationships counts as a valid 2-hop trail "
+        "while the backtrack over ONE relationship is excluded — the "
+        "precise Neo4j uniqueness semantics a canonical least/greatest "
+        "edge key would get wrong. Oracle: symmetrized CTE with the same "
+        "identity inequality, aggregated per start node. Scale: the tc "
+        "subgraph is declaration-bounded; the pattern is two bounded "
+        "equi-joins + one hash agg"
+    ),
+)
+def cypher_undirected_parallel(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (a)-[*2..2]-(b) WHERE a.id STARTS WITH 'c:1'
+           RETURN a, count(*) AS n_trails ORDER BY a""",
+        graph="trade_credit",
+    )

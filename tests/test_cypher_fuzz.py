@@ -25,7 +25,13 @@ def _rel(draw, rvar: str = ""):
     types = draw(st.lists(_TYPES, min_size=0, max_size=2, unique=True))
     tpart = (":" + "|".join(types)) if types else ""
     star = draw(st.sampled_from(["", "*", "*2", "*1..3"]))
-    return f"-[{rvar}{tpart}{star}]->"
+    body = f"[{rvar}{tpart}{star}]"
+    arrow = draw(st.sampled_from(["out", "in", "both"]))
+    if arrow == "in":
+        return f"<-{body}-"
+    if arrow == "both":
+        return f"-{body}-"
+    return f"-{body}->"
 
 
 @st.composite

@@ -66,3 +66,60 @@ def test_png_decode_rejects_truncated_idat():
     png2 = b"\x89PNG\r\n\x1a\n" + chunk(b"IDAT", _zlib.compress(raw)) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="IHDR"):
         png_decode(png2)
+
+
+# ---- Cypher direction support (round-4 verdict item 1) ----
+
+
+def test_cypher_reverse_normalizes_and_pushes_pred():
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse("MATCH (n)<-[:CUSTOMER_OF]-(c) WHERE c.id STARTS WITH 'c:1' RETURN n, c")
+    seg = p["segments"][0]
+    # (n)<-[:R]-(c) traverses FROM c: normalized forward segment c -> n
+    assert (seg["src"], seg["dst"]) == ("c", "n")
+    assert seg["direction"] == "out"
+    # the predicate names only the traversal start var -> pushes to src_pred
+    assert p["src_pred"] is not None and "src LIKE" in p["src_pred"]
+    assert p["post_pred"] is None
+
+
+def test_cypher_reverse_pred_on_written_first_var_is_post_filter():
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse("MATCH (n)<-[:CUSTOMER_OF]-(c) WHERE n.id STARTS WITH 'n:1' RETURN n, c")
+    # n is the traversal DST after normalization: must NOT push as src_pred
+    assert p["src_pred"] is None
+    assert p["post_pred"] is not None and "n LIKE" in p["post_pred"]
+
+
+def test_cypher_bidirectional_arrow_rejected():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with pytest.raises(CypherSyntaxError, match="both ways"):
+        parse("MATCH (a)<-[:CUSTOMER_OF]->(b) RETURN a, b")
+
+
+def test_cypher_undirected_parses_direction_both():
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse("MATCH (a:Nation)-[*1..2]-(b) RETURN a, b, hops")
+    assert p["segments"][0]["direction"] == "both"
+
+
+def test_undirected_trail_relationship_identity(spark):
+    """Neo4j undirected uniqueness: a 2-hop backtrack over ONE relationship
+    is excluded; parallel opposite relationships give TWO distinct 2-hop
+    trails (one per traversal order)."""
+    from mimranalytics_core_spark.functions.graph_algos import path_rows
+
+    one = spark.createDataFrame([("a", "b", 1.0)], "src string, dst string, weight double")
+    rows = path_rows(one, 2, 2, unique_edges=True, undirected=True).collect()
+    assert rows == []  # a-b-a over the single relationship is NOT a trail
+
+    par = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 1.0)], "src string, dst string, weight double"
+    )
+    rows = path_rows(par, 2, 2, unique_edges=True, undirected=True).collect()
+    back = [r for r in rows if r.src == "a" and r.dst == "a"]
+    assert len(back) == 2  # r1 then r2, and r2 then r1
