@@ -3329,3 +3329,81 @@ def cypher_undirected_parallel(spark, sf_dir):
            RETURN a, count(*) AS n_trails ORDER BY a""",
         graph="trade_credit",
     )
+
+
+@register(
+    "cypher_multi_pattern",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        ce AS (SELECT src, dst FROM edges
+               WHERE rel_type = 'customer_of' AND src LIKE 'c:1%'),
+        se AS (SELECT src, dst FROM edges
+               WHERE rel_type = 'supplier_of' AND src LIKE 's:1%')
+        SELECT ce.dst AS n, COUNT(*) AS n_pairs
+        FROM ce JOIN se ON ce.dst = se.dst
+        GROUP BY ce.dst ORDER BY n
+    """,
+    notes=(
+        "comma-separated multi-pattern MATCH (round-4 verdict item 2 — the "
+        "idiomatic shared-director conflict shape, reference README.md:15: "
+        "two patterns anchored on one variable in a single MATCH): "
+        "(c)-[:CUSTOMER_OF]->(n), (s)-[:SUPPLIER_OF]->(n) parses as one "
+        "clause of two chains; the clause frame joins the chains on their "
+        "shared variables in connectivity order (a chain may connect via "
+        "its second segment). Disconnected comma patterns are rejected at "
+        "parse time — no cartesian products. The oracle is the equi-join "
+        "the pattern denotes. Scale: two filtered narrow edge scans + one "
+        "equi-join + hash agg; both predicates push below the joins"
+    ),
+)
+def cypher_multi_pattern(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n), (s)-[:SUPPLIER_OF]->(n)
+           WHERE c.id STARTS WITH 'c:1' AND s.id STARTS WITH 's:1'
+           RETURN n, count(*) AS n_pairs ORDER BY n""",
+    )
+
+
+@register(
+    "cypher_optional_where",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        ce AS (SELECT src AS c, dst AS n FROM edges
+               WHERE rel_type = 'customer_of'),
+        se AS (SELECT src AS s, dst AS n FROM edges
+               WHERE rel_type = 'supplier_of' AND src LIKE 's:1%'),
+        j AS (SELECT ce.n, ce.c, se.s FROM ce LEFT JOIN se ON ce.n = se.n)
+        SELECT n, COUNT(c) AS n_cust, COUNT(s) AS n_sup
+        FROM j GROUP BY n ORDER BY n
+    """,
+    notes=(
+        "per-clause WHERE scoping for OPTIONAL MATCH (round-4 verdict item "
+        "3, closing the last documented OPTIONAL MATCH divergence): the "
+        "WHERE attached to the optional clause filters ITS frame before "
+        "the left join, so nations whose suppliers all fail the predicate "
+        "null-extend (count(s)=0) instead of being dropped — the exact "
+        "place Neo4j semantics and a SQL post-filter provably differ "
+        "(regression-tested with an impossible predicate: every row "
+        "survives). The oracle encodes the filter inside the LEFT JOIN's "
+        "right side. A trailing WHERE gets the same treatment via "
+        "conjunct re-scoping (optional-only conjuncts move into their "
+        "owning clause). Scale: identical join plan; the scoped filter "
+        "pushes to the optional side's scan"
+    ),
+)
+def cypher_optional_where(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+           OPTIONAL MATCH (s)-[:SUPPLIER_OF]->(n) WHERE s.id STARTS WITH 's:1'
+           RETURN n, count(c) AS n_cust, count(s) AS n_sup ORDER BY n""",
+    )

@@ -44,6 +44,10 @@ def _query(draw):
     pat = draw(_node(vs[0]))
     for v in vs[1:]:
         pat += draw(_rel(rvar)) + draw(_node(v))
+    if not shortest and not rvar and draw(st.integers(0, 3)) == 0:
+        # comma-separated multi-pattern sharing the first variable
+        extra = draw(st.sampled_from(["q", "z"]))
+        pat += f", ({extra})" + draw(_rel()) + f"({vs[0]})"
     if shortest:
         q = f"MATCH p = shortestPath({pat})"
     else:

@@ -123,3 +123,88 @@ def test_undirected_trail_relationship_identity(spark):
     rows = path_rows(par, 2, 2, unique_edges=True, undirected=True).collect()
     back = [r for r in rows if r.src == "a" and r.dst == "a"]
     assert len(back) == 2  # r1 then r2, and r2 then r1
+
+
+# ---- comma multi-pattern + per-clause WHERE (verdict items 2-3) ----
+
+
+def test_comma_pattern_parses_as_one_clause():
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse(
+        "MATCH (c)-[:CUSTOMER_OF]->(n), (s)-[:SUPPLIER_OF]->(n) RETURN n, count(*) AS k"
+    )
+    assert len(p["clauses"]) == 1
+    assert len(p["clauses"][0]["segments"]) == 2
+    assert {s["dst"] for s in p["clauses"][0]["segments"]} == {"n"}
+
+
+def test_comma_pattern_disconnected_rejected():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with pytest.raises(CypherSyntaxError, match="share a variable"):
+        parse("MATCH (a)-[:CUSTOMER_OF]->(b), (x)-[:SUPPLIER_OF]->(y) RETURN a, x")
+
+
+def test_per_clause_where_attaches_to_clause():
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse(
+        "MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "OPTIONAL MATCH (s)-[:SUPPLIER_OF]->(n) WHERE s.id STARTS WITH 's:1' "
+        "RETURN n, count(s) AS k"
+    )
+    assert p["clauses"][0]["where"] is None
+    assert p["clauses"][1]["where"] is not None and "s LIKE" in p["clauses"][1]["where"]
+    assert p["post_pred"] is None
+
+
+def test_per_clause_where_foreign_var_rejected():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with pytest.raises(CypherSyntaxError, match="that clause's pattern variables"):
+        parse(
+            "MATCH (c)-[:CUSTOMER_OF]->(n) "
+            "OPTIONAL MATCH (s)-[:SUPPLIER_OF]->(n) WHERE c.id STARTS WITH 'c:1' "
+            "OPTIONAL MATCH (n)-[:NATION_OF]->(r) "
+            "RETURN n, count(s) AS k"
+        )
+
+
+def test_trailing_where_optional_conjunct_rescoped():
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse(
+        "MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "OPTIONAL MATCH (s)-[:SUPPLIER_OF]->(n) "
+        "WHERE s.id STARTS WITH 's:1' AND c.id STARTS WITH 'c:1' "
+        "RETURN n, count(s) AS k"
+    )
+    # the s-conjunct moved into the optional clause; the c-conjunct stayed
+    assert p["clauses"][1]["where"] is not None and "s LIKE" in p["clauses"][1]["where"]
+    assert p["post_pred"] is not None and "c LIKE" in p["post_pred"]
+    assert "s LIKE" not in p["post_pred"]
+
+
+def test_optional_where_null_extends_not_drops(spark):
+    """THE divergence regression (verdict item 3 done-criterion): an
+    impossible per-clause predicate must null-extend every row (Neo4j),
+    where a post-filter would return an empty frame."""
+    from mimranalytics_core_spark import api
+
+    base = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+           RETURN n, count(c) AS n_cust ORDER BY n""",
+    ).collect()
+    opt = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+           OPTIONAL MATCH (s)-[:SUPPLIER_OF]->(n) WHERE s.id STARTS WITH 'zzz'
+           RETURN n, count(c) AS n_cust, count(s) AS n_sup ORDER BY n""",
+    ).collect()
+    assert len(opt) == len(base) > 0
+    assert all(r.n_sup == 0 for r in opt)
+    assert [(r.n, r.n_cust) for r in opt] == [(r.n, r.n_cust) for r in base]
