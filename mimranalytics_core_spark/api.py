@@ -308,6 +308,7 @@ def match_path(
     graph: str = "hierarchy",
     trail: bool = False,
     direction: str = "out",
+    keep_edges: bool = False,
 ) -> DataFrame:
     """Declarative graph-pattern entry point — the Cypher-shaped surface.
 
@@ -372,14 +373,17 @@ def match_path(
     out = path_rows(
         e, min_hops=min_hops, max_hops=max_hops, src_pred=src_pred,
         unique_edges=trail, undirected=(direction == "both"),
+        keep_edges=(trail and keep_edges),
     )
     if trail:
         # one row PER PATH (Cypher's match row stream), multiplicities kept
+        extra = ["__edges"] if keep_edges else []
         if carry_weight:
             return out.select(
-                "src", "dst", "hops", F.round("path_weight", 6).alias("path_weight")
+                "src", "dst", "hops",
+                F.round("path_weight", 6).alias("path_weight"), *extra,
             )
-        return out.select("src", "dst", "hops")
+        return out.select("src", "dst", "hops", *extra)
     if carry_weight:
         return out.groupBy("src", "dst").agg(
             F.min("hops").alias("hops"),

@@ -58,12 +58,16 @@ min-hop row per (src, dst) pair via the level-synchronous BFS machinery;
 ``allShortestPaths(...)`` returns one row per shortest path (σ
 multiplicity from the Brandes forward phase — path counts summed over
 predecessors, no enumeration).
-Multi-segment patterns bind DISTINCT variable assignments (one row per
-(a, b, c, …) combination, not per path — a documented divergence from
-Cypher's per-path rows), so ``hops``/``path_weight`` are
-single-segment-only; reachable-pair sets are identical under trail and
-walk closure (any walk contains a simple path to the same endpoint), so
-segment joins use the cheaper walk-closure distinct-pair form.
+Multi-segment patterns also bind PER-PATH rows: each segment enumerates
+its trail paths with edge keys kept, shared variables join the segments
+(row multiplicity = path-combination multiplicity), and a pairwise
+``arrays_overlap`` filter enforces relationship uniqueness across the
+WHOLE clause (Neo4j: no relationship repeats anywhere in one MATCH
+pattern, comma chains included; uniqueness does not span clauses) — so
+multi-segment ``count(*)`` matches Neo4j's row stream. ``hops`` /
+``path_weight`` remain single-segment-only (Cypher has no whole-pattern
+hop variable either; use per-segment relationship variables when those
+land).
 
 Grammar subset:
 
@@ -1092,8 +1096,16 @@ def _run_single(
         # accumulated bindings — left join for OPTIONAL MATCH (distinct
         # bindings — see module doc)
         def _clause_frame(clause, first_pred):
+            # per-path rows per segment (trail mode, edge keys kept), joined
+            # on shared variables: one output row per PATH COMBINATION with
+            # Cypher multiplicities, then the pairwise arrays_overlap filter
+            # enforces relationship uniqueness ACROSS the whole clause
+            # (Neo4j: no relationship repeats anywhere in one MATCH pattern,
+            # comma chains included; uniqueness does NOT span clauses).
+            # Row-local array ops on <= max_hops keys — no extra shuffle.
             pending = list(enumerate(clause["segments"]))
             cframe = None
+            ep_cols: list[str] = []
             while pending:
                 pick = next(
                     (
@@ -1119,18 +1131,31 @@ def _run_single(
                     as_of=p["as_of"],
                     graph=graph,
                     direction=seg.get("direction", "out"),
-                    # walk closure: reachable-pair sets equal trail's (module
-                    # doc), and the pairs are deduped below anyway
+                    trail=True,
+                    keep_edges=True,
                 )
+                ep = f"__ep{si}"
                 part = part.select(
-                    F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
-                ).distinct()
+                    F.col("src").alias(seg["src"]),
+                    F.col("dst").alias(seg["dst"]),
+                    F.col("__edges").alias(ep),
+                )
                 if cframe is None:
                     cframe = part
                 else:
-                    shared_c = [c for c in cframe.columns if c in part.columns]
+                    shared_c = [
+                        c
+                        for c in cframe.columns
+                        if c in part.columns and not c.startswith("__ep")
+                    ]
                     cframe = cframe.join(part, shared_c)
-            return cframe
+                ep_cols.append(ep)
+            for i in range(len(ep_cols)):
+                for j in range(i + 1, len(ep_cols)):
+                    cframe = cframe.filter(
+                        ~F.arrays_overlap(F.col(ep_cols[i]), F.col(ep_cols[j]))
+                    )
+            return cframe.drop(*ep_cols)
 
         def _scoped_where(cframe, clause):
             """Apply a clause-scoped WHERE to the clause frame BEFORE the
@@ -1210,16 +1235,18 @@ def _run_single(
         return df.agg(*exprs)
 
     def _pipe_clause_frame(clause):
-        """Clause frame for a post-WITH pattern clause: connectivity-ordered
-        segment joins (comma chains interleave), no src_pred (the WITH
-        outputs anchor the join)."""
-        pending = list(clause["segments"])
+        """Clause frame for a post-WITH pattern clause: per-path rows per
+        segment joined in connectivity order with cross-segment
+        relationship uniqueness (same semantics as the pre-WITH clauses),
+        no src_pred (the WITH outputs anchor the join)."""
+        pending = list(enumerate(clause["segments"]))
         cframe = None
+        ep_cols: list[str] = []
         while pending:
             pick = next(
                 (
                     i
-                    for i, seg in enumerate(pending)
+                    for i, (_, seg) in enumerate(pending)
                     if cframe is None
                     or ({seg["src"], seg["dst"]} & set(cframe.columns))
                 ),
@@ -1229,7 +1256,7 @@ def _run_single(
                 raise CypherSyntaxError(
                     "disconnected comma-pattern within a MATCH clause"
                 )
-            seg = pending.pop(pick)
+            si, seg = pending.pop(pick)
             part = api.match_path(
                 spark,
                 sf_dir,
@@ -1239,16 +1266,31 @@ def _run_single(
                 as_of=p["as_of"],
                 graph=graph,
                 direction=seg.get("direction", "out"),
+                trail=True,
+                keep_edges=True,
             )
+            ep = f"__ep{si}"
             part = part.select(
-                F.col("src").alias(seg["src"]), F.col("dst").alias(seg["dst"])
-            ).distinct()
+                F.col("src").alias(seg["src"]),
+                F.col("dst").alias(seg["dst"]),
+                F.col("__edges").alias(ep),
+            )
             if cframe is None:
                 cframe = part
             else:
-                shared_c = [c for c in cframe.columns if c in part.columns]
+                shared_c = [
+                    c
+                    for c in cframe.columns
+                    if c in part.columns and not c.startswith("__ep")
+                ]
                 cframe = cframe.join(part, shared_c)
-        return cframe
+            ep_cols.append(ep)
+        for i in range(len(ep_cols)):
+            for j in range(i + 1, len(ep_cols)):
+                cframe = cframe.filter(
+                    ~F.arrays_overlap(F.col(ep_cols[i]), F.col(ep_cols[j]))
+                )
+        return cframe.drop(*ep_cols)
 
     # WITH pipeline stages, in order: each pipe projects/aggregates the
     # current frame (HAVING-style WHERE over the piped rows), then its

@@ -62,6 +62,7 @@ def path_rows(
     src_pred: str | None = None,
     unique_edges: bool = False,
     undirected: bool = False,
+    keep_edges: bool = False,
 ) -> DataFrame:
     """Enumerate bounded directed paths as per-path rows
     (src, dst, hops, path_weight = Π edge weight).
@@ -139,7 +140,13 @@ def path_rows(
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionByName(lv)
-    return out.filter(F.col("hops") >= min_hops).select("src", "dst", "hops", "path_weight")
+    cols = ["src", "dst", "hops", "path_weight"]
+    if keep_edges:
+        # expose the accumulated edge-key array (``__edges``) so callers can
+        # enforce relationship uniqueness ACROSS pattern segments (Cypher:
+        # one path per MATCH clause, no relationship repeats anywhere in it)
+        cols.append(F.col("__epath").alias("__edges"))
+    return out.filter(F.col("hops") >= min_hops).select(*cols)
 
 
 def bfs_distances(edges: DataFrame, seeds: DataFrame, max_depth: int = 10) -> DataFrame:

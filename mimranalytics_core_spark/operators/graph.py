@@ -3407,3 +3407,47 @@ def cypher_optional_where(spark, sf_dir):
            OPTIONAL MATCH (s)-[:SUPPLIER_OF]->(n) WHERE s.id STARTS WITH 's:1'
            RETURN n, count(c) AS n_cust, count(s) AS n_sup ORDER BY n""",
     )
+
+
+@register(
+    "cypher_multi_segment_paths",
+    "graph",
+    oracle=f"""
+        WITH {TRADE_CREDIT_SQL},
+        e AS (SELECT src, dst, src || '>' || dst AS ek FROM tc_edges),
+        b2 AS (SELECT e1.src AS a, e2.dst AS b, e1.ek AS k1, e2.ek AS k2
+               FROM e e1 JOIN e e2 ON e1.dst = e2.src AND e2.ek <> e1.ek
+               WHERE e1.src LIKE 'c:1%'),
+        seg2 AS (SELECT src, dst, src || '>' || dst AS ek FROM tc_edges
+                 WHERE rel_type = 'buys_from'),
+        j AS (SELECT b2.a FROM b2 JOIN seg2 ON b2.b = seg2.src
+                  AND seg2.ek <> b2.k1 AND seg2.ek <> b2.k2)
+        SELECT a, COUNT(*) AS n_paths FROM j GROUP BY a ORDER BY a
+    """,
+    notes=(
+        "PER-PATH rows for multi-segment patterns (round-4 verdict item 4, "
+        "deleting the last documented Cypher row-semantics divergence): "
+        "(a)-[*2..2]->(b)-[:BUYS_FROM]->(c2) on the CYCLIC trade-credit "
+        "graph, where paths strictly outnumber distinct variable bindings "
+        "(c:1 has 405 paths at sf0.01 vs <=49 distinct pairs) — count(*) "
+        "now counts Neo4j's match row stream. Each segment enumerates "
+        "trail paths with edge keys kept; shared variables join the "
+        "segments; a pairwise arrays_overlap filter enforces relationship "
+        "uniqueness ACROSS the whole pattern (the a->s->a->s re-use of one "
+        "buys_from edge is excluded — the oracle's ek inequality on BOTH "
+        "prior keys). Scale: per-path enumeration is bounded by the "
+        "declared subgraph + hop bounds; the uniqueness guard is row-local "
+        "array math — no extra shuffle (tests/test_plans.py posture)"
+    ),
+)
+def cypher_multi_segment_paths(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (a)-[*2..2]->(b)-[:BUYS_FROM]->(c2)
+           WHERE a.id STARTS WITH 'c:1'
+           RETURN a, count(*) AS n_paths ORDER BY a""",
+        graph="trade_credit",
+    )
