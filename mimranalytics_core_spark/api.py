@@ -393,16 +393,22 @@ def match_path(
 
 
 def cypher(
-    spark: SparkSession, sf_dir: str, query: str, graph: str = "hierarchy"
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    graph: str = "hierarchy",
+    params: dict | None = None,
 ) -> DataFrame:
-    """Execute a Cypher MATCH string (the migrating-user entry point —
-    reference README.md:25). Thin delegate to
+    """Execute a Cypher MATCH/UNWIND string (the migrating-user entry point
+    — reference README.md:25). Thin delegate to
     :func:`mimranalytics_core_spark.cypher.run`; see that module for the
     supported subset and the trail-semantics notes. ``graph`` picks the
-    catalog edge view ("hierarchy" | "trade_credit")."""
+    catalog edge view ("hierarchy" | "trade_credit"); ``params`` binds
+    ``$name`` placeholders per request (README.md:26 — the FastAPI
+    lifecycle)."""
     from mimranalytics_core_spark import cypher as _cypher
 
-    return _cypher.run(spark, sf_dir, query, graph=graph)
+    return _cypher.run(spark, sf_dir, query, graph=graph, params=params)
 
 
 def export_audit_report(

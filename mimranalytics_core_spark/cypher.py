@@ -71,6 +71,16 @@ land).
 
 Grammar subset:
 
+- ``UNWIND [v1, v2, …] AS x`` (one or more, before MATCH; the query may
+  also be UNWIND-only): expands a flat list literal into rows that
+  cross-join the match frame (a broadcast of a handful of in-plan
+  literals — never a driver-side table). ``x`` is usable in WHERE /
+  RETURN / WITH; list elements must share one type; UNWIND variables
+  carry no properties. The canonical pairing is a ``$param`` id list.
+- ``$name`` query parameters (:func:`bind_params`, the ``params=`` kwarg
+  and the ``/cypher?params={…}`` endpoint): substituted as literals
+  outside quoted strings before parsing — str/int/float/bool and flat
+  lists thereof; a missing parameter raises.
 - Relationship direction: forward ``-[…]->``, reverse ``<-[…]-`` (parsed by
   swapping the endpoint variables into a forward segment — zero runtime
   cost; WHERE/label pushdown keys on the traversal start variable), and
@@ -165,6 +175,78 @@ class CypherSyntaxError(ValueError):
     """Raised when a query falls outside the supported MATCH subset."""
 
 
+def bind_params(query: str, params: dict | None) -> str:
+    """Substitute ``$name`` query parameters with literals — the FastAPI
+    request lifecycle binds parameters on every call (reference
+    README.md:26). Substitution runs OUTSIDE quoted literals; a missing
+    parameter is a CypherSyntaxError. Supported value types: str (no
+    single quotes), int, float, bool, and flat lists thereof (list values
+    pair with UNWIND)."""
+    if "$" not in query:
+        return query
+    params = params or {}
+
+    def _render(v) -> str:
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        if isinstance(v, str):
+            if "'" in v:
+                raise CypherSyntaxError(
+                    "string parameters may not contain single quotes"
+                )
+            return f"'{v}'"
+        if isinstance(v, (list, tuple)):
+            return "[" + ", ".join(_render(x) for x in v) + "]"
+        raise CypherSyntaxError(
+            f"unsupported parameter type: {type(v).__name__}"
+        )
+
+    def _sub(seg: str) -> str:
+        def rep(m: re.Match) -> str:
+            name = m.group(1)
+            if name not in params:
+                raise CypherSyntaxError(f"missing query parameter: ${name}")
+            return _render(params[name])
+
+        return re.sub(r"\$([A-Za-z_]\w*)", rep, seg)
+
+    parts = re.split(r"('(?:[^'])*')", query)
+    return "".join(p if p.startswith("'") else _sub(p) for p in parts)
+
+
+_UNWIND_RE = re.compile(
+    r"\s*UNWIND\s*\[(?P<items>[^\]]*)\]\s+AS\s+(?P<var>[A-Za-z_]\w*)", re.I
+)
+
+
+def _parse_list_literal(text: str) -> list[tuple[str, object]]:
+    """Parse a flat UNWIND list literal into (kind, value) pairs — kind in
+    {'i','f','s'}. Strings may not contain commas or quotes (parameter
+    binding renders clean literals, so round-tripped $param lists always
+    parse)."""
+    if not text.strip():
+        raise CypherSyntaxError("UNWIND list may not be empty")
+    vals: list[tuple[str, object]] = []
+    for item in text.split(","):
+        item = item.strip()
+        m = re.fullmatch(r"'([^']*)'", item)
+        if m:
+            vals.append(("s", m.group(1)))
+            continue
+        if re.fullmatch(r"-?\d+", item):
+            vals.append(("i", int(item)))
+            continue
+        if re.fullmatch(r"-?(?:\d+\.\d*|\.\d+)", item):
+            vals.append(("f", float(item)))
+            continue
+        raise CypherSyntaxError(f"unsupported UNWIND list element: {item!r}")
+    if not vals:
+        raise CypherSyntaxError("UNWIND list may not be empty")
+    return vals
+
+
 def _parse_bounds(rm: re.Match) -> tuple[int, int]:
     if rm.group("star"):
         lo = int(rm.group("min")) if rm.group("min") else 1
@@ -191,9 +273,26 @@ def parse(query: str) -> dict:
     ``carry_weight``, ``projection``, ``prop_vars`` (var → needed
     properties), ``order_by``, ``skip``, ``limit``.
     """
-    hm = _MATCH_HEAD.match(query)
-    if not hm:
-        raise CypherSyntaxError(f"unsupported Cypher (MATCH subset only): {query!r}")
+    # leading UNWIND clauses: each expands a flat list literal into rows
+    # (one column named by the AS variable); the rows cross-join the match
+    # frame — parameter-bound id lists are the canonical use
+    unwinds: list[dict] = []
+    upos = 0
+    while True:
+        um = _UNWIND_RE.match(query, upos)
+        if not um:
+            break
+        uvar = um.group("var")
+        if uvar.lower() in _RESERVED or any(u["var"] == uvar for u in unwinds):
+            raise CypherSyntaxError(f"UNWIND variable {uvar!r} collides with another name")
+        unwinds.append({"var": uvar, "values": _parse_list_literal(um.group("items"))})
+        upos = um.end()
+
+    hm = _MATCH_HEAD.match(query[upos:])  # slice: the regex is ^-anchored
+    if not hm and not unwinds:
+        raise CypherSyntaxError(
+            f"unsupported Cypher (MATCH/UNWIND subset only): {query!r}"
+        )
 
     labels: dict = {}  # var -> label, whole-query consistency check
     _cur_labels: dict = {"cur": {}}  # labels seen in the clause being parsed
@@ -311,7 +410,7 @@ def parse(query: str) -> dict:
     clauses: list[dict] = []
     vars_: list[str] = []
     bound: set = set()
-    pos = hm.end()
+    pos = upos + hm.end() if hm else upos
     # shortestPath((a)-[*..k]->(b)) / allShortestPaths(...) — optionally
     # bound to a path variable (MATCH p = ...); single clause, single
     # segment only. allShortestPaths yields one row PER shortest path
@@ -319,10 +418,14 @@ def parse(query: str) -> dict:
     shortest = False
     shortest_all = False
     path_var: str | None = None
-    sm = re.match(
-        r"(?:([A-Za-z_]\w*)\s*=\s*)?(allShortestPaths|shortestPath)\s*\(\s*",
-        query[pos:],
-        re.I,
+    sm = (
+        re.match(
+            r"(?:([A-Za-z_]\w*)\s*=\s*)?(allShortestPaths|shortestPath)\s*\(\s*",
+            query[pos:],
+            re.I,
+        )
+        if hm
+        else None
     )
     if sm:
         shortest = True
@@ -342,7 +445,7 @@ def parse(query: str) -> dict:
         flags=re.I,
     )
     pending_optional = False  # the first clause is the plain MATCH
-    while True:
+    while hm:  # no MATCH head = pure-UNWIND query, zero pattern clauses
         _cur_labels["cur"] = {}
         if shortest and not clauses:
             cvars, segs, pos = _parse_pattern(pos, bound)
@@ -402,7 +505,7 @@ def parse(query: str) -> dict:
             )
         pending_optional = bool(nxt.group("opt"))
         pos += nxt.end()
-    segments = clauses[0]["segments"]
+    segments = clauses[0]["segments"] if clauses else []
 
     # relationship variables: `-[r:TYPE]->` binds r; only `r.weight` is
     # readable (it maps onto the path_weight machinery, so it inherits the
@@ -451,12 +554,17 @@ def parse(query: str) -> dict:
         tpos += wm_.end()
 
     single = len(clauses) == 1 and len(segments) == 1
-    varset = set(vars_)
+    unwind_vars = {u["var"] for u in unwinds}
+    if unwind_vars & (set(vars_) | relvars):
+        raise CypherSyntaxError(
+            "an UNWIND variable collides with a pattern variable"
+        )
+    varset = set(vars_) | unwind_vars
     prop_vars: dict[str, set] = {}
     # the TRAVERSAL start variable of the first segment — after reverse
     # normalization ((a)<-[:R]-(b) traverses from b), this is where a
     # WHERE predicate / inline label can push below the first join
-    start_var = segments[0]["src"]
+    start_var = segments[0]["src"] if segments else None
 
     def _map_expr(expr: str, ctx: str) -> str:
         """Map a Cypher expression to its engine column token."""
@@ -467,6 +575,10 @@ def parse(query: str) -> dict:
             return "hops"  # length(p) over the shortestPath binding
         if "." in expr:
             var, _, prop = expr.partition(".")
+            if var in unwind_vars:
+                raise CypherSyntaxError(
+                    f"UNWIND variables carry no properties: {expr!r}"
+                )
             if var in varset:
                 if prop == "id":
                     return var
@@ -568,7 +680,7 @@ def parse(query: str) -> dict:
             for w in re.findall(r"\b[A-Za-z_]\w*\b", unquoted)
             if w in varset or "__" in w or w in ("hops", "path_weight")
         }
-        if mentioned == {start_var} and f"{start_var}__" not in unquoted:
+        if segments and mentioned == {start_var} and f"{start_var}__" not in unquoted:
             src_pred = _outside_quotes(
                 pred, lambda s: re.sub(rf"\b{re.escape(start_var)}\b", "src", s)
             )
@@ -717,7 +829,7 @@ def parse(query: str) -> dict:
     # post filter is equivalent there and Catalyst pushes it down). Later
     # clauses keep their labels in clause["labels"]; run() filters that
     # clause's frame before joining it in.
-    for lvar, label in clauses[0]["labels"].items():
+    for lvar, label in (clauses[0]["labels"].items() if clauses else ()):
         lp = f"{lvar} LIKE '{_LABEL_PREFIX[label]}%'"
         if lvar == start_var:
             sp = f"src LIKE '{_LABEL_PREFIX[label]}%'"
@@ -768,7 +880,12 @@ def parse(query: str) -> dict:
             )
         return items
 
-    pattern_numeric_ok = lambda c: c in ("hops", "path_weight")  # noqa: E731
+    numeric_unwinds = {
+        u["var"] for u in unwinds if {k for k, _ in u["values"]} <= {"i", "f"}
+    }
+    pattern_numeric_ok = (  # noqa: E731
+        lambda c: c in ("hops", "path_weight") or c in numeric_unwinds
+    )
 
     # ---- WITH pipeline stages (any number — Cypher's chained pipes) ----
     # Each WITH projects/aggregates the CURRENT scope; its optional first
@@ -957,9 +1074,10 @@ def parse(query: str) -> dict:
         "clauses": clauses,
         "segments": segments,
         "vars": vars_,
-        "edge_types": segments[0]["types"],
-        "min_hops": segments[0]["min_hops"],
-        "max_hops": segments[0]["max_hops"],
+        "unwinds": unwinds,
+        "edge_types": segments[0]["types"] if segments else None,
+        "min_hops": segments[0]["min_hops"] if segments else None,
+        "max_hops": segments[0]["max_hops"] if segments else None,
         "as_of": as_of,
         "src_pred": src_pred,
         "post_pred": post_pred,
@@ -1004,13 +1122,19 @@ def _split_union(query: str) -> tuple[list[str], str | None]:
 
 
 def run(
-    spark: SparkSession, sf_dir: str, query: str, graph: str = "hierarchy"
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    graph: str = "hierarchy",
+    params: dict | None = None,
 ) -> DataFrame:
     """Execute a Cypher string against a catalog graph view (``graph``:
     "hierarchy" — the ownership DAG — or "trade_credit", the bounded cyclic
-    digraph where trail semantics bite). Top-level ``UNION [ALL]`` combines
-    complete sub-queries (same RETURN column names required, as in Neo4j;
-    plain UNION deduplicates)."""
+    digraph where trail semantics bite). ``params`` binds ``$name``
+    placeholders (:func:`bind_params` — the FastAPI request lifecycle).
+    Top-level ``UNION [ALL]`` combines complete sub-queries (same RETURN
+    column names required, as in Neo4j; plain UNION deduplicates)."""
+    query = bind_params(query, params)
     pieces, kind = _split_union(query)
     if kind is None:
         return _run_single(spark, sf_dir, query, graph=graph)
@@ -1193,6 +1317,26 @@ def _run_single(
             else:
                 shared = [c for c in df.columns if c in cframe.columns]
                 df = df.join(cframe, shared, "left" if clause["optional"] else "inner")
+
+    # UNWIND frames: tiny in-plan literal relations (explode of an array
+    # literal — never a driver-side table), broadcast-cross-joined so every
+    # match row pairs with every list element (Cypher's UNWIND row stream);
+    # a parameter-bound id list stays a handful of rows at any corpus size
+    for u in p.get("unwinds") or []:
+        kinds = {k for k, _ in u["values"]}
+        vals = [v for _, v in u["values"]]
+        if kinds <= {"i"}:
+            lits = [F.lit(int(v)) for v in vals]
+        elif kinds <= {"i", "f"}:
+            lits = [F.lit(float(v)) for v in vals]
+        elif kinds == {"s"}:
+            lits = [F.lit(v) for v in vals]
+        else:
+            raise CypherSyntaxError(
+                "UNWIND list elements must share one type (numbers or strings)"
+            )
+        uf = spark.range(1).select(F.explode(F.array(*lits)).alias(u["var"]))
+        df = uf if df is None else df.crossJoin(F.broadcast(uf))
 
     # node-property access: equi-join the attribute view per referenced var
     if p["prop_vars"]:

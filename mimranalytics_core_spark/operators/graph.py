@@ -3451,3 +3451,76 @@ def cypher_multi_segment_paths(spark, sf_dir):
            RETURN a, count(*) AS n_paths ORDER BY a""",
         graph="trade_credit",
     )
+
+
+@register(
+    "cypher_unwind_params",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        ids AS (SELECT unnest(['c:1', 'c:4', 'c:7', 'c:nope']) AS cid),
+        ce AS (SELECT src, dst FROM edges WHERE rel_type = 'customer_of')
+        SELECT ids.cid, ce.dst AS n
+        FROM ids JOIN ce ON ce.src = ids.cid
+        ORDER BY cid
+    """,
+    notes=(
+        "UNWIND + $param binding (round-4 verdict item 6 — the FastAPI "
+        "request lifecycle, reference README.md:26: every request binds "
+        "parameters; the canonical saved query is 'look up THESE ids'): "
+        "UNWIND $ids AS cid expands the parameter-bound list into rows "
+        "(an in-plan explode of literals, broadcast-cross-joined — never "
+        "a driver-side table), the WHERE equality joins them to the match "
+        "frame, and the unmatched id ('c:nope') drops out as in Cypher. "
+        "bind_params substitutes outside quoted literals and raises on "
+        "missing parameters. Oracle: unnest-VALUES join. Scale: the "
+        "parameter list is request-sized at any corpus size; the broadcast "
+        "cross join costs |params| x match rows pre-filter, and Catalyst "
+        "collapses the equality into the join"
+    ),
+)
+def cypher_unwind_params(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """UNWIND $ids AS cid MATCH (c)-[:CUSTOMER_OF]->(n)
+           WHERE c.id = cid RETURN cid, n ORDER BY cid""",
+        params={"ids": ["c:1", "c:4", "c:7", "c:nope"]},
+    )
+
+
+@register(
+    "cypher_params_scalar",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT src AS cust, ROUND(weight, 6) AS w
+        FROM edges
+        WHERE rel_type = 'customer_of' AND ROUND(weight, 6) >= 0.05
+              AND src LIKE 'c:1%'
+        ORDER BY w DESC, cust ASC LIMIT 5
+    """,
+    notes=(
+        "scalar $param binding across value types (README.md:26): a float "
+        "threshold ($minw -> r.weight >= 0.05) and a string prefix ($pfx "
+        "-> STARTS WITH) bound into one saved query — the two most common "
+        "parameter shapes in a serving layer. Substitution is literal "
+        "rendering outside quoted strings, so a '$' inside a string "
+        "literal survives untouched. Oracle inlines the same literals. "
+        "Deterministic top-k via the unique-id tiebreak"
+    ),
+)
+def cypher_params_scalar(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[r:CUSTOMER_OF]->(n)
+           WHERE r.weight >= $minw AND c.id STARTS WITH $pfx
+           RETURN c.id AS cust, r.weight AS w
+           ORDER BY w DESC, cust ASC LIMIT 5""",
+        params={"minw": 0.05, "pfx": "c:1"},
+    )

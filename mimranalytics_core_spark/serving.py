@@ -15,8 +15,10 @@ Endpoints (GET, query-string parameters):
 - ``/ubo?threshold=0.25``             → api.ubo_report
 - ``/expand?entities=c:1,c:2&hops=2`` → api.expand_neighborhood
 - ``/centrality?kind=pagerank``       → api.centrality
-- ``/cypher?q=MATCH...&graph=...``    → api.cypher (the migrating-user
-  entry point; CypherSyntaxError → HTTP 400)
+- ``/cypher?q=MATCH...&graph=...&params={"name": value}`` → api.cypher
+  (the migrating-user entry point; ``params`` is a JSON object binding
+  ``$name`` placeholders per request — the FastAPI parameterized-query
+  lifecycle; CypherSyntaxError → HTTP 400)
 - ``/conflicts?max_levenshtein=3``    → api.conflict_report
 
 Design notes:
@@ -88,7 +90,13 @@ def make_server(
                     df = api.centrality(spark, sf_dir, kind=q.get("kind", "pagerank"))
                 elif u.path == "/cypher":
                     df = api.cypher(
-                        spark, sf_dir, q.get("q", ""), graph=q.get("graph", "hierarchy")
+                        spark,
+                        sf_dir,
+                        q.get("q", ""),
+                        graph=q.get("graph", "hierarchy"),
+                        # $name placeholders bind per request — the FastAPI
+                        # parameterized-query lifecycle (README.md:26)
+                        params=json.loads(q["params"]) if "params" in q else None,
                     )
                 elif u.path == "/conflicts":
                     df = api.conflict_report(

@@ -208,3 +208,48 @@ def test_optional_where_null_extends_not_drops(spark):
     assert len(opt) == len(base) > 0
     assert all(r.n_sup == 0 for r in opt)
     assert [(r.n, r.n_cust) for r in opt] == [(r.n, r.n_cust) for r in base]
+
+
+# ---- UNWIND + $param (verdict item 6) ----
+
+
+def test_bind_params_outside_quotes_and_types():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, bind_params
+
+    q = bind_params(
+        "MATCH (a) WHERE a.id = $s AND '$s' = '$s' AND hops >= $n RETURN a LIMIT $n",
+        {"s": "c:1", "n": 3},
+    )
+    assert q == "MATCH (a) WHERE a.id = 'c:1' AND '$s' = '$s' AND hops >= 3 RETURN a LIMIT 3"
+    assert bind_params("RETURN $xs", {"xs": [1, 2.5, "a"]}) == "RETURN [1, 2.5, 'a']"
+    with pytest.raises(CypherSyntaxError, match="missing query parameter"):
+        bind_params("RETURN $nope", {})
+    with pytest.raises(CypherSyntaxError, match="single quotes"):
+        bind_params("RETURN $s", {"s": "o'brien"})
+
+
+def test_unwind_parse_and_guards():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    p = parse("UNWIND [1, 2, 3] AS x RETURN x ORDER BY x")
+    assert p["unwinds"] == [{"var": "x", "values": [("i", 1), ("i", 2), ("i", 3)]}]
+    assert p["clauses"] == [] and p["segments"] == []
+    with pytest.raises(CypherSyntaxError, match="collides"):
+        parse("UNWIND [1] AS a MATCH (a)-[:CUSTOMER_OF]->(b) RETURN a, b")
+    with pytest.raises(CypherSyntaxError, match="no properties"):
+        parse("UNWIND [1] AS x MATCH (a)-[:CUSTOMER_OF]->(b) WHERE a.id = x RETURN x.name")
+    with pytest.raises(CypherSyntaxError, match="may not be empty"):
+        parse("UNWIND [] AS x RETURN x")
+
+
+def test_unwind_cross_join_multiplicities(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "UNWIND [1, 2] AS a UNWIND [10, 20, 30] AS b RETURN a, b ORDER BY a, b",
+    ).collect()
+    assert [(r.a, r.b) for r in rows] == [
+        (1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (2, 30)
+    ]

@@ -68,3 +68,27 @@ def test_unknown_endpoint_404(server):
 def test_expand_endpoint_row_cap(server):
     got = _get(server, "/expand", entities="c:1", hops=2, max_rows=3)
     assert got["n"] <= 3
+
+
+def test_cypher_endpoint_binds_params(server):
+    """$name placeholders bind per request — the FastAPI parameterized-
+    query lifecycle (round-4 verdict item 6)."""
+    body = _get(
+        server,
+        "/cypher",
+        q=(
+            "UNWIND $ids AS cid MATCH (c)-[:CUSTOMER_OF]->(n) "
+            "WHERE c.id = cid RETURN cid, n ORDER BY cid"
+        ),
+        params=json.dumps({"ids": ["c:1", "c:4"]}),
+    )
+    assert body["n"] == 2
+    assert [r["cid"] for r in body["rows"]] == ["c:1", "c:4"]
+
+
+def test_cypher_endpoint_400_on_missing_param(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/cypher", q="UNWIND $ids AS x RETURN x")
+    assert ei.value.code == 400
