@@ -1762,8 +1762,8 @@ def sim_embedding_quantize_int8(spark, sf_dir):
         "pixel bytes inside the Arrow-batched stage; the de-filtered "
         "pixels decode back to the original text, which the oracle checks "
         "verbatim — the same encode->decode->payload round-trip pattern "
-        "as the BMP/WAV/GIF legs. JPEG/MP4 remain the genuinely-blocked "
-        "formats (DCT/entropy codecs are not stdlib)"
+        "as the BMP/WAV/GIF legs. Baseline JPEG joined the real-codec set "
+        "in round 5 (multimodal_jpeg_meta); only MP4 remains blocked"
     ),
 )
 def multimodal_png_meta(spark, sf_dir, width: int = 40):
@@ -1789,4 +1789,59 @@ def multimodal_png_meta(spark, sf_dir, width: int = 40):
 
     return d.select(F.col("doc_id").cast("int").alias("media_id"), "text").mapInPandas(
         roundtrip, schema="media_id int, width int, height int, text_rt string"
+    )
+
+
+@register(
+    "multimodal_jpeg_meta",
+    "similarity",
+    oracle="""
+        SELECT doc_id AS media_id,
+               40 AS width,
+               GREATEST(CAST(CEIL(length(text) / 40.0) AS INT), 1) AS height,
+               TRUE AS decode_ok
+        FROM documents WHERE doc_id < 200
+    """,
+    notes=(
+        "image metadata over REAL baseline JPEGs — closing the round-4 "
+        "verdict's item 7 ('baseline-JPEG huffman + iDCT is feasible in "
+        "stdlib'): functions/multimodal.jpeg_pack encodes each document's "
+        "UTF-8 bytes as an 8-bit grayscale JFIF (Annex-K quant + huffman "
+        "tables, 8x8 FDCT, zig-zag run/size entropy coding with byte "
+        "stuffing) and jpeg_decode reverses the whole path from the "
+        "marker stream alone (DQT/SOF0/DHT parsed from the file, "
+        "canonical huffman decode, dequantize, iDCT). JPEG is lossy by "
+        "design, so the certified invariants are the frame dimensions "
+        "plus a pixel-error bound: decode_ok = max|orig - decoded| <= 24 "
+        "at quality 90 (observed <= 13 across text and random payloads; "
+        "the oracle expects TRUE for every row, so a decoder regression "
+        "flips the hash). Scale: encode+decode are scan-local mapInPandas "
+        "work — blobs never shuffle; only (id, dims, flag) rows move"
+    ),
+)
+def multimodal_jpeg_meta(spark, sf_dir, width: int = 40, quality: int = 90):
+    import pandas as pd
+
+    from mimranalytics_core_spark.functions.multimodal import jpeg_decode, jpeg_pack
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def roundtrip(batches):
+        for pdf in batches:
+            ids, ws, hs, oks = [], [], [], []
+            for r in pdf.itertuples(index=False):
+                raw = (r.text or "").encode("utf-8")
+                w, h, _, pixels = jpeg_decode(jpeg_pack(raw, width, quality=quality))
+                orig = raw.ljust(w * h, b"\x00")[: w * h]
+                mae = max((abs(a - b) for a, b in zip(orig, pixels)), default=0)
+                ids.append(r.media_id)
+                ws.append(w)
+                hs.append(h)
+                oks.append(bool(mae <= 24))
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "decode_ok": oks}
+            )
+
+    return d.select(F.col("doc_id").cast("int").alias("media_id"), "text").mapInPandas(
+        roundtrip, schema="media_id int, width int, height int, decode_ok boolean"
     )
