@@ -770,8 +770,18 @@ def _band_bucket_candidates(banded, cap: int = 512, stride: int = 256):
     ),
 )
 def dedup_minhash_lsh(spark, sf_dir):
-    n_bands, rows_per_band = 16, 4
     d = t(spark, sf_dir, "documents")
+    return _minhash_pairs(spark, d, d)
+
+
+def _minhash_pairs(spark, size_src, docs):
+    """The MinHash+LSH verified-pair machinery over an arbitrary
+    ``(doc_id, text)`` frame — shared by ``dedup_minhash_lsh`` (full
+    corpus) and ``pipeline_curation_gated_first`` (quality-gated subset;
+    the 100 TB ordering). ``size_src`` is the source table whose parquet
+    footprint sizes the broadcast decision."""
+    n_bands, rows_per_band = 16, 4
+    d = docs
 
     # Per-doc distinct token array — the whole pipeline stays array-native
     # (docs here are short; explode-joins benchmarked 2-4× slower at sf0.1).
@@ -839,7 +849,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     hashed = doc_toks.select(
         "doc_id", F.transform("toks", lambda x: F.xxhash64(x)).alias("toks"), "sz"
     )
-    hint = _broadcast_if_small(spark, d, hashed)
+    hint = _broadcast_if_small(spark, size_src, hashed)
     a = hint.select(
         F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("sz").alias("a_sz")
     )
@@ -1044,9 +1054,15 @@ def text_lm_unigram_score(spark, sf_dir):
     ),
 )
 def dedup_canonical_docs(spark, sf_dir):
+    return _canonicalize(dedup_minhash_lsh(spark, sf_dir))
+
+
+def _canonicalize(pairs):
+    """Near-dup pair graph → connected components → canonical id (min
+    doc_id per cluster) + cluster size. Shared by ``dedup_canonical_docs``
+    and ``pipeline_curation_gated_first``."""
     from mimranalytics_core_spark.functions.graph_algos import connected_components
 
-    pairs = dedup_minhash_lsh(spark, sf_dir)
     # Star contraction before the Pregel loop: the near-dup pair graph is
     # clique-heavy (mass-dup clusters emit O(cap²) pairs per bucket — 288k
     # edges for 2.9k nodes at sf0.1), so label propagation over the RAW
@@ -1163,14 +1179,17 @@ def dedup_canonical_docs(spark, sf_dir):
         GROUP BY d.source
     """,
     notes=(
-        "the FLAGSHIP curation pipeline composed end-to-end, exactly as a "
-        "100 TB training-data job runs it: repetition quality gate "
-        "(scan-local) -> length gate -> near-dup canonicalization (LSH "
+        "the FLAGSHIP curation pipeline composed end-to-end: repetition "
+        "quality gate -> length gate -> near-dup canonicalization (LSH "
         "pairs -> components -> keep canonical) -> per-source corpus "
         "accounting. Every stage is the already-oracle-checked operator; "
-        "this op certifies their COMPOSITION in one hash (gates before "
-        "shuffles: the quality filters cut the corpus before the dedup "
-        "exchange — the ordering that matters at scale)"
+        "this op certifies their COMPOSITION in one hash. Ordering note "
+        "(round-4 verdict): the declared semantics here are canonical "
+        "among ALL docs (the gate applies to the KEPT set, not to which "
+        "docs can canonicalize a cluster), so dedup_canonical_docs runs "
+        "over the full corpus by construction — see "
+        "pipeline_curation_gated_first for the gate-BEFORE-dedup "
+        "ordering a 100 TB job would run, certified separately"
     ),
 )
 def pipeline_curation_end2end(spark, sf_dir):
@@ -1189,6 +1208,114 @@ def pipeline_curation_end2end(spark, sf_dir):
     )
     return (
         kept.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "pipeline_curation_gated_first",
+    "text",
+    oracle="""
+        WITH RECURSIVE rtoks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+        ),
+        rbase AS (
+            SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_unique,
+                   CASE WHEN len(tk) >= 2
+                        THEN list_transform(generate_series(1, len(tk) - 1),
+                                            i -> tk[i] || ' ' || tk[i + 1])
+                        ELSE [] END AS bg
+            FROM rtoks
+        ),
+        bgf AS (
+            SELECT doc_id, MAX(c) AS max_bigram
+            FROM (
+                SELECT doc_id, COUNT(*) AS c
+                FROM (SELECT doc_id, unnest(bg) AS b FROM rbase)
+                GROUP BY doc_id, b
+            )
+            GROUP BY doc_id
+        ),
+        gated AS (
+            SELECT b.doc_id, b.n_tokens
+            FROM rbase b LEFT JOIN bgf f ON f.doc_id = b.doc_id
+            WHERE NOT ((1.0 - b.n_unique * 1.0 / b.n_tokens) > 0.6
+                       OR (2.0 * COALESCE(f.max_bigram, 0) / b.n_tokens) > 0.2)
+              AND b.n_tokens >= 20
+        ),
+        jtoks AS (
+            SELECT DISTINCT d.doc_id,
+                   unnest(string_split(lower(d.text), ' ')) AS token
+            FROM documents d JOIN gated g ON g.doc_id = d.doc_id
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM jtoks GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM jtoks a JOIN jtoks b ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.9
+        ),
+        e2 AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+               UNION SELECT doc_b, doc_a FROM pairs),
+        reach(node, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM e2)
+            UNION
+            SELECT e2.a, r.lab FROM reach r JOIN e2 ON e2.b = r.node
+        ),
+        lbl AS (SELECT node, MIN(lab) AS canonical_id FROM reach GROUP BY node),
+        kept AS (
+            SELECT g.doc_id, g.n_tokens
+            FROM gated g LEFT JOIN lbl ON lbl.node = g.doc_id
+            WHERE lbl.canonical_id IS NULL OR lbl.canonical_id = g.doc_id
+        )
+        SELECT d.source AS source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens
+        FROM kept k JOIN documents d ON d.doc_id = k.doc_id
+        GROUP BY d.source
+    """,
+    notes=(
+        "the curation pipeline in the TRUE 100 TB stage order (round-4 "
+        "verdict item 8): quality + length gates cut the corpus FIRST "
+        "(scan-local filters — at scale they typically drop 30-60% of "
+        "raw web data before any exchange), then MinHash-LSH dedup runs "
+        "over only the survivors, then per-source accounting. Semantics "
+        "genuinely differ from pipeline_curation_end2end: a cluster whose "
+        "full-corpus canonical was gated out re-canonicalizes to the "
+        "smallest SURVIVING doc_id here, so the kept set can differ — "
+        "which is why both orderings carry their own oracle. The pair "
+        "machinery (_minhash_pairs) and canonicalization (_canonicalize) "
+        "are the same already-certified stages, parameterized by the "
+        "gated frame"
+    ),
+)
+def pipeline_curation_gated_first(spark, sf_dir):
+    # gates first: the narrow score table is materialized once (HOF-lambda
+    # duplication note on pipeline_curation_end2end applies identically)
+    rep = text_repetition_score(spark, sf_dir).localCheckpoint(eager=True)
+    gated = rep.filter(
+        (~F.col("repetitive")) & (F.col("n_tokens") >= 20)
+    ).select("doc_id", "n_tokens")
+    d = t(spark, sf_dir, "documents")
+    gated_docs = d.join(gated.select("doc_id"), "doc_id").select("doc_id", "text")
+    canon = _canonicalize(_minhash_pairs(spark, d, gated_docs)).select(
+        "doc_id", "canonical_id"
+    )
+    kept = gated.join(canon, "doc_id", "left").filter(
+        F.col("canonical_id").isNull() | (F.col("canonical_id") == F.col("doc_id"))
+    )
+    return (
+        kept.join(d.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),

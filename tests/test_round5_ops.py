@@ -242,6 +242,47 @@ def test_unwind_parse_and_guards():
         parse("UNWIND [] AS x RETURN x")
 
 
+def test_curation_orderings_genuinely_diverge(spark):
+    """gate-before-dedup vs dedup-before-gate (round-4 verdict item 8):
+    when a cluster's full-corpus canonical doc is itself gated out, the
+    end2end ordering drops the WHOLE cluster (every survivor points at
+    the vanished canonical) while gated-first re-canonicalizes to the
+    smallest surviving doc and keeps it. Built on the shared helpers so
+    the divergence is pinned at the exact semantic boundary."""
+    from pyspark.sql import functions as F
+
+    from mimranalytics_core_spark.operators.text import _canonicalize, _minhash_pairs
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett " \
+           "kilo lima mike november oscar papa quebec romeo".split()  # 18 toks
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base + ["sierra"])),               # 19 toks: len-gated out
+            (2, " ".join(base + ["sierra", "tango", "uniform"])),  # 21: J(1,2)=19/21
+            (3, " ".join(base + ["sierra", "tango", "victor"])),   # 21: J(2,3)=20/22
+            (9, "unrelated words entirely different content here " * 5),
+        ],
+        "doc_id long, text string",
+    )
+    pairs_full = _minhash_pairs(spark, docs, docs)
+    canon_full = {
+        r.doc_id: r.canonical_id for r in _canonicalize(pairs_full).collect()
+    }
+    assert canon_full[2] == canon_full[3] == 1  # full-corpus canonical is doc 1
+    # end2end ordering: gate AFTER dedup — docs 2,3 point at gated-out 1 → dropped
+    survivors = {2, 3}  # the length gate (>= 20 tokens) drops doc 1
+    end2end_kept = {d for d in survivors if canon_full.get(d, d) == d}
+    assert end2end_kept == set()
+    # gated-first: dedup over survivors only — {2,3} re-canonicalize to 2
+    gated_docs = docs.filter(F.col("doc_id").isin([2, 3]))
+    canon_gated = {
+        r.doc_id: r.canonical_id
+        for r in _canonicalize(_minhash_pairs(spark, docs, gated_docs)).collect()
+    }
+    gated_kept = {d for d in survivors if canon_gated.get(d, d) == d}
+    assert gated_kept == {2}
+
+
 def test_unwind_cross_join_multiplicities(spark):
     from mimranalytics_core_spark import api
 
