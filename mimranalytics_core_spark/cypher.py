@@ -120,6 +120,14 @@ Grammar subset:
   or default names), then ``SKIP n`` / ``LIMIT n``. Ties are NOT broken
   implicitly — order by a unique column (e.g. the entity id) before
   LIMIT for deterministic pagination, as the §2.6 operators do.
+- ``[NOT] EXISTS { <pattern> [WHERE <pred>] }`` pattern predicates
+  (Neo4j's existential subquery, both the bare-pattern and MATCH-prefixed
+  forms): each must be a top-level AND conjunct of the TRAILING WHERE;
+  the body re-parses as its own sub-query and semi-joins (anti- for NOT)
+  onto the match frame over the variables it shares with the enclosing
+  MATCH (the correlation anchors — at least one required). Inner-only
+  variables are existentially quantified; EXISTS blocks may not appear
+  in per-clause WHEREs or WITH-stage WHEREs (subset limit).
 - String predicates: ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``
   compile to prefix/suffix/infix LIKE with escaped literals (ENDS WITH
   is masked during the pipeline scan, like STARTS WITH, so its WITH
@@ -444,6 +452,12 @@ def parse(query: str) -> dict:
         masked_q,
         flags=re.I,
     )
+    # blank out EXISTS { … } blocks: a MATCH/WHERE keyword inside the brace
+    # body must not read as a clause boundary (the body re-parses as its
+    # own sub-query later; only the braces stay visible here)
+    masked_q = re.sub(
+        r"\{[^{}]*\}", lambda m: "{" + "x" * (len(m.group(0)) - 2) + "}", masked_q
+    )
     pending_optional = False  # the first clause is the plain MATCH
     while hm:  # no MATCH head = pure-UNWIND query, zero pattern clauses
         _cur_labels["cur"] = {}
@@ -526,12 +540,26 @@ def parse(query: str) -> dict:
     # keyword can't bind to it, then unmask every extracted fragment
     tail = re.sub(r"STARTS\s+WITH", "STARTS__WITH", query[pos:], flags=re.I)
     tail = re.sub(r"ENDS\s+WITH", "ENDS__WITH", tail, flags=re.I)
+    # keywords inside EXISTS { … } bodies must not read as pipeline
+    # boundaries — reversibly mask them within brace spans
+    _BRACE_KWS = ("WHERE", "MATCH", "WITH", "RETURN", "ORDER", "SKIP", "LIMIT")
+
+    def _mask_braces(m: re.Match) -> str:
+        inner = m.group(0)
+        for kw in _BRACE_KWS:
+            inner = re.sub(rf"\b{kw}\b", f"{kw[:2]}__{kw[2:]}", inner, flags=re.I)
+        return inner
+
+    tail = re.sub(r"\{[^{}]*\}", _mask_braces, tail)
 
     def _unmask(s):
         if not s:
             return s
         s = re.sub("STARTS__WITH", "STARTS WITH", s)
-        return re.sub("ENDS__WITH", "ENDS WITH", s)
+        s = re.sub("ENDS__WITH", "ENDS WITH", s)
+        for kw in _BRACE_KWS:
+            s = s.replace(f"{kw[:2]}__{kw[2:]}", kw)
+        return s
 
     # ---- pipeline scanner over the tail ----
     # tail := [AS OF 't'] [WHERE pred]
@@ -631,6 +659,94 @@ def parse(query: str) -> dict:
     def _ct(m: re.Match) -> str:
         lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
         return f"{m.group('col')} LIKE '%{lit}%'"
+
+    def _split_conjuncts(pred: str) -> list[str] | None:
+        """Split on top-level AND (outside quotes, parens, and braces);
+        None if the pred can't be safely decomposed."""
+        parts, depth, buf, i = [], 0, [], 0
+        while i < len(pred):
+            ch = pred[i]
+            if ch == "'":
+                j = pred.find("'", i + 1)
+                if j < 0:
+                    return None
+                buf.append(pred[i : j + 1])
+                i = j + 1
+                continue
+            if ch in "({":
+                depth += 1
+            elif ch in ")}":
+                depth -= 1
+            m_and = re.match(r"\bAND\b", pred[i:], re.I)
+            if (
+                depth == 0
+                and m_and
+                and (i == 0 or not (pred[i - 1].isalnum() or pred[i - 1] == "_"))
+            ):
+                parts.append("".join(buf))
+                buf = []
+                i += m_and.end()
+                continue
+            buf.append(ch)
+            i += 1
+        parts.append("".join(buf))
+        return [p.strip() for p in parts if p.strip()]
+
+    # ---- EXISTS { pattern } predicates (Cypher pattern predicates) ----
+    # Each top-level [NOT] EXISTS conjunct of the trailing WHERE compiles
+    # to its own sub-query ("MATCH <pattern> RETURN <shared vars>"), which
+    # _run_single semi-joins (anti- for NOT) onto the match frame — the
+    # Spark-native existential form (no row multiplication). Variables the
+    # inner pattern shares with the outer scope are the correlation
+    # anchors, exactly Neo4j's scoping; inner-only variables are
+    # existentially quantified. Subset: trailing WHERE only, top-level
+    # AND conjuncts only; the inner block may carry its own WHERE.
+    exists_preds: list[dict] = []
+    if where and re.search(r"\bEXISTS\s*\{", where, re.I):
+        conjs = _split_conjuncts(where)
+        if conjs is None:
+            raise CypherSyntaxError(f"cannot decompose WHERE around EXISTS: {where!r}")
+        kept_conjs: list[str] = []
+        for cj in conjs:
+            em = re.fullmatch(
+                r"(?P<neg>NOT\s+)?EXISTS\s*\{\s*(?P<body>[^{}]*?)\s*\}",
+                cj,
+                re.I | re.S,
+            )
+            if not em:
+                if re.search(r"\bEXISTS\s*\{", cj, re.I):
+                    raise CypherSyntaxError(
+                        "EXISTS { … } must be a top-level AND conjunct of the "
+                        f"trailing WHERE (optionally NOT-negated): {cj!r}"
+                    )
+                kept_conjs.append(cj)
+                continue
+            body = em.group("body")
+            if not re.match(r"\s*MATCH\b", body, re.I):
+                body = "MATCH " + body
+            # correlation anchors: node variables shared with the outer
+            # scope (scan the pattern part only — an inner WHERE may
+            # parenthesize expressions that look node-ish)
+            pat_part = re.split(r"\bWHERE\b", body, maxsplit=1, flags=re.I)[0]
+            inner_vars = {m.group(1) for m in _NODE_RE.finditer(pat_part)}
+            anchors = sorted(inner_vars & varset)
+            if not anchors:
+                raise CypherSyntaxError(
+                    "an EXISTS pattern must share at least one variable with "
+                    f"the enclosing MATCH: {cj!r}"
+                )
+            inner_q = f"{body} RETURN " + ", ".join(anchors)
+            parse(inner_q)  # validate eagerly — parse errors surface here
+            exists_preds.append(
+                {
+                    "negated": bool(em.group("neg")),
+                    "query": inner_q,
+                    "anchors": anchors,
+                }
+            )
+        where = (
+            " AND ".join(f"({c})" for c in kept_conjs) if kept_conjs else None
+        )
 
     src_pred = post_pred = None
     carry_weight = False
@@ -757,38 +873,6 @@ def parse(query: str) -> dict:
     # Cypher filters the optional pattern (rows null-extend) while a
     # post-filter would drop the row — so move those conjuncts into the
     # owning clause (round-4 verdict item 3; labels got this fix in r4).
-    def _split_conjuncts(pred: str) -> list[str] | None:
-        """Split on top-level AND (outside quotes and parens); None if the
-        pred can't be safely decomposed."""
-        parts, depth, buf, i = [], 0, [], 0
-        while i < len(pred):
-            ch = pred[i]
-            if ch == "'":
-                j = pred.find("'", i + 1)
-                if j < 0:
-                    return None
-                buf.append(pred[i : j + 1])
-                i = j + 1
-                continue
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            m_and = re.match(r"\bAND\b", pred[i:], re.I)
-            if (
-                depth == 0
-                and m_and
-                and (i == 0 or not (pred[i - 1].isalnum() or pred[i - 1] == "_"))
-            ):
-                parts.append("".join(buf))
-                buf = []
-                i += m_and.end()
-                continue
-            buf.append(ch)
-            i += 1
-        parts.append("".join(buf))
-        return [p.strip() for p in parts if p.strip()]
-
     if post_pred and any(cl["optional"] for cl in clauses):
         conjs = _split_conjuncts(post_pred)
         if conjs:
@@ -1075,6 +1159,7 @@ def parse(query: str) -> dict:
         "segments": segments,
         "vars": vars_,
         "unwinds": unwinds,
+        "exists_preds": exists_preds,
         "edge_types": segments[0]["types"] if segments else None,
         "min_hops": segments[0]["min_hops"] if segments else None,
         "max_hops": segments[0]["max_hops"] if segments else None,
@@ -1349,6 +1434,16 @@ def _run_single(
 
     if p["post_pred"]:
         df = df.filter(F.expr(p["post_pred"]))
+
+    # EXISTS { pattern } predicates: each sub-query frame is distinct'd on
+    # the correlation anchors and LEFT SEMI-joined (ANTI for NOT EXISTS) —
+    # an existence check never multiplies rows, and Spark's semi/anti
+    # joins stop probing on first match (the plan shape that survives
+    # scale; a naive inner-join-then-distinct would blow up first)
+    for ex in p.get("exists_preds") or []:
+        sub = _run_single(spark, sf_dir, ex["query"], graph=graph)
+        side = sub.select(*ex["anchors"]).distinct()
+        df = df.join(side, ex["anchors"], "left_anti" if ex["negated"] else "left_semi")
 
     def _apply_items(df: DataFrame, items: list) -> DataFrame:
         aggs = [it for it in items if it["kind"] == "agg"]

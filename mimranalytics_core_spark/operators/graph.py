@@ -3524,3 +3524,75 @@ def cypher_params_scalar(spark, sf_dir):
            ORDER BY w DESC, cust ASC LIMIT 5""",
         params={"minw": 0.05, "pfx": "c:1"},
     )
+
+
+@register(
+    "cypher_exists_predicate",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT ce.dst AS n, COUNT(*) AS n_cust
+        FROM edges ce
+        WHERE ce.rel_type = 'customer_of'
+          AND EXISTS (SELECT 1 FROM edges se
+                      WHERE se.rel_type = 'supplier_of'
+                        AND se.src LIKE 's:%' AND se.dst = ce.dst)
+        GROUP BY ce.dst ORDER BY n
+    """,
+    notes=(
+        "EXISTS { pattern } predicate (round-4 verdict missing item 2's "
+        "second half — pattern predicates; Neo4j's existential subquery): "
+        "customers in nations that HAVE at least one supplier. Compiles to "
+        "a sub-pattern frame distinct'd on the correlation anchor (n) and "
+        "LEFT SEMI-joined — existence never multiplies rows, and the semi "
+        "join stops probing at first match (the plan that survives scale; "
+        "inner-join-then-distinct would blow up first). Oracle: correlated "
+        "EXISTS subquery, which DuckDB decorrelates to the same semi join"
+    ),
+)
+def cypher_exists_predicate(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WHERE EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+           RETURN n, count(*) AS n_cust ORDER BY n""",
+    )
+
+
+@register(
+    "cypher_not_exists_anti",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT ce.dst AS n, COUNT(*) AS n_cust
+        FROM edges ce
+        WHERE ce.rel_type = 'customer_of' AND ce.src LIKE 'c:%'
+          AND NOT EXISTS (SELECT 1 FROM edges se
+                          WHERE se.rel_type = 'supplier_of'
+                            AND se.src LIKE 's:%' AND se.dst = ce.dst)
+        GROUP BY ce.dst ORDER BY n
+    """,
+    notes=(
+        "NOT EXISTS { pattern } — the anti-join form (supply-gap "
+        "screening: nations with customer demand and NO local supplier; "
+        "the negative-space conflict query a migrating user writes next "
+        "after the EXISTS form). Same sub-pattern machinery, LEFT ANTI "
+        "join on the anchor; composes with an ordinary residual conjunct "
+        "(c.id STARTS WITH), which stays in the post-filter. Oracle: "
+        "correlated NOT EXISTS"
+    ),
+)
+def cypher_not_exists_anti(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WHERE NOT EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+                 AND c.id STARTS WITH 'c:'
+           RETURN n, count(*) AS n_cust ORDER BY n""",
+    )

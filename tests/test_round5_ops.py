@@ -242,6 +242,85 @@ def test_unwind_parse_and_guards():
         parse("UNWIND [] AS x RETURN x")
 
 
+# ---- EXISTS { pattern } predicates ----
+
+
+def test_exists_parse_and_guards():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    p = parse(
+        "MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "WHERE EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } RETURN n"
+    )
+    assert len(p["exists_preds"]) == 1
+    ex = p["exists_preds"][0]
+    assert not ex["negated"] and ex["anchors"] == ["n"]
+    assert p["post_pred"] is None  # the EXISTS conjunct left nothing behind
+    # NOT form + residual conjunct stays behind
+    p2 = parse(
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE NOT EXISTS { "
+        "(s)-[:SUPPLIER_OF]->(n) } AND c.id STARTS WITH 'c:' RETURN n"
+    )
+    assert p2["exists_preds"][0]["negated"]
+    # the residual conjunct names only the start variable -> pushes down
+    assert "LIKE" in p2["src_pred"] and p2["post_pred"] is None
+    # no shared variable
+    with pytest.raises(CypherSyntaxError, match="share at least one"):
+        parse("MATCH (a)-[:CUSTOMER_OF]->(b) WHERE EXISTS { (x)-[:SUPPLIER_OF]->(y) } RETURN a")
+    # OR around EXISTS cannot decompose into a semi join
+    with pytest.raises(CypherSyntaxError, match="top-level AND conjunct"):
+        parse(
+            "MATCH (a)-[:CUSTOMER_OF]->(b) "
+            "WHERE EXISTS { (a)-[:NATION_OF]->(x) } OR a.id = 'c:1' RETURN a"
+        )
+
+
+def test_exists_semantics_vs_manual_semijoin(spark):
+    from mimranalytics_core_spark import api
+
+    got = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WHERE EXISTS { (s)-[:SUPPLIER_OF]->(n) }
+           RETURN c, n ORDER BY c, n""",
+    ).collect()
+    base = api.cypher(
+        spark, SF_SMALL, "MATCH (c)-[:CUSTOMER_OF]->(n) RETURN c, n"
+    ).collect()
+    sups = {
+        r.n
+        for r in api.cypher(
+            spark, SF_SMALL, "MATCH (s)-[:SUPPLIER_OF]->(n) RETURN s, n"
+        ).collect()
+    }
+    expect = sorted((r.c, r.n) for r in base if r.n in sups)
+    assert [(r.c, r.n) for r in got] == expect
+    # NOT EXISTS is the exact complement over the same frame
+    anti = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WHERE NOT EXISTS { (s)-[:SUPPLIER_OF]->(n) }
+           RETURN c, n ORDER BY c, n""",
+    ).collect()
+    assert len(anti) + len(got) == len(base)
+
+
+def test_exists_inner_where_and_no_row_multiplication(spark):
+    from mimranalytics_core_spark import api
+
+    # a nation with MANY suppliers must still yield one row per customer
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WHERE EXISTS { MATCH (s)-[:SUPPLIER_OF]->(n) WHERE s.id STARTS WITH 's:' }
+           RETURN c, n""",
+    ).collect()
+    assert len({(r.c, r.n) for r in rows}) == len(rows)
+
+
 def test_curation_orderings_genuinely_diverge(spark):
     """gate-before-dedup vs dedup-before-gate (round-4 verdict item 8):
     when a cluster's full-corpus canonical doc is itself gated out, the
