@@ -128,6 +128,12 @@ Grammar subset:
   MATCH (the correlation anchors — at least one required). Inner-only
   variables are existentially quantified; EXISTS blocks may not appear
   in per-clause WHEREs or WITH-stage WHEREs (subset limit).
+- ``CASE WHEN <pred> THEN <value> [WHEN …] [ELSE <value>] END AS alias``
+  as a RETURN / WITH item (Cypher's searched CASE): the body maps 1:1
+  onto Spark SQL CASE after var.prop and string-predicate rewrites; a
+  non-aggregate CASE item becomes a grouping key when aggregates are
+  present (Cypher's implicit grouping). The ``AS alias`` is REQUIRED and
+  the body may not contain commas (subset limits).
 - String predicates: ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``
   compile to prefix/suffix/infix LIKE with escaped literals (ENDS WITH
   is masked during the pipeline scan, like STARTS WITH, so its WITH
@@ -925,6 +931,34 @@ def parse(query: str) -> dict:
         items: list[dict] = []
         for item in text.split(","):
             item = item.strip()
+            # CASE WHEN … THEN … [ELSE …] END AS alias — Cypher's searched
+            # CASE maps 1:1 onto Spark SQL's CASE once var.prop tokens and
+            # string predicates are rewritten; the alias is REQUIRED (Neo4j
+            # would name the column the whole expression text) and the body
+            # may not contain commas (subset limit — the item list splits
+            # on them)
+            cs = re.match(
+                r"^CASE\s+(?P<body>WHEN\s+.+\s+END)\s+AS\s+(?P<alias>\w+)$",
+                item,
+                re.I | re.S,
+            )
+            if cs:
+
+                def _map_case(seg: str) -> str:
+                    for pm in sorted(
+                        set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)),
+                        key=len,
+                        reverse=True,
+                    ):
+                        seg = seg.replace(pm, resolve(pm, f"CASE body in {ctx}"))
+                    return seg
+
+                sql = _outside_quotes(cs.group("body"), _map_case)
+                sql = _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql)))
+                items.append(
+                    {"kind": "case", "sql": f"CASE {sql}", "name": cs.group("alias")}
+                )
+                continue
             am = _AGG_ITEM.match(item)
             if am:
                 fn = am.group("fn").lower()
@@ -1124,7 +1158,9 @@ def parse(query: str) -> dict:
     # first pipe's WITH items, or RETURN itself when there is no pipe
     scope0_items = pipes[0]["with_items"] if pipes else projection
     carry_weight = carry_weight or any(
-        it.get("col") == "path_weight" for it in scope0_items
+        it.get("col") == "path_weight"
+        or (it["kind"] == "case" and "path_weight" in it["sql"])
+        for it in scope0_items
     )
 
     # ORDER BY: names must resolve to RETURN output columns
@@ -1446,11 +1482,17 @@ def _run_single(
         df = df.join(side, ex["anchors"], "left_anti" if ex["negated"] else "left_semi")
 
     def _apply_items(df: DataFrame, items: list) -> DataFrame:
+        def _key_expr(it):
+            # CASE items are in-plan SQL expressions; plain items are columns
+            if it["kind"] == "case":
+                return F.expr(it["sql"]).alias(it["name"])
+            return F.col(it["col"]).alias(it["name"])
+
         aggs = [it for it in items if it["kind"] == "agg"]
         if not aggs:
-            return df.select(*[F.col(it["col"]).alias(it["name"]) for it in items])
+            return df.select(*[_key_expr(it) for it in items])
         # Cypher's implicit grouping: non-aggregate items are the keys
-        keys = [it for it in items if it["kind"] == "plain"]
+        keys = [it for it in items if it["kind"] != "agg"]
         exprs = []
         for it in aggs:
             if it["col"] is None:
@@ -1470,7 +1512,7 @@ def _run_single(
                     e = F.round(e, 6)  # float-hash discipline (module docstring)
             exprs.append(e.alias(it["name"]))
         if keys:
-            return df.groupBy(*[F.col(k["col"]).alias(k["name"]) for k in keys]).agg(*exprs)
+            return df.groupBy(*[_key_expr(k) for k in keys]).agg(*exprs)
         return df.agg(*exprs)
 
     def _pipe_clause_frame(clause):

@@ -242,6 +242,38 @@ def test_unwind_parse_and_guards():
         parse("UNWIND [] AS x RETURN x")
 
 
+# ---- CASE expressions ----
+
+
+def test_case_expression_forms(spark):
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    # plain projection + string predicate inside the CASE body
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           RETURN c, CASE WHEN c.id ENDS WITH '1' THEN 'one' ELSE 'other' END AS tag
+           ORDER BY c LIMIT 4""",
+    ).collect()
+    assert [r.tag for r in rows] == [
+        "one" if r.c.endswith("1") else "other" for r in rows
+    ]
+    # CASE as an implicit grouping key in a WITH stage
+    agg = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n, CASE WHEN n.id ENDS WITH '1' THEN 1 ELSE 0 END AS is1
+           RETURN is1, count(*) AS cnt ORDER BY is1""",
+    ).collect()
+    assert [r.is1 for r in agg] == [0, 1] and all(r.cnt > 0 for r in agg)
+    # alias is required
+    with pytest.raises(CypherSyntaxError):
+        parse("MATCH (a)-[:CUSTOMER_OF]->(b) RETURN CASE WHEN a.id = 'c:1' THEN 1 ELSE 0 END")
+
+
 # ---- EXISTS { pattern } predicates ----
 
 
