@@ -18,8 +18,12 @@ strings). Parses the pattern subset
 
 WITH note: pipeline stages CHAIN (any number of pipes —
 ``MATCH…WITH…MATCH…WITH…RETURN``). Each WITH projects/aggregates the
-current scope, its optional first WHERE filters the piped rows (SQL
-HAVING); a **MATCH after WITH** re-matches against the piped frame
+current scope and may carry its own ``ORDER BY … [SKIP n] [LIMIT n]``
+(keys must be WITH output names; SKIP/LIMIT require an ORDER BY; applied
+order→skip→limit, THEN the WHERE subclause filters — openCypher's
+subclause order; the top-k-then-continue idiom). Its optional WHERE
+filters the piped rows (SQL HAVING); a **MATCH after WITH** re-matches
+against the piped frame
 (Cypher's aggregate-then-rematch pipeline): its clauses must share a
 variable with the stage's outputs (the join anchors), OPTIONAL MATCH
 left-joins, labels are clause-scoped, and the trailing WHERE filters the
@@ -1022,7 +1026,8 @@ def parse(query: str) -> dict:
             break
         tpos += m_.end()
         im_ = re.match(
-            r"(?P<items>.*?)(?=\s+WHERE\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
+            r"(?P<items>.*?)(?=\s+ORDER\s+BY\s|\s+SKIP\s|\s+LIMIT\s"
+            r"|\s+WHERE\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
             tail[tpos:],
             re.I | re.S,
         )
@@ -1033,6 +1038,46 @@ def parse(query: str) -> dict:
         )
         tpos += im_.end()
         with_names = {it["name"] for it in with_items_i}
+        # stage-level ORDER BY / SKIP / LIMIT (Cypher's top-k-then-continue
+        # idiom: `WITH n, count(*) AS c ORDER BY c DESC LIMIT 3 MATCH …`).
+        # Keys must be WITH output names; applied order→skip→limit, then
+        # the WHERE subclause filters (openCypher's subclause order). Ties
+        # are not broken implicitly — order by a unique column before
+        # LIMIT, as everywhere else in the engine.
+        stage_order: list[tuple[str, bool]] = []
+        om_ = re.match(
+            r"\s*ORDER\s+BY\s+(?P<keys>.*?)(?=\s+SKIP\s|\s+LIMIT\s|\s+WHERE\s"
+            r"|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
+            tail[tpos:],
+            re.I | re.S,
+        )
+        if om_:
+            for key in _unmask(om_.group("keys")).split(","):
+                km_ = re.match(
+                    r"^\s*(?P<name>\w+)(?:\s+(?P<dir>ASC|DESC))?\s*$", key, re.I
+                )
+                if not km_ or km_.group("name") not in with_names:
+                    raise CypherSyntaxError(
+                        f"WITH ORDER BY key must be a WITH output column: {key!r}"
+                    )
+                stage_order.append(
+                    (km_.group("name"), (km_.group("dir") or "ASC").upper() == "ASC")
+                )
+            tpos += om_.end()
+        stage_skip = stage_limit = None
+        skm_ = re.match(r"\s*SKIP\s+(\d+)", tail[tpos:], re.I)
+        if skm_:
+            stage_skip = int(skm_.group(1))
+            tpos += skm_.end()
+        lim_ = re.match(r"\s*LIMIT\s+(\d+)", tail[tpos:], re.I)
+        if lim_:
+            stage_limit = int(lim_.group(1))
+            tpos += lim_.end()
+        if (stage_skip is not None or stage_limit is not None) and not stage_order:
+            raise CypherSyntaxError(
+                "WITH SKIP/LIMIT requires an ORDER BY (unordered pagination "
+                "is nondeterministic)"
+            )
         having_i = None
         hm_ = re.match(
             r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
@@ -1125,6 +1170,9 @@ def parse(query: str) -> dict:
             {
                 "with_items": with_items_i,
                 "having": having_i,
+                "order_by": stage_order,
+                "skip": stage_skip,
+                "limit": stage_limit,
                 "clauses": pclauses,
                 "post_pred": post_p,
                 "prop_vars": prop_vars_p,
@@ -1582,6 +1630,20 @@ def _run_single(
     # property accesses and the trailing WHERE over the joined frame.
     for pipe in p.get("pipes") or []:
         df = _apply_items(df, pipe["with_items"])
+        # stage ORDER BY / SKIP / LIMIT before the WHERE subclause
+        # (openCypher subclause order) — the top-k-then-continue idiom;
+        # Catalyst collapses sort+limit to TakeOrderedAndProject
+        if pipe.get("order_by"):
+            df = df.orderBy(
+                *[
+                    F.col(n).asc_nulls_last() if asc else F.col(n).desc_nulls_last()
+                    for n, asc in pipe["order_by"]
+                ]
+            )
+        if pipe.get("skip") is not None:
+            df = df.offset(pipe["skip"])
+        if pipe.get("limit") is not None:
+            df = df.limit(pipe["limit"])
         if pipe["having"]:
             df = df.filter(F.expr(pipe["having"]))
         for clause in pipe["clauses"]:

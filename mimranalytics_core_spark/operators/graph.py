@@ -3633,3 +3633,44 @@ def cypher_case_expression(spark, sf_dir):
                        ELSE 'minor' END AS tier,
                   count(*) AS n_rel ORDER BY tier""",
     )
+
+
+@register(
+    "cypher_with_topk_rematch",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        top3 AS (
+            SELECT dst AS n, COUNT(*) AS n_cust
+            FROM edges WHERE rel_type = 'customer_of'
+            GROUP BY dst ORDER BY n_cust DESC, n ASC LIMIT 3
+        )
+        SELECT t.n, t.n_cust, COUNT(*) AS n_sup
+        FROM top3 t
+        JOIN edges se ON se.rel_type = 'supplier_of'
+                     AND se.src LIKE 's:%' AND se.dst = t.n
+        GROUP BY t.n, t.n_cust ORDER BY n
+    """,
+    notes=(
+        "WITH ... ORDER BY ... LIMIT ... MATCH — Cypher's "
+        "top-k-then-continue idiom (aggregate, keep the top 3 nations by "
+        "customer count with a unique-id tiebreak, then re-match suppliers "
+        "against only those 3): the stage sort+limit collapses to "
+        "TakeOrderedAndProject and the follow-up MATCH joins a 3-row "
+        "frame, so the expensive second pattern runs against k rows, not "
+        "the corpus — exactly how a saved Neo4j drill-down query scales. "
+        "Stage subclause order is openCypher's (ORDER/SKIP/LIMIT, then "
+        "WHERE). Oracle: top-3 CTE joined to the supplier edge set"
+    ),
+)
+def cypher_with_topk_rematch(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n, count(*) AS n_cust ORDER BY n_cust DESC, n ASC LIMIT 3
+           MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+           RETURN n, n_cust, count(*) AS n_sup ORDER BY n""",
+    )

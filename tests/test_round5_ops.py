@@ -242,6 +242,56 @@ def test_unwind_parse_and_guards():
         parse("UNWIND [] AS x RETURN x")
 
 
+# ---- WITH ... ORDER BY ... SKIP/LIMIT ----
+
+
+def test_with_stage_topk_and_subclause_order(spark):
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    full = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WITH n, count(*) AS c "
+        "ORDER BY c DESC, n ASC RETURN n, c",
+    ).collect()
+    top2 = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WITH n, count(*) AS c "
+        "ORDER BY c DESC, n ASC LIMIT 2 RETURN n, c ORDER BY n",
+    ).collect()
+    assert sorted((r.n, r.c) for r in top2) == sorted(
+        (r.n, r.c) for r in full[:2]
+    )
+    # SKIP pages past the top rows deterministically
+    page2 = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WITH n, count(*) AS c "
+        "ORDER BY c DESC, n ASC SKIP 2 LIMIT 2 RETURN n, c ORDER BY n",
+    ).collect()
+    assert sorted((r.n, r.c) for r in page2) == sorted(
+        (r.n, r.c) for r in full[2:4]
+    )
+    # WHERE applies AFTER limit (openCypher subclause order): a filter that
+    # rejects the top rows yields EMPTY, not the next-best rows
+    empty = api.cypher(
+        spark,
+        SF_SMALL,
+        f"MATCH (c)-[:CUSTOMER_OF]->(n) WITH n, count(*) AS c "
+        f"ORDER BY c DESC, n ASC LIMIT 2 WHERE c < {min(r.c for r in full[:2])} "
+        "RETURN n, c",
+    ).collect()
+    assert empty == []
+    # unordered pagination is rejected
+    with pytest.raises(CypherSyntaxError, match="requires an ORDER BY"):
+        parse("MATCH (a)-[:CUSTOMER_OF]->(b) WITH b LIMIT 3 RETURN b")
+    # ORDER BY key must be a WITH output
+    with pytest.raises(CypherSyntaxError, match="WITH output column"):
+        parse("MATCH (a)-[:CUSTOMER_OF]->(b) WITH b ORDER BY nope RETURN b")
+
+
 # ---- CASE expressions ----
 
 
