@@ -2108,3 +2108,75 @@ def text_hashing_features(spark, sf_dir):
             F.sum("cnt").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+@register(
+    "text_pii_redact",
+    "text",
+    oracle=r"""
+        WITH enriched AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id ||
+                   '@example.com or 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+                   ' from 10.' || (doc_id % 256) || '.0.1' AS s
+            FROM documents WHERE doc_id < 300
+        )
+        SELECT doc_id,
+               len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               len(regexp_extract_all(s, '\b555-\d{4}\b')) AS n_phone,
+               len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\b555-\d{4}\b', '[PHONE]', 'g'),
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS redacted
+        FROM enriched
+    """,
+    notes=(
+        "PII scrubbing — the compliance pass every LLM training pipeline "
+        "runs before tokenization (emails / phone numbers / IPv4 "
+        "addresses -> typed placeholders, plus per-doc detection counts "
+        "for the audit trail). The synthetic corpus carries no natural "
+        "PII, so the op deterministically embeds contact lines derived "
+        "from doc_id (the multimodal-fixture pattern: the PAYLOAD is "
+        "constructed, the machinery is real) and then runs the actual "
+        "redaction: three regexp_replace passes + regexp_extract_all "
+        "counts, all JVM-side codegen'd string ops chosen from the "
+        "RE2-and-Java-compatible subset (no backrefs/lookaround) so both "
+        "engines execute the identical automaton. Scale: entirely "
+        "scan-local projection — zero shuffle, linear in corpus bytes; "
+        "at 100 TB this is the textbook narrow transformation"
+    ),
+)
+def text_pii_redact(spark, sf_dir):
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b555-\d{4}\b"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    s = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    e = d.select("doc_id", s.alias("s"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("s"), F.lit(email), F.lit("[EMAIL]")),
+            F.lit(phone),
+            F.lit("[PHONE]"),
+        ),
+        F.lit(ipv4),
+        F.lit("[IP]"),
+    )
+    return e.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("s", F.lit(email), F.lit(0))).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all("s", F.lit(phone), F.lit(0))).cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all("s", F.lit(ipv4), F.lit(0))).cast("long").alias("n_ip"),
+        red.alias("redacted"),
+    )

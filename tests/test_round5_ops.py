@@ -242,6 +242,21 @@ def test_unwind_parse_and_guards():
         parse("UNWIND [] AS x RETURN x")
 
 
+# ---- PII redaction ----
+
+
+def test_pii_redact_counts_and_placeholders(spark):
+    from mimranalytics_core_spark.registry import all_ops
+
+    rows = all_ops()["text_pii_redact"].fn(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows[:20]:
+        assert r.n_email >= 1 and r.n_phone >= 1 and r.n_ip >= 1
+        assert "[EMAIL]" in r.redacted and "[PHONE]" in r.redacted and "[IP]" in r.redacted
+        assert "@example.com" not in r.redacted
+        assert "555-" not in r.redacted
+
+
 # ---- WITH ... ORDER BY ... SKIP/LIMIT ----
 
 
