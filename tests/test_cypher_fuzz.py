@@ -48,16 +48,31 @@ def _query(draw):
         # comma-separated multi-pattern sharing the first variable
         extra = draw(st.sampled_from(["q", "z"]))
         pat += f", ({extra})" + draw(_rel()) + f"({vs[0]})"
+    unwound = False
     if shortest:
         q = f"MATCH p = shortestPath({pat})"
     else:
         q = f"MATCH {pat}"
+        if draw(st.integers(0, 3)) == 0:  # leading UNWIND (list literal)
+            lst = draw(st.sampled_from(["[1, 2, 3]", "['c:1', 'c:2']", "[0.5, 1.5]"]))
+            q = f"UNWIND {lst} AS k " + q
+            unwound = True
     if draw(st.booleans()):
         q += f" WHERE {vs[0]}.id STARTS WITH 'c:'"
+        if not shortest and draw(st.integers(0, 2)) == 0:
+            neg = "NOT " if draw(st.booleans()) else ""
+            q += f" AND {neg}EXISTS {{ (e9)" + draw(_rel()) + f"({vs[0]}) }}"
+    elif not shortest and draw(st.integers(0, 3)) == 0:
+        q += f" WHERE EXISTS {{ (e9)" + draw(_rel()) + f"({vs[0]}) }}"
     # optionally pipe through WITH, then optionally MATCH again (stage 2)
     with_match = not shortest and draw(st.booleans())
     if with_match:
         q += f" WITH {vs[0]} AS piped, count(*) AS n"
+        if draw(st.integers(0, 2)) == 0:  # stage-level top-k / paging
+            q += " ORDER BY n DESC, piped ASC"
+            if draw(st.booleans()):
+                q += f" SKIP {draw(st.integers(0, 3))}"
+            q += f" LIMIT {draw(st.integers(1, 20))}"
         if draw(st.booleans()):
             q += " WHERE n >= 2"
         stage2 = draw(st.booleans())
@@ -75,6 +90,14 @@ def _query(draw):
         items = [vs[0], "count(*) AS n"] if draw(st.booleans()) else list(vs[:2])
     if rvar and not with_match and draw(st.booleans()):
         items.append("r.weight AS w")
+    if not with_match and draw(st.integers(0, 3)) == 0:  # searched CASE item
+        first = items[0].split(" ")[0]
+        ref = "k" if unwound else f"{first}.id" if "(" not in first else "n"
+        if "(" not in first:
+            items.append(
+                f"CASE WHEN {ref} = {'1' if unwound else repr('c:1')} "
+                "THEN 'hit' ELSE 'miss' END AS flag"
+            )
     q += " RETURN " + ", ".join(items)
     if draw(st.booleans()):
         q += f" ORDER BY {items[0].split(' ')[-1]} DESC"

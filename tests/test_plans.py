@@ -259,3 +259,22 @@ def test_partition_pruned_scan_prunes(spark):
 def test_dynamic_partition_pruning_in_plan(spark):
     plan = _plan(spark, "scan_dynamic_partition_pruning")
     assert "dynamicpruning" in plan.lower()
+
+
+def test_cypher_exists_compiles_to_semi_and_anti_join(spark):
+    """EXISTS { pattern } must plan as a LEFT SEMI join (NOT EXISTS as
+    LEFT ANTI) — the existence check may never multiply rows or fall back
+    to inner-join-then-distinct (round-5 addition)."""
+    plan = _plan(spark, "cypher_exists_predicate")
+    assert "LeftSemi" in plan
+    anti = _plan(spark, "cypher_not_exists_anti")
+    assert "LeftAnti" in anti
+    for p in (plan, anti):
+        assert "CartesianProduct" not in p
+
+
+def test_cypher_with_topk_collapses_to_take_ordered(spark):
+    """The WITH … ORDER BY … LIMIT stage must plan as TakeOrderedAndProject
+    (not a global sort of the full frame followed by a limit)."""
+    plan = _plan(spark, "cypher_with_topk_rematch")
+    assert "TakeOrderedAndProject" in plan
