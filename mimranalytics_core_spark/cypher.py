@@ -138,6 +138,11 @@ Grammar subset:
   non-aggregate CASE item becomes a grouping key when aggregates are
   present (Cypher's implicit grouping). The ``AS alias`` is REQUIRED and
   the body may not contain commas (subset limits).
+- ``toLower(expr)`` / ``toUpper(expr)`` scalar functions in WHERE and
+  CASE bodies (mapped to Spark's lower()/upper() outside quoted
+  literals); string predicates accept function-wrapped operands.
+- ``WITH DISTINCT items`` dedupes the stage projection (RETURN DISTINCT's
+  pipeline twin).
 - String predicates: ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``
   compile to prefix/suffix/infix LIKE with escaped literals (ENDS WITH
   is masked during the pipeline scan, like STARTS WITH, so its WITH
@@ -181,9 +186,20 @@ _AGG_ITEM = re.compile(
     re.IGNORECASE,
 )
 
-_STARTS_WITH = re.compile(r"(?P<col>\b\w+\b)\s+STARTS\s+WITH\s+'(?P<lit>[^']*)'", re.I)
-_ENDS_WITH = re.compile(r"(?P<col>\b\w+\b)\s+ENDS\s+WITH\s+'(?P<lit>[^']*)'", re.I)
-_CONTAINS = re.compile(r"(?P<col>\b\w+\b)\s+CONTAINS\s+'(?P<lit>[^']*)'", re.I)
+# column operand of a string predicate: a bare identifier or a
+# lower()/upper()-wrapped one (the toLower/toUpper rewrite runs first)
+_PREDCOL = r"(?P<col>(?:lower|upper)\s*\(\s*\w+\s*\)|\b\w+\b)"
+_STARTS_WITH = re.compile(_PREDCOL + r"\s+STARTS\s+WITH\s+'(?P<lit>[^']*)'", re.I)
+_ENDS_WITH = re.compile(_PREDCOL + r"\s+ENDS\s+WITH\s+'(?P<lit>[^']*)'", re.I)
+_CONTAINS = re.compile(_PREDCOL + r"\s+CONTAINS\s+'(?P<lit>[^']*)'", re.I)
+
+
+def _fn_rewrite(seg: str) -> str:
+    """Map Cypher's scalar string functions onto their Spark SQL twins
+    (applied outside quoted literals, alongside the var.prop mapping)."""
+    seg = re.sub(r"\btoLower\s*\(", "lower(", seg)
+    seg = re.sub(r"\btoUpper\s*\(", "upper(", seg)
+    return seg
 
 _PROPS = ("name", "label")
 _RESERVED = {"src", "dst", "hops", "path_weight", "id", "name", "label"}
@@ -768,7 +784,7 @@ def parse(query: str) -> dict:
                 set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)), key=len, reverse=True
             ):
                 seg = seg.replace(pm, _map_expr(pm, "WHERE"))
-            return seg
+            return _fn_rewrite(seg)
 
         pred = _outside_quotes(pred, _map_props)
         unquoted = _unquoted(pred)
@@ -841,7 +857,7 @@ def parse(query: str) -> dict:
                 set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)), key=len, reverse=True
             ):
                 seg = seg.replace(pm, _res_scoped(pm))
-            return seg
+            return _fn_rewrite(seg)
 
         pred = _outside_quotes(raw, _map_props_scoped)
         unq = _unquoted(pred)
@@ -955,7 +971,7 @@ def parse(query: str) -> dict:
                         reverse=True,
                     ):
                         seg = seg.replace(pm, resolve(pm, f"CASE body in {ctx}"))
-                    return seg
+                    return _fn_rewrite(seg)
 
                 sql = _outside_quotes(cs.group("body"), _map_case)
                 sql = _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql)))
@@ -1021,9 +1037,10 @@ def parse(query: str) -> dict:
     scope_resolve = _map_expr
     scope_numeric_ok = pattern_numeric_ok
     while True:
-        m_ = re.match(r"\s*WITH\s+", tail[tpos:], re.I)
+        m_ = re.match(r"\s*WITH\s+(?P<dist>DISTINCT\s+)?", tail[tpos:], re.I)
         if not m_:
             break
+        with_distinct = bool(m_.group("dist"))
         tpos += m_.end()
         im_ = re.match(
             r"(?P<items>.*?)(?=\s+ORDER\s+BY\s|\s+SKIP\s|\s+LIMIT\s"
@@ -1151,7 +1168,7 @@ def parse(query: str) -> dict:
                     set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)), key=len, reverse=True
                 ):
                     seg = seg.replace(pm_, _res(pm_, "WHERE after MATCH"))
-                return seg
+                return _fn_rewrite(seg)
 
             predp = _outside_quotes(predp, _map_props_p)
             unqp = _unquoted(predp)
@@ -1169,6 +1186,7 @@ def parse(query: str) -> dict:
         pipes.append(
             {
                 "with_items": with_items_i,
+                "distinct": with_distinct,
                 "having": having_i,
                 "order_by": stage_order,
                 "skip": stage_skip,
@@ -1630,6 +1648,8 @@ def _run_single(
     # property accesses and the trailing WHERE over the joined frame.
     for pipe in p.get("pipes") or []:
         df = _apply_items(df, pipe["with_items"])
+        if pipe.get("distinct"):
+            df = df.distinct()  # WITH DISTINCT dedupes the projected rows
         # stage ORDER BY / SKIP / LIMIT before the WHERE subclause
         # (openCypher subclause order) — the top-k-then-continue idiom;
         # Catalyst collapses sort+limit to TakeOrderedAndProject

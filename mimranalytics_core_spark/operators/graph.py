@@ -3674,3 +3674,38 @@ def cypher_with_topk_rematch(spark, sf_dir):
            MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
            RETURN n, n_cust, count(*) AS n_sup ORDER BY n""",
     )
+
+
+@register(
+    "cypher_fn_distinct",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT CAST(COUNT(DISTINCT ce.dst) AS BIGINT) AS n_nations
+        FROM edges ce
+        JOIN customer cu ON ce.src = 'c:' || cu.c_custkey
+        WHERE ce.rel_type = 'customer_of'
+          AND lower(cu.c_name) LIKE '%00001%'
+    """,
+    notes=(
+        "toLower()/toUpper() scalar functions + WITH DISTINCT (round-5 "
+        "grammar breadth): the case-insensitive name screen every saved "
+        "compliance query uses, piped through WITH DISTINCT to count "
+        "affected nations once each. toLower maps onto Spark's lower() "
+        "inside the same outside-quotes rewrite as var.prop tokens, and "
+        "the string-predicate compiler accepts function-wrapped operands "
+        "(lower(c__name) CONTAINS ... -> LIKE). Oracle: lower() LIKE over "
+        "the customer names with COUNT(DISTINCT nation)"
+    ),
+)
+def cypher_fn_distinct(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WHERE toLower(c.name) CONTAINS '00001'
+           WITH DISTINCT n
+           RETURN count(*) AS n_nations""",
+    )

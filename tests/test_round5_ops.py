@@ -242,6 +242,40 @@ def test_unwind_parse_and_guards():
         parse("UNWIND [] AS x RETURN x")
 
 
+# ---- toLower/toUpper + WITH DISTINCT ----
+
+
+def test_tolower_toupper_and_with_distinct(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "WHERE toUpper(c.id) STARTS WITH 'C:1' RETURN c ORDER BY c LIMIT 3",
+    ).collect()
+    assert rows and all(r.c.startswith("c:1") for r in rows)
+    # a '$' or 'toLower(' inside a string literal must survive untouched
+    none = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE c.name = 'toLower(x)' RETURN c",
+    ).collect()
+    assert none == []
+    # WITH DISTINCT equals count(DISTINCT ...)
+    a = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WITH DISTINCT n RETURN count(*) AS k",
+    ).collect()[0].k
+    b = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) RETURN count(DISTINCT n.id) AS k",
+    ).collect()[0].k
+    assert a == b > 0
+
+
 # ---- PII redaction ----
 
 
