@@ -197,13 +197,19 @@ def _edge_frame(
 
 
 def _directed_view(e: DataFrame, direction: str) -> DataFrame:
-    """Apply a traversal direction to a (src, dst[, ...]) edge frame:
-    ``out`` = as-is, ``in`` = reversed, ``both`` = symmetrized distinct
-    (for BFS-style consumers that need no relationship identity)."""
+    """Apply a traversal direction to a (src, dst[, ...]) edge frame,
+    PRESERVING any extra columns: ``out`` = as-is, ``in`` = endpoints
+    swapped, ``both`` = symmetrized distinct over (src, dst) only (for
+    BFS-style consumers that need no relationship identity — extra
+    columns are intentionally dropped there, since a symmetrized edge has
+    no single weight/attribute row)."""
     if direction == "out":
         return e
     if direction == "in":
-        return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        rest = [c for c in e.columns if c not in ("src", "dst")]
+        return e.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), *rest
+        )
     if direction == "both":
         s = e.select("src", "dst")
         return s.unionByName(
@@ -360,20 +366,23 @@ def match_path(
     row-local array membership test on the accumulated edge-key list (≤
     max_hops entries) — no extra shuffle (functions/graph_algos.path_rows).
     """
+    if keep_edges and not trail:
+        raise ValueError(
+            "keep_edges requires trail=True (walk mode aggregates per "
+            "(src, dst) pair — there is no per-path edge list to keep)"
+        )
     e = _edge_frame(spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph)
     if direction not in ("out", "in", "both"):
         raise ValueError(f"unknown direction {direction!r} (out | in | both)")
     if direction == "in":
-        e = e.select(
-            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
-        )
+        e = _directed_view(e, "in")  # endpoint swap, weight preserved
 
     from mimranalytics_core_spark.functions.graph_algos import path_rows
 
     out = path_rows(
         e, min_hops=min_hops, max_hops=max_hops, src_pred=src_pred,
         unique_edges=trail, undirected=(direction == "both"),
-        keep_edges=(trail and keep_edges),
+        keep_edges=keep_edges,
     )
     if trail:
         # one row PER PATH (Cypher's match row stream), multiplicities kept

@@ -79,8 +79,9 @@ Grammar subset:
   also be UNWIND-only): expands a flat list literal into rows that
   cross-join the match frame (a broadcast of a handful of in-plan
   literals — never a driver-side table). ``x`` is usable in WHERE /
-  RETURN / WITH; list elements must share one type; UNWIND variables
-  carry no properties. The canonical pairing is a ``$param`` id list.
+  RETURN / WITH; list elements must share one type; an empty list yields
+  zero rows (Neo4j semantics); UNWIND variables carry no properties. The
+  canonical pairing is a ``$param`` id list.
 - ``$name`` query parameters (:func:`bind_params`, the ``params=`` kwarg
   and the ``/cypher?params={…}`` endpoint): substituted as literals
   outside quoted strings before parsing — str/int/float/bool and flat
@@ -216,6 +217,10 @@ def bind_params(query: str, params: dict | None) -> str:
     parameter is a CypherSyntaxError. Supported value types: str (no
     single quotes), int, float, bool, and flat lists thereof (list values
     pair with UNWIND)."""
+    if params is not None and not isinstance(params, dict):
+        raise CypherSyntaxError(
+            f"params must be a JSON object, got {type(params).__name__}"
+        )
     if "$" not in query:
         return query
     params = params or {}
@@ -257,13 +262,35 @@ _UNWIND_RE = re.compile(
 
 def _parse_list_literal(text: str) -> list[tuple[str, object]]:
     """Parse a flat UNWIND list literal into (kind, value) pairs — kind in
-    {'i','f','s'}. Strings may not contain commas or quotes (parameter
-    binding renders clean literals, so round-tripped $param lists always
-    parse)."""
+    {'i','f','s'}. Splitting on commas is quote-aware, so a string element
+    may contain commas (round-tripped $param lists always parse; embedded
+    single quotes are rejected at bind time). An EMPTY list is valid and
+    yields zero rows, as in Neo4j — the canonical empty-$param-list
+    request."""
     if not text.strip():
-        raise CypherSyntaxError("UNWIND list may not be empty")
+        return []
+    items: list[str] = []
+    buf: list[str] = []
+    i = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            if j < 0:
+                raise CypherSyntaxError(f"unterminated string in UNWIND list: {text!r}")
+            buf.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if ch == ",":
+            items.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    items.append("".join(buf))
     vals: list[tuple[str, object]] = []
-    for item in text.split(","):
+    for item in items:
         item = item.strip()
         m = re.fullmatch(r"'([^']*)'", item)
         if m:
@@ -276,8 +303,6 @@ def _parse_list_literal(text: str) -> list[tuple[str, object]]:
             vals.append(("f", float(item)))
             continue
         raise CypherSyntaxError(f"unsupported UNWIND list element: {item!r}")
-    if not vals:
-        raise CypherSyntaxError("UNWIND list may not be empty")
     return vals
 
 
@@ -416,10 +441,13 @@ def parse(query: str) -> dict:
     ) -> tuple[list[str], list[dict], int]:
         """One MATCH clause: comma-separated pattern chains
         ``(a)-[:R1]->(b), (a)-[:R2]->(c)`` (Cypher multi-pattern MATCH).
-        Each chain after the first must share a variable with the clause so
-        far or an earlier clause — cartesian products are rejected, matching
-        the follow-up-MATCH rule. Variables may repeat ACROSS chains (the
-        join anchors), not within one chain."""
+        Each chain after the first must share a variable with THIS clause's
+        earlier chains (the clause frame joins its own segments in
+        connectivity order, so clause-internal connectivity is required —
+        a chain anchored only on an earlier CLAUSE's variable is a
+        documented subset limit: split it into its own MATCH clause, which
+        joins on exactly that shared variable). Variables may repeat
+        ACROSS chains (the join anchors), not within one chain."""
         s = query if text is None else text
         cvars, segs, pos = _parse_pattern(pos, bound, text=text)
         while True:
@@ -434,8 +462,9 @@ def parse(query: str) -> dict:
             if not (set(nvars) & set(cvars)):
                 raise CypherSyntaxError(
                     "a comma-separated pattern must share a variable with "
-                    "the patterns of ITS OWN MATCH clause (cartesian "
-                    "products are not supported)"
+                    "the patterns of ITS OWN MATCH clause (use a separate "
+                    "MATCH clause to join on an earlier clause's variable; "
+                    "cartesian products are not supported)"
                 )
             cvars += [v for v in nvars if v not in cvars]
             segs += nsegs
@@ -567,16 +596,44 @@ def parse(query: str) -> dict:
     tail = re.sub(r"STARTS\s+WITH", "STARTS__WITH", query[pos:], flags=re.I)
     tail = re.sub(r"ENDS\s+WITH", "ENDS__WITH", tail, flags=re.I)
     # keywords inside EXISTS { … } bodies must not read as pipeline
-    # boundaries — reversibly mask them within brace spans
+    # boundaries — reversibly mask them within brace spans. Quoted
+    # literals are skipped entirely (a literal '{match}' or 'where' must
+    # survive byte-for-byte), and only whole keywords OUTSIDE quotes are
+    # rewritten; Cypher keywords are case-insensitive, so the canonical-
+    # case unmask is lossless for them.
     _BRACE_KWS = ("WHERE", "MATCH", "WITH", "RETURN", "ORDER", "SKIP", "LIMIT")
 
-    def _mask_braces(m: re.Match) -> str:
-        inner = m.group(0)
-        for kw in _BRACE_KWS:
-            inner = re.sub(rf"\b{kw}\b", f"{kw[:2]}__{kw[2:]}", inner, flags=re.I)
-        return inner
+    def _mask_brace_keywords(s: str) -> str:
+        out: list[str] = []
+        depth = 0
+        i = 0
+        while i < len(s):
+            ch = s[i]
+            if ch == "'":
+                j = s.find("'", i + 1)
+                j = len(s) - 1 if j < 0 else j
+                out.append(s[i : j + 1])
+                i = j + 1
+                continue
+            if ch == "{":
+                depth += 1
+            elif ch == "}":
+                depth = max(0, depth - 1)
+            if depth > 0 and (ch.isalpha() or ch == "_"):
+                wm = re.match(r"[A-Za-z_]\w*", s[i:])
+                word = wm.group(0)
+                if word.upper() in _BRACE_KWS:
+                    kw = word.upper()
+                    out.append(f"{kw[:2]}__{kw[2:]}")
+                else:
+                    out.append(word)
+                i += len(word)
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
 
-    tail = re.sub(r"\{[^{}]*\}", _mask_braces, tail)
+    tail = _mask_brace_keywords(tail)
 
     def _unmask(s):
         if not s:
@@ -753,7 +810,8 @@ def parse(query: str) -> dict:
             # correlation anchors: node variables shared with the outer
             # scope (scan the pattern part only — an inner WHERE may
             # parenthesize expressions that look node-ish)
-            pat_part = re.split(r"\bWHERE\b", body, maxsplit=1, flags=re.I)[0]
+            wsplit = re.split(r"\bWHERE\b", body, maxsplit=1, flags=re.I)
+            pat_part = wsplit[0]
             inner_vars = {m.group(1) for m in _NODE_RE.finditer(pat_part)}
             anchors = sorted(inner_vars & varset)
             if not anchors:
@@ -761,7 +819,28 @@ def parse(query: str) -> dict:
                     "an EXISTS pattern must share at least one variable with "
                     f"the enclosing MATCH: {cj!r}"
                 )
-            inner_q = f"{body} RETURN " + ", ".join(anchors)
+            # anchors introduced by an OPTIONAL clause are null-capable: a
+            # semi/anti join on them would DROP null-extended rows, where
+            # Neo4j scopes the predicate into the optional clause — reject
+            # rather than silently diverge (subset limit)
+            opt_fresh = {
+                v for cl in clauses if cl["optional"] for v in cl["fresh"]
+            }
+            bad = sorted(set(anchors) & opt_fresh)
+            if bad:
+                raise CypherSyntaxError(
+                    f"EXISTS anchored on OPTIONAL MATCH variable(s) {bad} is "
+                    "not supported (a semi join would drop null-extended "
+                    "rows; filter inside the optional clause instead)"
+                )
+            # the sub-query runs on the SAME time slice as the outer MATCH
+            inner_q = (
+                pat_part.rstrip()
+                + (f" AS OF '{as_of}'" if as_of else "")
+                + (" WHERE" + wsplit[1] if len(wsplit) > 1 else "")
+                + " RETURN "
+                + ", ".join(anchors)
+            )
             parse(inner_q)  # validate eagerly — parse errors surface here
             exists_preds.append(
                 {
@@ -1348,6 +1427,69 @@ def _run_single(
     clauses = p["clauses"]
     single = len(clauses) == 1 and len(clauses[0]["segments"]) == 1
 
+
+    def _clause_frame(clause, first_pred):
+        # per-path rows per segment (trail mode, edge keys kept), joined
+        # on shared variables: one output row per PATH COMBINATION with
+        # Cypher multiplicities, then the pairwise arrays_overlap filter
+        # enforces relationship uniqueness ACROSS the whole clause
+        # (Neo4j: no relationship repeats anywhere in one MATCH pattern,
+        # comma chains included; uniqueness does NOT span clauses).
+        # Row-local array ops on <= max_hops keys — no extra shuffle.
+        pending = list(enumerate(clause["segments"]))
+        cframe = None
+        ep_cols: list[str] = []
+        while pending:
+            pick = next(
+                (
+                    i
+                    for i, (_, seg) in enumerate(pending)
+                    if cframe is None
+                    or ({seg["src"], seg["dst"]} & set(cframe.columns))
+                ),
+                None,
+            )
+            if pick is None:  # unreachable for parse-accepted patterns
+                raise CypherSyntaxError(
+                    "disconnected comma-pattern within a MATCH clause"
+                )
+            si, seg = pending.pop(pick)
+            part = api.match_path(
+                spark,
+                sf_dir,
+                edge_types=seg["types"],
+                min_hops=seg["min_hops"],
+                max_hops=seg["max_hops"],
+                src_pred=first_pred if si == 0 else None,
+                as_of=p["as_of"],
+                graph=graph,
+                direction=seg.get("direction", "out"),
+                trail=True,
+                keep_edges=True,
+            )
+            ep = f"__ep{si}"
+            part = part.select(
+                F.col("src").alias(seg["src"]),
+                F.col("dst").alias(seg["dst"]),
+                F.col("__edges").alias(ep),
+            )
+            if cframe is None:
+                cframe = part
+            else:
+                shared_c = [
+                    c
+                    for c in cframe.columns
+                    if c in part.columns and not c.startswith("__ep")
+                ]
+                cframe = cframe.join(part, shared_c)
+            ep_cols.append(ep)
+        for i in range(len(ep_cols)):
+            for j in range(i + 1, len(ep_cols)):
+                cframe = cframe.filter(
+                    ~F.arrays_overlap(F.col(ep_cols[i]), F.col(ep_cols[j]))
+                )
+        return cframe.drop(*ep_cols)
+
     if p["shortest"]:
         segs = clauses[0]["segments"]
         args = dict(
@@ -1406,67 +1548,6 @@ def _run_single(
         # chains interleave in connectivity order), clause frames join the
         # accumulated bindings — left join for OPTIONAL MATCH (distinct
         # bindings — see module doc)
-        def _clause_frame(clause, first_pred):
-            # per-path rows per segment (trail mode, edge keys kept), joined
-            # on shared variables: one output row per PATH COMBINATION with
-            # Cypher multiplicities, then the pairwise arrays_overlap filter
-            # enforces relationship uniqueness ACROSS the whole clause
-            # (Neo4j: no relationship repeats anywhere in one MATCH pattern,
-            # comma chains included; uniqueness does NOT span clauses).
-            # Row-local array ops on <= max_hops keys — no extra shuffle.
-            pending = list(enumerate(clause["segments"]))
-            cframe = None
-            ep_cols: list[str] = []
-            while pending:
-                pick = next(
-                    (
-                        i
-                        for i, (_, seg) in enumerate(pending)
-                        if cframe is None
-                        or ({seg["src"], seg["dst"]} & set(cframe.columns))
-                    ),
-                    None,
-                )
-                if pick is None:  # unreachable for parse-accepted patterns
-                    raise CypherSyntaxError(
-                        "disconnected comma-pattern within a MATCH clause"
-                    )
-                si, seg = pending.pop(pick)
-                part = api.match_path(
-                    spark,
-                    sf_dir,
-                    edge_types=seg["types"],
-                    min_hops=seg["min_hops"],
-                    max_hops=seg["max_hops"],
-                    src_pred=first_pred if si == 0 else None,
-                    as_of=p["as_of"],
-                    graph=graph,
-                    direction=seg.get("direction", "out"),
-                    trail=True,
-                    keep_edges=True,
-                )
-                ep = f"__ep{si}"
-                part = part.select(
-                    F.col("src").alias(seg["src"]),
-                    F.col("dst").alias(seg["dst"]),
-                    F.col("__edges").alias(ep),
-                )
-                if cframe is None:
-                    cframe = part
-                else:
-                    shared_c = [
-                        c
-                        for c in cframe.columns
-                        if c in part.columns and not c.startswith("__ep")
-                    ]
-                    cframe = cframe.join(part, shared_c)
-                ep_cols.append(ep)
-            for i in range(len(ep_cols)):
-                for j in range(i + 1, len(ep_cols)):
-                    cframe = cframe.filter(
-                        ~F.arrays_overlap(F.col(ep_cols[i]), F.col(ep_cols[j]))
-                    )
-            return cframe.drop(*ep_cols)
 
         def _scoped_where(cframe, clause):
             """Apply a clause-scoped WHERE to the clause frame BEFORE the
@@ -1512,6 +1593,11 @@ def _run_single(
     for u in p.get("unwinds") or []:
         kinds = {k for k, _ in u["values"]}
         vals = [v for _, v in u["values"]]
+        if not vals:
+            # UNWIND [] yields zero rows (Neo4j) — a typed empty relation
+            uf = spark.range(0).select(F.col("id").alias(u["var"]))
+            df = uf if df is None else df.crossJoin(F.broadcast(uf))
+            continue
         if kinds <= {"i"}:
             lits = [F.lit(int(v)) for v in vals]
         elif kinds <= {"i", "f"}:
@@ -1581,64 +1667,6 @@ def _run_single(
             return df.groupBy(*[_key_expr(k) for k in keys]).agg(*exprs)
         return df.agg(*exprs)
 
-    def _pipe_clause_frame(clause):
-        """Clause frame for a post-WITH pattern clause: per-path rows per
-        segment joined in connectivity order with cross-segment
-        relationship uniqueness (same semantics as the pre-WITH clauses),
-        no src_pred (the WITH outputs anchor the join)."""
-        pending = list(enumerate(clause["segments"]))
-        cframe = None
-        ep_cols: list[str] = []
-        while pending:
-            pick = next(
-                (
-                    i
-                    for i, (_, seg) in enumerate(pending)
-                    if cframe is None
-                    or ({seg["src"], seg["dst"]} & set(cframe.columns))
-                ),
-                None,
-            )
-            if pick is None:
-                raise CypherSyntaxError(
-                    "disconnected comma-pattern within a MATCH clause"
-                )
-            si, seg = pending.pop(pick)
-            part = api.match_path(
-                spark,
-                sf_dir,
-                edge_types=seg["types"],
-                min_hops=seg["min_hops"],
-                max_hops=seg["max_hops"],
-                as_of=p["as_of"],
-                graph=graph,
-                direction=seg.get("direction", "out"),
-                trail=True,
-                keep_edges=True,
-            )
-            ep = f"__ep{si}"
-            part = part.select(
-                F.col("src").alias(seg["src"]),
-                F.col("dst").alias(seg["dst"]),
-                F.col("__edges").alias(ep),
-            )
-            if cframe is None:
-                cframe = part
-            else:
-                shared_c = [
-                    c
-                    for c in cframe.columns
-                    if c in part.columns and not c.startswith("__ep")
-                ]
-                cframe = cframe.join(part, shared_c)
-            ep_cols.append(ep)
-        for i in range(len(ep_cols)):
-            for j in range(i + 1, len(ep_cols)):
-                cframe = cframe.filter(
-                    ~F.arrays_overlap(F.col(ep_cols[i]), F.col(ep_cols[j]))
-                )
-        return cframe.drop(*ep_cols)
-
     # WITH pipeline stages, in order: each pipe projects/aggregates the
     # current frame (HAVING-style WHERE over the piped rows), then its
     # MATCH clauses re-match against the piped frame — distinct variable
@@ -1667,7 +1695,7 @@ def _run_single(
         if pipe["having"]:
             df = df.filter(F.expr(pipe["having"]))
         for clause in pipe["clauses"]:
-            cframe = _pipe_clause_frame(clause)
+            cframe = _clause_frame(clause, None)
             for lvar, label in clause.get("labels", {}).items():
                 cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
             shared = [c for c in df.columns if c in cframe.columns]

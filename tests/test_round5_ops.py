@@ -238,8 +238,82 @@ def test_unwind_parse_and_guards():
         parse("UNWIND [1] AS a MATCH (a)-[:CUSTOMER_OF]->(b) RETURN a, b")
     with pytest.raises(CypherSyntaxError, match="no properties"):
         parse("UNWIND [1] AS x MATCH (a)-[:CUSTOMER_OF]->(b) WHERE a.id = x RETURN x.name")
-    with pytest.raises(CypherSyntaxError, match="may not be empty"):
-        parse("UNWIND [] AS x RETURN x")
+    # an empty list is VALID and yields zero rows (Neo4j semantics)
+    assert parse("UNWIND [] AS x RETURN x")["unwinds"] == [{"var": "x", "values": []}]
+
+
+# ---- round-5 review fixes ----
+
+
+def test_exists_inherits_as_of_time_slice():
+    """An EXISTS sub-query must run on the SAME time slice as the outer
+    MATCH (review finding: it ran against the un-sliced graph)."""
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse(
+        "MATCH (a)-[:OWNS_STAKE]->(b) AS OF '2020-06-01' "
+        "WHERE EXISTS { (a)-[:OWNS_STAKE]->(x) } RETURN a, b"
+    )
+    assert "AS OF '2020-06-01'" in p["exists_preds"][0]["query"]
+    inner = parse(p["exists_preds"][0]["query"])
+    assert inner["as_of"] == "2020-06-01"
+
+
+def test_exists_on_optional_variable_is_rejected():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with pytest.raises(CypherSyntaxError, match="OPTIONAL MATCH variable"):
+        parse(
+            "MATCH (c)-[:CUSTOMER_OF]->(n) OPTIONAL MATCH (s)-[:SUPPLIER_OF]->(n) "
+            "WHERE EXISTS { (s)-[:SUPPLIER_OF]->(n2) } RETURN n"
+        )
+
+
+def test_brace_literal_in_string_survives(spark):
+    """A literal containing braces or keyword-cased words must survive the
+    EXISTS brace masking byte-for-byte (review finding: '{match}' was
+    corrupted to '{MATCH}')."""
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse("MATCH (c)-[:CUSTOMER_OF]->(n) WHERE c.name = '{match}' RETURN c")
+    assert "'{match}'" in p["post_pred"]
+    assert api.cypher(
+        spark, SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE c.name = '{match}' RETURN c",
+    ).collect() == []
+
+
+def test_unwind_empty_and_comma_string_lists(spark):
+    """UNWIND [] yields zero rows (Neo4j), and a $param string containing a
+    comma round-trips through the list literal."""
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark, SF_SMALL,
+        "UNWIND $ids AS x MATCH (c)-[:CUSTOMER_OF]->(n) WHERE c.id = x RETURN x",
+        params={"ids": []},
+    ).collect()
+    assert rows == []
+    vals = api.cypher(
+        spark, SF_SMALL, "UNWIND $xs AS x RETURN x ORDER BY x",
+        params={"xs": ["a,b", "c"]},
+    ).collect()
+    assert [r.x for r in vals] == ["a,b", "c"]
+
+
+def test_bind_params_rejects_non_dict():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, bind_params
+
+    with pytest.raises(CypherSyntaxError, match="JSON object"):
+        bind_params("RETURN $x", 5)
+
+
+def test_match_path_keep_edges_requires_trail(spark):
+    from mimranalytics_core_spark import api
+
+    with pytest.raises(ValueError, match="keep_edges requires trail"):
+        api.match_path(spark, SF_SMALL, trail=False, keep_edges=True)
 
 
 # ---- toLower/toUpper + WITH DISTINCT ----
