@@ -18,7 +18,10 @@ Endpoints (GET, query-string parameters):
 - ``/cypher?q=MATCH...&graph=...&params={"name": value}`` → api.cypher
   (the migrating-user entry point; ``params`` is a JSON object binding
   ``$name`` placeholders per request — the FastAPI parameterized-query
-  lifecycle; CypherSyntaxError → HTTP 400)
+  lifecycle; CypherSyntaxError → HTTP 400). Also accepts **POST** with a
+  JSON body ``{"q": ..., "graph": ..., "params": {...}, "max_rows": n}``
+  — the canonical form for long queries and rich parameter maps (URL
+  length limits and query-string escaping stop mattering).
 - ``/conflicts?max_levenshtein=3``    → api.conflict_report
 
 Design notes:
@@ -106,6 +109,34 @@ def make_server(
                     self._send(404, b'{"error": "unknown endpoint"}')
                     return
                 self._send(200, _df_json(df, max_rows=int(q.get("max_rows", 1000))))
+            except (CypherSyntaxError, ValueError) as exc:  # client errors
+                self._send(400, json.dumps({"error": str(exc)}).encode())
+            except Exception as exc:  # noqa: BLE001 — gateway boundary
+                self._send(500, json.dumps({"error": str(exc)}).encode())
+
+        def do_POST(self):  # noqa: N802 (http.server API)
+            """POST /cypher with a JSON body — the canonical parameterized-
+            query form (FastAPI request-body lifecycle, README.md:26)."""
+            u = urlparse(self.path)
+            try:
+                if u.path != "/cypher":
+                    self._send(404, b'{"error": "unknown endpoint"}')
+                    return
+                n = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(n) or b"{}")
+                except json.JSONDecodeError as exc:
+                    raise ValueError(f"invalid JSON body: {exc}") from exc
+                if not isinstance(body, dict):
+                    raise ValueError("request body must be a JSON object")
+                df = api.cypher(
+                    spark,
+                    sf_dir,
+                    body.get("q", ""),
+                    graph=body.get("graph", "hierarchy"),
+                    params=body.get("params"),
+                )
+                self._send(200, _df_json(df, max_rows=int(body.get("max_rows", 1000))))
             except (CypherSyntaxError, ValueError) as exc:  # client errors
                 self._send(400, json.dumps({"error": str(exc)}).encode())
             except Exception as exc:  # noqa: BLE001 — gateway boundary

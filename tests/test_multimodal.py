@@ -428,3 +428,33 @@ def test_jpeg_byte_stuffing_survives():
         w, h, _, _ = jpeg_decode(jp)
         assert (w, h) == (16, 8)
     assert stuffed > 0  # the stuffing path was actually exercised
+
+
+def test_jpeg_property_roundtrip_bounds():
+    """Property test: ANY payload/width/quality combination round-trips
+    with exact dimensions and a quantization-scale-bounded pixel error
+    (hypothesis drives the codec through block-boundary widths, single
+    columns, flat and noisy content)."""
+    from hypothesis import given, settings, strategies as st
+
+    from mimranalytics_core_spark.functions.multimodal import jpeg_decode, jpeg_pack
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.binary(min_size=1, max_size=600),
+        width=st.integers(1, 70),
+        quality=st.sampled_from([35, 60, 90, 100]),
+    )
+    def run(data, width, quality):
+        w, h, prec, px = jpeg_decode(jpeg_pack(data, width, quality=quality))
+        assert (w, h, prec) == (width, max(1, -(-len(data) // width)), 8)
+        assert len(px) == w * h
+        orig = data.ljust(w * h, b"\x00")[: w * h]
+        mae = max((abs(a - b) for a, b in zip(orig, px)), default=0)
+        # error bound scales with the quantization step: Annex-K max step
+        # is 121; the scaled table at quality q has step <= ceil(121*s/100)
+        s = 5000 // quality if quality < 50 else 200 - 2 * quality
+        bound = 4 + min(255, (121 * s + 50) // 100)
+        assert mae <= bound, (width, quality, mae, bound)
+
+    run()

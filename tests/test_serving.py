@@ -92,3 +92,52 @@ def test_cypher_endpoint_400_on_missing_param(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server, "/cypher", q="UNWIND $ids AS x RETURN x")
     assert ei.value.code == 400
+
+
+def _post(server, path, body):
+    import urllib.request
+
+    req = urllib.request.Request(
+        f"{server}{path}",
+        data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def test_cypher_post_body_binds_params(server):
+    """POST /cypher with a JSON body — the canonical parameterized form."""
+    got = _post(
+        server,
+        "/cypher",
+        {
+            "q": (
+                "UNWIND $ids AS cid MATCH (c)-[:CUSTOMER_OF]->(n) "
+                "WHERE c.id = cid RETURN cid, n ORDER BY cid"
+            ),
+            "params": {"ids": ["c:1", "c:4"]},
+            "max_rows": 10,
+        },
+    )
+    assert got["n"] == 2 and [r["cid"] for r in got["rows"]] == ["c:1", "c:4"]
+
+
+def test_cypher_post_bad_body_is_400(server):
+    import urllib.error
+    import urllib.request
+
+    for raw in (b"not json", b"[1, 2]"):
+        req = urllib.request.Request(f"{server}/cypher", data=raw, method="POST")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req)
+        assert ei.value.code == 400
+
+
+def test_post_unknown_endpoint_404(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/nope", {})
+    assert ei.value.code == 404
