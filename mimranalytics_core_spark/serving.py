@@ -22,6 +22,11 @@ Endpoints (GET, query-string parameters):
   JSON body ``{"q": ..., "graph": ..., "params": {...}, "max_rows": n}``
   — the canonical form for long queries and rich parameter maps (URL
   length limits and query-string escaping stop mattering).
+- ``/explain?q=MATCH...&graph=...&params={…}`` → the formatted Spark
+  physical plan for a Cypher query WITHOUT executing it (the ops
+  surface: a migrating user checks what their saved query compiles to —
+  pushed filters, join strategies, shuffle count — before running it at
+  corpus scale)
 - ``/conflicts?max_levenshtein=3``    → api.conflict_report
 
 Design notes:
@@ -101,6 +106,19 @@ def make_server(
                         # parameterized-query lifecycle (README.md:26)
                         params=json.loads(q["params"]) if "params" in q else None,
                     )
+                elif u.path == "/explain":
+                    df = api.cypher(
+                        spark,
+                        sf_dir,
+                        q.get("q", ""),
+                        graph=q.get("graph", "hierarchy"),
+                        params=json.loads(q["params"]) if "params" in q else None,
+                    )
+                    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+                        df._jdf.queryExecution(), "formatted"
+                    )
+                    self._send(200, json.dumps({"plan": plan}).encode())
+                    return
                 elif u.path == "/conflicts":
                     df = api.conflict_report(
                         spark, sf_dir, max_levenshtein=int(q.get("max_levenshtein", 3))

@@ -141,3 +141,14 @@ def test_post_unknown_endpoint_404(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(server, "/nope", {})
     assert ei.value.code == 404
+
+
+def test_explain_endpoint_returns_plan(server):
+    body = _get(
+        server,
+        "/explain",
+        q="MATCH (c)-[:CUSTOMER_OF]->(n) WHERE c.id STARTS WITH 'c:1' RETURN c, n",
+    )
+    assert "Physical Plan" in body["plan"]
+    # the pushed-down prefix filter must be visible in the served plan
+    assert "PushedFilters" in body["plan"] or "Filter" in body["plan"]
