@@ -70,8 +70,11 @@ WHOLE clause (Neo4j: no relationship repeats anywhere in one MATCH
 pattern, comma chains included; uniqueness does not span clauses) — so
 multi-segment ``count(*)`` matches Neo4j's row stream. ``hops`` /
 ``path_weight`` remain single-segment-only (Cypher has no whole-pattern
-hop variable either; use per-segment relationship variables when those
-land).
+hop variable either); per-segment RELATIONSHIP weights are available in
+multi-segment patterns via ``-[r:TYPE]->`` on 1..1 segments —
+``r.weight`` reads that segment's edge weight (round-6), usable in
+WHERE / RETURN / aggregates / CASE, exactly Neo4j's bare-rel-variable
+rule (a var-length relationship binds a list and is rejected).
 
 Grammar subset:
 
@@ -149,12 +152,15 @@ Grammar subset:
   is masked during the pipeline scan, like STARTS WITH, so its WITH
   keyword cannot bind a pipe stage).
 - Relationship variables: ``-[r:TYPE]->`` binds ``r``; ``r.weight`` (the
-  ownership fraction) is readable in WHERE/RETURN and maps onto the
-  path_weight machinery (so it is single-segment-only and round-6; for a
-  1..1 segment it is exactly the edge weight). Documented subset limit:
-  a relationship variable binds ONCE — reusing it in a later clause
-  (Neo4j: "the same relationship") is rejected at parse time rather than
-  given same-relationship join semantics.
+  ownership fraction) is readable in WHERE/RETURN/aggregates/CASE. In a
+  single-segment pattern it maps onto the path_weight machinery (round-6;
+  for a 1..1 segment it is exactly the edge weight); in a multi-segment
+  pattern each referenced 1..1 segment carries its weight as its own
+  column (var-length segments reject ``r.weight`` — Neo4j binds a list
+  there). Documented subset limit: a relationship variable binds ONCE —
+  reusing it in a later clause (Neo4j: "the same relationship") is
+  rejected at parse time rather than given same-relationship join
+  semantics.
 - ``UNION`` / ``UNION ALL`` between complete queries (same RETURN column
   names required; plain UNION deduplicates; mixing the two is rejected —
   all Neo4j semantics).
@@ -577,9 +583,13 @@ def parse(query: str) -> dict:
     segments = clauses[0]["segments"] if clauses else []
 
     # relationship variables: `-[r:TYPE]->` binds r; only `r.weight` is
-    # readable (it maps onto the path_weight machinery, so it inherits the
-    # single-segment / non-shortestPath guards)
+    # readable. Single-segment patterns map it onto the path_weight
+    # machinery; in MULTI-segment patterns each 1..1 segment's weight is
+    # carried as its own column (`r__w`), matching Neo4j's rule that a
+    # bare relationship variable needs a single-hop segment (var-length
+    # binds a list).
     relvars: set = set()
+    rvar_seg: dict[str, dict] = {}  # rvar -> its segment dict
     for cl in clauses:
         for seg in cl["segments"]:
             rv = seg.get("rvar")
@@ -590,6 +600,7 @@ def parse(query: str) -> dict:
                     f"relationship variable {rv!r} collides with another name"
                 )
             relvars.add(rv)
+            rvar_seg[rv] = seg
 
     # mask the WITH inside "STARTS WITH" so the pipeline scanner's WITH
     # keyword can't bind to it, then unmask every extracted fragment
@@ -698,7 +709,22 @@ def parse(query: str) -> dict:
                     return f"{var}__{prop}"
             if var in relvars:
                 if prop == "weight":
-                    return _map_expr("path_weight", ctx)
+                    if single:
+                        return _map_expr("path_weight", ctx)
+                    seg = rvar_seg[var]
+                    if (seg["min_hops"], seg["max_hops"]) != (1, 1):
+                        raise CypherSyntaxError(
+                            f"{var}.weight needs a single-hop segment — a "
+                            "var-length relationship binds a list in Neo4j, "
+                            f"not one weight: {expr!r}"
+                        )
+                    if shortest:
+                        raise CypherSyntaxError(
+                            "relationship weights are not defined for "
+                            "shortestPath() patterns"
+                        )
+                    seg["need_weight"] = True
+                    return f"{var}__w"
                 raise CypherSyntaxError(
                     f"unsupported relationship property (only .weight): {expr!r}"
                 )
@@ -1101,7 +1127,9 @@ def parse(query: str) -> dict:
         u["var"] for u in unwinds if {k for k, _ in u["values"]} <= {"i", "f"}
     }
     pattern_numeric_ok = (  # noqa: E731
-        lambda c: c in ("hops", "path_weight") or c in numeric_unwinds
+        lambda c: c in ("hops", "path_weight")
+        or c in numeric_unwinds
+        or (c.endswith("__w") and c[: -len("__w")] in relvars)
     )
 
     # ---- WITH pipeline stages (any number — Cypher's chained pipes) ----
@@ -1466,13 +1494,20 @@ def _run_single(
                 direction=seg.get("direction", "out"),
                 trail=True,
                 keep_edges=True,
+                # a referenced rel variable on a 1..1 segment carries the
+                # edge weight as its own column (round-6, the path_weight
+                # discipline)
+                carry_weight=bool(seg.get("need_weight")),
             )
             ep = f"__ep{si}"
-            part = part.select(
+            sel = [
                 F.col("src").alias(seg["src"]),
                 F.col("dst").alias(seg["dst"]),
                 F.col("__edges").alias(ep),
-            )
+            ]
+            if seg.get("need_weight"):
+                sel.append(F.col("path_weight").alias(f"{seg['rvar']}__w"))
+            part = part.select(*sel)
             if cframe is None:
                 cframe = part
             else:

@@ -3709,3 +3709,41 @@ def cypher_fn_distinct(spark, sf_dir):
            WITH DISTINCT n
            RETURN count(*) AS n_nations""",
     )
+
+
+@register(
+    "cypher_multi_segment_weights",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT no.dst AS reg,
+               COUNT(*) AS n_major,
+               ROUND(SUM(ROUND(co.weight, 6)), 6) AS tot_share
+        FROM edges co
+        JOIN edges no ON no.rel_type = 'nation_of' AND no.src = co.dst
+        WHERE co.rel_type = 'customer_of' AND ROUND(co.weight, 6) >= 0.05
+        GROUP BY no.dst ORDER BY reg
+    """,
+    notes=(
+        "per-segment relationship weights in a multi-segment pattern "
+        "(round-5: closes the documented 'r.weight is single-segment-only' "
+        "limit): each referenced 1..1 segment carries its edge weight as "
+        "its own column, so r1.weight filters/aggregates while the "
+        "pattern spans customer->nation->region — Neo4j's rule exactly (a "
+        "bare rel variable needs a single-hop segment; var-length binds a "
+        "list and is rejected at parse time). sum() keeps the round-6 "
+        "float-hash discipline. Oracle: double self-join over the edge "
+        "CTE with the same rounding"
+    ),
+)
+def cypher_multi_segment_weights(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[r1:CUSTOMER_OF]->(n)-[r2:NATION_OF]->(reg)
+           WHERE r1.weight >= 0.05
+           RETURN reg, count(*) AS n_major, sum(r1.weight) AS tot_share
+           ORDER BY reg""",
+    )

@@ -242,6 +242,39 @@ def test_unwind_parse_and_guards():
     assert parse("UNWIND [] AS x RETURN x")["unwinds"] == [{"var": "x", "values": []}]
 
 
+# ---- per-segment relationship weights ----
+
+
+def test_multi_segment_rel_weights(spark):
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c)-[r1:CUSTOMER_OF]->(n)-[r2:NATION_OF]->(reg)
+           RETURN c, r1.weight AS w1, r2.weight AS w2 ORDER BY c LIMIT 5""",
+    ).collect()
+    assert rows and all(0.0 <= r.w1 <= 1.0 and r.w2 == 1.0 for r in rows)
+    # single-segment r.weight still rides path_weight (unchanged behavior)
+    p = parse("MATCH (a)-[r:CUSTOMER_OF]->(b) RETURN a, r.weight AS w")
+    assert any(it.get("col") == "path_weight" for it in p["projection"])
+    # var-length segment rejects r.weight (Neo4j binds a list there)
+    with pytest.raises(CypherSyntaxError, match="single-hop segment"):
+        parse(
+            "MATCH (a)-[r:CUSTOMER_OF*1..2]->(b)-[:NATION_OF]->(c) "
+            "RETURN r.weight"
+        )
+    # per-nation share sums are ~1.0 (the renormalized ownership weights)
+    sums = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c)-[r1:CUSTOMER_OF]->(n)-[r2:NATION_OF]->(reg)
+           RETURN n, sum(r1.weight) AS tot ORDER BY n""",
+    ).collect()
+    assert sums and all(abs(r.tot - 1.0) < 1e-4 for r in sums)
+
+
 # ---- round-5 review fixes ----
 
 
