@@ -140,8 +140,18 @@ Grammar subset:
   as a RETURN / WITH item (Cypher's searched CASE): the body maps 1:1
   onto Spark SQL CASE after var.prop and string-predicate rewrites; a
   non-aggregate CASE item becomes a grouping key when aggregates are
-  present (Cypher's implicit grouping). The ``AS alias`` is REQUIRED and
-  the body may not contain commas (subset limits).
+  present (Cypher's implicit grouping). The ``AS alias`` is REQUIRED
+  (subset limit).
+- Scalar expression items ``<expr> AS alias`` (parens or arithmetic):
+  ``coalesce(s.name, 'none')``, ``round(r.weight * 100, 1)``,
+  ``CAST(length(c.name) AS STRING)``, … — var.prop tokens and
+  toLower/string predicates rewrite as in CASE, and every remaining bare
+  identifier must be a known column or an allow-listed SQL function
+  (coalesce/lower/upper/length/abs/round/floor/ceil/concat/substring/
+  replace/trim/nullif/greatest/least/cast + type names), so typos fail
+  at parse time. Item lists split on TOP-LEVEL commas only (function
+  arguments stay intact). Non-aggregate expression items group like
+  CASE items.
 - ``toLower(expr)`` / ``toUpper(expr)`` scalar functions in WHERE and
   CASE bodies (mapped to Spark's lower()/upper() outside quoted
   literals); string predicates accept function-wrapped operands.
@@ -201,6 +211,33 @@ _ENDS_WITH = re.compile(_PREDCOL + r"\s+ENDS\s+WITH\s+'(?P<lit>[^']*)'", re.I)
 _CONTAINS = re.compile(_PREDCOL + r"\s+CONTAINS\s+'(?P<lit>[^']*)'", re.I)
 
 
+def _split_items(text: str) -> list[str]:
+    """Split a RETURN/WITH item list on top-level commas (outside quotes
+    and parens) — `coalesce(s.name, 'none') AS sup` is ONE item."""
+    items, buf, depth, i = [], [], 0, 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            j = len(text) - 1 if j < 0 else j
+            buf.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    items.append("".join(buf))
+    return items
+
+
 def _fn_rewrite(seg: str) -> str:
     """Map Cypher's scalar string functions onto their Spark SQL twins
     (applied outside quoted literals, alongside the var.prop mapping)."""
@@ -210,6 +247,19 @@ def _fn_rewrite(seg: str) -> str:
 
 _PROPS = ("name", "label")
 _RESERVED = {"src", "dst", "hops", "path_weight", "id", "name", "label"}
+
+# bare identifiers allowed inside a scalar expression item (`expr AS x`):
+# Spark SQL functions/keywords a migrating Cypher user reaches for — every
+# OTHER name must resolve as a pattern variable / stage output, so typos
+# fail at parse time, not Spark analysis
+_EXPR_ALLOW = {
+    "coalesce", "lower", "upper", "length", "abs", "round", "floor",
+    "ceil", "ceiling", "concat", "substring", "substr", "replace", "trim",
+    "ltrim", "rtrim", "nullif", "greatest", "least", "cast", "int",
+    "bigint", "double", "float", "string", "boolean", "decimal",
+    "case", "when", "then", "else", "end", "and", "or", "not",
+    "like", "is", "null", "true", "false", "as",
+}
 
 
 class CypherSyntaxError(ValueError):
@@ -1054,7 +1104,7 @@ def parse(query: str) -> dict:
 
     def _parse_item_list(text: str, resolve, numeric_ok, ctx: str) -> list[dict]:
         items: list[dict] = []
-        for item in text.split(","):
+        for item in _split_items(text):
             item = item.strip()
             # CASE WHEN … THEN … [ELSE …] END AS alias — Cypher's searched
             # CASE maps 1:1 onto Spark SQL's CASE once var.prop tokens and
@@ -1082,6 +1132,59 @@ def parse(query: str) -> dict:
                 sql = _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql)))
                 items.append(
                     {"kind": "case", "sql": f"CASE {sql}", "name": cs.group("alias")}
+                )
+                continue
+            # general scalar expression item: `expr AS alias` where expr
+            # carries parens or arithmetic — coalesce(s.name, 'none'),
+            # r1.weight * 100, CAST(hops AS STRING), … The alias split is
+            # on the RIGHTMOST top-level AS (so CAST(x AS INT) AS y
+            # parses); the body maps var.prop/toLower/string-predicates
+            # like CASE, and every remaining bare identifier must be a
+            # known column or an allow-listed Spark SQL function/keyword —
+            # unknown names fail HERE with a CypherSyntaxError, not at
+            # Spark analysis.
+            xm = re.match(r"^(?P<expr>.+)\s+AS\s+(?P<alias>\w+)$", item, re.I | re.S)
+            if (
+                xm
+                and not _AGG_ITEM.match(item)
+                and not re.match(r"^CASE\s", item, re.I)
+                and (
+                    "(" in xm.group("expr")
+                    or re.search(r"[+\-*/%]", _unquoted(xm.group("expr")))
+                )
+            ):
+                # directly-resolvable forms keep the plain-column path
+                # (length(p) over a shortestPath binding maps to hops)
+                try:
+                    col = resolve(xm.group("expr").strip(), f"{ctx} item")
+                    items.append(
+                        {"kind": "plain", "col": col, "name": xm.group("alias")}
+                    )
+                    continue
+                except CypherSyntaxError:
+                    pass
+
+                def _map_x(seg: str) -> str:
+                    for pm in sorted(
+                        set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)),
+                        key=len,
+                        reverse=True,
+                    ):
+                        seg = seg.replace(pm, resolve(pm, f"expression in {ctx}"))
+                    return _fn_rewrite(seg)
+
+                sql = _outside_quotes(xm.group("expr"), _map_x)
+                sql = _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql)))
+                unq = _unquoted(sql)
+                for w in re.findall(r"\b[A-Za-z_]\w*\b", unq):
+                    if "__" in w or w.lower() in _EXPR_ALLOW:
+                        continue
+                    # anything else must resolve in the CURRENT scope
+                    # (pattern vars pre-WITH, stage outputs after) — this
+                    # also re-raises the hops/path_weight segment guards
+                    resolve(w, f"expression in {ctx}")
+                items.append(
+                    {"kind": "case", "sql": sql, "name": xm.group("alias")}
                 )
                 continue
             am = _AGG_ITEM.match(item)

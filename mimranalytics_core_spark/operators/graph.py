@@ -3747,3 +3747,42 @@ def cypher_multi_segment_weights(spark, sf_dir):
            RETURN reg, count(*) AS n_major, sum(r1.weight) AS tot_share
            ORDER BY reg""",
     )
+
+
+@register(
+    "cypher_expr_coalesce",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT ce.src AS c,
+               COALESCE(su.s_name, 'no-local-supplier') AS sup
+        FROM edges ce
+        LEFT JOIN edges se ON se.rel_type = 'supplier_of'
+                          AND se.src LIKE 's:%' AND se.dst = ce.dst
+        LEFT JOIN supplier su ON 's:' || su.s_suppkey = se.src
+        WHERE ce.rel_type = 'customer_of'
+        ORDER BY c, sup
+    """,
+    notes=(
+        "scalar expression items in RETURN (round-5: the `RETURN expr AS "
+        "x` surface — SURVEY 2.2's Cypher provenance): "
+        "coalesce(s.name, ...) over an OPTIONAL MATCH null-extension, the "
+        "single most common projection idiom after a left-join pattern. "
+        "Expression bodies map var.prop/toLower/string-predicates like "
+        "CASE and every bare identifier must be a known column or an "
+        "allow-listed SQL function, so typos fail at parse time. "
+        "Multiplicities: one row per (customer, supplier) binding, as in "
+        "Neo4j. Oracle: double left join with the same COALESCE"
+    ),
+)
+def cypher_expr_coalesce(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           OPTIONAL MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+           RETURN c, coalesce(s.name, 'no-local-supplier') AS sup
+           ORDER BY c, sup""",
+    )

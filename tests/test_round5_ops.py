@@ -242,6 +242,49 @@ def test_unwind_parse_and_guards():
     assert parse("UNWIND [] AS x RETURN x")["unwinds"] == [{"var": "x", "values": []}]
 
 
+# ---- scalar expression items ----
+
+
+def test_scalar_expression_items(spark):
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c)-[r:CUSTOMER_OF]->(n)
+           RETURN c, round(r.weight * 100, 1) AS pct
+           ORDER BY pct DESC, c ASC LIMIT 3""",
+    ).collect()
+    assert rows == sorted(rows, key=lambda r: (-r.pct, r.c))
+    # coalesce over an OPTIONAL MATCH null-extension
+    got = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           OPTIONAL MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+           RETURN c, coalesce(s.id, 'none') AS sup ORDER BY c, sup""",
+    ).collect()
+    assert any(r.sup == "none" for r in got)
+    assert any(r.sup.startswith("s:") for r in got)
+    # expression as implicit grouping key + CAST's inner AS parsing
+    agg = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "RETURN CAST(length(c.name) AS STRING) AS ln, count(*) AS k ORDER BY ln",
+    ).collect()
+    assert agg and all(r.k > 0 for r in agg)
+    # unknown function/identifier fails at parse time
+    with pytest.raises(CypherSyntaxError):
+        parse("MATCH (a)-[:CUSTOMER_OF]->(b) RETURN nonsense(zz) + 1 AS x")
+    # top-level comma split keeps function arguments intact
+    p = parse(
+        "MATCH (a)-[:CUSTOMER_OF]->(b) RETURN a, coalesce(a.name, 'x, y') AS v"
+    )
+    assert [it["name"] for it in p["projection"]] == ["a", "v"]
+
+
 # ---- per-segment relationship weights ----
 
 
