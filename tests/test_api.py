@@ -831,9 +831,14 @@ def test_cypher_rel_weight_rejects_other_props_and_multiseg(spark):
 
     with _pytest.raises(CypherSyntaxError):
         parse("MATCH (a)-[r:CUSTOMER_OF]->(b) RETURN r.since")
+    # r.weight on a 1..1 segment of a multi-segment pattern is SUPPORTED
+    # since round 5 (per-segment weight column); a VAR-LENGTH segment
+    # still rejects it (Neo4j binds a list there)
+    p = parse("MATCH (a)-[r:CUSTOMER_OF]->(b)-[:NATION_OF]->(c) RETURN a, r.weight AS w")
+    assert any(it.get("col") == "r__w" for it in p["projection"])
     with _pytest.raises(CypherSyntaxError):
         parse(
-            "MATCH (a)-[r:CUSTOMER_OF]->(b)-[:NATION_OF]->(c) RETURN r.weight"
+            "MATCH (a)-[r:CUSTOMER_OF*1..2]->(b)-[:NATION_OF]->(c) RETURN r.weight"
         )
     with _pytest.raises(CypherSyntaxError):
         # rel var colliding with a node var
