@@ -352,10 +352,14 @@ def _parse_list_literal(text: str) -> list[tuple[str, object]]:
         if m:
             vals.append(("s", m.group(1)))
             continue
+        if re.fullmatch(r"true|false", item, re.I):
+            vals.append(("b", item.lower() == "true"))
+            continue
         if re.fullmatch(r"-?\d+", item):
             vals.append(("i", int(item)))
             continue
-        if re.fullmatch(r"-?(?:\d+\.\d*|\.\d+)", item):
+        # floats incl. scientific notation (repr(1e-05) round-trips)
+        if re.fullmatch(r"-?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?", item):
             vals.append(("f", float(item)))
             continue
         raise CypherSyntaxError(f"unsupported UNWIND list element: {item!r}")
@@ -695,6 +699,14 @@ def parse(query: str) -> dict:
         return "".join(out)
 
     tail = _mask_brace_keywords(tail)
+    # length-preserving quote-masked twin for BOUNDARY scans: a keyword
+    # inside a string literal ('x WITH y') must not terminate a predicate
+    # or read as a pipe stage. Scanners match against tail_m and extract
+    # the captured spans from tail (same offsets — the mask is
+    # length-preserving).
+    tail_m = re.sub(
+        r"'(?:[^'])*'", lambda m: "'" + "x" * (len(m.group(0)) - 2) + "'", tail
+    )
 
     def _unmask(s):
         if not s:
@@ -711,19 +723,28 @@ def parse(query: str) -> dict:
     #         RETURN items [ORDER BY ...] [SKIP n] [LIMIT n]
     tpos = 0
     as_of = None
-    am_ = re.match(r"\s*AS\s+OF\s+'(?P<asof>[^']+)'", tail, re.I)
-    if am_:
-        as_of = am_.group("asof")
-        tpos = am_.end()
     where = None
-    wm_ = re.match(
-        r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+WITH\s|\s+RETURN\s)",
-        tail[tpos:],
-        re.I | re.S,
-    )
-    if wm_:
-        where = _unmask(wm_.group("p")).strip()
-        tpos += wm_.end()
+    # accept [AS OF] and [WHERE] in EITHER order (the grammar header puts
+    # AS OF first, but a migrating user writes WHERE … AS OF too — the old
+    # scanner silently swallowed a trailing AS OF into the predicate)
+    while True:
+        am_ = re.match(r"\s*AS\s+OF\s+'(?P<asof>[^']+)'", tail[tpos:], re.I)
+        if am_ and as_of is None:
+            as_of = am_.group("asof")
+            tpos += am_.end()
+            continue
+        wm_ = re.match(
+            r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+WITH\s|\s+RETURN\s|\s+AS\s+OF\s)",
+            tail_m[tpos:],
+            re.I | re.S,
+        )
+        if wm_ and where is None:
+            where = _unmask(
+                tail[tpos + wm_.start("p") : tpos + wm_.end("p")]
+            ).strip()
+            tpos += wm_.end()
+            continue
+        break
 
     single = len(clauses) == 1 and len(segments) == 1
     unwind_vars = {u["var"] for u in unwinds}
@@ -807,17 +828,24 @@ def parse(query: str) -> dict:
             p for p in re.split(r"('(?:[^'])*')", pred) if not p.startswith("'")
         )
 
+    def _like_escape(lit: str) -> str:
+        """Escape a literal for a LIKE pattern inside a SQL string: a
+        backslash needs FOUR in the SQL text (the string unescaper halves
+        them, LIKE needs a doubled escape char — verified live: two
+        crashes with INVALID_FORMAT.ESC_IN_THE_MIDDLE); %/_ take a single
+        pattern-level escape, which survives the unescaper."""
+        return (
+            lit.replace("\\", "\\\\\\\\").replace("%", r"\%").replace("_", r"\_")
+        )
+
     def _sw(m: re.Match) -> str:
-        lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
-        return f"{m.group('col')} LIKE '{lit}%'"
+        return f"{m.group('col')} LIKE '{_like_escape(m.group('lit'))}%'"
 
     def _ew(m: re.Match) -> str:
-        lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
-        return f"{m.group('col')} LIKE '%{lit}'"
+        return f"{m.group('col')} LIKE '%{_like_escape(m.group('lit'))}'"
 
     def _ct(m: re.Match) -> str:
-        lit = m.group("lit").replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
-        return f"{m.group('col')} LIKE '%{lit}%'"
+        return f"{m.group('col')} LIKE '%{_like_escape(m.group('lit'))}%'"
 
     def _split_conjuncts(pred: str) -> list[str] | None:
         """Split on top-level AND (outside quotes, parens, and braces);
@@ -1005,6 +1033,14 @@ def parse(query: str) -> dict:
                 if prop in _PROPS:
                     props_local.setdefault(var, set()).add(prop)
                     return f"{var}__{prop}"
+            if var in relvars and prop == "weight":
+                seg = rvar_seg[var]
+                if (seg["min_hops"], seg["max_hops"]) != (1, 1):
+                    raise CypherSyntaxError(
+                        f"{var}.weight needs a single-hop segment: {expr!r}"
+                    )
+                seg["need_weight"] = True
+                return f"{var}__w"
             raise CypherSyntaxError(f"unsupported property access in {ctx}: {expr!r}")
 
         def _map_props_scoped(seg: str) -> str:
@@ -1042,7 +1078,11 @@ def parse(query: str) -> dict:
         cl["where"] = None
         cl["where_props"] = {}
         if raw:
-            fv = {s["src"] for s in cl["segments"]} | {s["dst"] for s in cl["segments"]}
+            fv = (
+                {s["src"] for s in cl["segments"]}
+                | {s["dst"] for s in cl["segments"]}
+                | {s["rvar"] for s in cl["segments"] if s.get("rvar")}
+            )
             cl["where"], cl["where_props"] = _compile_scoped_pred(
                 raw, fv, f"WHERE of MATCH clause {ci + 1}"
             )
@@ -1062,6 +1102,12 @@ def parse(query: str) -> dict:
                 if cl["optional"]:
                     for v in cl["fresh"]:
                         fresh_owner[v] = ci
+                    # relationship variables INTRODUCED by an optional
+                    # clause scope the same way (a post-filter on r__w
+                    # would drop null-extended rows)
+                    for seg in cl["segments"]:
+                        if seg.get("rvar"):
+                            fresh_owner[seg["rvar"]] = ci
             keep: list[str] = []
             for cj in conjs:
                 used = {
@@ -1078,6 +1124,8 @@ def parse(query: str) -> dict:
                     for w in used:
                         if "__" in w:
                             var, prop = w.split("__", 1)
+                            if prop == "w" and var in relvars:
+                                continue  # rel weight: already a frame column
                             cl["where_props"].setdefault(var, [])
                             if prop not in cl["where_props"][var]:
                                 cl["where_props"][var].append(prop)
@@ -1255,13 +1303,16 @@ def parse(query: str) -> dict:
         im_ = re.match(
             r"(?P<items>.*?)(?=\s+ORDER\s+BY\s|\s+SKIP\s|\s+LIMIT\s"
             r"|\s+WHERE\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
-            tail[tpos:],
+            tail_m[tpos:],
             re.I | re.S,
         )
         if not im_:
             raise CypherSyntaxError(f"unsupported WITH items: {query!r}")
         with_items_i = _parse_item_list(
-            _unmask(im_.group("items")).strip(), scope_resolve, scope_numeric_ok, "WITH"
+            _unmask(tail[tpos + im_.start("items") : tpos + im_.end("items")]).strip(),
+            scope_resolve,
+            scope_numeric_ok,
+            "WITH",
         )
         tpos += im_.end()
         with_names = {it["name"] for it in with_items_i}
@@ -1275,7 +1326,7 @@ def parse(query: str) -> dict:
         om_ = re.match(
             r"\s*ORDER\s+BY\s+(?P<keys>.*?)(?=\s+SKIP\s|\s+LIMIT\s|\s+WHERE\s"
             r"|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
-            tail[tpos:],
+            tail_m[tpos:],
             re.I | re.S,
         )
         if om_:
@@ -1308,11 +1359,11 @@ def parse(query: str) -> dict:
         having_i = None
         hm_ = re.match(
             r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
-            tail[tpos:],
+            tail_m[tpos:],
             re.I | re.S,
         )
         if hm_:
-            having_i = _unmask(hm_.group("p")).strip()
+            having_i = _unmask(tail[tpos + hm_.start("p") : tpos + hm_.end("p")]).strip()
             if re.search(r"\b[A-Za-z_]\w*\.\w+\b", _unquoted(having_i)):
                 raise CypherSyntaxError(
                     f"WHERE after WITH may only reference WITH outputs: {having_i!r}"
@@ -1333,6 +1384,19 @@ def parse(query: str) -> dict:
                     "a MATCH after WITH must share a variable with the "
                     "WITH outputs (or an earlier post-WITH clause)"
                 )
+            for seg in segs:
+                rv = seg.get("rvar")
+                if rv is None:
+                    continue
+                # pipe-stage rel variables: enforce the bind-once rule
+                # across the WHOLE query (the docstring's documented
+                # limit), and reject weight reads here — need_weight
+                # plumbing is stage-0-only (subset limit)
+                if rv.lower() in _RESERVED or rv in bound_p or rv in relvars:
+                    raise CypherSyntaxError(
+                        f"relationship variable {rv!r} collides with another name"
+                    )
+                relvars.add(rv)
             pclauses.append(
                 {"optional": pending_p, "segments": segs, "labels": _cur_labels["cur"]}
             )
@@ -1363,7 +1427,7 @@ def parse(query: str) -> dict:
         post_p = None
         swm_ = re.match(
             r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+WITH\s|\s+RETURN\s)",
-            tail[tpos:],
+            tail_m[tpos:],
             re.I | re.S,
         )
         if swm_:
@@ -1371,7 +1435,7 @@ def parse(query: str) -> dict:
                 raise CypherSyntaxError(
                     f"unexpected second WHERE after WITH (no MATCH between): {query!r}"
                 )
-            predp = _unmask(swm_.group("p")).strip()
+            predp = _unmask(tail[tpos + swm_.start("p") : tpos + swm_.end("p")]).strip()
 
             def _map_props_p(seg: str, _res=_scope_resolve) -> str:
                 for pm_ in sorted(
@@ -1415,7 +1479,7 @@ def parse(query: str) -> dict:
             (?:\s+SKIP\s+(?P<skip>\d+))?
             (?:\s+LIMIT\s+(?P<limit>\d+))?
             \s*;?\s*$""",
-        tail[tpos:],
+        tail_m[tpos:],
         re.IGNORECASE | re.VERBOSE | re.DOTALL,
     )
     if not rm_:
@@ -1423,7 +1487,7 @@ def parse(query: str) -> dict:
     _ret_resolve = scope_resolve
     ret_numeric_ok = scope_numeric_ok
 
-    ret = _unmask(rm_.group("ret"))
+    ret = _unmask(tail[tpos + rm_.start("ret") : tpos + rm_.end("ret")])
     dm = re.match(r"^\s*DISTINCT\s+", ret, re.I)
     ret_distinct = bool(dm)
     if dm:
@@ -1443,7 +1507,8 @@ def parse(query: str) -> dict:
     out_names = {p["name"] for p in projection}
     order_by: list[tuple[str, bool]] = []
     if rm_.group("order"):
-        for key in _unmask(rm_.group("order")).split(","):
+        order_txt = tail[tpos + rm_.start("order") : tpos + rm_.end("order")]
+        for key in _unmask(order_txt).split(","):
             km = re.match(r"^\s*(?P<name>[\w.]+)(?:\s+(?P<dir>ASC|DESC))?\s*$", key, re.I)
             if not km:
                 raise CypherSyntaxError(f"unsupported ORDER BY key: {key!r}")
@@ -1742,9 +1807,12 @@ def _run_single(
             lits = [F.lit(float(v)) for v in vals]
         elif kinds == {"s"}:
             lits = [F.lit(v) for v in vals]
+        elif kinds == {"b"}:
+            lits = [F.lit(bool(v)) for v in vals]
         else:
             raise CypherSyntaxError(
-                "UNWIND list elements must share one type (numbers or strings)"
+                "UNWIND list elements must share one type "
+                "(numbers, strings, or booleans)"
             )
         uf = spark.range(1).select(F.explode(F.array(*lits)).alias(u["var"]))
         df = uf if df is None else df.crossJoin(F.broadcast(uf))
@@ -1822,7 +1890,8 @@ def _run_single(
         if pipe.get("order_by"):
             df = df.orderBy(
                 *[
-                    F.col(n).asc_nulls_last() if asc else F.col(n).desc_nulls_last()
+                    # Neo4j treats null as the LARGEST value: last ASC, first DESC
+                    F.col(n).asc_nulls_last() if asc else F.col(n).desc_nulls_first()
                     for n, asc in pipe["order_by"]
                 ]
             )
@@ -1854,7 +1923,8 @@ def _run_single(
     if p["order_by"]:
         df = df.orderBy(
             *[
-                F.col(n).asc_nulls_last() if asc else F.col(n).desc_nulls_last()
+                # Neo4j treats null as the LARGEST value: last ASC, first DESC
+                    F.col(n).asc_nulls_last() if asc else F.col(n).desc_nulls_first()
                 for n, asc in p["order_by"]
             ]
         )

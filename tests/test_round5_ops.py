@@ -392,6 +392,126 @@ def test_match_path_keep_edges_requires_trail(spark):
         api.match_path(spark, SF_SMALL, trail=False, keep_edges=True)
 
 
+# ---- second review batch (cypher.py deep review) ----
+
+
+def test_where_before_as_of_order():
+    """WHERE … AS OF must slice time, not smuggle the AS OF text into the
+    predicate (review: as_of was silently dropped)."""
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse(
+        "MATCH (a)-[:OWNS_STAKE]->(b) WHERE a.id STARTS WITH 'e:' "
+        "AS OF '2024-01-01' RETURN a, b"
+    )
+    assert p["as_of"] == "2024-01-01"
+    assert "AS OF" not in (p["src_pred"] or "") + (p["post_pred"] or "")
+
+
+def test_keywords_inside_literals_do_not_break_tail(spark):
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import parse
+
+    p = parse(
+        "MATCH (a)-[:CUSTOMER_OF]->(b) WHERE a.name CONTAINS 'x WITH y' RETURN a"
+    )
+    assert "x WITH y" in p["post_pred"]
+    assert (
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (a)-[:CUSTOMER_OF]->(b) "
+            "WHERE a.name CONTAINS 'x RETURN y' RETURN a",
+        ).collect()
+        == []
+    )
+
+
+def test_backslash_in_string_predicate_executes(spark):
+    """A literal backslash needs four in the compiled SQL text (review:
+    two crashed with INVALID_FORMAT.ESC_IN_THE_MIDDLE)."""
+    from mimranalytics_core_spark import api
+
+    assert (
+        api.cypher(
+            spark,
+            SF_SMALL,
+            r"MATCH (a)-[:CUSTOMER_OF]->(b) WHERE a.name CONTAINS 'x\y' RETURN a",
+        ).collect()
+        == []
+    )
+
+
+def test_optional_rel_weight_conjunct_null_extends(spark):
+    """A trailing conjunct on an OPTIONAL clause's relationship variable
+    must scope into the clause — rows without a match null-extend instead
+    of vanishing (review: they were post-filtered away)."""
+    from mimranalytics_core_spark import api
+
+    base = api.cypher(
+        spark, SF_SMALL, "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN c, n"
+    ).collect()
+    opt = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+           OPTIONAL MATCH (s)-[r:SUPPLIER_OF]->(n)
+           WHERE r.weight > 2.0
+           RETURN c, n, count(s) AS n_sup""",
+    ).collect()
+    # weight > 2.0 matches nothing -> every base row survives with 0
+    assert len(opt) == len(base) > 0
+    assert all(r.n_sup == 0 for r in opt)
+
+
+def test_pipe_rel_variable_reuse_rejected():
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with pytest.raises(CypherSyntaxError, match="collides"):
+        parse(
+            "MATCH (a)-[r:CUSTOMER_OF]->(b) WITH a, b "
+            "MATCH (b)-[r:NATION_OF]->(c) RETURN c"
+        )
+
+
+def test_unwind_bool_and_scientific_floats(spark):
+    from mimranalytics_core_spark import api
+
+    flags = api.cypher(
+        spark, SF_SMALL, "UNWIND $fs AS f RETURN f ORDER BY f",
+        params={"fs": [True, False]},
+    ).collect()
+    assert [r.f for r in flags] == [False, True]
+    tiny = api.cypher(
+        spark, SF_SMALL, "UNWIND $xs AS x RETURN x", params={"xs": [1e-05]}
+    ).collect()
+    assert tiny[0].x == 1e-05
+
+
+def test_order_by_desc_puts_nulls_first(spark):
+    """Neo4j treats null as the largest value: last on ASC, FIRST on
+    DESC — with LIMIT this changes the returned row set."""
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+           OPTIONAL MATCH (s)-[:SUPPLIER_OF]->(n)
+           RETURN c, s.name AS sup ORDER BY sup DESC, c ASC LIMIT 5""",
+    ).collect()
+    n_null_nations = len(
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) "
+            "WHERE NOT EXISTS { (s)-[:SUPPLIER_OF]->(n) } RETURN c",
+        ).collect()
+    )
+    if n_null_nations >= 5:
+        assert all(r.sup is None for r in rows)
+
+
 # ---- toLower/toUpper + WITH DISTINCT ----
 
 
