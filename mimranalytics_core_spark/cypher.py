@@ -291,7 +291,11 @@ def bind_params(query: str, params: dict | None) -> str:
                 raise CypherSyntaxError(
                     "string parameters may not contain single quotes"
                 )
-            return f"'{v}'"
+            # Backslash is an escape character in Spark SQL string
+            # literals: an unescaped trailing "\" would turn the closing
+            # quote into \' and shift the string boundary (injection
+            # vector). Double every backslash before quoting.
+            return "'" + v.replace("\\", "\\\\") + "'"
         if isinstance(v, (list, tuple)):
             return "[" + ", ".join(_render(x) for x in v) + "]"
         raise CypherSyntaxError(
@@ -1797,8 +1801,12 @@ def _run_single(
         kinds = {k for k, _ in u["values"]}
         vals = [v for _, v in u["values"]]
         if not vals:
-            # UNWIND [] yields zero rows (Neo4j) — a typed empty relation
-            uf = spark.range(0).select(F.col("id").alias(u["var"]))
+            # UNWIND [] yields zero rows (Neo4j). The element type is
+            # unknowable from an empty literal, so use NullType (a typed
+            # null), which the analyzer coerces to ANY downstream
+            # predicate/join/union type — a LONG column here (the old
+            # range(0).id) failed analysis against string predicates.
+            uf = spark.range(0).select(F.lit(None).alias(u["var"]))
             df = uf if df is None else df.crossJoin(F.broadcast(uf))
             continue
         if kinds <= {"i"}:

@@ -156,9 +156,13 @@ def _decode_image(payload: bytes) -> tuple[int, int]:
         w, h, _, _ = bmp_decode(payload)
         return w, h
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) < 24:  # keep the ValueError contract on truncation
+            raise ValueError("truncated PNG payload (no IHDR)")
         w, h = struct.unpack(">II", payload[16:24])  # IHDR is always first
         return w, h
     if payload[:6] in (b"GIF87a", b"GIF89a"):
+        if len(payload) < 10:
+            raise ValueError("truncated GIF payload (no screen descriptor)")
         w, h = struct.unpack("<HH", payload[6:10])
         return w, h
     if payload[:2] == b"\xff\xd8":
@@ -900,6 +904,9 @@ def jpeg_meta(payload: bytes) -> tuple[int, int, int]:
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG marker stream at {pos}")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker.
+        while payload[pos + 1] == 0xFF and pos + 4 < len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 extended sequential
             if pos + 9 > len(payload):
@@ -1002,6 +1009,9 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"corrupt JPEG marker stream at {pos}")
+        # T.81 B.1.1.2: skip 0xFF fill bytes preceding the marker id.
+        while payload[pos + 1] == 0xFF and pos + 2 < len(payload):
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:
             break

@@ -57,6 +57,20 @@ def _df_json(df: DataFrame, max_rows: int = 1000) -> bytes:
     return json.dumps({"rows": rows, "n": len(rows)}, default=str).encode()
 
 
+def _explain_text(df: DataFrame) -> str:
+    """Formatted physical plan via the PUBLIC ``df.explain`` API only
+    (``mode="formatted"``, stable since Spark 3.0) — it prints to stdout,
+    so capture it. No ``_jvm``/py4j access: survives Spark upgrades and
+    degrades gracefully under Spark Connect."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    return buf.getvalue()
+
+
 def make_server(
     spark: SparkSession, sf_dir: str, host: str = "127.0.0.1", port: int = 0
 ) -> ThreadingHTTPServer:
@@ -114,10 +128,7 @@ def make_server(
                         graph=q.get("graph", "hierarchy"),
                         params=json.loads(q["params"]) if "params" in q else None,
                     )
-                    plan = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
-                        df._jdf.queryExecution(), "formatted"
-                    )
-                    self._send(200, json.dumps({"plan": plan}).encode())
+                    self._send(200, json.dumps({"plan": _explain_text(df)}).encode())
                     return
                 elif u.path == "/conflicts":
                     df = api.conflict_report(

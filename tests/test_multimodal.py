@@ -208,6 +208,27 @@ def test_decode_image_dispatches_on_real_magic():
     for bad in (b"", b"\x00\x01\x02\x03", b"MP4 is not decodable here"):
         with pytest.raises(ValueError):
             _decode_image(bad)
+    # truncated-after-magic payloads keep the ValueError contract
+    # (not struct.error): PNG cut before IHDR, GIF cut before the
+    # logical screen descriptor.
+    for trunc in (b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, b"GIF89a\x10"):
+        with pytest.raises(ValueError):
+            _decode_image(trunc)
+
+
+def test_jpeg_marker_walk_accepts_fill_bytes():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker;
+    both the header-only walk and the full decoder must skip them."""
+    from mimranalytics_core_spark.functions.multimodal import (
+        jpeg_decode,
+        jpeg_meta,
+    )
+
+    jp = jpeg_pack(b"fill byte test " * 10, 15)
+    # Inject two fill bytes before the first marker after SOI.
+    padded = jp[:2] + b"\xff\xff" + jp[2:]
+    assert jpeg_meta(padded) == jpeg_meta(jp)
+    assert jpeg_decode(padded)[:2] == jpeg_decode(jp)[:2]
 
 
 def test_gif_pack_roundtrip_multiframe_long():

@@ -228,6 +228,37 @@ def test_bind_params_outside_quotes_and_types():
         bind_params("RETURN $s", {"s": "o'brien"})
 
 
+def test_bind_params_escapes_backslashes():
+    """A trailing-backslash param must not shift string boundaries
+    (Spark SQL treats \\' as an escaped quote — injection vector)."""
+    from mimranalytics_core_spark.cypher import bind_params
+
+    q = bind_params(
+        "MATCH (a) WHERE a.id = $a AND a.id = $b RETURN a",
+        {"a": "x\\", "b": " OR 1=1 --"},
+    )
+    # Each backslash doubled; the closing quote stays a closing quote.
+    assert q == (
+        "MATCH (a) WHERE a.id = 'x\\\\' AND a.id = ' OR 1=1 --' RETURN a"
+    )
+    assert bind_params("RETURN $s", {"s": "a\\b"}) == "RETURN 'a\\\\b'"
+
+
+def test_bind_params_backslash_end_to_end(spark):
+    """Round-trip through Spark SQL: a backslash-containing parameter
+    must stay an always-false predicate (no node id contains a
+    backslash), not become a match-all via a shifted string boundary."""
+    from mimranalytics_core_spark import cypher
+
+    out = cypher.run(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) WHERE c.id = $a RETURN c.id AS id",
+        params={"a": "x\\"},
+    )
+    assert out.count() == 0
+
+
 def test_unwind_parse_and_guards():
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 
