@@ -1249,7 +1249,9 @@ def parse(query: str) -> dict:
                     col, default = None, "count_star"
                 else:
                     col = resolve(arg, f"aggregate argument in {ctx}")
-                    if fn in ("sum", "min", "max", "avg") and not numeric_ok(col):
+                    # sum/avg need numbers; min/max take any ORDERABLE value
+                    # (Neo4j min/max work on strings too — orderability).
+                    if fn in ("sum", "avg") and not numeric_ok(col):
                         raise CypherSyntaxError(
                             f"{fn}() needs a numeric argument (hops/path_weight): {item!r}"
                         )
