@@ -354,7 +354,11 @@ def _parse_list_literal(text: str) -> list[tuple[str, object]]:
         item = item.strip()
         m = re.fullmatch(r"'([^']*)'", item)
         if m:
-            vals.append(("s", m.group(1)))
+            # Quoted literals in the query text carry SQL escape semantics
+            # (bind_params doubles every backslash so the F.expr path
+            # round-trips) — this branch feeds F.lit directly, so undo the
+            # doubling here or the value lands with 2× backslashes.
+            vals.append(("s", m.group(1).replace("\\\\", "\\")))
             continue
         if re.fullmatch(r"true|false", item, re.I):
             vals.append(("b", item.lower() == "true"))
@@ -837,7 +841,12 @@ def parse(query: str) -> dict:
         backslash needs FOUR in the SQL text (the string unescaper halves
         them, LIKE needs a doubled escape char — verified live: two
         crashes with INVALID_FORMAT.ESC_IN_THE_MIDDLE); %/_ take a single
-        pattern-level escape, which survives the unescaper."""
+        pattern-level escape, which survives the unescaper. The captured
+        ``lit`` is raw query text, where SQL escape semantics hold
+        (bind_params doubles backslashes so the F.expr path round-trips) —
+        undo that doubling FIRST so one actual backslash escapes to four,
+        not eight."""
+        lit = lit.replace("\\\\", "\\")
         return (
             lit.replace("\\", "\\\\\\\\").replace("%", r"\%").replace("_", r"\_")
         )

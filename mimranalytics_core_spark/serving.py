@@ -57,6 +57,14 @@ def _df_json(df: DataFrame, max_rows: int = 1000) -> bytes:
     return json.dumps({"rows": rows, "n": len(rows)}, default=str).encode()
 
 
+# redirect_stdout swaps the PROCESS-global sys.stdout, and the handler
+# runs inside a ThreadingHTTPServer — serialize captures so concurrent
+# /explain requests (or any other printing thread) cannot interleave the
+# plan text. explain() is driver-side plan rendering, so contention is
+# negligible.
+_EXPLAIN_LOCK = threading.Lock()
+
+
 def _explain_text(df: DataFrame) -> str:
     """Formatted physical plan via the PUBLIC ``df.explain`` API only
     (``mode="formatted"``, stable since Spark 3.0) — it prints to stdout,
@@ -66,7 +74,7 @@ def _explain_text(df: DataFrame) -> str:
     import io
 
     buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
+    with _EXPLAIN_LOCK, contextlib.redirect_stdout(buf):
         df.explain(mode="formatted")
     return buf.getvalue()
 
