@@ -100,9 +100,24 @@ Grammar subset:
 - Inline node labels filter by entity tier: ``(c:Customer)`` /
   ``(s:Supplier)`` / ``(n:Nation)`` / ``(r:Region)`` compile to id-prefix
   predicates (the namespaced node ids make the label a prefix test); the
-  first variable's label pushes below the first join. Other node props
-  stay out of the pattern — filter in WHERE (``a.id STARTS WITH 'c:'``,
-  which also pushes down when it names only the first variable's id).
+  first variable's label pushes below the first join. Other predicates may
+  also filter in WHERE (``a.id STARTS WITH 'c:'``, which pushes down when
+  it names only the first variable's id).
+- Inline property maps ``(v:Label {key: literal, …})`` (round-7 — Neo4j's
+  most common saved-query idiom): each entry desugars at parse time to a
+  ``v.key = literal`` WHERE conjunct and re-enters the ordinary WHERE
+  machinery, inheriting its scoping and pushdown. Keys: ``id`` plus the
+  attribute-view properties (``name``/``label``); values: quoted strings
+  (no embedded single quotes — the bind_params contract, and ``$param``
+  values bind into maps like anywhere else), numbers, booleans; ``{}`` is
+  a no-op. Clause-0 maps ride the trailing WHERE (an id equality on the
+  start variable reaches src_pred — the filter sits on the scan below the
+  first join); maps on an OPTIONAL MATCH clause filter per-clause BEFORE
+  the left join so non-matching rows null-extend. Subset limits: maps on
+  OPTIONAL MATCH after WITH are rejected (stage clauses have no
+  per-clause WHERE slot and a post-filter would break null-extension);
+  maps inside EXISTS { … } bodies are unsupported (the brace-masking
+  scanner assumes non-nested braces).
 - Node properties: ``var.id`` (the namespaced node id), ``var.name`` and
   ``var.label`` (resolved by equi-joining the catalog's hierarchy_nodes
   attribute view) — usable in WHERE and RETURN.
@@ -184,7 +199,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MATCH_HEAD = re.compile(r"^\s*MATCH\s*", re.IGNORECASE)
-_NODE_RE = re.compile(r"\(\s*([A-Za-z_]\w*)\s*(?::\s*([A-Za-z_]\w*))?\s*\)")
+_NODE_RE = re.compile(
+    r"\(\s*([A-Za-z_]\w*)\s*(?::\s*([A-Za-z_]\w*))?"
+    r"(?:\s*\{(?P<props>[^{}]*)\})?\s*\)"
+)
 # node labels map to the namespaced id prefixes of the hierarchy graph
 _LABEL_PREFIX = {"customer": "c:", "supplier": "s:", "nation": "n:", "region": "r:"}
 _REL_RE = re.compile(
@@ -374,6 +392,64 @@ def _parse_list_literal(text: str) -> list[tuple[str, object]]:
     return vals
 
 
+def _parse_prop_map(var: str, body: str) -> list[str]:
+    """Desugar an inline node property map ``(v:Label {k: lit, …})`` into
+    ``v.k = lit`` conjunct strings (Neo4j: a property map is sugar for
+    equality predicates on the pattern — round-7). The conjuncts re-enter
+    the ordinary WHERE machinery, so they inherit its scoping (per-clause
+    for OPTIONAL MATCH — rows null-extend), its pushdown (a first-variable
+    id equality reaches the traversal seed), and its literal escaping.
+    Comma split is quote-aware (a value like ``'c:5'`` keeps its colon);
+    keys must be node properties the engine resolves (``id`` plus the
+    attribute-view columns); values are quoted strings (no embedded single
+    quotes — the bind_params contract), numbers, or booleans. An empty map
+    ``{}`` is a Neo4j no-op."""
+    conjs: list[str] = []
+    if not body.strip():
+        return conjs
+    items, buf = [], []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch == "'":
+            j = body.find("'", i + 1)
+            if j < 0:
+                raise CypherSyntaxError(
+                    f"unterminated string in property map: {body!r}"
+                )
+            buf.append(body[i : j + 1])
+            i = j + 1
+            continue
+        if ch == ",":
+            items.append("".join(buf))
+            buf = []
+            i += 1
+            continue
+        buf.append(ch)
+        i += 1
+    items.append("".join(buf))
+    for it in items:
+        m = re.match(
+            r"^\s*([A-Za-z_]\w*)\s*:\s*"
+            r"(?P<v>'[^']*'|-?\d+(?:\.\d+)?|true|false)\s*$",
+            it,
+            re.I,
+        )
+        if not m:
+            raise CypherSyntaxError(
+                f"unsupported property-map entry: {it.strip()!r} "
+                "(expected key: string/number/boolean literal)"
+            )
+        key = m.group(1)
+        if key != "id" and key not in _PROPS:
+            raise CypherSyntaxError(
+                f"unknown node property {key!r} in property map "
+                f"(known: id, {', '.join(_PROPS)})"
+            )
+        conjs.append(f"{var}.{key} = {m.group('v')}")
+    return conjs
+
+
 def _parse_bounds(rm: re.Match) -> tuple[int, int]:
     if rm.group("star"):
         lo = int(rm.group("min")) if rm.group("min") else 1
@@ -423,8 +499,14 @@ def parse(query: str) -> dict:
 
     labels: dict = {}  # var -> label, whole-query consistency check
     _cur_labels: dict = {"cur": {}}  # labels seen in the clause being parsed
+    _cur_props: dict = {"cur": []}  # prop-map conjuncts of the clause being parsed
 
     def _note_label(nm: re.Match) -> None:
+        # inline property maps desugar to WHERE conjuncts, collected per
+        # clause (round-7) — the clause loop routes them into per-clause /
+        # trailing WHERE scope
+        if nm.group("props") is not None:
+            _cur_props["cur"] += _parse_prop_map(nm.group(1), nm.group("props"))
         if not nm.group(2):
             return
         var, label = nm.group(1), nm.group(2).lower()
@@ -584,6 +666,7 @@ def parse(query: str) -> dict:
     pending_optional = False  # the first clause is the plain MATCH
     while hm:  # no MATCH head = pure-UNWIND query, zero pattern clauses
         _cur_labels["cur"] = {}
+        _cur_props["cur"] = []
         if shortest and not clauses:
             cvars, segs, pos = _parse_pattern(pos, bound)
             if len(segs) != 1:
@@ -612,6 +695,7 @@ def parse(query: str) -> dict:
                 "labels": _cur_labels["cur"],
                 "fresh": [v for v in cvars if v not in bound],
                 "where_raw": None,
+                "prop_conjs": _cur_props["cur"],
             }
         )
         vars_ += [v for v in cvars if v not in bound]
@@ -891,6 +975,27 @@ def parse(query: str) -> dict:
             i += 1
         parts.append("".join(buf))
         return [p.strip() for p in parts if p.strip()]
+
+    # ---- inline property maps (round-7): desugar into WHERE scope ----
+    # Clause 0 is never OPTIONAL, so its map conjuncts ride the trailing
+    # WHERE — a first-variable id equality then reaches src_pred (below
+    # the first join) and everything else pushes down via Catalyst.
+    # Later clauses keep their conjuncts per-clause (where_raw), which for
+    # OPTIONAL MATCH filters the pattern BEFORE the left join so
+    # non-matching rows null-extend — Neo4j's property-map scoping.
+    for _ci, _cl in enumerate(clauses):
+        _conjs = _cl.pop("prop_conjs", [])
+        if not _conjs:
+            continue
+        _extra = " AND ".join(_conjs)
+        if _ci == 0:
+            where = f"{_extra} AND ({where})" if where else _extra
+        else:
+            _cl["where_raw"] = (
+                f"({_cl['where_raw']}) AND ({_extra})"
+                if _cl["where_raw"]
+                else _extra
+            )
 
     # ---- EXISTS { pattern } predicates (Cypher pattern predicates) ----
     # Each top-level [NOT] EXISTS conjunct of the trailing WHERE compiles
@@ -1389,11 +1494,27 @@ def parse(query: str) -> dict:
         bound_p = set(with_names)
         vars_p: list[str] = []
         cm_ = re.match(r"\s*(?P<opt>OPTIONAL\s+)?MATCH\s*", tail[tpos:], re.I)
+        stage_prop_conjs: list[str] = []
         while cm_:
             pending_p = bool(cm_.group("opt"))
             tpos += cm_.end()
             _cur_labels["cur"] = {}
+            _cur_props["cur"] = []
             cvars, segs, tpos = _parse_clause(tpos, bound_p, text=tail)
+            if _cur_props["cur"]:
+                # stage clauses have no per-clause WHERE slot, so map
+                # conjuncts post-filter the joined stage frame — fine for
+                # inner joins (Catalyst pushes equality filters through
+                # them) but WRONG for OPTIONAL (it would drop rows that
+                # must null-extend) — reject that combination outright
+                if pending_p:
+                    raise CypherSyntaxError(
+                        "property maps on OPTIONAL MATCH after WITH are "
+                        "not supported (subset limit — filter in a "
+                        "preceding stage or move the OPTIONAL MATCH "
+                        "before the WITH)"
+                    )
+                stage_prop_conjs += _cur_props["cur"]
             if not (set(cvars) & bound_p):
                 raise CypherSyntaxError(
                     "a MATCH after WITH must share a variable with the "
@@ -1472,6 +1593,23 @@ def parse(query: str) -> dict:
                 )
             post_p = _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, predp)))
             tpos += swm_.end()
+        if stage_prop_conjs:
+            # desugared stage-clause property maps compile exactly like a
+            # post-WITH WHERE (equality conjuncts on inner-join frames —
+            # Catalyst pushes them through the joins)
+            predq = " AND ".join(stage_prop_conjs)
+
+            def _map_props_q(seg: str, _res=_scope_resolve) -> str:
+                for pm_ in sorted(
+                    set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)),
+                    key=len,
+                    reverse=True,
+                ):
+                    seg = seg.replace(pm_, _res(pm_, "property map after WITH"))
+                return _fn_rewrite(seg)
+
+            predq = _outside_quotes(predq, _map_props_q)
+            post_p = f"({post_p}) AND ({predq})" if post_p else predq
         pipes.append(
             {
                 "with_items": with_items_i,

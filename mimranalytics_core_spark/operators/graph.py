@@ -3753,26 +3753,45 @@ def cypher_multi_segment_weights(spark, sf_dir):
     "cypher_expr_coalesce",
     "graph",
     oracle=f"""
-        WITH {HIERARCHY_SQL}
+        WITH {HIERARCHY_SQL},
+        sup_per_nation AS (
+            SELECT se.dst AS n, MIN(su.s_name) AS msup, COUNT(*) AS nsup
+            FROM edges se
+            JOIN supplier su ON 's:' || su.s_suppkey = se.src
+            WHERE se.rel_type = 'supplier_of'
+            GROUP BY se.dst
+        )
         SELECT ce.src AS c,
-               COALESCE(su.s_name, 'no-local-supplier') AS sup
+               COALESCE(sp.msup, 'no-local-supplier') AS first_sup,
+               COALESCE(sp.nsup, 0) AS n_sup
         FROM edges ce
-        LEFT JOIN edges se ON se.rel_type = 'supplier_of'
-                          AND se.src LIKE 's:%' AND se.dst = ce.dst
-        LEFT JOIN supplier su ON 's:' || su.s_suppkey = se.src
+        LEFT JOIN sup_per_nation sp ON sp.n = ce.dst
         WHERE ce.rel_type = 'customer_of'
-        ORDER BY c, sup
+        ORDER BY c
     """,
     notes=(
-        "scalar expression items in RETURN (round-5: the `RETURN expr AS "
-        "x` surface — SURVEY 2.2's Cypher provenance): "
-        "coalesce(s.name, ...) over an OPTIONAL MATCH null-extension, the "
-        "single most common projection idiom after a left-join pattern. "
-        "Expression bodies map var.prop/toLower/string-predicates like "
-        "CASE and every bare identifier must be a known column or an "
-        "allow-listed SQL function, so typos fail at parse time. "
-        "Multiplicities: one row per (customer, supplier) binding, as in "
-        "Neo4j. Oracle: double left join with the same COALESCE"
+        "scalar expression items in RETURN/WITH (round-5: the `expr AS x` "
+        "surface — SURVEY 2.2's Cypher provenance): coalesce over an "
+        "OPTIONAL MATCH null-extension, the single most common projection "
+        "idiom after a left-join pattern. Expression bodies map var.prop/"
+        "toLower/string-predicates like CASE and every bare identifier "
+        "must be a known column or an allow-listed SQL function, so typos "
+        "fail at parse time. Round-7 reshape (r6 verdict task 1): the old "
+        "declared query returned one row per (customer x co-national "
+        "supplier) BINDING — ~quadratic in sf (measured 39.9x/decade) — "
+        "and a first-cut per-customer min/count still measured 31.5x/"
+        "decade because the per-binding JOIN INTERMEDIATE is itself "
+        "quadratic (100x pairs per decade; partial aggregation bounds "
+        "materialization, not work). The declared query now aggregates "
+        "BELOW the join — Cypher's aggregate-then-rematch pipeline: "
+        "WITH DISTINCT n -> OPTIONAL MATCH suppliers -> min/count per "
+        "NATION (dimension-sized) -> re-MATCH customers on n. Every "
+        "stage is linear in sf; the nation-level aggregate broadcasts. "
+        "Measured 1.53 s @ sf0.1 -> 1.76 s @ 10x replica (1.15x/decade — "
+        "overhead floor). "
+        "The coalesce-over-OPTIONAL surface is intact: min(s.name) over "
+        "a null-extended frame yields NULL, coalesce fills it. Oracle: "
+        "per-nation aggregate subquery LEFT JOINed to customers"
     ),
 )
 def cypher_expr_coalesce(spark, sf_dir):
@@ -3781,8 +3800,63 @@ def cypher_expr_coalesce(spark, sf_dir):
     return api.cypher(
         spark,
         sf_dir,
-        """MATCH (c)-[:CUSTOMER_OF]->(n)
+        """MATCH (c0)-[:CUSTOMER_OF]->(n)
+           WITH DISTINCT n
            OPTIONAL MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
-           RETURN c, coalesce(s.name, 'no-local-supplier') AS sup
-           ORDER BY c, sup""",
+           WITH n, min(s.name) AS msup, count(s) AS nsup
+           MATCH (c)-[:CUSTOMER_OF]->(n)
+           RETURN c, coalesce(msup, 'no-local-supplier') AS first_sup,
+                  nsup AS n_sup
+           ORDER BY c""",
+    )
+
+
+@register(
+    "cypher_property_map",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT ce.src AS c, ce.dst AS n,
+               COALESCE(sx.s_name, 'no-match') AS sup
+        FROM edges ce
+        JOIN nation na ON 'n:' || na.n_nationkey = ce.dst
+                      AND na.n_name = 'NATION_3'
+        LEFT JOIN (
+            SELECT se.src, se.dst, su.s_name
+            FROM edges se
+            JOIN supplier su ON 's:' || su.s_suppkey = se.src
+            WHERE se.rel_type = 'supplier_of'
+              AND su.s_name = 'Supplier#000000001'
+        ) sx ON sx.dst = ce.dst
+        WHERE ce.rel_type = 'customer_of'
+        ORDER BY c
+    """,
+    notes=(
+        "inline node property maps (round-7, r6 verdict task 2 — the "
+        "single most common Neo4j idiom in saved queries): "
+        "`(n {name: 'X'})` desugars at parse time to `n.name = 'X'` WHERE "
+        "conjuncts that re-enter the existing scoping/pushdown machinery "
+        "(cypher.py _parse_prop_map). Clause-0 maps ride the trailing "
+        "WHERE — an id equality on the start variable reaches src_pred, "
+        "i.e. the filter sits ON THE SCAN below the first join (plan-"
+        "verified); maps on an OPTIONAL MATCH clause filter per-clause "
+        "BEFORE the left join, so non-matching rows null-extend (Neo4j "
+        "property-map scoping — the oracle's filtered-subquery LEFT JOIN "
+        "mirrors exactly that shape). Scale: the map is a constant "
+        "predicate — selectivity reaches the scan (label prefix + "
+        "attribute equi-join are broadcast-sized), no new shuffle. "
+        "Declared query: customers of NATION_3, optionally matched "
+        "against one named supplier in the same nation"
+    ),
+)
+def cypher_property_map(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n {name: 'NATION_3'})
+           OPTIONAL MATCH (s:Supplier {name: 'Supplier#000000001'})-[:SUPPLIER_OF]->(n)
+           RETURN c, n, coalesce(s.name, 'no-match') AS sup
+           ORDER BY c""",
     )
