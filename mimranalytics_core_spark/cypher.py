@@ -129,6 +129,16 @@ Grammar subset:
 - RETURN items: pattern variables, their properties, ``hops``,
   ``path_weight`` (single-segment; requesting path_weight switches on
   carry_weight aggregation); ``AS`` aliases are honored.
+- Path variables ``MATCH p = (a)-[:T*1..k]->(b)`` (round-7): bind the
+  FIRST clause's single-chain, single-segment pattern (like hops/
+  path_weight, the per-path row stream is single-segment-only — subset
+  limit). ``length(p)`` ≡ hops; ``relationships(p)`` is the edge-key
+  array (``src>dst`` strings) the trail machinery carries;
+  ``nodes(p)`` replays those keys from the start node row-locally
+  (correct under undirected traversal too, where keys keep the original
+  orientation). ``RETURN p`` itself is rejected with a pointer to the
+  three functions. shortestPath's binding stays length()-only (the BFS
+  computes distances, it does not enumerate paths).
 - ``RETURN DISTINCT`` deduplicates the projected rows (plain items only —
   aggregates already group).
 - Aggregates in RETURN (Cypher's implicit grouping): ``count(*)``,
@@ -476,6 +486,30 @@ def parse(query: str) -> dict:
     ``carry_weight``, ``projection``, ``prop_vars`` (var → needed
     properties), ``order_by``, ``skip``, ``limit``.
     """
+    # write clauses (round-7, r6 verdict task 6): the engine is a READ-ONLY
+    # query layer over graph views DERIVED from the relational tables
+    # (customer/supplier/nation edges are computed, not stored) — there is
+    # no node/relationship store for a write to land in, so CREATE/MERGE/
+    # SET/DELETE/REMOVE/FOREACH are rejected with a targeted message
+    # instead of the generic subset error. Scan outside quoted literals;
+    # keyword positions require a following token, so a column alias that
+    # happens to shadow a keyword at expression end stays parseable.
+    _wq = re.sub(r"'[^']*'", "''", query)
+    wm_kw = re.search(
+        r"\b(?P<kw>CREATE|MERGE|DETACH\s+DELETE|DELETE|REMOVE|FOREACH)\s*[\s(]\w"
+        r"|\b(?P<set>SET)\s+\w+\s*[.=]",
+        _wq,
+        re.I,
+    )
+    if wm_kw:
+        kw = re.sub(r"\s+", " ", (wm_kw.group("kw") or wm_kw.group("set")).upper())
+        raise CypherSyntaxError(
+            f"write clauses are out of scope ({kw}): this engine is a "
+            "read-only Cypher layer over graph views derived from the "
+            "relational tables — there is no node/relationship store to "
+            "mutate (see SURVEY.md, Cypher write posture). Supported: "
+            "MATCH/OPTIONAL MATCH/UNWIND/WITH/RETURN"
+        )
     # leading UNWIND clauses: each expands a flat list literal into rows
     # (one column named by the AS variable); the rows cross-join the match
     # frame — parameter-bound id lists are the canonical use
@@ -682,7 +716,37 @@ def parse(query: str) -> dict:
                 raise CypherSyntaxError("expected ')' closing shortestPath(...)")
             pos += cm.end()
         else:
+            # general path variable `MATCH p = (a)-[...]->(b)` (round-7):
+            # binds the FIRST clause's single-chain pattern; length(p) /
+            # nodes(p) / relationships(p) read the per-path row stream
+            # (hops + edge keys the trail machinery already carries)
+            pvm = re.match(r"([A-Za-z_]\w*)\s*=\s*(?=\()", query[pos:])
+            if pvm:
+                if clauses or pending_optional:
+                    raise CypherSyntaxError(
+                        "a path variable must bind the first MATCH clause "
+                        "(subset limit)"
+                    )
+                path_var = pvm.group(1)
+                if path_var.lower() in _RESERVED:
+                    raise CypherSyntaxError(
+                        f"reserved path variable name: {path_var!r}"
+                    )
+                pos += pvm.end()
             cvars, segs, pos = _parse_clause(pos, bound)
+            if pvm:
+                if path_var in cvars:
+                    raise CypherSyntaxError(
+                        f"path variable {path_var!r} collides with a "
+                        "pattern variable"
+                    )
+                if len(segs) != 1:
+                    raise CypherSyntaxError(
+                        "a path variable binds a single-chain, single-"
+                        "segment pattern (subset limit — like hops/"
+                        "path_weight, Cypher has no whole-pattern path "
+                        "variable in multi-chain MATCH here)"
+                    )
         if clauses and not (set(cvars) & bound):
             raise CypherSyntaxError(
                 "a follow-up MATCH clause must share a variable with an "
@@ -845,6 +909,11 @@ def parse(query: str) -> dict:
             "an UNWIND variable collides with a pattern variable"
         )
     varset = set(vars_) | unwind_vars
+    if path_var and (path_var in varset or path_var in relvars):
+        raise CypherSyntaxError(
+            f"path variable {path_var!r} collides with another name"
+        )
+    need_path = {"nodes": False, "rels": False}
     prop_vars: dict[str, set] = {}
     # the TRAVERSAL start variable of the first segment — after reverse
     # normalization ((a)<-[:R]-(b) traverses from b), this is where a
@@ -855,9 +924,39 @@ def parse(query: str) -> dict:
         """Map a Cypher expression to its engine column token."""
         if expr in varset:
             return expr
+        if path_var and expr == path_var:
+            raise CypherSyntaxError(
+                f"a path variable is not directly returnable — project "
+                f"length({path_var}), nodes({path_var}) or "
+                f"relationships({path_var}) instead (subset limit)"
+            )
         lm = re.match(r"^length\(\s*([A-Za-z_]\w*)\s*\)$", expr, re.I)
         if lm and path_var and lm.group(1) == path_var:
-            return "hops"  # length(p) over the shortestPath binding
+            if not single and not shortest:
+                raise CypherSyntaxError(
+                    f"length({path_var}) needs a single-clause, single-"
+                    "segment pattern (path functions read the per-path "
+                    "row stream)"
+                )
+            return "hops"  # length(p) over the path binding
+        pf = re.match(r"^(nodes|relationships)\(\s*([A-Za-z_]\w*)\s*\)$", expr, re.I)
+        if pf and path_var and pf.group(2) == path_var:
+            if shortest:
+                raise CypherSyntaxError(
+                    f"{pf.group(1).lower()}({path_var}) is not available "
+                    "for shortestPath() patterns (the BFS computes "
+                    "distances, it does not enumerate paths — use a "
+                    "plain variable-length pattern)"
+                )
+            if not single:
+                raise CypherSyntaxError(
+                    f"{pf.group(1).lower()}({path_var}) needs a single-"
+                    "clause, single-segment pattern (path functions read "
+                    "the per-path row stream)"
+                )
+            key = "nodes" if pf.group(1).lower() == "nodes" else "rels"
+            need_path[key] = True
+            return f"path_{key}"
         if "." in expr:
             var, _, prop = expr.partition(".")
             if var in unwind_vars:
@@ -1328,6 +1427,18 @@ def parse(query: str) -> dict:
                     )
                     continue
                 except CypherSyntaxError:
+                    # a path-function over the bound path variable carries
+                    # a TARGETED guard message (single-segment-only,
+                    # shortestPath…) — don't let the generic-expression
+                    # fallback bury it. length(str_col) etc. still falls
+                    # through to the allow-listed SQL path.
+                    pfm_ = re.match(
+                        r"^(?:length|nodes|relationships)\(\s*([A-Za-z_]\w*)\s*\)$",
+                        xm.group("expr").strip(),
+                        re.I,
+                    )
+                    if pfm_ and path_var and pfm_.group(1) == path_var:
+                        raise
                     pass
 
                 def _map_x(seg: str) -> str:
@@ -1697,6 +1808,8 @@ def parse(query: str) -> dict:
         "src_pred": src_pred,
         "post_pred": post_pred,
         "carry_weight": carry_weight,
+        "need_path_nodes": need_path["nodes"],
+        "need_path_rels": need_path["rels"],
         # legacy single-stage views of the pipe list (first pipe)
         "with_items": pipes[0]["with_items"] if pipes else None,
         "having": pipes[0]["having"] if pipes else None,
@@ -1877,6 +1990,8 @@ def _run_single(
             )
     elif single:
         segs = clauses[0]["segments"]
+        need_pnodes = p.get("need_path_nodes")
+        need_prels = p.get("need_path_rels")
         df = api.match_path(
             spark,
             sf_dir,
@@ -1889,6 +2004,7 @@ def _run_single(
             graph=graph,
             trail=True,  # real Cypher trail semantics, per-path rows
             direction=segs[0].get("direction", "out"),
+            keep_edges=bool(need_pnodes or need_prels),
         )
         cols = [
             F.col("src").alias(segs[0]["src"]),
@@ -1897,6 +2013,22 @@ def _run_single(
         ]
         if p["carry_weight"]:
             cols.append("path_weight")
+        # path-variable projections (round-7): derived ROW-LOCALLY from the
+        # edge-key array the trail machinery already carries — no extra
+        # join or shuffle. nodes(p) replays the keys from src, picking the
+        # far endpoint each hop (works for directed AND undirected
+        # traversals, where the key keeps the ORIGINAL edge orientation).
+        if need_pnodes:
+            cols.append(
+                F.expr(
+                    "aggregate(__edges, array(src), (acc, ek) -> "
+                    "array_append(acc, if(split_part(ek, '>', 1) = "
+                    "element_at(acc, -1), split_part(ek, '>', 2), "
+                    "split_part(ek, '>', 1))))"
+                ).alias("path_nodes")
+            )
+        if need_prels:
+            cols.append(F.col("__edges").alias("path_rels"))
         df = df.select(*cols)
     else:
         # multi-segment/multi-clause: each segment is its own bounded

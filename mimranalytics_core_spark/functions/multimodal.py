@@ -1100,3 +1100,150 @@ def jpeg_decode(payload: bytes) -> tuple[int, int, int, bytes]:
             img[by : by + 8, bx : bx + 8] = block
     pixels = np.clip(np.round(img[:height, :width]), 0, 255).astype(np.uint8)
     return width, height, prec, pixels.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF box structure (ISO/IEC 14496-12) — metadata only.
+#
+# The round-6 verdict's item 4: the CODEC inside an MP4 (H.26x entropy +
+# motion decode) is not from-scratch-able, but the CONTAINER is pure
+# struct-parsing — duration, dimensions and track count live in the
+# ftyp/moov/mvhd/trak/tkhd box tree, no sample data touched. mp4_pack
+# builds a minimal valid file (ftyp + moov{mvhd, trak{tkhd}…} + mdat);
+# mp4_meta re-derives everything from the box tree alone. Both ends follow
+# the spec's box grammar: 32-bit big-endian size incl. header, size==1 →
+# 64-bit largesize, size==0 → box extends to end of file; full boxes carry
+# version+flags and mvhd/tkhd version 1 widens the times to 64 bit.
+# ---------------------------------------------------------------------------
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    import struct
+
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def mp4_pack(
+    duration_ms: int,
+    width: int,
+    height: int,
+    n_tracks: int = 1,
+    timescale: int = 1000,
+    mdat: bytes = b"",
+) -> bytes:
+    """Build a minimal valid ISO BMFF file. Track 1 is the sized (video)
+    track; extra tracks carry zero dimensions (audio-shaped)."""
+    import struct
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    duration = max(0, int(duration_ms * timescale / 1000))
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 0)  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation / modification
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">i", 0x00010000)  # rate 1.0
+        + struct.pack(">h", 0x0100)  # volume 1.0
+        + b"\x00" * 10  # reserved
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", n_tracks + 1),  # next_track_ID
+    )
+    traks = []
+    for tid in range(1, max(1, n_tracks) + 1):
+        w, h = (width, height) if tid == 1 else (0, 0)
+        tkhd = _box(
+            b"tkhd",
+            struct.pack(">B", 0)
+            + b"\x00\x00\x07"  # flags: enabled | in movie | in preview
+            + struct.pack(">II", 0, 0)  # creation / modification
+            + struct.pack(">I", tid)
+            + b"\x00" * 4  # reserved
+            + struct.pack(">I", duration)
+            + b"\x00" * 8  # reserved
+            + struct.pack(">hhh", 0, 0, 0 if tid == 1 else 0x0100)
+            + b"\x00" * 2  # reserved
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed
+        )
+        traks.append(_box(b"trak", tkhd))
+    moov = _box(b"moov", mvhd + b"".join(traks))
+    return ftyp + moov + _box(b"mdat", mdat)
+
+
+def _walk_boxes(buf: bytes, start: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    buf[start:end], honoring largesize and to-end-of-file sizes."""
+    import struct
+
+    pos = start
+    while pos < end:
+        if end - pos < 8:
+            raise ValueError("truncated MP4 box header")
+        (size,) = struct.unpack_from(">I", buf, pos)
+        btype = buf[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if end - pos < 16:
+                raise ValueError("truncated MP4 largesize header")
+            (size,) = struct.unpack_from(">Q", buf, pos + 8)
+            hdr = 16
+        elif size == 0:
+            size = end - pos  # box extends to end of enclosing scope
+        if size < hdr or pos + size > end:
+            raise ValueError(f"invalid MP4 box size {size} for {btype!r}")
+        yield btype, pos + hdr, pos + size
+        pos += size
+
+
+def mp4_meta(payload: bytes) -> dict:
+    """Parse ftyp/moov/mvhd/trak/tkhd into container metadata:
+    {brand, timescale, duration, duration_ms, n_tracks, width, height}.
+    Width/height come from the first track with nonzero dimensions (the
+    video track). Missing ftyp/moov/mvhd → ValueError, like every other
+    decoder here (a fake decode must not pass a format gap as data)."""
+    import struct
+
+    if len(payload) < 8:
+        raise ValueError("truncated MP4 payload")
+    brand = None
+    meta: dict = {"n_tracks": 0, "width": 0, "height": 0}
+    saw_moov = saw_mvhd = False
+    for btype, ps, pe in _walk_boxes(payload, 0, len(payload)):
+        if btype == b"ftyp":
+            if pe - ps < 8:
+                raise ValueError("truncated ftyp box")
+            brand = payload[ps : ps + 4].decode("ascii", "replace")
+        elif btype == b"moov":
+            saw_moov = True
+            for ityp, ips, ipe in _walk_boxes(payload, ps, pe):
+                if ityp == b"mvhd":
+                    saw_mvhd = True
+                    ver = payload[ips]
+                    if ver == 1:
+                        ts, dur = struct.unpack_from(">IQ", payload, ips + 4 + 16)
+                    else:
+                        ts, dur = struct.unpack_from(">II", payload, ips + 4 + 8)
+                    if ts == 0:
+                        raise ValueError("mvhd timescale must be nonzero")
+                    meta["timescale"] = ts
+                    meta["duration"] = dur
+                    meta["duration_ms"] = int(round(dur * 1000 / ts))
+                elif ityp == b"trak":
+                    meta["n_tracks"] += 1
+                    for ttyp, tps, tpe in _walk_boxes(payload, ips, ipe):
+                        if ttyp != b"tkhd":
+                            continue
+                        ver = payload[tps]
+                        # width/height are the LAST 8 payload bytes in
+                        # both tkhd versions (16.16 fixed point)
+                        w169, h169 = struct.unpack_from(">II", payload, tpe - 8)
+                        if (w169 or h169) and not meta["width"]:
+                            meta["width"] = w169 >> 16
+                            meta["height"] = h169 >> 16
+    if brand is None:
+        raise ValueError("not an MP4 payload (no ftyp box)")
+    if not saw_moov or not saw_mvhd:
+        raise ValueError("MP4 payload has no moov/mvhd metadata")
+    meta["brand"] = brand
+    return meta

@@ -3860,3 +3860,68 @@ def cypher_property_map(spark, sf_dir):
            RETURN c, n, coalesce(s.name, 'no-match') AS sup
            ORDER BY c""",
     )
+
+
+@register(
+    "cypher_path_variable",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        lvl1 AS (
+            SELECT ce.src AS c, ce.dst AS x, 1 AS len,
+                   ce.src || '|' || ce.dst AS path_nodes,
+                   ce.src || '>' || ce.dst AS path_rels
+            FROM edges ce
+            WHERE ce.rel_type = 'customer_of' AND ce.src LIKE 'c:1%'
+        ),
+        lvl2 AS (
+            SELECT l.c, e.dst AS x, 2 AS len,
+                   l.path_nodes || '|' || e.dst AS path_nodes,
+                   l.path_rels || '|' || e.src || '>' || e.dst AS path_rels
+            FROM lvl1 l
+            JOIN edges e ON e.src = l.x AND e.rel_type = 'nation_of'
+        )
+        SELECT c, x, len, path_nodes, path_rels FROM lvl1
+        UNION ALL
+        SELECT c, x, len, path_nodes, path_rels FROM lvl2
+        ORDER BY c, x
+    """,
+    notes=(
+        "general path variables (round-7, r6 verdict task 3): "
+        "`MATCH p = (c)-[:T1|T2*1..2]->(x)` binds the first clause's "
+        "single-chain pattern; `length(p)` maps to the per-path hops "
+        "column, `relationships(p)` exposes the edge-key array the trail "
+        "machinery already carries, and `nodes(p)` replays those keys "
+        "from src ROW-LOCALLY (aggregate HOF picking the far endpoint "
+        "each hop — correct for directed and undirected traversals, no "
+        "extra join or shuffle; cypher.py single-branch). shortestPath's "
+        "path binding keeps its length()-only surface (BFS computes "
+        "distances, it does not enumerate). Declared query stringifies "
+        "the arrays (array_join) for the driver's scalar-cell hash — the "
+        "Cypher surface itself returns real arrays (tests assert them). "
+        "Scale: path enumeration is the documented bounded-traversal "
+        "posture (hop bound required, src_pred seeds the frontier below "
+        "the first join); the path columns add O(hops) width per row, "
+        "nothing corpus-sized. Oracle: explicit two-level union with the "
+        "same string encodings"
+    ),
+)
+def cypher_path_variable(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    df = api.cypher(
+        spark,
+        sf_dir,
+        """MATCH p = (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(x)
+           WHERE c.id STARTS WITH 'c:1'
+           RETURN c, x, length(p) AS len, nodes(p) AS pnodes,
+                  relationships(p) AS prels
+           ORDER BY c, x""",
+    )
+    return df.select(
+        "c",
+        "x",
+        "len",
+        F.array_join("pnodes", "|").alias("path_nodes"),
+        F.array_join("prels", "|").alias("path_rels"),
+    )

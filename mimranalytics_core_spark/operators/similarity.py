@@ -1845,3 +1845,66 @@ def multimodal_jpeg_meta(spark, sf_dir, width: int = 40, quality: int = 90):
     return d.select(F.col("doc_id").cast("int").alias("media_id"), "text").mapInPandas(
         roundtrip, schema="media_id int, width int, height int, decode_ok boolean"
     )
+
+
+@register(
+    "multimodal_mp4_meta",
+    "similarity",
+    oracle="""
+        SELECT doc_id AS media_id,
+               'isom' AS brand,
+               40 * CAST(length(text) AS INT) AS duration_ms,
+               320 AS width,
+               240 AS height,
+               1 + CAST(doc_id % 2 AS INT) AS n_tracks
+        FROM documents WHERE doc_id < 200
+    """,
+    notes=(
+        "video-container metadata over REAL ISO BMFF boxes (round-7, r6 "
+        "verdict task 4 — the last multimodal leg): the codec INSIDE an "
+        "MP4 (H.26x entropy + motion decode) is not from-scratch-able, "
+        "but the CONTAINER is pure struct parsing — duration, dimensions "
+        "and track count live in ftyp/moov/mvhd/trak/tkhd, no sample "
+        "data touched. functions/multimodal.mp4_pack builds a spec-valid "
+        "file per document (timescale 1000, 40 ms per text char, 320x240 "
+        "video track, alternating 1/2 tracks); mp4_meta re-derives every "
+        "column from the box tree alone (largesize and to-end-of-file "
+        "box sizes honored; mvhd version 1 widens times to 64 bit; "
+        "missing ftyp/moov/mvhd raises ValueError like every decoder "
+        "here). Scale: pack+parse are scan-local mapInPandas — payloads "
+        "never shuffle, only (id, meta) rows move; at 100 TB the mdat "
+        "bytes stay in parquet and the box walk reads headers only"
+    ),
+)
+def multimodal_mp4_meta(spark, sf_dir):
+    import pandas as pd
+
+    from mimranalytics_core_spark.functions.multimodal import mp4_meta, mp4_pack
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+
+    def roundtrip(batches):
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "brand", "duration_ms", "width", "height", "n_tracks")}
+            for r in pdf.itertuples(index=False):
+                txt = r.text or ""
+                payload = mp4_pack(
+                    duration_ms=40 * len(txt),
+                    width=320,
+                    height=240,
+                    n_tracks=1 + int(r.doc_id) % 2,
+                    mdat=txt.encode("utf-8")[:64],
+                )
+                m = mp4_meta(payload)
+                out["media_id"].append(int(r.doc_id))
+                out["brand"].append(m["brand"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["width"].append(m["width"])
+                out["height"].append(m["height"])
+                out["n_tracks"].append(m["n_tracks"])
+            yield pd.DataFrame(out)
+
+    return d.select(F.col("doc_id").cast("int").alias("doc_id"), "text").mapInPandas(
+        roundtrip,
+        schema="media_id int, brand string, duration_ms int, width int, height int, n_tracks int",
+    )

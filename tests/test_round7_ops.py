@@ -224,3 +224,212 @@ def test_cypher_expr_coalesce_linear_output(spark):
         r.n_sup > 0 for r in rows
     )
     assert all((r.n_sup == 0) == (r.first_sup == "no-local-supplier") for r in rows)
+
+
+# ---- general path variables (r6 verdict task 3) ----
+
+
+def test_path_variable_functions(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(x) "
+        "WHERE c.id = 'c:1' "
+        "RETURN c, x, length(p) AS len, nodes(p) AS pn, relationships(p) AS pr "
+        "ORDER BY len",
+    ).collect()
+    assert len(rows) == 2
+    one, two = rows
+    assert one.len == 1 and len(one.pn) == 2 and len(one.pr) == 1
+    assert two.len == 2 and len(two.pn) == 3 and len(two.pr) == 2
+    # the 2-hop path extends the 1-hop path: shared prefix
+    assert two.pn[:2] == one.pn and two.pr[0] == one.pr[0]
+    assert one.pn[0] == "c:1" and one.pr[0] == f"c:1>{one.pn[1]}"
+
+
+def test_path_variable_nodes_undirected(spark):
+    """nodes(p) must replay edge keys correctly when traversal is
+    undirected (keys keep the ORIGINAL orientation)."""
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = (n)-[:NATION_OF]-(x) WHERE n.id = 'r:2' "
+        "RETURN n, x, nodes(p) AS pn ORDER BY x",
+    ).collect()
+    assert rows, "region r:2 should reach its nations undirected"
+    for r in rows:
+        assert r.pn[0] == "r:2" and r.pn[1] == r.x
+
+
+def test_path_variable_length_eq_hops(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = (c)-[:CUSTOMER_OF*1..1]->(n) "
+        "RETURN c, length(p) AS len ORDER BY c LIMIT 10",
+    ).collect()
+    assert rows and all(r.len == 1 for r in rows)
+
+
+def test_path_variable_guards(spark):
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with pytest.raises(CypherSyntaxError, match="single-clause"):
+        parse(
+            "MATCH p = (a)-[:CUSTOMER_OF]->(b) MATCH (b)-[:NATION_OF]->(c) "
+            "RETURN nodes(p) AS x"
+        )
+    with pytest.raises(CypherSyntaxError, match="not directly returnable"):
+        parse("MATCH p = (a)-[:CUSTOMER_OF]->(b) RETURN p")
+    with pytest.raises(CypherSyntaxError, match="first MATCH clause"):
+        parse(
+            "MATCH (a)-[:CUSTOMER_OF]->(b) "
+            "OPTIONAL MATCH p = (b)-[:NATION_OF]->(c) RETURN a"
+        )
+    with pytest.raises(CypherSyntaxError, match="single-chain"):
+        parse(
+            "MATCH p = (a)-[:CUSTOMER_OF]->(b)-[:NATION_OF]->(c) "
+            "RETURN nodes(p) AS x"
+        )
+    with pytest.raises(CypherSyntaxError, match="not available"):
+        parse(
+            "MATCH p = shortestPath((a)-[*..3]->(b)) RETURN nodes(p) AS x"
+        )
+    with pytest.raises(CypherSyntaxError, match="collides"):
+        parse("MATCH p = (p)-[:CUSTOMER_OF]->(b) RETURN b")
+
+
+def test_shortest_path_length_still_works(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = shortestPath((c)-[*..3]->(r)) "
+        "WHERE c.id = 'c:1' AND r.id STARTS WITH 'r:' "
+        "RETURN c, r, length(p) AS len",
+    ).collect()
+    assert len(rows) == 1 and rows[0].len == 2
+
+
+# ---- MP4 box metadata (r6 verdict task 4) ----
+
+
+def test_mp4_pack_meta_roundtrip():
+    from mimranalytics_core_spark.functions.multimodal import mp4_meta, mp4_pack
+
+    m = mp4_meta(mp4_pack(12345, 320, 240, n_tracks=2, mdat=b"xyz"))
+    assert m == {
+        "brand": "isom",
+        "timescale": 1000,
+        "duration": 12345,
+        "duration_ms": 12345,
+        "n_tracks": 2,
+        "width": 320,
+        "height": 240,
+    }
+
+
+def test_mp4_meta_error_contracts():
+    from mimranalytics_core_spark.functions.multimodal import mp4_meta, mp4_pack
+
+    with pytest.raises(ValueError, match="truncated"):
+        mp4_meta(b"1234567")
+    with pytest.raises(ValueError, match="no ftyp"):
+        mp4_meta(b"\x00\x00\x00\x08free")
+    with pytest.raises(ValueError, match="invalid MP4 box size|truncated"):
+        mp4_meta(mp4_pack(10, 1, 1)[:20])
+    # ftyp alone (no moov) is a format gap, not silently-empty metadata
+    from mimranalytics_core_spark.functions.multimodal import _box
+
+    with pytest.raises(ValueError, match="no moov/mvhd"):
+        mp4_meta(_box(b"ftyp", b"isom\x00\x00\x02\x00isom"))
+
+
+def test_mp4_meta_largesize_and_eof_boxes():
+    """size==1 -> 64-bit largesize; size==0 -> box extends to EOF."""
+    import struct
+
+    from mimranalytics_core_spark.functions.multimodal import mp4_meta, mp4_pack
+
+    base = mp4_pack(500, 64, 32, n_tracks=1)
+    # re-wrap the trailing mdat as a largesize box, then append an
+    # eof-sized free box
+    mdat_at = base.rfind(b"mdat") - 4
+    head, mdat_payload = base[:mdat_at], base[mdat_at + 8 :]
+    large_mdat = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(mdat_payload)) + mdat_payload
+    )
+    eof_free = struct.pack(">I", 0) + b"free" + b"tail-bytes"
+    m = mp4_meta(head + large_mdat + eof_free)
+    assert (m["duration_ms"], m["width"], m["height"], m["n_tracks"]) == (500, 64, 32, 1)
+
+
+def test_mp4_meta_mvhd_version1():
+    """mvhd version 1 carries 64-bit creation/modification/duration."""
+    import struct
+
+    from mimranalytics_core_spark.functions.multimodal import _box, mp4_meta
+
+    ftyp = _box(b"ftyp", b"mp42" + struct.pack(">I", 0) + b"mp42")
+    mvhd = _box(
+        b"mvhd",
+        struct.pack(">B3x", 1)
+        + struct.pack(">QQ", 0, 0)
+        + struct.pack(">I", 90000)  # timescale
+        + struct.pack(">Q", 450000)  # duration (5 s)
+        + struct.pack(">i", 0x00010000)
+        + struct.pack(">h", 0x0100)
+        + b"\x00" * 10
+        + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", 2),
+    )
+    m = mp4_meta(ftyp + _box(b"moov", mvhd))
+    assert m["brand"] == "mp42"
+    assert m["timescale"] == 90000 and m["duration_ms"] == 5000
+    assert m["n_tracks"] == 0 and m["width"] == 0
+
+
+# ---- write-clause posture (r6 verdict task 6) ----
+
+
+@pytest.mark.parametrize(
+    "q,kw",
+    [
+        ("CREATE (n:Foo {name: 'x'})", "CREATE"),
+        ("MERGE (n:Customer {id: 'c:1'})", "MERGE"),
+        ("MATCH (n)-[:CUSTOMER_OF]->(m) SET n.name = 'x' RETURN n", "SET"),
+        ("MATCH (n)-[:CUSTOMER_OF]->(m) DELETE n", "DELETE"),
+        ("MATCH (n)-[:CUSTOMER_OF]->(m) DETACH DELETE n", "DETACH DELETE"),
+        ("MATCH (n)-[:CUSTOMER_OF]->(m) REMOVE n.name RETURN n", "REMOVE"),
+    ],
+)
+def test_write_clauses_rejected_with_posture_message(q, kw):
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with pytest.raises(CypherSyntaxError) as ei:
+        parse(q)
+    msg = str(ei.value)
+    assert "write clauses are out of scope" in msg and kw in msg
+    assert "read-only" in msg
+
+
+def test_write_keywords_inside_literals_still_parse(spark):
+    from mimranalytics_core_spark import api
+
+    assert (
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (a)-[:CUSTOMER_OF]->(b) "
+            "WHERE a.name CONTAINS 'DELETE me MERGE SET' RETURN a",
+        ).collect()
+        == []
+    )
