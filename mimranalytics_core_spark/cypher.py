@@ -1111,7 +1111,45 @@ def parse(query: str) -> dict:
         if conjs is None:
             raise CypherSyntaxError(f"cannot decompose WHERE around EXISTS: {where!r}")
         kept_conjs: list[str] = []
-        for cj in conjs:
+
+        def _unwrap_parens(s: str) -> str:
+            """Strip balanced enclosing parens — `(EXISTS { … })` is still
+            a top-level conjunct (the property-map desugar parenthesizes
+            the original WHERE, and users parenthesize too). Quote-aware:
+            a ')' inside a string literal never closes."""
+            while s.startswith("(") and s.endswith(")"):
+                depth, i = 0, 0
+                ok = True
+                while i < len(s):
+                    ch = s[i]
+                    if ch == "'":
+                        j = s.find("'", i + 1)
+                        i = (j if j >= 0 else len(s) - 1) + 1
+                        continue
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth == 0 and i != len(s) - 1:
+                            ok = False  # the opening paren closes early
+                            break
+                    i += 1
+                if not ok:
+                    break
+                s = s[1:-1].strip()
+            return s
+
+        # flatten to fixpoint: unwrapping `(x AND EXISTS {…})` re-exposes
+        # top-level ANDs that must split again
+        work, flat = list(conjs), []
+        while work:
+            cj0 = _unwrap_parens(work.pop(0).strip())
+            sub = _split_conjuncts(cj0)
+            if sub and len(sub) > 1:
+                work = sub + work
+            else:
+                flat.append(cj0)
+        for cj in flat:
             em = re.fullmatch(
                 r"(?P<neg>NOT\s+)?EXISTS\s*\{\s*(?P<body>[^{}]*?)\s*\}",
                 cj,

@@ -15,9 +15,15 @@ _LABELS = st.sampled_from(["Customer", "Supplier", "Nation", "Region"])
 
 @st.composite
 def _node(draw, var):
-    if draw(st.booleans()):
-        return f"({var}:{draw(_LABELS)})"
-    return f"({var})"
+    label = f":{draw(_LABELS)}" if draw(st.booleans()) else ""
+    # round-7: inline property maps are part of the pattern grammar
+    pmap = ""
+    if draw(st.integers(0, 3)) == 0:
+        pmap = " " + draw(
+            st.sampled_from(["{id: 'c:1'}", "{name: 'NATION_3'}", "{}",
+                             "{id: 'c:1', name: 'X Y'}"])
+        )
+    return f"({var}{label}{pmap})"
 
 
 @st.composite
@@ -44,13 +50,22 @@ def _query(draw):
     pat = draw(_node(vs[0]))
     for v in vs[1:]:
         pat += draw(_rel(rvar)) + draw(_node(v))
+    comma = False
     if not shortest and not rvar and draw(st.integers(0, 3)) == 0:
         # comma-separated multi-pattern sharing the first variable
         extra = draw(st.sampled_from(["q", "z"]))
         pat += f", ({extra})" + draw(_rel()) + f"({vs[0]})"
+        comma = True
+    # round-7: general path variable on a single-chain single-segment
+    # first clause — p2 = (a)-[...]->(b)
+    pathvar = (
+        not shortest and not comma and nvars == 2 and draw(st.integers(0, 2)) == 0
+    )
     unwound = False
     if shortest:
         q = f"MATCH p = shortestPath({pat})"
+    elif pathvar:
+        q = f"MATCH p2 = {pat}"
     else:
         q = f"MATCH {pat}"
         if draw(st.integers(0, 3)) == 0:  # leading UNWIND (list literal)
@@ -90,6 +105,21 @@ def _query(draw):
         items = [vs[0], "count(*) AS n"] if draw(st.booleans()) else list(vs[:2])
     if rvar and not with_match and draw(st.booleans()):
         items.append("r.weight AS w")
+    if pathvar and not with_match:
+        items += draw(
+            st.lists(
+                st.sampled_from(
+                    [
+                        "length(p2) AS plen",
+                        "nodes(p2) AS pn",
+                        "relationships(p2) AS pr",
+                    ]
+                ),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
     if not with_match and draw(st.integers(0, 3)) == 0:  # searched CASE item
         first = items[0].split(" ")[0]
         ref = "k" if unwound else f"{first}.id" if "(" not in first else "n"
