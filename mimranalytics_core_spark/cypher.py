@@ -268,10 +268,78 @@ def _split_items(text: str) -> list[str]:
 
 def _fn_rewrite(seg: str) -> str:
     """Map Cypher's scalar string functions onto their Spark SQL twins
-    (applied outside quoted literals, alongside the var.prop mapping)."""
+    (applied outside quoted literals, alongside the var.prop mapping).
+    Round-7 additions (common Neo4j idioms a migrating user hits):
+    ``size(x)`` → ``length(x)`` (string context — the engine's node
+    properties are strings; Cypher's list-size form has no list-typed
+    property to apply to here), ``toString(x)`` → ``CAST(x AS STRING)``,
+    ``toInteger(x)`` → ``CAST(x AS BIGINT)``, ``toFloat(x)`` →
+    ``CAST(x AS DOUBLE)``, and ``IN [a, b, …]`` list membership →
+    SQL ``IN (a, b, …)`` (quote-aware bracket scan — a ']' inside a
+    string element never closes the list)."""
     seg = re.sub(r"\btoLower\s*\(", "lower(", seg)
     seg = re.sub(r"\btoUpper\s*\(", "upper(", seg)
+    seg = re.sub(r"\bsize\s*\(", "length(", seg, flags=re.I)
+    # toString/toInteger/toFloat take ONE argument: rewrite the matching
+    # close paren too (args may contain nested parens)
+    for fn, sqlty in (("toString", "STRING"), ("toInteger", "BIGINT"), ("toFloat", "DOUBLE")):
+        while True:
+            m = re.search(rf"\b{fn}\s*\(", seg)
+            if not m:
+                break
+            depth, i = 1, m.end()
+            while i < len(seg) and depth:
+                if seg[i] == "(":
+                    depth += 1
+                elif seg[i] == ")":
+                    depth -= 1
+                i += 1
+            if depth:  # unbalanced — leave for the name check to reject
+                break
+            inner = seg[m.end() : i - 1]
+            seg = f"{seg[: m.start()]}CAST({inner} AS {sqlty}){seg[i:]}"
     return seg
+
+
+def _rewrite_in_lists(query: str) -> str:
+    """``IN [a, b, …]`` list membership → SQL ``IN (a, b, …)`` — Cypher's
+    list-literal membership test, one of the most common WHERE idioms.
+    Whole-query, LENGTH-PRESERVING pass (``[``→``(``, ``]``→``)``, content
+    untouched), so every downstream position-based scanner stays aligned.
+    Quote-aware on both the prefix scan (an ``IN [`` inside a string
+    literal is data) and the element scan (a ``]`` inside an element never
+    closes the list). Runs once at parse start — it cannot collide with
+    relationship brackets (never preceded by IN) or UNWIND lists (clause-
+    initial)."""
+    out = list(query)
+    i = 0
+    n = len(query)
+    while i < n:
+        ch = query[i]
+        if ch == "'":
+            j = query.find("'", i + 1)
+            i = (j if j >= 0 else n - 1) + 1
+            continue
+        m = re.match(r"\bIN\s*\[", query[i:], re.I)
+        if m and (i == 0 or not (query[i - 1].isalnum() or query[i - 1] == "_")):
+            lb = i + m.end() - 1
+            k = lb + 1
+            while k < n:
+                c2 = query[k]
+                if c2 == "'":
+                    j = query.find("'", k + 1)
+                    k = (j if j >= 0 else n - 1) + 1
+                    continue
+                if c2 == "]":
+                    break
+                k += 1
+            if k < n:
+                out[lb] = "("
+                out[k] = ")"
+                i = k + 1
+                continue
+        i += 1
+    return "".join(out)
 
 _PROPS = ("name", "label")
 _RESERVED = {"src", "dst", "hops", "path_weight", "id", "name", "label"}
@@ -486,6 +554,10 @@ def parse(query: str) -> dict:
     ``carry_weight``, ``projection``, ``prop_vars`` (var → needed
     properties), ``order_by``, ``skip``, ``limit``.
     """
+    # Cypher list-literal membership: IN [a, b] → IN (a, b) — a length-
+    # preserving whole-query pass, so every position-based scanner below
+    # (masked copies, clause boundaries) stays aligned (round-7)
+    query = _rewrite_in_lists(query)
     # write clauses (round-7, r6 verdict task 6): the engine is a READ-ONLY
     # query layer over graph views DERIVED from the relational tables
     # (customer/supplier/nation edges are computed, not stored) — there is
