@@ -180,6 +180,15 @@ Grammar subset:
 - ``toLower(expr)`` / ``toUpper(expr)`` scalar functions in WHERE and
   CASE bodies (mapped to Spark's lower()/upper() outside quoted
   literals); string predicates accept function-wrapped operands.
+- Round-7 scalar-function batch (the next-most-common migration idioms):
+  ``size(x)`` → ``length(x)`` (string context — node properties are
+  strings here; Cypher's list-size form has no list-typed property to
+  land on), ``toString(x)`` / ``toInteger(x)`` / ``toFloat(x)`` →
+  ``CAST(x AS STRING/BIGINT/DOUBLE)`` with nested-paren-aware argument
+  capture, and ``expr IN [a, b, …]`` list membership → SQL ``IN (…)``
+  via a whole-query LENGTH-PRESERVING bracket→paren pass (quote-aware on
+  both scan and elements; composes with ``$param``-bound lists — the
+  idiomatic `WHERE x.id IN $ids`).
 - ``WITH DISTINCT items`` dedupes the stage projection (RETURN DISTINCT's
   pipeline twin).
 - String predicates: ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``
@@ -412,7 +421,10 @@ def bind_params(query: str, params: dict | None) -> str:
 
 
 _UNWIND_RE = re.compile(
-    r"\s*UNWIND\s*\[(?P<items>[^\]]*)\]\s+AS\s+(?P<var>[A-Za-z_]\w*)", re.I
+    # items scan is quote-aware: a ']' inside a quoted element is data
+    # (round-7 — surfaced by the IN-list rewrite tests)
+    r"\s*UNWIND\s*\[(?P<items>(?:'[^']*'|[^\]'])*)\]\s+AS\s+(?P<var>[A-Za-z_]\w*)",
+    re.I,
 )
 
 

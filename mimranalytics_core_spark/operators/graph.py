@@ -3925,3 +3925,47 @@ def cypher_path_variable(spark, sf_dir):
         F.array_join("pnodes", "|").alias("path_nodes"),
         F.array_join("prels", "|").alias("path_rels"),
     )
+
+
+@register(
+    "cypher_in_list_fns",
+    "graph",
+    oracle="""
+        SELECT 'n:' || c.c_nationkey AS n,
+               COUNT(*) AS n_cust,
+               CAST(length(na.n_name) AS VARCHAR) AS len_str
+        FROM customer c
+        JOIN nation na ON na.n_nationkey = c.c_nationkey
+        WHERE na.n_name IN ('NATION_1', 'NATION_3')
+          AND c.c_custkey % 2 = 0
+        GROUP BY 1, 3
+        ORDER BY n
+    """,
+    notes=(
+        "round-7 migration-idiom batch: `IN [a, b, ...]` list membership "
+        "(whole-query length-preserving bracket->paren rewrite, quote-"
+        "aware — composes with $param-bound lists), `size()` -> length() "
+        "(string context), `toString()`/`toInteger()`/`toFloat()` -> "
+        "CASTs with nested-paren-aware argument capture (cypher.py "
+        "_fn_rewrite/_rewrite_in_lists). Declared query: IN-list over a "
+        "joined property in WHERE + toInteger(substring(...)) % 2 "
+        "arithmetic + toString(size(...)) as a grouped expression item. "
+        "Scale: all rewrites are parse-time text transforms; the IN "
+        "filter is a constant predicate Catalyst pushes like any other "
+        "(below the join when it names only the start variable). Oracle: "
+        "plain SQL IN + CASTs on the relational tables"
+    ),
+)
+def cypher_in_list_fns(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+           WHERE n.name IN ['NATION_1', 'NATION_3']
+             AND toInteger(substring(c.id, 3)) % 2 = 0
+           RETURN n, count(*) AS n_cust,
+                  toString(size(n.name)) AS len_str
+           ORDER BY n""",
+    )

@@ -433,3 +433,68 @@ def test_write_keywords_inside_literals_still_parse(spark):
         ).collect()
         == []
     )
+
+
+# ---- round-7 scalar-function / IN-list batch ----
+
+
+def test_in_list_membership(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE c.id IN ['c:1', 'c:2'] "
+        "RETURN c ORDER BY c",
+    ).collect()
+    assert [r.c for r in rows] == ["c:1", "c:2"]
+
+
+def test_in_list_param_bound(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE c.id IN $ids RETURN c ORDER BY c",
+        params={"ids": ["c:3", "c:4", "c:5"]},
+    ).collect()
+    assert [r.c for r in rows] == ["c:3", "c:4", "c:5"]
+
+
+def test_in_list_inside_string_literal_untouched(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "UNWIND ['IN [not a list]'] AS x MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "WHERE c.id = 'c:1' RETURN DISTINCT x",
+    ).collect()
+    assert [r.x for r in rows] == ["IN [not a list]"]
+
+
+def test_size_tostring_tointeger(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "WHERE toInteger(substring(c.id, 3)) < 3 "
+        "RETURN c, toString(size(c.name)) AS ls ORDER BY c",
+    ).collect()
+    assert [r.c for r in rows] == ["c:0", "c:1", "c:2"]
+    assert all(r.ls == "18" for r in rows)  # 'Customer#000000000'
+
+
+def test_tofloat_cast(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE c.id = 'c:1' "
+        "RETURN c, toFloat(substring(c.id, 3)) / 2 AS half",
+    ).collect()
+    assert rows[0].half == 0.5
