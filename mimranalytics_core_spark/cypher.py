@@ -155,7 +155,11 @@ Grammar subset:
   LIMIT for deterministic pagination, as the §2.6 operators do.
 - ``[NOT] EXISTS { <pattern> [WHERE <pred>] }`` pattern predicates
   (Neo4j's existential subquery, both the bare-pattern and MATCH-prefixed
-  forms): each must be a top-level AND conjunct of the TRAILING WHERE;
+  forms), plus the BARE pattern-predicate sugar ``WHERE [NOT]
+  (a)-[:X]->(b)`` (round-7 — Neo4j's original existential idiom,
+  property maps allowed inside; recognized structurally and compiled
+  through the same semi/anti-join path): each must be a top-level AND
+  conjunct of the TRAILING WHERE;
   the body re-parses as its own sub-query and semi-joins (anti- for NOT)
   onto the match frame over the variables it shares with the enclosing
   MATCH (the correlation anchors — at least one required). Inner-only
@@ -419,6 +423,17 @@ def bind_params(query: str, params: dict | None) -> str:
     parts = re.split(r"('(?:[^'])*')", query)
     return "".join(p if p.startswith("'") else _sub(p) for p in parts)
 
+
+# bare pattern predicate in WHERE — `[NOT] (a)-[:X]->(b)` (Neo4j's
+# original existential idiom, sugar for [NOT] EXISTS { … }; round-7).
+# Structural check only: node (rel node)+, optional labels/property maps;
+# semantic validation happens when the synthesized sub-query re-parses.
+_BARE_NODE_SRC = r"\(\s*[A-Za-z_]\w*\s*(?::\s*[A-Za-z_]\w*)?(?:\s*\{[^{}]*\})?\s*\)"
+_BARE_REL_SRC = r"<?\s*-\s*\[[^\]]*\]\s*-\s*>?"
+_BARE_PATTERN_RE = re.compile(
+    rf"(?P<neg>NOT\s+)?(?P<body>{_BARE_NODE_SRC}(?:\s*{_BARE_REL_SRC}\s*{_BARE_NODE_SRC})+)",
+    re.I,
+)
 
 _UNWIND_RE = re.compile(
     # items scan is quote-aware: a ']' inside a quoted element is data
@@ -1190,7 +1205,12 @@ def parse(query: str) -> dict:
     # existentially quantified. Subset: trailing WHERE only, top-level
     # AND conjuncts only; the inner block may carry its own WHERE.
     exists_preds: list[dict] = []
-    if where and re.search(r"\bEXISTS\s*\{", where, re.I):
+    if where and (
+        re.search(r"\bEXISTS\s*\{", where, re.I)
+        # bare pattern predicate: a rel-bracket outside quotes marks it
+        # (IN-lists were already rewritten to parens at parse start)
+        or re.search(r"-\s*\[", re.sub(r"'[^']*'", "''", where))
+    ):
         conjs = _split_conjuncts(where)
         if conjs is None:
             raise CypherSyntaxError(f"cannot decompose WHERE around EXISTS: {where!r}")
@@ -1239,15 +1259,22 @@ def parse(query: str) -> dict:
                 cj,
                 re.I | re.S,
             )
-            if not em:
-                if re.search(r"\bEXISTS\s*\{", cj, re.I):
-                    raise CypherSyntaxError(
-                        "EXISTS { … } must be a top-level AND conjunct of the "
-                        f"trailing WHERE (optionally NOT-negated): {cj!r}"
-                    )
-                kept_conjs.append(cj)
-                continue
-            body = em.group("body")
+            if em:
+                neg, body = bool(em.group("neg")), em.group("body")
+            else:
+                # bare pattern predicates (round-7): `WHERE NOT (a)-[:X]->(b)`
+                # is Neo4j's original existential idiom — sugar for
+                # [NOT] EXISTS { (a)-[:X]->(b) }, incl. property maps
+                bm = _BARE_PATTERN_RE.fullmatch(cj.strip())
+                if not bm:
+                    if re.search(r"\bEXISTS\s*\{", cj, re.I):
+                        raise CypherSyntaxError(
+                            "EXISTS { … } must be a top-level AND conjunct of the "
+                            f"trailing WHERE (optionally NOT-negated): {cj!r}"
+                        )
+                    kept_conjs.append(cj)
+                    continue
+                neg, body = bool(bm.group("neg")), bm.group("body")
             if not re.match(r"\s*MATCH\b", body, re.I):
                 body = "MATCH " + body
             # correlation anchors: node variables shared with the outer
@@ -1287,7 +1314,7 @@ def parse(query: str) -> dict:
             parse(inner_q)  # validate eagerly — parse errors surface here
             exists_preds.append(
                 {
-                    "negated": bool(em.group("neg")),
+                    "negated": neg,
                     "query": inner_q,
                     "anchors": anchors,
                 }

@@ -3969,3 +3969,46 @@ def cypher_in_list_fns(spark, sf_dir):
                   toString(size(n.name)) AS len_str
            ORDER BY n""",
     )
+
+
+@register(
+    "cypher_pattern_predicate",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT ce.dst AS n, COUNT(*) AS n_cust
+        FROM edges ce
+        WHERE ce.rel_type = 'customer_of'
+          AND NOT EXISTS (
+              SELECT 1 FROM edges se
+              WHERE se.rel_type = 'supplier_of' AND se.dst = ce.dst
+          )
+        GROUP BY ce.dst
+        ORDER BY n
+    """,
+    notes=(
+        "bare pattern predicates (round-7): `WHERE [NOT] (a)-[:X]->(b)` — "
+        "Neo4j's ORIGINAL existential idiom, predating EXISTS {} — "
+        "recognized structurally as a top-level AND conjunct and compiled "
+        "through the same machinery as EXISTS {}: the pattern becomes its "
+        "own sub-query, distinct'd on the correlation anchors and LEFT "
+        "SEMI-joined (ANTI for NOT) onto the match frame — no row "
+        "multiplication, probing stops on first match. Composes with "
+        "inline property maps inside the pattern and with ordinary "
+        "conjuncts. Declared query: nations whose customers have NO "
+        "co-national supplier, with customer counts — the anti-join plan "
+        "shape that survives scale. Oracle: NOT EXISTS correlated "
+        "subquery over the same edge CTE"
+    ),
+)
+def cypher_pattern_predicate(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WHERE NOT (s:Supplier)-[:SUPPLIER_OF]->(n)
+           RETURN n, count(*) AS n_cust
+           ORDER BY n""",
+    )

@@ -498,3 +498,49 @@ def test_tofloat_cast(spark):
         "RETURN c, toFloat(substring(c.id, 3)) / 2 AS half",
     ).collect()
     assert rows[0].half == 0.5
+
+
+# ---- bare pattern predicates (round-7) ----
+
+
+def test_bare_pattern_predicate_equals_exists(spark):
+    from mimranalytics_core_spark import api
+
+    bare = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "WHERE NOT (s:Supplier)-[:SUPPLIER_OF]->(n) "
+        "RETURN DISTINCT n ORDER BY n",
+    ).collect()
+    exists = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "WHERE NOT EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } "
+        "RETURN DISTINCT n ORDER BY n",
+    ).collect()
+    assert bare == exists and len(bare) > 0
+
+
+def test_bare_pattern_predicate_positive_with_propmap(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "WHERE (s {name: 'Supplier#000000001'})-[:SUPPLIER_OF]->(n) "
+        "RETURN DISTINCT n",
+    ).collect()
+    assert len(rows) == 1
+
+
+def test_bare_pattern_predicate_needs_anchor(spark):
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with pytest.raises(CypherSyntaxError, match="share at least one variable"):
+        parse(
+            "MATCH (c)-[:CUSTOMER_OF]->(n) "
+            "WHERE NOT (x)-[:SUPPLIER_OF]->(y) RETURN c"
+        )
