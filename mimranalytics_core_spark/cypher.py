@@ -113,11 +113,11 @@ Grammar subset:
   a no-op. Clause-0 maps ride the trailing WHERE (an id equality on the
   start variable reaches src_pred — the filter sits on the scan below the
   first join); maps on an OPTIONAL MATCH clause filter per-clause BEFORE
-  the left join so non-matching rows null-extend. Subset limits: maps on
-  OPTIONAL MATCH after WITH are rejected (stage clauses have no
-  per-clause WHERE slot and a post-filter would break null-extension);
-  maps inside EXISTS { … } bodies are unsupported (the brace-masking
-  scanner assumes non-nested braces).
+  the left join so non-matching rows null-extend. Maps also work inside
+  EXISTS { … } bodies and bare pattern predicates (the brace masking and
+  the EXISTS body scan are nesting-aware — round-7). Subset limit: maps
+  on OPTIONAL MATCH after WITH are rejected (stage clauses have no
+  per-clause WHERE slot and a post-filter would break null-extension).
 - Node properties: ``var.id`` (the namespaced node id), ``var.name`` and
   ``var.label`` (resolved by equi-joining the catalog's hierarchy_nodes
   attribute view) — usable in WHERE and RETURN.
@@ -422,6 +422,28 @@ def bind_params(query: str, params: dict | None) -> str:
 
     parts = re.split(r"('(?:[^'])*')", query)
     return "".join(p if p.startswith("'") else _sub(p) for p in parts)
+
+
+def _blank_braces(s: str) -> str:
+    """Length-preserving blank of everything inside OUTERMOST brace spans
+    (the braces themselves stay visible). Depth-aware so nested braces —
+    a property map inside an EXISTS body — extend the span instead of
+    terminating it; quotes were already blanked by the caller's masking
+    pass, so no quote handling is needed here."""
+    out = list(s)
+    depth = 0
+    for i, ch in enumerate(s):
+        if ch == "{":
+            depth += 1
+            if depth == 1:
+                continue  # outermost opener stays
+        elif ch == "}":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                continue  # outermost closer stays
+        if depth > 0:
+            out[i] = "x"
+    return "".join(out)
 
 
 # bare pattern predicate in WHERE — `[NOT] (a)-[:X]->(b)` (Neo4j's
@@ -792,10 +814,10 @@ def parse(query: str) -> dict:
     )
     # blank out EXISTS { … } blocks: a MATCH/WHERE keyword inside the brace
     # body must not read as a clause boundary (the body re-parses as its
-    # own sub-query later; only the braces stay visible here)
-    masked_q = re.sub(
-        r"\{[^{}]*\}", lambda m: "{" + "x" * (len(m.group(0)) - 2) + "}", masked_q
-    )
+    # own sub-query later; only the OUTERMOST braces stay visible here).
+    # Depth-aware (round-7): a property map nested inside an EXISTS body
+    # must not terminate the blanked span early.
+    masked_q = _blank_braces(masked_q)
     pending_optional = False  # the first clause is the plain MATCH
     while hm:  # no MATCH head = pure-UNWIND query, zero pattern clauses
         _cur_labels["cur"] = {}
@@ -1255,7 +1277,10 @@ def parse(query: str) -> dict:
                 flat.append(cj0)
         for cj in flat:
             em = re.fullmatch(
-                r"(?P<neg>NOT\s+)?EXISTS\s*\{\s*(?P<body>[^{}]*?)\s*\}",
+                # body tolerates ONE nesting level: property maps inside
+                # the EXISTS pattern (round-7)
+                r"(?P<neg>NOT\s+)?EXISTS\s*\{\s*"
+                r"(?P<body>(?:[^{}]|\{[^{}]*\})*?)\s*\}",
                 cj,
                 re.I | re.S,
             )

@@ -76,7 +76,8 @@ def _query(draw):
         q += f" WHERE {vs[0]}.id STARTS WITH 'c:'"
         if not shortest and draw(st.integers(0, 2)) == 0:
             neg = "NOT " if draw(st.booleans()) else ""
-            q += f" AND {neg}EXISTS {{ (e9)" + draw(_rel()) + f"({vs[0]}) }}"
+            e9n = draw(st.sampled_from(["(e9)", "(e9 {id: 's:1'})"]))
+            q += f" AND {neg}EXISTS {{ {e9n}" + draw(_rel()) + f"({vs[0]}) }}"
     elif not shortest and draw(st.integers(0, 3)) == 0:
         q += f" WHERE EXISTS {{ (e9)" + draw(_rel()) + f"({vs[0]}) }}"
     # optionally pipe through WITH, then optionally MATCH again (stage 2)

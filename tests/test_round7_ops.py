@@ -544,3 +544,29 @@ def test_bare_pattern_predicate_needs_anchor(spark):
             "MATCH (c)-[:CUSTOMER_OF]->(n) "
             "WHERE NOT (x)-[:SUPPLIER_OF]->(y) RETURN c"
         )
+
+
+def test_property_map_inside_exists_body(spark):
+    """Nested braces: a property map inside an EXISTS body must not
+    terminate the brace span early (depth-aware masking, round-7)."""
+    from mimranalytics_core_spark import api
+
+    pos = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE EXISTS "
+        "{ (s {name: 'Supplier#000000001'})-[:SUPPLIER_OF]->(n) } "
+        "RETURN DISTINCT n",
+    ).collect()
+    assert len(pos) == 1
+    neg = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE NOT EXISTS "
+        "{ (s {name: 'NO_SUCH'})-[:SUPPLIER_OF]->(n) } "
+        "RETURN DISTINCT n",
+    ).collect()
+    all_n = api.cypher(
+        spark, SF_SMALL, "MATCH (c)-[:CUSTOMER_OF]->(n) RETURN DISTINCT n"
+    ).count()
+    assert len(neg) == all_n
