@@ -317,42 +317,90 @@ def _fn_rewrite(seg: str) -> str:
 def _rewrite_in_lists(query: str) -> str:
     """``IN [a, b, …]`` list membership → SQL ``IN (a, b, …)`` — Cypher's
     list-literal membership test, one of the most common WHERE idioms.
-    Whole-query, LENGTH-PRESERVING pass (``[``→``(``, ``]``→``)``, content
-    untouched), so every downstream position-based scanner stays aligned.
-    Quote-aware on both the prefix scan (an ``IN [`` inside a string
-    literal is data) and the element scan (a ``]`` inside an element never
-    closes the list). Runs once at parse start — it cannot collide with
-    relationship brackets (never preceded by IN) or UNWIND lists (clause-
-    initial)."""
-    out = list(query)
-    i = 0
-    n = len(query)
-    while i < n:
-        ch = query[i]
-        if ch == "'":
-            j = query.find("'", i + 1)
-            i = (j if j >= 0 else n - 1) + 1
-            continue
-        m = re.match(r"\bIN\s*\[", query[i:], re.I)
-        if m and (i == 0 or not (query[i - 1].isalnum() or query[i - 1] == "_")):
-            lb = i + m.end() - 1
-            k = lb + 1
-            while k < n:
-                c2 = query[k]
-                if c2 == "'":
-                    j = query.find("'", k + 1)
-                    k = (j if j >= 0 else n - 1) + 1
-                    continue
-                if c2 == "]":
-                    break
-                k += 1
-            if k < n:
-                out[lb] = "("
-                out[k] = ")"
-                i = k + 1
+    Whole-query pass, quote-aware on both the prefix scan (an ``IN [``
+    inside a string literal is data) and the element scan (a ``]`` inside
+    an element never closes the list). Runs once at parse start — BEFORE
+    any position-derived masking, so downstream scanners see only the
+    rewritten text — and cannot collide with relationship brackets (never
+    preceded by IN) or UNWIND lists (clause-initial).
+
+    The EMPTY list (the canonical ``IN $ids`` with ``ids=[]`` request)
+    cannot become SQL ``IN ()`` (a parse error): Neo4j defines
+    ``x IN []`` as false, so ``<operand> IN []`` rewrites to ``( FALSE )``
+    — and ``<operand> NOT IN []`` to ``( TRUE )`` — consuming the operand
+    (an identifier / var.prop / single function call over one)."""
+
+    def _find_list(s: str, start: int):
+        """Next (kw_start, lbracket, rbracket) of an IN [...] outside
+        quotes, or None."""
+        i = start
+        n = len(s)
+        while i < n:
+            ch = s[i]
+            if ch == "'":
+                j = s.find("'", i + 1)
+                i = (j if j >= 0 else n - 1) + 1
                 continue
-        i += 1
-    return "".join(out)
+            m = re.match(r"\bIN\s*\[", s[i:], re.I)
+            if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                lb = i + m.end() - 1
+                k = lb + 1
+                while k < n:
+                    c2 = s[k]
+                    if c2 == "'":
+                        j = s.find("'", k + 1)
+                        k = (j if j >= 0 else n - 1) + 1
+                        continue
+                    if c2 == "]":
+                        return i, lb, k
+                    k += 1
+                return None  # unterminated — leave for downstream rejection
+            i += 1
+        return None
+
+    pos = 0
+    while True:
+        hit = _find_list(query, pos)
+        if hit is None:
+            break
+        kw, lb, rb = hit
+        if query[lb + 1 : rb].strip():
+            # non-empty: brackets become parens, content untouched
+            query = f"{query[:lb]}({query[lb + 1: rb]}){query[rb + 1:]}"
+            pos = rb + 1
+            continue
+        # empty list: consume the operand and fold to a boolean literal
+        oend = kw
+        while oend > 0 and query[oend - 1].isspace():
+            oend -= 1
+        ostart = oend
+        if ostart > 0 and query[ostart - 1] == ")":
+            depth = 0
+            ostart -= 1
+            while ostart > 0:
+                if query[ostart] == ")":
+                    depth += 1
+                elif query[ostart] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                ostart -= 1
+        while ostart > 0 and (query[ostart - 1].isalnum() or query[ostart - 1] in "._$"):
+            ostart -= 1
+        if ostart == oend:
+            raise CypherSyntaxError(
+                f"IN [] needs a plain operand to fold to FALSE: "
+                f"{query[max(0, kw - 20): rb + 1]!r}"
+            )
+        # a preceding NOT negates: x NOT IN [] == true
+        notm = re.search(r"\bNOT\s*$", query[:ostart], re.I)
+        lit = "( FALSE )"
+        if notm:
+            ostart = notm.start()
+            lit = "( TRUE )"
+        query = f"{query[:ostart]}{lit}{query[rb + 1:]}"
+        pos = ostart + len(lit)
+    return query
 
 _PROPS = ("name", "label")
 _RESERVED = {"src", "dst", "hops", "path_weight", "id", "name", "label"}

@@ -570,3 +570,26 @@ def test_property_map_inside_exists_body(spark):
         spark, SF_SMALL, "MATCH (c)-[:CUSTOMER_OF]->(n) RETURN DISTINCT n"
     ).count()
     assert len(neg) == all_n
+
+
+def test_empty_in_list_folds_to_neo4j_semantics(spark):
+    """x IN [] == false, NOT x IN [] == true (Neo4j) — the empty-$ids
+    API path must not compile to SQL `IN ()` (a parse error)."""
+    from mimranalytics_core_spark import api
+
+    tot = api.cypher(
+        spark, SF_SMALL, "MATCH (c)-[:CUSTOMER_OF]->(n) RETURN c"
+    ).count()
+    empty = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE c.id IN $ids RETURN c",
+        params={"ids": []},
+    ).count()
+    neg = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE NOT c.id IN $ids RETURN c",
+        params={"ids": []},
+    ).count()
+    assert empty == 0 and neg == tot > 0
