@@ -150,9 +150,14 @@ Grammar subset:
   places (the engine's float-hash discipline; per-pair path_weight is
   already round-6).
 - ``ORDER BY item [ASC|DESC], ...`` over RETURN output columns (aliases
-  or default names), then ``SKIP n`` / ``LIMIT n``. Ties are NOT broken
-  implicitly — order by a unique column (e.g. the entity id) before
-  LIMIT for deterministic pagination, as the §2.6 operators do.
+  or default names) — or over a NON-returned property (round-7, Neo4j's
+  ``RETURN c ORDER BY c.name``): the property is projected as a hidden
+  column, sorted on, and dropped after paging; rejected under implicit
+  grouping or RETURN DISTINCT (it would change the grouping/dedup
+  domain — Neo4j rejects those too). Then ``SKIP n`` / ``LIMIT n``.
+  Ties are NOT broken implicitly — order by a unique column (e.g. the
+  entity id) before LIMIT for deterministic pagination, as the §2.6
+  operators do.
 - ``[NOT] EXISTS { <pattern> [WHERE <pred>] }`` pattern predicates
   (Neo4j's existential subquery, both the bare-pattern and MATCH-prefixed
   forms), plus the BARE pattern-predicate sugar ``WHERE [NOT]
@@ -1989,9 +1994,11 @@ def parse(query: str) -> dict:
         for it in scope0_items
     )
 
-    # ORDER BY: names must resolve to RETURN output columns
+    # ORDER BY: names must resolve to RETURN output columns (or project
+    # as hidden sort columns — see below)
     out_names = {p["name"] for p in projection}
     order_by: list[tuple[str, bool]] = []
+    hidden_order_cols: list[str] = []
     if rm_.group("order"):
         order_txt = tail[tpos + rm_.start("order") : tpos + rm_.end("order")]
         for key in _unmask(order_txt).split(","):
@@ -2006,11 +2013,33 @@ def parse(query: str) -> dict:
                 except CypherSyntaxError:
                     mapped = None
                 cand = [p["name"] for p in projection if mapped and p.get("col") == mapped]
-                if not cand:
+                if cand:
+                    name = cand[0]
+                elif (
+                    mapped
+                    and not any(it["kind"] == "agg" for it in projection)
+                    and not ret_distinct
+                ):
+                    # ORDER BY a NON-returned property (round-7 — Neo4j
+                    # allows `RETURN c ORDER BY c.name`): project it as a
+                    # hidden column, sort on it, drop it after paging.
+                    # Disallowed under implicit grouping (it would become
+                    # a grouping key) and RETURN DISTINCT (it would change
+                    # the dedup domain) — Neo4j rejects those too.
+                    hname = f"__ord{len(order_by)}"
+                    projection.append({"kind": "plain", "col": mapped, "name": hname})
+                    hidden_order_cols.append(hname)
+                    name = hname
+                else:
                     raise CypherSyntaxError(
                         f"ORDER BY key {name!r} is not a RETURN output column"
+                        + (
+                            " (ordering by a non-returned property is not "
+                            "defined under aggregation or DISTINCT)"
+                            if mapped
+                            else ""
+                        )
                     )
-                name = cand[0]
             order_by.append((name, (km.group("dir") or "ASC").upper() == "ASC"))
 
     return {
@@ -2042,6 +2071,7 @@ def parse(query: str) -> dict:
         "projection": projection,
         "prop_vars": {k: sorted(v) for k, v in prop_vars.items()},
         "order_by": order_by,
+        "hidden_order_cols": hidden_order_cols,
         "skip": int(rm_.group("skip")) if rm_.group("skip") else None,
         "limit": int(rm_.group("limit")) if rm_.group("limit") else None,
     }
@@ -2443,4 +2473,7 @@ def _run_single(
         df = df.offset(p["skip"])
     if p["limit"] is not None:
         df = df.limit(p["limit"])
+    if p.get("hidden_order_cols"):
+        # non-returned ORDER BY properties: sorted on, then dropped
+        df = df.drop(*p["hidden_order_cols"])
     return df

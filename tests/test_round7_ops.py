@@ -593,3 +593,41 @@ def test_empty_in_list_folds_to_neo4j_semantics(spark):
         params={"ids": []},
     ).count()
     assert empty == 0 and neg == tot > 0
+
+
+# ---- ORDER BY non-returned property (round-7) ----
+
+
+def test_order_by_nonreturned_property(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) "
+        "RETURN DISTINCT n.name AS nm ORDER BY nm DESC LIMIT 1",
+    ).collect()
+    top_name = rows[0].nm
+    rows2 = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) RETURN n ORDER BY n.name DESC, n LIMIT 2",
+    ).collect()
+    # hidden sort column must not leak into the output schema
+    assert list(rows2[0].asDict().keys()) == ["n"]
+    check = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE n.name = $nm RETURN DISTINCT n",
+        params={"nm": top_name},
+    ).collect()
+    assert rows2[0].n == check[0].n
+
+
+def test_order_by_property_guards(spark):
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with pytest.raises(CypherSyntaxError, match="not defined under aggregation"):
+        parse("MATCH (c)-[:CUSTOMER_OF]->(n) RETURN n, count(*) AS x ORDER BY n.name")
+    with pytest.raises(CypherSyntaxError, match="not defined under aggregation"):
+        parse("MATCH (c)-[:CUSTOMER_OF]->(n) RETURN DISTINCT n ORDER BY n.name")
