@@ -28,6 +28,12 @@ Endpoints (GET, query-string parameters):
   pushed filters, join strategies, shuffle count — before running it at
   corpus scale)
 - ``/conflicts?max_levenshtein=3``    → api.conflict_report
+- ``/ops[?family=graph]``             → the saved-query catalog: every
+  registered operator with its family and whether a SQL oracle certifies
+  it (round-7 — the reference's saved-analytics listing surface)
+- ``/run?name=<op>[&max_rows=n]``     → run one saved query by registry
+  name against the server's SF directory (name validated against the
+  registry — no eval surface; unknown name → HTTP 400)
 
 Design notes:
 
@@ -142,6 +148,34 @@ def make_server(
                     df = api.conflict_report(
                         spark, sf_dir, max_levenshtein=int(q.get("max_levenshtein", 3))
                     )
+                elif u.path == "/ops":
+                    # saved-query catalog: every registered operator, its
+                    # family, and whether a SQL oracle certifies it —
+                    # the reference's saved-analytics listing surface
+                    from mimranalytics_core_spark.registry import all_ops
+
+                    fam = q.get("family")
+                    ops = [
+                        {
+                            "name": name,
+                            "family": spec.category,
+                            "oracle": spec.oracle is not None,
+                        }
+                        for name, spec in sorted(all_ops().items())
+                        if fam is None or spec.category == fam
+                    ]
+                    self._send(200, json.dumps({"ops": ops, "n": len(ops)}).encode())
+                    return
+                elif u.path == "/run":
+                    # run one saved query by registry name; the name is
+                    # validated against the registry (no eval surface)
+                    from mimranalytics_core_spark.registry import all_ops
+
+                    name = q.get("name", "")
+                    spec = all_ops().get(name)
+                    if spec is None:
+                        raise ValueError(f"unknown op: {name!r} (see /ops)")
+                    df = spec.fn(spark, sf_dir)
                 else:
                     self._send(404, b'{"error": "unknown endpoint"}')
                     return

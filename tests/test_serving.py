@@ -152,3 +152,27 @@ def test_explain_endpoint_returns_plan(server):
     assert "Physical Plan" in body["plan"]
     # the pushed-down prefix filter must be visible in the served plan
     assert "PushedFilters" in body["plan"] or "Filter" in body["plan"]
+
+
+def test_ops_catalog_lists_registry(server):
+    got = _get(server, "/ops")
+    assert got["n"] >= 280
+    by_name = {o["name"]: o for o in got["ops"]}
+    assert by_name["scan_parquet"]["oracle"] is True
+    assert by_name["agg_approx_distinct"]["oracle"] is False
+    graph_only = _get(server, "/ops", family="graph")
+    assert 0 < graph_only["n"] < got["n"]
+    assert all(o["family"] == "graph" for o in graph_only["ops"])
+
+
+def test_run_endpoint_executes_saved_query(server, spark):
+    got = _get(server, "/run", name="scan_pruned", max_rows=5)
+    assert 0 < got["n"] <= 5
+
+
+def test_run_endpoint_unknown_name_400(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/run", name="nope_nope")
+    assert ei.value.code == 400
