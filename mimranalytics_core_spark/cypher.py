@@ -244,7 +244,9 @@ _REL_RE = re.compile(
     re.IGNORECASE | re.VERBOSE,
 )
 _AGG_ITEM = re.compile(
-    r"^(?P<fn>count|sum|min|max|avg|collect)\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[\w.]+)\s*\)"
+    r"^(?P<fn>count|sum|min|max|avg|collect|stDev|stDevP|percentileCont|percentileDisc)"
+    r"\s*\(\s*(?P<distinct>DISTINCT\s+)?(?P<arg>\*|[\w.]+)"
+    r"(?:\s*,\s*(?P<q>[0-9]*\.?[0-9]+))?\s*\)"
     r"(?:\s+AS\s+(?P<alias>\w+))?$",
     re.IGNORECASE,
 )
@@ -1695,17 +1697,43 @@ def parse(query: str) -> dict:
             if am:
                 fn = am.group("fn").lower()
                 arg = am.group("arg")
+                qv = am.group("q")
+                # percentile fns take (expr, q in [0,1]); everything else
+                # is single-argument (Neo4j signatures)
+                if fn in ("percentilecont", "percentiledisc"):
+                    if qv is None:
+                        raise CypherSyntaxError(
+                            f"{am.group('fn')}() needs a second percentile "
+                            f"argument in [0, 1]: {item!r}"
+                        )
+                    if not 0.0 <= float(qv) <= 1.0:
+                        raise CypherSyntaxError(
+                            f"percentile must be in [0, 1]: {item!r}"
+                        )
+                elif qv is not None:
+                    raise CypherSyntaxError(
+                        f"{am.group('fn')}() takes one argument: {item!r}"
+                    )
+                if fn in ("stdev", "stdevp", "percentilecont", "percentiledisc") and am.group(
+                    "distinct"
+                ):
+                    raise CypherSyntaxError(
+                        f"DISTINCT is not supported for {am.group('fn')}(): {item!r}"
+                    )
                 if arg == "*":
                     if fn != "count":
                         raise CypherSyntaxError(f"only count(*) may take '*': {item!r}")
                     col, default = None, "count_star"
                 else:
                     col = resolve(arg, f"aggregate argument in {ctx}")
-                    # sum/avg need numbers; min/max take any ORDERABLE value
-                    # (Neo4j min/max work on strings too — orderability).
-                    if fn in ("sum", "avg") and not numeric_ok(col):
+                    # sum/avg/stDev/percentile need numbers; min/max take any
+                    # ORDERABLE value (Neo4j min/max work on strings too).
+                    if fn in (
+                        "sum", "avg", "stdev", "stdevp", "percentilecont", "percentiledisc"
+                    ) and not numeric_ok(col):
                         raise CypherSyntaxError(
-                            f"{fn}() needs a numeric argument (hops/path_weight): {item!r}"
+                            f"{am.group('fn')}() needs a numeric argument "
+                            f"(hops/path_weight): {item!r}"
                         )
                     default = f"{fn}_{arg.replace('.', '_')}"
                 items.append(
@@ -1713,6 +1741,7 @@ def parse(query: str) -> dict:
                         "kind": "agg",
                         "fn": fn,
                         "col": col,
+                        "q": float(qv) if qv is not None else None,
                         "distinct": bool(am.group("distinct")),
                         "name": am.group("alias") or default,
                     }
@@ -2405,6 +2434,29 @@ def _run_single(
                     F.collect_set(it["col"]) if it["distinct"] else F.collect_list(it["col"])
                 )
                 e = F.array_sort(base)
+            elif it["fn"] == "stdev":
+                e = F.round(F.stddev_samp(it["col"]), 6)
+            elif it["fn"] == "stdevp":
+                e = F.round(F.stddev_pop(it["col"]), 6)
+            elif it["fn"] == "percentilecont":
+                # SQL-standard continuous percentile: interpolated at rank
+                # (n-1)*q — Spark's percentile() and DuckDB's
+                # quantile_cont() share this definition
+                e = F.round(F.percentile(it["col"], F.lit(it["q"])), 6)
+            elif it["fn"] == "percentiledisc":
+                # SQL-standard discrete percentile: the smallest value
+                # whose cume_dist >= q, i.e. the sorted element at 1-based
+                # index ceil(q*n). Exact via per-group sort — group sizes
+                # here are key-bounded (Cypher implicit grouping over
+                # dimension keys); corpus-scale percentiles belong to the
+                # approx-sketch op (agg_approx_percentile).
+                e = F.round(
+                    F.expr(
+                        f"element_at(array_sort(collect_list({it['col']})), "
+                        f"greatest(1, cast(ceil({it['q']} * count({it['col']})) as int)))"
+                    ),
+                    6,
+                )
             else:
                 e = getattr(F, it["fn"])(it["col"])
                 if it["fn"] in ("sum", "avg"):

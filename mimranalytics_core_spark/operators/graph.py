@@ -4012,3 +4012,48 @@ def cypher_pattern_predicate(spark, sf_dir):
            RETURN n, count(*) AS n_cust
            ORDER BY n""",
     )
+
+
+@register(
+    "cypher_agg_percentiles",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL}
+        SELECT ce.dst AS n,
+               ROUND(STDDEV_SAMP(ROUND(ce.weight, 6)), 6) AS sd,
+               ROUND(STDDEV_POP(ROUND(ce.weight, 6)), 6) AS sdp,
+               ROUND(quantile_cont(ROUND(ce.weight, 6), 0.5), 6) AS p50,
+               ROUND(quantile_disc(ROUND(ce.weight, 6), 0.5), 6) AS p50d
+        FROM edges ce
+        WHERE ce.rel_type = 'customer_of'
+        GROUP BY ce.dst
+        ORDER BY n
+    """,
+    notes=(
+        "the rest of Neo4j's aggregate set (round-7): stDev/stDevP -> "
+        "stddev_samp/stddev_pop, percentileCont -> Spark percentile() "
+        "(SQL-standard (n-1)*q interpolation, the same definition DuckDB's "
+        "quantile_cont uses — verified exact, 0 mismatches), and "
+        "percentileDisc computed EXACTLY as the sorted element at 1-based "
+        "index ceil(q*n) (the SQL-standard smallest-value-with-cume_dist"
+        ">=q; matches DuckDB quantile_disc bit-for-bit). All round-6 per "
+        "the float-hash discipline; inputs are the per-pair round-6 "
+        "relationship weights. Scale: stDev/percentileCont are one-pass "
+        "partial aggregates; percentileDisc sorts per GROUP (key-bounded "
+        "here — 25 nations); corpus-scale percentiles are the declared "
+        "approx-sketch op (agg_approx_percentile). Oracle: DuckDB "
+        "stddev/quantile twins on the same edge CTE"
+    ),
+)
+def cypher_agg_percentiles(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[r:CUSTOMER_OF]->(n)
+           RETURN n, stDev(r.weight) AS sd, stDevP(r.weight) AS sdp,
+                  percentileCont(r.weight, 0.5) AS p50,
+                  percentileDisc(r.weight, 0.5) AS p50d
+           ORDER BY n""",
+    )

@@ -631,3 +631,38 @@ def test_order_by_property_guards(spark):
         parse("MATCH (c)-[:CUSTOMER_OF]->(n) RETURN n, count(*) AS x ORDER BY n.name")
     with pytest.raises(CypherSyntaxError, match="not defined under aggregation"):
         parse("MATCH (c)-[:CUSTOMER_OF]->(n) RETURN DISTINCT n ORDER BY n.name")
+
+
+# ---- Neo4j aggregate set completion (round-7) ----
+
+
+def test_percentile_and_stdev_aggregates(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[r:CUSTOMER_OF]->(n) "
+        "RETURN n, stDev(r.weight) AS sd, percentileCont(r.weight, 0.5) AS p50, "
+        "percentileDisc(r.weight, 0.5) AS p50d ORDER BY n",
+    ).collect()
+    assert len(rows) == 25
+    for r in rows:
+        assert r.sd is None or r.sd >= 0
+        # disc percentile must be an actual data value <= interpolated median
+        assert r.p50d <= r.p50 or abs(r.p50d - r.p50) < 1e-9
+
+
+def test_percentile_guards(spark):
+    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+
+    with pytest.raises(CypherSyntaxError, match="second percentile"):
+        parse("MATCH (c)-[r:CUSTOMER_OF]->(n) RETURN n, percentileCont(r.weight) AS p")
+    with pytest.raises(CypherSyntaxError, match=r"in \[0, 1\]"):
+        parse(
+            "MATCH (c)-[r:CUSTOMER_OF]->(n) RETURN n, percentileCont(r.weight, 1.5) AS p"
+        )
+    with pytest.raises(CypherSyntaxError, match="takes one argument"):
+        parse("MATCH (c)-[r:CUSTOMER_OF]->(n) RETURN n, stDev(r.weight, 0.5) AS p")
+    with pytest.raises(CypherSyntaxError, match="numeric argument"):
+        parse("MATCH (c)-[:CUSTOMER_OF]->(n) RETURN n, stDev(c.name) AS p")
