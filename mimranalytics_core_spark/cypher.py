@@ -146,9 +146,16 @@ Grammar subset:
   ``collect([DISTINCT] expr)`` (→ a SORTED array — Cypher's collect() has
   no ordering guarantee, so the engine pins lexical order for determinism,
   as agg_collect does) — non-aggregate RETURN items become the grouping
-  keys, exactly as in Cypher. ``sum``/``avg`` results are rounded to 6
-  places (the engine's float-hash discipline; per-pair path_weight is
-  already round-6).
+  keys, exactly as in Cypher. Round-7 completes Neo4j's aggregate set:
+  ``stDev``/``stDevP`` (sample/population stddev), ``percentileCont(x,
+  q)`` (SQL-standard ``(n-1)*q`` interpolation — Spark ``percentile()``,
+  the definition DuckDB's quantile_cont shares) and ``percentileDisc(x,
+  q)`` (EXACT smallest-value-with-cume_dist≥q via per-group sort; group
+  sizes are key-bounded under implicit grouping — corpus-scale
+  percentiles are the approx-sketch op's job). ``sum``/``avg``/``stDev*``/
+  ``percentile*`` results are rounded to 6 places (the engine's
+  float-hash discipline; per-pair path_weight is already round-6).
+  ``id(n)`` resolves to the node identity (≡ ``n`` ≡ ``n.id``).
 - ``ORDER BY item [ASC|DESC], ...`` over RETURN output columns (aliases
   or default names) — or over a NON-returned property (round-7, Neo4j's
   ``RETURN c ORDER BY c.name``): the property is projected as a hidden
@@ -300,6 +307,9 @@ def _fn_rewrite(seg: str) -> str:
     seg = re.sub(r"\btoLower\s*\(", "lower(", seg)
     seg = re.sub(r"\btoUpper\s*\(", "upper(", seg)
     seg = re.sub(r"\bsize\s*\(", "length(", seg, flags=re.I)
+    # Neo4j id(n): the namespaced node id IS the identity — id(n) ≡ n.
+    # A non-variable operand falls through to the identifier name check.
+    seg = re.sub(r"\bid\s*\(\s*([A-Za-z_]\w*)\s*\)", r"\1", seg)
     # toString/toInteger/toFloat take ONE argument: rewrite the matching
     # close paren too (args may contain nested parens)
     for fn, sqlty in (("toString", "STRING"), ("toInteger", "BIGINT"), ("toFloat", "DOUBLE")):
@@ -1106,6 +1116,11 @@ def parse(query: str) -> dict:
                 f"length({path_var}), nodes({path_var}) or "
                 f"relationships({path_var}) instead (subset limit)"
             )
+        idm = re.match(r"^id\(\s*([A-Za-z_]\w*)\s*\)$", expr, re.I)
+        if idm and idm.group(1) in varset:
+            # Neo4j's id(n) — the node's identity. The engine's namespaced
+            # node id IS the identity, so id(n) ≡ n ≡ n.id (round-7).
+            return idm.group(1)
         lm = re.match(r"^length\(\s*([A-Za-z_]\w*)\s*\)$", expr, re.I)
         if lm and path_var and lm.group(1) == path_var:
             if not single and not shortest:

@@ -666,3 +666,15 @@ def test_percentile_guards(spark):
         parse("MATCH (c)-[r:CUSTOMER_OF]->(n) RETURN n, stDev(r.weight, 0.5) AS p")
     with pytest.raises(CypherSyntaxError, match="numeric argument"):
         parse("MATCH (c)-[:CUSTOMER_OF]->(n) RETURN n, stDev(c.name) AS p")
+
+
+def test_id_function_resolves_to_node_identity(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE id(c) = 'c:1' "
+        "RETURN id(c) AS cid, id(n) AS nid",
+    ).collect()
+    assert len(rows) == 1 and rows[0].cid == "c:1" and rows[0].nid.startswith("n:")
