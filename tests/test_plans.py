@@ -278,3 +278,34 @@ def test_cypher_with_topk_collapses_to_take_ordered(spark):
     (not a global sort of the full frame followed by a limit)."""
     plan = _plan(spark, "cypher_with_topk_rematch")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bare_pattern_predicate_compiles_to_anti_join(spark):
+    plan = _plan(spark, "cypher_pattern_predicate")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_expr_coalesce_aggregates_below_customer_join(spark):
+    """The r7 reshape: the supplier aggregate must run BEFORE the frame
+    joins customers (aggregate-below-join — the linear-decade plan), and
+    the dimension-sized aggregate side must broadcast."""
+    plan = _plan(spark, "cypher_expr_coalesce")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # partial+final HashAggregate pairs exist for the nation-level min/count
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_property_map_id_filter_on_scan_side(spark):
+    plan = _plan(spark, "cypher_property_map")
+    # the OPTIONAL clause's name-equality must appear as a Filter, and the
+    # plan must stay cartesian-free
+    assert "Supplier#000000001" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mp4_meta_is_scan_local(spark):
+    plan = _plan(spark, "multimodal_mp4_meta")
+    # single mapInPandas stage over the scan — no shuffle of payloads
+    assert "Exchange" not in plan.split("MapInPandas")[0]
