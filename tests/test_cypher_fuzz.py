@@ -73,7 +73,17 @@ def _query(draw):
             q = f"UNWIND {lst} AS k " + q
             unwound = True
     if draw(st.booleans()):
-        q += f" WHERE {vs[0]}.id STARTS WITH 'c:'"
+        wpred = draw(
+            st.sampled_from(
+                [
+                    "{v}.id STARTS WITH 'c:'",
+                    "{v}.id IN ['c:1', 'c:2']",
+                    "id({v}) = 'c:1'",
+                    "toInteger(substring({v}.id, 3)) < 50",
+                ]
+            )
+        ).format(v=vs[0])
+        q += f" WHERE {wpred}"
         if not shortest and draw(st.integers(0, 2)) == 0:
             neg = "NOT " if draw(st.booleans()) else ""
             e9n = draw(st.sampled_from(["(e9)", "(e9 {id: 's:1'})"]))
@@ -104,6 +114,18 @@ def _query(draw):
                 items = ["piped", "n2"]
     else:
         items = [vs[0], "count(*) AS n"] if draw(st.booleans()) else list(vs[:2])
+        if rvar and draw(st.integers(0, 3)) == 0:  # round-7 aggregates
+            items.append(
+                draw(
+                    st.sampled_from(
+                        [
+                            "stDev(r.weight) AS sd",
+                            "percentileCont(r.weight, 0.5) AS p50",
+                            "percentileDisc(r.weight, 0.9) AS p90",
+                        ]
+                    )
+                )
+            )
     if rvar and not with_match and draw(st.booleans()):
         items.append("r.weight AS w")
     if pathvar and not with_match:
