@@ -84,7 +84,17 @@ Grammar subset:
   literals — never a driver-side table). ``x`` is usable in WHERE /
   RETURN / WITH; list elements must share one type; an empty list yields
   zero rows (Neo4j semantics); UNWIND variables carry no properties. The
-  canonical pairing is a ``$param`` id list.
+  canonical pairing is a ``$param`` id list. ``UNWIND range(a, b[, step])
+  AS x`` (round-7) generates the INCLUSIVE integer sequence as a lazy
+  ``spark.range`` relation — a million-element sequence never becomes a
+  million-literal plan.
+- Node-only MATCH (round-7): ``MATCH (n[:Label] [{props}])`` — Neo4j's
+  most basic clause. The clause frame is the node-id column of the
+  graph's node view (hierarchy: four narrow projections + union, no
+  shuffle; trade_credit: distinct edge endpoints); labels, property
+  maps, and WHEREs filter it like any relationship clause, and node-only
+  clauses compose with OPTIONAL MATCH / WITH / EXISTS bodies. A
+  follow-up clause must still share a variable (no cartesian products).
 - ``$name`` query parameters (:func:`bind_params`, the ``params=`` kwarg
   and the ``/cypher?params={…}`` endpoint): substituted as literals
   outside quoted strings before parsing — str/int/float/bool and flat
@@ -121,6 +131,18 @@ Grammar subset:
 - Node properties: ``var.id`` (the namespaced node id), ``var.name`` and
   ``var.label`` (resolved by equi-joining the catalog's hierarchy_nodes
   attribute view) — usable in WHERE and RETURN.
+- Graph-introspection functions (round-7), statically resolved against
+  the parsed pattern: ``type(r)`` folds to the segment's declared
+  relationship-type literal (single-hop, single-type segments — a
+  var-length relationship binds a list in Neo4j); ``startNode(r)`` /
+  ``endNode(r)`` map to the segment's endpoint variables (directed
+  single-hop segments — an undirected traversal loses the stored
+  orientation); ``labels(n)`` is the one-element label array — a literal
+  for inline-labeled variables, ``array(initcap(n.label))`` over the
+  attribute view otherwise. All four work in RETURN/WITH expressions and
+  WHEREs; arguments must be bound before the first WITH (subset limit).
+- Literal RETURN/WITH items: ``RETURN 1 AS one``, ``'x' AS tag``
+  (aliases required, as for every expression item).
 - Relationship types are case-insensitive (``:CUSTOMER_OF`` → the catalog's
   ``customer_of``); omitted types traverse every edge.
 - ``*`` bounds: ``*2..4``, ``*..3`` (min 1), ``*2..`` is REJECTED (no
@@ -433,6 +455,9 @@ _EXPR_ALLOW = {
     "bigint", "double", "float", "string", "boolean", "decimal",
     "case", "when", "then", "else", "end", "and", "or", "not",
     "like", "is", "null", "true", "false", "as",
+    # round-7: array constructors/accessors the labels() rewrite and
+    # migrating users need (labels(n) → array(initcap(n.label)))
+    "array", "initcap", "array_join", "element_at", "size",
 }
 
 
@@ -526,6 +551,15 @@ _UNWIND_RE = re.compile(
     # items scan is quote-aware: a ']' inside a quoted element is data
     # (round-7 — surfaced by the IN-list rewrite tests)
     r"\s*UNWIND\s*\[(?P<items>(?:'[^']*'|[^\]'])*)\]\s+AS\s+(?P<var>[A-Za-z_]\w*)",
+    re.I,
+)
+# UNWIND range(a, b[, step]) — Neo4j's integer sequence generator
+# (INCLUSIVE stop, unlike Spark/Python). Compiled to a lazy spark.range
+# relation, so `UNWIND range(1, 1000000) AS i` never materializes a
+# million-literal plan (round-7).
+_UNWIND_RANGE_RE = re.compile(
+    r"\s*UNWIND\s+range\s*\(\s*(?P<a>-?\d+)\s*,\s*(?P<b>-?\d+)\s*"
+    r"(?:,\s*(?P<s>-?\d+)\s*)?\)\s+AS\s+(?P<var>[A-Za-z_]\w*)",
     re.I,
 )
 
@@ -703,13 +737,27 @@ def parse(query: str) -> dict:
     upos = 0
     while True:
         um = _UNWIND_RE.match(query, upos)
-        if not um:
+        rg = None if um else _UNWIND_RANGE_RE.match(query, upos)
+        if not um and not rg:
             break
-        uvar = um.group("var")
+        uvar = (um or rg).group("var")
         if uvar.lower() in _RESERVED or any(u["var"] == uvar for u in unwinds):
             raise CypherSyntaxError(f"UNWIND variable {uvar!r} collides with another name")
-        unwinds.append({"var": uvar, "values": _parse_list_literal(um.group("items"))})
-        upos = um.end()
+        if um:
+            unwinds.append({"var": uvar, "values": _parse_list_literal(um.group("items"))})
+            upos = um.end()
+        else:
+            step = int(rg.group("s")) if rg.group("s") else 1
+            if step == 0:
+                raise CypherSyntaxError("range() step must be non-zero")
+            unwinds.append(
+                {
+                    "var": uvar,
+                    "values": None,
+                    "range": (int(rg.group("a")), int(rg.group("b")), step),
+                }
+            )
+            upos = rg.end()
 
     hm = _MATCH_HEAD.match(query[upos:])  # slice: the regex is ^-anchored
     if not hm and not unwinds:
@@ -794,8 +842,10 @@ def parse(query: str) -> dict:
             )
             cvars.append(nm.group(1))
             pos = nm.end()
-        if not segs:
-            raise CypherSyntaxError(f"pattern needs at least one relationship: {query!r}")
+        # zero segments = a node-only chain `(n[:Label] [{props}])` —
+        # Neo4j's most basic MATCH (round-7). The clause frame is the
+        # node-id column of the graph's node view, label/property maps
+        # filter it like any other clause predicate.
         # within a clause each variable binds once; variables already bound
         # by earlier clauses may reappear (they are the join anchors)
         fresh = [v for v in cvars if v not in bound]
@@ -944,6 +994,7 @@ def parse(query: str) -> dict:
                 "segments": segs,
                 "labels": _cur_labels["cur"],
                 "fresh": [v for v in cvars if v not in bound],
+                "vars": list(cvars),
                 "where_raw": None,
                 "prop_conjs": _cur_props["cur"],
             }
@@ -1002,6 +1053,86 @@ def parse(query: str) -> dict:
     # keyword can't bind to it, then unmask every extracted fragment
     tail = re.sub(r"STARTS\s+WITH", "STARTS__WITH", query[pos:], flags=re.I)
     tail = re.sub(r"ENDS\s+WITH", "ENDS__WITH", tail, flags=re.I)
+
+    # ---- graph-introspection functions (round-7): type(r), startNode(r),
+    # endNode(r), labels(n) ----
+    # All four are STATICALLY resolvable against the parsed pattern — the
+    # engine's graph is a typed view, so a single-hop segment's
+    # relationship type is the declared literal, its endpoints are the
+    # pattern variables, and a node's label is either the inline label or
+    # the `label` property of the node-attribute view. Rewritten here
+    # (before the pipeline scanner masks the tail) so the results flow
+    # through the ordinary expression machinery; quote-aware, and scoped
+    # to pre-WITH bindings (stage-introduced variables are a documented
+    # subset limit with a targeted error).
+    def _gfn_type(m: re.Match) -> str:
+        rv = m.group(1)
+        seg_ = rvar_seg.get(rv)
+        if seg_ is None:
+            raise CypherSyntaxError(
+                f"type() needs a relationship variable bound by a pattern "
+                f"before the first WITH: {m.group(0)!r}"
+            )
+        if (seg_["min_hops"], seg_["max_hops"]) != (1, 1):
+            raise CypherSyntaxError(
+                f"type({rv}) needs a single-hop segment — a var-length "
+                "relationship binds a list in Neo4j, not one relationship"
+            )
+        tps = seg_["types"]
+        if not tps or len(tps) != 1:
+            raise CypherSyntaxError(
+                f"type({rv}) needs exactly one declared relationship type "
+                f"on the segment (got {tps or 'none'})"
+            )
+        return f"'{tps[0].upper()}'"
+
+    def _gfn_endpoint(m: re.Match) -> str:
+        fn, rv = m.group(1).lower(), m.group(2)
+        seg_ = rvar_seg.get(rv)
+        if seg_ is None:
+            raise CypherSyntaxError(
+                f"{m.group(1)}() needs a relationship variable bound by a "
+                f"pattern before the first WITH: {m.group(0)!r}"
+            )
+        if (seg_["min_hops"], seg_["max_hops"]) != (1, 1):
+            raise CypherSyntaxError(
+                f"{m.group(1)}({rv}) needs a single-hop segment"
+            )
+        if seg_.get("direction") != "out":
+            raise CypherSyntaxError(
+                f"{m.group(1)}({rv}) is undefined on an undirected segment "
+                "(the traversal does not preserve the stored orientation)"
+            )
+        return seg_["src"] if fn == "startnode" else seg_["dst"]
+
+    def _gfn_labels(m: re.Match) -> str:
+        v = m.group(1)
+        if v not in vars_:
+            raise CypherSyntaxError(
+                f"labels() needs a node variable bound by a pattern before "
+                f"the first WITH: {m.group(0)!r}"
+            )
+        lab = labels.get(v)
+        if lab:
+            # statically labeled: fold to the literal — no attribute join
+            return f"array('{lab.capitalize()}')"
+        return f"array(initcap({v}.label))"
+
+    def _gfn_seg(seg: str) -> str:
+        seg = re.sub(r"\btype\s*\(\s*([A-Za-z_]\w*)\s*\)", _gfn_type, seg)
+        seg = re.sub(
+            r"\b(startNode|endNode)\s*\(\s*([A-Za-z_]\w*)\s*\)",
+            _gfn_endpoint,
+            seg,
+            flags=re.I,
+        )
+        seg = re.sub(r"\blabels\s*\(\s*([A-Za-z_]\w*)\s*\)", _gfn_labels, seg)
+        return seg
+
+    tail = "".join(
+        pt if pt.startswith("'") else _gfn_seg(pt)
+        for pt in re.split(r"('(?:[^'])*')", tail)
+    )
     # keywords inside EXISTS { … } bodies must not read as pipeline
     # boundaries — reversibly mask them within brace spans. Quoted
     # literals are skipped entirely (a literal '{match}' or 'where' must
@@ -1482,6 +1613,12 @@ def parse(query: str) -> dict:
     # columns of the clause frame); property accesses resolve by joining
     # the attribute view onto the clause frame pre-filter.
     def _compile_scoped_pred(raw: str, frame_vars: set, ctx: str):
+        # graph-introspection rewrites apply here too (per-clause WHEREs
+        # are extracted before the tail pass): type(r) = 'X' etc.
+        raw = "".join(
+            pt if pt.startswith("'") else _gfn_seg(pt)
+            for pt in re.split(r"('(?:[^'])*')", raw)
+        )
         props_local: dict[str, set] = {}
 
         def _res_scoped(expr: str) -> str:
@@ -1539,11 +1676,9 @@ def parse(query: str) -> dict:
         cl["where"] = None
         cl["where_props"] = {}
         if raw:
-            fv = (
-                {s["src"] for s in cl["segments"]}
-                | {s["dst"] for s in cl["segments"]}
-                | {s["rvar"] for s in cl["segments"] if s.get("rvar")}
-            )
+            fv = set(cl.get("vars") or ()) | {
+                s["rvar"] for s in cl["segments"] if s.get("rvar")
+            }
             cl["where"], cl["where_props"] = _compile_scoped_pred(
                 raw, fv, f"WHERE of MATCH clause {ci + 1}"
             )
@@ -1762,6 +1897,17 @@ def parse(query: str) -> dict:
                     }
                 )
                 continue
+            # bare literal items (round-7): `RETURN 1 AS one`, and the
+            # type(r) rewrite's folded `'CUSTOMER_OF' AS rel`
+            lm_ = re.match(
+                r"^(?P<lit>'(?:[^'])*'|-?\d+(?:\.\d+)?)\s+AS\s+(?P<alias>\w+)$",
+                item,
+            )
+            if lm_:
+                items.append(
+                    {"kind": "case", "sql": lm_.group("lit"), "name": lm_.group("alias")}
+                )
+                continue
             im = re.match(r"^(?P<expr>\S+)(?:\s+AS\s+(?P<alias>\w+))?$", item, re.I)
             if not im:
                 raise CypherSyntaxError(f"unsupported {ctx} item: {item!r}")
@@ -1777,7 +1923,9 @@ def parse(query: str) -> dict:
         return items
 
     numeric_unwinds = {
-        u["var"] for u in unwinds if {k for k, _ in u["values"]} <= {"i", "f"}
+        u["var"]
+        for u in unwinds
+        if u.get("range") or {k for k, _ in u["values"]} <= {"i", "f"}
     }
     pattern_numeric_ok = (  # noqa: E731
         lambda c: c in ("hops", "path_weight")
@@ -1916,7 +2064,12 @@ def parse(query: str) -> dict:
                     )
                 relvars.add(rv)
             pclauses.append(
-                {"optional": pending_p, "segments": segs, "labels": _cur_labels["cur"]}
+                {
+                    "optional": pending_p,
+                    "segments": segs,
+                    "labels": _cur_labels["cur"],
+                    "vars": list(cvars),
+                }
             )
             vars_p += [v for v in cvars if v not in bound_p]
             bound_p |= set(cvars)
@@ -2194,6 +2347,25 @@ def _run_single(
         # (Neo4j: no relationship repeats anywhere in one MATCH pattern,
         # comma chains included; uniqueness does NOT span clauses).
         # Row-local array ops on <= max_hops keys — no extra shuffle.
+        if not clause["segments"]:
+            # node-only clause (round-7): `MATCH (n[:Label])` — the frame
+            # is the node-id column of the graph's node view. For the
+            # hierarchy graph that's four narrow projections + union (no
+            # shuffle); trade_credit derives its node set from the edge
+            # endpoints (one distinct). Labels/property maps/WHEREs filter
+            # this frame through the ordinary clause machinery.
+            var = clause["vars"][0]
+            catalog.load(spark, sf_dir)  # the node views read temp views
+            if graph == "hierarchy":
+                return catalog.hierarchy_nodes(spark, sf_dir).select(
+                    F.col("id").alias(var)
+                )
+            e = catalog.trade_credit_edges(spark, sf_dir)
+            return (
+                e.select(F.col("src").alias(var))
+                .unionByName(e.select(F.col("dst").alias(var)))
+                .distinct()
+            )
         pending = list(enumerate(clause["segments"]))
         cframe = None
         ep_cols: list[str] = []
@@ -2375,6 +2547,16 @@ def _run_single(
     # match row pairs with every list element (Cypher's UNWIND row stream);
     # a parameter-bound id list stays a handful of rows at any corpus size
     for u in p.get("unwinds") or []:
+        if u.get("range"):
+            # UNWIND range(a, b[, step]): a LAZY spark.range relation —
+            # scales to any sequence length without a literal-per-element
+            # plan; still broadcast (range output is metadata-sized until
+            # consumed, and typical sequences are small)
+            a, b, step = u["range"]
+            end = b + 1 if step > 0 else b - 1
+            uf = spark.range(a, end, step).select(F.col("id").alias(u["var"]))
+            df = uf if df is None else df.crossJoin(F.broadcast(uf))
+            continue
         kinds = {k for k, _ in u["values"]}
         vals = [v for _, v in u["values"]]
         if not vals:

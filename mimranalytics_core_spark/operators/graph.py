@@ -4057,3 +4057,109 @@ def cypher_agg_percentiles(spark, sf_dir):
                   percentileDisc(r.weight, 0.5) AS p50d
            ORDER BY n""",
     )
+
+
+@register(
+    "cypher_node_match",
+    "graph",
+    oracle="""
+        SELECT 'n:' || n_nationkey AS n, n_name AS name
+        FROM nation
+        WHERE n_name LIKE 'NATION_1%'
+        ORDER BY name
+    """,
+    notes=(
+        "node-only MATCH (round-7): `MATCH (n:Nation) WHERE ... RETURN "
+        "n, n.name` — Neo4j's most basic clause, previously rejected "
+        "('pattern needs at least one relationship'). The clause frame is "
+        "the node-id column of the graph's node view (four narrow "
+        "projections + union — no shuffle, no edges touched); the label "
+        "prefix and the STARTS WITH predicate filter it, the attribute "
+        "join resolves n.name. Scale: label + prefix predicates reach the "
+        "underlying table scans; a node-only frame is dimension-sized "
+        "here and never wider than one column per variable at any SF. "
+        "Oracle: plain projection of the nation table"
+    ),
+)
+def cypher_node_match(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           WHERE n.name STARTS WITH 'NATION_1'
+           RETURN n, n.name AS name
+           ORDER BY name""",
+    )
+
+
+@register(
+    "cypher_graph_introspect",
+    "graph",
+    oracle="""
+        SELECT 'CUSTOMER_OF' AS rel,
+               'Customer' AS src_label,
+               'Nation' AS dst_label,
+               MIN('c:' || c_custkey) AS first_src,
+               COUNT(*) AS cnt
+        FROM customer
+    """,
+    notes=(
+        "graph-introspection functions (round-7): type(r) folds at parse "
+        "time to the segment's declared relationship-type literal, "
+        "labels(v) to the one-element label array (a literal for "
+        "inline-labeled variables, array(initcap(v.label)) over the "
+        "attribute view otherwise), startNode(r)/endNode(r) to the "
+        "segment's endpoint variables — all statically resolved against "
+        "the parsed pattern, so none of them cost a runtime join beyond "
+        "the attribute lookup labels() of an UNLABELED variable needs "
+        "(exercised here via labels(c)). Scale: constant-folded "
+        "expressions are free; the one attribute join is the same "
+        "equi-join every property access uses. Oracle: literals + "
+        "count over the customer table (one customer_of edge per "
+        "customer by construction)"
+    ),
+)
+def cypher_graph_introspect(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[r:CUSTOMER_OF]->(n:Nation)
+           RETURN type(r) AS rel,
+                  array_join(labels(c), '|') AS src_label,
+                  array_join(labels(n), '|') AS dst_label,
+                  min(startNode(r)) AS first_src,
+                  count(*) AS cnt""",
+    )
+
+
+@register(
+    "cypher_unwind_range",
+    "graph",
+    oracle="""
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS total,
+               MIN(x) AS lo, MAX(x) AS hi
+        FROM range(1, 21, 3) t(x)
+    """,
+    notes=(
+        "UNWIND range(a, b[, step]) (round-7): Neo4j's integer sequence "
+        "generator, INCLUSIVE stop. Compiled to a lazy spark.range "
+        "relation instead of a literal array, so `range(1, 1000000)` "
+        "never builds a million-literal plan — the sequence is generated "
+        "distributed, in-executor, with no driver materialization. "
+        "Oracle: DuckDB's (exclusive-stop) range table function"
+    ),
+)
+def cypher_unwind_range(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """UNWIND range(1, 20, 3) AS x
+           RETURN count(*) AS n, sum(x) AS total, min(x) AS lo, max(x) AS hi""",
+    )

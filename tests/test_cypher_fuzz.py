@@ -42,14 +42,22 @@ def _rel(draw, rvar: str = ""):
 
 @st.composite
 def _query(draw):
-    nvars = draw(st.integers(2, 4))
+    # nvars == 1 → node-only MATCH (round-7): `MATCH (n[:L] [{..}])`
+    nvars = draw(st.integers(1, 4))
     vs = draw(st.lists(_VARS, min_size=nvars, max_size=nvars, unique=True))
     shortest = nvars == 2 and draw(st.booleans())
     # single-segment patterns may bind a relationship variable
     rvar = "r" if nvars == 2 and not shortest and draw(st.booleans()) else ""
+    # a "simple" rvar rel (single-hop, one type, directed) unlocks the
+    # round-7 introspection functions type()/startNode()/endNode()
+    simple_rel = ""
+    if rvar and draw(st.booleans()):
+        arrow = draw(st.sampled_from(["out", "in"]))
+        body = f"[{rvar}:{draw(_TYPES)}]"
+        simple_rel = f"<-{body}-" if arrow == "in" else f"-{body}->"
     pat = draw(_node(vs[0]))
     for v in vs[1:]:
-        pat += draw(_rel(rvar)) + draw(_node(v))
+        pat += (simple_rel or draw(_rel(rvar))) + draw(_node(v))
     comma = False
     if not shortest and not rvar and draw(st.integers(0, 3)) == 0:
         # comma-separated multi-pattern sharing the first variable
@@ -68,8 +76,18 @@ def _query(draw):
         q = f"MATCH p2 = {pat}"
     else:
         q = f"MATCH {pat}"
-        if draw(st.integers(0, 3)) == 0:  # leading UNWIND (list literal)
-            lst = draw(st.sampled_from(["[1, 2, 3]", "['c:1', 'c:2']", "[0.5, 1.5]"]))
+        if draw(st.integers(0, 3)) == 0:  # leading UNWIND (list or range)
+            lst = draw(
+                st.sampled_from(
+                    [
+                        "[1, 2, 3]",
+                        "['c:1', 'c:2']",
+                        "[0.5, 1.5]",
+                        "range(1, 5)",       # round-7: lazy sequence
+                        "range(9, 0, -3)",
+                    ]
+                )
+            )
             q = f"UNWIND {lst} AS k " + q
             unwound = True
     if draw(st.booleans()):
@@ -128,6 +146,24 @@ def _query(draw):
             )
     if rvar and not with_match and draw(st.booleans()):
         items.append("r.weight AS w")
+    if simple_rel and not with_match and draw(st.booleans()):
+        # round-7 introspection over the simple single-hop typed rel
+        items += draw(
+            st.lists(
+                st.sampled_from(
+                    [
+                        "type(r) AS rtype",
+                        "startNode(r) AS sn",
+                        "endNode(r) AS en",
+                    ]
+                ),
+                min_size=1,
+                max_size=3,
+                unique=True,
+            )
+        )
+    if not shortest and not with_match and draw(st.integers(0, 3)) == 0:
+        items.append(f"array_join(labels({vs[0]}), '|') AS lab")
     if pathvar and not with_match:
         items += draw(
             st.lists(
@@ -168,7 +204,9 @@ def test_generated_queries_parse(q):
 
     for piece in _split_union(q)[0]:
         p = parse(piece)
-        assert p["projection"] and p["segments"]
+        assert p["projection"]
+        # node-only MATCH (round-7) legitimately has zero segments
+        assert p["segments"] or len(p["clauses"][0]["vars"]) == 1
         for seg in p["segments"]:
             assert 1 <= seg["min_hops"] <= seg["max_hops"]
 

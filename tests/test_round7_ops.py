@@ -678,3 +678,242 @@ def test_id_function_resolves_to_node_identity(spark):
         "RETURN id(c) AS cid, id(n) AS nid",
     ).collect()
     assert len(rows) == 1 and rows[0].cid == "c:1" and rows[0].nid.startswith("n:")
+
+
+# ---- node-only MATCH (round-7, second half) ----
+
+
+def test_node_match_label(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark, SF_SMALL, "MATCH (r:Region) RETURN r ORDER BY r"
+    ).collect()
+    assert [x.r for x in rows] == ["r:0", "r:1", "r:2", "r:3", "r:4"]
+
+
+def test_node_match_where_and_props(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (n:Nation) WHERE n.name STARTS WITH 'NATION_2' "
+        "RETURN n, n.name AS name ORDER BY name",
+    ).collect()
+    assert all(x.name.startswith("NATION_2") for x in rows)
+    assert len(rows) == 6  # NATION_2, NATION_20..24
+
+
+def test_node_match_unlabeled_counts_all_tiers(spark):
+    from mimranalytics_core_spark import api
+
+    n = api.cypher(spark, SF_SMALL, "MATCH (n) RETURN count(*) AS c").collect()[0].c
+    from mimranalytics_core_spark import catalog
+
+    expected = catalog.hierarchy_nodes(spark, SF_SMALL).count()
+    assert n == expected
+
+
+def test_node_match_property_map(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark, SF_SMALL, "MATCH (n:Nation {name: 'NATION_3'}) RETURN n"
+    ).collect()
+    assert [x.n for x in rows] == ["n:3"]
+
+
+def test_node_match_joins_follow_up_clause(spark):
+    from mimranalytics_core_spark import api
+
+    # node-only clause 0, relationship clause 1 joining on n
+    a = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (n:Nation) MATCH (c:Customer)-[:CUSTOMER_OF]->(n) "
+        "RETURN count(*) AS c",
+    ).collect()[0].c
+    b = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) RETURN count(*) AS c",
+    ).collect()[0].c
+    assert a == b > 0
+
+
+def test_node_match_optional_from_node_frame(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (r:Region) OPTIONAL MATCH (n:Nation)-[:NATION_OF]->(r) "
+        "RETURN r, count(n) AS k ORDER BY r",
+    ).collect()
+    assert len(rows) == 5 and all(x.k == 5 for x in rows)
+
+
+def test_node_match_trade_credit_nodes_from_edges(spark):
+    from mimranalytics_core_spark import api
+
+    n = (
+        api.cypher(
+            spark, SF_SMALL, "MATCH (a) RETURN count(*) AS c", graph="trade_credit"
+        )
+        .collect()[0]
+        .c
+    )
+    from mimranalytics_core_spark import catalog
+
+    e = catalog.trade_credit_edges(spark, SF_SMALL)
+    expected = (
+        e.selectExpr("src AS v").union(e.selectExpr("dst AS v")).distinct().count()
+    )
+    assert n == expected
+
+
+def test_node_match_still_rejects_cartesian(spark):
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="share a variable"):
+        api.cypher(spark, SF_SMALL, "MATCH (a:Nation) MATCH (b:Region) RETURN a, b")
+    with pytest.raises(CypherSyntaxError, match="share a variable"):
+        api.cypher(spark, SF_SMALL, "MATCH (a:Nation), (b:Region) RETURN a, b")
+
+
+# ---- graph-introspection functions ----
+
+
+def test_type_folds_to_declared_literal(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[r:CUSTOMER_OF]->(n) "
+        "RETURN type(r) AS rel, count(*) AS cnt",
+    ).collect()
+    assert len(rows) == 1 and rows[0].rel == "CUSTOMER_OF" and rows[0].cnt > 0
+
+
+def test_labels_static_and_dynamic(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) "
+        "RETURN array_join(labels(c), '|') AS lc, "
+        "array_join(labels(n), '|') AS ln, count(*) AS cnt",
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].lc == "Customer" and rows[0].ln == "Nation"
+
+
+def test_start_end_node_map_to_endpoints(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[r:CUSTOMER_OF]->(n) "
+        "RETURN startNode(r) AS s, endNode(r) AS e ORDER BY s LIMIT 1",
+    ).collect()
+    assert rows[0].s.startswith("c:") and rows[0].e.startswith("n:")
+
+
+def test_introspection_guards(spark):
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="single-hop"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (c)-[r:CUSTOMER_OF*1..2]->(n) RETURN type(r) AS t",
+        )
+    with pytest.raises(CypherSyntaxError, match="relationship variable"):
+        api.cypher(
+            spark, SF_SMALL, "MATCH (c)-[:CUSTOMER_OF]->(n) RETURN type(q) AS t"
+        )
+    with pytest.raises(CypherSyntaxError, match="undirected"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (c)-[r:CUSTOMER_OF]-(n) RETURN startNode(r) AS s",
+        )
+    with pytest.raises(CypherSyntaxError, match="labels"):
+        api.cypher(
+            spark, SF_SMALL, "MATCH (c)-[:CUSTOMER_OF]->(n) RETURN labels(zz) AS l"
+        )
+
+
+def test_type_in_where_constant_folds(spark):
+    from mimranalytics_core_spark import api
+
+    a = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[r:CUSTOMER_OF]->(n) WHERE type(r) = 'CUSTOMER_OF' "
+        "RETURN count(*) AS c",
+    ).collect()[0].c
+    b = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c)-[r:CUSTOMER_OF]->(n) WHERE type(r) = 'OTHER' "
+        "RETURN count(*) AS c",
+    ).collect()[0].c
+    assert a > 0 and b == 0
+
+
+# ---- UNWIND range() ----
+
+
+def test_unwind_range_inclusive_stop(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark, SF_SMALL, "UNWIND range(1, 5) AS x RETURN collect(x) AS xs"
+    ).collect()
+    assert list(rows[0].xs) == [1, 2, 3, 4, 5]
+
+
+def test_unwind_range_step_and_negative(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark, SF_SMALL, "UNWIND range(10, 1, -3) AS x RETURN collect(x) AS xs"
+    ).collect()
+    assert list(rows[0].xs) == [1, 4, 7, 10]  # collect() pins sorted order
+
+
+def test_unwind_range_zero_step_rejected(spark):
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="step"):
+        api.cypher(spark, SF_SMALL, "UNWIND range(1, 5, 0) AS x RETURN x")
+
+
+def test_unwind_range_crosses_match_frame(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "UNWIND range(1, 3) AS k MATCH (r:Region) RETURN count(*) AS c",
+    ).collect()
+    assert rows[0].c == 15  # 3 sequence values x 5 regions
+
+
+def test_literal_return_items(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (r:Region) RETURN 1 AS one, 'tag' AS tag, count(*) AS c",
+    ).collect()
+    assert (rows[0].one, rows[0].tag, rows[0].c) == (1, "tag", 5)
