@@ -325,7 +325,19 @@ def _fn_rewrite(seg: str) -> str:
     ``toInteger(x)`` → ``CAST(x AS BIGINT)``, ``toFloat(x)`` →
     ``CAST(x AS DOUBLE)``, and ``IN [a, b, …]`` list membership →
     SQL ``IN (a, b, …)`` (quote-aware bracket scan — a ']' inside a
-    string element never closes the list)."""
+    string element never closes the list). Round-7 second half:
+    ``expr =~ 'regex'`` (Neo4j's regex-match operator; both sides use
+    Java regex, so the pattern passes through verbatim) → ``RLIKE``, and
+    ``exists(token)`` (the legacy property-exists function — by this
+    point the var.prop mapping has turned ``exists(n.name)`` into
+    ``exists(n__name)``) → ``(token IS NOT NULL)``; brace-form
+    ``EXISTS { … }`` pattern predicates are untouched (different
+    delimiter, handled upstream). ``=~`` itself is handled by
+    :func:`_rx_anchor` (it needs the quoted literal, which this
+    unquoted-segment pass never sees)."""
+    seg = re.sub(
+        r"\bexists\s*\(\s*([A-Za-z_]\w*)\s*\)", r"(\1 IS NOT NULL)", seg, flags=re.I
+    )
     seg = re.sub(r"\btoLower\s*\(", "lower(", seg)
     seg = re.sub(r"\btoUpper\s*\(", "upper(", seg)
     seg = re.sub(r"\bsize\s*\(", "length(", seg, flags=re.I)
@@ -458,7 +470,44 @@ _EXPR_ALLOW = {
     # round-7: array constructors/accessors the labels() rewrite and
     # migrating users need (labels(n) → array(initcap(n.label)))
     "array", "initcap", "array_join", "element_at", "size",
+    # round-7 second half: properties() struct, regex matching
+    "named_struct", "rlike", "regexp",
 }
+
+
+def _rx_anchor(pred: str) -> str:
+    """Rewrite Neo4j's regex-match operator ``expr =~ 'pattern'`` to
+    anchored Spark SQL ``expr RLIKE '^(?:pattern)$'`` (round-7).
+
+    Neo4j ``=~`` matches the WHOLE string; Spark RLIKE finds the pattern
+    anywhere — the non-capturing anchor group restores full-match
+    semantics without touching the pattern body (both engines use Java
+    regex, so the body passes through verbatim, including bind_params'
+    doubled backslashes, which the SQL string parser un-doubles exactly
+    like every other literal predicate). Literal-aware: an ``=~`` inside
+    a quoted string is data; a non-literal right-hand side is rejected
+    (anchoring an unknown expression shape would silently fall back to
+    partial match — diverge loudly instead)."""
+    parts = re.split(r"('(?:[^'])*')", pred)
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        pt = parts[i]
+        if not pt.startswith("'"):
+            m = re.search(r"=~\s*$", pt)
+            if m and i + 1 < len(parts) and parts[i + 1].startswith("'"):
+                lit = parts[i + 1][1:-1]
+                out.append(pt[: m.start()] + " RLIKE ")
+                out.append(f"'^(?:{lit})$'")
+                i += 2
+                continue
+            if "=~" in pt:
+                raise CypherSyntaxError(
+                    "the =~ pattern must be a string literal (subset limit)"
+                )
+        out.append(pt)
+        i += 1
+    return "".join(out)
 
 
 class CypherSyntaxError(ValueError):
@@ -1118,6 +1167,23 @@ def parse(query: str) -> dict:
             return f"array('{lab.capitalize()}')"
         return f"array(initcap({v}.label))"
 
+    def _gfn_node_fns(m: re.Match) -> str:
+        fn, v = m.group(1).lower(), m.group(2)
+        if v not in vars_:
+            raise CypherSyntaxError(
+                f"{m.group(1)}() needs a node variable bound by a pattern "
+                f"before the first WITH: {m.group(0)!r}"
+            )
+        if fn == "keys":
+            # the engine's node-attribute schema is fixed: id + the
+            # attribute-view properties
+            return "array('id', 'label', 'name')"
+        # properties(v): the full property map as a struct — field order
+        # matches keys()
+        return (
+            f"named_struct('id', {v}, 'label', {v}.label, 'name', {v}.name)"
+        )
+
     def _gfn_seg(seg: str) -> str:
         seg = re.sub(r"\btype\s*\(\s*([A-Za-z_]\w*)\s*\)", _gfn_type, seg)
         seg = re.sub(
@@ -1127,6 +1193,12 @@ def parse(query: str) -> dict:
             flags=re.I,
         )
         seg = re.sub(r"\blabels\s*\(\s*([A-Za-z_]\w*)\s*\)", _gfn_labels, seg)
+        seg = re.sub(
+            r"\b(keys|properties)\s*\(\s*([A-Za-z_]\w*)\s*\)",
+            _gfn_node_fns,
+            seg,
+            flags=re.I,
+        )
         return seg
 
     tail = "".join(
@@ -1571,6 +1643,7 @@ def parse(query: str) -> dict:
         pred = _STARTS_WITH.sub(_sw, pred)
         pred = _ENDS_WITH.sub(_ew, pred)
         pred = _CONTAINS.sub(_ct, pred)
+        pred = _rx_anchor(pred)
         unquoted = _unquoted(pred)
         # bare hops/path_weight in WHERE bypass _map_expr (it only sees
         # var.prop tokens) — enforce the single-segment guard here too, so
@@ -1656,7 +1729,7 @@ def parse(query: str) -> dict:
             raise CypherSyntaxError(
                 f"hops/path_weight are not available in a per-clause WHERE ({ctx})"
             )
-        pred = _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, pred)))
+        pred = _rx_anchor(_CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, pred))))
         used = {
             w
             for w in re.findall(r"\b[A-Za-z_]\w*\b", _unquoted(pred))
@@ -1773,7 +1846,7 @@ def parse(query: str) -> dict:
                     return _fn_rewrite(seg)
 
                 sql = _outside_quotes(cs.group("body"), _map_case)
-                sql = _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql)))
+                sql = _rx_anchor(_CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql))))
                 items.append(
                     {"kind": "case", "sql": f"CASE {sql}", "name": cs.group("alias")}
                 )
@@ -1830,7 +1903,7 @@ def parse(query: str) -> dict:
                     return _fn_rewrite(seg)
 
                 sql = _outside_quotes(xm.group("expr"), _map_x)
-                sql = _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql)))
+                sql = _rx_anchor(_CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql))))
                 unq = _unquoted(sql)
                 for w in re.findall(r"\b[A-Za-z_]\w*\b", unq):
                     if "__" in w or w.lower() in _EXPR_ALLOW:
@@ -2126,7 +2199,7 @@ def parse(query: str) -> dict:
                     "hops/path_weight are not available after WITH "
                     "(pattern-stage scope only)"
                 )
-            post_p = _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, predp)))
+            post_p = _rx_anchor(_CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, predp))))
             tpos += swm_.end()
         if stage_prop_conjs:
             # desugared stage-clause property maps compile exactly like a

@@ -4163,3 +4163,45 @@ def cypher_unwind_range(spark, sf_dir):
         """UNWIND range(1, 20, 3) AS x
            RETURN count(*) AS n, sum(x) AS total, min(x) AS lo, max(x) AS hi""",
     )
+
+
+@register(
+    "cypher_regex_match",
+    "graph",
+    oracle="""
+        SELECT 'n:' || n_nationkey AS n,
+               'id,label,name' AS ks,
+               COUNT(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE regexp_full_match(n_name, 'NATION_(1[0-9]|3)')
+          AND c_name IS NOT NULL
+        GROUP BY 1
+        ORDER BY n
+    """,
+    notes=(
+        "Neo4j regex-match operator and property introspection (round-7 "
+        "second half): `expr =~ 'pattern'` rewrites to anchored RLIKE "
+        "'^(?:pattern)$' — Neo4j matches the WHOLE string, Spark RLIKE "
+        "finds anywhere, so the non-capturing anchor group restores "
+        "full-match parity (both engines use Java regex; the pattern "
+        "body passes through verbatim, literal-aware so '=~' inside a "
+        "string stays data and a non-literal pattern is rejected rather "
+        "than silently partial-matching). `exists(c.name)` (the legacy "
+        "property-exists function) folds to IS NOT NULL; `keys(n)` folds "
+        "to the static attribute-schema array. Scale: the regex filter "
+        "sits on the broadcast-small nation side below the join; "
+        "constant-folded keys() costs nothing. Oracle: DuckDB "
+        "regexp_full_match — the anchored-semantics twin"
+    ),
+)
+def cypher_regex_match(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+           WHERE n.name =~ 'NATION_(1[0-9]|3)' AND exists(c.name)
+           RETURN n, array_join(keys(n), ',') AS ks, count(*) AS n_cust
+           ORDER BY n""",
+    )

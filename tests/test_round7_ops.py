@@ -917,3 +917,67 @@ def test_literal_return_items(spark):
         "MATCH (r:Region) RETURN 1 AS one, 'tag' AS tag, count(*) AS c",
     ).collect()
     assert (rows[0].one, rows[0].tag, rows[0].c) == (1, "tag", 5)
+
+
+# ---- regex =~, exists(), keys(), properties() ----
+
+
+def test_regex_full_match_semantics(spark):
+    from mimranalytics_core_spark import api
+
+    # Neo4j =~ is a FULL match: 'NATION_1' must not match NATION_10..19
+    one = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (n:Nation) WHERE n.name =~ 'NATION_1' RETURN count(*) AS c",
+    ).collect()[0].c
+    assert one == 1
+    rng = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (n:Nation) WHERE n.name =~ 'NATION_1[0-2]' RETURN count(*) AS c",
+    ).collect()[0].c
+    assert rng == 3
+
+
+def test_regex_literal_stays_data(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark, SF_SMALL, "UNWIND ['a =~ b', 'x'] AS s RETURN collect(s) AS xs"
+    ).collect()
+    assert list(rows[0].xs) == ["a =~ b", "x"]
+
+
+def test_regex_nonliteral_pattern_rejected(spark):
+    from mimranalytics_core_spark import api
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="string literal"):
+        api.cypher(
+            spark, SF_SMALL, "MATCH (n:Nation) WHERE n.name =~ n.name RETURN n"
+        )
+
+
+def test_exists_property_function(spark):
+    from mimranalytics_core_spark import api
+
+    c = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (n:Nation) WHERE exists(n.name) RETURN count(*) AS c",
+    ).collect()[0].c
+    assert c == 25
+
+
+def test_keys_and_properties(spark):
+    from mimranalytics_core_spark import api
+
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (n:Nation {name: 'NATION_3'}) "
+        "RETURN array_join(keys(n), ',') AS ks, properties(n) AS p",
+    ).collect()
+    assert rows[0].ks == "id,label,name"
+    assert rows[0].p.asDict() == {"id": "n:3", "label": "nation", "name": "NATION_3"}
