@@ -4205,3 +4205,110 @@ def cypher_regex_match(spark, sf_dir):
            RETURN n, array_join(keys(n), ',') AS ks, count(*) AS n_cust
            ORDER BY n""",
     )
+
+
+@register(
+    "graph_timeline_metrics",
+    "graph",
+    oracle="""
+        WITH cs AS (
+            SELECT 'owns_stake' AS rel_type,
+                   MIN(o_orderdate) AS vf, MAX(o_orderdate) AS vt
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_custkey, l_suppkey
+        ), sn AS (
+            SELECT 'supplier_of' AS rel_type,
+                   MIN(l_shipdate) AS vf, MAX(l_shipdate) AS vt
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+            GROUP BY l_suppkey, s_nationkey
+        ), e AS (
+            SELECT rel_type, year(vf) AS yf, year(vt) AS yt
+            FROM (SELECT * FROM cs UNION ALL SELECT * FROM sn)
+            WHERE year(vt) >= 1992 AND year(vf) <= 1998
+        ), expanded AS (
+            SELECT rel_type, yf, yt,
+                   unnest(generate_series(greatest(yf, 1992),
+                                          least(yt, 1998))) AS y
+            FROM e
+        )
+        SELECT y, rel_type,
+               COUNT(*) AS n_active,
+               CAST(SUM(CASE WHEN yf = y THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN yt = y THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+        FROM expanded
+        GROUP BY y, rel_type
+        ORDER BY y, rel_type
+    """,
+    notes=(
+        "Time-Slider EVOLUTION series (reference README.md:17 — 'visualize "
+        "how corporate structures have evolved over years'): per-year "
+        "active/new/expired edge counts for the temporal ownership tiers, "
+        "computed in ONE pass. Instead of re-running an as-of snapshot per "
+        "year (N scans + N joins — the naive Time-Slider backend), each "
+        "edge row-locally explodes into the years of its clipped validity "
+        "interval (sequence(year(valid_from)..year(valid_to)) bounded to "
+        "the 1992-1998 observation window, max fan-out 7) and one "
+        "map-side-combined groupBy(year, rel_type) folds the series. "
+        "Scale: the only shuffles are the two edge-derivation groupBys "
+        "(same as every temporal op) plus one 14-group agg; the explode "
+        "multiplies rows by <=7 BEFORE partial aggregation collapses them "
+        "per partition, so the shuffle carries ~years x rel_types x "
+        "partitions rows, not edges x years. The out-of-window filter "
+        "also guards sequence() against a descending start>stop range. "
+        "Oracle: DuckDB generate_series/unnest twin"
+    ),
+)
+def graph_timeline_metrics(spark, sf_dir):
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    lo, hi = 1992, 1998
+    cs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.min("o_orderdate").alias("valid_from"),
+            F.max("o_orderdate").alias("valid_to"),
+        )
+        .select(
+            F.lit("owns_stake").alias("rel_type"),
+            F.year("valid_from").alias("yf"),
+            F.year("valid_to").alias("yt"),
+        )
+    )
+    sn = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_suppkey", "s_nationkey")
+        .agg(
+            F.min("l_shipdate").alias("valid_from"),
+            F.max("l_shipdate").alias("valid_to"),
+        )
+        .select(
+            F.lit("supplier_of").alias("rel_type"),
+            F.year("valid_from").alias("yf"),
+            F.year("valid_to").alias("yt"),
+        )
+    )
+    edges = cs.unionByName(sn).filter(
+        (F.col("yt") >= lo) & (F.col("yf") <= hi)
+    )
+    return (
+        edges.withColumn(
+            "y",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("yf"), F.lit(lo)),
+                    F.least(F.col("yt"), F.lit(hi)),
+                )
+            ),
+        )
+        .groupBy("y", "rel_type")
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.when(F.col("yf") == F.col("y"), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("yt") == F.col("y"), 1).otherwise(0)).alias(
+                "n_expired"
+            ),
+        )
+        .orderBy("y", "rel_type")
+    )

@@ -981,3 +981,34 @@ def test_keys_and_properties(spark):
     ).collect()
     assert rows[0].ks == "id,label,name"
     assert rows[0].p.asDict() == {"id": "n:3", "label": "nation", "name": "NATION_3"}
+
+
+def test_timeline_metrics_matches_per_year_snapshot(spark):
+    """The one-pass exploded series must equal the naive per-year as-of
+    snapshot count (the Time-Slider backend it replaces)."""
+    from pyspark.sql import functions as F
+
+    from mimranalytics_core_spark.operators.graph import graph_timeline_metrics
+    from mimranalytics_core_spark.operators._base import t
+
+    out = {
+        (r.y, r.rel_type): (r.n_active, r.n_new, r.n_expired)
+        for r in graph_timeline_metrics(spark, SF_SMALL).collect()
+    }
+    o = t(spark, SF_SMALL, "orders")
+    li = t(spark, SF_SMALL, "lineitem")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.year(F.min("o_orderdate")).alias("yf"),
+            F.year(F.max("o_orderdate")).alias("yt"),
+        )
+    )
+    for y in (1996, 1997):  # the synthetic order dates span 1995-1998
+        naive = spans.filter((F.col("yf") <= y) & (F.col("yt") >= y)).count()
+        assert out[(y, "owns_stake")][0] == naive
+    # new+expired bookkeeping: every edge is new exactly once in-window
+    # iff it starts in-window
+    started = spans.filter(F.col("yf").between(1992, 1998)).count()
+    assert sum(v[1] for (yy, rt), v in out.items() if rt == "owns_stake") == started
