@@ -750,3 +750,43 @@ def hits(edges: DataFrame, iters: int = 10, state_partitions: int | None = None)
               nodes.node == F.col("an"))
         .select("node", "hub", "authority")
     )
+
+
+def eigenvector(
+    edges: DataFrame, iters: int = 12, state_partitions: int | None = None
+) -> DataFrame:
+    """Eigenvector centrality, fixed-iteration power method: (node, eig).
+
+    NetworkX-style semantics on the UNDIRECTED graph (symmetrized
+    adjacency — the principal eigenvector exists and the power method
+    converges; on the raw DAG the adjacency is nilpotent and the limit
+    would be the zero vector). Per iteration x ← A·x, then L2-normalize;
+    the norm is a broadcast scalar folded into the plan (the HITS
+    normalizer pattern — no driver round-trip), state checkpointed per
+    iteration to cut lineage. Every superstep is a join + partial agg on
+    the node key — PageRank's cost envelope at any scale."""
+    e = undirect(edges.select("src", "dst")).distinct().localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    if nodes.isEmpty():
+        return nodes.withColumn("eig", F.lit(0.0))
+    x = nodes.withColumn("v", F.lit(1.0)).localCheckpoint(eager=True)
+    for _ in range(iters):
+        raw = (
+            e.join(x, e.src == x.node)
+            .groupBy(F.col("dst").alias("n2"))
+            .agg(F.sum("v").alias("raw"))
+        )
+        filled = nodes.join(raw, nodes.node == raw.n2, "left").select(
+            "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
+        )
+        nrm = filled.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm"))
+        x = filled.crossJoin(F.broadcast(nrm)).select(
+            "node",
+            F.when(F.col("nrm") > 0, F.col("raw") / F.col("nrm"))
+            .otherwise(F.lit(0.0))
+            .alias("v"),
+        )
+        if state_partitions is not None:
+            x = x.coalesce(state_partitions)
+        x = x.localCheckpoint(eager=True)
+    return x.select("node", F.col("v").alias("eig"))

@@ -4312,3 +4312,72 @@ def graph_timeline_metrics(spark, sf_dir):
         )
         .orderBy("y", "rel_type")
     )
+
+
+def _eigen_oracle_sql(iters: int = 12) -> str:
+    """Unrolled fixed-``iters`` power-method oracle for eigenvector
+    centrality (the pagerank-oracle recipe: one CTE triple per iteration,
+    the exact recurrence graph_algos.eigenvector runs — xₖ₊₁ = A·xₖ / ‖A·xₖ‖₂
+    over the symmetrized adjacency, x₀ = 1). The double-referenced
+    per-step CTEs (f_k feeds both the norm and the update) MUST be
+    MATERIALIZED: DuckDB otherwise inlines each reference and the plan
+    grows ~5× per unrolled step (measured 56 s at 9 steps, ~hours at
+    12; materialized: milliseconds)."""
+    steps = []
+    prev = "x0"
+    for k in range(1, iters + 1):
+        steps.append(
+            f"""
+        r{k} AS (SELECT s.dst AS node, SUM(x.v) AS raw
+                 FROM sym s JOIN {prev} x ON s.src = x.node GROUP BY s.dst),
+        f{k} AS MATERIALIZED (
+                 SELECT nodes.node, COALESCE(r{k}.raw, 0.0) AS raw
+                 FROM nodes LEFT JOIN r{k} ON nodes.node = r{k}.node),
+        n{k} AS (SELECT SQRT(SUM(raw * raw)) AS nrm FROM f{k}),
+        x{k} AS MATERIALIZED (
+                 SELECT node,
+                        CASE WHEN nrm > 0 THEN raw / nrm ELSE 0.0 END AS v
+                 FROM f{k} CROSS JOIN n{k})"""
+        )
+        prev = f"x{k}"
+    return f"""
+        WITH {HIERARCHY_SQL},
+        sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM edges
+                  UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+        x0 AS (SELECT node, 1.0 AS v FROM nodes),
+        {",".join(steps)}
+        SELECT node, FLOOR(v * 1000000 + 0.5) / 1000000 AS eig FROM {prev}
+    """
+
+
+@register(
+    "graph_eigenvector",
+    "graph",
+    oracle=_eigen_oracle_sql(iters=12),
+    notes=(
+        "eigenvector centrality (round-7 — the remaining classic of the "
+        "reference's NetworkX centrality surface, README.md:28): fixed "
+        "12-iteration power method over the SYMMETRIZED hierarchy graph "
+        "(NetworkX Graph semantics; the raw DAG's adjacency is nilpotent "
+        "and would converge to zero). x <- A*x then L2-normalize; the "
+        "normalizer is a broadcast scalar folded into the plan (the HITS "
+        "pattern — zero driver round-trips), per-iteration checkpoints "
+        "cut lineage. Scale: every superstep is join + partial agg on "
+        "the node key — the PageRank cost envelope; state coalesced to "
+        "8 partitions (dimension-sized vector at any SF). Oracle: the "
+        "same recurrence unrolled as 12 CTE triples in DuckDB, "
+        "floor-half-up paired to 6 dp like pagerank (hash-checked, not "
+        "rows-only)"
+    ),
+)
+def graph_eigenvector(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import eigenvector
+
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    return eigenvector(e, iters=12, state_partitions=8).select(
+        "node",
+        (F.floor(F.col("eig") * 1000000 + F.lit(0.5)) / 1000000).alias("eig"),
+    )

@@ -308,3 +308,31 @@ def test_star_contraction_components_match_union_find(spark):
         )
         got = {r.node: r.canonical for r in final.collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_eigenvector_matches_power_iteration(spark, redges):
+    from mimranalytics_core_spark.functions.graph_algos import eigenvector
+
+    # reference: same fixed-iteration power method on the symmetrized graph
+    import math
+
+    adj = {}
+    for s, d, _ in EDGE_LIST:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    nodes = sorted(adj)
+    x = {v: 1.0 for v in nodes}
+    for _ in range(12):
+        raw = {v: sum(x[u] for u in adj[v]) for v in nodes}
+        nrm = math.sqrt(sum(r * r for r in raw.values()))
+        x = {v: (raw[v] / nrm if nrm > 0 else 0.0) for v in nodes}
+
+    got = {
+        r.node: r.eig
+        for r in eigenvector(redges, iters=12, state_partitions=4).collect()
+    }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - x[v]) < 1e-9, (v, got[v], x[v])
+    # the dominant eigenvector is non-negative and non-trivial
+    assert all(val >= 0 for val in got.values()) and max(got.values()) > 0
