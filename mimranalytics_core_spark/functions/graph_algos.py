@@ -19,6 +19,7 @@ Semantics notes:
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -790,3 +791,142 @@ def eigenvector(
             x = x.coalesce(state_partitions)
         x = x.localCheckpoint(eager=True)
     return x.select("node", F.col("v").alias("eig"))
+
+
+def _pin(df: DataFrame, pinned: list) -> DataFrame:
+    """Checkpoint + cache + materialize an iteration-state DataFrame.
+
+    ``localCheckpoint`` truncates lineage but PRESERVES Catalyst's
+    estimated sizeInBytes — and the size-only stats visitor multiplies
+    join children's estimates, so nested iterative self-joins (pointer
+    doubling: root ⋈ root per jump) double the estimate's DIGIT COUNT
+    every iteration until the BigInteger arithmetic itself OOMs the
+    driver. Persisting the checkpointed frame and forcing materialization
+    makes downstream plans substitute the InMemoryRelation, whose stats
+    are the ACTUAL cached bytes — honest, bounded, and better for join
+    planning than any estimate. Callers unpersist everything in
+    ``pinned`` when done; the checkpointed RDD stays valid after
+    unpersist, so returned plans can still recompute."""
+    out = df.localCheckpoint(eager=True).persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    pinned.append(out)
+    return out
+
+
+def boruvka_msf(
+    edges: DataFrame,
+    rounds: int = 10,
+    jumps: int = 16,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka contraction: (a, b, w) edges.
+
+    ``edges``: undirected weighted edges as (a, b, w) with a < b (one row
+    per pair; parallel edges are pre-reduced to their min weight here).
+    The total order (w, a, b) breaks ties, which makes the MSF unique and
+    every step deterministic — the classic distinct-weights argument.
+
+    Per round (components at least halve, so ``rounds`` ≥ log2(n) rounds
+    finish; early-exits when no cross-component edge remains):
+      1. each component picks its minimum incident cross-component edge
+         (argmin by (w, a, b) — one row_number per side),
+      2. the union of chosen edges joins the forest,
+      3. components contract along chosen edges: the pointer graph has
+         exactly one mutual 2-cycle per pseudo-tree (distinct weights);
+         the smaller endpoint becomes the root and pointer doubling
+         (r[c] ← r[r[c]], early-exit on fixpoint, ≤ ``jumps`` rounds so
+         chains up to 2^jumps contract) relabels every component. The
+        fixpoint check matters for correctness: a partially-contracted
+        labeling would re-admit intra-tree edges in a later round.
+
+    Scale: every step is a join or partial agg keyed on node/component
+    ids — the only driver-side state is the per-round empty-check and
+    per-jump fixpoint-check scalars; state is pinned per round (see
+    ``_pin``) to cut lineage AND stop Catalyst stats estimates from
+    compounding across the nested self-joins. This is the textbook MSF
+    algorithm for bulk-synchronous engines (log-round Borůvka)."""
+    from pyspark.sql import Window
+
+    pinned: list = []
+    e = _pin(
+        edges.select("a", "b", "w").groupBy("a", "b").agg(F.min("w").alias("w")),
+        pinned,
+    )
+    nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    comp = _pin(nodes.select("node", F.col("node").alias("comp")), pinned)
+    msf = None
+    try:
+        for _ in range(rounds):
+            ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+            cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+            ec = e.join(ca, "a").join(cb, "b").filter(F.col("ca") != F.col("cb"))
+            if ec.isEmpty():
+                break
+            cand = ec.select(
+                F.col("ca").alias("c"), "w", "a", "b", F.col("cb").alias("oc")
+            ).unionByName(
+                ec.select(
+                    F.col("cb").alias("c"), "w", "a", "b", F.col("ca").alias("oc")
+                )
+            )
+            win = Window.partitionBy("c").orderBy("w", "a", "b")
+            chosen = _pin(
+                cand.withColumn("rn", F.row_number().over(win))
+                .filter(F.col("rn") == 1)
+                .drop("rn"),
+                pinned,
+            )
+            s_t = chosen.select("a", "b", "w").distinct()
+            msf = s_t if msf is None else msf.unionByName(s_t)
+            # pointer graph over CURRENT component labels
+            comps = comp.select(F.col("comp").alias("c")).distinct()
+            ptr = comps.join(chosen.select("c", "oc"), "c", "left").select(
+                "c", F.coalesce("oc", F.col("c")).alias("p")
+            )
+            # break the mutual 2-cycle: the smaller endpoint roots the tree
+            pp = ptr.select(F.col("c").alias("p"), F.col("p").alias("pp"))
+            root = _pin(
+                ptr.join(pp, "p").select(
+                    "c",
+                    F.when(
+                        (F.col("pp") == F.col("c")) & (F.col("c") < F.col("p")),
+                        F.col("c"),
+                    )
+                    .otherwise(F.col("p"))
+                    .alias("r"),
+                ),
+                pinned,
+            )
+            for _ in range(jumps):
+                # pointer doubling: r[c] ← r[r[c]], stop at fixpoint
+                lookup = root.select(
+                    F.col("c").alias("lc"), F.col("r").alias("lr")
+                )
+                nxt = _pin(
+                    root.join(lookup, root.r == lookup.lc).select(
+                        "c", F.col("lr").alias("r"), F.col("r").alias("prev")
+                    ),
+                    pinned,
+                )
+                moved = not nxt.filter(F.col("r") != F.col("prev")).isEmpty()
+                root = nxt.select("c", "r")
+                if not moved:
+                    break
+            comp_next = comp.join(root, comp.comp == root.c).select(
+                "node", F.col("r").alias("comp")
+            )
+            if state_partitions is not None:
+                comp_next = comp_next.coalesce(state_partitions)
+            comp = _pin(comp_next, pinned)
+        if msf is None:
+            return e.limit(0)
+        # one final checkpoint so the result survives the unpersist below
+        out = msf.select("a", "b", "w").distinct().localCheckpoint(eager=True)
+        return out
+    finally:
+        for p in pinned:
+            p.unpersist()

@@ -4381,3 +4381,93 @@ def graph_eigenvector(spark, sf_dir):
         "node",
         (F.floor(F.col("eig") * 1000000 + F.lit(0.5)) / 1000000).alias("eig"),
     )
+
+
+# Inter-nation trade graph for the spanning-forest op: one undirected edge
+# per nation pair that traded (customer's nation <-> supplier's nation),
+# weighted by total traded value. Weights are summed as DECIMAL(18,2) so
+# Spark and DuckDB produce bit-identical totals (double summation order
+# would otherwise make near-tie comparisons engine-dependent); the
+# (w, a, b) lexicographic total order then makes the MSF unique.
+TRADE_GRAPH_SQL = """
+    pairs AS MATERIALIZED (
+        SELECT LEAST(c.c_nationkey, s.s_nationkey) AS a,
+               GREATEST(c.c_nationkey, s.s_nationkey) AS b,
+               SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "graph_msf",
+    "graph",
+    oracle=f"""
+        WITH RECURSIVE {TRADE_GRAPH_SQL},
+        reach AS (
+            SELECT a AS ea, b AS eb, w AS ew, a AS node FROM pairs
+            UNION
+            SELECT r.ea, r.eb, r.ew,
+                   CASE WHEN p.a = r.node THEN p.b ELSE p.a END AS node
+            FROM reach r JOIN pairs p ON (p.a = r.node OR p.b = r.node)
+            WHERE (p.w, p.a, p.b) < (r.ew, r.ea, r.eb)
+        )
+        SELECT e.a, e.b, CAST(e.w AS DOUBLE) AS w
+        FROM pairs e
+        WHERE NOT EXISTS (
+            SELECT 1 FROM reach r
+            WHERE r.ea = e.a AND r.eb = e.b AND r.ew = e.w AND r.node = e.b
+        )
+    """,
+    notes=(
+        "minimum spanning forest (round-7 — the classic NetworkX "
+        "minimum_spanning_tree surface, README.md:28) of the inter-nation "
+        "trade graph: log-round distributed Boruvka "
+        "(functions/graph_algos.boruvka_msf) — each component argmins its "
+        "cross-component edge by the (w, a, b) total order, contracts via "
+        "pointer doubling with a fixpoint early-exit, repeats until no "
+        "cross edge remains. Scale: edge build is one shuffled 4-way join "
+        "+ partial agg that REDUCES to nation-pair cardinality (tiny at "
+        "every SF; nation dim is fixed at 25); Boruvka state is "
+        "join/window on component keys only, pinned per round "
+        "(checkpoint+cache, see graph_algos._pin) so Catalyst stats can't "
+        "compound across the nested self-joins. Weights are exact "
+        "DECIMAL(18,2) sums (engine-order-independent); the total order "
+        "makes the forest unique, so this is hash-checked, not rows-only. "
+        "Oracle: cut property — an edge is in the MSF iff its endpoints "
+        "are NOT connected using strictly (w,a,b)-smaller edges; "
+        "per-edge reachability as one recursive CTE over the 300-edge "
+        "nation graph"
+    ),
+)
+def graph_msf(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import boruvka_msf
+
+    tb = tables(spark, sf_dir)
+    pairs = (
+        tb["lineitem"]
+        .join(tb["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(tb["customer"].select("c_custkey", "c_nationkey")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(tb["supplier"].select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.least("c_nationkey", "s_nationkey").alias("a"),
+            F.greatest("c_nationkey", "s_nationkey").alias("b"),
+            F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("price").alias("w"))
+    )
+    msf = boruvka_msf(pairs, rounds=10, jumps=16, state_partitions=4)
+    return msf.select("a", "b", F.col("w").cast("double").alias("w"))

@@ -336,3 +336,47 @@ def test_eigenvector_matches_power_iteration(spark, redges):
         assert abs(got[v] - x[v]) < 1e-9, (v, got[v], x[v])
     # the dominant eigenvector is non-negative and non-trivial
     assert all(val >= 0 for val in got.values()) and max(got.values()) > 0
+
+
+def test_boruvka_msf_matches_kruskal(spark):
+    from mimranalytics_core_spark.functions.graph_algos import boruvka_msf
+
+    # Disconnected graph (two islands + an isolated pair), parallel edges,
+    # and deliberate weight TIES — the (w, a, b) total order must make the
+    # forest unique and identical to sequential Kruskal under that order.
+    rng = random.Random(777)
+    raw = []
+    for lo, hi in [(0, 25), (30, 50), (60, 62)]:
+        ids = list(range(lo, hi))
+        for _ in range(3 * len(ids)):
+            a, b = rng.sample(ids, 2)
+            raw.append((min(a, b), max(a, b), float(rng.randint(1, 9))))
+    # parallel duplicates with a different weight (min-reduce coverage)
+    raw += [(a, b, w + 5.0) for a, b, w in raw[::7]]
+    df = spark.createDataFrame(raw, "a INT, b INT, w DOUBLE")
+
+    red = {}
+    for a, b, w in raw:
+        red[(a, b)] = min(red.get((a, b), float("inf")), w)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    expected = []
+    for w, a, b in sorted((w, a, b) for (a, b), w in red.items()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            expected.append((a, b, w))
+
+    got = sorted(tuple(r) for r in boruvka_msf(df).collect())
+    assert got == sorted(expected)
+    # forest invariant: |V| - #components edges
+    n_nodes = len({x for (a, b) in red for x in (a, b)})
+    comps = len({find(x) for (a, b) in red for x in (a, b)})
+    assert len(got) == n_nodes - comps
