@@ -123,31 +123,42 @@ def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Node-attribute table for the hierarchy graph: (id, label, name).
+    """Node-attribute table for the hierarchy graph:
+    (id, label, name, acctbal, mktsegment).
 
     The property side of the property-graph model (reference README.md:25 —
     Neo4j nodes carry labels + properties): namespaced ids matching
     :func:`hierarchy_edges`, the node's entity label, and its display name.
-    Cypher property access (``n.name``, ``n.label``) resolves through this
-    view via an equi-join. Scale: four narrow projections + union — no
-    shuffle; the join against it is a plain equi-join on the node id that
-    AQE sizes (the nation/region tiers are broadcast-small at any SF).
+    Round-7 widened the per-label surface with ``acctbal`` (numeric —
+    customer + supplier balances; Neo4j semantics: a property absent on a
+    label reads as null, so nation/region carry typed nulls) and
+    ``mktsegment`` (customer-only string). Cypher property access
+    (``n.name``, ``n.acctbal``) resolves through this view via an
+    equi-join. Scale: four narrow projections + union — no shuffle; the
+    join against it is a plain equi-join on the node id that AQE sizes
+    (the nation/region tiers are broadcast-small at any SF).
     """
     customer = spark.table("customer")
     supplier = spark.table("supplier")
     nation = spark.table("nation")
     region = spark.table("region")
+    null_d = F.lit(None).cast("double")
+    null_s = F.lit(None).cast("string")
     return (
         customer.select(
             F.concat(F.lit("c:"), F.col("c_custkey")).alias("id"),
             F.lit("customer").alias("label"),
             F.col("c_name").alias("name"),
+            F.col("c_acctbal").cast("double").alias("acctbal"),
+            F.col("c_mktsegment").alias("mktsegment"),
         )
         .unionByName(
             supplier.select(
                 F.concat(F.lit("s:"), F.col("s_suppkey")).alias("id"),
                 F.lit("supplier").alias("label"),
                 F.col("s_name").alias("name"),
+                F.col("s_acctbal").cast("double").alias("acctbal"),
+                null_s.alias("mktsegment"),
             )
         )
         .unionByName(
@@ -155,6 +166,8 @@ def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("n:"), F.col("n_nationkey")).alias("id"),
                 F.lit("nation").alias("label"),
                 F.col("n_name").alias("name"),
+                null_d.alias("acctbal"),
+                null_s.alias("mktsegment"),
             )
         )
         .unionByName(
@@ -162,6 +175,8 @@ def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit("r:"), F.col("r_regionkey")).alias("id"),
                 F.lit("region").alias("label"),
                 F.col("r_name").alias("name"),
+                null_d.alias("acctbal"),
+                null_s.alias("mktsegment"),
             )
         )
     )

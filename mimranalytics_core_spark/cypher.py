@@ -300,9 +300,9 @@ def _split_items(text: str) -> list[str]:
             buf.append(text[i : j + 1])
             i = j + 1
             continue
-        if ch == "(":
+        if ch in "([":
             depth += 1
-        elif ch == ")":
+        elif ch in ")]":
             depth -= 1
         if ch == "," and depth == 0:
             items.append("".join(buf))
@@ -344,6 +344,46 @@ def _fn_rewrite(seg: str) -> str:
     # Neo4j id(n): the namespaced node id IS the identity — id(n) ≡ n.
     # A non-variable operand falls through to the identifier name check.
     seg = re.sub(r"\bid\s*\(\s*([A-Za-z_]\w*)\s*\)", r"\1", seg)
+    # Cypher substring(s, start[, len]) indexes from 0; Spark from 1 —
+    # shift the start argument (+1) with the same balanced-paren argument
+    # capture as the CAST rewrites below (round-7; bails on a segment-
+    # crossing quoted argument, the documented subset limit)
+    spos = 0
+    while True:
+        m = re.search(r"\bsubstring\s*\(", seg[spos:], re.I)
+        if not m:
+            break
+        open_i = spos + m.end() - 1
+        depth, i = 1, open_i + 1
+        while i < len(seg) and depth:
+            if seg[i] == "(":
+                depth += 1
+            elif seg[i] == ")":
+                depth -= 1
+            i += 1
+        if depth:
+            break
+        inner = seg[open_i + 1 : i - 1]
+        args, buf, d = [], [], 0
+        for ch in inner:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            if ch == "," and d == 0:
+                args.append("".join(buf))
+                buf = []
+            else:
+                buf.append(ch)
+        args.append("".join(buf))
+        if len(args) in (2, 3):
+            shifted = f"{args[0]}, ({args[1].strip()}) + 1" + (
+                f", {args[2]}" if len(args) == 3 else ""
+            )
+            seg = f"{seg[:open_i + 1]}{shifted}{seg[i - 1:]}"
+            spos = open_i + 1
+        else:
+            spos = i
     # toString/toInteger/toFloat take ONE argument: rewrite the matching
     # close paren too (args may contain nested parens)
     for fn, sqlty in (("toString", "STRING"), ("toInteger", "BIGINT"), ("toFloat", "DOUBLE")):
@@ -453,7 +493,7 @@ def _rewrite_in_lists(query: str) -> str:
         pos = ostart + len(lit)
     return query
 
-_PROPS = ("name", "label")
+_PROPS = ("name", "label", "acctbal", "mktsegment")
 _RESERVED = {"src", "dst", "hops", "path_weight", "id", "name", "label"}
 
 # bare identifiers allowed inside a scalar expression item (`expr AS x`):
@@ -472,6 +512,19 @@ _EXPR_ALLOW = {
     "array", "initcap", "array_join", "element_at", "size",
     # round-7 second half: properties() struct, regex matching
     "named_struct", "rlike", "regexp",
+    # round-7 third leg: the list-expression surface (_rewrite_list_exprs
+    # emits these; users may also write the Spark names directly)
+    "get", "slice", "filter", "transform", "exists", "forall",
+    "aggregate", "cardinality", "split", "reverse", "sequence",
+    "array_contains", "array_distinct", "sort_array", "flatten",
+    "arrays_overlap", "array_union", "array_intersect", "array_except",
+    "array_position", "array_max", "array_min", "array_sort",
+    # temporal scalar functions over literal/property arguments (Cypher's
+    # no-arg now()/date() forms are nondeterministic — out of scope)
+    "date", "timestamp", "to_date", "to_timestamp", "datediff",
+    "date_add", "date_sub", "year", "month", "day", "dayofweek",
+    "hour", "minute", "second", "quarter", "weekofyear", "last_day",
+    "months_between", "add_months", "trunc", "date_trunc", "date_format",
 }
 
 
@@ -512,6 +565,320 @@ def _rx_anchor(pred: str) -> str:
 
 class CypherSyntaxError(ValueError):
     """Raised when a query falls outside the supported MATCH subset."""
+
+
+def _balanced_end(text: str, i: int) -> int:
+    """Index just past the bracket/paren that matches ``text[i]``
+    (quote-aware; parens and brackets share one depth counter because a
+    valid expression nests them properly)."""
+    depth = 0
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            if j < 0:
+                raise CypherSyntaxError(f"unterminated string: {text!r}")
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise CypherSyntaxError(f"unbalanced brackets in expression: {text!r}")
+
+
+def _split_top(text: str, sep: str, flags: int = re.I) -> list[str]:
+    """Split on a regex separator at top level only (depth 0, outside
+    quotes). Returns one element (the input) when the separator never
+    occurs at top level."""
+    parts: list[str] = []
+    depth, i, start = 0, 0, 0
+    rx = re.compile(sep, flags)
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            i = (len(text) if j < 0 else j) + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            m = rx.match(text, i)
+            if m and m.end() > m.start():
+                parts.append(text[start : i])
+                start = m.end()
+                i = m.end()
+                continue
+        i += 1
+    parts.append(text[start:])
+    return parts
+
+
+def _outside_quotes(pred: str, fn) -> str:
+    """Apply ``fn`` to every segment outside quoted literals."""
+    parts = re.split(r"('(?:[^'])*')", pred)
+    return "".join(p if p.startswith("'") else fn(p) for p in parts)
+
+
+def _unquoted(pred: str) -> str:
+    """The predicate text with every quoted literal removed."""
+    return "".join(
+        p for p in re.split(r"('(?:[^'])*')", pred) if not p.startswith("'")
+    )
+
+
+def _subst_word(text: str, var: str, repl: str) -> str:
+    """Whole-word substitution outside quoted literals (lambda-variable
+    renaming for the list-expression rewrites)."""
+    parts = re.split(r"('(?:[^'])*')", text)
+    rx = re.compile(rf"\b{re.escape(var)}\b")
+    return "".join(
+        p if p.startswith("'") else rx.sub(repl, p) for p in parts
+    )
+
+
+_LIST_FN_RE = re.compile(
+    r"(any|all|none|single|reduce|head|last|tail|size|split|range|substring)\s*\(",
+    re.I,
+)
+# syntactically list-typed heads: cardinality() is safe on these, and
+# size() must NOT become the string length() rewrite
+_LISTY_HEADS = (
+    "array(", "filter(", "transform(", "slice(", "split(", "sequence(",
+    "collect(", "aggregate(", "reverse(", "array_distinct(", "sort_array(",
+    "flatten(", "keys(",
+)
+
+
+def _maybe_array_literal(expr: str) -> str:
+    """A parenthesized list with top-level commas is a pre-rewritten
+    ``IN [a, b, …]`` literal (``_rewrite_in_lists`` runs on the whole
+    query before expression rewriting) — turn it back into an array
+    constructor for higher-order-function positions."""
+    e = expr.strip()
+    if e.startswith("(") and _balanced_end(e, 0) == len(e):
+        if len(_split_top(e[1:-1], r",")) > 1:
+            return f"array({e[1:-1]})"
+    return expr
+
+
+def _quantifier_sql(fn: str, body: str) -> str:
+    """``any/all/none/single(x IN list WHERE pred)`` → Spark higher-order
+    functions. The lambda variable is renamed ``x__`` so it passes the
+    bare-identifier allow-list (double-underscore names are frame
+    columns/lambda vars by convention). Subset note: Cypher's ternary
+    null logic for none()/single() collapses to two-valued here."""
+    halves = _split_top(body, r"\bIN\b")
+    if len(halves) != 2 or not re.fullmatch(r"\s*\w+\s*", halves[0]):
+        raise CypherSyntaxError(f"{fn}() expects 'var IN list WHERE pred': {body!r}")
+    var = halves[0].strip()
+    rest = _split_top(halves[1], r"\bWHERE\b")
+    if len(rest) != 2:
+        raise CypherSyntaxError(f"{fn}() needs a WHERE predicate: {body!r}")
+    lst = _maybe_array_literal(_rewrite_list_exprs(rest[0].strip()))
+    pred = _subst_word(_rewrite_list_exprs(rest[1].strip()), var, f"{var}__")
+    lam = f"{var}__ -> ({pred})"
+    if fn == "any":
+        return f"exists({lst}, {lam})"
+    if fn == "all":
+        return f"forall({lst}, {lam})"
+    if fn == "none":
+        return f"(NOT exists({lst}, {lam}))"
+    return f"(cardinality(filter({lst}, {lam})) = 1)"
+
+
+def _reduce_sql(body: str) -> str:
+    """``reduce(acc = init, x IN list | expr)`` → ``aggregate(list, init,
+    (acc__, x__) -> expr)`` (Spark's fold; same left-to-right order)."""
+    args = _split_top(body, r",")
+    if len(args) != 2:
+        raise CypherSyntaxError(f"reduce() expects 'acc = init, x IN list | expr': {body!r}")
+    am = re.match(r"^\s*(\w+)\s*=\s*(.+)$", args[0], re.S)
+    halves = _split_top(args[1], r"\bIN\b")
+    if not am or len(halves) != 2 or not re.fullmatch(r"\s*\w+\s*", halves[0]):
+        raise CypherSyntaxError(f"reduce() expects 'acc = init, x IN list | expr': {body!r}")
+    acc, init = am.group(1), _rewrite_list_exprs(am.group(2).strip())
+    var = halves[0].strip()
+    le = _split_top(halves[1], r"(?<!\|)\|(?!\|)")
+    if len(le) != 2:
+        raise CypherSyntaxError(f"reduce() needs '| expr' after the list: {body!r}")
+    lst = _maybe_array_literal(_rewrite_list_exprs(le[0].strip()))
+    expr = _rewrite_list_exprs(le[1].strip())
+    expr = _subst_word(_subst_word(expr, acc, f"{acc}__"), var, f"{var}__")
+    return f"aggregate({lst}, {init}, ({acc}__, {var}__) -> ({expr}))"
+
+
+def _list_fn_sql(fn: str, body: str, orig: str) -> str:
+    if fn in ("any", "all", "none", "single"):
+        return _quantifier_sql(fn, body)
+    if fn == "reduce":
+        return _reduce_sql(body)
+    b = _maybe_array_literal(_rewrite_list_exprs(body.strip()))
+    if fn == "head":
+        return f"get({b}, 0)"
+    if fn == "last":
+        # get() is 0-based and null-safe on both ends (ANSI element_at
+        # throws on an empty array; Cypher last([]) is null)
+        return f"get({b}, cardinality({b}) - 1)"
+    if fn == "tail":
+        return f"slice({b}, 2, greatest(cardinality({b}) - 1, 0))"
+    if fn == "size":
+        # Cypher size() is polymorphic (lists + strings); Spark splits it
+        # into cardinality()/length(). Decide by the argument's syntactic
+        # head; a plain column falls through to the string rewrite in
+        # _fn_rewrite (node properties are strings — the documented subset)
+        if b.lstrip().lower().startswith(_LISTY_HEADS):
+            return f"cardinality({b})"
+        return f"size({b})"
+    if fn == "substring":
+        # Cypher indexes from 0, Spark from 1 — shift the start and emit
+        # the substr alias so _fn_rewrite's (segment-local) shift never
+        # applies twice. This quote-aware path handles literal arguments
+        # the segment-local rewrite cannot.
+        sargs = _split_top(b, r",")
+        if len(sargs) in (2, 3):
+            return (
+                f"substr({sargs[0].strip()}, ({sargs[1].strip()}) + 1"
+                + (f", {sargs[2].strip()}" if len(sargs) == 3 else "")
+                + ")"
+            )
+        return f"substr({b})"
+    if fn == "range":
+        # Cypher range(a, b[, step]) is inclusive on both ends — exactly
+        # Spark's sequence() (expression context only; a literal-arg
+        # leading UNWIND range() takes the lazy spark.range path instead)
+        return f"sequence({b})"
+    # split: Neo4j splits on a LITERAL delimiter, Spark on a Java regex —
+    # \Q…\E-quote a literal second argument so '.' or '|' split literally
+    args = _split_top(b, r",")
+    if fn == "split" and len(args) == 2:
+        dm = re.fullmatch(r"\s*'([^']*)'\s*", args[1])
+        if dm:
+            return f"split({args[0].strip()}, '\\\\Q{dm.group(1)}\\\\E')"
+    return f"{fn}({b})"
+
+
+def _rewrite_list_exprs(text: str) -> str:
+    """Rewrite Cypher list expressions inside one RETURN/WITH item body to
+    Spark SQL (round-7 second half — the expression-level Neo4j surface a
+    migrating user hits daily):
+
+    - ``[a, b, c]`` literals → ``array(a, b, c)``
+    - ``[x IN list WHERE p | e]`` comprehensions → ``transform(filter(…))``
+    - ``xs[i]`` indexing → 0-based null-safe ``get`` / ``element_at`` for
+      negative literals (Cypher indexes from 0, Spark SQL from 1)
+    - ``any/all/none/single(x IN l WHERE p)`` → ``exists/forall`` lambdas
+    - ``reduce(acc = i, x IN l | e)`` → ``aggregate``
+    - ``head/last/tail/size/split`` → null-safe Spark equivalents
+    - string/array concatenation ``+`` with a literal operand → ``||``
+
+    Quote-aware, bracket-balanced, recursive; lambda variables are renamed
+    ``var__`` (the double-underscore convention passes the bare-identifier
+    allow-list, so typos elsewhere still fail at parse time)."""
+    acc = ""
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            if j < 0:
+                raise CypherSyntaxError(f"unterminated string: {text!r}")
+            acc += text[i : j + 1]
+            i = j + 1
+            continue
+        fm = _LIST_FN_RE.match(text, i)
+        if fm and not (i > 0 and (text[i - 1].isalnum() or text[i - 1] in "_.")):
+            open_i = fm.end() - 1
+            end = _balanced_end(text, open_i)
+            acc += _list_fn_sql(
+                fm.group(1).lower(), text[open_i + 1 : end - 1], text[i:end]
+            )
+            i = end
+            continue
+        if ch == "[":
+            end = _balanced_end(text, i)
+            body = text[i + 1 : end - 1]
+            prev = acc.rstrip()[-1:]
+            if prev and (prev.isalnum() or prev in "_)]"):
+                # indexing: pop the base expression off the accumulator
+                stripped = acc.rstrip()
+                if prev in ")]":
+                    # walk back over one balanced group + leading name
+                    d, k = 0, len(stripped) - 1
+                    while k >= 0:
+                        if stripped[k] in ")]":
+                            d += 1
+                        elif stripped[k] in "([":
+                            d -= 1
+                            if d == 0:
+                                break
+                        k -= 1
+                    while k > 0 and (stripped[k - 1].isalnum() or stripped[k - 1] in "_."):
+                        k -= 1
+                else:
+                    k = len(stripped)
+                    while k > 0 and (stripped[k - 1].isalnum() or stripped[k - 1] in "_."):
+                        k -= 1
+                base = stripped[k:]
+                idx = _rewrite_list_exprs(body.strip())
+                neg = re.fullmatch(r"-\d+", idx)
+                acc = stripped[:k] + (
+                    f"element_at({base}, {idx})" if neg else f"get({base}, ({idx}))"
+                )
+                i = end
+                continue
+            cm = re.match(r"^\s*(\w+)\s+IN\b", body, re.I)
+            if cm:
+                halves = _split_top(body, r"\bIN\b")
+                var = halves[0].strip()
+                v2 = f"{var}__"
+                rest = _split_top(halves[1], r"\bWHERE\b")
+                map_expr = None
+                if len(rest) == 2:
+                    lsrc, predpart = rest[0], rest[1]
+                    pp = _split_top(predpart, r"(?<!\|)\|(?!\|)")
+                    pred = pp[0].strip()
+                    if len(pp) == 2:
+                        map_expr = pp[1].strip()
+                else:
+                    lp = _split_top(rest[0], r"(?<!\|)\|(?!\|)")
+                    lsrc, pred = lp[0], None
+                    if len(lp) == 2:
+                        map_expr = lp[1].strip()
+                lst = _maybe_array_literal(_rewrite_list_exprs(lsrc.strip()))
+                if len(rest) == 2:
+                    pred_sql = _subst_word(_rewrite_list_exprs(pred), var, v2)
+                    lst = f"filter({lst}, {v2} -> ({pred_sql}))"
+                if map_expr is not None:
+                    mexp = _subst_word(_rewrite_list_exprs(map_expr), var, v2)
+                    lst = f"transform({lst}, {v2} -> ({mexp}))"
+                acc += lst
+                i = end
+                continue
+            acc += f"array({_rewrite_list_exprs(body)})"
+            i = end
+            continue
+        acc += ch
+        i += 1
+    # literal-adjacent + is concatenation (Cypher overloads +; Spark's ||
+    # concatenates both strings and arrays). Only literal-adjacent uses
+    # rewrite — a bare `a + b` stays numeric (subset note in SURVEY.md).
+    parts = re.split(r"('(?:[^'])*')", acc)
+    for pi, pt in enumerate(parts):
+        if pt.startswith("'"):
+            if pi >= 1 and re.search(r"\+\s*$", parts[pi - 1]):
+                parts[pi - 1] = re.sub(r"\+(\s*)$", r"||\1", parts[pi - 1])
+            if pi + 1 < len(parts) and re.match(r"^\s*\+", parts[pi + 1]):
+                parts[pi + 1] = re.sub(r"^(\s*)\+", r"\1||", parts[pi + 1])
+    acc = "".join(parts)
+    acc = re.sub(r"\)\s*\+\s*array\(", ") || array(", acc)
+    return acc
 
 
 def bind_params(query: str, params: dict | None) -> str:
@@ -785,9 +1152,59 @@ def parse(query: str) -> dict:
     unwinds: list[dict] = []
     upos = 0
     while True:
-        um = _UNWIND_RE.match(query, upos)
+        # a bracket body opening with `var IN` is a comprehension, not a
+        # literal list — route it to the expression-form branch below
+        comp_ahead = re.match(
+            r"\s*UNWIND\s*\[\s*\w+\s+IN\b", query[upos:], re.I
+        )
+        um = None if comp_ahead else _UNWIND_RE.match(query, upos)
         rg = None if um else _UNWIND_RANGE_RE.match(query, upos)
+        if comp_ahead:
+            rg = None
         if not um and not rg:
+            # expression-form UNWIND (round-7): comprehensions, nested
+            # list literals, range() with computed bounds — anything the
+            # list-expression rewriter compiles. Self-contained by
+            # position (leading UNWINDs precede every pattern variable),
+            # so it compiles to explode(<expr>) over a literal relation.
+            em = re.match(r"\s*UNWIND\s+", query[upos:], re.I)
+            if em:
+                estart = upos + em.end()
+                # scan to the top-level `AS var` boundary (quote/bracket
+                # aware; a CAST's AS is always inside parens)
+                depth, k = 0, estart
+                asm = None
+                while k < len(query):
+                    ch_ = query[k]
+                    if ch_ == "'":
+                        j_ = query.find("'", k + 1)
+                        if j_ < 0:
+                            break
+                        k = j_ + 1
+                        continue
+                    if ch_ in "([":
+                        depth += 1
+                    elif ch_ in ")]":
+                        depth -= 1
+                    elif depth == 0:
+                        asm = re.match(r"\s+AS\s+([A-Za-z_]\w*)", query[k:], re.I)
+                        if asm:
+                            break
+                    k += 1
+                if asm:
+                    uvar_e = asm.group(1)
+                    if uvar_e.lower() in _RESERVED or any(
+                        u["var"] == uvar_e for u in unwinds
+                    ):
+                        raise CypherSyntaxError(
+                            f"UNWIND variable {uvar_e!r} collides with another name"
+                        )
+                    expr_sql = _outside_quotes(
+                        _rewrite_list_exprs(query[estart:k].strip()), _fn_rewrite
+                    )
+                    unwinds.append({"var": uvar_e, "values": None, "expr": expr_sql})
+                    upos = k + asm.end()
+                    continue
             break
         uvar = (um or rg).group("var")
         if uvar.lower() in _RESERVED or any(u["var"] == uvar for u in unwinds):
@@ -810,9 +1227,17 @@ def parse(query: str) -> dict:
 
     hm = _MATCH_HEAD.match(query[upos:])  # slice: the regex is ^-anchored
     if not hm and not unwinds:
-        raise CypherSyntaxError(
-            f"unsupported Cypher (MATCH/UNWIND subset only): {query!r}"
-        )
+        # MATCH-less expression queries (round-7): `RETURN 1 + 1 AS x`,
+        # `WITH [1,2,3] AS xs RETURN …` — Neo4j evaluates these over one
+        # implicit empty row; synthesize a one-row frame via a hidden
+        # single-element UNWIND (never projected: output items are
+        # explicit, and double-underscore names are internal by convention)
+        if re.match(r"^\s*(WITH|RETURN)\b", query[upos:], re.I):
+            unwinds.append({"var": "__cy_unit", "values": [("i", 0)]})
+        else:
+            raise CypherSyntaxError(
+                f"unsupported Cypher (MATCH/UNWIND subset only): {query!r}"
+            )
 
     labels: dict = {}  # var -> label, whole-query consistency check
     _cur_labels: dict = {"cur": {}}  # labels seen in the clause being parsed
@@ -1175,8 +1600,13 @@ def parse(query: str) -> dict:
                 f"before the first WITH: {m.group(0)!r}"
             )
         if fn == "keys":
-            # the engine's node-attribute schema is fixed: id + the
-            # attribute-view properties
+            # keys()/properties() expose the UNIVERSAL attribute triple
+            # (id/label/name — present on every node). The per-label
+            # extras (acctbal/mktsegment, round-7) are reachable as
+            # n.acctbal etc. but stay out of the introspection struct:
+            # a fixed-schema struct cannot drop absent-per-label fields
+            # the way Neo4j's heterogeneous property map does (declared
+            # subset; the introspect op's oracle states the triple).
             return "array('id', 'label', 'name')"
         # properties(v): the full property map as a struct — field order
         # matches keys()
@@ -1404,15 +1834,6 @@ def parse(query: str) -> dict:
     # src_pred); anything else filters the joined result. Every identifier
     # rewrite/scan runs OUTSIDE quoted literals — a literal like 'c:%' must
     # never be rewritten when the variable is named c.
-    def _outside_quotes(pred: str, fn) -> str:
-        parts = re.split(r"('(?:[^'])*')", pred)
-        return "".join(p if p.startswith("'") else fn(p) for p in parts)
-
-    def _unquoted(pred: str) -> str:
-        return "".join(
-            p for p in re.split(r"('(?:[^'])*')", pred) if not p.startswith("'")
-        )
-
     def _like_escape(lit: str) -> str:
         """Escape a literal for a LIKE pattern inside a SQL string: a
         backslash needs FOUR in the SQL text (the string unescaper halves
@@ -1829,8 +2250,11 @@ def parse(query: str) -> dict:
             # would name the column the whole expression text) and the body
             # may not contain commas (subset limit — the item list splits
             # on them)
+            # both Cypher CASE forms map onto Spark SQL directly: searched
+            # (CASE WHEN p THEN …) and simple (CASE expr WHEN v THEN … —
+            # round-7, the operand is any scalar expression)
             cs = re.match(
-                r"^CASE\s+(?P<body>WHEN\s+.+\s+END)\s+AS\s+(?P<alias>\w+)$",
+                r"^CASE\s+(?P<body>(?:(?!WHEN\b).+?\s+)?WHEN\s+.+\s+END)\s+AS\s+(?P<alias>\w+)$",
                 item,
                 re.I | re.S,
             )
@@ -1867,6 +2291,7 @@ def parse(query: str) -> dict:
                 and not re.match(r"^CASE\s", item, re.I)
                 and (
                     "(" in xm.group("expr")
+                    or "[" in _unquoted(xm.group("expr"))
                     or re.search(r"[+\-*/%]", _unquoted(xm.group("expr")))
                 )
             ):
@@ -1902,7 +2327,9 @@ def parse(query: str) -> dict:
                         seg = seg.replace(pm, resolve(pm, f"expression in {ctx}"))
                     return _fn_rewrite(seg)
 
-                sql = _outside_quotes(xm.group("expr"), _map_x)
+                sql = _outside_quotes(
+                    _rewrite_list_exprs(xm.group("expr")), _map_x
+                )
                 sql = _rx_anchor(_CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql))))
                 unq = _unquoted(sql)
                 for w in re.findall(r"\b[A-Za-z_]\w*\b", unq):
@@ -1998,12 +2425,18 @@ def parse(query: str) -> dict:
     numeric_unwinds = {
         u["var"]
         for u in unwinds
-        if u.get("range") or {k for k, _ in u["values"]} <= {"i", "f"}
+        # expression-form UNWINDs (values None) have unknowable element
+        # types at parse time — conservatively non-numeric for the
+        # aggregate-argument check (sum over them reports the subset limit)
+        if u.get("range")
+        or (u["values"] is not None and {k for k, _ in u["values"]} <= {"i", "f"})
     }
     pattern_numeric_ok = (  # noqa: E731
         lambda c: c in ("hops", "path_weight")
         or c in numeric_unwinds
         or (c.endswith("__w") and c[: -len("__w")] in relvars)
+        # numeric node property (round-7): sum/avg/percentile over balances
+        or c.endswith("__acctbal")
     )
 
     # ---- WITH pipeline stages (any number — Cypher's chained pipes) ----
@@ -2052,17 +2485,57 @@ def parse(query: str) -> dict:
             tail_m[tpos:],
             re.I | re.S,
         )
+        stage_hidden: list[str] = []
         if om_:
             for key in _unmask(om_.group("keys")).split(","):
                 km_ = re.match(
-                    r"^\s*(?P<name>\w+)(?:\s+(?P<dir>ASC|DESC))?\s*$", key, re.I
+                    r"^\s*(?P<name>[\w.]+)(?:\s+(?P<dir>ASC|DESC))?\s*$", key, re.I
                 )
-                if not km_ or km_.group("name") not in with_names:
+                if not km_:
                     raise CypherSyntaxError(
                         f"WITH ORDER BY key must be a WITH output column: {key!r}"
                     )
+                sname = km_.group("name")
+                if sname not in with_names:
+                    # ORDER BY a non-projected property of a carried var
+                    # (round-7 — `WITH c ORDER BY c.acctbal DESC LIMIT 5`,
+                    # the top-k-then-continue idiom over node properties):
+                    # project it as a hidden stage column, sort, drop it
+                    # after paging. Same restrictions as the RETURN path —
+                    # undefined under aggregation or WITH DISTINCT.
+                    try:
+                        mapped = scope_resolve(sname, "WITH ORDER BY")
+                    except CypherSyntaxError:
+                        mapped = None
+                    cand = [
+                        it["name"]
+                        for it in with_items_i
+                        if mapped and it.get("col") == mapped
+                    ]
+                    if cand:
+                        sname = cand[0]
+                    elif (
+                        mapped
+                        and not any(it["kind"] == "agg" for it in with_items_i)
+                        and not with_distinct
+                    ):
+                        sname = f"__sord{len(stage_order)}"
+                        with_items_i.append(
+                            {"kind": "plain", "col": mapped, "name": sname}
+                        )
+                        stage_hidden.append(sname)
+                    else:
+                        raise CypherSyntaxError(
+                            f"WITH ORDER BY key must be a WITH output column: {key!r}"
+                            + (
+                                " (ordering by a non-projected property is "
+                                "not defined under aggregation or DISTINCT)"
+                                if mapped
+                                else ""
+                            )
+                        )
                 stage_order.append(
-                    (km_.group("name"), (km_.group("dir") or "ASC").upper() == "ASC")
+                    (sname, (km_.group("dir") or "ASC").upper() == "ASC")
                 )
             tpos += om_.end()
         stage_skip = stage_limit = None
@@ -2235,7 +2708,7 @@ def parse(query: str) -> dict:
         scope_numeric_ok = lambda c: True  # noqa: E731  (piped outputs are opaque)
 
     rm_ = re.match(
-        r"""\s+RETURN\s+(?P<ret>.+?)
+        r"""\s*RETURN\s+(?P<ret>.+?)
             (?:\s+ORDER\s+BY\s+(?P<order>.+?))?
             (?:\s+SKIP\s+(?P<skip>\d+))?
             (?:\s+LIMIT\s+(?P<limit>\d+))?
@@ -2620,6 +3093,15 @@ def _run_single(
     # match row pairs with every list element (Cypher's UNWIND row stream);
     # a parameter-bound id list stays a handful of rows at any corpus size
     for u in p.get("unwinds") or []:
+        if u.get("expr") is not None:
+            # expression-form UNWIND: explode the compiled list expression
+            # over a one-row relation (comprehensions/nested literals/
+            # computed range() — still a literal-sized, broadcastable frame)
+            uf = spark.range(1).select(
+                F.explode(F.expr(u["expr"])).alias(u["var"])
+            )
+            df = uf if df is None else df.crossJoin(F.broadcast(uf))
+            continue
         if u.get("range"):
             # UNWIND range(a, b[, step]): a LAZY spark.range relation —
             # scales to any sequence length without a literal-per-element

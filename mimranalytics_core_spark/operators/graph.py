@@ -3964,7 +3964,7 @@ def cypher_in_list_fns(spark, sf_dir):
         sf_dir,
         """MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
            WHERE n.name IN ['NATION_1', 'NATION_3']
-             AND toInteger(substring(c.id, 3)) % 2 = 0
+             AND toInteger(substring(c.id, 2)) % 2 = 0
            RETURN n, count(*) AS n_cust,
                   toString(size(n.name)) AS len_str
            ORDER BY n""",
@@ -4471,3 +4471,280 @@ def graph_msf(spark, sf_dir):
     )
     msf = boruvka_msf(pairs, rounds=10, jumps=16, state_partitions=4)
     return msf.select("a", "b", F.col("w").cast("double").alias("w"))
+
+
+@register(
+    "cypher_list_predicates",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm,
+               BOOL_OR(c.c_name LIKE '%1%') AS has1,
+               BOOL_AND(c.c_name LIKE 'Customer%') AS allc,
+               NOT BOOL_OR(c.c_name LIKE '%zzz%') AS nozzz
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY nm
+    """,
+    notes=(
+        "Cypher list quantifiers (round-7 third leg — any/all/none over a "
+        "collected list, openCypher list predicates): compiled to Spark "
+        "higher-order functions (exists/forall lambdas, "
+        "cypher._rewrite_list_exprs) over the collect() aggregate — "
+        "row-local array ops after one partial-agg'd groupBy, zero extra "
+        "shuffles, JVM-side codegen (no Python). The lambda variable is "
+        "renamed into the double-underscore internal namespace so the "
+        "bare-identifier allow-list still catches typos at parse time. "
+        "Oracle: BOOL_OR/BOOL_AND over the equivalent group — quantifiers "
+        "over a collected list ARE the group-level boolean aggregates"
+    ),
+)
+def cypher_list_predicates(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n.name AS nm, collect(c.name) AS members
+           RETURN nm,
+                  any(x IN members WHERE x CONTAINS '1') AS has1,
+                  all(x IN members WHERE x STARTS WITH 'Customer') AS allc,
+                  none(x IN members WHERE x CONTAINS 'zzz') AS nozzz
+           ORDER BY nm""",
+    )
+
+
+@register(
+    "cypher_reduce_expr",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm, CAST(SUM(LENGTH(c.c_name)) AS INT) AS total_len
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY nm
+    """,
+    notes=(
+        "Cypher reduce() fold (round-7 third leg): `reduce(s = 0, x IN "
+        "list | s + length(x))` compiles to Spark's aggregate() lambda "
+        "(cypher._rewrite_list_exprs) over the collect()ed group — the "
+        "fold body runs row-local inside whole-stage codegen; the "
+        "accumulator/element variables are renamed into the internal "
+        "double-underscore namespace. The declared fold (sum of lengths) "
+        "is order-insensitive, so the nondeterministic collect order "
+        "cannot leak into the hash. Oracle: the equivalent SQL aggregate "
+        "(a fold of + over a group IS a SUM)"
+    ),
+)
+def cypher_reduce_expr(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n.name AS nm, collect(c.name) AS names
+           RETURN nm,
+                  reduce(s = 0, x IN names | s + size(x)) AS total_len
+           ORDER BY nm""",
+    )
+
+
+@register(
+    "cypher_list_comprehension",
+    "graph",
+    oracle="""
+        SELECT CAST(x * x AS BIGINT) AS sq
+        FROM generate_series(1, 50) AS t(x)
+        WHERE x % 7 = 0
+    """,
+    notes=(
+        "Cypher list comprehension (round-7 third leg): `[x IN range(1,50) "
+        "WHERE x % 7 = 0 | x * x]` in UNWIND position — the comprehension "
+        "compiles to transform(filter(sequence(...))) "
+        "(cypher._rewrite_list_exprs; Cypher range() is inclusive like "
+        "Spark sequence()) and the expression-form UNWIND explodes it over "
+        "a one-row literal relation (broadcast-sized at any SF, like every "
+        "UNWIND frame). Oracle: generate_series with the same filter/map"
+    ),
+)
+def cypher_list_comprehension(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """UNWIND [x IN range(1, 50) WHERE x % 7 = 0 | x * x] AS sq
+           RETURN sq""",
+    )
+
+
+@register(
+    "cypher_scalar_return",
+    "graph",
+    oracle="""
+        SELECT 2 + 3 AS s, UPPER('ab') AS u, 1 AS h,
+               2 AS n, 'NATION_7' AS nm
+    """,
+    notes=(
+        "MATCH-less scalar RETURN (round-7 third leg): Neo4j evaluates "
+        "`RETURN expr` over one implicit row — the parser synthesizes a "
+        "hidden one-element UNWIND frame (never projected), so the whole "
+        "WITH/RETURN pipeline machinery applies unchanged. Exercises "
+        "arithmetic, string functions, head() -> null-safe get(), "
+        "size([..]) -> cardinality(array(..)), and string concatenation "
+        "+ -> || (all cypher._rewrite_list_exprs). Scale: a one-row "
+        "local relation — the canonical connectivity/smoke query a "
+        "driver fires at session start. Oracle: the same scalars in SQL"
+    ),
+)
+def cypher_scalar_return(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """RETURN 2 + 3 AS s, toUpper('ab') AS u, head([1, 2, 3]) AS h,
+                  size([1, 2]) AS n, 'NATION_' + '7' AS nm""",
+    )
+
+
+@register(
+    "cypher_property_numeric",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm, COUNT(*) AS n_rich,
+               ROUND(SUM(c.c_acctbal) * 100) / 100 AS total_r
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 5000.0
+        GROUP BY 1 ORDER BY nm
+    """,
+    notes=(
+        "numeric node properties (round-7 third leg): the attribute view "
+        "now carries acctbal (customer+supplier; absent labels read null, "
+        "Neo4j property semantics) and mktsegment — enabling numeric "
+        "WHERE ranges, sum/avg/percentile aggregates, and ORDER BY over "
+        "balances. The property filter is a plain predicate on the "
+        "attribute equi-join, pushed by Catalyst; sum() passes the "
+        "numeric-argument parse check via the __acctbal column suffix. "
+        "The declared query rounds the double sum to 2 dp on both sides "
+        "(addition order differs between engines; acctbal is exact at "
+        "2 dp, so rounding is stable). Oracle: the same filtered group-by "
+        "on the relational base table"
+    ),
+)
+def cypher_property_numeric(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WHERE c.acctbal > 5000.0
+           WITH n.name AS nm, count(*) AS n_rich, sum(c.acctbal) AS total
+           RETURN nm, n_rich, round(total * 100) / 100 AS total_r
+           ORDER BY nm""",
+    )
+
+
+@register(
+    "cypher_with_orderby_prop",
+    "graph",
+    oracle="""
+        WITH top5 AS (
+            SELECT c_custkey, c_name, c_nationkey FROM customer
+            ORDER BY c_acctbal DESC, c_name ASC LIMIT 5
+        )
+        SELECT t.c_name AS cname, n.n_name AS nname
+        FROM top5 t JOIN nation n ON t.c_nationkey = n.n_nationkey
+        ORDER BY cname
+    """,
+    notes=(
+        "WITH ORDER BY a non-projected property (round-7 third leg — "
+        "`WITH c ORDER BY c.acctbal DESC LIMIT 5`, Neo4j's top-k-then-"
+        "continue over node properties): the stage projects the property "
+        "as a HIDDEN sort column, sorts+limits (TakeOrderedAndProject), "
+        "drops it after paging — same machinery as the RETURN-side "
+        "hidden sort columns, same restrictions (undefined under "
+        "aggregation/DISTINCT, as in Neo4j). Unique-name tiebreak keeps "
+        "the top-5 deterministic. Scale: the follow-up MATCH joins a "
+        "5-row frame, not the corpus. Oracle: ORDER-BY-LIMIT CTE join"
+    ),
+)
+def cypher_with_orderby_prop(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)
+           WITH c ORDER BY c.acctbal DESC, c.name ASC LIMIT 5
+           MATCH (c)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN c.name AS cname, n.name AS nname
+           ORDER BY cname""",
+    )
+
+
+@register(
+    "cypher_unwind_expr",
+    "graph",
+    oracle="""
+        SELECT * FROM (VALUES (6, 1), (9, 4), (6, 6)) AS t(rowsum, first_el)
+    """,
+    notes=(
+        "expression-form UNWIND (round-7 third leg): nested list literals "
+        "(`[[1,2,3],[4,5],[6]]` — beyond the flat-literal fast path) "
+        "compile through the list-expression rewriter and explode over a "
+        "one-row relation; per-row reduce() folds and head() access then "
+        "run on the array column. Exercises the array-typed UNWIND column "
+        "end-to-end (explode -> lambda fold -> null-safe get). Oracle: "
+        "the three literal rows"
+    ),
+)
+def cypher_unwind_expr(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """UNWIND [[1, 2, 3], [4, 5], [6]] AS xs
+           RETURN reduce(s = 0, x IN xs | s + x) AS rowsum,
+                  head(xs) AS first_el""",
+    )
+
+
+@register(
+    "cypher_string_fns",
+    "graph",
+    oracle="""
+        SELECT n_name AS nm,
+               CAST(len(string_split(n_name, 'N')) AS INT) AS n_parts,
+               REPLACE(n_name, 'N', '_') AS repl,
+               SUBSTR(n_name, 1, 3) AS pre,
+               CASE n_name WHEN 'NATION_0' THEN 'zero' ELSE 'other' END AS tag
+        FROM nation ORDER BY nm
+    """,
+    notes=(
+        "Cypher string-function batch (round-7 third leg): split() on a "
+        "LITERAL delimiter (Neo4j splits literally, Spark's split() takes "
+        "a Java regex — the rewriter \\\\Q...\\\\E-quotes literal "
+        "delimiters so '.' or '|' split correctly), size() over the "
+        "resulting list -> cardinality(), replace(), 0-based Cypher "
+        "substring() -> 1-based Spark (+1 start shift in _fn_rewrite, "
+        "applied uniformly in WHERE and RETURN), and the simple CASE "
+        "form (`CASE expr WHEN v THEN ...`). All scan-local string "
+        "expressions inside codegen. Oracle: DuckDB string_split/len/"
+        "substr twins (both engines split literally here)"
+    ),
+)
+def cypher_string_fns(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           RETURN n.name AS nm,
+                  size(split(n.name, 'N')) AS n_parts,
+                  replace(n.name, 'N', '_') AS repl,
+                  substring(n.name, 0, 3) AS pre,
+                  CASE n.name WHEN 'NATION_0' THEN 'zero' ELSE 'other' END AS tag
+           ORDER BY nm""",
+    )

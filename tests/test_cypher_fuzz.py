@@ -97,7 +97,7 @@ def _query(draw):
                     "{v}.id STARTS WITH 'c:'",
                     "{v}.id IN ['c:1', 'c:2']",
                     "id({v}) = 'c:1'",
-                    "toInteger(substring({v}.id, 3)) < 50",
+                    "toInteger(substring({v}.id, 2)) < 50",
                 ]
             )
         ).format(v=vs[0])
@@ -164,6 +164,28 @@ def _query(draw):
         )
     if not shortest and not with_match and draw(st.integers(0, 3)) == 0:
         items.append(f"array_join(labels({vs[0]}), '|') AS lab")
+    if not with_match and draw(st.integers(0, 3)) == 0:
+        # round-7 third leg: list expressions / lambdas / 0-based slicing
+        items.append(
+            draw(
+                st.sampled_from(
+                    [
+                        "any(x IN [1, 2, 3] WHERE x > 2) AS le1",
+                        "all(x IN ['a'] WHERE x STARTS WITH 'a') AS le2",
+                        "none(x IN [1, 2] WHERE x > 9) AS le3",
+                        "single(x IN [1, 2, 3] WHERE x = 2) AS le4",
+                        "reduce(s = 0, x IN [1, 2, 3] | s + x) AS le5",
+                        "[x IN range(1, 5) WHERE x % 2 = 0 | x * x][0] AS le6",
+                        "head([1, 2]) + last([1, 2]) AS le7",
+                        "size(tail([1, 2, 3])) AS le8",
+                        "size(split('a.b.c', '.')) AS le9",
+                        "substring('abcdef', 1, 2) AS le10",
+                        "'x' + 'y' AS le11",
+                        "CASE 1 WHEN 1 THEN 'one' ELSE 'other' END AS le12",
+                    ]
+                )
+            )
+        )
     if pathvar and not with_match:
         items += draw(
             st.lists(

@@ -481,7 +481,7 @@ def test_size_tostring_tointeger(spark):
         spark,
         SF_SMALL,
         "MATCH (c)-[:CUSTOMER_OF]->(n) "
-        "WHERE toInteger(substring(c.id, 3)) < 3 "
+        "WHERE toInteger(substring(c.id, 2)) < 3 "
         "RETURN c, toString(size(c.name)) AS ls ORDER BY c",
     ).collect()
     assert [r.c for r in rows] == ["c:0", "c:1", "c:2"]
@@ -495,7 +495,7 @@ def test_tofloat_cast(spark):
         spark,
         SF_SMALL,
         "MATCH (c)-[:CUSTOMER_OF]->(n) WHERE c.id = 'c:1' "
-        "RETURN c, toFloat(substring(c.id, 3)) / 2 AS half",
+        "RETURN c, toFloat(substring(c.id, 2)) / 2 AS half",
     ).collect()
     assert rows[0].half == 0.5
 
@@ -1012,3 +1012,161 @@ def test_timeline_metrics_matches_per_year_snapshot(spark):
     # iff it starts in-window
     started = spans.filter(F.col("yf").between(1992, 1998)).count()
     assert sum(v[1] for (yy, rt), v in out.items() if rt == "owns_stake") == started
+
+
+# ---- round-7 third leg: the list-expression / scalar-query surface ----
+
+
+def _cy(spark, q, **kw):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(spark, SF_SMALL, q, **kw)
+
+
+def test_scalar_return_no_match(spark):
+    """Neo4j evaluates a MATCH-less RETURN over one implicit row."""
+    r = _cy(spark, "RETURN 2 + 3 AS s, toUpper('ab') AS u").collect()
+    assert len(r) == 1 and r[0].s == 5 and r[0].u == "AB"
+
+
+def test_head_last_tail_null_safe(spark):
+    r = _cy(
+        spark,
+        "WITH [10, 20, 30] AS xs "
+        "RETURN head(xs) AS h, last(xs) AS l, tail(xs)[0] AS t0, "
+        "size(tail(xs)) AS tn",
+    ).collect()[0]
+    assert (r.h, r.l, r.t0, r.tn) == (10, 30, 20, 2)
+
+
+def test_indexing_is_zero_based_and_negative(spark):
+    r = _cy(
+        spark,
+        "WITH [10, 20, 30] AS xs RETURN xs[0] AS a, xs[1+1] AS b, xs[-1] AS c, xs[9] AS d",
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (10, 30, 30) and r.d is None
+
+
+def test_quantifiers_match_python(spark):
+    r = _cy(
+        spark,
+        "WITH [1, 2, 3] AS xs RETURN "
+        "any(x IN xs WHERE x > 2) AS q_any, "
+        "all(x IN xs WHERE x > 2) AS q_all, "
+        "none(x IN xs WHERE x > 5) AS q_none, "
+        "single(x IN xs WHERE x = 2) AS q_single, "
+        "single(x IN xs WHERE x > 1) AS q_multi",
+    ).collect()[0]
+    assert (r.q_any, r.q_all, r.q_none, r.q_single, r.q_multi) == (
+        True, False, True, True, False,
+    )
+
+
+def test_reduce_fold(spark):
+    r = _cy(
+        spark,
+        "WITH [1, 2, 3, 4] AS xs RETURN reduce(s = 100, x IN xs | s + x) AS tot",
+    ).collect()[0]
+    assert r.tot == 110
+
+
+def test_list_comprehension_filter_map(spark):
+    r = _cy(
+        spark,
+        "RETURN [x IN range(1, 10) WHERE x % 3 = 0 | x * x] AS sq, "
+        "[x IN range(1, 4)] AS plain, [x IN range(1, 4) | x + 1] AS mapped",
+    ).collect()[0]
+    assert list(r.sq) == [9, 36, 81]
+    assert list(r.plain) == [1, 2, 3, 4]
+    assert list(r.mapped) == [2, 3, 4, 5]
+
+
+def test_unwind_comprehension_and_nested(spark):
+    rows = _cy(
+        spark, "UNWIND [x IN range(1, 6) WHERE x > 4 | x * 10] AS v RETURN v"
+    ).collect()
+    assert sorted(r.v for r in rows) == [50, 60]
+    rows = _cy(
+        spark,
+        "UNWIND [[1, 2], [3]] AS xs RETURN reduce(s = 0, x IN xs | s + x) AS t",
+    ).collect()
+    assert sorted(r.t for r in rows) == [3, 3]
+
+
+def test_substring_is_zero_based(spark):
+    """Cypher substring(s, start[, len]) indexes from 0 — the engine
+    shifts to Spark's 1-based substring uniformly (RETURN and WHERE)."""
+    r = _cy(spark, "RETURN substring('abcdef', 2, 3) AS m").collect()[0]
+    assert r.m == "cde"
+    rows = _cy(
+        spark,
+        "MATCH (c:Customer) WHERE toInteger(substring(c.id, 2)) = 1 "
+        "RETURN c.name AS nm",
+    ).collect()
+    assert len(rows) == 1 and rows[0].nm.endswith("1")
+
+
+def test_split_literal_delimiter(spark):
+    """Neo4j split() is literal; Spark's is regex — '.' must not match-all."""
+    r = _cy(spark, "RETURN size(split('a.b.c', '.')) AS n").collect()[0]
+    assert r.n == 3
+
+
+def test_string_concat_plus(spark):
+    r = _cy(spark, "MATCH (n:Nation) RETURN n.name + '!' AS x ORDER BY x LIMIT 1").collect()
+    assert r[0].x == "NATION_0!"
+
+
+def test_simple_case_form(spark):
+    r = _cy(
+        spark,
+        "RETURN CASE 'b' WHEN 'a' THEN 1 WHEN 'b' THEN 2 ELSE 0 END AS v",
+    ).collect()[0]
+    assert r.v == 2
+
+
+def test_numeric_property_where_and_agg(spark):
+    rows = _cy(
+        spark,
+        "MATCH (c:Customer) WHERE c.acctbal > 0 AND c.acctbal < 100000 "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n > 0
+    rows = _cy(
+        spark,
+        "MATCH (c:Customer {mktsegment: 'BUILDING'}) RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n > 0
+    # absent-per-label property reads as null (Neo4j semantics)
+    rows = _cy(
+        spark, "MATCH (n:Nation) WHERE n.acctbal IS NOT NULL RETURN count(*) AS n"
+    ).collect()
+    assert rows[0].n == 0
+
+
+def test_with_order_by_property_top_k(spark):
+    from mimranalytics_core_spark.operators._base import tables
+
+    tb = tables(spark, SF_SMALL)
+    import pyspark.sql.functions as F
+
+    exp = [
+        r.c_name
+        for r in tb["customer"]
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_name").asc())
+        .limit(3)
+        .collect()
+    ]
+    rows = _cy(
+        spark,
+        "MATCH (c:Customer) WITH c ORDER BY c.acctbal DESC, c.name ASC LIMIT 3 "
+        "RETURN c.name AS nm ORDER BY nm",
+    ).collect()
+    assert sorted(r.nm for r in rows) == sorted(exp)
+    # hidden sort column must not leak into the output schema
+    df = _cy(
+        spark,
+        "MATCH (c:Customer) WITH c ORDER BY c.acctbal DESC, c.name ASC LIMIT 3 "
+        "RETURN c.name AS nm ORDER BY nm",
+    )
+    assert df.columns == ["nm"]
