@@ -619,6 +619,29 @@ def _split_top(text: str, sep: str, flags: int = re.I) -> list[str]:
     return parts
 
 
+def _rewrite_label_preds(pred: str, varset: set) -> str:
+    """``var:Label`` as a boolean WHERE predicate (Neo4j's label test —
+    the form that composes under OR/NOT, unlike a pattern-level label) →
+    a namespace-prefix LIKE over the node id (round-7). Unknown labels on
+    a known variable fail at parse time like pattern labels do."""
+
+    def _seg(seg: str) -> str:
+        def _sub(m: re.Match) -> str:
+            var, label = m.group(1), m.group(2)
+            if var not in varset:
+                return m.group(0)
+            if label.lower() not in _LABEL_PREFIX:
+                raise CypherSyntaxError(
+                    f"unknown label in WHERE: {var}:{label} (known: "
+                    f"{sorted(_LABEL_PREFIX)})"
+                )
+            return f"{var} LIKE '{_LABEL_PREFIX[label.lower()]}%'"
+
+        return re.sub(r"\b([A-Za-z_]\w*)\s*:\s*([A-Za-z_]\w*)\b", _sub, seg)
+
+    return _outside_quotes(pred, _seg)
+
+
 def _outside_quotes(pred: str, fn) -> str:
     """Apply ``fn`` to every segment outside quoted literals."""
     parts = re.split(r"('(?:[^'])*')", pred)
@@ -1921,6 +1944,7 @@ def parse(query: str) -> dict:
     # existentially quantified. Subset: trailing WHERE only, top-level
     # AND conjuncts only; the inner block may carry its own WHERE.
     exists_preds: list[dict] = []
+    count_subqueries: list[dict] = []
     if where and (
         re.search(r"\bEXISTS\s*\{", where, re.I)
         # bare pattern predicate: a rel-bracket outside quotes marks it
@@ -2054,6 +2078,7 @@ def parse(query: str) -> dict:
                 seg = seg.replace(pm, _map_expr(pm, "WHERE"))
             return _fn_rewrite(seg)
 
+        pred = _rewrite_label_preds(pred, varset)
         pred = _outside_quotes(pred, _map_props)
         unquoted = _unquoted(pred)
         # identifier-start required: a decimal literal (0.5) is not a
@@ -2113,6 +2138,7 @@ def parse(query: str) -> dict:
             pt if pt.startswith("'") else _gfn_seg(pt)
             for pt in re.split(r"('(?:[^'])*')", raw)
         )
+        raw = _rewrite_label_preds(raw, varset)
         props_local: dict[str, set] = {}
 
         def _res_scoped(expr: str) -> str:
@@ -2244,6 +2270,47 @@ def parse(query: str) -> dict:
         items: list[dict] = []
         for item in _split_items(text):
             item = item.strip()
+            # COUNT { pattern [WHERE …] } scalar subquery item (round-7 —
+            # the openCypher degree/neighbour-count idiom). Compiled like
+            # an EXISTS predicate, but instead of a semi join the subquery
+            # frame is grouped on the correlation anchors and LEFT-joined:
+            # one count column, zero row multiplication, nulls → 0 (an
+            # OPTIONAL-null anchor matches nothing, as in Neo4j). Among
+            # aggregates the count column is a grouping key — exactly
+            # Neo4j's implicit-grouping rule for non-aggregate items.
+            cq_ = re.match(
+                r"^COUNT\s*\{(?P<body>.+)\}\s+AS\s+(?P<alias>\w+)$",
+                item,
+                re.I | re.S,
+            )
+            if cq_ and ctx == "RETURN":
+                body = cq_.group("body").strip()
+                if not re.match(r"\s*MATCH\b", body, re.I):
+                    body = "MATCH " + body
+                ws_ = re.split(r"\bWHERE\b", body, maxsplit=1, flags=re.I)
+                in_vars = {m.group(1) for m in _NODE_RE.finditer(ws_[0])}
+                anchors_ = sorted(in_vars & varset)
+                if not anchors_:
+                    raise CypherSyntaxError(
+                        "a COUNT { … } subquery must share at least one "
+                        f"variable with the enclosing MATCH: {item!r}"
+                    )
+                inner_q_ = (
+                    ws_[0].rstrip()
+                    + (f" AS OF '{as_of}'" if as_of else "")
+                    + (" WHERE" + ws_[1] if len(ws_) > 1 else "")
+                    + " RETURN "
+                    + ", ".join(anchors_)
+                )
+                parse(inner_q_)  # validate eagerly, like EXISTS bodies
+                col_ = f"__cnt{len(count_subqueries)}"
+                count_subqueries.append(
+                    {"query": inner_q_, "anchors": anchors_, "col": col_}
+                )
+                items.append(
+                    {"kind": "plain", "col": col_, "name": cq_.group("alias")}
+                )
+                continue
             # CASE WHEN … THEN … [ELSE …] END AS alias — Cypher's searched
             # CASE maps 1:1 onto Spark SQL's CASE once var.prop tokens and
             # string predicates are rewritten; the alias is REQUIRED (Neo4j
@@ -2795,6 +2862,7 @@ def parse(query: str) -> dict:
         "vars": vars_,
         "unwinds": unwinds,
         "exists_preds": exists_preds,
+        "count_subqueries": count_subqueries,
         "edge_types": segments[0]["types"] if segments else None,
         "min_hops": segments[0]["min_hops"] if segments else None,
         "max_hops": segments[0]["max_hops"] if segments else None,
@@ -3261,6 +3329,13 @@ def _run_single(
                 df = df.join(attrs.select(*sel), var, "left")
         if pipe["post_pred"]:
             df = df.filter(F.expr(pipe["post_pred"]))
+    # COUNT { … } scalar subqueries: grouped on the correlation anchors,
+    # LEFT-joined (never multiplies rows), null-extended rows count 0
+    for cs in p.get("count_subqueries") or []:
+        sub = _run_single(spark, sf_dir, cs["query"], graph=graph)
+        side = sub.groupBy(*cs["anchors"]).agg(F.count(F.lit(1)).alias(cs["col"]))
+        df = df.join(side, cs["anchors"], "left")
+        df = df.withColumn(cs["col"], F.coalesce(F.col(cs["col"]), F.lit(0)))
     df = _apply_items(df, p["projection"])
     if p.get("ret_distinct"):
         df = df.distinct()

@@ -4748,3 +4748,75 @@ def cypher_string_fns(spark, sf_dir):
                   CASE n.name WHEN 'NATION_0' THEN 'zero' ELSE 'other' END AS tag
            ORDER BY nm""",
     )
+
+
+@register(
+    "cypher_count_subquery",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm,
+               (SELECT COUNT(*) FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey) AS n_cust,
+               (SELECT COUNT(*) FROM supplier s
+                 WHERE s.s_nationkey = n.n_nationkey) AS n_sup
+        FROM nation n ORDER BY nm
+    """,
+    notes=(
+        "COUNT { pattern } scalar subqueries (round-7 third leg — "
+        "openCypher's degree-count idiom, the successor to the deprecated "
+        "size((n)--())) : each subquery compiles like an EXISTS body, but "
+        "the correlated frame is GROUPED on the anchor variables and "
+        "LEFT-joined — one bigint column, zero row multiplication, "
+        "zero-match rows read 0 (Neo4j semantics; a plain MATCH+count "
+        "would drop them). Scale: the per-subquery plan is partial-agg + "
+        "equi-join on the anchor key — degree counting at corpus scale, "
+        "never a per-row nested loop. Oracle: correlated scalar COUNT "
+        "subqueries on the base tables"
+    ),
+)
+def cypher_count_subquery(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           RETURN n.name AS nm,
+                  COUNT { MATCH (c:Customer)-[:CUSTOMER_OF]->(n) } AS n_cust,
+                  COUNT { MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) } AS n_sup
+           ORDER BY nm""",
+    )
+
+
+@register(
+    "cypher_label_predicate",
+    "graph",
+    oracle="""
+        SELECT kind, COUNT(*) AS n FROM (
+            SELECT 'c' AS kind FROM customer
+            UNION ALL SELECT 's' AS kind FROM supplier
+        ) GROUP BY kind ORDER BY kind
+    """,
+    notes=(
+        "label predicates in WHERE (round-7 third leg — `x:Customer OR "
+        "x:Supplier`, Neo4j's boolean label test, the form that composes "
+        "under OR/NOT unlike a pattern-level label): rewritten to "
+        "namespace-prefix LIKEs over the node id "
+        "(cypher._rewrite_label_preds, quote-aware; unknown labels fail "
+        "at parse time). The prefix LIKE is sargable — Catalyst pushes "
+        "it into the node-view scan like the pattern-level label filter. "
+        "Declared query also exercises 0-based substring over the id. "
+        "Oracle: the union of the two base tables, grouped"
+    ),
+)
+def cypher_label_predicate(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (x)
+           WHERE x:Customer OR x:Supplier
+           RETURN substring(x.id, 0, 1) AS kind, count(*) AS n
+           ORDER BY kind""",
+    )

@@ -1170,3 +1170,54 @@ def test_with_order_by_property_top_k(spark):
         "RETURN c.name AS nm ORDER BY nm",
     )
     assert df.columns == ["nm"]
+
+
+def test_count_subquery_includes_zero_rows(spark):
+    """COUNT {} reads 0 for zero-match bindings — a plain MATCH+count drops
+    them; also: the count column groups correctly among other items."""
+    rows = _cy(
+        spark,
+        "MATCH (n:Nation) RETURN n.name AS nm, "
+        "COUNT { MATCH (c:Customer)-[:CUSTOMER_OF]->(n) } AS deg ORDER BY nm",
+    ).collect()
+    assert len(rows) == 25  # every nation appears, even customer-less ones
+    exp = {
+        r.nm: r.deg
+        for r in _cy(
+            spark,
+            "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) "
+            "RETURN n.name AS nm, count(*) AS deg",
+        ).collect()
+    }
+    for r in rows:
+        assert r.deg == exp.get(r.nm, 0)
+
+
+def test_count_subquery_requires_anchor(spark):
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="share at least one variable"):
+        _cy(
+            spark,
+            "MATCH (n:Nation) RETURN n.name AS nm, "
+            "COUNT { MATCH (a)-[:OWNS]->(b) } AS c",
+        )
+
+
+def test_label_predicate_boolean_composition(spark):
+    n_or = _cy(
+        spark, "MATCH (x) WHERE x:Customer OR x:Supplier RETURN count(*) AS c"
+    ).collect()[0].c
+    n_c = _cy(spark, "MATCH (x:Customer) RETURN count(*) AS c").collect()[0].c
+    n_s = _cy(spark, "MATCH (x:Supplier) RETURN count(*) AS c").collect()[0].c
+    assert n_or == n_c + n_s
+    n_not = _cy(spark, "MATCH (x) WHERE NOT x:Region RETURN count(*) AS c").collect()[0].c
+    n_all = _cy(spark, "MATCH (x) RETURN count(*) AS c").collect()[0].c
+    assert n_not == n_all - 5
+
+
+def test_label_predicate_unknown_label_fails(spark):
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="unknown label"):
+        _cy(spark, "MATCH (x) WHERE x:Bogus RETURN count(*) AS c")
