@@ -309,3 +309,45 @@ def test_mp4_meta_is_scan_local(spark):
     plan = _plan(spark, "multimodal_mp4_meta")
     # single mapInPandas stage over the scan — no shuffle of payloads
     assert "Exchange" not in plan.split("MapInPandas")[0]
+
+
+def test_with_orderby_prop_collapses_to_take_ordered(spark):
+    """The hidden-stage-sort-column top-k must plan as
+    TakeOrderedAndProject (sort+limit fused), never a global sort."""
+    plan = _plan(spark, "cypher_with_orderby_prop")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_predicate_prefix_is_sargable(spark):
+    """x:Customer OR x:Supplier becomes prefix LIKEs over the node id —
+    the plan must carry the StartsWith filter and stay cartesian-free."""
+    plan = _plan(spark, "cypher_label_predicate")
+    assert "StartsWith" in plan or "LIKE" in plan or "startswith" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_count_subquery_is_grouped_left_join(spark):
+    """COUNT {} must plan as partial+final aggregate feeding an equi
+    (left outer) join — never a per-row nested loop."""
+    plan = _plan(spark, "cypher_count_subquery")
+    assert plan.count("HashAggregate") >= 2
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quantifier_lambdas_stay_jvm_side(spark):
+    """any/all/none over a collected list compile to exists/forall
+    higher-order functions — no Python evaluation anywhere in the plan."""
+    plan = _plan(spark, "cypher_list_predicates")
+    assert "exists" in plan and "forall" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_msf_edge_build_broadcasts_dims(spark):
+    """graph_msf's edge build: the customer/supplier dims broadcast into
+    the lineitem-orders join; the checkpointed Boruvka state hides its
+    upstream, so assert on the declared output's cartesian-freedom."""
+    plan = _plan(spark, "graph_msf")
+    assert "CartesianProduct" not in plan
