@@ -930,3 +930,69 @@ def boruvka_msf(
     finally:
         for p in pinned:
             p.unpersist()
+
+
+def greedy_mis(
+    edges: DataFrame,
+    rounds: int = 4,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Maximal independent set by deterministic parallel greedy rounds.
+
+    ``edges``: directed edge list (src, dst); symmetrized here. Priority
+    is the node id's total order — per round, every ACTIVE node with no
+    smaller active neighbor joins the MIS, then it and its neighbors
+    deactivate. This parallel formulation computes exactly the
+    LEXICOGRAPHICALLY FIRST MIS (greedy by ascending id): a node enters
+    iff no smaller neighbor entered — deciding all currently-undominated
+    local minima at once never changes that set, it only batches the
+    sequential order. Luby's classic randomized algorithm is this loop
+    with random priorities; a fixed total order keeps the op
+    deterministic and oracle-checkable (the oracle unrolls the same
+    rounds as CTEs).
+
+    ``rounds`` bounds the loop (early-exit on an empty active set); the
+    round count a graph needs is its longest strictly-descending id path
+    through the domination structure — declared instances converge in
+    ≤3, asserted by tests. Scale: each round is two joins + one partial
+    agg on the node key, state pinned per round (``_pin`` — checkpoint +
+    actual-size stats)."""
+    pinned: list = []
+    sym = _pin(
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct(),
+        pinned,
+    )
+    active = _pin(sym.select(F.col("src").alias("node")).distinct(), pinned)
+    mis = None
+    try:
+        for _ in range(rounds):
+            if active.isEmpty():
+                break
+            a_src = active.select(F.col("node").alias("src"))
+            a_dst = active.select(F.col("node").alias("dst"))
+            live = sym.join(a_src, "src").join(a_dst, "dst")
+            min_nbr = live.groupBy("src").agg(F.min("dst").alias("mn"))
+            winners = _pin(
+                active.join(min_nbr, active.node == min_nbr.src, "left")
+                .filter(F.col("mn").isNull() | (F.col("node") < F.col("mn")))
+                .select("node"),
+                pinned,
+            )
+            mis = winners if mis is None else mis.unionByName(winners)
+            dead = winners.unionByName(
+                sym.join(
+                    winners.select(F.col("node").alias("src")), "src"
+                ).select(F.col("dst").alias("node"))
+            ).distinct()
+            nxt = active.join(dead, "node", "left_anti")
+            if state_partitions is not None:
+                nxt = nxt.coalesce(state_partitions)
+            active = _pin(nxt, pinned)
+        if mis is None:
+            return active.limit(0)
+        return mis.distinct().localCheckpoint(eager=True)
+    finally:
+        for p in pinned:
+            p.unpersist()

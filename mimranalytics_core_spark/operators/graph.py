@@ -4820,3 +4820,71 @@ def cypher_label_predicate(spark, sf_dir):
            RETURN substring(x.id, 0, 1) AS kind, count(*) AS n
            ORDER BY kind""",
     )
+
+
+def _mis_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled fixed-``rounds`` oracle for the deterministic parallel
+    greedy MIS (the eigenvector-oracle recipe: one CTE pair per round,
+    the exact recurrence graph_algos.greedy_mis runs). Round k: winners
+    = active nodes with no smaller ACTIVE neighbor; the next active set
+    drops winners and their neighbors. MATERIALIZED per round — each
+    table is referenced twice (winner test + deactivation)."""
+    steps = []
+    prev_a = "a0"
+    wins = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""
+        w{k} AS MATERIALIZED (
+            SELECT a.node FROM {prev_a} a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN {prev_a} n ON s.dst = n.node
+                WHERE s.src = a.node AND n.node < a.node)),
+        a{k} AS MATERIALIZED (
+            SELECT a.node FROM {prev_a} a
+            WHERE a.node NOT IN (SELECT node FROM w{k})
+              AND NOT EXISTS (
+                SELECT 1 FROM sym s JOIN w{k} w ON s.dst = w.node
+                WHERE s.src = a.node))"""
+        )
+        wins.append(f"SELECT node FROM w{k}")
+        prev_a = f"a{k}"
+    return f"""
+        WITH {HIERARCHY_SQL},
+        sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM edges
+                  UNION ALL SELECT dst AS src, src AS dst FROM edges)),
+        a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+        {",".join(steps)}
+        SELECT node FROM ({" UNION ALL ".join(wins)}) ORDER BY node
+    """
+
+
+@register(
+    "graph_mis",
+    "graph",
+    oracle=_mis_oracle_sql(rounds=4),
+    notes=(
+        "maximal independent set (round-7 — NetworkX "
+        "maximal_independent_set, README.md:28): deterministic parallel "
+        "greedy (functions/graph_algos.greedy_mis) — per round, every "
+        "active node with no smaller active neighbor joins the set, then "
+        "it and its neighbors deactivate. With a fixed total order "
+        "(the node id) this computes exactly the lexicographically-first "
+        "MIS, so it is deterministic and hash-checkable; Luby's "
+        "randomized algorithm is the same loop with random priorities. "
+        "Declared over the symmetrized hierarchy graph, which converges "
+        "in 2 rounds (id order: customers dominate nations, then "
+        "regions/suppliers free up) — the 4-round bound is a 2x margin, "
+        "asserted maximal by tests. Scale: each round is two equi-joins "
+        "+ one partial agg on the node key, state pinned per round "
+        "(checkpoint + actual-size stats, the Boruvka discipline). "
+        "Oracle: the same recurrence unrolled as 4 CTE pairs"
+    ),
+)
+def graph_mis(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import greedy_mis
+
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    return greedy_mis(e, rounds=4, state_partitions=8).orderBy("node")

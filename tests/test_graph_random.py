@@ -380,3 +380,36 @@ def test_boruvka_msf_matches_kruskal(spark):
     n_nodes = len({x for (a, b) in red for x in (a, b)})
     comps = len({find(x) for (a, b) in red for x in (a, b)})
     assert len(got) == n_nodes - comps
+
+
+def test_greedy_mis_matches_sequential_and_invariants(spark):
+    from mimranalytics_core_spark.functions.graph_algos import greedy_mis
+
+    rng = random.Random(123)
+    raw = set()
+    for _ in range(150):
+        a, b = rng.sample(range(80), 2)
+        raw.add((f"v{a:02d}", f"v{b:02d}"))
+    df = spark.createDataFrame(sorted(raw), "src STRING, dst STRING")
+
+    adj: dict[str, set] = {}
+    for s, d in raw:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # lexicographically-first MIS: sequential greedy by ascending id
+    exp = []
+    dominated: set = set()
+    for v in sorted(adj):
+        if v not in dominated:
+            exp.append(v)
+            dominated |= adj[v] | {v}
+
+    got = sorted(r.node for r in greedy_mis(df, rounds=12).collect())
+    assert got == exp
+    got_set = set(got)
+    # independence: no edge inside the set
+    assert not any(s in got_set and d in got_set for s, d in raw)
+    # maximality: every non-member has a member neighbor
+    for v in adj:
+        if v not in got_set:
+            assert adj[v] & got_set, v
