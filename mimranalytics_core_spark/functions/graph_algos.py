@@ -996,3 +996,81 @@ def greedy_mis(
     finally:
         for p in pinned:
             p.unpersist()
+
+
+def greedy_matching(
+    edges: DataFrame,
+    rounds: int = 4,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Maximal matching by deterministic parallel greedy rounds: (a, b).
+
+    ``edges``: directed edge list (src, dst); normalized here to
+    undirected (a, b) pairs with a < b (self-loops dropped — a loop can
+    never be matched). Per round, a LIVE edge (both endpoints unmatched)
+    joins the matching iff it is the (a, b)-lexicographic minimum among
+    the live edges at BOTH its endpoints; matched endpoints deactivate.
+    Deciding all such locally-minimal edges at once computes exactly the
+    LEXICOGRAPHICALLY FIRST maximal matching (sequential greedy by
+    ascending (a, b)): an edge enters iff no smaller incident edge
+    entered. The classic randomized parallel matching is this loop with
+    random edge priorities; the fixed order keeps it deterministic and
+    oracle-checkable. Scale: per round two equi-joins + one partial agg
+    on the node key + one count-2 agg on the edge key; state pinned per
+    round (``_pin``)."""
+    pinned: list = []
+    ed = _pin(
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct(),
+        pinned,
+    )
+    active = _pin(
+        ed.select(F.col("a").alias("node"))
+        .unionByName(ed.select(F.col("b").alias("node")))
+        .distinct(),
+        pinned,
+    )
+    matched = None
+    try:
+        for _ in range(rounds):
+            if active.isEmpty():
+                break
+            live = _pin(
+                ed.join(active.select(F.col("node").alias("a")), "a").join(
+                    active.select(F.col("node").alias("b")), "b"
+                ).select("a", "b"),
+                pinned,
+            )
+            inc = live.select(F.col("a").alias("node"), "a", "b").unionByName(
+                live.select(F.col("b").alias("node"), "a", "b")
+            )
+            # per endpoint: the lexicographically smallest live edge
+            m = inc.groupBy("node").agg(F.min(F.struct("a", "b")).alias("m"))
+            # an edge that is the minimum at BOTH endpoints appears twice
+            winners = _pin(
+                m.select(F.col("m.a").alias("a"), F.col("m.b").alias("b"))
+                .groupBy("a", "b")
+                .agg(F.count(F.lit(1)).alias("k"))
+                .filter(F.col("k") == 2)
+                .select("a", "b"),
+                pinned,
+            )
+            if winners.isEmpty():
+                break
+            matched = winners if matched is None else matched.unionByName(winners)
+            ends = winners.select(F.col("a").alias("node")).unionByName(
+                winners.select(F.col("b").alias("node"))
+            )
+            nxt = active.join(ends, "node", "left_anti")
+            if state_partitions is not None:
+                nxt = nxt.coalesce(state_partitions)
+            active = _pin(nxt, pinned)
+        if matched is None:
+            return ed.limit(0)
+        return matched.distinct().localCheckpoint(eager=True)
+    finally:
+        for p in pinned:
+            p.unpersist()

@@ -4888,3 +4888,76 @@ def graph_mis(spark, sf_dir):
     tables(spark, sf_dir)
     e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
     return greedy_mis(e, rounds=4, state_partitions=8).orderBy("node")
+
+
+def _matching_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled fixed-``rounds`` oracle for the deterministic parallel
+    greedy maximal matching (graph_algos.greedy_matching's recurrence):
+    round k keeps the live edges (both endpoints active), picks the ones
+    that are the (a, b)-lexicographic minimum among live edges at BOTH
+    endpoints, and deactivates their endpoints."""
+    steps = []
+    prev_a = "ac0"
+    wins = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""
+        lv{k} AS MATERIALIZED (
+            SELECT e.a, e.b FROM ed e
+            JOIN {prev_a} x ON e.a = x.node
+            JOIN {prev_a} y ON e.b = y.node),
+        w{k} AS MATERIALIZED (
+            SELECT e.a, e.b FROM lv{k} e
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lv{k} o
+                WHERE (o.a = e.a OR o.b = e.a) AND (o.a, o.b) < (e.a, e.b))
+              AND NOT EXISTS (
+                SELECT 1 FROM lv{k} o
+                WHERE (o.a = e.b OR o.b = e.b) AND (o.a, o.b) < (e.a, e.b))),
+        ac{k} AS MATERIALIZED (
+            SELECT node FROM {prev_a}
+            WHERE node NOT IN (SELECT a FROM w{k})
+              AND node NOT IN (SELECT b FROM w{k}))"""
+        )
+        wins.append(f"SELECT a, b FROM w{k}")
+        prev_a = f"ac{k}"
+    return f"""
+        WITH {HIERARCHY_SQL},
+        ed AS MATERIALIZED (
+            SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM edges WHERE src <> dst),
+        ac0 AS MATERIALIZED (
+            SELECT DISTINCT node FROM (
+                SELECT a AS node FROM ed UNION ALL SELECT b FROM ed)),
+        {",".join(steps)}
+        SELECT a, b FROM ({" UNION ALL ".join(wins)}) ORDER BY a, b
+    """
+
+
+@register(
+    "graph_matching",
+    "graph",
+    oracle=_matching_oracle_sql(rounds=4),
+    notes=(
+        "maximal matching (round-7 — NetworkX maximal_matching, "
+        "README.md:28): deterministic parallel greedy "
+        "(functions/graph_algos.greedy_matching) — per round every live "
+        "edge that is the (a,b)-lexicographic minimum at BOTH endpoints "
+        "joins the matching (the locally-dominant-edge principle), its "
+        "endpoints deactivate. Computes exactly the lexicographically-"
+        "first maximal matching, hence deterministic + hash-checkable; "
+        "the randomized distributed classic is the same loop with random "
+        "priorities. The hierarchy instance converges in 2 rounds (one "
+        "customer per nation matches, then everything touching nations "
+        "is dead) — 4 is a 2x margin. Scale: per round two equi-joins + "
+        "a node-key partial agg + a count-2 edge agg, state pinned "
+        "(checkpoint + actual-size stats). Oracle: the same recurrence "
+        "unrolled as 4 CTE triples"
+    ),
+)
+def graph_matching(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import greedy_matching
+
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    return greedy_matching(e, rounds=4, state_partitions=8).orderBy("a", "b")

@@ -413,3 +413,33 @@ def test_greedy_mis_matches_sequential_and_invariants(spark):
     for v in adj:
         if v not in got_set:
             assert adj[v] & got_set, v
+
+
+def test_greedy_matching_matches_sequential_and_invariants(spark):
+    from mimranalytics_core_spark.functions.graph_algos import greedy_matching
+
+    rng = random.Random(321)
+    raw = set()
+    for _ in range(140):
+        a, b = rng.sample(range(70), 2)
+        raw.add((f"v{min(a,b):02d}", f"v{max(a,b):02d}"))
+    df = spark.createDataFrame(sorted(raw), "src STRING, dst STRING")
+
+    # lexicographically-first maximal matching: sequential greedy
+    exp = []
+    used: set = set()
+    for a, b in sorted(raw):
+        if a not in used and b not in used:
+            exp.append((a, b))
+            used |= {a, b}
+
+    got = sorted((r.a, r.b) for r in greedy_matching(df, rounds=12).collect())
+    assert got == sorted(exp)
+    # matching invariant: endpoints pairwise distinct
+    ends = [x for e in got for x in e]
+    assert len(ends) == len(set(ends))
+    # maximality: every unmatched edge touches a matched endpoint
+    mset = set(ends)
+    for a, b in raw:
+        if (a, b) not in set(got):
+            assert a in mset or b in mset
