@@ -434,6 +434,24 @@ def _rewrite_in_lists(query: str) -> str:
                 continue
             m = re.match(r"\bIN\s*\[", s[i:], re.I)
             if m and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
+                # NOT a membership test when this IN is a lambda binder:
+                # `any(x IN [..] WHERE …)`, `reduce(acc = 0, x IN [..] | …)`,
+                # `[x IN [..] | …]` — there the bracket literal must SURVIVE
+                # for the list-expression rewriter (a one-element `(0)`
+                # would be indistinguishable from a parenthesized scalar)
+                pre = s[:i].rstrip()
+                binder = re.search(
+                    r"(?:\b(?:any|all|none|single)\s*\(\s*|\[\s*)\w+$", pre, re.I
+                ) or (
+                    # reduce's element binder sits after the init comma —
+                    # only treat `, var` as a binder while a reduce( is
+                    # still open (paren-free init approximation)
+                    re.search(r",\s*\w+$", pre)
+                    and re.search(r"\breduce\s*\([^()]*,\s*\w+$", pre, re.I)
+                )
+                if binder:
+                    i += m.end()
+                    continue
                 lb = i + m.end() - 1
                 k = lb + 1
                 while k < n:

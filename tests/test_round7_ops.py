@@ -1221,3 +1221,58 @@ def test_label_predicate_unknown_label_fails(spark):
 
     with pytest.raises(CypherSyntaxError, match="unknown label"):
         _cy(spark, "MATCH (x) WHERE x:Bogus RETURN count(*) AS c")
+
+
+def test_list_expression_differential_vs_python(spark):
+    """Differential test of the list-expression rewriter: ~40 seeded
+    random expressions over literal int lists, evaluated in ONE scalar
+    RETURN and compared against direct Python evaluation."""
+    import random as _r
+
+    rng = _r.Random(2026)
+
+    def gen_list():
+        return [rng.randint(-5, 9) for _ in range(rng.randint(1, 5))]
+
+    cases = []  # (cypher_expr, expected)
+    for _ in range(40):
+        xs = gen_list()
+        lit = "[" + ", ".join(map(str, xs)) + "]"
+        kind = rng.randrange(9)
+        if kind == 0:
+            cases.append((f"head({lit})", xs[0]))
+        elif kind == 1:
+            cases.append((f"last({lit})", xs[-1]))
+        elif kind == 2:
+            cases.append((f"size(tail({lit}))", len(xs) - 1))
+        elif kind == 3:
+            i = rng.randrange(-len(xs), len(xs))
+            cases.append((f"{lit}[{i}]", xs[i]))
+        elif kind == 4:
+            t = rng.randint(-2, 6)
+            cases.append((f"any(x IN {lit} WHERE x > {t})", any(x > t for x in xs)))
+        elif kind == 5:
+            t = rng.randint(-2, 6)
+            cases.append((f"all(x IN {lit} WHERE x > {t})", all(x > t for x in xs)))
+        elif kind == 6:
+            t = rng.randint(-2, 6)
+            cases.append(
+                (f"single(x IN {lit} WHERE x = {t})", sum(x == t for x in xs) == 1)
+            )
+        elif kind == 7:
+            init = rng.randint(0, 5)
+            cases.append(
+                (f"reduce(s = {init}, x IN {lit} | s + x)", init + sum(xs))
+            )
+        else:
+            t = rng.randint(-2, 6)
+            m = rng.randint(2, 4)
+            exp = [x * m for x in xs if x > t]
+            cases.append(
+                (f"size([x IN {lit} WHERE x > {t} | x * {m}])", len(exp))
+            )
+    q = "RETURN " + ", ".join(f"{e} AS c{i}" for i, (e, _) in enumerate(cases))
+    row = _cy(spark, q).collect()[0]
+    for i, (expr, exp) in enumerate(cases):
+        got = row[f"c{i}"]
+        assert got == exp, (expr, got, exp)
