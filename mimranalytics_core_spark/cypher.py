@@ -708,7 +708,7 @@ def _maybe_array_literal(expr: str) -> str:
     return expr
 
 
-def _quantifier_sql(fn: str, body: str) -> str:
+def _quantifier_sql(fn: str, body: str, lv: frozenset = frozenset()) -> str:
     """``any/all/none/single(x IN list WHERE pred)`` → Spark higher-order
     functions. The lambda variable is renamed ``x__`` so it passes the
     bare-identifier allow-list (double-underscore names are frame
@@ -721,8 +721,8 @@ def _quantifier_sql(fn: str, body: str) -> str:
     rest = _split_top(halves[1], r"\bWHERE\b")
     if len(rest) != 2:
         raise CypherSyntaxError(f"{fn}() needs a WHERE predicate: {body!r}")
-    lst = _maybe_array_literal(_rewrite_list_exprs(rest[0].strip()))
-    pred = _subst_word(_rewrite_list_exprs(rest[1].strip()), var, f"{var}__")
+    lst = _maybe_array_literal(_rewrite_list_exprs(rest[0].strip(), lv))
+    pred = _subst_word(_rewrite_list_exprs(rest[1].strip(), lv), var, f"{var}__")
     lam = f"{var}__ -> ({pred})"
     if fn == "any":
         return f"exists({lst}, {lam})"
@@ -733,7 +733,7 @@ def _quantifier_sql(fn: str, body: str) -> str:
     return f"(cardinality(filter({lst}, {lam})) = 1)"
 
 
-def _reduce_sql(body: str) -> str:
+def _reduce_sql(body: str, lv: frozenset = frozenset()) -> str:
     """``reduce(acc = init, x IN list | expr)`` → ``aggregate(list, init,
     (acc__, x__) -> expr)`` (Spark's fold; same left-to-right order)."""
     args = _split_top(body, r",")
@@ -743,23 +743,23 @@ def _reduce_sql(body: str) -> str:
     halves = _split_top(args[1], r"\bIN\b")
     if not am or len(halves) != 2 or not re.fullmatch(r"\s*\w+\s*", halves[0]):
         raise CypherSyntaxError(f"reduce() expects 'acc = init, x IN list | expr': {body!r}")
-    acc, init = am.group(1), _rewrite_list_exprs(am.group(2).strip())
+    acc, init = am.group(1), _rewrite_list_exprs(am.group(2).strip(), lv)
     var = halves[0].strip()
     le = _split_top(halves[1], r"(?<!\|)\|(?!\|)")
     if len(le) != 2:
         raise CypherSyntaxError(f"reduce() needs '| expr' after the list: {body!r}")
-    lst = _maybe_array_literal(_rewrite_list_exprs(le[0].strip()))
-    expr = _rewrite_list_exprs(le[1].strip())
+    lst = _maybe_array_literal(_rewrite_list_exprs(le[0].strip(), lv))
+    expr = _rewrite_list_exprs(le[1].strip(), lv)
     expr = _subst_word(_subst_word(expr, acc, f"{acc}__"), var, f"{var}__")
     return f"aggregate({lst}, {init}, ({acc}__, {var}__) -> ({expr}))"
 
 
-def _list_fn_sql(fn: str, body: str, orig: str) -> str:
+def _list_fn_sql(fn: str, body: str, orig: str, lv: frozenset = frozenset()) -> str:
     if fn in ("any", "all", "none", "single"):
-        return _quantifier_sql(fn, body)
+        return _quantifier_sql(fn, body, lv)
     if fn == "reduce":
-        return _reduce_sql(body)
-    b = _maybe_array_literal(_rewrite_list_exprs(body.strip()))
+        return _reduce_sql(body, lv)
+    b = _maybe_array_literal(_rewrite_list_exprs(body.strip(), lv))
     if fn == "head":
         return f"get({b}, 0)"
     if fn == "last":
@@ -773,7 +773,12 @@ def _list_fn_sql(fn: str, body: str, orig: str) -> str:
         # into cardinality()/length(). Decide by the argument's syntactic
         # head; a plain column falls through to the string rewrite in
         # _fn_rewrite (node properties are strings — the documented subset)
-        if b.lstrip().lower().startswith(_LISTY_HEADS):
+        cat_parts = [p.strip() for p in _split_top(b, r"\|\|")]
+        if (
+            b.lstrip().lower().startswith(_LISTY_HEADS)
+            or b.strip() in lv
+            or (len(cat_parts) > 1 and any(p in lv for p in cat_parts))
+        ):
             return f"cardinality({b})"
         return f"size({b})"
     if fn == "substring":
@@ -804,7 +809,7 @@ def _list_fn_sql(fn: str, body: str, orig: str) -> str:
     return f"{fn}({b})"
 
 
-def _rewrite_list_exprs(text: str) -> str:
+def _rewrite_list_exprs(text: str, list_vars: frozenset = frozenset()) -> str:
     """Rewrite Cypher list expressions inside one RETURN/WITH item body to
     Spark SQL (round-7 second half — the expression-level Neo4j surface a
     migrating user hits daily):
@@ -838,7 +843,10 @@ def _rewrite_list_exprs(text: str) -> str:
             open_i = fm.end() - 1
             end = _balanced_end(text, open_i)
             acc += _list_fn_sql(
-                fm.group(1).lower(), text[open_i + 1 : end - 1], text[i:end]
+                fm.group(1).lower(),
+                text[open_i + 1 : end - 1],
+                text[i:end],
+                list_vars,
             )
             i = end
             continue
@@ -867,7 +875,7 @@ def _rewrite_list_exprs(text: str) -> str:
                     while k > 0 and (stripped[k - 1].isalnum() or stripped[k - 1] in "_."):
                         k -= 1
                 base = stripped[k:]
-                idx = _rewrite_list_exprs(body.strip())
+                idx = _rewrite_list_exprs(body.strip(), list_vars)
                 neg = re.fullmatch(r"-\d+", idx)
                 acc = stripped[:k] + (
                     f"element_at({base}, {idx})" if neg else f"get({base}, ({idx}))"
@@ -892,17 +900,17 @@ def _rewrite_list_exprs(text: str) -> str:
                     lsrc, pred = lp[0], None
                     if len(lp) == 2:
                         map_expr = lp[1].strip()
-                lst = _maybe_array_literal(_rewrite_list_exprs(lsrc.strip()))
+                lst = _maybe_array_literal(_rewrite_list_exprs(lsrc.strip(), list_vars))
                 if len(rest) == 2:
-                    pred_sql = _subst_word(_rewrite_list_exprs(pred), var, v2)
+                    pred_sql = _subst_word(_rewrite_list_exprs(pred, list_vars), var, v2)
                     lst = f"filter({lst}, {v2} -> ({pred_sql}))"
                 if map_expr is not None:
-                    mexp = _subst_word(_rewrite_list_exprs(map_expr), var, v2)
+                    mexp = _subst_word(_rewrite_list_exprs(map_expr, list_vars), var, v2)
                     lst = f"transform({lst}, {v2} -> ({mexp}))"
                 acc += lst
                 i = end
                 continue
-            acc += f"array({_rewrite_list_exprs(body)})"
+            acc += f"array({_rewrite_list_exprs(body, list_vars)})"
             i = end
             continue
         acc += ch
@@ -919,6 +927,18 @@ def _rewrite_list_exprs(text: str) -> str:
                 parts[pi + 1] = re.sub(r"^(\s*)\+", r"\1||", parts[pi + 1])
     acc = "".join(parts)
     acc = re.sub(r"\)\s*\+\s*array\(", ") || array(", acc)
+    if list_vars:
+        def _lv_concat(m2: re.Match) -> str:
+            a_, b_ = m2.group(1), m2.group(2)
+            if a_ in list_vars or b_ in list_vars:
+                return f"{a_} || {b_}"
+            return m2.group(0)
+        acc = _outside_quotes(
+            acc,
+            lambda seg: re.sub(
+                r"\b(\w+)\s*\+\s*(\w+)\b", _lv_concat, seg
+            ),
+        )
     return acc
 
 
@@ -2284,6 +2304,11 @@ def parse(query: str) -> dict:
         else:
             post_pred = f"({post_pred}) AND {lp}" if post_pred else lp
 
+    # names known to be LIST-typed in the current pipeline scope (collect()
+    # outputs, list-literal WITH items) — lets size()/+ resolve to the
+    # array forms on plain variables, not just syntactic list heads
+    scope_list_names: dict = {"cur": frozenset()}
+
     def _parse_item_list(text: str, resolve, numeric_ok, ctx: str) -> list[dict]:
         items: list[dict] = []
         for item in _split_items(text):
@@ -2413,7 +2438,10 @@ def parse(query: str) -> dict:
                     return _fn_rewrite(seg)
 
                 sql = _outside_quotes(
-                    _rewrite_list_exprs(xm.group("expr")), _map_x
+                    _rewrite_list_exprs(
+                        xm.group("expr"), scope_list_names["cur"]
+                    ),
+                    _map_x,
                 )
                 sql = _rx_anchor(_CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql))))
                 unq = _unquoted(sql)
@@ -2557,6 +2585,22 @@ def parse(query: str) -> dict:
         )
         tpos += im_.end()
         with_names = {it["name"] for it in with_items_i}
+        # propagate list-typedness into the next scope: collect() outputs
+        # become lists; plain re-projections of known lists stay lists;
+        # expression items whose SQL head is listy are lists
+        prev_lists = scope_list_names["cur"]
+        scope_list_names["cur"] = frozenset(
+            it["name"]
+            for it in with_items_i
+            if (it["kind"] == "agg" and it.get("fn") == "collect")
+            or (it["kind"] == "plain" and it.get("col") in prev_lists)
+            or (
+                it["kind"] == "case"
+                and it.get("sql", "").lstrip().lower().startswith(
+                    _LISTY_HEADS + ("array(",)
+                )
+            )
+        )
         # stage-level ORDER BY / SKIP / LIMIT (Cypher's top-k-then-continue
         # idiom: `WITH n, count(*) AS c ORDER BY c DESC LIMIT 3 MATCH …`).
         # Keys must be WITH output names; applied order→skip→limit, then

@@ -1276,3 +1276,31 @@ def test_list_expression_differential_vs_python(spark):
     for i, (expr, exp) in enumerate(cases):
         got = row[f"c{i}"]
         assert got == exp, (expr, got, exp)
+
+
+def test_size_and_concat_on_known_list_variables(spark):
+    """collect() outputs and list-literal WITH items are tracked as
+    list-typed through pipeline scopes, so polymorphic size() and `+`
+    concat resolve to the array forms on plain variables too."""
+    r = _cy(spark, "WITH [1, 2] AS a, [3] AS b RETURN size(a + b) AS n").collect()[0]
+    assert r.n == 3
+    r = _cy(spark, "WITH [1, 2, 3] AS xs WITH xs AS ys RETURN size(ys) AS n").collect()[0]
+    assert r.n == 3
+    rows = _cy(
+        spark,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) "
+        "WITH n.name AS nm, collect(c.name) AS ms "
+        "RETURN nm, size(ms) AS k ORDER BY nm",
+    ).collect()
+    exp = {
+        x.nm: x.k
+        for x in _cy(
+            spark,
+            "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) "
+            "RETURN n.name AS nm, count(*) AS k",
+        ).collect()
+    }
+    assert {x.nm: x.k for x in rows} == exp
+    # a plain string property under size() still means string length
+    r = _cy(spark, "MATCH (n:Nation) RETURN size(n.name) AS ln ORDER BY ln LIMIT 1").collect()[0]
+    assert r.ln == 8  # 'NATION_0'
