@@ -561,7 +561,7 @@ def test_cypher_rejects_bad_aggregates_and_order_keys():
     for bad in (
         "MATCH (a)-[:X]->(b) RETURN sum(b)",                    # non-numeric agg
         "MATCH (a)-[:X]->(b) RETURN sum(*)",                    # * outside count
-        "MATCH (a)-[:X]->(b) RETURN a, b ORDER BY hops",        # not in RETURN
+        "MATCH (a)-[:X]->(b) RETURN count(*) AS n ORDER BY hops",  # hidden sort under aggregation
         "MATCH (a)-[:X]->(b) RETURN a ORDER BY sideways",       # unknown key
     ):
         with _pytest.raises(CypherSyntaxError):
@@ -576,7 +576,7 @@ def test_cypher_rejects_out_of_subset():
     for bad in (
         "MATCH (a)-[:X*2..]->(b) RETURN a, b",          # unbounded
         "MATCH (a)-[:X]->(a) RETURN a",                  # same var twice
-        "MATCH (a)-[:X]->(b) WHERE a.acctbal > 0 RETURN a, b",  # unknown property
+        "MATCH (a)-[:X]->(b) WHERE a.bogusprop > 0 RETURN a, b",  # unknown property
         "CREATE (a)-[:X]->(b)",                          # not MATCH
         "MATCH (a)-[:X]->(b) RETURN shortest_path",      # unknown item
         "MATCH (a)-[:X]->(b)-[:Y]->(c) RETURN a, hops",  # hops is 1-segment-only
