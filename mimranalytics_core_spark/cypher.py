@@ -1013,6 +1013,42 @@ def _blank_braces(s: str) -> str:
     return "".join(out)
 
 
+_LAMBDA_HEAD_RE = re.compile(
+    r"\b(?:any|all|none|single|reduce)\s*\(|\[\s*[A-Za-z_]\w*\s+IN\b", re.I
+)
+
+
+def _blank_fn_bodies(s: str) -> str:
+    """Length-preserving blank of quantifier/reduce parenthesized bodies
+    and list-comprehension bracket bodies (round-7): the binder syntax
+    carries an inner ``WHERE`` (and ``|``) that must not read as a clause
+    or item-list boundary in the keyword scanners. Operates on already
+    quote-blanked text; the outer delimiters stay visible, and extraction
+    always happens from the UNMASKED twin at the same offsets."""
+    out = list(s)
+    i = 0
+    while i < len(s):
+        m = _LAMBDA_HEAD_RE.search(s, i)
+        if not m:
+            break
+        open_i = m.start() if s[m.start()] == "[" else m.end() - 1
+        depth, k = 0, open_i
+        while k < len(s):
+            if s[k] in "([":
+                depth += 1
+            elif s[k] in ")]":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if depth != 0:
+            break  # unbalanced — leave for downstream rejection
+        for j in range(open_i + 1, k):
+            out[j] = "x"
+        i = k + 1
+    return "".join(out)
+
+
 # bare pattern predicate in WHERE — `[NOT] (a)-[:X]->(b)` (Neo4j's
 # original existential idiom, sugar for [NOT] EXISTS { … }; round-7).
 # Structural check only: node (rel node)+, optional labels/property maps;
@@ -1468,6 +1504,7 @@ def parse(query: str) -> dict:
     # Depth-aware (round-7): a property map nested inside an EXISTS body
     # must not terminate the blanked span early.
     masked_q = _blank_braces(masked_q)
+    masked_q = _blank_fn_bodies(masked_q)
     pending_optional = False  # the first clause is the plain MATCH
     while hm:  # no MATCH head = pure-UNWIND query, zero pattern clauses
         _cur_labels["cur"] = {}
@@ -1743,6 +1780,7 @@ def parse(query: str) -> dict:
     tail_m = re.sub(
         r"'(?:[^'])*'", lambda m: "'" + "x" * (len(m.group(0)) - 2) + "'", tail
     )
+    tail_m = _blank_fn_bodies(tail_m)
 
     def _unmask(s):
         if not s:
@@ -1983,6 +2021,10 @@ def parse(query: str) -> dict:
     # AND conjuncts only; the inner block may carry its own WHERE.
     exists_preds: list[dict] = []
     count_subqueries: list[dict] = []
+    # names known to be LIST-typed in the current pipeline scope (collect()
+    # outputs, list-literal WITH items) — lets size()/+ resolve to the
+    # array forms on plain variables, not just syntactic list heads
+    scope_list_names: dict = {"cur": frozenset()}
     if where and (
         re.search(r"\bEXISTS\s*\{", where, re.I)
         # bare pattern predicate: a rel-bracket outside quotes marks it
@@ -2117,6 +2159,11 @@ def parse(query: str) -> dict:
             return _fn_rewrite(seg)
 
         pred = _rewrite_label_preds(pred, varset)
+        # the list-expression surface applies in WHERE too (round-7 —
+        # quantifiers/reduce/indexing/substring over properties and
+        # UNWIND columns); pattern predicates and EXISTS bodies were
+        # extracted above, so remaining brackets are list syntax
+        pred = _rewrite_list_exprs(pred, scope_list_names["cur"])
         pred = _outside_quotes(pred, _map_props)
         unquoted = _unquoted(pred)
         # identifier-start required: a decimal literal (0.5) is not a
@@ -2177,6 +2224,7 @@ def parse(query: str) -> dict:
             for pt in re.split(r"('(?:[^'])*')", raw)
         )
         raw = _rewrite_label_preds(raw, varset)
+        raw = _rewrite_list_exprs(raw, scope_list_names["cur"])
         props_local: dict[str, set] = {}
 
         def _res_scoped(expr: str) -> str:
@@ -2303,11 +2351,6 @@ def parse(query: str) -> dict:
             src_pred = f"({src_pred}) AND {sp}" if src_pred else sp
         else:
             post_pred = f"({post_pred}) AND {lp}" if post_pred else lp
-
-    # names known to be LIST-typed in the current pipeline scope (collect()
-    # outputs, list-literal WITH items) — lets size()/+ resolve to the
-    # array forms on plain variables, not just syntactic list heads
-    scope_list_names: dict = {"cur": frozenset()}
 
     def _parse_item_list(text: str, resolve, numeric_ok, ctx: str) -> list[dict]:
         items: list[dict] = []
@@ -2693,6 +2736,14 @@ def parse(query: str) -> dict:
                 raise CypherSyntaxError(
                     f"WHERE after WITH may only reference WITH outputs: {having_i!r}"
                 )
+            # the stage WHERE gets the same expression surface as items:
+            # list lambdas / string predicates / scalar fn rewrites over
+            # the WITH outputs (round-7)
+            having_i = _rewrite_list_exprs(having_i, scope_list_names["cur"])
+            having_i = _outside_quotes(having_i, _fn_rewrite)
+            having_i = _rx_anchor(
+                _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, having_i)))
+            )
             tpos += hm_.end()
         # optional MATCH clauses re-matching against the piped frame
         pclauses: list[dict] = []

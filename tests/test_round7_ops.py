@@ -1304,3 +1304,35 @@ def test_size_and_concat_on_known_list_variables(spark):
     # a plain string property under size() still means string length
     r = _cy(spark, "MATCH (n:Nation) RETURN size(n.name) AS ln ORDER BY ln LIMIT 1").collect()[0]
     assert r.ln == 8  # 'NATION_0'
+
+
+def test_quantifiers_in_where_positions(spark):
+    """List lambdas work in every WHERE position: trailing WHERE, the
+    stage WHERE after WITH, and comprehension-size predicates — the
+    lambda-body mask keeps inner WHERE/| keywords out of the clause
+    boundary scanners."""
+    rows = _cy(
+        spark,
+        "UNWIND [1, 2, 3, 4] AS k MATCH (n:Nation) "
+        "WHERE any(x IN [2, 4] WHERE x = k) "
+        "RETURN k, count(*) AS c ORDER BY k",
+    ).collect()
+    assert [(r.k, r.c) for r in rows] == [(2, 25), (4, 25)]
+    n_have9 = _cy(
+        spark,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) "
+        "WITH n.name AS nm, collect(c.name) AS ms "
+        "WHERE any(x IN ms WHERE x CONTAINS '9') RETURN count(*) AS c",
+    ).collect()[0].c
+    exp = _cy(
+        spark,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) "
+        "WHERE c.name CONTAINS '9' RETURN count(DISTINCT n.name) AS c",
+    ).collect()[0].c
+    assert n_have9 == exp
+    r = _cy(
+        spark,
+        "MATCH (n:Nation) WHERE size([x IN [1, 2, 3] WHERE x > 1]) = 2 "
+        "RETURN count(*) AS c",
+    ).collect()[0]
+    assert r.c == 25
