@@ -1074,3 +1074,95 @@ def greedy_matching(
     finally:
         for p in pinned:
             p.unpersist()
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    rounds: int = 6,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy graph coloring by the node-id total order: (node, color).
+
+    ``edges``: directed edge list (src, dst); symmetrized here. A node is
+    ELIGIBLE once every smaller neighbor is colored (round structure:
+    the undominated local minima of the active set — the MIS winner
+    rule); its color is the mex (minimum excluded non-negative integer)
+    of its smaller neighbors' colors, computed row-locally by the
+    classic sorted-fold: fold 0 over the sorted distinct neighbor
+    colors, bumping the accumulator on every exact hit. This IS
+    sequential greedy coloring by ascending id (NetworkX greedy_color
+    with a fixed order) — batching the currently-eligible nodes never
+    changes any node's smaller-neighbor color set. Deterministic, so
+    oracle-checkable by unrolling the rounds. ``rounds`` must cover the
+    longest ascending-id path (hierarchy: 3); early-exits when done.
+    Scale: per round two equi-joins + a node-key partial agg; state
+    pinned per round (``_pin``)."""
+    pinned: list = []
+    sym = _pin(
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct(),
+        pinned,
+    )
+    active = _pin(sym.select(F.col("src").alias("node")).distinct(), pinned)
+    colored = None  # (node, color)
+    try:
+        for _ in range(rounds):
+            if active.isEmpty():
+                break
+            a_src = active.select(F.col("node").alias("src"))
+            a_dst = active.select(F.col("node").alias("dst"))
+            live = sym.join(a_src, "src").join(a_dst, "dst")
+            elig = _pin(
+                active.join(
+                    live.filter(F.col("dst") < F.col("src"))
+                    .select(F.col("src").alias("node"))
+                    .distinct(),
+                    "node",
+                    "left_anti",
+                ),
+                pinned,
+            )
+            if colored is None:
+                w = elig.select("node", F.lit(0).alias("color"))
+            else:
+                nb = (
+                    sym.join(elig.select(F.col("node").alias("src")), "src")
+                    .filter(F.col("dst") < F.col("src"))
+                    .join(
+                        colored.select(
+                            F.col("node").alias("dst"), "color"
+                        ),
+                        "dst",
+                    )
+                    .groupBy(F.col("src").alias("node"))
+                    .agg(
+                        F.sort_array(F.collect_set("color")).alias("cols")
+                    )
+                )
+                w = elig.join(nb, "node", "left").select(
+                    "node",
+                    F.coalesce(
+                        F.aggregate(
+                            "cols",
+                            F.lit(0),
+                            lambda acc, x: F.when(x == acc, acc + 1).otherwise(acc),
+                        ),
+                        F.lit(0),
+                    ).alias("color"),
+                )
+            w = _pin(w, pinned)
+            colored = w if colored is None else colored.unionByName(w)
+            nxt = active.join(w.select("node"), "node", "left_anti")
+            if state_partitions is not None:
+                nxt = nxt.coalesce(state_partitions)
+            active = _pin(nxt, pinned)
+        if colored is None:
+            return sym.select(F.col("src").alias("node")).limit(0).withColumn(
+                "color", F.lit(0)
+            )
+        return colored.localCheckpoint(eager=True)
+    finally:
+        for p in pinned:
+            p.unpersist()

@@ -4961,3 +4961,79 @@ def graph_matching(spark, sf_dir):
     tables(spark, sf_dir)
     e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
     return greedy_matching(e, rounds=4, state_partitions=8).orderBy("a", "b")
+
+
+def _coloring_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled fixed-``rounds`` oracle for greedy coloring
+    (graph_algos.greedy_coloring's recurrence): round k colors the active
+    nodes with no smaller active neighbor, each with the mex of its
+    smaller (already-colored) neighbors' colors — expressed as the
+    minimum series value not present among those colors."""
+    steps = []
+    prev_a, prev_c = "a0", "col0"
+    wins = []
+    for k in range(1, rounds + 1):
+        steps.append(
+            f"""
+        el{k} AS MATERIALIZED (
+            SELECT a.node FROM {prev_a} a
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s JOIN {prev_a} n ON s.dst = n.node
+                WHERE s.src = a.node AND n.node < a.node)),
+        w{k} AS MATERIALIZED (
+            SELECT e.node, COALESCE((
+                SELECT MIN(g.c) FROM generate_series(0, 255) g(c)
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM sym s JOIN {prev_c} cc ON s.dst = cc.node
+                    WHERE s.src = e.node AND cc.node < e.node
+                      AND cc.color = g.c)), 0) AS color
+            FROM el{k} e),
+        col{k} AS MATERIALIZED (
+            SELECT node, color FROM {prev_c}
+            UNION ALL SELECT node, color FROM w{k}),
+        a{k} AS MATERIALIZED (
+            SELECT node FROM {prev_a}
+            WHERE node NOT IN (SELECT node FROM w{k}))"""
+        )
+        wins.append(f"SELECT node, color FROM w{k}")
+        prev_a, prev_c = f"a{k}", f"col{k}"
+    return f"""
+        WITH {HIERARCHY_SQL},
+        sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                  SELECT src, dst FROM edges
+                  UNION ALL SELECT dst AS src, src AS dst FROM edges)
+              WHERE src <> dst),
+        a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM sym),
+        col0 AS (SELECT CAST(NULL AS VARCHAR) AS node, 0 AS color WHERE FALSE),
+        {",".join(steps)}
+        SELECT node, color FROM ({" UNION ALL ".join(wins)}) ORDER BY node
+    """
+
+
+@register(
+    "graph_coloring",
+    "graph",
+    oracle=_coloring_oracle_sql(rounds=6),
+    notes=(
+        "greedy graph coloring (round-7 — NetworkX greedy_color with a "
+        "fixed node order, README.md:28): deterministic parallel rounds "
+        "(functions/graph_algos.greedy_coloring) — a node colors once "
+        "every smaller neighbor has (the MIS-winner eligibility rule), "
+        "with the mex of its smaller neighbors' colors computed "
+        "row-locally by the sorted-fold trick (aggregate over "
+        "sort_array(collect_set)). Batching eligible nodes never changes "
+        "any node's smaller-neighbor color set, so this IS sequential "
+        "greedy by ascending id — deterministic + hash-checkable. "
+        "Hierarchy needs 3 rounds (longest ascending-id path c<n<r/s); "
+        "6 is a 2x margin. Scale: per round two equi-joins + a node-key "
+        "partial agg; state pinned (checkpoint + actual-size stats). "
+        "Oracle: the same recurrence unrolled, mex as the min series "
+        "value missing from the colored-smaller-neighbor set"
+    ),
+)
+def graph_coloring(spark, sf_dir):
+    from mimranalytics_core_spark.functions.graph_algos import greedy_coloring
+
+    tables(spark, sf_dir)
+    e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
+    return greedy_coloring(e, rounds=6, state_partitions=8).orderBy("node")

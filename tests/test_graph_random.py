@@ -443,3 +443,33 @@ def test_greedy_matching_matches_sequential_and_invariants(spark):
     for a, b in raw:
         if (a, b) not in set(got):
             assert a in mset or b in mset
+
+
+def test_greedy_coloring_matches_sequential(spark):
+    from mimranalytics_core_spark.functions.graph_algos import greedy_coloring
+
+    rng = random.Random(555)
+    raw = set()
+    for _ in range(160):
+        a, b = rng.sample(range(60), 2)
+        raw.add((f"v{min(a,b):02d}", f"v{max(a,b):02d}"))
+    df = spark.createDataFrame(sorted(raw), "src STRING, dst STRING")
+
+    adj: dict[str, set] = {}
+    for s, d in raw:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # sequential greedy coloring by ascending id (mex of colored neighbors)
+    exp: dict[str, int] = {}
+    for v in sorted(adj):
+        used = {exp[u] for u in adj[v] if u in exp}
+        c = 0
+        while c in used:
+            c += 1
+        exp[v] = c
+
+    got = {r.node: r.color for r in greedy_coloring(df, rounds=40).collect()}
+    assert got == exp
+    # proper coloring invariant
+    for s, d in raw:
+        assert got[s] != got[d]
