@@ -744,6 +744,11 @@ def _reduce_sql(body: str, lv: frozenset = frozenset()) -> str:
     if not am or len(halves) != 2 or not re.fullmatch(r"\s*\w+\s*", halves[0]):
         raise CypherSyntaxError(f"reduce() expects 'acc = init, x IN list | expr': {body!r}")
     acc, init = am.group(1), _rewrite_list_exprs(am.group(2).strip(), lv)
+    # a fractional literal init parses as DECIMAL(p,s), and ANSI rejects
+    # the wider merge type aggregate() produces — Cypher floats are
+    # doubles, so cast the init (integer inits stay integral)
+    if re.fullmatch(r"-?\d+\.\d+", init):
+        init = f"CAST({init} AS DOUBLE)"
     var = halves[0].strip()
     le = _split_top(halves[1], r"(?<!\|)\|(?!\|)")
     if len(le) != 2:
@@ -2422,7 +2427,12 @@ def parse(query: str) -> dict:
                         seg = seg.replace(pm, resolve(pm, f"CASE body in {ctx}"))
                     return _fn_rewrite(seg)
 
-                sql = _outside_quotes(cs.group("body"), _map_case)
+                sql = _outside_quotes(
+                    _rewrite_list_exprs(
+                        cs.group("body"), scope_list_names["cur"]
+                    ),
+                    _map_case,
+                )
                 sql = _rx_anchor(_CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql))))
                 items.append(
                     {"kind": "case", "sql": f"CASE {sql}", "name": cs.group("alias")}

@@ -1336,3 +1336,23 @@ def test_quantifiers_in_where_positions(spark):
         "RETURN count(*) AS c",
     ).collect()[0]
     assert r.c == 25
+
+
+def test_rewriter_edge_cases(spark):
+    """Adversarial corners of the list-expression rewriter: nested
+    quantifiers, indexing inside CASE bodies, chained indexing, keyword
+    text inside string literals, fractional reduce inits."""
+    r = _cy(
+        spark,
+        "RETURN any(x IN [1, 2] WHERE any(y IN [2, 3] WHERE y = x)) AS a, "
+        "[[1, 2], [3, 4]][1][0] AS b, "
+        "size(split('a WHERE b AND c', ' ')) AS c, "
+        "[-1, 2][0] AS d, "
+        "reduce(s = 0.5, x IN [1.5, 2.0] | s + x) AS e",
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d, r.e) == (True, 3, 5, -1, 4.0)
+    r = _cy(
+        spark,
+        "WITH [5, 6] AS xs RETURN CASE WHEN xs[0] = 5 THEN 'five' ELSE 'no' END AS t",
+    ).collect()[0]
+    assert r.t == "five"
