@@ -1825,6 +1825,13 @@ def parse(query: str) -> dict:
             continue
         break
 
+    # names known to be LIST-typed in the current pipeline scope (collect()
+    # outputs, list-literal WITH items) — lets size()/+ resolve to the
+    # array forms on plain variables, not just syntactic list heads
+    scope_list_names: dict = {"cur": frozenset()}
+    # ordered visible names of the current pipeline scope, for `*`
+    # expansion (RETURN * / WITH * — round-7); internal __ names excluded
+    scope_names: dict = {"cur": []}
     single = len(clauses) == 1 and len(segments) == 1
     unwind_vars = {u["var"] for u in unwinds}
     if unwind_vars & (set(vars_) | relvars):
@@ -1832,6 +1839,9 @@ def parse(query: str) -> dict:
             "an UNWIND variable collides with a pattern variable"
         )
     varset = set(vars_) | unwind_vars
+    scope_names["cur"] = [v for v in vars_ if "__" not in v] + [
+        u["var"] for u in unwinds if "__" not in u["var"]
+    ]
     if path_var and (path_var in varset or path_var in relvars):
         raise CypherSyntaxError(
             f"path variable {path_var!r} collides with another name"
@@ -2026,10 +2036,6 @@ def parse(query: str) -> dict:
     # AND conjuncts only; the inner block may carry its own WHERE.
     exists_preds: list[dict] = []
     count_subqueries: list[dict] = []
-    # names known to be LIST-typed in the current pipeline scope (collect()
-    # outputs, list-literal WITH items) — lets size()/+ resolve to the
-    # array forms on plain variables, not just syntactic list heads
-    scope_list_names: dict = {"cur": frozenset()}
     if where and (
         re.search(r"\bEXISTS\s*\{", where, re.I)
         # bare pattern predicate: a rel-bracket outside quotes marks it
@@ -2361,6 +2367,19 @@ def parse(query: str) -> dict:
         items: list[dict] = []
         for item in _split_items(text):
             item = item.strip()
+            if item == "*":
+                # RETURN * / WITH * (round-7): every visible name of the
+                # current scope, in binding order (Neo4j's star). Composes
+                # with extra items (`RETURN *, count(*) AS n`).
+                if not scope_names["cur"]:
+                    raise CypherSyntaxError(
+                        f"{ctx} * has no variables in scope"
+                    )
+                for v in scope_names["cur"]:
+                    items.append(
+                        {"kind": "plain", "col": resolve(v, f"{ctx} item"), "name": v}
+                    )
+                continue
             # COUNT { pattern [WHERE …] } scalar subquery item (round-7 —
             # the openCypher degree/neighbour-count idiom). Compiled like
             # an EXISTS predicate, but instead of a semi join the subquery
@@ -2881,6 +2900,11 @@ def parse(query: str) -> dict:
 
             predq = _outside_quotes(predq, _map_props_q)
             post_p = f"({post_p}) AND ({predq})" if post_p else predq
+        scope_names["cur"] = [
+            it["name"]
+            for it in with_items_i
+            if "__" not in it["name"]
+        ] + [v for v in vars_p if "__" not in v]
         pipes.append(
             {
                 "with_items": with_items_i,

@@ -5037,3 +5037,42 @@ def graph_coloring(spark, sf_dir):
     tables(spark, sf_dir)
     e = catalog.hierarchy_edges(spark, sf_dir).select("src", "dst")
     return greedy_coloring(e, rounds=6, state_partitions=8).orderBy("node")
+
+
+@register(
+    "cypher_return_star",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        top3 AS (
+            SELECT dst AS n, COUNT(*) AS k
+            FROM edges WHERE rel_type = 'customer_of'
+            GROUP BY dst ORDER BY k DESC, n ASC LIMIT 3
+        )
+        SELECT t.n, t.k, se.src AS s
+        FROM top3 t
+        JOIN edges se ON se.rel_type = 'supplier_of' AND se.dst = t.n
+        ORDER BY n, s
+    """,
+    notes=(
+        "RETURN * / WITH * (round-7 third leg — Neo4j's star projection): "
+        "expands to every visible name of the current pipeline scope in "
+        "binding order, tracked per WITH stage (stage outputs + fresh "
+        "stage pattern variables; internal __ columns excluded), and "
+        "composes with extra items (`RETURN *, count(*)`). Pure parse-"
+        "time expansion — the plan is identical to spelling the names "
+        "out. Declared query: star after a top-k WITH + re-MATCH, the "
+        "drill-down shape. Oracle: the spelled-out equivalent"
+    ),
+)
+def cypher_return_star(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c)-[:CUSTOMER_OF]->(n)
+           WITH n, count(*) AS k ORDER BY k DESC, n ASC LIMIT 3
+           MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+           RETURN * ORDER BY n, s""",
+    )

@@ -1356,3 +1356,24 @@ def test_rewriter_edge_cases(spark):
         "WITH [5, 6] AS xs RETURN CASE WHEN xs[0] = 5 THEN 'five' ELSE 'no' END AS t",
     ).collect()[0]
     assert r.t == "five"
+
+
+def test_return_star_expansion(spark):
+    df = _cy(
+        spark,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) RETURN * ORDER BY c LIMIT 2",
+    )
+    assert df.columns == ["c", "n"]
+    df = _cy(
+        spark,
+        "UNWIND [1, 2] AS k MATCH (n:Nation) RETURN *, count(*) AS cnt "
+        "ORDER BY k, n LIMIT 3",
+    )
+    assert df.columns == ["n", "k", "cnt"]
+    # star after a stage sees stage outputs + fresh stage vars
+    df = _cy(
+        spark,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) WITH n, count(*) AS k "
+        "MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN * ORDER BY n, s LIMIT 3",
+    )
+    assert df.columns == ["n", "k", "s"]
