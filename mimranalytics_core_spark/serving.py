@@ -28,6 +28,9 @@ Endpoints (GET, query-string parameters):
   pushed filters, join strategies, shuffle count — before running it at
   corpus scale)
 - ``/conflicts?max_levenshtein=3``    → api.conflict_report
+- ``/schema``                          → graph-schema introspection: node
+  labels + property keys per graph view, relationship types (the Neo4j
+  db.schema / db.labels surface a driver calls on connect)
 - ``/ops[?family=graph]``             → the saved-query catalog: every
   registered operator with its family and whether a SQL oracle certifies
   it (round-7 — the reference's saved-analytics listing surface)
@@ -148,6 +151,40 @@ def make_server(
                     df = api.conflict_report(
                         spark, sf_dir, max_levenshtein=int(q.get("max_levenshtein", 3))
                     )
+                elif u.path == "/schema":
+                    # graph-schema introspection (round-7 — the Neo4j
+                    # db.schema.visualization / CALL db.labels surface a
+                    # driver calls on connect): node labels with their
+                    # property keys (per-label extras marked), the
+                    # relationship types per graph view, and the total
+                    # node-property triple every label shares. Static —
+                    # the graph views are derived, so the schema IS the
+                    # catalog contract, no scan needed.
+                    payload = {
+                        "graphs": {
+                            "hierarchy": {
+                                "labels": {
+                                    "Customer": ["id", "label", "name", "acctbal", "mktsegment"],
+                                    "Supplier": ["id", "label", "name", "acctbal"],
+                                    "Nation": ["id", "label", "name"],
+                                    "Region": ["id", "label", "name"],
+                                },
+                                "relationship_types": [
+                                    "CUSTOMER_OF", "SUPPLIER_OF", "NATION_OF",
+                                ],
+                            },
+                            "trade_credit": {
+                                "labels": {
+                                    "Customer": ["id"],
+                                    "Supplier": ["id"],
+                                },
+                                "relationship_types": ["BUYS_FROM", "CO_LOCATED"],
+                            },
+                        },
+                        "universal_properties": ["id", "label", "name"],
+                    }
+                    self._send(200, json.dumps(payload).encode())
+                    return
                 elif u.path == "/ops":
                     # saved-query catalog: every registered operator, its
                     # family, and whether a SQL oracle certifies it —

@@ -176,3 +176,22 @@ def test_run_endpoint_unknown_name_400(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server, "/run", name="nope_nope")
     assert ei.value.code == 400
+
+
+def test_schema_endpoint_matches_attribute_view(server, spark):
+    """/schema declares the catalog contract; the hierarchy label/property
+    claims must match the live attribute view's actual columns and the
+    Cypher layer's property surface."""
+    from mimranalytics_core_spark import catalog
+    from mimranalytics_core_spark.cypher import _PROPS
+
+    sch = _get(server, "/schema")
+    h = sch["graphs"]["hierarchy"]
+    assert set(h["labels"]) == {"Customer", "Supplier", "Nation", "Region"}
+    view_cols = set(catalog.hierarchy_nodes(spark, SF_SMALL).columns)
+    for label, props in h["labels"].items():
+        assert set(props) <= view_cols
+    # every declared non-universal property is Cypher-reachable
+    assert {"acctbal", "mktsegment"} <= set(_PROPS)
+    assert sch["universal_properties"] == ["id", "label", "name"]
+    assert "CUSTOMER_OF" in h["relationship_types"]
