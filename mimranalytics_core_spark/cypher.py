@@ -2643,7 +2643,7 @@ def parse(query: str) -> dict:
         tpos += m_.end()
         im_ = re.match(
             r"(?P<items>.*?)(?=\s+ORDER\s+BY\s|\s+SKIP\s|\s+LIMIT\s"
-            r"|\s+WHERE\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
+            r"|\s+WHERE\s|\s+UNWIND\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
             tail_m[tpos:],
             re.I | re.S,
         )
@@ -2682,7 +2682,7 @@ def parse(query: str) -> dict:
         stage_order: list[tuple[str, bool]] = []
         om_ = re.match(
             r"\s*ORDER\s+BY\s+(?P<keys>.*?)(?=\s+SKIP\s|\s+LIMIT\s|\s+WHERE\s"
-            r"|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
+            r"|\s+UNWIND\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
             tail_m[tpos:],
             re.I | re.S,
         )
@@ -2755,7 +2755,8 @@ def parse(query: str) -> dict:
             )
         having_i = None
         hm_ = re.match(
-            r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
+            r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+UNWIND\s"
+            r"|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
             tail_m[tpos:],
             re.I | re.S,
         )
@@ -2774,6 +2775,58 @@ def parse(query: str) -> dict:
                 _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, having_i)))
             )
             tpos += hm_.end()
+        # stage UNWINDs (round-7): `WITH … UNWIND <expr> AS v` — the
+        # collect-then-re-expand idiom. The expression references stage
+        # outputs (a collect()ed list, a literal, a computed range) and
+        # compiles through the list-expression rewriter; execution is one
+        # row-local explode, applied after the stage's paging/WHERE
+        # (openCypher subclause order) and before its MATCH clauses.
+        stage_unwinds: list[tuple[str, str]] = []
+        while True:
+            um2 = re.match(r"\s*UNWIND\s+", tail_m[tpos:], re.I)
+            if not um2:
+                break
+            estart2 = tpos + um2.end()
+            k2, depth2 = estart2, 0
+            asm2 = None
+            while k2 < len(tail):
+                c3 = tail[k2]
+                if c3 == "'":
+                    j3 = tail.find("'", k2 + 1)
+                    if j3 < 0:
+                        break
+                    k2 = j3 + 1
+                    continue
+                if c3 in "([":
+                    depth2 += 1
+                elif c3 in ")]":
+                    depth2 -= 1
+                elif depth2 == 0:
+                    asm2 = re.match(r"\s+AS\s+([A-Za-z_]\w*)", tail[k2:], re.I)
+                    if asm2:
+                        break
+                k2 += 1
+            if not asm2:
+                raise CypherSyntaxError(
+                    f"UNWIND after WITH needs 'AS var': {tail[estart2:estart2+40]!r}"
+                )
+            uvar2 = asm2.group(1)
+            if uvar2 in with_names or uvar2.lower() in _RESERVED or any(
+                v == uvar2 for v, _ in stage_unwinds
+            ):
+                raise CypherSyntaxError(
+                    f"UNWIND variable {uvar2!r} collides with another name"
+                )
+            uexpr = _outside_quotes(
+                _rewrite_list_exprs(
+                    tail[estart2:k2].strip(), scope_list_names["cur"]
+                ),
+                _fn_rewrite,
+            )
+            stage_unwinds.append((uvar2, uexpr))
+            with_names.add(uvar2)
+            scope_names["cur"] = scope_names["cur"] + [uvar2]
+            tpos = k2 + asm2.end()
         # optional MATCH clauses re-matching against the piped frame
         pclauses: list[dict] = []
         bound_p = set(with_names)
@@ -2907,6 +2960,7 @@ def parse(query: str) -> dict:
         ] + [v for v in vars_p if "__" not in v]
         pipes.append(
             {
+                "unwinds": stage_unwinds,
                 "with_items": with_items_i,
                 "distinct": with_distinct,
                 "having": having_i,
@@ -3461,6 +3515,10 @@ def _run_single(
             df = df.limit(pipe["limit"])
         if pipe["having"]:
             df = df.filter(F.expr(pipe["having"]))
+        for uvar2, uexpr in pipe.get("unwinds") or []:
+            # stage UNWIND: one row per list element (Cypher: an empty or
+            # null list yields zero rows — exactly explode's semantics)
+            df = df.withColumn(uvar2, F.explode(F.expr(uexpr)))
         for clause in pipe["clauses"]:
             cframe = _clause_frame(clause, None)
             for lvar, label in clause.get("labels", {}).items():

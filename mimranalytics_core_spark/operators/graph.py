@@ -5076,3 +5076,41 @@ def cypher_return_star(spark, sf_dir):
            MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
            RETURN * ORDER BY n, s""",
     )
+
+
+@register(
+    "cypher_with_unwind",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm, COUNT(*) AS n_members,
+               MIN(c.c_name) AS first_member
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1 ORDER BY nm
+    """,
+    notes=(
+        "UNWIND after WITH (round-7 third leg — Neo4j's collect-then-"
+        "re-expand idiom, the canonical group-process-flatten shape): "
+        "the stage UNWIND compiles through the list-expression rewriter "
+        "and executes as ONE row-local explode after the stage's "
+        "paging/WHERE (openCypher subclause order), before its MATCH "
+        "clauses; empty/null lists yield zero rows (explode semantics = "
+        "Cypher's). The declared query round-trips every customer "
+        "through collect() -> UNWIND and re-aggregates — proving the "
+        "expansion is lossless. Scale: collect buckets are per-nation "
+        "(bounded by the group), the explode is scan-local, no extra "
+        "shuffle beyond the one groupBy. Oracle: the flat group-by the "
+        "round-trip is equivalent to"
+    ),
+)
+def cypher_with_unwind(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n.name AS nm, collect(c.name) AS members
+           UNWIND members AS m
+           RETURN nm, count(*) AS n_members, min(m) AS first_member
+           ORDER BY nm""",
+    )

@@ -1377,3 +1377,31 @@ def test_return_star_expansion(spark):
         "MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN * ORDER BY n, s LIMIT 3",
     )
     assert df.columns == ["n", "k", "s"]
+
+
+def test_stage_unwind_round_trip_and_empty(spark):
+    """UNWIND after WITH: collect -> UNWIND is lossless; an empty list
+    yields zero rows (Cypher semantics = explode's)."""
+    n = _cy(
+        spark,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) "
+        "WITH n.name AS nm, collect(c.name) AS ms UNWIND ms AS m "
+        "RETURN count(*) AS c",
+    ).collect()[0].c
+    total = _cy(spark, "MATCH (c:Customer) RETURN count(*) AS c").collect()[0].c
+    assert n == total
+    rows = _cy(
+        spark,
+        "MATCH (n:Nation) WITH n.name AS nm, "
+        "[x IN [1, 2] WHERE x > 5] AS empty UNWIND empty AS e "
+        "RETURN count(*) AS c",
+    ).collect()
+    assert rows[0].c == 0
+    # chained: UNWIND output feeds the next stage's aggregate
+    r = _cy(
+        spark,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) "
+        "WITH n.name AS nm, collect(c.name) AS ms UNWIND ms AS m "
+        "WITH nm, count(*) AS k RETURN min(k) AS mn",
+    ).collect()[0]
+    assert r.mn >= 1
