@@ -3012,9 +3012,60 @@ def parse(query: str) -> dict:
     hidden_order_cols: list[str] = []
     if rm_.group("order"):
         order_txt = tail[tpos + rm_.start("order") : tpos + rm_.end("order")]
-        for key in _unmask(order_txt).split(","):
+        # comma split is bracket/paren aware: ORDER BY substring(x, 0, 3)
+        # is ONE key (round-7)
+        for key in _split_items(_unmask(order_txt)):
             km = re.match(r"^\s*(?P<name>[\w.]+)(?:\s+(?P<dir>ASC|DESC))?\s*$", key, re.I)
             if not km:
+                # ORDER BY <expression> (round-7): compile like an item
+                # body and sort on a hidden computed column, dropped
+                # after paging. Same restrictions as hidden property
+                # sorts (undefined under aggregation/DISTINCT); names
+                # must resolve in the pattern scope — RETURN aliases are
+                # sibling columns of the same projection and cannot be
+                # referenced (use the alias directly as the sort key).
+                xm2 = re.match(
+                    r"^\s*(?P<expr>.+?)(?:\s+(?P<dir>ASC|DESC))?\s*$",
+                    key,
+                    re.I | re.S,
+                )
+                if (
+                    xm2
+                    and not any(it["kind"] == "agg" for it in projection)
+                    and not ret_distinct
+                ):
+
+                    def _map_ord(seg: str) -> str:
+                        for pm in sorted(
+                            set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)),
+                            key=len,
+                            reverse=True,
+                        ):
+                            seg = seg.replace(pm, _ret_resolve(pm, "ORDER BY"))
+                        return _fn_rewrite(seg)
+
+                    osql = _outside_quotes(
+                        _rewrite_list_exprs(
+                            xm2.group("expr"), scope_list_names["cur"]
+                        ),
+                        _map_ord,
+                    )
+                    osql = _rx_anchor(
+                        _CONTAINS.sub(
+                            _ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, osql))
+                        )
+                    )
+                    for w in re.findall(r"\b[A-Za-z_]\w*\b", _unquoted(osql)):
+                        if "__" in w or w.lower() in _EXPR_ALLOW:
+                            continue
+                        _ret_resolve(w, "ORDER BY expression")
+                    hname = f"__ord{len(order_by)}"
+                    projection.append({"kind": "case", "sql": osql, "name": hname})
+                    hidden_order_cols.append(hname)
+                    order_by.append(
+                        (hname, (xm2.group("dir") or "ASC").upper() == "ASC")
+                    )
+                    continue
                 raise CypherSyntaxError(f"unsupported ORDER BY key: {key!r}")
             name = km.group("name")
             if name not in out_names:

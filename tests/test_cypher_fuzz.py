@@ -119,6 +119,8 @@ def _query(draw):
             q += f" LIMIT {draw(st.integers(1, 20))}"
         if draw(st.booleans()):
             q += " WHERE n >= 2"
+        if draw(st.integers(0, 2)) == 0:  # round-7: stage UNWIND
+            q += " UNWIND [1, 2] AS uw"
         stage2 = draw(st.booleans())
         items = ["piped", "n"]
         if stage2:

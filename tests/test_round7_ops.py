@@ -1405,3 +1405,21 @@ def test_stage_unwind_round_trip_and_empty(spark):
         "WITH nm, count(*) AS k RETURN min(k) AS mn",
     ).collect()[0]
     assert r.mn >= 1
+
+
+def test_order_by_expression_hidden_column(spark):
+    df = _cy(
+        spark,
+        "MATCH (n:Nation) RETURN n.name AS nm "
+        "ORDER BY size(n.name) DESC, substring(n.name, 7, 2) DESC LIMIT 3",
+    )
+    assert df.columns == ["nm"]  # hidden sort column dropped
+    assert [r.nm for r in df.collect()] == ["NATION_24", "NATION_23", "NATION_22"]
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="unsupported ORDER BY key"):
+        _cy(
+            spark,
+            "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) "
+            "RETURN n, count(*) AS k ORDER BY size(n.name)",
+        )
