@@ -2036,6 +2036,7 @@ def parse(query: str) -> dict:
     # AND conjuncts only; the inner block may carry its own WHERE.
     exists_preds: list[dict] = []
     count_subqueries: list[dict] = []
+    exists_items: list[dict] = []
     if where and (
         re.search(r"\bEXISTS\s*\{", where, re.I)
         # bare pattern predicate: a rel-bracket outside quotes marks it
@@ -2388,6 +2389,47 @@ def parse(query: str) -> dict:
             # OPTIONAL-null anchor matches nothing, as in Neo4j). Among
             # aggregates the count column is a grouping key — exactly
             # Neo4j's implicit-grouping rule for non-aggregate items.
+            # [NOT] EXISTS { pattern } AS flag — boolean pattern
+            # existence as a per-row item (round-7): the subquery's
+            # distinct anchors LEFT-join a literal true; null → false.
+            eq_ = re.match(
+                r"^(?P<neg>NOT\s+)?EXISTS\s*\{(?P<body>.+)\}\s+AS\s+(?P<alias>\w+)$",
+                item,
+                re.I | re.S,
+            )
+            if eq_ and ctx == "RETURN":
+                body = eq_.group("body").strip()
+                if not re.match(r"\s*MATCH\b", body, re.I):
+                    body = "MATCH " + body
+                ws_ = re.split(r"\bWHERE\b", body, maxsplit=1, flags=re.I)
+                in_vars = {m.group(1) for m in _NODE_RE.finditer(ws_[0])}
+                anchors_ = sorted(in_vars & varset)
+                if not anchors_:
+                    raise CypherSyntaxError(
+                        "an EXISTS { … } item must share at least one "
+                        f"variable with the enclosing MATCH: {item!r}"
+                    )
+                inner_q_ = (
+                    ws_[0].rstrip()
+                    + (f" AS OF '{as_of}'" if as_of else "")
+                    + (" WHERE" + ws_[1] if len(ws_) > 1 else "")
+                    + " RETURN "
+                    + ", ".join(anchors_)
+                )
+                parse(inner_q_)
+                col_ = f"__exi{len(exists_items)}"
+                exists_items.append(
+                    {
+                        "query": inner_q_,
+                        "anchors": anchors_,
+                        "col": col_,
+                        "negated": bool(eq_.group("neg")),
+                    }
+                )
+                items.append(
+                    {"kind": "plain", "col": col_, "name": eq_.group("alias")}
+                )
+                continue
             cq_ = re.match(
                 r"^COUNT\s*\{(?P<body>.+)\}\s+AS\s+(?P<alias>\w+)$",
                 item,
@@ -3115,6 +3157,7 @@ def parse(query: str) -> dict:
         "unwinds": unwinds,
         "exists_preds": exists_preds,
         "count_subqueries": count_subqueries,
+        "exists_items": exists_items,
         "edge_types": segments[0]["types"] if segments else None,
         "min_hops": segments[0]["min_hops"] if segments else None,
         "max_hops": segments[0]["max_hops"] if segments else None,
@@ -3592,6 +3635,16 @@ def _run_single(
         side = sub.groupBy(*cs["anchors"]).agg(F.count(F.lit(1)).alias(cs["col"]))
         df = df.join(side, cs["anchors"], "left")
         df = df.withColumn(cs["col"], F.coalesce(F.col(cs["col"]), F.lit(0)))
+    # EXISTS { … } items: distinct anchors carry a literal true; a row
+    # with no match null-extends → false (NOT form flips it)
+    for ei in p.get("exists_items") or []:
+        sub = _run_single(spark, sf_dir, ei["query"], graph=graph)
+        side = (
+            sub.select(*ei["anchors"]).distinct().withColumn(ei["col"], F.lit(True))
+        )
+        df = df.join(side, ei["anchors"], "left")
+        flag = F.coalesce(F.col(ei["col"]), F.lit(False))
+        df = df.withColumn(ei["col"], ~flag if ei["negated"] else flag)
     df = _apply_items(df, p["projection"])
     if p.get("ret_distinct"):
         df = df.distinct()

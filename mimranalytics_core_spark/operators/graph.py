@@ -5114,3 +5114,38 @@ def cypher_with_unwind(spark, sf_dir):
            RETURN nm, count(*) AS n_members, min(m) AS first_member
            ORDER BY nm""",
     )
+
+
+@register(
+    "cypher_exists_item",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm,
+               EXISTS (SELECT 1 FROM supplier s
+                       WHERE s.s_nationkey = n.n_nationkey) AS has_sup,
+               NOT EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_nationkey = n.n_nationkey) AS no_cust
+        FROM nation n ORDER BY nm
+    """,
+    notes=(
+        "[NOT] EXISTS { pattern } as a RETURN item (round-7 third leg — "
+        "boolean pattern existence per row, the projection twin of the "
+        "WHERE-side EXISTS predicate): the subquery's DISTINCT anchors "
+        "LEFT-join a literal true, null-extension reads false, NOT flips "
+        "in-plan. Zero row multiplication — existence never explodes the "
+        "frame, and Catalyst sees a plain equi-join on the anchor key. "
+        "Oracle: correlated EXISTS subqueries on the base tables"
+    ),
+)
+def cypher_exists_item(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           RETURN n.name AS nm,
+                  EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } AS has_sup,
+                  NOT EXISTS { (c:Customer)-[:CUSTOMER_OF]->(n) } AS no_cust
+           ORDER BY nm""",
+    )

@@ -1423,3 +1423,26 @@ def test_order_by_expression_hidden_column(spark):
             "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) "
             "RETURN n, count(*) AS k ORDER BY size(n.name)",
         )
+
+
+def test_exists_item_matches_distinct_match(spark):
+    exp = {
+        r.nm
+        for r in _cy(
+            spark,
+            "MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN DISTINCT n.name AS nm",
+        ).collect()
+    }
+    rows = _cy(
+        spark,
+        "MATCH (n:Nation) RETURN n.name AS nm, "
+        "EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } AS f ORDER BY nm",
+    ).collect()
+    assert len(rows) == 25  # existence never multiplies or drops rows
+    assert {r.nm for r in rows if r.f} == exp
+    neg = _cy(
+        spark,
+        "MATCH (n:Nation) RETURN n.name AS nm, "
+        "NOT EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } AS f ORDER BY nm",
+    ).collect()
+    assert {r.nm for r in neg if r.f} == {r.nm for r in rows if not r.f}
