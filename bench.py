@@ -80,7 +80,10 @@ def main() -> None:
     # (round 1's full line was front-truncated by a ~2 KB tail capture and
     # arrived unparseable).
     print(json.dumps(full), file=sys.stderr)
-    with open(Path(__file__).resolve().parent / "BENCH_LOCAL.json", "w") as fh:
+    # SPARK_GRAFT_BENCH_OUT overrides the sidecar path so scaling-pair
+    # runs (10x replica) don't clobber the recorded sf0.1 pair file
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    with open(Path(__file__).resolve().parent / out_name, "w") as fh:
         json.dump(full, fh, indent=1)
     n_fail = sum(1 for v in timings.values() if v < 0)
     print(
