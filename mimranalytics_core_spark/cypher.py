@@ -2278,7 +2278,9 @@ def parse(query: str) -> dict:
         used = {
             w
             for w in re.findall(r"\b[A-Za-z_]\w*\b", _unquoted(pred))
-            if w in varset or "__" in w
+            # a TRAILING double underscore is a lambda variable (the list-
+            # expression rewriter's rename convention) — scope-free
+            if (w in varset or "__" in w) and not w.endswith("__")
         }
         owners = {w.split("__", 1)[0] if "__" in w else w for w in used}
         outside = owners - frame_vars

@@ -1446,3 +1446,28 @@ def test_exists_item_matches_distinct_match(spark):
         "NOT EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } AS f ORDER BY nm",
     ).collect()
     assert {r.nm for r in neg if r.f} == {r.nm for r in rows if not r.f}
+
+
+def test_clause_where_quantifier_scope(spark):
+    """Lambda variables (trailing __) are scope-free in a per-clause
+    WHERE; genuine out-of-clause references still fail."""
+    r = _cy(
+        spark,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) "
+        "WHERE any(x IN [5000.0] WHERE c.acctbal > x) "
+        "MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN count(*) AS c",
+    ).collect()[0]
+    exp = _cy(
+        spark,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) WHERE c.acctbal > 5000.0 "
+        "MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN count(*) AS c",
+    ).collect()[0]
+    assert r.c == exp.c
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="pattern variables"):
+        _cy(
+            spark,
+            "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) WHERE s.name = 'x' "
+            "MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN count(*) AS c",
+        )
