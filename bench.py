@@ -38,6 +38,16 @@ def main() -> None:
         df.select(df.columns[0]).limit(1).count()
 
     ops = all_ops()
+    # SPARK_GRAFT_BENCH_ONLY: comma-separated op names — run just those.
+    # Used by decade-pair backfills (audit_gate) so adding one op doesn't
+    # force a full 306-query sf1 re-run.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only:
+        keep = {n.strip() for n in only.split(",") if n.strip()}
+        unknown = keep - set(ops)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY names unknown ops: {sorted(unknown)}")
+        ops = {n: op for n, op in ops.items() if n in keep}
 
     def run_once(name: str) -> float:
         t0 = time.perf_counter()

@@ -48,7 +48,14 @@ def test_queries_and_oracles_aligned():
     }
 
 
-def test_bench_emits_single_json_line():
+def test_bench_emits_single_json_line(tmp_path):
+    # The sidecar MUST be redirected via SPARK_GRAFT_BENCH_OUT: the driver
+    # records an sf0.1 BENCH_LOCAL.json each round, and an un-redirected
+    # sf0.001 run from pytest silently replaces it (fired in the r7 AND r8
+    # judging sessions — VERDICT.md r8 "what's wrong" #2).
+    repo = Path(__file__).resolve().parent.parent
+    sidecar_before = (repo / "BENCH_LOCAL.json").read_bytes() if (repo / "BENCH_LOCAL.json").exists() else None
+    detail_path = tmp_path / "bench_detail.json"
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
@@ -58,19 +65,24 @@ def test_bench_emits_single_json_line():
             **__import__("os").environ,
             "SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.001",
             "SPARK_GRAFT_CPUS": "8",
+            "SPARK_GRAFT_BENCH_OUT": str(detail_path),
         },
         cwd="/root/repo",
     )
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     assert len(lines) == 1, proc.stdout[:500] + proc.stderr[-500:]
     # stdout contract: ONE compact line (<2 KB — survives tail-truncating log
-    # capture); per-query detail goes to stderr + BENCH_LOCAL.json.
+    # capture); per-query detail goes to stderr + the redirected sidecar.
     assert len(lines[0]) < 2000
     payload = json.loads(lines[0])
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["n_queries"] >= 110
     assert payload["n_failed"] == 0
-    full = json.loads((Path(__file__).resolve().parent.parent / "BENCH_LOCAL.json").read_text())
+    full = json.loads(detail_path.read_text())
     assert len(full["queries"]) == payload["n_queries"]
     assert all(v >= 0 for v in full["queries"].values())
+    # Regression gate for the clobber itself: the repo-root sidecar is
+    # byte-identical after the run.
+    sidecar_after = (repo / "BENCH_LOCAL.json").read_bytes() if (repo / "BENCH_LOCAL.json").exists() else None
+    assert sidecar_after == sidecar_before, "bench.py run from tests clobbered BENCH_LOCAL.json"

@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Decade-audit completeness gate.
+
+Every registered op must have a measured decade pair: a timing in BOTH
+BENCH_LOCAL.json (sf0.1) and BENCH_SF1_LOCAL.json (10x replica from
+tools/make_scaled_sf.py). This is the mechanical record the round-6
+39.9x scale-killer slipped past when the audit was prose-only: an op that
+is registered but never measured across a decade has no evidence its plan
+survives a 10x scale-up.
+
+Exit 0 when the record is complete; exit 1 with the missing set otherwise.
+Also flags ops whose decade ratio exceeds a threshold (default 10x) so a
+superlinear plan can't hide inside a "complete" record.
+
+Usage: python tools/audit_gate.py [--ratio-limit 10]
+Backfill a missing op with:
+  SPARK_GRAFT_SF_DIR=/tmp/mimranalytics_scaled_sf1 \
+  SPARK_GRAFT_BENCH_ONLY=<op> SPARK_GRAFT_BENCH_OUT=/tmp/x.json python bench.py
+then merge /tmp/x.json's queries into BENCH_SF1_LOCAL.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def check(
+    ratio_limit: float = 10.0,
+    sf01: dict | None = None,
+    sf1: dict | None = None,
+) -> tuple[set[str], dict[str, float]]:
+    """Return (ops missing a decade pair, ops whose ratio exceeds the limit)."""
+    sys.path.insert(0, str(REPO))
+    from mimranalytics_core_spark.registry import all_ops
+
+    registered = set(all_ops())
+    if sf01 is None:
+        sf01 = json.loads((REPO / "BENCH_LOCAL.json").read_text())
+    if sf1 is None:
+        sf1 = json.loads((REPO / "BENCH_SF1_LOCAL.json").read_text())
+    assert sf01.get("sf") == 0.1, "BENCH_LOCAL.json is not an sf0.1 record (clobbered?)"
+    assert sf1.get("sf") == 1.0, "BENCH_SF1_LOCAL.json is not an sf1 record"
+    q01, q1 = sf01["queries"], sf1["queries"]
+    paired = {n for n in registered if q01.get(n, -1) >= 0 and q1.get(n, -1) >= 0}
+    missing = registered - paired
+    hot = {}
+    for n in paired:
+        # Guard tiny denominators: sub-50ms sf0.1 timings are timer noise and
+        # produce meaningless ratios.
+        base = max(q01[n], 0.05)
+        ratio = q1[n] / base
+        if ratio > ratio_limit:
+            hot[n] = round(ratio, 2)
+    return missing, hot
+
+
+def main() -> int:
+    ratio_limit = 10.0
+    if "--ratio-limit" in sys.argv:
+        ratio_limit = float(sys.argv[sys.argv.index("--ratio-limit") + 1])
+    missing, hot = check(ratio_limit)
+    if missing:
+        print(f"GATE RED: {len(missing)} registered ops lack a decade pair:")
+        for n in sorted(missing):
+            print(f"  {n}")
+    if hot:
+        print(f"GATE RED: {len(hot)} ops exceed {ratio_limit}x across the decade:")
+        for n, r in sorted(hot.items(), key=lambda kv: -kv[1]):
+            print(f"  {n}: {r}x")
+    if not missing and not hot:
+        print(f"GATE GREEN: all registered ops have a decade pair under {ratio_limit}x")
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
