@@ -289,8 +289,11 @@ _CONTAINS = re.compile(_PREDCOL + r"\s+CONTAINS\s+'(?P<lit>[^']*)'", re.I)
 
 
 def _split_items(text: str) -> list[str]:
-    """Split a RETURN/WITH item list on top-level commas (outside quotes
-    and parens) — `coalesce(s.name, 'none') AS sup` is ONE item."""
+    """Split a RETURN/WITH item list on top-level commas (outside quotes,
+    parens, AND braces) — `coalesce(s.name, 'none') AS sup` is ONE item,
+    and so is an `EXISTS { …, … }` item whose brace body carries commas
+    (comma-chained patterns; r8 ADVICE: brace depth was untracked, so the
+    body split mid-item and failed with a misleading error)."""
     items, buf, depth, i = [], [], 0, 0
     while i < len(text):
         ch = text[i]
@@ -300,9 +303,9 @@ def _split_items(text: str) -> list[str]:
             buf.append(text[i : j + 1])
             i = j + 1
             continue
-        if ch in "([":
+        if ch in "([{":
             depth += 1
-        elif ch in ")]":
+        elif ch in ")]}":
             depth -= 1
         if ch == "," and depth == 0:
             items.append("".join(buf))
@@ -527,7 +530,7 @@ _EXPR_ALLOW = {
     "like", "is", "null", "true", "false", "as",
     # round-7: array constructors/accessors the labels() rewrite and
     # migrating users need (labels(n) → array(initcap(n.label)))
-    "array", "initcap", "array_join", "element_at", "size",
+    "array", "initcap", "array_join", "element_at", "try_element_at", "size",
     # round-7 second half: properties() struct, regex matching
     "named_struct", "rlike", "regexp",
     # round-7 third leg: the list-expression surface (_rewrite_list_exprs
@@ -882,8 +885,12 @@ def _rewrite_list_exprs(text: str, list_vars: frozenset = frozenset()) -> str:
                 base = stripped[k:]
                 idx = _rewrite_list_exprs(body.strip(), list_vars)
                 neg = re.fullmatch(r"-\d+", idx)
+                # negative index: try_element_at, not element_at — under
+                # ANSI mode an out-of-range negative index must read null
+                # (Neo4j) instead of throwing INVALID_ARRAY_INDEX (r8
+                # ADVICE, low)
                 acc = stripped[:k] + (
-                    f"element_at({base}, {idx})" if neg else f"get({base}, ({idx}))"
+                    f"try_element_at({base}, {idx})" if neg else f"get({base}, ({idx}))"
                 )
                 i = end
                 continue
@@ -1210,8 +1217,12 @@ def _parse_bounds(rm: re.Match) -> tuple[int, int]:
     return 1, 1
 
 
-def parse(query: str) -> dict:
+def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     """Parse a Cypher string → segment list + projection/order/paging spec.
+
+    ``extra_vars`` injects externally-bound names into the variable scope —
+    the columns a ``CALL { … }`` subquery returns into the enclosing query
+    (the caller strips the CALL block first; see :func:`_extract_calls`).
 
     Returns a dict with ``segments`` (list of {types, min_hops, max_hops,
     src, dst}), ``vars`` (pattern variables in order), the legacy
@@ -1838,10 +1849,12 @@ def parse(query: str) -> dict:
         raise CypherSyntaxError(
             "an UNWIND variable collides with a pattern variable"
         )
-    varset = set(vars_) | unwind_vars
-    scope_names["cur"] = [v for v in vars_ if "__" not in v] + [
-        u["var"] for u in unwinds if "__" not in u["var"]
-    ]
+    varset = set(vars_) | unwind_vars | set(extra_vars)
+    scope_names["cur"] = (
+        [v for v in vars_ if "__" not in v]
+        + [u["var"] for u in unwinds if "__" not in u["var"]]
+        + sorted(v for v in extra_vars if "__" not in v and v not in vars_)
+    )
     if path_var and (path_var in varset or path_var in relvars):
         raise CypherSyntaxError(
             f"path variable {path_var!r} collides with another name"
@@ -2411,6 +2424,17 @@ def parse(query: str) -> dict:
                         "an EXISTS { … } item must share at least one "
                         f"variable with the enclosing MATCH: {item!r}"
                     )
+                # anchors must SURVIVE any WITH stages — a dropped anchor
+                # used to pass parsing and die later as an opaque Spark
+                # AnalysisException (r8 ADVICE, low)
+                gone_ = [a for a in anchors_ if a not in scope_names["cur"]]
+                if gone_:
+                    raise CypherSyntaxError(
+                        f"EXISTS {{ … }} item anchors {gone_} were not "
+                        "carried through the WITH stage (visible: "
+                        f"{sorted(scope_names['cur'])}) — project the anchor "
+                        "variable through every WITH"
+                    )
                 inner_q_ = (
                     ws_[0].rstrip()
                     + (f" AS OF '{as_of}'" if as_of else "")
@@ -2448,6 +2472,14 @@ def parse(query: str) -> dict:
                     raise CypherSyntaxError(
                         "a COUNT { … } subquery must share at least one "
                         f"variable with the enclosing MATCH: {item!r}"
+                    )
+                gone_ = [a for a in anchors_ if a not in scope_names["cur"]]
+                if gone_:
+                    raise CypherSyntaxError(
+                        f"COUNT {{ … }} subquery anchors {gone_} were not "
+                        "carried through the WITH stage (visible: "
+                        f"{sorted(scope_names['cur'])}) — project the anchor "
+                        "variable through every WITH"
                     )
                 inner_q_ = (
                     ws_[0].rstrip()
@@ -2666,6 +2698,9 @@ def parse(query: str) -> dict:
         or (c.endswith("__w") and c[: -len("__w")] in relvars)
         # numeric node property (round-7): sum/avg/percentile over balances
         or c.endswith("__acctbal")
+        # CALL-returned columns: type unknown at parse time — permissive
+        # (Spark analysis reports a real type error with the column name)
+        or c in extra_vars
     )
 
     # ---- WITH pipeline stages (any number — Cypher's chained pipes) ----
@@ -3188,11 +3223,167 @@ def parse(query: str) -> dict:
 _UNION_RE = re.compile(r"\bUNION(?P<all>\s+ALL)?\b", re.I)
 
 
+def _extract_calls(query: str) -> tuple[str, list[dict]]:
+    """Extract top-level ``CALL { … }`` subquery blocks (quote/brace-aware).
+
+    Returns ``(stripped_query, calls)``: the query with every CALL block
+    removed, plus one spec per block in textual order. Each spec carries the
+    standalone inner query (importing-WITH stripped, imported variables
+    appended to its final RETURN so the outer join has key columns) and the
+    import list. Subset limits (targeted errors, not the generic one):
+
+    - CALL must precede the first top-level WITH stage (a CALL after WITH
+      would need stage-frame composition; lift the stage into the subquery
+      or move the CALL up).
+    - The importing WITH is a bare comma-list of variables (Neo4j's own
+      rule for subquery imports).
+    - Correlated subqueries (with imports) reject top-level UNION and
+      ORDER BY/SKIP/LIMIT: those are per-outer-row under CALL semantics,
+      which the equi-join composition can't express. Uncorrelated
+      subqueries keep both (they execute once, so global semantics are
+      exactly right).
+    - Procedure calls (``CALL db.labels()``) and ``CALL { } IN
+      TRANSACTIONS`` (a write-batching form) are out of scope.
+    """
+    calls: list[dict] = []
+    out: list[str] = []
+    i, last, n, depth = 0, 0, len(query), 0
+    saw_with = False
+    while i < n:
+        ch = query[i]
+        if ch == "'":
+            j = query.find("'", i + 1)
+            i = (n if j < 0 else j) + 1
+            continue
+        if ch in "([{":
+            depth += 1
+            i += 1
+            continue
+        if ch in ")]}":
+            depth -= 1
+            i += 1
+            continue
+        boundary = i == 0 or not (query[i - 1].isalnum() or query[i - 1] == "_")
+        if depth == 0 and boundary and re.match(r"WITH\b", query[i:], re.I):
+            # STARTS WITH / ENDS WITH predicates contain the word WITH
+            if not re.search(r"\b(?:STARTS|ENDS)\s+$", query[:i], re.I):
+                saw_with = True
+        if depth == 0 and boundary and re.match(r"CALL\b", query[i:], re.I):
+            m = re.match(r"CALL\s*\{", query[i:], re.I)
+            if not m:
+                raise CypherSyntaxError(
+                    "procedure CALL is out of scope: only CALL { … } "
+                    "subqueries are supported (the engine has no procedure "
+                    "registry — see SURVEY.md, Cypher subset)"
+                )
+            if saw_with:
+                raise CypherSyntaxError(
+                    "CALL { … } after a WITH stage is not supported "
+                    "(subset): move the CALL before the first WITH, or "
+                    "lift the stage into the subquery"
+                )
+            b = i + m.end() - 1  # index of '{'
+            d2, k = 0, b
+            while k < n:
+                c2 = query[k]
+                if c2 == "'":
+                    j2 = query.find("'", k + 1)
+                    if j2 < 0:
+                        raise CypherSyntaxError(f"unterminated string: {query!r}")
+                    k = j2 + 1
+                    continue
+                if c2 == "{":
+                    d2 += 1
+                elif c2 == "}":
+                    d2 -= 1
+                    if d2 == 0:
+                        break
+                k += 1
+            if k >= n:
+                raise CypherSyntaxError(f"unbalanced braces in CALL subquery: {query!r}")
+            if re.match(r"\s*IN\s+(?:CONCURRENT\s+)?TRANSACTIONS", query[k + 1 :], re.I):
+                raise CypherSyntaxError(
+                    "CALL { … } IN TRANSACTIONS is a write-batching form: "
+                    "this engine is a read-only Cypher layer (see SURVEY.md, "
+                    "Cypher write posture)"
+                )
+            calls.append(_prepare_call(query[b + 1 : k].strip()))
+            out.append(query[last:i])
+            last = k + 1
+            i = k + 1
+            continue
+        i += 1
+    out.append(query[last:])
+    return "".join(out), calls
+
+
+def _prepare_call(inner: str) -> dict:
+    """Normalize one CALL body → {query, imports} (see _extract_calls)."""
+    if not inner:
+        raise CypherSyntaxError("empty CALL { } subquery")
+    imports: list[str] = []
+    im = re.match(
+        r"\s*WITH\s+(?P<body>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)"
+        r"\s+(?=(?:OPTIONAL\s+)?MATCH\b|UNWIND\b|WITH\b|RETURN\b|CALL\b)",
+        inner,
+        re.I,
+    )
+    if im:
+        imports = [v.strip() for v in im.group("body").split(",")]
+        if len(set(imports)) != len(imports):
+            raise CypherSyntaxError(
+                f"duplicate variable in CALL importing WITH: {imports}"
+            )
+        inner = inner[im.end() :]
+    masked = _blank_braces(
+        re.sub(r"'(?:[^'])*'", lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'", inner)
+    )
+    rpos = None
+    for mm in re.finditer(r"\bRETURN\b", masked, re.I):
+        rpos = mm
+    if rpos is None:
+        raise CypherSyntaxError(
+            "a CALL { … } subquery must end with RETURN (unit subqueries "
+            "only matter for writes, and this engine is read-only)"
+        )
+    if imports:
+        if _UNION_RE.search(masked):
+            raise CypherSyntaxError(
+                "UNION inside a correlated CALL subquery is not supported "
+                "(per-outer-row branch semantics); drop the imports or "
+                "lift the UNION out"
+            )
+        if re.search(r"\b(?:ORDER\s+BY|SKIP|LIMIT)\b", masked[rpos.end() :], re.I):
+            raise CypherSyntaxError(
+                "ORDER BY/SKIP/LIMIT inside a correlated CALL subquery "
+                "run per outer row in Neo4j, which the join composition "
+                "can't express — apply them after the CALL"
+            )
+        # append imports missing from the RETURN items so the outer join
+        # has key columns (legal: imports are in scope inside the body)
+        tail = inner[rpos.end() :]
+        dm = re.match(r"\s*DISTINCT\s+", tail, re.I)
+        items_text = tail[dm.end() :] if dm else tail
+        present = set()
+        for it in _split_items(items_text):
+            pm = re.match(r"^\s*(?P<e>.+?)(?:\s+AS\s+(?P<a>\w+))?\s*$", it, re.I | re.S)
+            if pm:
+                present.add((pm.group("a") or pm.group("e").strip()))
+        missing = [v for v in imports if v not in present]
+        if missing:
+            at = rpos.end() + (dm.end() if dm else 0)
+            inner = inner[:at] + " " + ", ".join(missing) + ", " + inner[at:]
+    return {"query": inner.strip(), "imports": imports}
+
+
 def _split_union(query: str) -> tuple[list[str], str | None]:
     """Split a query on top-level UNION [ALL] keywords (outside quoted
-    literals). Returns (branches, kind) with kind in {None, "distinct",
-    "all"}. Mixing UNION and UNION ALL is rejected, as in Neo4j."""
+    literals AND outside brace bodies — a UNION inside a CALL { } or
+    EXISTS { } block belongs to the subquery). Returns (branches, kind)
+    with kind in {None, "distinct", "all"}. Mixing UNION and UNION ALL is
+    rejected, as in Neo4j."""
     masked = re.sub(r"'(?:[^'])*'", lambda m: "'" + "x" * (len(m.group(0)) - 2) + "'", query)
+    masked = _blank_braces(masked)
     spans, kinds = [], []
     for m in _UNION_RE.finditer(masked):
         spans.append((m.start(), m.end()))
@@ -3245,7 +3436,27 @@ def _run_single(
     """Execute one (UNION-free) Cypher MATCH string; see :func:`run`."""
     from mimranalytics_core_spark import api, catalog
 
-    p = parse(query)
+    # CALL { … } subqueries (round-9): extracted textually, compiled by
+    # RECURSION (each body is a complete query — the same composition the
+    # EXISTS/COUNT subquery machinery uses), then joined into the outer
+    # frame: on the imported variables for correlated bodies (plain
+    # equi-join — per-outer-row evaluation IS a join on the correlation
+    # key), cross-join for uncorrelated ones (the subquery executes once;
+    # its result is typically aggregate-small, and AQE picks the broadcast
+    # nested-loop plan). The inner parse of each body pre-validates it and
+    # yields the projection names the outer scope must see (extra_vars).
+    query, _calls = _extract_calls(query)
+    _call_extra: set = set()
+    for _c in _calls:
+        # first UNION branch carries the column names (UNION only reaches
+        # here uncorrelated; branches must agree on names, checked in run())
+        _p_sub = parse(_split_union(_c["query"])[0][0])
+        _c["_proj"] = _p_sub["projection"]
+        _c["_new"] = [
+            it["name"] for it in _p_sub["projection"] if it["name"] not in _c["imports"]
+        ]
+        _call_extra.update(_c["_new"])
+    p = parse(query, extra_vars=frozenset(_call_extra)) if _calls else parse(query)
     clauses = p["clauses"]
     single = len(clauses) == 1 and len(clauses[0]["segments"]) == 1
 
@@ -3503,6 +3714,39 @@ def _run_single(
             )
         uf = spark.range(1).select(F.explode(F.array(*lits)).alias(u["var"]))
         df = uf if df is None else df.crossJoin(F.broadcast(uf))
+
+    # CALL { … } subquery composition (see the extraction note above).
+    # Scale: correlated bodies land as partial-agg + equi-join on the
+    # import key — never a per-outer-row nested loop; an aggregating body
+    # LEFT-joins so zero-match outer rows survive with count/sum = 0
+    # (Neo4j's aggregate-subquery cardinality), coalesced below.
+    for _c in _calls:
+        sub = run(spark, sf_dir, _c["query"], graph=graph)
+        clash = set(_c["_new"]) & set(df.columns)
+        if clash:
+            raise CypherSyntaxError(
+                f"CALL subquery returns variables already declared in the "
+                f"outer scope: {sorted(clash)}"
+            )
+        if _c["imports"]:
+            missing_imp = [v for v in _c["imports"] if v not in df.columns]
+            if missing_imp:
+                raise CypherSyntaxError(
+                    f"CALL importing WITH references variables not bound in "
+                    f"the outer scope: {missing_imp}"
+                )
+            aggs = [it for it in _c["_proj"] if it["kind"] == "agg"]
+            df = df.join(sub, _c["imports"], "left" if aggs else "inner")
+            for it in aggs:
+                # Neo4j: aggregates over an empty subquery frame read 0
+                # for count/sum (min/max/avg/collect stay null — collect's
+                # [] divergence is a typed-empty-array limitation, noted)
+                if it["fn"] in ("count", "sum") or it["col"] is None:
+                    df = df.withColumn(
+                        it["name"], F.coalesce(F.col(it["name"]), F.lit(0))
+                    )
+        else:
+            df = df.crossJoin(sub)
 
     # node-property access: equi-join the attribute view per referenced var
     if p["prop_vars"]:

@@ -813,6 +813,28 @@ def _pin(df: DataFrame, pinned: list) -> DataFrame:
     return out
 
 
+def _warn_budget(name: str, rounds: int, leftover: DataFrame, what: str) -> None:
+    """Warn when a fixed round budget ran out before convergence.
+
+    The greedy algorithms below promise MAXIMALITY (maximal independent
+    set / matching, complete coloring, spanning forest) — a result cut
+    short by the round budget silently breaks that promise (r8 ADVICE,
+    medium): the registered ops size their budgets, but these are general
+    library functions. One cheap isEmpty() on the already-pinned leftover
+    state per call; callers who want partial results can catch/filter the
+    RuntimeWarning."""
+    import warnings
+
+    if not leftover.isEmpty():
+        warnings.warn(
+            f"{name}: round budget ({rounds}) exhausted with {what} remaining "
+            f"— the result is PARTIAL (not maximal/complete). Raise `rounds`; "
+            f"convergence needs the graph's longest dependency chain.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def boruvka_msf(
     edges: DataFrame,
     rounds: int = 10,
@@ -922,6 +944,17 @@ def boruvka_msf(
             if state_partitions is not None:
                 comp_next = comp_next.coalesce(state_partitions)
             comp = _pin(comp_next, pinned)
+        else:
+            # budget exhausted without the empty-frontier break: re-derive
+            # the cross-component edge set and warn if any remains
+            ca = comp.select(F.col("node").alias("a"), F.col("comp").alias("ca"))
+            cb = comp.select(F.col("node").alias("b"), F.col("comp").alias("cb"))
+            _warn_budget(
+                "boruvka_msf",
+                rounds,
+                e.join(ca, "a").join(cb, "b").filter(F.col("ca") != F.col("cb")),
+                "cross-component edges",
+            )
         if msf is None:
             return e.limit(0)
         # one final checkpoint so the result survives the unpersist below
@@ -990,6 +1023,8 @@ def greedy_mis(
             if state_partitions is not None:
                 nxt = nxt.coalesce(state_partitions)
             active = _pin(nxt, pinned)
+        else:
+            _warn_budget("greedy_mis", rounds, active, "undecided active nodes")
         if mis is None:
             return active.limit(0)
         return mis.distinct().localCheckpoint(eager=True)
@@ -1068,6 +1103,17 @@ def greedy_matching(
             if state_partitions is not None:
                 nxt = nxt.coalesce(state_partitions)
             active = _pin(nxt, pinned)
+        else:
+            # live edges (both endpoints still unmatched) remaining after
+            # the budget mean the matching is not yet maximal
+            _warn_budget(
+                "greedy_matching",
+                rounds,
+                ed.join(active.select(F.col("node").alias("a")), "a").join(
+                    active.select(F.col("node").alias("b")), "b"
+                ),
+                "live (matchable) edges",
+            )
         if matched is None:
             return ed.limit(0)
         return matched.distinct().localCheckpoint(eager=True)
@@ -1158,6 +1204,8 @@ def greedy_coloring(
             if state_partitions is not None:
                 nxt = nxt.coalesce(state_partitions)
             active = _pin(nxt, pinned)
+        else:
+            _warn_budget("greedy_coloring", rounds, active, "uncolored nodes")
         if colored is None:
             return sym.select(F.col("src").alias("node")).limit(0).withColumn(
                 "color", F.lit(0)

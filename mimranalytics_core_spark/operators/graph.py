@@ -5149,3 +5149,48 @@ def cypher_exists_item(spark, sf_dir):
                   NOT EXISTS { (c:Customer)-[:CUSTOMER_OF]->(n) } AS no_cust
            ORDER BY nm""",
     )
+
+
+@register(
+    "cypher_call_subquery",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm,
+               (SELECT COUNT(*) FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey) AS n_cust,
+               (SELECT COUNT(*) FROM supplier) AS total_sup
+        FROM nation n ORDER BY nm
+    """,
+    notes=(
+        "CALL { … } subqueries (round-9, the r8 verdict's #3 — the most "
+        "common remaining Neo4j clause in real query logs): the body is a "
+        "complete query compiled by recursion (cypher._extract_calls / "
+        "_prepare_call), then JOINED into the outer frame — equi-join on "
+        "the importing-WITH variables for correlated bodies (per-outer-row "
+        "evaluation IS a join on the correlation key; an aggregating body "
+        "left-joins with count/sum coalesced to 0, Neo4j's empty-frame "
+        "reading), cross-join for uncorrelated ones (executed ONCE; the "
+        "aggregate-small result rides a broadcast nested loop). Write "
+        "clauses inside the body hit the targeted read-only error via the "
+        "recursive parse. Scale: correlated bodies compile to partial-agg "
+        "+ shuffle-on-import-key — degree math at corpus scale, never a "
+        "per-row nested loop. Declared query: an uncorrelated global "
+        "count cross-joined into every row, plus a correlated per-nation "
+        "customer count with zero-match nations surviving as 0. Oracle: "
+        "scalar subqueries on the base tables"
+    ),
+)
+def cypher_call_subquery(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """CALL { MATCH (s:Supplier) RETURN count(*) AS total_sup }
+           MATCH (n:Nation)
+           CALL { WITH n
+                  MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  RETURN count(*) AS n_cust }
+           RETURN n.name AS nm, n_cust, total_sup
+           ORDER BY nm""",
+    )

@@ -1,0 +1,185 @@
+"""CALL { … } subqueries (round-9 — the r8 verdict's #3).
+
+Composition model (cypher._extract_calls/_prepare_call + the join block in
+_run_single): the body is a complete query compiled by recursion, then
+joined into the outer frame — equi-join on the importing-WITH variables for
+correlated bodies (left join + count/sum coalesce when the body aggregates,
+so zero-match outer rows survive with 0 — Neo4j's cardinality), cross-join
+for uncorrelated ones.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mimranalytics_core_spark import api
+from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_uncorrelated_call_cross_joins_once(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """CALL { MATCH (n:Nation) RETURN count(*) AS n_nat }
+           MATCH (r:Region) RETURN r.name AS rn, n_nat ORDER BY rn""",
+    ).collect()
+    assert len(rows) == 5
+    assert all(r.n_nat == 25 for r in rows)
+
+
+def test_correlated_agg_left_joins_zero_matches(spark):
+    # sf0.001 has nations with zero suppliers — they must survive with 0
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           CALL { WITH n
+                  MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                  RETURN count(*) AS ns }
+           RETURN n.name AS nm, ns ORDER BY nm""",
+    ).collect()
+    assert len(rows) == 25
+    assert min(r.ns for r in rows) == 0
+    assert sum(r.ns for r in rows) == spark.read.parquet(f"{SF}/supplier.parquet").count()
+
+
+def test_correlated_nonagg_multiplies_rows(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (r:Region)
+           CALL { WITH r MATCH (n:Nation)-[:NATION_OF]->(r) RETURN n }
+           RETURN r.name AS rn, count(n) AS n_nations ORDER BY rn""",
+    ).collect()
+    assert [r.n_nations for r in rows] == [5] * 5
+
+
+def test_union_inside_uncorrelated_call(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        """CALL { MATCH (c:Customer) RETURN count(*) AS n
+                  UNION ALL MATCH (s:Supplier) RETURN count(*) AS n }
+           RETURN sum(n) AS total""",
+    ).collect()[0]
+    cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").count()
+    assert row.total == cust + supp
+
+
+def test_multiple_calls_compose(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  RETURN count(*) AS nc }
+           CALL { WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                  RETURN count(*) AS ns }
+           RETURN n.name AS nm, nc, ns ORDER BY nm""",
+    ).collect()
+    assert len(rows) == 25
+
+
+def test_pure_call_query_unit_frame(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        "CALL { MATCH (n:Nation) RETURN count(*) AS n_nat } RETURN n_nat",
+    ).collect()[0]
+    assert row.n_nat == 25
+
+
+@pytest.mark.parametrize(
+    "query,frag",
+    [
+        # write clause inside the body → targeted read-only error (recursion)
+        (
+            "MATCH (n:Nation) CALL { CREATE (x:Foo) RETURN x } RETURN n",
+            "write clauses are out of scope",
+        ),
+        ("MATCH (n) CALL db.labels() RETURN n", "procedure CALL is out of scope"),
+        (
+            "CALL { MATCH (n:Nation) RETURN n } IN TRANSACTIONS RETURN n",
+            "IN TRANSACTIONS",
+        ),
+        (
+            "MATCH (n:Nation) WITH n CALL { WITH n MATCH (c:Customer)"
+            "-[:CUSTOMER_OF]->(n) RETURN count(*) AS c2 } RETURN n, c2",
+            "after a WITH stage",
+        ),
+        (
+            "MATCH (n:Nation) CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]"
+            "->(n) RETURN c ORDER BY c LIMIT 1 } RETURN n, c",
+            "ORDER BY/SKIP/LIMIT inside a correlated CALL",
+        ),
+        (
+            "MATCH (n:Nation) CALL { MATCH (c:Customer) } RETURN n",
+            "must end with RETURN",
+        ),
+        (
+            "MATCH (n:Nation) CALL { MATCH (n:Nation) RETURN n } RETURN n",
+            "already declared in the outer scope",
+        ),
+        (
+            "MATCH (n:Nation) CALL { WITH zz MATCH (c:Customer)-[:CUSTOMER_OF]"
+            "->(zz) RETURN count(*) AS c2 } RETURN n, c2",
+            "not bound in the outer scope",
+        ),
+    ],
+)
+def test_call_rejections_are_targeted(spark, query, frag):
+    with pytest.raises(CypherSyntaxError, match=frag):
+        api.cypher(spark, SF, query).collect()
+
+
+def test_split_items_tracks_brace_depth():
+    # r8 ADVICE (low): a comma inside an EXISTS { …, … } item body used to
+    # split the item and fail with a misleading error
+    from mimranalytics_core_spark.cypher import _split_items
+
+    items = _split_items(
+        "n, EXISTS { (a)-[:X]->(n), (b)-[:Y]->(n) } AS both, count(*) AS c"
+    )
+    assert len(items) == 3
+    assert items[1].strip().startswith("EXISTS")
+
+
+def test_negative_index_out_of_range_reads_null(spark):
+    # r8 ADVICE (low): element_at threw INVALID_ARRAY_INDEX under ANSI for
+    # an out-of-range NEGATIVE index where Neo4j reads null; try_element_at
+    # preserves the in-range behavior and nulls the miss
+    rows = api.cypher(
+        spark,
+        SF,
+        "RETURN [1, 2, 3][-1] AS last_el, [1, 2, 3][-5] AS oor",
+    ).collect()
+    assert rows[0].last_el == 3
+    assert rows[0].oor is None
+
+
+@pytest.mark.parametrize("kw", ["EXISTS", "COUNT"])
+def test_subquery_item_anchor_dropped_by_with_fails_at_parse(spark, kw):
+    # r8 ADVICE (low): an anchor projected away by a WITH stage used to
+    # pass parsing and die later as an opaque Spark AnalysisException
+    q = (
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) "
+        "WITH n.name AS nm, count(*) AS k "
+        f"RETURN nm, {kw} {{ (s:Supplier)-[:SUPPLIER_OF]->(n) }} AS f"
+    )
+    with pytest.raises(CypherSyntaxError, match="carried through the WITH stage"):
+        api.cypher(spark, SF, q)
+
+
+def test_subquery_item_anchor_surviving_with_still_works(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS k
+           RETURN n.name AS nm, k, EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } AS f
+           ORDER BY nm LIMIT 3""",
+    ).collect()
+    assert len(rows) == 3

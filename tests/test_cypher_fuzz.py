@@ -211,6 +211,21 @@ def _query(draw):
                 f"CASE WHEN {ref} = {'1' if unwound else repr('c:1')} "
                 "THEN 'hit' ELSE 'miss' END AS flag"
             )
+    # round-9: CALL { … } subqueries — uncorrelated prefix and/or a
+    # correlated body importing the first pattern variable (both must
+    # precede any WITH stage; the extraction enforces that)
+    if not shortest and not with_match and draw(st.integers(0, 3)) == 0:
+        if draw(st.booleans()):
+            q = "CALL { MATCH (g9:Supplier) RETURN count(*) AS gc } " + q
+            items.append("gc")
+        else:
+            call = (
+                f" CALL {{ WITH {vs[0]} MATCH (k9:Customer)"
+                f"-[:CUSTOMER_OF]->({vs[0]}) RETURN count(*) AS kc }}"
+            )
+            # the CALL clause sits after the reading clauses + WHERE
+            q += call
+            items.append("kc")
     q += " RETURN " + ", ".join(items)
     if draw(st.booleans()):
         q += f" ORDER BY {items[0].split(' ')[-1]} DESC"
@@ -221,13 +236,29 @@ def _query(draw):
     return q
 
 
+def _parse_like_runner(piece: str):
+    """Mirror _run_single's front-end: extract CALL blocks, pre-parse each
+    body for its projection names, then parse the stripped outer query with
+    those names in scope."""
+    from mimranalytics_core_spark.cypher import _extract_calls, _split_union
+
+    stripped, calls = _extract_calls(piece)
+    extra: set = set()
+    for c in calls:
+        psub = parse(_split_union(c["query"])[0][0])
+        extra |= {
+            it["name"] for it in psub["projection"] if it["name"] not in c["imports"]
+        }
+    return parse(stripped, extra_vars=frozenset(extra)) if calls else parse(stripped)
+
+
 @settings(max_examples=150, deadline=None)
 @given(_query())
 def test_generated_queries_parse(q):
     from mimranalytics_core_spark.cypher import _split_union
 
     for piece in _split_union(q)[0]:
-        p = parse(piece)
+        p = _parse_like_runner(piece)
         assert p["projection"]
         # node-only MATCH (round-7) legitimately has zero segments
         assert p["segments"] or len(p["clauses"][0]["vars"]) == 1
@@ -239,7 +270,7 @@ def test_generated_queries_parse(q):
 @given(st.text(max_size=80))
 def test_garbage_never_crashes_with_foreign_exception(s):
     try:
-        parse(s)
+        _parse_like_runner(s)
     except CypherSyntaxError:
         pass  # the one allowed failure mode
 
@@ -249,5 +280,14 @@ def test_garbage_never_crashes_with_foreign_exception(s):
 def test_near_grammar_garbage_never_crashes(s):
     try:
         parse("MATCH " + s)
+    except CypherSyntaxError:
+        pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="CALL{}WITH MATCHRETURN xyn(),*':-[]>", max_size=70))
+def test_call_garbage_never_crashes(s):
+    try:
+        _parse_like_runner(s)
     except CypherSyntaxError:
         pass
