@@ -965,9 +965,33 @@ def bind_params(query: str, params: dict | None) -> str:
         raise CypherSyntaxError(
             f"params must be a JSON object, got {type(params).__name__}"
         )
+    params = params or {}
+    # $now session parameter (round-9, r8 verdict #8): binding `now` makes
+    # the otherwise-nondeterministic NO-ARG temporal forms deterministic —
+    # now()/datetime() pin to timestamp $now, date() to its date part.
+    # A query may use the forms without writing `$now` itself, so this
+    # pass runs before the `$`-presence early-out (quote-aware like the
+    # rest of the substitution).
+    if "now" in params:
+        nv = str(params["now"])
+        if "'" in nv:
+            raise CypherSyntaxError("$now may not contain single quotes")
+
+        def _noarg(seg: str) -> str:
+            # function form (timestamp('…')), not literal form — the item
+            # grammar routes parenthesized expressions to the allow-listed
+            # general-expression path
+            seg = re.sub(
+                r"\b(?:now|datetime)\s*\(\s*\)", f"timestamp('{nv}')", seg, flags=re.I
+            )
+            return re.sub(r"\bdate\s*\(\s*\)", f"date('{nv[:10]}')", seg, flags=re.I)
+
+        query = "".join(
+            p if p.startswith("'") else _noarg(p)
+            for p in re.split(r"('(?:[^'])*')", query)
+        )
     if "$" not in query:
         return query
-    params = params or {}
 
     def _render(v) -> str:
         if isinstance(v, bool):
@@ -1713,17 +1737,49 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 f"{m.group(1)}() needs a node variable bound by a pattern "
                 f"before the first WITH: {m.group(0)!r}"
             )
+        # per-label property sets, statically derived from the attribute-
+        # view schema (round-9, r8 verdict #5): acctbal lives on customer
+        # + supplier, mktsegment on customer only — a property absent on
+        # a label is NOT in its key set (Neo4j's heterogeneous map)
+        lab = labels.get(v)
+        per_label = {
+            "customer": ("id", "label", "name", "acctbal", "mktsegment"),
+            "supplier": ("id", "label", "name", "acctbal"),
+            "nation": ("id", "label", "name"),
+            "region": ("id", "label", "name"),
+        }
         if fn == "keys":
-            # keys()/properties() expose the UNIVERSAL attribute triple
-            # (id/label/name — present on every node). The per-label
-            # extras (acctbal/mktsegment, round-7) are reachable as
-            # n.acctbal etc. but stay out of the introspection struct:
-            # a fixed-schema struct cannot drop absent-per-label fields
-            # the way Neo4j's heterogeneous property map does (declared
-            # subset; the introspect op's oracle states the triple).
-            return "array('id', 'label', 'name')"
-        # properties(v): the full property map as a struct — field order
-        # matches keys()
+            if lab:
+                ks = per_label[lab]
+                return "array(" + ", ".join(f"'{k}'" for k in ks) + ")"
+            # unlabeled variable: runtime per-node key set via the
+            # namespaced-id prefix — a row-local CASE, no join, and the
+            # prefix test is the same sargable form label filters use
+            return (
+                f"CASE WHEN {v} LIKE 'c:%' THEN "
+                "array('id', 'label', 'name', 'acctbal', 'mktsegment') "
+                f"WHEN {v} LIKE 's:%' THEN array('id', 'label', 'name', 'acctbal') "
+                "ELSE array('id', 'label', 'name') END"
+            )
+        # properties(v): the property map as a struct — field order matches
+        # keys(). Statically-labeled variables get their exact per-label
+        # field set; an UNLABELED variable keeps the universal triple
+        # (declared subset: one fixed struct schema per expression, and
+        # CASE branches over differently-shaped structs don't type-unify).
+        if lab:
+            field_src = {
+                "id": v,
+                "label": f"{v}.label",
+                "name": f"{v}.name",
+                "acctbal": f"{v}.acctbal",
+                "mktsegment": f"{v}.mktsegment",
+            }
+            ks = per_label[lab]
+            return (
+                "named_struct("
+                + ", ".join(f"'{k}', {field_src[k]}" for k in ks)
+                + ")"
+            )
         return (
             f"named_struct('id', {v}, 'label', {v}.label, 'name', {v}.name)"
         )
@@ -2828,10 +2884,15 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             stage_limit = int(lim_.group(1))
             tpos += lim_.end()
         if (stage_skip is not None or stage_limit is not None) and not stage_order:
-            raise CypherSyntaxError(
-                "WITH SKIP/LIMIT requires an ORDER BY (unordered pagination "
-                "is nondeterministic)"
-            )
+            # Neo4j allows unordered WITH pagination; under Spark's
+            # partitioning an arbitrary page is nondeterministic, so
+            # refine it with an implicit ascending total order over ALL
+            # stage outputs (round-9, r8 verdict #6 — lifts the old
+            # rejection). Identical rows are interchangeable, so the
+            # paged MULTISET is deterministic; divergence: the page is
+            # one specific Neo4j-valid page, not necessarily the one a
+            # given Neo4j run would return.
+            stage_order = [(it["name"], True) for it in with_items_i]
         having_i = None
         hm_ = re.match(
             r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+UNWIND\s"

@@ -4187,8 +4187,9 @@ def cypher_unwind_range(spark, sf_dir):
         "body passes through verbatim, literal-aware so '=~' inside a "
         "string stays data and a non-literal pattern is rejected rather "
         "than silently partial-matching). `exists(c.name)` (the legacy "
-        "property-exists function) folds to IS NOT NULL; `keys(n)` folds "
-        "to the static attribute-schema array. Scale: the regex filter "
+        "property-exists function) folds to IS NOT NULL; `keys(n)` on an "
+        "unlabeled variable resolves per-label at runtime (row-local CASE "
+        "on the id prefix — round-9). Scale: the regex filter "
         "sits on the broadcast-small nation side below the join; "
         "constant-folded keys() costs nothing. Oracle: DuckDB "
         "regexp_full_match — the anchored-semantics twin"
@@ -5193,4 +5194,90 @@ def cypher_call_subquery(spark, sf_dir):
                   RETURN count(*) AS n_cust }
            RETURN n.name AS nm, n_cust, total_sup
            ORDER BY nm""",
+    )
+
+
+@register(
+    "cypher_keys_properties",
+    "graph",
+    oracle="""
+        SELECT ks, COUNT(*) AS n FROM (
+            SELECT 'id,label,name,acctbal,mktsegment' AS ks FROM customer
+            UNION ALL SELECT 'id,label,name,acctbal' FROM supplier
+            UNION ALL SELECT 'id,label,name' FROM nation
+            UNION ALL SELECT 'id,label,name' FROM region
+        ) GROUP BY ks ORDER BY ks
+    """,
+    notes=(
+        "per-label keys()/properties() (round-9, r8 verdict #5 — replaces "
+        "the universal id/label/name triple): key sets are derived "
+        "STATICALLY from the attribute-view schema per label (acctbal on "
+        "customer+supplier, mktsegment customer-only — a property absent "
+        "on a label is NOT in its key set, Neo4j's heterogeneous map). A "
+        "labeled variable folds keys() to a literal array and "
+        "properties() to the exact per-label named_struct; an UNLABELED "
+        "variable resolves keys() at runtime via a row-local CASE on the "
+        "namespaced-id prefix (no join; the same sargable prefix test "
+        "label filters use) — exercised here by the node-only MATCH over "
+        "all four tiers. properties() of an unlabeled variable keeps the "
+        "universal triple (one fixed struct schema per expression — CASE "
+        "branches over differently-shaped structs don't type-unify; "
+        "declared subset). Oracle: per-table literal key strings unioned "
+        "and grouped"
+    ),
+)
+def cypher_keys_properties(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (x)
+           RETURN array_join(keys(x), ',') AS ks, count(*) AS n
+           ORDER BY ks""",
+    )
+
+
+@register(
+    "cypher_temporal_asof",
+    "graph",
+    oracle="""
+        WITH tedges AS (
+            SELECT 'c:' || o.o_custkey AS src, 's:' || l.l_suppkey AS dst,
+                   MIN(o.o_orderdate) AS valid_from,
+                   MAX(o.o_orderdate) AS valid_to
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_custkey, l.l_suppkey
+        )
+        SELECT dst AS supplier, COUNT(*) AS n_owners,
+               DATE '1997-06-01' AS asof_date
+        FROM tedges
+        WHERE valid_from <= TIMESTAMP '1997-06-01 00:00:00'
+          AND TIMESTAMP '1997-06-01 00:00:00' <= valid_to
+        GROUP BY dst ORDER BY supplier
+    """,
+    notes=(
+        "$now session parameter (round-9, r8 verdict #8 stretch): binding "
+        "params={'now': t} makes the otherwise-nondeterministic no-arg "
+        "temporal forms deterministic — `AS OF $now` pins the Time-Slider "
+        "snapshot to the session clock, and no-arg `date()`/`now()`/"
+        "`datetime()` rewrite at bind time (cypher.bind_params, quote-"
+        "aware, before parsing) to date/timestamp literals of $now, so "
+        "read-only queries written against Neo4j's wall clock replay "
+        "deterministically. Scale: identical to any as-of query — the "
+        "validity filter lands on the (date-partitionable) edge scan "
+        "before the traversal join; the literal costs nothing. Oracle: "
+        "the as-of interval filter over the derived temporal edge table"
+    ),
+)
+def cypher_temporal_asof(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:OWNS_STAKE]->(s) AS OF $now
+           RETURN s AS supplier, count(*) AS n_owners, date() AS asof_date
+           ORDER BY supplier""",
+        params={"now": "1997-06-01 00:00:00"},
     )

@@ -634,9 +634,13 @@ def test_with_stage_topk_and_subclause_order(spark):
         "RETURN n, c",
     ).collect()
     assert empty == []
-    # unordered pagination is rejected
-    with pytest.raises(CypherSyntaxError, match="requires an ORDER BY"):
-        parse("MATCH (a)-[:CUSTOMER_OF]->(b) WITH b LIMIT 3 RETURN b")
+    # unordered pagination is ACCEPTED as of round-9 (r8 verdict #6):
+    # an implicit ascending order over all stage outputs makes it
+    # deterministic (Neo4j allows the form; behavior tested in
+    # test_round9_ops.test_with_skip_limit_without_order_by)
+    p_unord = parse("MATCH (a)-[:CUSTOMER_OF]->(b) WITH b LIMIT 3 RETURN b")
+    assert p_unord["pipes"][0]["order_by"] == [("b", True)]
+    assert p_unord["pipes"][0]["limit"] == 3
     # ORDER BY key must be a WITH output
     with pytest.raises(CypherSyntaxError, match="WITH output column"):
         parse("MATCH (a)-[:CUSTOMER_OF]->(b) WITH b ORDER BY nope RETURN b")
