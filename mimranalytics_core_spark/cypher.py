@@ -3274,6 +3274,11 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         ],
         "projection": projection,
         "prop_vars": {k: sorted(v) for k, v in prop_vars.items()},
+        # whole-query var → inline label map (pattern-level labels only):
+        # run() uses it to prune the attribute-view UNION branches — a
+        # label equality on the per-branch literal column constant-folds,
+        # so a labeled var's property join scans ONE base table, not four
+        "labels": dict(labels),
         "order_by": order_by,
         "hidden_order_cols": hidden_order_cols,
         "skip": int(rm_.group("skip")) if rm_.group("skip") else None,
@@ -3540,9 +3545,18 @@ def _run_single(
             var = clause["vars"][0]
             catalog.load(spark, sf_dir)  # the node views read temp views
             if graph == "hierarchy":
-                return catalog.hierarchy_nodes(spark, sf_dir).select(
-                    F.col("id").alias(var)
-                )
+                nodes = catalog.hierarchy_nodes(spark, sf_dir)
+                # label pruning (round-9): an equality on the per-branch
+                # LITERAL label column constant-folds, so Catalyst prunes
+                # the non-matching union branches — a labeled node-only
+                # MATCH scans ONE base table instead of four (the LIKE
+                # prefix form can't fold: StartsWith(concat(lit, x), lit2)
+                # has no folding rule). The downstream prefix predicate
+                # stays; it's trivially true on the pruned frame.
+                lab = (clause.get("labels") or {}).get(var) or p["labels"].get(var)
+                if lab:
+                    nodes = nodes.filter(F.col("label") == lab)
+                return nodes.select(F.col("id").alias(var))
             e = catalog.trade_credit_edges(spark, sf_dir)
             return (
                 e.select(F.col("src").alias(var))
@@ -3699,10 +3713,14 @@ def _run_single(
             if props:
                 attrs = catalog.hierarchy_nodes(spark, sf_dir)
                 for var, prs in props.items():
+                    side = attrs
+                    lab = p["labels"].get(var)
+                    if lab:  # label pruning — see the node-only clause note
+                        side = side.filter(F.col("label") == lab)
                     sel = [F.col("id").alias(var)] + [
                         F.col(pr).alias(f"{var}__{pr}") for pr in prs
                     ]
-                    cframe = cframe.join(attrs.select(*sel), var, "left")
+                    cframe = cframe.join(side.select(*sel), var, "left")
             cframe = cframe.filter(F.expr(clause["where"]))
             drop = [f"{var}__{pr}" for var, prs in props.items() for pr in prs]
             return cframe.drop(*drop) if drop else cframe
@@ -3810,13 +3828,20 @@ def _run_single(
             df = df.crossJoin(sub)
 
     # node-property access: equi-join the attribute view per referenced var
+    # (label-pruned when the var carries a pattern label — the equality on
+    # the per-branch literal folds, so the join's build side scans one
+    # base table, not the whole four-tier union)
     if p["prop_vars"]:
         attrs = catalog.hierarchy_nodes(spark, sf_dir)
         for var, props in p["prop_vars"].items():
+            side = attrs
+            lab = p["labels"].get(var)
+            if lab:
+                side = side.filter(F.col("label") == lab)
             sel = [F.col("id").alias(var)] + [
                 F.col(pr).alias(f"{var}__{pr}") for pr in props
             ]
-            df = df.join(attrs.select(*sel), var, "left")
+            df = df.join(side.select(*sel), var, "left")
 
     if p["post_pred"]:
         df = df.filter(F.expr(p["post_pred"]))
@@ -3929,10 +3954,14 @@ def _run_single(
         if pipe["prop_vars"]:
             attrs = catalog.hierarchy_nodes(spark, sf_dir)
             for var, props in pipe["prop_vars"].items():
+                side = attrs
+                lab = p["labels"].get(var)
+                if lab:  # label pruning — see the node-only clause note
+                    side = side.filter(F.col("label") == lab)
                 sel = [F.col("id").alias(var)] + [
                     F.col(pr).alias(f"{var}__{pr}") for pr in props
                 ]
-                df = df.join(attrs.select(*sel), var, "left")
+                df = df.join(side.select(*sel), var, "left")
         if pipe["post_pred"]:
             df = df.filter(F.expr(pipe["post_pred"]))
     # COUNT { … } scalar subqueries: grouped on the correlation anchors,
