@@ -2792,6 +2792,13 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         )
         tpos += im_.end()
         with_names = {it["name"] for it in with_items_i}
+        # CALL-returned names stay resolvable in stage scopes: a CALL at
+        # stage s adds columns the NEXT items/WHERE may reference. The
+        # parser can't see which stage each extra name lands in (the CALL
+        # text was stripped before parse), so scope pruning of a
+        # call-returned name a WITH dropped is deferred to Spark analysis
+        # (missing-column error) instead of a parse-time rejection.
+        with_names |= set(extra_vars)
         # propagate list-typedness into the next scope: collect() outputs
         # become lists; plain re-projections of known lists stay lists;
         # expression items whose SQL head is listy are lists
@@ -3298,9 +3305,10 @@ def _extract_calls(query: str) -> tuple[str, list[dict]]:
     appended to its final RETURN so the outer join has key columns) and the
     import list. Subset limits (targeted errors, not the generic one):
 
-    - CALL must precede the first top-level WITH stage (a CALL after WITH
-      would need stage-frame composition; lift the stage into the subquery
-      or move the CALL up).
+    - A CALL may appear before the first top-level WITH (stage 0: joined
+      onto the initial clause frame) or after any WITH stage (stage s:
+      joined after that stage's projection/match/filter processing — each
+      spec carries its stage index).
     - The importing WITH is a bare comma-list of variables (Neo4j's own
       rule for subquery imports).
     - Correlated subqueries (with imports) reject top-level UNION and
@@ -3314,7 +3322,7 @@ def _extract_calls(query: str) -> tuple[str, list[dict]]:
     calls: list[dict] = []
     out: list[str] = []
     i, last, n, depth = 0, 0, len(query), 0
-    saw_with = False
+    n_with = 0  # top-level WITH stages seen so far → a CALL's stage index
     while i < n:
         ch = query[i]
         if ch == "'":
@@ -3333,7 +3341,7 @@ def _extract_calls(query: str) -> tuple[str, list[dict]]:
         if depth == 0 and boundary and re.match(r"WITH\b", query[i:], re.I):
             # STARTS WITH / ENDS WITH predicates contain the word WITH
             if not re.search(r"\b(?:STARTS|ENDS)\s+$", query[:i], re.I):
-                saw_with = True
+                n_with += 1
         if depth == 0 and boundary and re.match(r"CALL\b", query[i:], re.I):
             m = re.match(r"CALL\s*\{", query[i:], re.I)
             if not m:
@@ -3341,12 +3349,6 @@ def _extract_calls(query: str) -> tuple[str, list[dict]]:
                     "procedure CALL is out of scope: only CALL { … } "
                     "subqueries are supported (the engine has no procedure "
                     "registry — see SURVEY.md, Cypher subset)"
-                )
-            if saw_with:
-                raise CypherSyntaxError(
-                    "CALL { … } after a WITH stage is not supported "
-                    "(subset): move the CALL before the first WITH, or "
-                    "lift the stage into the subquery"
                 )
             b = i + m.end() - 1  # index of '{'
             d2, k = 0, b
@@ -3373,7 +3375,12 @@ def _extract_calls(query: str) -> tuple[str, list[dict]]:
                     "this engine is a read-only Cypher layer (see SURVEY.md, "
                     "Cypher write posture)"
                 )
-            calls.append(_prepare_call(query[b + 1 : k].strip()))
+            spec = _prepare_call(query[b + 1 : k].strip())
+            # stage index: 0 = before the first top-level WITH (joined
+            # onto the initial clause frame), s >= 1 = after pipe s's
+            # projection/match/filter processing
+            spec["stage"] = n_with
+            calls.append(spec)
             out.append(query[last:i])
             last = k + 1
             i = k + 1
@@ -3799,7 +3806,7 @@ def _run_single(
     # import key — never a per-outer-row nested loop; an aggregating body
     # LEFT-joins so zero-match outer rows survive with count/sum = 0
     # (Neo4j's aggregate-subquery cardinality), coalesced below.
-    for _c in _calls:
+    def _apply_call(df: DataFrame, _c: dict) -> DataFrame:
         sub = run(spark, sf_dir, _c["query"], graph=graph)
         clash = set(_c["_new"]) & set(df.columns)
         if clash:
@@ -3824,8 +3831,14 @@ def _run_single(
                     df = df.withColumn(
                         it["name"], F.coalesce(F.col(it["name"]), F.lit(0))
                     )
-        else:
-            df = df.crossJoin(sub)
+            return df
+        return df.crossJoin(sub)
+
+    # stage-0 CALLs join the initial clause frame; stage-s CALLs are
+    # applied at the end of pipe s's processing inside the pipes loop
+    for _c in _calls:
+        if _c["stage"] == 0:
+            df = _apply_call(df, _c)
 
     # node-property access: equi-join the attribute view per referenced var
     # (label-pruned when the var carries a pattern label — the equality on
@@ -3920,7 +3933,7 @@ def _run_single(
     # OPTIONAL MATCH, labels filtering each clause frame BEFORE the join
     # (Cypher clause scoping) — then attribute joins for the stage's
     # property accesses and the trailing WHERE over the joined frame.
-    for pipe in p.get("pipes") or []:
+    for pipe_i, pipe in enumerate(p.get("pipes") or []):
         df = _apply_items(df, pipe["with_items"])
         if pipe.get("distinct"):
             df = df.distinct()  # WITH DISTINCT dedupes the projected rows
@@ -3964,6 +3977,17 @@ def _run_single(
                 df = df.join(side.select(*sel), var, "left")
         if pipe["post_pred"]:
             df = df.filter(F.expr(pipe["post_pred"]))
+        # CALLs textually after this WITH stage join its processed frame
+        for _c in _calls:
+            if _c["stage"] == pipe_i + 1:
+                df = _apply_call(df, _c)
+    # safety sweep: a stage index beyond the parsed pipe count (possible
+    # only if a top-level WITH miscounts against parse's pipe list) must
+    # not silently drop the subquery
+    _n_pipes = len(p.get("pipes") or [])
+    for _c in _calls:
+        if _c["stage"] > _n_pipes:
+            df = _apply_call(df, _c)
     # COUNT { … } scalar subqueries: grouped on the correlation anchors,
     # LEFT-joined (never multiplies rows), null-extended rows count 0
     for cs in p.get("count_subqueries") or []:

@@ -106,11 +106,6 @@ def test_pure_call_query_unit_frame(spark):
             "IN TRANSACTIONS",
         ),
         (
-            "MATCH (n:Nation) WITH n CALL { WITH n MATCH (c:Customer)"
-            "-[:CUSTOMER_OF]->(n) RETURN count(*) AS c2 } RETURN n, c2",
-            "after a WITH stage",
-        ),
-        (
             "MATCH (n:Nation) CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]"
             "->(n) RETURN c ORDER BY c LIMIT 1 } RETURN n, c",
             "ORDER BY/SKIP/LIMIT inside a correlated CALL",
@@ -183,3 +178,46 @@ def test_subquery_item_anchor_surviving_with_still_works(spark):
            ORDER BY nm LIMIT 3""",
     ).collect()
     assert len(rows) == 3
+
+
+def test_call_after_with_stage(spark):
+    # round-9 second pass: CALL attaches to its WITH stage (stage s joins
+    # the frame AFTER pipe s's projection/match/filter processing)
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS nc
+           CALL { WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                  RETURN count(*) AS ns }
+           RETURN n.name AS nm, nc, ns ORDER BY nm""",
+    ).collect()
+    assert len(rows) == 25
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").count()
+    assert sum(r.ns for r in rows) == supp  # every supplier counted once
+    assert min(r.ns for r in rows) == 0  # zero-match nations survive
+
+
+def test_call_after_second_with_stage(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS nc
+           WITH n, nc WHERE nc > 5
+           CALL { WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                  RETURN count(*) AS ns }
+           RETURN count(*) AS rows, sum(ns) AS total_ns""",
+    ).collect()[0]
+    assert row.rows == 11 and row.total_ns == 3
+
+
+def test_call_var_carried_through_later_with(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """CALL { MATCH (s:Supplier) RETURN count(*) AS ts }
+           MATCH (r:Region) WITH r, ts
+           RETURN r.name AS rn, ts ORDER BY rn""",
+    ).collect()
+    assert len(rows) == 5 and all(r.ts == 10 for r in rows)

@@ -211,9 +211,15 @@ def _query(draw):
                 f"CASE WHEN {ref} = {'1' if unwound else repr('c:1')} "
                 "THEN 'hit' ELSE 'miss' END AS flag"
             )
-    # round-9: CALL { … } subqueries — uncorrelated prefix and/or a
-    # correlated body importing the first pattern variable (both must
-    # precede any WITH stage; the extraction enforces that)
+    # round-9: CALL { … } subqueries — uncorrelated prefix, a correlated
+    # body importing the first pattern variable, or (second pass) a
+    # correlated body AFTER the WITH stage importing the piped variable
+    if with_match and not shortest and draw(st.integers(0, 3)) == 0:
+        q += (
+            " CALL { WITH piped MATCH (k9:Customer)"
+            "-[:CUSTOMER_OF]->(piped) RETURN count(*) AS kc }"
+        )
+        items.append("kc")
     if not shortest and not with_match and draw(st.integers(0, 3)) == 0:
         if draw(st.booleans()):
             q = "CALL { MATCH (g9:Supplier) RETURN count(*) AS gc } " + q
