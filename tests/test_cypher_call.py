@@ -221,3 +221,21 @@ def test_call_var_carried_through_later_with(spark):
            RETURN r.name AS rn, ts ORDER BY rn""",
     ).collect()
     assert len(rows) == 5 and all(r.ts == 10 for r in rows)
+
+
+def test_correlated_call_distinct(spark):
+    # DISTINCT inside a correlated body dedupes per outer row: the import
+    # is appended INSIDE the DISTINCT projection, so the dedup grain is
+    # (import, returned) — exactly Neo4j's per-invocation DISTINCT
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (r:Region)
+           CALL { WITH r MATCH (n:Nation)-[:NATION_OF]->(r)
+                  RETURN DISTINCT n.label AS lab }
+           RETURN r.name AS rn, lab ORDER BY rn""",
+    ).collect()
+    # every region has >=1 nation, all label 'nation' → exactly one
+    # distinct lab per region
+    assert len(rows) == 5
+    assert all(r.lab == "nation" for r in rows)
