@@ -3550,7 +3550,12 @@ def _run_single(
             # endpoints (one distinct). Labels/property maps/WHEREs filter
             # this frame through the ordinary clause machinery.
             var = clause["vars"][0]
-            catalog.load(spark, sf_dir)  # the node views read temp views
+            # session-cached view registration (operators/_base.tables) —
+            # a direct catalog.load() here re-read all 10 parquet footers
+            # per node-only clause, and CALL/EXISTS recursion multiplied it
+            from mimranalytics_core_spark.operators._base import tables as _t
+
+            _t(spark, sf_dir)  # the node views read temp views
             if graph == "hierarchy":
                 nodes = catalog.hierarchy_nodes(spark, sf_dir)
                 # label pruning (round-9): an equality on the per-branch
