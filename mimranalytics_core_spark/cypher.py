@@ -3342,8 +3342,13 @@ def _extract_calls(query: str) -> tuple[str, list[dict]]:
             # STARTS WITH / ENDS WITH predicates contain the word WITH
             if not re.search(r"\b(?:STARTS|ENDS)\s+$", query[:i], re.I):
                 n_with += 1
-        if depth == 0 and boundary and re.match(r"CALL\b", query[i:], re.I):
-            m = re.match(r"CALL\s*\{", query[i:], re.I)
+        opt_call = bool(
+            depth == 0
+            and boundary
+            and re.match(r"OPTIONAL\s+CALL\b", query[i:], re.I)
+        )
+        if depth == 0 and boundary and (opt_call or re.match(r"CALL\b", query[i:], re.I)):
+            m = re.match(r"(?:OPTIONAL\s+)?CALL\s*\{", query[i:], re.I)
             if not m:
                 raise CypherSyntaxError(
                     "procedure CALL is out of scope: only CALL { … } "
@@ -3380,6 +3385,9 @@ def _extract_calls(query: str) -> tuple[str, list[dict]]:
             # onto the initial clause frame), s >= 1 = after pipe s's
             # projection/match/filter processing
             spec["stage"] = n_with
+            # OPTIONAL CALL (Neo4j 5.24+): rows with no subquery result
+            # null-extend instead of dropping
+            spec["optional"] = opt_call
             calls.append(spec)
             out.append(query[last:i])
             last = k + 1
@@ -3827,16 +3835,33 @@ def _run_single(
                     f"the outer scope: {missing_imp}"
                 )
             aggs = [it for it in _c["_proj"] if it["kind"] == "agg"]
-            df = df.join(sub, _c["imports"], "left" if aggs else "inner")
+            # OPTIONAL CALL: always null-extend (Neo4j 5.24+); plain CALL
+            # left-joins only for aggregating bodies (whose empty frame
+            # still yields one row per outer row)
+            how = "left" if (aggs or _c.get("optional")) else "inner"
+            df = df.join(sub, _c["imports"], how)
             for it in aggs:
                 # Neo4j: aggregates over an empty subquery frame read 0
                 # for count/sum (min/max/avg/collect stay null — collect's
-                # [] divergence is a typed-empty-array limitation, noted)
+                # [] divergence is a typed-empty-array limitation, noted).
+                # Applies under OPTIONAL too: an aggregating body always
+                # returns one row per invocation, so OPTIONAL is a no-op
+                # there and the empty-frame count is still 0.
                 if it["fn"] in ("count", "sum") or it["col"] is None:
                     df = df.withColumn(
                         it["name"], F.coalesce(F.col(it["name"]), F.lit(0))
                     )
             return df
+        if _c.get("optional"):
+            # uncorrelated OPTIONAL CALL: an empty subquery result must
+            # null-extend every outer row, which a cross join can't do —
+            # join on a constant key instead (same broadcast shape)
+            k = "__cy_optk"
+            return (
+                df.withColumn(k, F.lit(1))
+                .join(sub.withColumn(k, F.lit(1)), k, "left")
+                .drop(k)
+            )
         return df.crossJoin(sub)
 
     # stage-0 CALLs join the initial clause frame; stage-s CALLs are

@@ -239,3 +239,58 @@ def test_correlated_call_distinct(spark):
     # distinct lab per region
     assert len(rows) == 5
     assert all(r.lab == "nation" for r in rows)
+
+
+def test_optional_call_null_extends_correlated(spark):
+    # Neo4j 5.24+ OPTIONAL CALL: zero-match outer rows null-extend instead
+    # of dropping (plain non-agg CALL drops them)
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           OPTIONAL CALL { WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                           RETURN s }
+           RETURN n.name AS nm, s ORDER BY nm""",
+    ).collect()
+    by_null = [r for r in rows if r.s is None]
+    assert len({r.nm for r in rows}) == 25  # every nation present
+    assert by_null  # sf0.001 has supplier-less nations → null-extended
+    # plain CALL on the same body drops those nations
+    strict = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN s }
+           RETURN n.name AS nm, s ORDER BY nm""",
+    ).collect()
+    assert len({r.nm for r in strict}) < 25
+
+
+def test_optional_call_uncorrelated_empty_body(spark):
+    # empty uncorrelated subquery result: OPTIONAL CALL keeps every outer
+    # row with nulls; plain CALL's cross join yields zero rows
+    body = """{ MATCH (s:Supplier) WHERE s.name = 'no-such-supplier'
+                RETURN s.name AS sn }"""
+    opt = api.cypher(
+        spark, SF, f"MATCH (r:Region) OPTIONAL CALL {body} RETURN r, sn"
+    ).collect()
+    assert len(opt) == 5 and all(r.sn is None for r in opt)
+    strict = api.cypher(
+        spark, SF, f"MATCH (r:Region) CALL {body} RETURN r, sn"
+    ).collect()
+    assert strict == []
+
+
+def test_optional_call_agg_body_still_counts_zero(spark):
+    # aggregating body always returns one row per invocation, so OPTIONAL
+    # is a no-op and the empty-frame count stays 0 (not null)
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           OPTIONAL CALL { WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                           RETURN count(*) AS ns }
+           RETURN n.name AS nm, ns ORDER BY nm""",
+    ).collect()
+    assert len(rows) == 25
+    assert min(r.ns for r in rows) == 0 and all(r.ns is not None for r in rows)
