@@ -294,3 +294,18 @@ def test_optional_call_agg_body_still_counts_zero(spark):
     ).collect()
     assert len(rows) == 25
     assert min(r.ns for r in rows) == 0 and all(r.ns is not None for r in rows)
+
+
+def test_with_where_filters_on_call_output(spark):
+    # a CALL-returned column piped through WITH is filterable like any
+    # stage output (HAVING-style WHERE over the piped rows)
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  RETURN count(*) AS nc }
+           WITH n, nc WHERE nc >= 8
+           RETURN n.name AS nm, nc ORDER BY nm""",
+    ).collect()
+    assert rows and all(r.nc >= 8 for r in rows)
