@@ -3457,6 +3457,23 @@ def _prepare_call(inner: str) -> dict:
     return {"query": inner.strip(), "imports": imports}
 
 
+def _call_projection(query: str) -> list[dict]:
+    """Projection items of a CALL body's first UNION branch, recursing
+    through nested CALL blocks (a body may itself contain CALL { … };
+    parsing it raw would hit the generic subset error)."""
+    branch = _split_union(query)[0][0]
+    stripped, calls = _extract_calls(branch)
+    extra: set = set()
+    for c in calls:
+        extra |= {
+            it["name"]
+            for it in _call_projection(c["query"])
+            if it["name"] not in c["imports"]
+        }
+    p = parse(stripped, extra_vars=frozenset(extra)) if calls else parse(stripped)
+    return p["projection"]
+
+
 def _split_union(query: str) -> tuple[list[str], str | None]:
     """Split a query on top-level UNION [ALL] keywords (outside quoted
     literals AND outside brace bodies — a UNION inside a CALL { } or
@@ -3530,11 +3547,11 @@ def _run_single(
     _call_extra: set = set()
     for _c in _calls:
         # first UNION branch carries the column names (UNION only reaches
-        # here uncorrelated; branches must agree on names, checked in run())
-        _p_sub = parse(_split_union(_c["query"])[0][0])
-        _c["_proj"] = _p_sub["projection"]
+        # here uncorrelated; branches must agree on names, checked in
+        # run()); _call_projection recurses through nested CALL blocks
+        _c["_proj"] = _call_projection(_c["query"])
         _c["_new"] = [
-            it["name"] for it in _p_sub["projection"] if it["name"] not in _c["imports"]
+            it["name"] for it in _c["_proj"] if it["name"] not in _c["imports"]
         ]
         _call_extra.update(_c["_new"])
     p = parse(query, extra_vars=frozenset(_call_extra)) if _calls else parse(query)

@@ -5250,7 +5250,7 @@ def cypher_keys_properties(spark, sf_dir):
             GROUP BY o.o_custkey, l.l_suppkey
         )
         SELECT dst AS supplier, COUNT(*) AS n_owners,
-               DATE '1997-06-01' AS asof_date
+               CAST(DATE '1997-06-01' AS VARCHAR) AS asof_date
         FROM tedges
         WHERE valid_from <= TIMESTAMP '1997-06-01 00:00:00'
           AND TIMESTAMP '1997-06-01 00:00:00' <= valid_to
@@ -5277,7 +5277,8 @@ def cypher_temporal_asof(spark, sf_dir):
         spark,
         sf_dir,
         """MATCH (c:Customer)-[:OWNS_STAKE]->(s) AS OF $now
-           RETURN s AS supplier, count(*) AS n_owners, date() AS asof_date
+           RETURN s AS supplier, count(*) AS n_owners,
+                  CAST(date() AS STRING) AS asof_date
            ORDER BY supplier""",
         params={"now": "1997-06-01 00:00:00"},
     )

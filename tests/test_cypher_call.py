@@ -309,3 +309,48 @@ def test_with_where_filters_on_call_output(spark):
            RETURN n.name AS nm, nc ORDER BY nm""",
     ).collect()
     assert rows and all(r.nc >= 8 for r in rows)
+
+
+def test_call_body_with_quoted_brace_and_prop_map(spark):
+    # quotes containing braces and property maps inside the body must not
+    # confuse the brace-matching extraction
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (r:Region)
+           CALL { WITH r MATCH (n:Nation {name: 'NATION_3'})-[:NATION_OF]->(r)
+                  RETURN n }
+           RETURN r.name AS rn, n ORDER BY rn""",
+    ).collect()
+    assert len(rows) == 1 and rows[0].n == "n:3"
+    row = api.cypher(
+        spark,
+        SF,
+        """CALL { MATCH (n:Nation) WHERE n.name CONTAINS '}' RETURN count(*) AS k }
+           RETURN k""",
+    ).collect()[0]
+    assert row.k == 0
+
+
+def test_nested_call_inside_call(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        """CALL { CALL { MATCH (s:Supplier) RETURN count(*) AS inner_k }
+                  RETURN inner_k }
+           RETURN inner_k AS k""",
+    ).collect()[0]
+    assert row.k == 10
+
+
+def test_call_body_with_exists_predicate(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  WHERE EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+                  RETURN count(*) AS nc }
+           RETURN sum(nc) AS total""",
+    ).collect()
+    assert rows[0].total is not None
