@@ -5282,3 +5282,41 @@ def cypher_temporal_asof(spark, sf_dir):
            ORDER BY supplier""",
         params={"now": "1997-06-01 00:00:00"},
     )
+
+
+@register(
+    "cypher_optional_call",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm,
+               COUNT(s.s_suppkey) AS ns,
+               COUNT(*) AS n_rows
+        FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        GROUP BY nm ORDER BY nm
+    """,
+    notes=(
+        "OPTIONAL CALL { … } (round-9, Neo4j 5.24+): outer rows the "
+        "subquery yields nothing for null-extend instead of dropping — "
+        "correlated bodies compile to a LEFT equi-join on the import key "
+        "(vs plain CALL's inner join for non-aggregating bodies); "
+        "uncorrelated bodies left-join on a constant key so even an "
+        "EMPTY subquery result keeps every outer row. count(s) ignores "
+        "the null-extended rows while count(*) keeps them — exactly the "
+        "LEFT JOIN split the oracle states. Scale: same partial-agg + "
+        "equi-join shape as plain CALL; OPTIONAL only flips the join "
+        "type. Oracle: LEFT JOIN + the two count grains"
+    ),
+)
+def cypher_optional_call(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           OPTIONAL CALL { WITH n
+                           MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                           RETURN s }
+           RETURN n.name AS nm, count(s) AS ns, count(*) AS n_rows
+           ORDER BY nm""",
+    )
