@@ -244,16 +244,18 @@ def _query(draw):
 
 def _parse_like_runner(piece: str):
     """Mirror _run_single's front-end: extract CALL blocks, pre-parse each
-    body for its projection names, then parse the stripped outer query with
-    those names in scope."""
-    from mimranalytics_core_spark.cypher import _extract_calls, _split_union
+    body for its projection names (recursing through nested CALLs, like
+    the runner's _call_projection), then parse the stripped outer query
+    with those names in scope."""
+    from mimranalytics_core_spark.cypher import _call_projection, _extract_calls
 
     stripped, calls = _extract_calls(piece)
     extra: set = set()
     for c in calls:
-        psub = parse(_split_union(c["query"])[0][0])
         extra |= {
-            it["name"] for it in psub["projection"] if it["name"] not in c["imports"]
+            it["name"]
+            for it in _call_projection(c["query"])
+            if it["name"] not in c["imports"]
         }
     return parse(stripped, extra_vars=frozenset(extra)) if calls else parse(stripped)
 
