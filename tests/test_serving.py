@@ -195,3 +195,22 @@ def test_schema_endpoint_matches_attribute_view(server, spark):
     assert {"acctbal", "mktsegment"} <= set(_PROPS)
     assert sch["universal_properties"] == ["id", "label", "name"]
     assert "CUSTOMER_OF" in h["relationship_types"]
+
+
+def test_cypher_endpoint_call_subquery_with_now_param(server):
+    # round-9 surface through HTTP: CALL { } subqueries and the $now
+    # session parameter both ride the same /cypher params lifecycle
+    got = _get(
+        server,
+        "/cypher",
+        q=(
+            "MATCH (n:Nation) "
+            "CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n) "
+            "RETURN count(*) AS nc } "
+            "RETURN n.name AS nm, nc, date() AS d ORDER BY nm LIMIT 3"
+        ),
+        params=json.dumps({"now": "1995-06-17 00:00:00"}),
+    )
+    assert got["n"] == 3
+    assert all(r["d"] == "1995-06-17" for r in got["rows"])
+    assert all(r["nc"] >= 0 for r in got["rows"])
