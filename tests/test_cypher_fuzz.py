@@ -214,19 +214,20 @@ def _query(draw):
     # round-9: CALL { … } subqueries — uncorrelated prefix, a correlated
     # body importing the first pattern variable, or (second pass) a
     # correlated body AFTER the WITH stage importing the piped variable
+    opt9 = "OPTIONAL " if draw(st.booleans()) else ""
     if with_match and not shortest and draw(st.integers(0, 3)) == 0:
         q += (
-            " CALL { WITH piped MATCH (k9:Customer)"
+            f" {opt9}CALL {{ WITH piped MATCH (k9:Customer)"
             "-[:CUSTOMER_OF]->(piped) RETURN count(*) AS kc }"
         )
         items.append("kc")
     if not shortest and not with_match and draw(st.integers(0, 3)) == 0:
         if draw(st.booleans()):
-            q = "CALL { MATCH (g9:Supplier) RETURN count(*) AS gc } " + q
+            q = f"{opt9}CALL {{ MATCH (g9:Supplier) RETURN count(*) AS gc }} " + q
             items.append("gc")
         else:
             call = (
-                f" CALL {{ WITH {vs[0]} MATCH (k9:Customer)"
+                f" {opt9}CALL {{ WITH {vs[0]} MATCH (k9:Customer)"
                 f"-[:CUSTOMER_OF]->({vs[0]}) RETURN count(*) AS kc }}"
             )
             # the CALL clause sits after the reading clauses + WHERE
