@@ -2106,6 +2106,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     exists_preds: list[dict] = []
     count_subqueries: list[dict] = []
     exists_items: list[dict] = []
+    collect_subqueries: list[dict] = []
     if where and (
         re.search(r"\bEXISTS\s*\{", where, re.I)
         # bare pattern predicate: a rel-bracket outside quotes marks it
@@ -2551,6 +2552,102 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 )
                 items.append(
                     {"kind": "plain", "col": col_, "name": cq_.group("alias")}
+                )
+                continue
+            # COLLECT { MATCH … RETURN expr } AS alias — the list-valued
+            # third sibling of COUNT{}/EXISTS{} (Neo4j 5.6+): the subquery
+            # frame is grouped on the correlation anchors, the returned
+            # expression collect_list'd (collect_set under RETURN
+            # DISTINCT) and LEFT-joined — zero-match rows read [] (Neo4j).
+            # List order is pinned LEXICALLY (array_sort) like collect():
+            # cross-run determinism; ORDER BY inside the body is rejected
+            # with a targeted message (declared divergence).
+            lq_ = re.match(
+                r"^COLLECT\s*\{(?P<body>.+)\}\s+AS\s+(?P<alias>\w+)$",
+                item,
+                re.I | re.S,
+            )
+            if lq_ and ctx == "RETURN":
+                body = lq_.group("body").strip()
+                if not re.match(r"\s*MATCH\b", body, re.I):
+                    body = "MATCH " + body
+                bmask = _blank_braces(
+                    re.sub(
+                        r"'(?:[^'])*'",
+                        lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'",
+                        body,
+                    )
+                )
+                rm2 = None
+                for mm in re.finditer(r"\bRETURN\b", bmask, re.I):
+                    rm2 = mm
+                if rm2 is None:
+                    raise CypherSyntaxError(
+                        f"a COLLECT {{ … }} subquery needs RETURN <expr>: {item!r}"
+                    )
+                if re.search(r"\b(?:ORDER\s+BY|SKIP|LIMIT)\b", bmask[rm2.end() :], re.I):
+                    raise CypherSyntaxError(
+                        "ORDER BY/SKIP/LIMIT inside COLLECT { … } is not "
+                        "supported: the list order is pinned lexically "
+                        "(array_sort), like collect() — sort or page the "
+                        "list with list expressions outside the subquery"
+                    )
+                ret_part = body[rm2.end() :].strip()
+                dm2 = re.match(r"DISTINCT\s+", ret_part, re.I)
+                distinct_ = bool(dm2)
+                if dm2:
+                    ret_part = ret_part[dm2.end() :]
+                if len(_split_items(ret_part)) != 1:
+                    raise CypherSyntaxError(
+                        f"COLLECT {{ … }} returns exactly ONE column: {item!r}"
+                    )
+                # strip a trailing alias — the list cell name is ours (the
+                # lazy match naturally skips a CAST(x AS T)'s inner AS: its
+                # tail is not a bare \w+ at end-of-item)
+                am2 = re.match(
+                    r"^(?P<e>.+?)\s+AS\s+\w+\s*$", ret_part, re.I | re.S
+                )
+                if am2:
+                    ret_part = am2.group("e").strip()
+                pat_part = body[: rm2.start()].rstrip()
+                ws_ = re.split(r"\bWHERE\b", pat_part, maxsplit=1, flags=re.I)
+                in_vars = {m.group(1) for m in _NODE_RE.finditer(ws_[0])}
+                anchors_ = sorted(in_vars & varset)
+                if not anchors_:
+                    raise CypherSyntaxError(
+                        "a COLLECT { … } subquery must share at least one "
+                        f"variable with the enclosing MATCH: {item!r}"
+                    )
+                gone_ = [a for a in anchors_ if a not in scope_names["cur"]]
+                if gone_:
+                    raise CypherSyntaxError(
+                        f"COLLECT {{ … }} subquery anchors {gone_} were not "
+                        "carried through the WITH stage (visible: "
+                        f"{sorted(scope_names['cur'])}) — project the anchor "
+                        "variable through every WITH"
+                    )
+                icol_ = f"__clv{len(collect_subqueries)}"
+                inner_q_ = (
+                    ws_[0].rstrip()
+                    + (f" AS OF '{as_of}'" if as_of else "")
+                    + (" WHERE" + ws_[1] if len(ws_) > 1 else "")
+                    + " RETURN "
+                    + ", ".join(anchors_)
+                    + f", {ret_part} AS {icol_}"
+                )
+                parse(inner_q_)  # validate eagerly
+                col_ = f"__cls{len(collect_subqueries)}"
+                collect_subqueries.append(
+                    {
+                        "query": inner_q_,
+                        "anchors": anchors_,
+                        "col": col_,
+                        "inner_col": icol_,
+                        "distinct": distinct_,
+                    }
+                )
+                items.append(
+                    {"kind": "plain", "col": col_, "name": lq_.group("alias")}
                 )
                 continue
             # CASE WHEN … THEN … [ELSE …] END AS alias — Cypher's searched
@@ -3263,6 +3360,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         "exists_preds": exists_preds,
         "count_subqueries": count_subqueries,
         "exists_items": exists_items,
+        "collect_subqueries": collect_subqueries,
         "edge_types": segments[0]["types"] if segments else None,
         "min_hops": segments[0]["min_hops"] if segments else None,
         "max_hops": segments[0]["max_hops"] if segments else None,
@@ -4042,6 +4140,17 @@ def _run_single(
         side = sub.groupBy(*cs["anchors"]).agg(F.count(F.lit(1)).alias(cs["col"]))
         df = df.join(side, cs["anchors"], "left")
         df = df.withColumn(cs["col"], F.coalesce(F.col(cs["col"]), F.lit(0)))
+    # COLLECT { … } list subqueries: grouped on the correlation anchors,
+    # the returned expression collected (set under DISTINCT), sorted for
+    # cross-run determinism, LEFT-joined; zero-match rows read [] (Neo4j)
+    for cl in p.get("collect_subqueries") or []:
+        sub = _run_single(spark, sf_dir, cl["query"], graph=graph)
+        agg_ = F.collect_set(cl["inner_col"]) if cl["distinct"] else F.collect_list(
+            cl["inner_col"]
+        )
+        side = sub.groupBy(*cl["anchors"]).agg(F.array_sort(agg_).alias(cl["col"]))
+        df = df.join(side, cl["anchors"], "left")
+        df = df.withColumn(cl["col"], F.coalesce(F.col(cl["col"]), F.array()))
     # EXISTS { … } items: distinct anchors carry a literal true; a row
     # with no match null-extends → false (NOT form flips it)
     for ei in p.get("exists_items") or []:

@@ -5320,3 +5320,52 @@ def cypher_optional_call(spark, sf_dir):
            RETURN n.name AS nm, count(s) AS ns, count(*) AS n_rows
            ORDER BY nm""",
     )
+
+
+@register(
+    "cypher_collect_subquery",
+    "graph",
+    oracle="""
+        SELECT r_name AS rn,
+               (SELECT string_agg(n_name, '|' ORDER BY n_name)
+                  FROM nation WHERE n_regionkey = r_regionkey) AS nations,
+               CAST((SELECT COUNT(*) FROM nation
+                      WHERE n_regionkey = r_regionkey
+                        AND n_name = 'NATION_3') AS INT) AS n_only3
+        FROM region ORDER BY rn
+    """,
+    notes=(
+        "COLLECT { … RETURN expr } list subqueries (round-9 — Neo4j 5.6+, "
+        "the list-valued third sibling of COUNT{}/EXISTS{}): the subquery "
+        "frame is grouped on the correlation anchors, the returned "
+        "expression collect_list'd (collect_set under RETURN DISTINCT), "
+        "SORTED lexically for cross-run determinism (the collect() "
+        "discipline; ORDER BY inside the body is rejected with a targeted "
+        "message — declared divergence), and LEFT-joined so zero-match "
+        "rows read [] exactly as Neo4j. Scale: partial-agg + equi-join on "
+        "the anchor key — list building never multiplies the outer frame, "
+        "and the per-anchor list is group-bounded. The declared query "
+        "post-projects the list as a '|'-joined string + a size() so the "
+        "driver's scalar hash comparator applies (agg_collect's export "
+        "discipline). Oracle: correlated string_agg/COUNT subqueries"
+    ),
+)
+def cypher_collect_subquery(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    df = api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (r:Region)
+           RETURN r.name AS rn,
+                  COLLECT { (n:Nation)-[:NATION_OF]->(r)
+                            RETURN n.name } AS nations,
+                  COLLECT { (n:Nation {name: 'NATION_3'})-[:NATION_OF]->(r)
+                            RETURN n.name } AS only3
+           ORDER BY rn""",
+    )
+    return df.select(
+        "rn",
+        F.array_join("nations", "|").alias("nations"),
+        F.size("only3").alias("n_only3"),
+    )

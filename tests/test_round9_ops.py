@@ -102,3 +102,49 @@ def test_now_inside_string_literal_untouched(spark):
         params={"now": "1997-06-01 12:30:00"},
     ).collect()[0]
     assert row.s == "date()"
+
+
+def test_collect_subquery_list_semantics(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (r:Region)
+           RETURN r.name AS rn,
+                  COLLECT { (n:Nation)-[:NATION_OF]->(r)
+                            RETURN n.name } AS nations
+           ORDER BY rn""",
+    ).collect()
+    assert len(rows) == 5
+    assert all(len(r.nations) == 5 for r in rows)
+    assert all(r.nations == sorted(r.nations) for r in rows)  # lexical pin
+
+
+def test_collect_subquery_zero_match_reads_empty_list(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           RETURN n.name AS nm,
+                  COLLECT { (s:Supplier)-[:SUPPLIER_OF]->(n)
+                            RETURN DISTINCT s.name } AS sups
+           ORDER BY nm""",
+    ).collect()
+    assert len(rows) == 25
+    assert any(r.sups == [] for r in rows)  # never null, always a list
+    assert all(r.sups is not None for r in rows)
+
+
+def test_collect_subquery_order_by_rejected(spark):
+    import pytest as _pytest
+
+    from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+    with _pytest.raises(CypherSyntaxError, match="ORDER BY/SKIP/LIMIT inside COLLECT"):
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (r:Region)
+               RETURN r.name AS rn,
+                      COLLECT { (n:Nation)-[:NATION_OF]->(r)
+                                RETURN n.name ORDER BY n.name LIMIT 2 } AS xs""",
+        )
