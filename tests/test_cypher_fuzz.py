@@ -203,6 +203,23 @@ def _query(draw):
                 unique=True,
             )
         )
+    if not shortest and not with_match and draw(st.integers(0, 3)) == 0:
+        # round-9: subquery-expression items — COUNT{}/EXISTS{}/COLLECT{}
+        items.append(
+            draw(
+                st.sampled_from(
+                    [
+                        "COUNT {{ (q8:Customer)-[:CUSTOMER_OF]->({v}) }} AS sq1",
+                        "EXISTS {{ (q8:Supplier)-[:SUPPLIER_OF]->({v}) }} AS sq2",
+                        "NOT EXISTS {{ (q8)-[:NATION_OF]->({v}) }} AS sq3",
+                        "COLLECT {{ (q8:Customer)-[:CUSTOMER_OF]->({v}) "
+                        "RETURN q8.name }} AS sq4",
+                        "COLLECT {{ (q8:Supplier)-[:SUPPLIER_OF]->({v}) "
+                        "RETURN DISTINCT q8 }} AS sq5",
+                    ]
+                )
+            ).format(v=vs[0])
+        )
     if not with_match and draw(st.integers(0, 3)) == 0:  # searched CASE item
         first = items[0].split(" ")[0]
         ref = "k" if unwound else f"{first}.id" if "(" not in first else "n"
