@@ -317,3 +317,17 @@ def test_call_garbage_never_crashes(s):
         _parse_like_runner(s)
     except CypherSyntaxError:
         pass
+
+
+@settings(max_examples=15, deadline=None)
+@given(_query())
+def test_generated_queries_execute(spark, q):
+    # end-to-end: every grammar-generated query must also COMPILE to a
+    # runnable Spark plan and produce rows without an AnalysisException
+    # (the parse-only tests above can't see runtime column/type errors).
+    # 15 examples ≈ 30 s; the grammar covers CALL/OPTIONAL CALL, subquery
+    # items, UNWIND, WITH pipes, unions.
+    from mimranalytics_core_spark import api
+
+    df = api.cypher(spark, "/root/testdata/sf0.001", q)
+    assert df.limit(5).count() >= 0
