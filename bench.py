@@ -23,6 +23,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 
 def main() -> None:
+    # A SPARK_GRAFT_BENCH_ONLY-filtered run writes a few-query record;
+    # letting it land on the default sidecar path would clobber the full
+    # sf0.1 record (the exact artifact-clobber class the driver-contract
+    # test gates on). Fail before Spark even starts.
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip() and not os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT", ""
+    ).strip():
+        raise SystemExit(
+            "SPARK_GRAFT_BENCH_ONLY requires SPARK_GRAFT_BENCH_OUT "
+            "(a partial run must not overwrite BENCH_LOCAL.json)"
+        )
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     from mimranalytics_core_spark.registry import all_ops
     from mimranalytics_core_spark.session import get_spark

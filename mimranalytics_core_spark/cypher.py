@@ -976,6 +976,18 @@ def bind_params(query: str, params: dict | None) -> str:
         nv = str(params["now"])
         if "'" in nv:
             raise CypherSyntaxError("$now may not contain single quotes")
+        # The date() rewrite slices the first 10 chars as YYYY-MM-DD, so a
+        # non-ISO value ('6/1/1997', epoch millis) would emit a malformed
+        # literal that surfaces later as an opaque Spark analysis/ANSI cast
+        # error (or a silently wrong date under non-ANSI). Fail at bind
+        # time instead with a targeted message.
+        if not re.match(
+            r"^\d{4}-\d{2}-\d{2}([T ]\d{2}:\d{2}(:\d{2}(\.\d{1,9})?)?Z?)?$", nv
+        ):
+            raise CypherSyntaxError(
+                f"$now must be an ISO date or timestamp "
+                f"('YYYY-MM-DD[ HH:MM[:SS[.fff]]]'), got {nv!r}"
+            )
 
         def _noarg(seg: str) -> str:
             # function form (timestamp('…')), not literal form — the item
@@ -3547,7 +3559,21 @@ def _prepare_call(inner: str) -> dict:
         for it in _split_items(items_text):
             pm = re.match(r"^\s*(?P<e>.+?)(?:\s+AS\s+(?P<a>\w+))?\s*$", it, re.I | re.S)
             if pm:
-                present.add((pm.group("a") or pm.group("e").strip()))
+                name = pm.group("a") or pm.group("e").strip()
+                # An alias (or expression) that SHADOWS an import would make
+                # the textual re-append check below treat the import as
+                # present, and the outer equi-join would silently compare
+                # the import's values against the shadowing expression's.
+                # Neo4j raises variable-already-declared; so do we — unless
+                # the item IS the bare import variable itself (`RETURN n`
+                # or `RETURN n AS n`), which legally passes it through.
+                if name in imports and pm.group("e").strip() != name:
+                    raise CypherSyntaxError(
+                        f"CALL subquery RETURN item '{it.strip()}' shadows "
+                        f"importing-WITH variable '{name}' (variable already "
+                        f"declared in the outer scope)"
+                    )
+                present.add(name)
         missing = [v for v in imports if v not in present]
         if missing:
             at = rpos.end() + (dm.end() if dm else 0)
@@ -3950,12 +3976,21 @@ def _run_single(
                     f"the outer scope: {missing_imp}"
                 )
             aggs = [it for it in _c["_proj"] if it["kind"] == "agg"]
-            # OPTIONAL CALL: always null-extend (Neo4j 5.24+); plain CALL
-            # left-joins only for aggregating bodies (whose empty frame
-            # still yields one row per outer row)
-            how = "left" if (aggs or _c.get("optional")) else "inner"
+            # A body is "pure-aggregate" when every non-import projection
+            # item is an aggregate. Only then does an empty per-anchor
+            # frame still yield one row (count=0): that's the case that
+            # left-joins with coalesce. A body that groups by a non-import
+            # key ALONGSIDE an aggregate yields ZERO rows for a zero-match
+            # anchor in Neo4j (grouped aggregate over an empty frame), so
+            # plain CALL inner-joins there; OPTIONAL CALL stays left but
+            # without the coalesce (the null-extended row keeps nulls).
+            pure_agg = bool(aggs) and all(
+                it["kind"] == "agg" or it["name"] in _c["imports"]
+                for it in _c["_proj"]
+            )
+            how = "left" if (pure_agg or _c.get("optional")) else "inner"
             df = df.join(sub, _c["imports"], how)
-            for it in aggs:
+            for it in aggs if pure_agg else []:
                 # Neo4j: aggregates over an empty subquery frame read 0
                 # for count/sum (min/max/avg/collect stay null — collect's
                 # [] divergence is a typed-empty-array limitation, noted).

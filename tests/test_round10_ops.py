@@ -1,0 +1,130 @@
+"""Round-10 regressions: the four r9 ADVICE items.
+
+1. (medium, cypher.py _apply_call) a correlated CALL body that returns a
+   grouping key ALONGSIDE an aggregate yields ZERO rows per zero-match
+   outer row in Neo4j (grouped aggregate over an empty frame) — the old
+   unconditional left-join+coalesce fabricated `key=None, count=0` rows.
+2. (low, cypher.py _prepare_call) a RETURN alias shadowing an
+   importing-WITH variable made the textual re-append check treat the
+   import as present, silently equi-joining ids against the shadowing
+   expression — now rejected at parse time (Neo4j: variable already
+   declared).
+3. (low, bench.py) SPARK_GRAFT_BENCH_ONLY without SPARK_GRAFT_BENCH_OUT
+   would overwrite the full sf0.1 BENCH_LOCAL.json with a partial record —
+   now a fast SystemExit before Spark starts.
+4. (low, cypher.py bind_params) a non-ISO $now produced a malformed
+   date('…') literal that died later as an opaque Spark error — now a
+   bind-time CypherSyntaxError.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+from mimranalytics_core_spark import api
+from mimranalytics_core_spark.cypher import CypherSyntaxError, bind_params
+
+SF = "/root/testdata/sf0.001"
+REPO = Path(__file__).resolve().parents[1]
+
+MIXED_BODY = """MATCH (n:Nation)
+   {opt}CALL {{ WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+          RETURN s.name AS sname, count(*) AS k }}
+   RETURN n.name AS nm, sname, k ORDER BY nm"""
+
+
+def test_mixed_key_agg_call_drops_zero_match_rows(spark):
+    # plain CALL + grouped aggregate body: zero-supplier nations get ZERO
+    # body rows (not a fabricated sname=None, k=0 row)
+    rows = api.cypher(spark, SF, MIXED_BODY.format(opt="")).collect()
+    assert rows, "suppliers exist at sf0.001"
+    assert all(r.sname is not None for r in rows)
+    assert all(r.k >= 1 for r in rows)
+    # sf0.001 has supplier-less nations → they drop entirely
+    assert len({r.nm for r in rows}) < 25
+
+
+def test_mixed_key_agg_optional_call_null_extends_without_coalesce(spark):
+    # OPTIONAL CALL keeps every outer row; the zero-match extension is
+    # all-null — k must stay null, NOT be coalesced to 0 (0 would claim a
+    # grouped row that Neo4j never produces)
+    rows = api.cypher(spark, SF, MIXED_BODY.format(opt="OPTIONAL ")).collect()
+    assert len({r.nm for r in rows}) == 25
+    null_ext = [r for r in rows if r.sname is None]
+    assert null_ext, "sf0.001 has supplier-less nations"
+    assert all(r.k is None for r in null_ext)
+    matched = [r for r in rows if r.sname is not None]
+    assert matched and all(r.k >= 1 for r in matched)
+
+
+def test_pure_agg_call_still_coalesces_to_zero(spark):
+    # the pure-aggregate path (every non-import item an aggregate) keeps
+    # the left-join + count-coalesce cardinality
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                  RETURN count(*) AS ns }
+           RETURN n.name AS nm, ns ORDER BY nm""",
+    ).collect()
+    assert len(rows) == 25
+    assert min(r.ns for r in rows) == 0 and all(r.ns is not None for r in rows)
+
+
+def test_return_alias_shadowing_import_rejected(spark):
+    with pytest.raises(CypherSyntaxError, match="shadows importing-WITH"):
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (n:Nation)
+               CALL { WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                      RETURN s.name AS n }
+               RETURN n""",
+        )
+
+
+def test_bare_import_passthrough_still_allowed(spark):
+    # `RETURN n` (the bare import) is the legal passthrough, not a shadow
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (r:Region)
+           CALL { WITH r MATCH (n:Nation)-[:NATION_OF]->(r) RETURN n, r }
+           RETURN r.name AS rn, count(n) AS c ORDER BY rn""",
+    ).collect()
+    assert [r.c for r in rows] == [5] * 5
+
+
+@pytest.mark.parametrize("bad", ["6/1/1997", "866764800000", "June 1 1997", "97-06-01"])
+def test_non_iso_now_rejected_at_bind_time(bad):
+    with pytest.raises(CypherSyntaxError, match=r"\$now must be an ISO"):
+        bind_params("RETURN date() AS d", {"now": bad})
+
+
+@pytest.mark.parametrize(
+    "good",
+    ["1997-06-01", "1997-06-01 12:30:00", "1997-06-01T12:30:00.123", "1997-06-01 12:30"],
+)
+def test_iso_now_accepted(good):
+    out = bind_params("RETURN date() AS d", {"now": good})
+    assert "date('1997-06-01')" in out
+
+
+def test_bench_only_without_out_exits_before_spark():
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY="agg_global")
+    env.pop("SPARK_GRAFT_BENCH_OUT", None)
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=60,  # guard fires before Spark init, so this is instant
+    )
+    assert proc.returncode != 0
+    assert "SPARK_GRAFT_BENCH_OUT" in proc.stderr
