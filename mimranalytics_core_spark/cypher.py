@@ -252,7 +252,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 _MATCH_HEAD = re.compile(r"^\s*MATCH\s*", re.IGNORECASE)
@@ -2846,6 +2846,19 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     "name": im.group("alias") or expr.replace(".", "_"),
                 }
             )
+        # Duplicate output names (e.g. `RETURN n, count(*) AS n`) are legal
+        # in Neo4j (result columns may repeat) but unrepresentable on the
+        # DataFrame surface — downstream unions/joins die with an opaque
+        # COLUMN_ALREADY_EXISTS. Reject at parse time (declared divergence).
+        seen_names: set[str] = set()
+        for it in items:
+            if it["name"] in seen_names:
+                raise CypherSyntaxError(
+                    f"duplicate {ctx} output name {it['name']!r}: result "
+                    "columns must be uniquely named (alias one of the "
+                    "items; DataFrame columns cannot repeat)"
+                )
+            seen_names.add(it["name"])
         return items
 
     numeric_unwinds = {
@@ -3509,10 +3522,13 @@ def _extract_calls(query: str) -> tuple[str, list[dict]]:
 
 
 def _prepare_call(inner: str) -> dict:
-    """Normalize one CALL body → {query, imports} (see _extract_calls)."""
+    """Normalize one CALL body → {query, imports, post} (see
+    _extract_calls). ``post`` is the per-invocation ORDER BY/SKIP/LIMIT
+    window spec for correlated bodies (None when absent)."""
     if not inner:
         raise CypherSyntaxError("empty CALL { } subquery")
     imports: list[str] = []
+    post: dict | None = None
     im = re.match(
         r"\s*WITH\s+(?P<body>[A-Za-z_]\w*(?:\s*,\s*[A-Za-z_]\w*)*)"
         r"\s+(?=(?:OPTIONAL\s+)?MATCH\b|UNWIND\b|WITH\b|RETURN\b|CALL\b)",
@@ -3544,12 +3560,16 @@ def _prepare_call(inner: str) -> dict:
                 "(per-outer-row branch semantics); drop the imports or "
                 "lift the UNION out"
             )
-        if re.search(r"\b(?:ORDER\s+BY|SKIP|LIMIT)\b", masked[rpos.end() :], re.I):
-            raise CypherSyntaxError(
-                "ORDER BY/SKIP/LIMIT inside a correlated CALL subquery "
-                "run per outer row in Neo4j, which the join composition "
-                "can't express — apply them after the CALL"
-            )
+        tm = re.search(r"\b(?:ORDER\s+BY|SKIP|LIMIT)\b", masked[rpos.end() :], re.I)
+        if tm:
+            # Per-outer-row ORDER BY/SKIP/LIMIT (round-10): Neo4j runs the
+            # tail once per invocation. Strip it from the body and compile
+            # it to a row_number() window PARTITIONED BY the import keys in
+            # _apply_call — a shuffle-once top-k-per-group, never a nested
+            # loop (the shape that survives 100 TB).
+            tstart = rpos.end() + tm.start()
+            post = _parse_call_tail(inner[tstart:])
+            inner = inner[:tstart]
         # append imports missing from the RETURN items so the outer join
         # has key columns (legal: imports are in scope inside the body)
         tail = inner[rpos.end() :]
@@ -3578,7 +3598,48 @@ def _prepare_call(inner: str) -> dict:
         if missing:
             at = rpos.end() + (dm.end() if dm else 0)
             inner = inner[:at] + " " + ", ".join(missing) + ", " + inner[at:]
-    return {"query": inner.strip(), "imports": imports}
+    return {"query": inner.strip(), "imports": imports, "post": post}
+
+
+def _parse_call_tail(t: str) -> dict:
+    """ORDER BY/SKIP/LIMIT tail of a correlated CALL body → window spec
+    ``{"order": [(alias, desc?)], "skip": int|None, "limit": int|None}``.
+
+    Subset: ORDER BY items are returned aliases (optionally ASC/DESC) —
+    an arbitrary expression would need a second compile pass against the
+    body frame; SKIP/LIMIT take non-negative integer literals. An omitted
+    ORDER BY under SKIP/LIMIT gets the implicit ascending total order over
+    the returned columns (same deterministic-page divergence as top-level
+    WITH … SKIP/LIMIT, documented in SURVEY §2)."""
+    post: dict = {"order": [], "skip": None, "limit": None}
+    s = t.strip()
+    om = re.match(r"ORDER\s+BY\s+(?P<b>.+?)\s*(?=\bSKIP\b|\bLIMIT\b|$)", s, re.I | re.S)
+    if om:
+        for it in om.group("b").split(","):
+            mm = re.match(r"^\s*([A-Za-z_]\w*)(?:\s+(ASC|DESC))?\s*$", it, re.I)
+            if not mm:
+                raise CypherSyntaxError(
+                    "correlated CALL ORDER BY supports returned aliases "
+                    f"(optionally ASC/DESC), got: {it.strip()!r}"
+                )
+            post["order"].append(
+                (mm.group(1), bool(mm.group(2)) and mm.group(2).upper() == "DESC")
+            )
+        s = s[om.end() :].strip()
+    sm = re.match(r"SKIP\s+(\d+)\b\s*", s, re.I)
+    if sm:
+        post["skip"] = int(sm.group(1))
+        s = s[sm.end() :].strip()
+    lm = re.match(r"LIMIT\s+(\d+)\b\s*", s, re.I)
+    if lm:
+        post["limit"] = int(lm.group(1))
+        s = s[lm.end() :].strip()
+    if s:
+        raise CypherSyntaxError(
+            f"unsupported correlated CALL subquery tail: {s!r} "
+            "(expected ORDER BY items [SKIP n] [LIMIT n])"
+        )
+    return post
 
 
 def _call_projection(query: str) -> list[dict]:
@@ -3975,6 +4036,44 @@ def _run_single(
                     f"CALL importing WITH references variables not bound in "
                     f"the outer scope: {missing_imp}"
                 )
+            post = _c.get("post")
+            if post and (post["order"] or post["skip"] is not None or post["limit"] is not None):
+                # Per-invocation ORDER BY/SKIP/LIMIT: rank body rows inside
+                # each import-key group (one shuffle on the join key the
+                # equi-join needs anyway). Null ordering follows Neo4j:
+                # nulls last ascending, first descending. Remaining returned
+                # columns join the sort as an ascending tiebreak so the
+                # kept page is deterministic across runs (divergence: Neo4j
+                # may pick any tied member; ours is a valid one).
+                names = [nm for nm, _ in post["order"]]
+                bad = [nm for nm in names if nm not in sub.columns]
+                if bad:
+                    raise CypherSyntaxError(
+                        f"correlated CALL ORDER BY references columns not "
+                        f"returned by the body: {bad}"
+                    )
+                keys = [
+                    F.col(nm).desc_nulls_first() if desc else F.col(nm).asc_nulls_last()
+                    for nm, desc in post["order"]
+                ] + [
+                    F.col(c).asc_nulls_last()
+                    for c in sub.columns
+                    if c not in names and c not in _c["imports"]
+                ]
+                # a body returning ONLY the imports leaves no sort columns;
+                # rows within a partition are then identical, so any key
+                # (the imports, constant per partition) is a valid order
+                keys = keys or [F.col(c).asc_nulls_last() for c in _c["imports"]]
+                rk = "__cy_callrn"
+                sub = sub.withColumn(
+                    rk, F.row_number().over(Window.partitionBy(*_c["imports"]).orderBy(*keys))
+                )
+                lo = post["skip"] or 0
+                if lo:
+                    sub = sub.filter(F.col(rk) > lo)
+                if post["limit"] is not None:
+                    sub = sub.filter(F.col(rk) <= lo + post["limit"])
+                sub = sub.drop(rk)
             aggs = [it for it in _c["_proj"] if it["kind"] == "agg"]
             # A body is "pure-aggregate" when every non-import projection
             # item is an aggregate. Only then does an empty per-anchor

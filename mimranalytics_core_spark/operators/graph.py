@@ -5369,3 +5369,52 @@ def cypher_collect_subquery(spark, sf_dir):
         F.array_join("nations", "|").alias("nations"),
         F.size("only3").alias("n_only3"),
     )
+
+
+@register(
+    "cypher_call_topk",
+    "graph",
+    oracle="""
+        WITH ranked AS (
+            SELECT n.n_name AS nm, c.c_name AS cname, c.c_acctbal AS bal,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY n.n_nationkey
+                       ORDER BY c.c_acctbal DESC NULLS FIRST,
+                                c.c_name ASC NULLS LAST) AS rn
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        )
+        SELECT nm, cname, bal FROM ranked
+        WHERE rn > 1 AND rn <= 3
+        ORDER BY nm, bal DESC, cname
+    """,
+    notes=(
+        "per-invocation ORDER BY/SKIP/LIMIT inside a correlated CALL "
+        "body (round-10 — lifts the round-9 targeted rejection; Neo4j "
+        "runs the tail once per outer row). Compiles to row_number() "
+        "OVER (PARTITION BY import-keys ORDER BY returned aliases) "
+        "(cypher._parse_call_tail + the window block in _apply_call): "
+        "the rank shuffles on exactly the key the outer equi-join needs "
+        "anyway, so a per-row Neo4j semantic lands as ONE top-k-per-"
+        "group pass — never a nested loop (the shape that survives "
+        "100 TB; win_topk_per_group's plan). Null ordering follows "
+        "Neo4j (nulls last ASC / first DESC); remaining returned "
+        "columns tiebreak ascending so the kept page is deterministic "
+        "(declared divergence: Neo4j may keep any tied member). A "
+        "nation whose page is empty (fewer than SKIP+1 customers) "
+        "drops, matching plain CALL's inner-join cardinality. Oracle: "
+        "the same ROW_NUMBER window with rn in (SKIP, SKIP+LIMIT]"
+    ),
+)
+def cypher_call_topk(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  RETURN c.name AS cname, c.acctbal AS bal
+                  ORDER BY bal DESC, cname SKIP 1 LIMIT 2 }
+           RETURN n.name AS nm, cname, bal
+           ORDER BY nm, bal DESC, cname""",
+    )

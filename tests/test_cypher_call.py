@@ -105,10 +105,12 @@ def test_pure_call_query_unit_frame(spark):
             "CALL { MATCH (n:Nation) RETURN n } IN TRANSACTIONS RETURN n",
             "IN TRANSACTIONS",
         ),
+        # round-10: ORDER BY alias [SKIP/LIMIT] is now SUPPORTED (window
+        # composition); only non-alias ORDER BY expressions stay rejected
         (
             "MATCH (n:Nation) CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]"
-            "->(n) RETURN c ORDER BY c LIMIT 1 } RETURN n, c",
-            "ORDER BY/SKIP/LIMIT inside a correlated CALL",
+            "->(n) RETURN c ORDER BY c.acctbal LIMIT 1 } RETURN n, c",
+            "supports returned aliases",
         ),
         (
             "MATCH (n:Nation) CALL { MATCH (c:Customer) } RETURN n",
@@ -354,3 +356,120 @@ def test_call_body_with_exists_predicate(spark):
            RETURN sum(nc) AS total""",
     ).collect()
     assert rows[0].total is not None
+
+
+# --- round-10: per-invocation ORDER BY/SKIP/LIMIT in correlated bodies ---
+# (lifts the round-9 rejection; compiles to row_number() over the import
+# keys — see cypher._parse_call_tail + the window block in _apply_call)
+
+
+def test_correlated_call_topk_per_group(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  RETURN c.name AS cname, c.acctbal AS bal
+                  ORDER BY bal DESC LIMIT 2 }
+           RETURN n.name AS nm, cname, bal ORDER BY nm, bal DESC""",
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.nm, []).append(r.bal)
+    assert max(len(v) for v in per.values()) <= 2
+    # each nation's kept page is its true per-group top-2
+    full = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation) CALL { WITH n
+               MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+               RETURN c.acctbal AS bal }
+           RETURN n.name AS nm, bal""",
+    ).collect()
+    allbals = {}
+    for r in full:
+        allbals.setdefault(r.nm, []).append(r.bal)
+    for nm, page in per.items():
+        assert page == sorted(allbals[nm], reverse=True)[: len(page)]
+
+
+def test_correlated_call_skip_page(spark):
+    # SKIP 1 LIMIT 1 = each nation's runner-up acctbal (a nation with <2
+    # customers would drop — plain CALL inner-join cardinality)
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  RETURN c.acctbal AS bal ORDER BY bal DESC SKIP 1 LIMIT 1 }
+           RETURN n.name AS nm, bal ORDER BY nm""",
+    ).collect()
+    assert rows and len({r.nm for r in rows}) == len(rows)  # ≤1 per nation
+    full = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation) CALL { WITH n
+               MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+               RETURN c.acctbal AS bal }
+           RETURN n.name AS nm, bal""",
+    ).collect()
+    per = {}
+    for r in full:
+        per.setdefault(r.nm, []).append(r.bal)
+    expect = {nm: sorted(v, reverse=True)[1] for nm, v in per.items() if len(v) >= 2}
+    assert {r.nm: r.bal for r in rows} == expect
+
+
+def test_correlated_call_limit_without_orderby_is_deterministic(spark):
+    # implicit ascending total order (the WITH SKIP/LIMIT divergence rule)
+    q = """MATCH (r:Region)
+           CALL { WITH r MATCH (n:Nation)-[:NATION_OF]->(r)
+                  RETURN n.name AS nn LIMIT 2 }
+           RETURN r.name AS rn, nn ORDER BY rn, nn"""
+    a = [tuple(r) for r in api.cypher(spark, SF, q).collect()]
+    b = [tuple(r) for r in api.cypher(spark, SF, q).collect()]
+    assert a == b and len(a) == 10
+
+
+def test_optional_call_empty_page_null_extends(spark):
+    # OPTIONAL CALL + SKIP past every row: all 25 nations survive null-padded
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           OPTIONAL CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                           RETURN c.name AS cname
+                           ORDER BY cname SKIP 1000 LIMIT 1 }
+           RETURN n.name AS nm, cname ORDER BY nm""",
+    ).collect()
+    assert len(rows) == 25 and all(r.cname is None for r in rows)
+
+
+@pytest.mark.parametrize(
+    "tail,frag",
+    [
+        ("ORDER BY c.acctbal LIMIT 1", "supports returned aliases"),
+        ("ORDER BY zz LIMIT 1", "not returned by the body"),
+        ("LIMIT 1 ORDER BY cname", "unsupported correlated CALL subquery tail"),
+    ],
+)
+def test_call_tail_rejections_are_targeted(spark, tail, frag):
+    q = (
+        "MATCH (n:Nation) CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]"
+        f"->(n) RETURN c.name AS cname {tail} }} RETURN n, cname"
+    )
+    with pytest.raises(CypherSyntaxError, match=frag):
+        api.cypher(spark, SF, q).collect()
+
+
+def test_duplicate_return_names_rejected(spark):
+    # round-10 (found by the execution fuzz): `RETURN n, count(*) AS n`
+    # used to compile and die downstream as COLUMN_ALREADY_EXISTS; result
+    # columns must be uniquely named on the DataFrame surface (declared
+    # divergence — Neo4j allows repeated column names)
+    with pytest.raises(CypherSyntaxError, match="duplicate RETURN output name"):
+        api.cypher(spark, SF, "MATCH (n:Nation) RETURN n, count(*) AS n")
+    with pytest.raises(CypherSyntaxError, match="duplicate WITH output name"):
+        api.cypher(
+            spark, SF, "MATCH (n:Nation) WITH n, count(*) AS n RETURN n"
+        )

@@ -133,7 +133,9 @@ def _query(draw):
                     q += " WHERE n2 >= 1"
                 items = ["piped", "n2"]
     else:
-        items = [vs[0], "count(*) AS n"] if draw(st.booleans()) else list(vs[:2])
+        # alias must not collide with a pattern variable: duplicate output
+        # names are rejected at parse time (round-10 divergence check)
+        items = [vs[0], "count(*) AS n_cnt"] if draw(st.booleans()) else list(vs[:2])
         if rvar and draw(st.integers(0, 3)) == 0:  # round-7 aggregates
             items.append(
                 draw(
@@ -242,7 +244,7 @@ def _query(draw):
         if draw(st.booleans()):
             q = f"{opt9}CALL {{ MATCH (g9:Supplier) RETURN count(*) AS gc }} " + q
             items.append("gc")
-        else:
+        elif draw(st.booleans()):
             call = (
                 f" {opt9}CALL {{ WITH {vs[0]} MATCH (k9:Customer)"
                 f"-[:CUSTOMER_OF]->({vs[0]}) RETURN count(*) AS kc }}"
@@ -250,6 +252,17 @@ def _query(draw):
             # the CALL clause sits after the reading clauses + WHERE
             q += call
             items.append("kc")
+        else:
+            # round-10: per-invocation ORDER BY/SKIP/LIMIT tail on a
+            # non-aggregating correlated body (window top-k per group)
+            desc = " DESC" if draw(st.booleans()) else ""
+            skip = f" SKIP {draw(st.integers(0, 2))}" if draw(st.booleans()) else ""
+            q += (
+                f" {opt9}CALL {{ WITH {vs[0]} MATCH (k9:Customer)"
+                f"-[:CUSTOMER_OF]->({vs[0]}) RETURN k9.name AS kn"
+                f" ORDER BY kn{desc}{skip} LIMIT {draw(st.integers(1, 3))} }}"
+            )
+            items.append("kn")
     q += " RETURN " + ", ".join(items)
     if draw(st.booleans()):
         q += f" ORDER BY {items[0].split(' ')[-1]} DESC"
