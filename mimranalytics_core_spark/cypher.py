@@ -3524,9 +3524,47 @@ def _extract_calls(query: str) -> tuple[str, list[dict]]:
 def _prepare_call(inner: str) -> dict:
     """Normalize one CALL body → {query, imports, post} (see
     _extract_calls). ``post`` is the per-invocation ORDER BY/SKIP/LIMIT
-    window spec for correlated bodies (None when absent)."""
+    window spec for correlated bodies (None when absent). A correlated
+    UNION ALL body (round-10) returns ``query=None`` plus ``branches``:
+    each branch is prepared independently (own importing WITH, own import
+    re-append) and _apply_call unions the compiled branch frames BEFORE
+    the single outer equi-join — per-invocation concatenation IS a union
+    keyed by the import columns."""
     if not inner:
         raise CypherSyntaxError("empty CALL { } subquery")
+    pieces, kind = _split_union(inner)
+    if kind is not None:
+        specs = [_prepare_call(b.strip()) for b in pieces]
+        if any(s["imports"] for s in specs):
+            if kind != "all":
+                raise CypherSyntaxError(
+                    "UNION (distinct) inside a correlated CALL subquery is "
+                    "not supported: per-invocation dedup is not expressible "
+                    "on the join composition — use UNION ALL or lift the "
+                    "dedup out"
+                )
+            imps = specs[0]["imports"]
+            if any(s["imports"] != imps for s in specs):
+                raise CypherSyntaxError(
+                    "every branch of a correlated CALL UNION ALL must "
+                    "import the same variables "
+                    f"(got {[s['imports'] for s in specs]})"
+                )
+            if any(s["post"] for s in specs) or any(s.get("branches") for s in specs):
+                raise CypherSyntaxError(
+                    "ORDER BY/SKIP/LIMIT or nested UNION inside a "
+                    "correlated CALL UNION ALL branch is not supported — "
+                    "apply them after the CALL"
+                )
+            return {
+                "query": None,
+                "branches": [s["query"] for s in specs],
+                "imports": imps,
+                "post": None,
+            }
+        # every branch uncorrelated → the body executes once as a whole;
+        # run() compiles the top-level UNION itself
+        return {"query": inner.strip(), "imports": [], "post": None}
     imports: list[str] = []
     post: dict | None = None
     im = re.match(
@@ -3554,12 +3592,6 @@ def _prepare_call(inner: str) -> dict:
             "only matter for writes, and this engine is read-only)"
         )
     if imports:
-        if _UNION_RE.search(masked):
-            raise CypherSyntaxError(
-                "UNION inside a correlated CALL subquery is not supported "
-                "(per-outer-row branch semantics); drop the imports or "
-                "lift the UNION out"
-            )
         tm = re.search(r"\b(?:ORDER\s+BY|SKIP|LIMIT)\b", masked[rpos.end() :], re.I)
         if tm:
             # Per-outer-row ORDER BY/SKIP/LIMIT (round-10): Neo4j runs the
@@ -3650,11 +3682,14 @@ def _call_projection(query: str) -> list[dict]:
     stripped, calls = _extract_calls(branch)
     extra: set = set()
     for c in calls:
-        extra |= {
-            it["name"]
-            for it in _call_projection(c["query"])
-            if it["name"] not in c["imports"]
-        }
+        # a correlated UNION ALL spec carries branch queries instead of a
+        # single body (query=None); the first branch names the columns
+        for body in c["branches"] if c.get("branches") else [c["query"]]:
+            extra |= {
+                it["name"]
+                for it in _call_projection(body)
+                if it["name"] not in c["imports"]
+            }
     p = parse(stripped, extra_vars=frozenset(extra)) if calls else parse(stripped)
     return p["projection"]
 
@@ -3731,10 +3766,32 @@ def _run_single(
     query, _calls = _extract_calls(query)
     _call_extra: set = set()
     for _c in _calls:
-        # first UNION branch carries the column names (UNION only reaches
-        # here uncorrelated; branches must agree on names, checked in
-        # run()); _call_projection recurses through nested CALL blocks
-        _c["_proj"] = _call_projection(_c["query"])
+        if _c.get("branches"):
+            # correlated UNION ALL (round-10): every branch is compiled
+            # separately, so validate them against each other here —
+            # identical output names, and no aggregating items (a grouped
+            # aggregate per branch would need per-branch join modes; the
+            # union-then-join composition requires plain row branches)
+            projs = [_call_projection(b) for b in _c["branches"]]
+            names = [[it["name"] for it in pr] for pr in projs]
+            if any(sorted(nl) != sorted(names[0]) for nl in names[1:]):
+                raise CypherSyntaxError(
+                    "branches of a correlated CALL UNION ALL must return "
+                    f"the same column names (got {names})"
+                )
+            if any(it["kind"] == "agg" for pr in projs for it in pr):
+                raise CypherSyntaxError(
+                    "aggregates inside a correlated CALL UNION ALL branch "
+                    "are not supported — aggregate after the CALL, or "
+                    "split into separate CALL subqueries"
+                )
+            _c["_proj"] = projs[0]
+        else:
+            # first UNION branch carries the column names (UNION only
+            # reaches here uncorrelated; branches must agree on names,
+            # checked in run()); _call_projection recurses through nested
+            # CALL blocks
+            _c["_proj"] = _call_projection(_c["query"])
         _c["_new"] = [
             it["name"] for it in _c["_proj"] if it["name"] not in _c["imports"]
         ]
@@ -4022,7 +4079,18 @@ def _run_single(
     # LEFT-joins so zero-match outer rows survive with count/sum = 0
     # (Neo4j's aggregate-subquery cardinality), coalesced below.
     def _apply_call(df: DataFrame, _c: dict) -> DataFrame:
-        sub = run(spark, sf_dir, _c["query"], graph=graph)
+        if _c.get("branches"):
+            # correlated UNION ALL: union the branch frames (same columns,
+            # validated above), then ONE equi-join on the import key —
+            # per-invocation concatenation is exactly a keyed union, and
+            # under OPTIONAL CALL a single left join null-extends once
+            # even when every branch is empty for an anchor
+            parts = [run(spark, sf_dir, b, graph=graph) for b in _c["branches"]]
+            sub = parts[0]
+            for pp in parts[1:]:
+                sub = sub.unionByName(pp)
+        else:
+            sub = run(spark, sf_dir, _c["query"], graph=graph)
         clash = set(_c["_new"]) & set(df.columns)
         if clash:
             raise CypherSyntaxError(

@@ -5418,3 +5418,49 @@ def cypher_call_topk(spark, sf_dir):
            RETURN n.name AS nm, cname, bal
            ORDER BY nm, bal DESC, cname""",
     )
+
+
+@register(
+    "cypher_call_union",
+    "graph",
+    oracle="""
+        SELECT nm, kind, COUNT(*) AS k FROM (
+            SELECT n.n_name AS nm, 'cust' AS kind
+            FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT n.n_name AS nm, 'supp' AS kind
+            FROM nation n JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        ) GROUP BY nm, kind ORDER BY nm, kind
+    """,
+    notes=(
+        "UNION ALL inside a correlated CALL body (round-10 — lifts the "
+        "round-9 rejection): each branch imports the same variables and "
+        "is compiled independently; the branch frames UNION first and "
+        "the combined frame equi-joins the outer scope ONCE "
+        "(cypher._prepare_call branch specs + the union block in "
+        "_apply_call) — per-invocation concatenation IS a keyed union, "
+        "and under OPTIONAL CALL the single left join null-extends once "
+        "even when every branch is empty for an anchor. Declared subset: "
+        "UNION ALL only (per-invocation DISTINCT isn't expressible on "
+        "the join composition), non-aggregating branches, identical "
+        "import lists and output names — each violation gets a targeted "
+        "parse error. Scale: N branch scans + one shuffle on the import "
+        "key; no per-row re-execution. Oracle: UNION ALL of the two "
+        "base-table joins grouped on (nation, branch-tag)"
+    ),
+)
+def cypher_call_union(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  RETURN c.name AS who, 'cust' AS kind
+                  UNION ALL
+                  WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                  RETURN s.name AS who, 'supp' AS kind }
+           RETURN n.name AS nm, kind, count(*) AS k
+           ORDER BY nm, kind""",
+    )

@@ -473,3 +473,81 @@ def test_duplicate_return_names_rejected(spark):
         api.cypher(
             spark, SF, "MATCH (n:Nation) WITH n, count(*) AS n RETURN n"
         )
+
+
+# --- round-10: UNION ALL inside correlated CALL bodies ---
+
+
+def test_correlated_call_union_all(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  RETURN c.name AS who, 'cust' AS kind
+                  UNION ALL
+                  WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                  RETURN s.name AS who, 'supp' AS kind }
+           RETURN kind, count(*) AS k ORDER BY kind""",
+    ).collect()
+    got = {r.kind: r.k for r in rows}
+    assert got["cust"] == spark.read.parquet(f"{SF}/customer.parquet").count()
+    assert got["supp"] == spark.read.parquet(f"{SF}/supplier.parquet").count()
+
+
+def test_optional_call_union_null_extends_once(spark):
+    # both branches empty for an anchor → exactly ONE null-extended row
+    # (union first, single left join — not one null row per branch)
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           OPTIONAL CALL { WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                           RETURN s.name AS who
+                           UNION ALL
+                           WITH n MATCH (s2:Supplier)-[:SUPPLIER_OF]->(n)
+                           RETURN s2.name AS who }
+           RETURN n.name AS nm, who ORDER BY nm""",
+    ).collect()
+    assert len({r.nm for r in rows}) == 25
+    null_counts = {}
+    for r in rows:
+        if r.who is None:
+            null_counts[r.nm] = null_counts.get(r.nm, 0) + 1
+    assert null_counts and all(v == 1 for v in null_counts.values())
+
+
+@pytest.mark.parametrize(
+    "body,frag",
+    [
+        (
+            """WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN c.name AS who
+               UNION WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN s.name AS who""",
+            r"UNION \(distinct\) inside a correlated CALL",
+        ),
+        (
+            """WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN count(*) AS k
+               UNION ALL WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN count(*) AS k""",
+            "aggregates inside a correlated CALL UNION ALL",
+        ),
+        (
+            """WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN c.name AS who
+               UNION ALL MATCH (s:Supplier) RETURN s.name AS who""",
+            "must import the same variables",
+        ),
+        (
+            """WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN c.name AS a
+               UNION ALL WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN s.name AS b""",
+            "must return the same column names",
+        ),
+        (
+            """WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN c.name AS who LIMIT 1
+               UNION ALL WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN s.name AS who""",
+            "ORDER BY/SKIP/LIMIT or nested UNION inside a correlated CALL UNION ALL",
+        ),
+    ],
+)
+def test_call_union_rejections_are_targeted(spark, body, frag):
+    q = f"MATCH (n:Nation) CALL {{ {body} }} RETURN n, count(*) AS k"
+    with pytest.raises(CypherSyntaxError, match=frag):
+        api.cypher(spark, SF, q).collect()

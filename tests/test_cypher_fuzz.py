@@ -252,7 +252,7 @@ def _query(draw):
             # the CALL clause sits after the reading clauses + WHERE
             q += call
             items.append("kc")
-        else:
+        elif draw(st.booleans()):
             # round-10: per-invocation ORDER BY/SKIP/LIMIT tail on a
             # non-aggregating correlated body (window top-k per group)
             desc = " DESC" if draw(st.booleans()) else ""
@@ -261,6 +261,15 @@ def _query(draw):
                 f" {opt9}CALL {{ WITH {vs[0]} MATCH (k9:Customer)"
                 f"-[:CUSTOMER_OF]->({vs[0]}) RETURN k9.name AS kn"
                 f" ORDER BY kn{desc}{skip} LIMIT {draw(st.integers(1, 3))} }}"
+            )
+            items.append("kn")
+        else:
+            # round-10: correlated UNION ALL body (union-then-join)
+            q += (
+                f" {opt9}CALL {{ WITH {vs[0]} MATCH (k9:Customer)"
+                f"-[:CUSTOMER_OF]->({vs[0]}) RETURN k9.name AS kn"
+                f" UNION ALL WITH {vs[0]} MATCH (k9:Supplier)"
+                f"-[:SUPPLIER_OF]->({vs[0]}) RETURN k9.name AS kn }}"
             )
             items.append("kn")
     q += " RETURN " + ", ".join(items)
@@ -283,11 +292,13 @@ def _parse_like_runner(piece: str):
     stripped, calls = _extract_calls(piece)
     extra: set = set()
     for c in calls:
-        extra |= {
-            it["name"]
-            for it in _call_projection(c["query"])
-            if it["name"] not in c["imports"]
-        }
+        # correlated UNION ALL specs carry branch queries (query=None)
+        for body in c["branches"] if c.get("branches") else [c["query"]]:
+            extra |= {
+                it["name"]
+                for it in _call_projection(body)
+                if it["name"] not in c["imports"]
+            }
     return parse(stripped, extra_vars=frozenset(extra)) if calls else parse(stripped)
 
 
