@@ -318,6 +318,54 @@ def _split_items(text: str) -> list[str]:
     return items
 
 
+def _pattern_comprehension_to_collect(item: str) -> str | None:
+    """Rewrite a pattern-comprehension RETURN item
+    ``[(a)-[:R]->(b) [WHERE pred] | expr] AS alias`` into the equivalent
+    ``COLLECT { … RETURN expr } AS alias`` item (Neo4j 5 docs state the
+    equivalence: a pattern comprehension IS a COLLECT subquery returning
+    one expression). Returns None when the item is not a pattern
+    comprehension (list literals/slices/list comprehensions start with a
+    value or `var IN`, never with a node pattern `(`; the rel-type
+    alternation `[:A|B]` pipe sits at bracket depth > 0 and never
+    triggers the split). Subset: no path-variable binding (`[p = … | …]`)
+    — COLLECT{} carries the same anchor/scope rules."""
+    if not re.match(r"^\[\s*\(", item):
+        return None
+    masked = re.sub(
+        r"'(?:[^'])*'", lambda m: "'" + "x" * (len(m.group(0)) - 2) + "'", item
+    )
+    depth, close = 0, -1
+    for i, ch in enumerate(masked):
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+            if depth == 0 and ch == "]":
+                close = i
+                break
+    if close < 0:
+        return None
+    am = re.match(r"\s+AS\s+(\w+)\s*$", item[close + 1 :], re.I)
+    if not am:
+        return None
+    inner, minner = item[1:close], masked[1:close]
+    bar, d = -1, 0
+    for i, ch in enumerate(minner):
+        if ch in "([{":
+            d += 1
+        elif ch in ")]}":
+            d -= 1
+        elif ch == "|" and d == 0:
+            bar = i
+            break
+    if bar < 0:
+        return None
+    pat, expr = inner[:bar].strip(), inner[bar + 1 :].strip()
+    if not pat or not expr:
+        return None
+    return f"COLLECT {{ {pat} RETURN {expr} }} AS {am.group(1)}"
+
+
 def _fn_rewrite(seg: str) -> str:
     """Map Cypher's scalar string functions onto their Spark SQL twins
     (applied outside quoted literals, alongside the var.prop mapping).
@@ -2574,6 +2622,13 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             # List order is pinned LEXICALLY (array_sort) like collect():
             # cross-run determinism; ORDER BY inside the body is rejected
             # with a targeted message (declared divergence).
+            # pattern comprehensions desugar to COLLECT{} (round-10): the
+            # rewrite happens here so `[(n)<-[:R]-(m) WHERE p | m.x] AS xs`
+            # rides the exact COLLECT anchor/scope/compile path below
+            if ctx == "RETURN":
+                pc_ = _pattern_comprehension_to_collect(item)
+                if pc_:
+                    item = pc_
             lq_ = re.match(
                 r"^COLLECT\s*\{(?P<body>.+)\}\s+AS\s+(?P<alias>\w+)$",
                 item,

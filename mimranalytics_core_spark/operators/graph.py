@@ -5464,3 +5464,53 @@ def cypher_call_union(spark, sf_dir):
            RETURN n.name AS nm, kind, count(*) AS k
            ORDER BY nm, kind""",
     )
+
+
+@register(
+    "cypher_pattern_comprehension",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm,
+               (SELECT COALESCE(string_agg(c.c_name, '|' ORDER BY c.c_name), '')
+                  FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                   AND c.c_acctbal > 5000) AS rich,
+               CAST((SELECT COUNT(*) FROM customer c
+                      WHERE c.c_nationkey = n.n_nationkey
+                        AND c.c_acctbal > 5000) AS INT) AS n_rich
+        FROM nation n ORDER BY nm
+    """,
+    notes=(
+        "pattern comprehensions (round-10 — `[(pat) WHERE pred | expr]`, "
+        "one of the most common Neo4j expression idioms): desugared at "
+        "item-parse time to the equivalent COLLECT { pat WHERE pred "
+        "RETURN expr } subquery (cypher._pattern_comprehension_to_collect "
+        "— the Neo4j 5 docs state the same equivalence), so it inherits "
+        "COLLECT's whole compile path: anchor-grouped collect_list, "
+        "lexically sorted, LEFT-joined with [] for zero-match rows. The "
+        "bracket scan is depth- and quote-aware — list literals, "
+        "slices, and `[x IN …]` list comprehensions never trigger it, "
+        "and a rel-type alternation `[:A|B]` pipe sits at depth > 0. "
+        "Scale: partial collect_list + one equi-join on the anchor key; "
+        "the list is group-bounded. Declared subset: RETURN items, no "
+        "path-variable binding. Oracle: correlated string_agg/COUNT "
+        "with the WHERE folded in; '' coalesce matches array_join([])"
+    ),
+)
+def cypher_pattern_comprehension(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    df = api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           RETURN n.name AS nm,
+                  [(c:Customer)-[:CUSTOMER_OF]->(n)
+                   WHERE c.acctbal > 5000 | c.name] AS rich
+           ORDER BY nm""",
+    )
+    return df.select(
+        "nm",
+        F.array_join("rich", "|").alias("rich"),
+        F.size("rich").alias("n_rich"),
+    )

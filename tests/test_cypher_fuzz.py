@@ -218,6 +218,9 @@ def _query(draw):
                         "RETURN q8.name }} AS sq4",
                         "COLLECT {{ (q8:Supplier)-[:SUPPLIER_OF]->({v}) "
                         "RETURN DISTINCT q8 }} AS sq5",
+                        # round-10: pattern comprehension (COLLECT sugar)
+                        "[(q8:Customer)-[:CUSTOMER_OF]->({v}) "
+                        "WHERE q8.acctbal > 0 | q8.name] AS sq6",
                     ]
                 )
             ).format(v=vs[0])

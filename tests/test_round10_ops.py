@@ -128,3 +128,87 @@ def test_bench_only_without_out_exits_before_spark():
     )
     assert proc.returncode != 0
     assert "SPARK_GRAFT_BENCH_OUT" in proc.stderr
+
+
+# --- pattern comprehensions (desugar to COLLECT{}) ---
+
+
+def test_pattern_comprehension_basic(spark):
+    import pyspark.sql.functions as F
+
+    df = api.cypher(
+        spark,
+        SF,
+        """MATCH (r:Region)
+           RETURN r.name AS rn, [(n:Nation)-[:NATION_OF]->(r) | n.name] AS ns
+           ORDER BY rn""",
+    )
+    rows = df.select("rn", F.size("ns").alias("k")).collect()
+    assert len(rows) == 5 and all(r.k == 5 for r in rows)
+
+
+def test_pattern_comprehension_where_and_empty_list(spark):
+    import pyspark.sql.functions as F
+
+    rows = (
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (n:Nation)
+               RETURN n.name AS nm,
+                      [(c:Customer)-[:CUSTOMER_OF]->(n)
+                       WHERE c.acctbal > 9000 | c.name] AS vip
+               ORDER BY nm""",
+        )
+        .select("nm", F.size("vip").alias("k"))
+        .collect()
+    )
+    assert len(rows) == 25  # zero-match nations read [] (k=0), not drop
+    assert min(r.k for r in rows) == 0 and max(r.k for r in rows) >= 1
+
+
+def test_pattern_comprehension_reltype_alternation_pipe(spark):
+    import pyspark.sql.functions as F
+
+    rows = (
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (n:Nation)
+               RETURN n.name AS nm,
+                      [(x)-[:CUSTOMER_OF|SUPPLIER_OF]->(n) | x.name] AS members
+               ORDER BY nm""",
+        )
+        .select(F.sum(F.size("members")).alias("t"))
+        .collect()
+    )
+    cust = spark.read.parquet(f"{SF}/customer.parquet").count()
+    supp = spark.read.parquet(f"{SF}/supplier.parquet").count()
+    assert rows[0].t == cust + supp
+
+
+def test_list_expressions_not_mistaken_for_pattern_comprehension(spark):
+    # literals, slices, and list comprehensions keep their own paths
+    row = api.cypher(
+        spark,
+        SF,
+        "RETURN [1, 2, 3][-1] AS last_el, "
+        "[x IN range(1, 5) WHERE x % 2 = 0 | x * x][0] AS lc",
+    ).collect()[0]
+    assert row.last_el == 3 and row.lc == 4
+
+
+def test_pattern_comprehension_helper_unit():
+    from mimranalytics_core_spark.cypher import _pattern_comprehension_to_collect as pc
+
+    assert (
+        pc("[(a)-[:X]->(b) | b.name] AS xs")
+        == "COLLECT { (a)-[:X]->(b) RETURN b.name } AS xs"
+    )
+    assert (
+        pc("[(a)-[:X|Y]->(b) WHERE b.v > 1 | b.name] AS xs")
+        == "COLLECT { (a)-[:X|Y]->(b) WHERE b.v > 1 RETURN b.name } AS xs"
+    )
+    assert pc("[1, 2, 3] AS lit") is None
+    assert pc("[x IN lst | x] AS lc") is None  # no leading node pattern
+    assert pc("[(a)-->(b) | coalesce(b.name, '|')] AS xs") is not None
