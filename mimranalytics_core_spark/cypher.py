@@ -1844,7 +1844,36 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             f"named_struct('id', {v}, 'label', {v}.label, 'name', {v}.name)"
         )
 
+    def _gfn_mapproj(m: re.Match) -> str:
+        # map projection `x {.p1, .p2}` / `x {.*}` (round-10 — the Neo4j
+        # property-selection idiom): property selectors compile to a
+        # named_struct over the same var.prop tokens properties() emits
+        # (they resolve through the ordinary attribute-view join); `.*`
+        # IS properties(x) — emit that call and let the rewrite below
+        # expand it per label. Subset: property selectors and `.*` only
+        # (no literal/variable entries — those read like property maps).
+        v, body = m.group(1), m.group(2)
+        sels = [s.strip() for s in body.split(",")]
+        if ".*" in sels:
+            if len(sels) != 1:
+                raise CypherSyntaxError(
+                    f"map projection {m.group(0)!r}: `.*` must be the only "
+                    "selector (combining it with explicit selectors is not "
+                    "supported)"
+                )
+            return f"properties({v})"
+        fields = [
+            f"'{p}', " + (v if p == "id" else f"{v}.{p}")
+            for p in (s[1:] for s in sels)
+        ]
+        return "named_struct(" + ", ".join(fields) + ")"
+
     def _gfn_seg(seg: str) -> str:
+        seg = re.sub(
+            r"\b([A-Za-z_]\w*)\s*\{\s*((?:\.\w+|\.\*)(?:\s*,\s*(?:\.\w+|\.\*))*)\s*\}",
+            _gfn_mapproj,
+            seg,
+        )
         seg = re.sub(r"\btype\s*\(\s*([A-Za-z_]\w*)\s*\)", _gfn_type, seg)
         seg = re.sub(
             r"\b(startNode|endNode)\s*\(\s*([A-Za-z_]\w*)\s*\)",

@@ -5514,3 +5514,48 @@ def cypher_pattern_comprehension(spark, sf_dir):
         F.array_join("rich", "|").alias("rich"),
         F.size("rich").alias("n_rich"),
     )
+
+
+@register(
+    "cypher_map_projection",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm, c.c_name AS cname, c.c_acctbal AS bal,
+               c.c_mktsegment AS seg
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ORDER BY nm, cname
+    """,
+    notes=(
+        "map projections (round-10 — `x {.p1, .p2}` / `x {.*}`, Neo4j's "
+        "property-selection idiom): rewritten in the scalar-function pass "
+        "(cypher._gfn_mapproj) to a named_struct over the same var.prop "
+        "tokens properties() emits, so the fields resolve through the "
+        "ordinary attribute-view equi-join (label-pruned when the var is "
+        "labeled); `.*` desugars to properties(x) and inherits its "
+        "per-label field set. Pattern property maps `{name: 'X'}` never "
+        "match the rewrite (selectors must start with `.`). Declared "
+        "subset: property selectors and `.*` only — literal/variable "
+        "entries are rejected by the ordinary grammar; `.*` may not mix "
+        "with explicit selectors (targeted error). Scale: zero extra "
+        "plan cost — the struct is a row-local projection over columns "
+        "the property join already carries. Oracle: the flat projection "
+        "(the declared query post-projects the struct to scalar columns "
+        "for the driver's value hash)"
+    ),
+)
+def cypher_map_projection(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    df = api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN c {.name, .acctbal, .mktsegment} AS cm, n.name AS nm
+           ORDER BY nm""",
+    )
+    return df.select(
+        "nm",
+        F.col("cm.name").alias("cname"),
+        F.col("cm.acctbal").alias("bal"),
+        F.col("cm.mktsegment").alias("seg"),
+    )

@@ -212,3 +212,48 @@ def test_pattern_comprehension_helper_unit():
     assert pc("[1, 2, 3] AS lit") is None
     assert pc("[x IN lst | x] AS lc") is None  # no leading node pattern
     assert pc("[(a)-->(b) | coalesce(b.name, '|')] AS xs") is not None
+
+
+# --- map projections ---
+
+
+def test_map_projection_selectors(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN c {.name, .acctbal} AS cm, n.name AS nm
+           ORDER BY nm LIMIT 3""",
+    ).collect()
+    assert rows and set(rows[0].cm.asDict()) == {"name", "acctbal"}
+    assert rows[0].cm.name.startswith("Customer#")
+
+
+def test_map_projection_star_is_properties(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer) RETURN c {.*} AS cm, c.name AS nm ORDER BY nm LIMIT 1",
+    ).collect()[0]
+    assert set(row.cm.asDict()) == {"id", "label", "name", "acctbal", "mktsegment"}
+
+
+def test_map_projection_id_selector(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) RETURN n {.id, .name} AS m, n.name AS nm ORDER BY nm LIMIT 1",
+    ).collect()[0]
+    assert row.m.asDict() == {"id": "n:0", "name": "NATION_0"}
+
+
+def test_map_projection_star_with_selectors_rejected(spark):
+    with pytest.raises(CypherSyntaxError, match=r"`\.\*` must be the only"):
+        api.cypher(spark, SF, "MATCH (n:Nation) RETURN n {.*, .name} AS m")
+
+
+def test_pattern_property_maps_untouched_by_map_projection(spark):
+    rows = api.cypher(
+        spark, SF, "MATCH (n:Nation {name: 'NATION_3'}) RETURN n.name AS nm"
+    ).collect()
+    assert len(rows) == 1 and rows[0].nm == "NATION_3"
