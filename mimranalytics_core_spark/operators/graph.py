@@ -5559,3 +5559,46 @@ def cypher_map_projection(spark, sf_dir):
         F.col("cm.acctbal").alias("bal"),
         F.col("cm.mktsegment").alias("seg"),
     )
+
+
+@register(
+    "cypher_quantified_rel",
+    "graph",
+    oracle="""
+        SELECT x_label, COUNT(*) AS k FROM (
+            SELECT 'Nation' AS x_label
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            UNION ALL
+            SELECT 'Region' AS x_label
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ) GROUP BY x_label ORDER BY x_label
+    """,
+    notes=(
+        "quantified-relationship shorthand (round-10 — Neo4j 5 GQL "
+        "syntax): `-[:R]->{m,n}` desugars at the text level "
+        "(cypher._rewrite_qpp, quote-aware, before any scanner) to the "
+        "classic `-[:R*m..n]->` varlength form and rides its whole "
+        "compile path — per-hop bounded self-joins, trail semantics, "
+        "label pruning. `{n}` means exactly n hops; left-arrow and "
+        "undirected forms work. Declared subset, each with a targeted "
+        "parse error: explicit integer bounds only (`+`/`*`/`{1,}` are "
+        "unbounded — the engine requires a hop bound), no zero-length "
+        "quantifiers (a 0-hop match binds src = dst), no parenthesized "
+        "path groups (group variables bind LISTS in Neo4j — not "
+        "expressible on the flat row model; quantify the relationship "
+        "instead). Scale: identical plan to the varlength op it "
+        "rewrites to. Oracle: the 1-hop UNION ALL 2-hop expansion "
+        "grouped by the reached label"
+    ),
+)
+def cypher_quantified_rel(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[]->{1,2}(x)
+           RETURN array_join(labels(x), '|') AS x_label, count(*) AS k
+           ORDER BY x_label""",
+    )

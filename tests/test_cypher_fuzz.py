@@ -30,14 +30,20 @@ def _node(draw, var):
 def _rel(draw, rvar: str = ""):
     types = draw(st.lists(_TYPES, min_size=0, max_size=2, unique=True))
     tpart = (":" + "|".join(types)) if types else ""
-    star = draw(st.sampled_from(["", "*", "*2", "*1..3"]))
+    # round-10: {m,n}/{n} is the Neo4j 5 quantified-relationship spelling
+    # of *m..n — desugared by cypher._rewrite_qpp before parsing
+    star, quant = draw(
+        st.sampled_from(
+            [("", ""), ("*", ""), ("*2", ""), ("*1..3", ""), ("", "{2}"), ("", "{1,3}")]
+        )
+    )
     body = f"[{rvar}{tpart}{star}]"
     arrow = draw(st.sampled_from(["out", "in", "both"]))
     if arrow == "in":
-        return f"<-{body}-"
+        return f"<-{body}-{quant}"
     if arrow == "both":
-        return f"-{body}-"
-    return f"-{body}->"
+        return f"-{body}-{quant}"
+    return f"-{body}->{quant}"
 
 
 @st.composite

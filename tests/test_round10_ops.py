@@ -257,3 +257,42 @@ def test_pattern_property_maps_untouched_by_map_projection(spark):
         spark, SF, "MATCH (n:Nation {name: 'NATION_3'}) RETURN n.name AS nm"
     ).collect()
     assert len(rows) == 1 and rows[0].nm == "NATION_3"
+
+
+# --- quantified-relationship shorthand (Neo4j 5) ---
+
+
+def test_quantified_rel_equals_varlength(spark):
+    a = api.cypher(
+        spark, SF, "MATCH (c:Customer)-[]->{1,2}(x) RETURN c, x ORDER BY c, x"
+    ).collect()
+    b = api.cypher(
+        spark, SF, "MATCH (c:Customer)-[*1..2]->(x) RETURN c, x ORDER BY c, x"
+    ).collect()
+    assert a == b and a
+
+
+def test_quantified_rel_exact_and_left_arrow(spark):
+    k2 = api.cypher(
+        spark, SF, "MATCH (c:Customer)-[]->{2}(x) RETURN count(*) AS k"
+    ).collect()[0].k
+    assert k2 == spark.read.parquet(f"{SF}/customer.parquet").count()
+    kl = api.cypher(
+        spark, SF, "MATCH (x)<-[]-{2}(c:Customer) RETURN count(*) AS k"
+    ).collect()[0].k
+    assert kl == k2
+
+
+@pytest.mark.parametrize(
+    "q,frag",
+    [
+        ("MATCH (a)-[:CUSTOMER_OF]->+(b) RETURN a", "unbounded relationship quantifiers"),
+        ("MATCH (a)-[:CUSTOMER_OF]->{0,2}(b) RETURN a", "zero/open-start"),
+        ("MATCH (a)-[:CUSTOMER_OF]->{1,}(b) RETURN a", "unbounded quantifier"),
+        ("MATCH (a)-[:CUSTOMER_OF*1..2]->{1,2}(b) RETURN a", "double quantifier"),
+        ("MATCH ((a)-[:CUSTOMER_OF]->(b)){1,2} RETURN a", "parenthesized quantified path"),
+    ],
+)
+def test_quantified_rel_rejections(spark, q, frag):
+    with pytest.raises(CypherSyntaxError, match=frag):
+        api.cypher(spark, SF, q)
