@@ -214,3 +214,59 @@ def test_cypher_endpoint_call_subquery_with_now_param(server):
     assert got["n"] == 3
     assert all(r["d"] == "1995-06-17" for r in got["rows"])
     assert all(r["nc"] >= 0 for r in got["rows"])
+
+
+def test_cypher_endpoint_round10_surface(server):
+    # the round-10 additions are reachable through the HTTP lifecycle:
+    # CALL tails (top-k per group), correlated UNION ALL, pattern
+    # comprehensions, map projections, quantified relationships
+    got = _get(
+        server,
+        "/cypher",
+        q=(
+            "MATCH (n:Nation) CALL { WITH n "
+            "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) "
+            "RETURN c.name AS top_c ORDER BY top_c LIMIT 1 } "
+            "RETURN n.name AS nm, top_c ORDER BY nm LIMIT 3"
+        ),
+    )
+    assert got["n"] == 3 and all(r["top_c"].startswith("Customer#") for r in got["rows"])
+    got = _get(
+        server,
+        "/cypher",
+        q=(
+            "MATCH (n:Nation) CALL { WITH n "
+            "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) RETURN c.name AS who "
+            "UNION ALL WITH n "
+            "MATCH (s:Supplier)-[:SUPPLIER_OF]->(n) RETURN s.name AS who } "
+            "RETURN count(*) AS k"
+        ),
+    )
+    assert got["rows"][0]["k"] == 160  # 150 customers + 10 suppliers
+    got = _get(
+        server,
+        "/cypher",
+        q=(
+            "MATCH (r:Region) RETURN r.name AS rn, "
+            "[(n:Nation)-[:NATION_OF]->(r) | n.name] AS ns ORDER BY rn"
+        ),
+    )
+    assert got["n"] == 5 and all(len(r["ns"]) == 5 for r in got["rows"])
+    got = _get(
+        server,
+        "/cypher",
+        q="MATCH (n:Nation) RETURN n {.name} AS m, n.name AS nm ORDER BY nm LIMIT 1",
+    )
+    assert got["rows"][0]["m"] == {"name": "NATION_0"}
+    got = _get(
+        server,
+        "/cypher",
+        q="MATCH (c:Customer)-[]->{2}(x) RETURN count(*) AS k",
+    )
+    assert got["rows"][0]["k"] == 150
+
+
+def test_cypher_endpoint_400_on_bad_now(server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/cypher", q="RETURN date() AS d", params='{"now": "6/1/1997"}')
+    assert ei.value.code == 400
