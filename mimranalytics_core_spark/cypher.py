@@ -572,7 +572,8 @@ _RESERVED = {"src", "dst", "hops", "path_weight", "id", "name", "label"}
 _EXPR_ALLOW = {
     "coalesce", "lower", "upper", "length", "abs", "round", "floor",
     "ceil", "ceiling", "concat", "substring", "substr", "replace", "trim",
-    "ltrim", "rtrim", "nullif", "greatest", "least", "cast", "int",
+    "ltrim", "rtrim", "left", "right",  # round-10: Neo4j left/right ≡ Spark
+    "nullif", "greatest", "least", "cast", "int",
     "bigint", "double", "float", "string", "boolean", "decimal",
     "case", "when", "then", "else", "end", "and", "or", "not",
     "like", "is", "null", "true", "false", "as",
