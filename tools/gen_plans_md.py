@@ -188,6 +188,21 @@ SHOWCASE = [
         "BEFORE the left join (null-extension preserved), the start-"
         "variable id equality sits on the scan below the first join.",
     ),
+    (
+        "cypher_call_topk",
+        "Per-invocation ORDER BY/SKIP/LIMIT in a correlated CALL body "
+        "(round-10): row_number() windows on the import key — the SAME "
+        "key the outer equi-join shuffles on — and the rank filter "
+        "prunes each group to the page BEFORE the join. Neo4j's "
+        "per-outer-row semantic as one top-k-per-group pass.",
+    ),
+    (
+        "cypher_call_union",
+        "Correlated CALL UNION ALL (round-10): both branch frames union "
+        "FIRST, then one equi-join on the import key — per-invocation "
+        "concatenation with N branch scans and a single join, no "
+        "per-row re-execution, no per-branch join fan-out.",
+    ),
 ]
 
 
