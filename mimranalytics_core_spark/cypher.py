@@ -392,9 +392,10 @@ def _fn_rewrite(seg: str) -> str:
     seg = re.sub(r"\btoLower\s*\(", "lower(", seg)
     seg = re.sub(r"\btoUpper\s*\(", "upper(", seg)
     seg = re.sub(r"\bsize\s*\(", "length(", seg, flags=re.I)
-    # Neo4j id(n): the namespaced node id IS the identity — id(n) ≡ n.
-    # A non-variable operand falls through to the identifier name check.
-    seg = re.sub(r"\bid\s*\(\s*([A-Za-z_]\w*)\s*\)", r"\1", seg)
+    # Neo4j id(n) / elementId(n) (5.x successor): the namespaced node id
+    # IS the identity — both ≡ n. A non-variable operand falls through to
+    # the identifier name check.
+    seg = re.sub(r"\b(?:id|elementId)\s*\(\s*([A-Za-z_]\w*)\s*\)", r"\1", seg, flags=re.I)
     # Cypher substring(s, start[, len]) indexes from 0; Spark from 1 —
     # shift the start argument (+1) with the same balanced-paren argument
     # capture as the CAST rewrites below (round-7; bails on a segment-

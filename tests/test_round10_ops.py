@@ -296,3 +296,24 @@ def test_quantified_rel_exact_and_left_arrow(spark):
 def test_quantified_rel_rejections(spark, q, frag):
     with pytest.raises(CypherSyntaxError, match=frag):
         api.cypher(spark, SF, q)
+
+
+def test_element_id_is_id(spark):
+    # Neo4j 5 elementId(n) — same identity as id(n) on the namespaced ids
+    rows = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) WHERE elementId(n) = 'n:3' "
+        "RETURN elementId(n) AS eid, id(n) AS iid",
+    ).collect()
+    assert len(rows) == 1 and rows[0].eid == "n:3" == rows[0].iid
+
+
+def test_left_right_string_fns(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) RETURN left(n.name, 6) AS l6, right(n.name, 2) AS r2, "
+        "n.name AS nm ORDER BY nm LIMIT 1",
+    ).collect()[0]
+    assert row.l6 == "NATION" and row.r2 == "_0"
