@@ -348,7 +348,20 @@ def _pattern_comprehension_to_collect(item: str) -> str | None:
     am = re.match(r"\s+AS\s+(\w+)\s*$", item[close + 1 :], re.I)
     if not am:
         return None
-    inner, minner = item[1:close], masked[1:close]
+    parts = _split_pattern_comprehension(item[1:close], masked[1:close])
+    if parts is None:
+        return None
+    pat, expr = parts
+    return f"COLLECT {{ {pat} RETURN {expr} }} AS {am.group(1)}"
+
+
+def _split_pattern_comprehension(
+    inner: str, minner: str
+) -> tuple[str, str] | None:
+    """Split a bracket body ``(pat) [WHERE p] | expr`` at the top-level
+    pipe → (pattern-with-WHERE, expr); None when there is no depth-0 pipe
+    (a rel-type alternation ``[:A|B]`` sits at depth > 0). ``minner`` is
+    the quote-masked copy of ``inner`` (same length)."""
     bar, d = -1, 0
     for i, ch in enumerate(minner):
         if ch in "([{":
@@ -363,7 +376,7 @@ def _pattern_comprehension_to_collect(item: str) -> str | None:
     pat, expr = inner[:bar].strip(), inner[bar + 1 :].strip()
     if not pat or not expr:
         return None
-    return f"COLLECT {{ {pat} RETURN {expr} }} AS {am.group(1)}"
+    return pat, expr
 
 
 def _fn_rewrite(seg: str) -> str:
@@ -2626,6 +2639,26 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             # [NOT] EXISTS { pattern } AS flag — boolean pattern
             # existence as a per-row item (round-7): the subquery's
             # distinct anchors LEFT-join a literal true; null → false.
+            # size([(pat) [WHERE p] | expr]) counts the matches — exactly
+            # COUNT { pat } (round-10; the size-of-pattern-comprehension
+            # idiom Neo4j docs themselves suggest migrating to COUNT{}).
+            # Rewritten here so it rides the COUNT compile path below;
+            # size() of a list literal/variable keeps the length() path.
+            sz_ = re.match(
+                r"^size\s*\(\s*(?P<br>\[.+\])\s*\)\s+AS\s+(?P<alias>\w+)$",
+                item,
+                re.I | re.S,
+            )
+            if sz_ and ctx == "RETURN" and re.match(r"^\[\s*\(", sz_.group("br")):
+                br = sz_.group("br")
+                mbr = re.sub(
+                    r"'(?:[^'])*'",
+                    lambda mm: "'" + "x" * (len(mm.group(0)) - 2) + "'",
+                    br,
+                )
+                parts_ = _split_pattern_comprehension(br[1:-1], mbr[1:-1])
+                if parts_:
+                    item = f"COUNT {{ {parts_[0]} }} AS {sz_.group('alias')}"
             eq_ = re.match(
                 r"^(?P<neg>NOT\s+)?EXISTS\s*\{(?P<body>.+)\}\s+AS\s+(?P<alias>\w+)$",
                 item,

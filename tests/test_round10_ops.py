@@ -317,3 +317,23 @@ def test_left_right_string_fns(spark):
         "n.name AS nm ORDER BY nm LIMIT 1",
     ).collect()[0]
     assert row.l6 == "NATION" and row.r2 == "_0"
+
+
+def test_size_of_pattern_comprehension_is_count_subquery(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (r:Region)
+           RETURN r.name AS rn,
+                  size([(n:Nation)-[:NATION_OF]->(r) | n.name]) AS k
+           ORDER BY rn""",
+    ).collect()
+    assert len(rows) == 5 and all(r.k == 5 for r in rows)
+    # literal-list and string size() keep the length() path
+    row = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) RETURN size([1, 2, 3]) AS lk, size(n.name) AS sk, "
+        "n.name AS nm ORDER BY nm LIMIT 1",
+    ).collect()[0]
+    assert row.lk == 3 and row.sk == len("NATION_0")
