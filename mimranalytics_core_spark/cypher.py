@@ -2279,11 +2279,13 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # existentially quantified. Subset: trailing WHERE only, top-level
     # AND conjuncts only; the inner block may carry its own WHERE.
     exists_preds: list[dict] = []
+    count_preds: list[dict] = []
     count_subqueries: list[dict] = []
     exists_items: list[dict] = []
     collect_subqueries: list[dict] = []
     if where and (
         re.search(r"\bEXISTS\s*\{", where, re.I)
+        or re.search(r"\bCOUNT\s*\{", where, re.I)
         # bare pattern predicate: a rel-bracket outside quotes marks it
         # (IN-lists were already rewritten to parens at parse start)
         or re.search(r"-\s*\[", re.sub(r"'[^']*'", "''", where))
@@ -2331,6 +2333,55 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             else:
                 flat.append(cj0)
         for cj in flat:
+            # COUNT { pattern [WHERE …] } <op> k as a WHERE conjunct
+            # (round-10 — the degree-filter idiom): compiled like the
+            # COUNT item (grouped count + LEFT join) but consumed as a
+            # filter. The left join makes an OPTIONAL-null anchor count
+            # 0 (Neo4j's scoping), so no optional-anchor rejection here.
+            pm_ = re.fullmatch(
+                r"(?:COUNT\s*\{\s*(?P<body>(?:[^{}]|\{[^{}]*\})*?)\s*\}\s*"
+                r"(?P<op><=|>=|<>|=|<|>)\s*(?P<k>\d+)"
+                r"|(?P<k2>\d+)\s*(?P<op2><=|>=|<>|=|<|>)\s*"
+                r"COUNT\s*\{\s*(?P<body2>(?:[^{}]|\{[^{}]*\})*?)\s*\})",
+                cj,
+                re.I | re.S,
+            )
+            if pm_:
+                if pm_.group("body") is not None:
+                    cbody, cop, ck = pm_.group("body"), pm_.group("op"), pm_.group("k")
+                else:  # k <op> COUNT{} — flip the comparison around
+                    cbody, ck = pm_.group("body2"), pm_.group("k2")
+                    cop = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(
+                        pm_.group("op2"), pm_.group("op2")
+                    )
+                if not re.match(r"\s*MATCH\b", cbody, re.I):
+                    cbody = "MATCH " + cbody
+                cws = re.split(r"\bWHERE\b", cbody, maxsplit=1, flags=re.I)
+                c_vars = {m.group(1) for m in _NODE_RE.finditer(cws[0])}
+                c_anchors = sorted(c_vars & varset)
+                if not c_anchors:
+                    raise CypherSyntaxError(
+                        "a COUNT { … } WHERE conjunct must share at least "
+                        f"one variable with the enclosing MATCH: {cj!r}"
+                    )
+                c_inner = (
+                    cws[0].rstrip()
+                    + (f" AS OF '{as_of}'" if as_of else "")
+                    + (" WHERE" + cws[1] if len(cws) > 1 else "")
+                    + " RETURN "
+                    + ", ".join(c_anchors)
+                )
+                parse(c_inner)  # validate eagerly
+                count_preds.append(
+                    {
+                        "query": c_inner,
+                        "anchors": c_anchors,
+                        "op": cop,
+                        "k": int(ck),
+                        "col": f"__cntp{len(count_preds)}",
+                    }
+                )
+                continue
             em = re.fullmatch(
                 # body tolerates ONE nesting level: property maps inside
                 # the EXISTS pattern (round-7)
@@ -3573,6 +3624,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         "vars": vars_,
         "unwinds": unwinds,
         "exists_preds": exists_preds,
+        "count_preds": count_preds,
         "count_subqueries": count_subqueries,
         "exists_items": exists_items,
         "collect_subqueries": collect_subqueries,
@@ -4405,6 +4457,17 @@ def _run_single(
         sub = _run_single(spark, sf_dir, ex["query"], graph=graph)
         side = sub.select(*ex["anchors"]).distinct()
         df = df.join(side, ex["anchors"], "left_anti" if ex["negated"] else "left_semi")
+
+    # COUNT { … } comparisons in WHERE (round-10): grouped count on the
+    # anchors (partial agg — degree math, never row multiplication),
+    # LEFT-joined so zero/null-match rows read 0, filtered, helper dropped
+    for cp in p.get("count_preds") or []:
+        sub = _run_single(spark, sf_dir, cp["query"], graph=graph)
+        side = sub.groupBy(*cp["anchors"]).agg(F.count(F.lit(1)).alias(cp["col"]))
+        df = df.join(side, cp["anchors"], "left")
+        df = df.filter(
+            F.expr(f"coalesce({cp['col']}, 0) {cp['op']} {cp['k']}")
+        ).drop(cp["col"])
 
     def _apply_items(df: DataFrame, items: list) -> DataFrame:
         def _key_expr(it):

@@ -5602,3 +5602,45 @@ def cypher_quantified_rel(spark, sf_dir):
            RETURN array_join(labels(x), '|') AS x_label, count(*) AS k
            ORDER BY x_label""",
     )
+
+
+@register(
+    "cypher_count_where",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm,
+               (SELECT COUNT(*) FROM supplier s
+                 WHERE s.s_nationkey = n.n_nationkey) AS ns
+        FROM nation n
+        WHERE (SELECT COUNT(*) FROM customer c
+                WHERE c.c_nationkey = n.n_nationkey) >= 8
+        ORDER BY nm
+    """,
+    notes=(
+        "COUNT { … } comparisons as WHERE conjuncts (round-10 — the "
+        "degree-filter idiom: 'nodes with at least k neighbours'): the "
+        "subquery compiles exactly like the COUNT item — grouped count "
+        "on the correlation anchors (partial agg, degree math) — but is "
+        "consumed as a filter: LEFT join + coalesce-0 + predicate + drop "
+        "(cypher count_preds). The left join means an OPTIONAL-null or "
+        "zero-match anchor reads count 0 (Neo4j's scoping), so `= 0` "
+        "selects exactly the matchless rows — a semi-join formulation "
+        "could not express that. Reversed literal form (k > COUNT{…}) "
+        "normalizes by flipping the operator. Scale: one partial-agg "
+        "shuffle on the anchor key; the filter prunes before every "
+        "downstream stage. Oracle: correlated scalar-count subqueries "
+        "in both the WHERE and the projection"
+    ),
+)
+def cypher_count_where(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           WHERE COUNT { (c:Customer)-[:CUSTOMER_OF]->(n) } >= 8
+           RETURN n.name AS nm,
+                  COUNT { (s:Supplier)-[:SUPPLIER_OF]->(n) } AS ns
+           ORDER BY nm""",
+    )

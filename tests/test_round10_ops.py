@@ -337,3 +337,62 @@ def test_size_of_pattern_comprehension_is_count_subquery(spark):
         "n.name AS nm ORDER BY nm LIMIT 1",
     ).collect()[0]
     assert row.lk == 3 and row.sk == len("NATION_0")
+
+
+# --- COUNT { … } comparisons in WHERE (degree filters) ---
+
+
+def test_count_where_degree_filter(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           WHERE COUNT { (c:Customer)-[:CUSTOMER_OF]->(n) } >= 8
+           RETURN n.name AS nm ORDER BY nm""",
+    ).collect()
+    chk = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           RETURN n.name AS nm, COUNT { (c:Customer)-[:CUSTOMER_OF]->(n) } AS k""",
+    ).collect()
+    assert [r.nm for r in rows] == sorted(r.nm for r in chk if r.k >= 8)
+
+
+def test_count_where_zero_selects_matchless(spark):
+    # = 0 must keep exactly the rows with NO match (left join + coalesce;
+    # a semi-join formulation cannot express this)
+    row = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           WHERE COUNT { (s:Supplier)-[:SUPPLIER_OF]->(n) } = 0
+           RETURN count(*) AS k""",
+    ).collect()[0]
+    assert row.k == 15
+
+
+def test_count_where_reversed_literal_flips(spark):
+    a = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) WHERE 2 > COUNT { (s:Supplier)-[:SUPPLIER_OF]->(n) } "
+        "RETURN count(*) AS k",
+    ).collect()[0].k
+    b = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) WHERE COUNT { (s:Supplier)-[:SUPPLIER_OF]->(n) } < 2 "
+        "RETURN count(*) AS k",
+    ).collect()[0].k
+    assert a == b
+
+
+def test_count_where_no_anchor_rejected(spark):
+    with pytest.raises(CypherSyntaxError, match="must share at least one"):
+        api.cypher(
+            spark,
+            SF,
+            "MATCH (n:Nation) WHERE COUNT { (a:Customer)-[:CUSTOMER_OF]->"
+            "(b:Nation) } > 1 RETURN n",
+        )
