@@ -396,3 +396,26 @@ def test_count_where_no_anchor_rejected(spark):
             "MATCH (n:Nation) WHERE COUNT { (a:Customer)-[:CUSTOMER_OF]->"
             "(b:Nation) } > 1 RETURN n",
         )
+
+
+def test_quantified_rel_composes_with_shortestpath_and_exists(spark):
+    a = api.cypher(
+        spark,
+        SF,
+        "MATCH p = shortestPath((c:Customer)-[]->{1,4}(r:Region)) "
+        "RETURN c, r, length(p) AS hops ORDER BY c LIMIT 5",
+    ).collect()
+    b = api.cypher(
+        spark,
+        SF,
+        "MATCH p = shortestPath((c:Customer)-[*1..4]->(r:Region)) "
+        "RETURN c, r, length(p) AS hops ORDER BY c LIMIT 5",
+    ).collect()
+    assert a == b and a
+    row = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer) WHERE EXISTS { (c)-[]->{2}(r:Region) } "
+        "RETURN count(*) AS k",
+    ).collect()[0]
+    assert row.k == 150
