@@ -1368,6 +1368,66 @@ def _rewrite_qpp(query: str) -> str:
     )
 
 
+def _parse_subquery_conjunct(
+    cj: str, scope: set, as_of: str | None, idx: int
+) -> dict | None:
+    """One WHERE conjunct of a WITH stage → a subquery-filter spec
+    (round-10): ``[NOT] EXISTS { body }`` → {"kind": "exists", …} or
+    ``COUNT { body } <op> k`` (literal on either side) → {"kind":
+    "count", …}; None when the conjunct is neither. Anchors are the
+    body's node variables that are stage outputs — at least one is
+    required (correlation). The body compiles standalone by recursion,
+    pinned to the enclosing AS OF slice."""
+    em = re.fullmatch(
+        r"(?P<neg>NOT\s+)?EXISTS\s*\{\s*(?P<body>(?:[^{}]|\{[^{}]*\})*?)\s*\}",
+        cj,
+        re.I | re.S,
+    )
+    if em:
+        kind, neg, body, cop, ck = "exists", bool(em.group("neg")), em.group("body"), None, None
+    else:
+        pm = re.fullmatch(
+            r"(?:COUNT\s*\{\s*(?P<body>(?:[^{}]|\{[^{}]*\})*?)\s*\}\s*"
+            r"(?P<op><=|>=|<>|=|<|>)\s*(?P<k>\d+)"
+            r"|(?P<k2>\d+)\s*(?P<op2><=|>=|<>|=|<|>)\s*"
+            r"COUNT\s*\{\s*(?P<body2>(?:[^{}]|\{[^{}]*\})*?)\s*\})",
+            cj,
+            re.I | re.S,
+        )
+        if not pm:
+            return None
+        kind, neg = "count", False
+        if pm.group("body") is not None:
+            body, cop, ck = pm.group("body"), pm.group("op"), pm.group("k")
+        else:
+            body, ck = pm.group("body2"), pm.group("k2")
+            cop = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}.get(
+                pm.group("op2"), pm.group("op2")
+            )
+    if not re.match(r"\s*MATCH\b", body, re.I):
+        body = "MATCH " + body
+    ws = re.split(r"\bWHERE\b", body, maxsplit=1, flags=re.I)
+    anchors = sorted({m.group(1) for m in _NODE_RE.finditer(ws[0])} & scope)
+    if not anchors:
+        raise CypherSyntaxError(
+            f"an EXISTS/COUNT {{ … }} conjunct in a WITH-stage WHERE must "
+            f"anchor on at least one stage output "
+            f"(visible: {sorted(scope)}): {cj!r}"
+        )
+    inner = (
+        ws[0].rstrip()
+        + (f" AS OF '{as_of}'" if as_of else "")
+        + (" WHERE" + ws[1] if len(ws) > 1 else "")
+        + " RETURN "
+        + ", ".join(anchors)
+    )
+    parse(inner)  # validate eagerly
+    spec = {"kind": kind, "query": inner, "anchors": anchors, "negated": neg}
+    if kind == "count":
+        spec.update({"op": cop, "k": int(ck), "col": f"__hcnt{idx}"})
+    return spec
+
+
 def _parse_bounds(rm: re.Match) -> tuple[int, int]:
     if rm.group("star"):
         lo = int(rm.group("min")) if rm.group("min") else 1
@@ -3264,6 +3324,8 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             # given Neo4j run would return.
             stage_order = [(it["name"], True) for it in with_items_i]
         having_i = None
+        pipe_exists: list[dict] = []
+        pipe_counts: list[dict] = []
         hm_ = re.match(
             r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+UNWIND\s"
             r"|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
@@ -3272,18 +3334,56 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         )
         if hm_:
             having_i = _unmask(tail[tpos + hm_.start("p") : tpos + hm_.end("p")]).strip()
-            if re.search(r"\b[A-Za-z_]\w*\.\w+\b", _unquoted(having_i)):
-                raise CypherSyntaxError(
-                    f"WHERE after WITH may only reference WITH outputs: {having_i!r}"
+            if re.search(r"\b(?:EXISTS|COUNT)\s*\{", having_i, re.I):
+                # EXISTS { } / COUNT { } <op> k conjuncts in a WITH-stage
+                # WHERE (round-10): lifted out as subquery filters over
+                # the stage frame — semi/anti join (EXISTS) or grouped
+                # count + left join + filter (COUNT), applied right after
+                # the scalar WHERE. A null stage-output anchor never
+                # equi-joins, which IS Neo4j's post-pipe scoping: EXISTS
+                # reads false (row filtered), NOT EXISTS true (row kept),
+                # COUNT reads 0.
+                conjs_h = _split_conjuncts(having_i)
+                if conjs_h is None:
+                    raise CypherSyntaxError(
+                        "cannot decompose WITH … WHERE around EXISTS/COUNT "
+                        f"(OR-connected subqueries are not supported): {having_i!r}"
+                    )
+                stage_scope = {it["name"] for it in with_items_i}
+                kept_h: list[str] = []
+                for cjh in conjs_h:
+                    cjh = cjh.strip()
+                    spec_h = _parse_subquery_conjunct(
+                        cjh, stage_scope, as_of, len(pipe_counts)
+                    )
+                    if spec_h is None:
+                        if re.search(r"\b(?:EXISTS|COUNT)\s*\{", cjh, re.I):
+                            raise CypherSyntaxError(
+                                "EXISTS/COUNT { … } in a WITH-stage WHERE "
+                                "must be a top-level AND conjunct: "
+                                f"{cjh!r}"
+                            )
+                        kept_h.append(cjh)
+                    elif spec_h["kind"] == "exists":
+                        pipe_exists.append(spec_h)
+                    else:
+                        pipe_counts.append(spec_h)
+                having_i = (
+                    " AND ".join(f"({c})" for c in kept_h) if kept_h else None
                 )
-            # the stage WHERE gets the same expression surface as items:
-            # list lambdas / string predicates / scalar fn rewrites over
-            # the WITH outputs (round-7)
-            having_i = _rewrite_list_exprs(having_i, scope_list_names["cur"])
-            having_i = _outside_quotes(having_i, _fn_rewrite)
-            having_i = _rx_anchor(
-                _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, having_i)))
-            )
+            if having_i:
+                if re.search(r"\b[A-Za-z_]\w*\.\w+\b", _unquoted(having_i)):
+                    raise CypherSyntaxError(
+                        f"WHERE after WITH may only reference WITH outputs: {having_i!r}"
+                    )
+                # the stage WHERE gets the same expression surface as items:
+                # list lambdas / string predicates / scalar fn rewrites over
+                # the WITH outputs (round-7)
+                having_i = _rewrite_list_exprs(having_i, scope_list_names["cur"])
+                having_i = _outside_quotes(having_i, _fn_rewrite)
+                having_i = _rx_anchor(
+                    _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, having_i)))
+                )
             tpos += hm_.end()
         # stage UNWINDs (round-7): `WITH … UNWIND <expr> AS v` — the
         # collect-then-re-expand idiom. The expression references stage
@@ -3474,6 +3574,8 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 "with_items": with_items_i,
                 "distinct": with_distinct,
                 "having": having_i,
+                "exists_preds": pipe_exists,
+                "count_preds": pipe_counts,
                 "order_by": stage_order,
                 "skip": stage_skip,
                 "limit": stage_limit,
@@ -4554,6 +4656,25 @@ def _run_single(
             df = df.limit(pipe["limit"])
         if pipe["having"]:
             df = df.filter(F.expr(pipe["having"]))
+        # EXISTS/COUNT subquery conjuncts of the stage WHERE (round-10):
+        # same join shapes as the stage-0 forms — semi/anti never
+        # multiplies rows; the count LEFT join reads 0 for matchless or
+        # null-anchor rows (Neo4j's post-pipe scoping)
+        for ex2 in pipe.get("exists_preds") or []:
+            sub2 = _run_single(spark, sf_dir, ex2["query"], graph=graph)
+            side2 = sub2.select(*ex2["anchors"]).distinct()
+            df = df.join(
+                side2, ex2["anchors"], "left_anti" if ex2["negated"] else "left_semi"
+            )
+        for cp2 in pipe.get("count_preds") or []:
+            sub2 = _run_single(spark, sf_dir, cp2["query"], graph=graph)
+            side2 = sub2.groupBy(*cp2["anchors"]).agg(
+                F.count(F.lit(1)).alias(cp2["col"])
+            )
+            df = df.join(side2, cp2["anchors"], "left")
+            df = df.filter(
+                F.expr(f"coalesce({cp2['col']}, 0) {cp2['op']} {cp2['k']}")
+            ).drop(cp2["col"])
         for uvar2, uexpr in pipe.get("unwinds") or []:
             # stage UNWIND: one row per list element (Cypher: an empty or
             # null list yields zero rows — exactly explode's semantics)

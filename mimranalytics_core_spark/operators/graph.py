@@ -5644,3 +5644,47 @@ def cypher_count_where(spark, sf_dir):
                   COUNT { (s:Supplier)-[:SUPPLIER_OF]->(n) } AS ns
            ORDER BY nm""",
     )
+
+
+@register(
+    "cypher_with_exists",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm, COUNT(*) AS n_cust
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, n.n_nationkey
+        HAVING COUNT(*) >= 2
+           AND EXISTS (SELECT 1 FROM supplier s
+                        WHERE s.s_nationkey = n.n_nationkey)
+           AND (SELECT COUNT(*) FROM supplier s
+                 WHERE s.s_nationkey = n.n_nationkey) >= 1
+        ORDER BY nm
+    """,
+    notes=(
+        "EXISTS { } / COUNT { } conjuncts in a WITH-stage WHERE "
+        "(round-10 — the post-aggregation existence filter: 'groups "
+        "with at least k rows THAT ALSO have a neighbour'): the stage "
+        "WHERE splits at top-level ANDs (cypher._parse_subquery_conjunct"
+        "), scalar conjuncts stay an in-plan filter, EXISTS conjuncts "
+        "semi/anti-join the stage frame on their anchors, COUNT "
+        "comparisons left-join a grouped count and filter. A null "
+        "stage-output anchor never equi-joins — which IS Neo4j's "
+        "post-pipe scoping (EXISTS false, NOT EXISTS true, COUNT 0). "
+        "Scale: the filters run on the AGGREGATED frame (group "
+        "cardinality, not row cardinality); semi joins stop probing on "
+        "first match. Oracle: SQL HAVING with EXISTS and scalar-count "
+        "subqueries — the exact relational reading"
+    ),
+)
+def cypher_with_exists(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS n_cust
+           WHERE n_cust >= 2 AND EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+                 AND COUNT { (s2:Supplier)-[:SUPPLIER_OF]->(n) } >= 1
+           RETURN n.name AS nm, n_cust ORDER BY nm""",
+    )

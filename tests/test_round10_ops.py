@@ -419,3 +419,65 @@ def test_quantified_rel_composes_with_shortestpath_and_exists(spark):
         "RETURN count(*) AS k",
     ).collect()[0]
     assert row.k == 150
+
+
+# --- EXISTS{} / COUNT{} in WITH-stage WHERE ---
+
+
+def test_with_where_exists_filter(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS k
+           WHERE k >= 5 AND EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+           RETURN n.name AS nm, k ORDER BY nm""",
+    ).collect()
+    chk = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS k
+           RETURN n.name AS nm, k,
+                  EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } AS f ORDER BY nm""",
+    ).collect()
+    assert [(r.nm, r.k) for r in rows] == [
+        (r.nm, r.k) for r in chk if r.k >= 5 and r.f
+    ]
+    assert rows  # non-trivial at sf0.001
+
+
+def test_with_where_not_exists_filter(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS k
+           WHERE NOT EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+           RETURN count(*) AS z""",
+    ).collect()[0]
+    assert row.z == 15  # supplier-less nations (every nation has customers)
+
+
+def test_with_where_count_comparison(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS k
+           WHERE COUNT { (s:Supplier)-[:SUPPLIER_OF]->(n) } >= 1
+           RETURN count(*) AS z""",
+    ).collect()
+    assert rows[0].z == 10  # nations with >= 1 supplier
+
+
+def test_with_where_exists_anchor_must_be_stage_output(spark):
+    with pytest.raises(CypherSyntaxError, match="must anchor on at least one"):
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+               WITH n.name AS nm, count(*) AS k
+               WHERE EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+               RETURN nm""",
+        ).collect()
