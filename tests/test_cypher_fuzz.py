@@ -125,6 +125,17 @@ def _query(draw):
             q += f" LIMIT {draw(st.integers(1, 20))}"
         if draw(st.booleans()):
             q += " WHERE n >= 2"
+            # round-10: EXISTS/COUNT subquery conjuncts in the stage WHERE
+            if draw(st.integers(0, 2)) == 0:
+                q += draw(
+                    st.sampled_from(
+                        [
+                            " AND EXISTS { (e10:Customer)-[:CUSTOMER_OF]->(piped) }",
+                            " AND NOT EXISTS { (e10:Supplier)-[:SUPPLIER_OF]->(piped) }",
+                            " AND COUNT { (e10:Customer)-[:CUSTOMER_OF]->(piped) } >= 1",
+                        ]
+                    )
+                )
         if draw(st.integers(0, 2)) == 0:  # round-7: stage UNWIND
             q += " UNWIND [1, 2] AS uw"
         stage2 = draw(st.booleans())
