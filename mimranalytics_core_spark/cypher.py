@@ -1368,6 +1368,88 @@ def _rewrite_qpp(query: str) -> str:
     )
 
 
+def _flagify_exists(
+    text: str, varset: set, as_of: str | None, opt_fresh: set, start_idx: int
+) -> tuple[str, list[dict]]:
+    """Replace every top-level ``EXISTS { body }`` span inside an arbitrary
+    boolean expression with a generated flag column name and return
+    ``(rewritten_text, specs)`` (round-10). Covers the compositions the
+    semi-join conjunct form can't: ``EXISTS {…} OR …``, ``NOT (EXISTS {…}
+    AND …)``, parenthesized mixes. Each spec left-joins the subquery's
+    distinct anchors with literal TRUE and coalesces to FALSE — boolean
+    algebra over the flag column then matches Neo4j exactly (including
+    ``NOT`` outside the span). Quote-aware, brace-matched; anchors on
+    OPTIONAL MATCH variables are rejected with the same targeted error as
+    the semi-join path (a post-join filter would DROP null-extended rows
+    where Neo4j scopes the predicate into the optional clause)."""
+    specs: list[dict] = []
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(text[i : j + 1])
+            i = j + 1
+            continue
+        m = re.match(r"EXISTS\s*\{", text[i:], re.I)
+        boundary = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+        if m and boundary:
+            b = i + m.end() - 1
+            depth, k = 0, b
+            while k < n:
+                c2 = text[k]
+                if c2 == "'":
+                    j2 = text.find("'", k + 1)
+                    k = (n if j2 < 0 else j2) + 1
+                    continue
+                if c2 == "{":
+                    depth += 1
+                elif c2 == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k >= n:
+                raise CypherSyntaxError(f"unbalanced braces in EXISTS: {text!r}")
+            body = text[b + 1 : k].strip()
+            if not re.match(r"\s*MATCH\b", body, re.I):
+                body = "MATCH " + body
+            ws = re.split(r"\bWHERE\b", body, maxsplit=1, flags=re.I)
+            anchors = sorted(
+                {mm.group(1) for mm in _NODE_RE.finditer(ws[0])} & varset
+            )
+            if not anchors:
+                raise CypherSyntaxError(
+                    "an EXISTS pattern must share at least one variable "
+                    f"with the enclosing MATCH: {text[i : k + 1]!r}"
+                )
+            bad = sorted(set(anchors) & opt_fresh)
+            if bad:
+                raise CypherSyntaxError(
+                    f"EXISTS anchored on OPTIONAL MATCH variable(s) {bad} is "
+                    "not supported (a semi join would drop null-extended "
+                    "rows; filter inside the optional clause instead)"
+                )
+            inner = (
+                ws[0].rstrip()
+                + (f" AS OF '{as_of}'" if as_of else "")
+                + (" WHERE" + ws[1] if len(ws) > 1 else "")
+                + " RETURN "
+                + ", ".join(anchors)
+            )
+            parse(inner)  # validate eagerly
+            col = f"__exf{start_idx + len(specs)}"
+            specs.append({"query": inner, "anchors": anchors, "col": col})
+            out.append(col)
+            i = k + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out), specs
+
+
 def _parse_subquery_conjunct(
     cj: str, scope: set, as_of: str | None, idx: int
 ) -> dict | None:
@@ -2339,6 +2421,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # existentially quantified. Subset: trailing WHERE only, top-level
     # AND conjuncts only; the inner block may carry its own WHERE.
     exists_preds: list[dict] = []
+    exists_flags: list[dict] = []
     count_preds: list[dict] = []
     count_subqueries: list[dict] = []
     exists_items: list[dict] = []
@@ -2350,9 +2433,33 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         # (IN-lists were already rewritten to parens at parse start)
         or re.search(r"-\s*\[", re.sub(r"'[^']*'", "''", where))
     ):
+        _opt_fresh = {v for cl in clauses if cl["optional"] for v in cl["fresh"]}
         conjs = _split_conjuncts(where)
         if conjs is None:
-            raise CypherSyntaxError(f"cannot decompose WHERE around EXISTS: {where!r}")
+            # top-level OR (round-10): the conjunct semi-join form can't
+            # apply — compile every EXISTS span to a boolean FLAG column
+            # instead and let the whole predicate filter after the flag
+            # joins. Bare `-[…]` pattern predicates in OR position stay
+            # unsupported (wrap them in EXISTS { }).
+            if re.search(r"\bEXISTS\s*\{", where, re.I):
+                rewritten, fspecs = _flagify_exists(
+                    where, varset, as_of, _opt_fresh, len(exists_flags)
+                )
+                if fspecs and not re.search(
+                    r"-\s*\[", re.sub(r"'[^']*'", "''", rewritten)
+                ):
+                    exists_flags.extend(fspecs)
+                    conjs = [rewritten]
+                else:
+                    raise CypherSyntaxError(
+                        "cannot decompose WHERE around EXISTS: bare pattern "
+                        "predicates in OR position are not supported — wrap "
+                        f"them in EXISTS {{ }}: {where!r}"
+                    )
+            else:
+                raise CypherSyntaxError(
+                    f"cannot decompose WHERE around EXISTS: {where!r}"
+                )
         kept_conjs: list[str] = []
 
         def _unwrap_parens(s: str) -> str:
@@ -2459,9 +2566,30 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 bm = _BARE_PATTERN_RE.fullmatch(cj.strip())
                 if not bm:
                     if re.search(r"\bEXISTS\s*\{", cj, re.I):
+                        # EXISTS mixed into a larger expression inside ONE
+                        # conjunct (e.g. `x OR EXISTS {…}`) — flag-compile
+                        # it (round-10; used to be a targeted rejection)
+                        cj2, fspecs = _flagify_exists(
+                            cj, varset, as_of, _opt_fresh, len(exists_flags)
+                        )
+                        if re.search(r"-\s*\[", re.sub(r"'[^']*'", "''", cj2)):
+                            raise CypherSyntaxError(
+                                "bare pattern predicates in OR position are "
+                                "not supported — wrap them in EXISTS { }: "
+                                f"{cj!r}"
+                            )
+                        exists_flags.extend(fspecs)
+                        kept_conjs.append(cj2)
+                        continue
+                    if re.search(
+                        r"-\s*\[[^\]]*\]\s*-", re.sub(r"'[^']*'", "''", cj)
+                    ):
+                        # a rel-shaped span in a mixed conjunct would reach
+                        # F.expr as Cypher syntax and die with an opaque
+                        # ParseException — reject with direction instead
                         raise CypherSyntaxError(
-                            "EXISTS { … } must be a top-level AND conjunct of the "
-                            f"trailing WHERE (optionally NOT-negated): {cj!r}"
+                            "bare pattern predicates in OR position are not "
+                            f"supported — wrap them in EXISTS {{ }}: {cj!r}"
                         )
                     kept_conjs.append(cj)
                     continue
@@ -3726,6 +3854,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         "vars": vars_,
         "unwinds": unwinds,
         "exists_preds": exists_preds,
+        "exists_flags": exists_flags,
         "count_preds": count_preds,
         "count_subqueries": count_subqueries,
         "exists_items": exists_items,
@@ -4547,8 +4676,22 @@ def _run_single(
             ]
             df = df.join(side.select(*sel), var, "left")
 
+    # EXISTS flag columns (round-10 — OR-connected / expression-embedded
+    # EXISTS): left-join distinct anchors carrying literal TRUE, coalesce
+    # FALSE, so the post predicate's boolean algebra (OR/NOT/parens) reads
+    # the existence test as an ordinary column; dropped after the filter
+    for fg in p.get("exists_flags") or []:
+        sub = _run_single(spark, sf_dir, fg["query"], graph=graph)
+        side = (
+            sub.select(*fg["anchors"]).distinct().withColumn(fg["col"], F.lit(True))
+        )
+        df = df.join(side, fg["anchors"], "left")
+        df = df.withColumn(fg["col"], F.coalesce(F.col(fg["col"]), F.lit(False)))
+
     if p["post_pred"]:
         df = df.filter(F.expr(p["post_pred"]))
+    if p.get("exists_flags"):
+        df = df.drop(*[fg["col"] for fg in p["exists_flags"]])
 
     # EXISTS { pattern } predicates: each sub-query frame is distinct'd on
     # the correlation anchors and LEFT SEMI-joined (ANTI for NOT EXISTS) —

@@ -5688,3 +5688,45 @@ def cypher_with_exists(spark, sf_dir):
                  AND COUNT { (s2:Supplier)-[:SUPPLIER_OF]->(n) } >= 1
            RETURN n.name AS nm, n_cust ORDER BY nm""",
     )
+
+
+@register(
+    "cypher_exists_or",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm FROM nation n
+        WHERE EXISTS (SELECT 1 FROM supplier s
+                       WHERE s.s_nationkey = n.n_nationkey)
+           OR EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_nationkey = n.n_nationkey
+                         AND c.c_mktsegment = 'BUILDING')
+        ORDER BY nm
+    """,
+    notes=(
+        "OR-connected / expression-embedded EXISTS predicates (round-10 "
+        "— lifts the 'top-level AND conjunct' rejection): when the WHERE "
+        "can't decompose into AND conjuncts, every EXISTS { } span "
+        "compiles to a boolean FLAG column (cypher._flagify_exists: "
+        "left-join the subquery's DISTINCT anchors carrying literal "
+        "TRUE, coalesce FALSE) and the whole predicate — OR, NOT, "
+        "parens — filters over the flags as ordinary boolean algebra. "
+        "The AND-only form keeps the cheaper semi/anti joins (flags "
+        "materialize a column; semi joins stop at first match), and "
+        "OPTIONAL-anchored spans keep the targeted rejection (a "
+        "post-join filter would drop null-extended rows). Scale: one "
+        "distinct + left join per flag on the anchor key — existence "
+        "never multiplies rows. Oracle: the same OR of two EXISTS "
+        "subqueries in SQL"
+    ),
+)
+def cypher_exists_or(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           WHERE EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+              OR EXISTS { (c:Customer {mktsegment: 'BUILDING'})-[:CUSTOMER_OF]->(n) }
+           RETURN n.name AS nm ORDER BY nm""",
+    )

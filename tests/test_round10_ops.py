@@ -481,3 +481,80 @@ def test_with_where_exists_anchor_must_be_stage_output(spark):
                WHERE EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
                RETURN nm""",
         ).collect()
+
+
+# --- OR-connected / expression-embedded EXISTS (flag compilation) ---
+
+
+def _exists_truth(spark):
+    return api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           RETURN n.name AS nm,
+                  EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } AS hs,
+                  EXISTS { (c:Customer {mktsegment: 'BUILDING'})-[:CUSTOMER_OF]->(n) } AS hb
+           ORDER BY nm""",
+    ).collect()
+
+
+def test_exists_or_exists(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           WHERE EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+              OR EXISTS { (c:Customer {mktsegment: 'BUILDING'})-[:CUSTOMER_OF]->(n) }
+           RETURN n.name AS nm ORDER BY nm""",
+    ).collect()
+    chk = _exists_truth(spark)
+    assert [r.nm for r in rows] == sorted(r.nm for r in chk if r.hs or r.hb)
+
+
+def test_not_parenthesized_exists_and_scalar(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           WHERE NOT (EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+                      AND n.name STARTS WITH 'NATION_1')
+           RETURN count(*) AS k""",
+    ).collect()[0]
+    chk = _exists_truth(spark)
+    assert row.k == len(
+        [r for r in chk if not (r.hs and r.nm.startswith("NATION_1"))]
+    )
+
+
+def test_exists_or_scalar(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation)
+           WHERE EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } OR n.name = 'NATION_3'
+           RETURN count(*) AS k""",
+    ).collect()[0]
+    chk = _exists_truth(spark)
+    assert row.k == len([r for r in chk if r.hs or r.nm == "NATION_3"])
+
+
+def test_exists_or_optional_anchor_still_rejected(spark):
+    with pytest.raises(CypherSyntaxError, match="OPTIONAL MATCH variable"):
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (n:Nation) OPTIONAL MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+               WHERE EXISTS { (c:Customer)-[:CUSTOMER_OF]->(s) } OR n.name = 'x'
+               RETURN n""",
+        ).collect()
+
+
+def test_bare_pattern_in_or_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="wrap them in EXISTS"):
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (n:Nation)
+               WHERE (s1:Supplier)-[:SUPPLIER_OF]->(n) OR n.name = 'x'
+               RETURN n""",
+        ).collect()
