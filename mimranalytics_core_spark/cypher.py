@@ -3454,6 +3454,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         having_i = None
         pipe_exists: list[dict] = []
         pipe_counts: list[dict] = []
+        pipe_flags: list[dict] = []
         hm_ = re.match(
             r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+UNWIND\s"
             r"|\s+OPTIONAL\s+MATCH\s|\s+MATCH\s|\s+WITH\s|\s+RETURN\s)",
@@ -3471,34 +3472,53 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 # equi-joins, which IS Neo4j's post-pipe scoping: EXISTS
                 # reads false (row filtered), NOT EXISTS true (row kept),
                 # COUNT reads 0.
+                stage_scope = {it["name"] for it in with_items_i}
                 conjs_h = _split_conjuncts(having_i)
                 if conjs_h is None:
-                    raise CypherSyntaxError(
-                        "cannot decompose WITH … WHERE around EXISTS/COUNT "
-                        f"(OR-connected subqueries are not supported): {having_i!r}"
+                    # OR-connected (round-10): EXISTS spans become flag
+                    # columns over the stage frame; the whole predicate
+                    # filters after the flag joins. A null stage-output
+                    # anchor reads flag FALSE — Neo4j's post-pipe scoping
+                    # — so no optional-anchor rejection here. COUNT{} in
+                    # OR position stays out of scope.
+                    if re.search(r"\bCOUNT\s*\{", having_i, re.I):
+                        raise CypherSyntaxError(
+                            "COUNT { … } comparisons in a WITH-stage WHERE "
+                            "must be top-level AND conjuncts: "
+                            f"{having_i!r}"
+                        )
+                    having_i, fspecs_h = _flagify_exists(
+                        having_i, stage_scope, as_of, set(), len(pipe_flags)
                     )
-                stage_scope = {it["name"] for it in with_items_i}
+                    pipe_flags.extend(fspecs_h)
+                    conjs_h = None  # flags rewrote the whole predicate
                 kept_h: list[str] = []
-                for cjh in conjs_h:
+                for cjh in conjs_h or []:
                     cjh = cjh.strip()
                     spec_h = _parse_subquery_conjunct(
                         cjh, stage_scope, as_of, len(pipe_counts)
                     )
                     if spec_h is None:
-                        if re.search(r"\b(?:EXISTS|COUNT)\s*\{", cjh, re.I):
+                        if re.search(r"\bCOUNT\s*\{", cjh, re.I):
                             raise CypherSyntaxError(
-                                "EXISTS/COUNT { … } in a WITH-stage WHERE "
-                                "must be a top-level AND conjunct: "
-                                f"{cjh!r}"
+                                "COUNT { … } in a WITH-stage WHERE must be "
+                                f"a top-level AND conjunct: {cjh!r}"
                             )
+                        if re.search(r"\bEXISTS\s*\{", cjh, re.I):
+                            # EXISTS mixed inside one conjunct → flags
+                            cjh, fspecs_h = _flagify_exists(
+                                cjh, stage_scope, as_of, set(), len(pipe_flags)
+                            )
+                            pipe_flags.extend(fspecs_h)
                         kept_h.append(cjh)
                     elif spec_h["kind"] == "exists":
                         pipe_exists.append(spec_h)
                     else:
                         pipe_counts.append(spec_h)
-                having_i = (
-                    " AND ".join(f"({c})" for c in kept_h) if kept_h else None
-                )
+                if conjs_h is not None:
+                    having_i = (
+                        " AND ".join(f"({c})" for c in kept_h) if kept_h else None
+                    )
             if having_i:
                 if re.search(r"\b[A-Za-z_]\w*\.\w+\b", _unquoted(having_i)):
                     raise CypherSyntaxError(
@@ -3704,6 +3724,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 "having": having_i,
                 "exists_preds": pipe_exists,
                 "count_preds": pipe_counts,
+                "exists_flags": pipe_flags,
                 "order_by": stage_order,
                 "skip": stage_skip,
                 "limit": stage_limit,
@@ -4797,8 +4818,20 @@ def _run_single(
             df = df.offset(pipe["skip"])
         if pipe.get("limit") is not None:
             df = df.limit(pipe["limit"])
+        # EXISTS flag columns of the stage WHERE (round-10 — OR-connected
+        # forms): joined BEFORE the filter so the predicate's boolean
+        # algebra reads them as ordinary columns; dropped right after
+        for fg2 in pipe.get("exists_flags") or []:
+            sub2 = _run_single(spark, sf_dir, fg2["query"], graph=graph)
+            side2 = (
+                sub2.select(*fg2["anchors"]).distinct().withColumn(fg2["col"], F.lit(True))
+            )
+            df = df.join(side2, fg2["anchors"], "left")
+            df = df.withColumn(fg2["col"], F.coalesce(F.col(fg2["col"]), F.lit(False)))
         if pipe["having"]:
             df = df.filter(F.expr(pipe["having"]))
+        if pipe.get("exists_flags"):
+            df = df.drop(*[fg2["col"] for fg2 in pipe["exists_flags"]])
         # EXISTS/COUNT subquery conjuncts of the stage WHERE (round-10):
         # same join shapes as the stage-0 forms — semi/anti never
         # multiplies rows; the count LEFT join reads 0 for matchless or

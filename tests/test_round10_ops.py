@@ -558,3 +558,48 @@ def test_bare_pattern_in_or_targeted_error(spark):
                WHERE (s1:Supplier)-[:SUPPLIER_OF]->(n) OR n.name = 'x'
                RETURN n""",
         ).collect()
+
+
+def test_with_where_exists_or_scalar(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS k
+           WHERE EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } OR k >= 9
+           RETURN n.name AS nm ORDER BY nm""",
+    ).collect()
+    truth = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS k
+           RETURN n.name AS nm, k,
+                  EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } AS hs ORDER BY nm""",
+    ).collect()
+    assert [r.nm for r in rows] == sorted(r.nm for r in truth if r.hs or r.k >= 9)
+
+
+def test_with_where_not_exists_inside_parens(spark):
+    row = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS k
+           WHERE k >= 2 AND (NOT EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) }
+                             OR k >= 9)
+           RETURN count(*) AS z""",
+    ).collect()[0]
+    assert row.z == 17
+
+
+def test_with_where_count_in_or_rejected(spark):
+    with pytest.raises(CypherSyntaxError, match="top-level AND conjunct"):
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+               WITH n, count(*) AS k
+               WHERE COUNT { (s:Supplier)-[:SUPPLIER_OF]->(n) } >= 1 OR k >= 9
+               RETURN n""",
+        ).collect()
