@@ -703,12 +703,15 @@ def test_exists_parse_and_guards():
     # no shared variable
     with pytest.raises(CypherSyntaxError, match="share at least one"):
         parse("MATCH (a)-[:CUSTOMER_OF]->(b) WHERE EXISTS { (x)-[:SUPPLIER_OF]->(y) } RETURN a")
-    # OR around EXISTS cannot decompose into a semi join
-    with pytest.raises(CypherSyntaxError, match="top-level AND conjunct"):
-        parse(
-            "MATCH (a)-[:CUSTOMER_OF]->(b) "
-            "WHERE EXISTS { (a)-[:NATION_OF]->(x) } OR a.id = 'c:1' RETURN a"
-        )
+    # OR around EXISTS (round-10): no longer rejected — the span compiles
+    # to a boolean flag column and the whole predicate filters over it
+    p3 = parse(
+        "MATCH (a)-[:CUSTOMER_OF]->(b) "
+        "WHERE EXISTS { (a)-[:NATION_OF]->(x) } OR a.id = 'c:1' RETURN a"
+    )
+    assert len(p3["exists_flags"]) == 1
+    assert p3["exists_flags"][0]["anchors"] == ["a"]
+    assert "__exf0" in p3["post_pred"] and " OR " in p3["post_pred"].upper()
 
 
 def test_exists_semantics_vs_manual_semijoin(spark):
