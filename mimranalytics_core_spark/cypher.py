@@ -197,8 +197,17 @@ Grammar subset:
   the body re-parses as its own sub-query and semi-joins (anti- for NOT)
   onto the match frame over the variables it shares with the enclosing
   MATCH (the correlation anchors — at least one required). Inner-only
-  variables are existentially quantified; EXISTS blocks may not appear
-  in per-clause WHEREs or WITH-stage WHEREs (subset limit).
+  variables are existentially quantified. Round 10 widened the placement
+  rules: EXISTS{}/COUNT{} conjuncts ALSO work in WITH-stage WHEREs
+  (post-aggregation existence filters — semi/anti-join or grouped-count
+  left join against the aggregated frame), and OR-connected /
+  expression-embedded EXISTS in the trailing WHERE compiles through the
+  boolean-FLAG path (each span left-joins distinct anchors + TRUE,
+  coalesce FALSE; the whole predicate then filters over the flags).
+  Remaining subset limits: EXISTS may not appear in per-clause WHEREs
+  (attach it to the trailing WHERE instead), bare pattern predicates in
+  OR position must be wrapped in EXISTS { }, and COUNT{} comparisons
+  must be top-level AND conjuncts (no NOT/OR compositions).
 - ``CASE WHEN <pred> THEN <value> [WHEN …] [ELSE <value>] END AS alias``
   as a RETURN / WITH item (Cypher's searched CASE): the body maps 1:1
   onto Spark SQL CASE after var.prop and string-predicate rewrites; a
@@ -347,6 +356,17 @@ def _pattern_comprehension_to_collect(item: str) -> str | None:
         return None
     am = re.match(r"\s+AS\s+(\w+)\s*$", item[close + 1 :], re.I)
     if not am:
+        # the bracket body IS comprehension-shaped (depth-0 pipe after a
+        # node pattern) but the item lacks the standalone `AS alias` tail
+        # — an unaliased or expression-embedded pattern comprehension.
+        # Falling through to the ordinary item grammar would surface a
+        # generic parse error; reject with the targeted subset message
+        # instead (round-11, ADVICE).
+        if _split_pattern_comprehension(item[1:close], masked[1:close]):
+            raise CypherSyntaxError(
+                "pattern comprehensions must be standalone aliased items "
+                f"(`[(pat) [WHERE pred] | expr] AS alias`): {item!r}"
+            )
         return None
     parts = _split_pattern_comprehension(item[1:close], masked[1:close])
     if parts is None:
@@ -377,6 +397,43 @@ def _split_pattern_comprehension(
     if not pat or not expr:
         return None
     return pat, expr
+
+
+def _has_embedded_pattern_comprehension(item: str) -> bool:
+    """True when ``item`` contains a ``[( … | … )]`` span — a pattern
+    comprehension embedded somewhere other than the standalone aliased
+    RETURN-item position (which `_pattern_comprehension_to_collect`
+    already rewrote away before this check runs). Quote-masked; the
+    depth-0-pipe-after-a-'('-opened-bracket shape is unambiguous in this
+    grammar (rel-type alternation ``[:A|B]`` never opens with '(' and
+    list comprehensions open with ``var IN``)."""
+    masked = re.sub(
+        r"'(?:[^'])*'", lambda m: "'" + "x" * (len(m.group(0)) - 2) + "'", item
+    )
+    i = 0
+    while True:
+        j = masked.find("[", i)
+        if j < 0:
+            return False
+        k = j + 1
+        while k < len(masked) and masked[k].isspace():
+            k += 1
+        if k < len(masked) and masked[k] == "(":
+            d, bar, close = 0, -1, -1
+            for idx in range(j, len(masked)):
+                ch = masked[idx]
+                if ch in "([{":
+                    d += 1
+                elif ch in ")]}":
+                    d -= 1
+                    if d == 0:
+                        close = idx
+                        break
+                elif ch == "|" and d == 1:
+                    bar = idx
+            if 0 < bar < close:
+                return True
+        i = j + 1
 
 
 def _fn_rewrite(seg: str) -> str:
@@ -468,6 +525,77 @@ def _fn_rewrite(seg: str) -> str:
             inner = seg[m.end() : i - 1]
             seg = f"{seg[: m.start()]}CAST({inner} AS {sqlty}){seg[i:]}"
     return seg
+
+
+def _name_anon_nodes(query: str) -> str:
+    """Give every anonymous node pattern a fresh synthetic variable —
+    ``()``, ``(:Label)``, ``({props})``, ``(:Label {props})`` become
+    ``(_anN …)`` — so the most common Cypher idiom (``MATCH
+    (c)-[:X]->()``, round-11) parses through the ordinary variable
+    machinery unchanged. Each anonymous node gets its OWN name (Neo4j
+    semantics: two anonymous nodes never co-refer), names are unique
+    across the whole query text (EXISTS/COUNT/COLLECT bodies and CALL
+    branches re-parse substrings of the rewritten text, so an inner parse
+    sees no anonymous nodes and generates nothing — no cross-scope
+    collisions), and user text is never touched inside quoted literals.
+
+    A paren span rewrites ONLY in a structural node position:
+      (a) right after a relationship tail  ``]->`` / ``]-``,
+      (b) right before a relationship head ``-[`` / ``<-[``,
+      (c) right after the MATCH keyword (node-only anonymous MATCH).
+    That keeps ``count(*)``-style calls, grouped predicates ``(x > 1)``,
+    and the round-11 temporal map constructors ``date({…})`` untouched:
+    none of those sit adjacent to a relationship or MATCH."""
+    interior = re.compile(
+        r"^\s*(?::\s*[A-Za-z_]\w*\s*)?(?:\{[^{}]*\}\s*)?$"
+    )
+    # existing _anN tokens (re-entrant parse of an already-rewritten
+    # substring, or a user who actually named a variable _an0): start above
+    taken = {int(m) for m in re.findall(r"\b_an(\d+)\b", query)}
+    nxt = (max(taken) + 1) if taken else 0
+    out, i, n = [], 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch == "'":
+            j = query.find("'", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(query[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            # matching close paren, quote-aware (prop-map values are
+            # literals; braces carry no parens outside quotes)
+            depth, k = 0, i
+            while k < n:
+                c2 = query[k]
+                if c2 == "'":
+                    j2 = query.find("'", k + 1)
+                    k = (n if j2 < 0 else j2) + 1
+                    continue
+                if c2 == "(":
+                    depth += 1
+                elif c2 == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            body = query[i + 1 : k] if k < n else ""
+            if k < n and interior.match(body):
+                before = "".join(out)
+                after = query[k + 1 :]
+                pos_ok = (
+                    re.search(r"\]\s*-\s*>?\s*$", before)  # after a rel
+                    or re.match(r"\s*(?:<\s*)?-\s*\[", after)  # before a rel
+                    or re.search(r"\bMATCH\s*$", before, re.I)  # node-only
+                )
+                if pos_ok:
+                    out.append(f"(_an{nxt}" + ("" if body.strip() == "" else " ") + body + ")")
+                    nxt += 1
+                    i = k + 1
+                    continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_in_lists(query: str) -> str:
@@ -1547,6 +1675,13 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # quantified-relationship shorthand (round-10): -[:R]->{1,3} is the
     # Neo4j 5 spelling of -[:R*1..3]-> — desugar before any scanner
     query = _rewrite_qpp(query)
+    # anonymous node patterns (round-11): () / (:Label) / ({props}) get a
+    # fresh synthetic variable each, AFTER the QPP desugar (so a node
+    # following a quantifier sits after an ordinary `]->` tail) and
+    # BEFORE every scanner below — the rest of the pipeline never sees a
+    # variable-less node. Re-parses of rewritten substrings (EXISTS
+    # bodies, CALL branches) find no anonymous nodes and are no-ops.
+    query = _name_anon_nodes(query)
     # write clauses (round-7, r6 verdict task 6): the engine is a READ-ONLY
     # query layer over graph views DERIVED from the relational tables
     # (customer/supplier/nation edges are computed, not stored) — there is
@@ -2450,12 +2585,28 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 ):
                     exists_flags.extend(fspecs)
                     conjs = [rewritten]
+                elif re.search(r"\bCOUNT\s*\{", rewritten, re.I):
+                    # a COUNT{} span survived flagification — the rel
+                    # pattern inside its braces would otherwise trip the
+                    # bare-pattern message, which misleads (wrapping a
+                    # COUNT comparison in EXISTS cannot fix it) — round-11
+                    raise CypherSyntaxError(
+                        "COUNT { … } comparisons must be top-level AND "
+                        "conjuncts; NOT/OR compositions are not supported: "
+                        f"{where!r}"
+                    )
                 else:
                     raise CypherSyntaxError(
                         "cannot decompose WHERE around EXISTS: bare pattern "
                         "predicates in OR position are not supported — wrap "
                         f"them in EXISTS {{ }}: {where!r}"
                     )
+            elif re.search(r"\bCOUNT\s*\{", where, re.I):
+                raise CypherSyntaxError(
+                    "COUNT { … } comparisons must be top-level AND "
+                    "conjuncts; NOT/OR compositions are not supported: "
+                    f"{where!r}"
+                )
             else:
                 raise CypherSyntaxError(
                     f"cannot decompose WHERE around EXISTS: {where!r}"
@@ -2531,6 +2682,22 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         "a COUNT { … } WHERE conjunct must share at least "
                         f"one variable with the enclosing MATCH: {cj!r}"
                     )
+                # anchors introduced by an OPTIONAL clause: the grouped-
+                # count left join reads 0 for a NULL anchor (fine), but a
+                # BOUND optional anchor whose count fails the comparison
+                # would drop the whole row, where Neo4j scopes the WHERE
+                # into the optional clause and null-extends — reject like
+                # the EXISTS path rather than silently diverge (round-11,
+                # ADVICE)
+                _badc = sorted(set(c_anchors) & _opt_fresh)
+                if _badc:
+                    raise CypherSyntaxError(
+                        f"COUNT {{ … }} anchored on OPTIONAL MATCH "
+                        f"variable(s) {_badc} is not supported (the "
+                        "comparison would drop null-extended rows where "
+                        "Neo4j scopes the predicate into the optional "
+                        "clause; filter inside the optional clause instead)"
+                    )
                 c_inner = (
                     cws[0].rstrip()
                     + (f" AS OF '{as_of}'" if as_of else "")
@@ -2573,6 +2740,12 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                             cj, varset, as_of, _opt_fresh, len(exists_flags)
                         )
                         if re.search(r"-\s*\[", re.sub(r"'[^']*'", "''", cj2)):
+                            if re.search(r"\bCOUNT\s*\{", cj2, re.I):
+                                raise CypherSyntaxError(
+                                    "COUNT { … } comparisons must be "
+                                    "top-level AND conjuncts; NOT/OR "
+                                    f"compositions are not supported: {cj!r}"
+                                )
                             raise CypherSyntaxError(
                                 "bare pattern predicates in OR position are "
                                 "not supported — wrap them in EXISTS { }: "
@@ -2581,6 +2754,21 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         exists_flags.extend(fspecs)
                         kept_conjs.append(cj2)
                         continue
+                    if re.search(
+                        r"\bCOUNT\s*\{", re.sub(r"'[^']*'", "''", cj), re.I
+                    ):
+                        # a COUNT{} expression that is NOT a clean
+                        # top-level `COUNT{…} <op> k` conjunct (NOT/OR
+                        # compositions, arithmetic embeddings): the rel
+                        # span inside its braces used to fall to the
+                        # bare-pattern message, which misleads — a COUNT
+                        # comparison cannot be fixed by wrapping in
+                        # EXISTS (round-11, ADVICE)
+                        raise CypherSyntaxError(
+                            "COUNT { … } comparisons must be top-level AND "
+                            "conjuncts compared to an integer literal; "
+                            f"NOT/OR compositions are not supported: {cj!r}"
+                        )
                     if re.search(
                         r"-\s*\[[^\]]*\]\s*-", re.sub(r"'[^']*'", "''", cj)
                     ):
@@ -3003,6 +3191,22 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 pc_ = _pattern_comprehension_to_collect(item)
                 if pc_:
                     item = pc_
+            # a pattern comprehension EMBEDDED in a larger expression
+            # (`size([(n)-[:R]->(m) | m.x]) + 1 AS y`) or appearing in a
+            # WITH item would otherwise fall through to the ordinary item
+            # grammar and die with a misleading 'unsupported property
+            # access' on the comprehension's inner variable — give the
+            # targeted subset message instead (round-11, ADVICE). A `[(`
+            # bracket with a depth-0 pipe is unambiguous here: rel-type
+            # alternation never opens with '(' and list comprehensions
+            # open with `var IN`.
+            if _has_embedded_pattern_comprehension(item):
+                raise CypherSyntaxError(
+                    "pattern comprehensions must be standalone aliased "
+                    f"RETURN items (`[(pat) [WHERE pred] | expr] AS "
+                    f"alias`) — embedding in a larger expression or a "
+                    f"WITH item is not supported: {item!r}"
+                )
             lq_ = re.match(
                 r"^COLLECT\s*\{(?P<body>.+)\}\s+AS\s+(?P<alias>\w+)$",
                 item,
@@ -4580,6 +4784,36 @@ def _run_single(
             # under OPTIONAL CALL a single left join null-extends once
             # even when every branch is empty for an anchor
             parts = [run(spark, sf_dir, b, graph=graph) for b in _c["branches"]]
+            # branch NAME sets were validated at parse time; TYPES were
+            # not — Spark's union coercion silently inserts an ANSI
+            # string→numeric cast that only dies mid-job with an opaque
+            # CAST_INVALID_INPUT. Check union compatibility eagerly and
+            # give the targeted subset error every other declared
+            # violation gets: same-named columns must be the same type or
+            # both numeric (Spark widens those losslessly) — round-11,
+            # ADVICE.
+            _num = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+            def _compat(t1: str, t2: str) -> bool:
+                return t1 == t2 or (
+                    (t1 in _num or t1.startswith("decimal"))
+                    and (t2 in _num or t2.startswith("decimal"))
+                )
+
+            d1 = dict(parts[0].dtypes)
+            for bi, pp in enumerate(parts[1:], start=2):
+                mism = [
+                    f"{cname!r} ({d1.get(cname)} vs {dt})"
+                    for cname, dt in pp.dtypes
+                    if not _compat(d1.get(cname, dt), dt)
+                ]
+                if mism:
+                    raise CypherSyntaxError(
+                        "correlated CALL UNION ALL branches disagree on "
+                        f"column types (branch 1 vs branch {bi}): "
+                        f"{', '.join(mism)} — branches must return "
+                        "union-compatible types for each shared alias"
+                    )
             sub = parts[0]
             for pp in parts[1:]:
                 sub = sub.unionByName(pp)

@@ -5730,3 +5730,49 @@ def cypher_exists_or(spark, sf_dir):
               OR EXISTS { (c:Customer {mktsegment: 'BUILDING'})-[:CUSTOMER_OF]->(n) }
            RETURN n.name AS nm ORDER BY nm""",
     )
+
+
+@register(
+    "cypher_anon_nodes",
+    "graph",
+    oracle="""
+        SELECT r.r_name AS rn, COUNT(*) AS cust_cnt
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE EXISTS (SELECT 1 FROM supplier s
+                        JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+                       WHERE n2.n_regionkey = r.r_regionkey)
+        GROUP BY r.r_name ORDER BY rn
+    """,
+    notes=(
+        "anonymous / variable-less node patterns (round-11 — the single "
+        "most common Cypher idiom previously rejected): `()`, `(:Label)` "
+        "and `({props})` in MATCH chains AND in EXISTS/COUNT/COLLECT "
+        "bodies / pattern comprehensions / bare pattern predicates. "
+        "cypher._name_anon_nodes assigns each a fresh synthetic variable "
+        "(`_anN`, unique across the whole query text so re-parsed "
+        "subquery bodies never collide with outer scopes) in structural "
+        "node positions ONLY (after a rel tail, before a rel head, after "
+        "MATCH) — function calls, grouped predicates and map arguments "
+        "are untouched. Two anonymous nodes never co-refer (fresh name "
+        "each — Neo4j semantics) and the names ride the ordinary "
+        "variable machinery, so labels/props/pushdown/trail semantics "
+        "are inherited unchanged. Zero plan cost: the rewrite is "
+        "parse-time text. The declared query exercises a mid-chain "
+        "anonymous node (customer→()→region) and an EXISTS body whose "
+        "supplier AND mid-nation nodes are both anonymous. Oracle: the "
+        "same two joins + EXISTS in SQL"
+    ),
+)
+def cypher_anon_nodes(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->()-[:NATION_OF]->(r:Region)
+           WHERE EXISTS { (:Supplier)-[:SUPPLIER_OF]->()-[:NATION_OF]->(r) }
+           RETURN r.name AS rn, count(*) AS cust_cnt
+           ORDER BY rn""",
+    )

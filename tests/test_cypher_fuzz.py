@@ -62,8 +62,18 @@ def _query(draw):
         body = f"[{rvar}:{draw(_TYPES)}]"
         simple_rel = f"<-{body}-" if arrow == "in" else f"-{body}->"
     pat = draw(_node(vs[0]))
-    for v in vs[1:]:
-        pat += (simple_rel or draw(_rel(rvar))) + draw(_node(v))
+    for idx, v in enumerate(vs[1:], start=1):
+        # round-11: anonymous / label-only terminal nodes — the chain's
+        # LAST node may drop its variable when nothing downstream
+        # references it (items only ever use vs[:2])
+        anon = (
+            idx == nvars - 1
+            and nvars >= 3
+            and not rvar
+            and not shortest
+            and draw(st.integers(0, 2)) == 0
+        )
+        pat += (simple_rel or draw(_rel(rvar))) + draw(_node("" if anon else v))
     comma = False
     if not shortest and not rvar and draw(st.integers(0, 3)) == 0:
         # comma-separated multi-pattern sharing the first variable
@@ -110,10 +120,16 @@ def _query(draw):
         q += f" WHERE {wpred}"
         if not shortest and draw(st.integers(0, 2)) == 0:
             neg = "NOT " if draw(st.booleans()) else ""
-            e9n = draw(st.sampled_from(["(e9)", "(e9 {id: 's:1'})"]))
+            # round-11: anonymous / label-only nodes in EXISTS bodies
+            e9n = draw(
+                st.sampled_from(
+                    ["(e9)", "(e9 {id: 's:1'})", "()", "(:Customer)"]
+                )
+            )
             q += f" AND {neg}EXISTS {{ {e9n}" + draw(_rel()) + f"({vs[0]}) }}"
     elif not shortest and draw(st.integers(0, 3)) == 0:
-        q += f" WHERE EXISTS {{ (e9)" + draw(_rel()) + f"({vs[0]}) }}"
+        e9n = draw(st.sampled_from(["(e9)", "()", "(:Supplier)"]))
+        q += f" WHERE EXISTS {{ {e9n}" + draw(_rel()) + f"({vs[0]}) }}"
     # optionally pipe through WITH, then optionally MATCH again (stage 2)
     with_match = not shortest and draw(st.booleans())
     if with_match:

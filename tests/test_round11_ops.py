@@ -1,0 +1,219 @@
+"""Round-11 regressions: the four r10 ADVICE items + the docstring-drift
+guard the r10 verdict asked for.
+
+1. (medium, cypher.py COUNT{} WHERE conjuncts) a COUNT{} comparison
+   anchored on an OPTIONAL-MATCH-fresh variable post-filtered the joined
+   frame: when the optional anchor IS bound but the count predicate
+   fails, the row dropped entirely, where Neo4j scopes the WHERE into
+   the optional clause and null-extends — now rejected with the same
+   targeted error as the sibling EXISTS path.
+2. (low, cypher.py _apply_call) correlated CALL UNION ALL branches with
+   type-incompatible same-named columns died at run time with an opaque
+   Spark AnalysisException — now a targeted CypherSyntaxError naming the
+   mismatched column and branch.
+3. (low, cypher.py conjunct fallthrough) `NOT COUNT {…} >= 2` / COUNT{}
+   inside an OR raised 'bare pattern predicates in OR position … wrap
+   them in EXISTS { }' — misleading for a COUNT comparison the user
+   cannot fix that way. Now a COUNT-specific message.
+4. (low, cypher.py _pattern_comprehension_to_collect) an unaliased or
+   expression-embedded pattern comprehension fell through to the
+   ordinary item grammar and surfaced a generic parse error — now a
+   targeted 'must be standalone aliased items' message.
+5. (docstring drift) the module contract no longer claims EXISTS is
+   banned from WITH-stage WHEREs (round 10 shipped exactly that).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from mimranalytics_core_spark import api, cypher
+from mimranalytics_core_spark.cypher import CypherSyntaxError
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---- 1. COUNT{} anchored on an OPTIONAL MATCH variable ----------------
+
+
+def test_count_pred_on_optional_anchor_rejected(spark):
+    q = """MATCH (n:Nation)
+           OPTIONAL MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+           WHERE COUNT { (c)-[:CUSTOMER_OF]->(m:Nation) } >= 1
+           RETURN n.name AS nm, c.name AS cn"""
+    with pytest.raises(CypherSyntaxError, match="OPTIONAL MATCH variable"):
+        api.cypher(spark, SF, q)
+
+
+def test_count_pred_on_non_optional_anchor_still_works(spark):
+    q = """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WHERE COUNT { (c)-[:CUSTOMER_OF]->(m:Nation) } >= 1
+           RETURN count(*) AS k"""
+    rows = api.cypher(spark, SF, q).collect()
+    assert rows[0].k > 0
+
+
+# ---- 2. CALL UNION ALL branch type mismatch ---------------------------
+
+
+def test_call_union_type_mismatch_targeted_error(spark):
+    q = """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  RETURN c.name AS v, 'cust' AS kind
+                  UNION ALL
+                  WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                  RETURN s.acctbal AS v, 'supp' AS kind }
+           RETURN n.name AS nm, v, kind"""
+    with pytest.raises(CypherSyntaxError, match="disagree on column types"):
+        api.cypher(spark, SF, q).collect()
+
+
+def test_call_union_numeric_widening_still_allowed(spark):
+    # int literal in one branch, float property in the other: Spark
+    # widens — must NOT be rejected
+    q = """MATCH (n:Nation)
+           CALL { WITH n MATCH (c:Customer)-[:CUSTOMER_OF]->(n)
+                  RETURN c.acctbal AS v
+                  UNION ALL
+                  WITH n MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+                  RETURN 1 AS v }
+           RETURN n.name AS nm, count(*) AS k ORDER BY nm LIMIT 3"""
+    assert api.cypher(spark, SF, q).collect()
+
+
+# ---- 3. COUNT{} in NOT/OR positions gets a COUNT-specific message -----
+
+
+@pytest.mark.parametrize(
+    "pred",
+    [
+        "NOT COUNT { (c)-[:CUSTOMER_OF]->(m:Nation) } >= 2",
+        "COUNT { (c)-[:CUSTOMER_OF]->(m:Nation) } >= 2 OR c.acctbal > 0",
+        "c.acctbal > 0 OR COUNT { (c)-[:CUSTOMER_OF]->(m:Nation) } = 1",
+    ],
+)
+def test_count_composition_gets_count_specific_error(spark, pred):
+    q = f"""MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+            WHERE {pred}
+            RETURN count(*) AS k"""
+    with pytest.raises(CypherSyntaxError, match="COUNT") as ei:
+        api.cypher(spark, SF, q)
+    assert "wrap them in EXISTS" not in str(ei.value)
+
+
+def test_exists_or_count_mixed_gets_count_specific_error(spark):
+    # EXISTS flagifies fine; the leftover COUNT{} span must raise the
+    # COUNT message, not the bare-pattern one
+    q = """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WHERE EXISTS { (c)-[:CUSTOMER_OF]->(m:Nation) }
+              OR COUNT { (c)-[:CUSTOMER_OF]->(m2:Nation) } >= 2
+           RETURN count(*) AS k"""
+    with pytest.raises(CypherSyntaxError, match="COUNT"):
+        api.cypher(spark, SF, q)
+
+
+# ---- 4. unaliased / embedded pattern comprehensions -------------------
+
+
+@pytest.mark.parametrize(
+    "item",
+    [
+        "[(n)-[:NATION_OF]->(r) | r.name]",
+        "size([(n)-[:NATION_OF]->(r) | r.name]) + 1 AS x",
+    ],
+)
+def test_unaliased_pattern_comprehension_targeted_error(spark, item):
+    q = f"MATCH (n:Nation) RETURN {item}"
+    with pytest.raises(CypherSyntaxError, match="aliased"):
+        api.cypher(spark, SF, q)
+
+
+def test_aliased_pattern_comprehension_still_works(spark):
+    q = """MATCH (n:Nation)
+           RETURN n.name AS nm, [(n)-[:NATION_OF]->(r) | r.name] AS regs
+           ORDER BY nm LIMIT 2"""
+    rows = api.cypher(spark, SF, q).collect()
+    assert len(rows) == 2 and all(len(r.regs) == 1 for r in rows)
+
+
+# ---- 5. docstring drift guard ------------------------------------------
+
+
+def test_module_contract_reflects_r10_with_stage_exists():
+    doc = cypher.__doc__
+    assert "may not appear in per-clause WHEREs or WITH-stage" not in doc
+    assert "WITH-stage WHEREs" in doc  # the lifted rule is documented
+
+
+# ---- 6. anonymous / variable-less node patterns (round-11) --------------
+
+
+@pytest.mark.parametrize(
+    "q,expect",
+    [
+        ("MATCH (c:Customer)-[:CUSTOMER_OF]->() RETURN count(*) AS k", 150),
+        ("MATCH (c:Customer)-[:CUSTOMER_OF]->(:Nation) RETURN count(*) AS k", 150),
+        ("MATCH ()-[:NATION_OF]->(r:Region) RETURN count(*) AS k", 25),
+        ("MATCH (:Customer) RETURN count(*) AS k", 150),
+        (
+            "MATCH (c:Customer)-[:CUSTOMER_OF]->()-[:NATION_OF]->(r:Region) "
+            "RETURN count(*) AS k",
+            150,
+        ),
+        (
+            "MATCH (c:Customer) WHERE EXISTS { (c)-[:CUSTOMER_OF]->(:Nation) } "
+            "RETURN count(*) AS k",
+            150,
+        ),
+        (
+            "MATCH (c:Customer) WHERE (c)-[:CUSTOMER_OF]->() "
+            "RETURN count(*) AS k",
+            150,
+        ),
+        (
+            "MATCH (n:Nation)-[:NATION_OF]->({name: 'AFRICA'}) "
+            "RETURN count(*) AS k",
+            5,
+        ),
+    ],
+)
+def test_anon_node_patterns(spark, q, expect):
+    assert api.cypher(spark, SF, q).collect()[0].k == expect
+
+
+def test_anon_nodes_never_corefer(spark):
+    # Neo4j: two anonymous nodes are DISTINCT variables — a customer with
+    # one nation still matches (()-…->() would be one row per (edge,edge)
+    # pair if they co-referred the same way a repeated variable joins)
+    k_two_anon = api.cypher(
+        spark,
+        SF,
+        "MATCH ()-[:CUSTOMER_OF]->(n:Nation), (:Supplier)-[:SUPPLIER_OF]->(n) "
+        "RETURN count(*) AS k",
+    ).collect()[0].k
+    k_named = api.cypher(
+        spark,
+        SF,
+        "MATCH (c)-[:CUSTOMER_OF]->(n:Nation), (s:Supplier)-[:SUPPLIER_OF]->(n) "
+        "RETURN count(*) AS k",
+    ).collect()[0].k
+    assert k_two_anon == k_named
+
+
+def test_anon_rewrite_leaves_non_node_parens_alone():
+    from mimranalytics_core_spark.cypher import _name_anon_nodes
+
+    for text in [
+        "MATCH (n) RETURN count(*) AS k",
+        "MATCH (n) WHERE (n.acctbal > 1) AND (n.name = 'x') RETURN n",
+        "MATCH (n) RETURN coalesce(n.name, 'z') AS x",
+        "MATCH (n) RETURN size([x IN [1,2] | x]) AS s",
+    ]:
+        assert _name_anon_nodes(text) == text
+
+
+def test_anon_node_in_quoted_literal_untouched(spark):
+    from mimranalytics_core_spark.cypher import _name_anon_nodes
+
+    t = "MATCH (n) WHERE n.name = '()-[:X]->()' RETURN n"
+    assert _name_anon_nodes(t) == t
