@@ -2231,7 +2231,71 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         ]
         return "named_struct(" + ", ".join(fields) + ")"
 
+    _REDUCE_W = re.compile(
+        r"\breduce\s*\(\s*(?P<acc>[A-Za-z_]\w*)\s*=\s*"
+        r"(?P<init>-?\d+(?:\.\d+)?)\s*,\s*(?P<v>[A-Za-z_]\w*)\s+IN\s+"
+        r"(?P<src>relationships\s*\(\s*[A-Za-z_]\w*\s*\)|[A-Za-z_]\w*)"
+        r"\s*\|\s*(?P<body>[^()]*)\)",
+        re.I,
+    )
+
+    def _gfn_reduce_weight(s: str) -> str:
+        """``reduce(acc = <n>, r IN rs | acc * r.weight)`` over a
+        VAR-LENGTH relationship list ``rs`` (or the ``relationships(p)``
+        spelling) → ``(<n> * path_weight)`` — the UBO sum-of-path-products
+        idiom in Cypher (round-11, F2 README.md:13). The trail machinery
+        already carries the per-path weight product as ``path_weight``;
+        the reduce is a static rewrite onto it, zero extra plan cost.
+        Generic list reduces (literal lists, collect() outputs) don't
+        match the relationship/path source and pass through to the
+        ordinary list-expression compiler."""
+
+        def _one(m: re.Match) -> str:
+            src = m.group("src")
+            rm_ = re.match(r"relationships\s*\(\s*([A-Za-z_]\w*)\s*\)", src, re.I)
+            over_rel = rm_ is None and src in rvar_seg
+            over_path = rm_ is not None and path_var and rm_.group(1) == path_var
+            if not (over_rel or over_path):
+                return m.group(0)  # a generic list reduce — not ours
+            if shortest:
+                raise CypherSyntaxError(
+                    "reduce over relationships is not defined for "
+                    "shortestPath() patterns (the BFS computes distances, "
+                    "it does not enumerate paths)"
+                )
+            if not (len(clauses) == 1 and len(segments) == 1):
+                raise CypherSyntaxError(
+                    "reduce over a relationship list needs a single-"
+                    "clause, single-segment pattern (the per-path weight "
+                    f"product is single-segment-only): {m.group(0)!r}"
+                )
+            a, v, body = m.group("acc"), m.group("v"), m.group("body").strip()
+            if not re.fullmatch(
+                rf"{re.escape(a)}\s*\*\s*{re.escape(v)}\s*\.\s*weight"
+                rf"|{re.escape(v)}\s*\.\s*weight\s*\*\s*{re.escape(a)}",
+                body,
+            ):
+                raise CypherSyntaxError(
+                    "only the weight-product form is supported over a "
+                    "relationship list: reduce(acc = <number>, r IN rs | "
+                    "acc * r.weight) — it compiles to the carried "
+                    f"per-path weight product: {m.group(0)!r}"
+                )
+            return f"({m.group('init')} * path_weight)"
+
+        return _REDUCE_W.sub(_one, s)
+
     def _gfn_seg(seg: str) -> str:
+        seg = _gfn_reduce_weight(seg)
+        if rvar_seg and len(clauses) == 1 and len(segments) == 1:
+            # size(rs) over a relationship list = the path's hop count
+            # (round-11; the length(p) twin for the rs binding)
+            seg = re.sub(
+                rf"\bsize\s*\(\s*(?:{'|'.join(map(re.escape, rvar_seg))})\s*\)",
+                "hops",
+                seg,
+                flags=re.I,
+            )
         seg = re.sub(
             r"\b([A-Za-z_]\w*)\s*\{\s*((?:\.\w+|\.\*)(?:\s*,\s*(?:\.\w+|\.\*))*)\s*\}",
             _gfn_mapproj,

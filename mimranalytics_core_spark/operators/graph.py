@@ -5776,3 +5776,41 @@ def cypher_anon_nodes(spark, sf_dir):
            RETURN r.name AS rn, count(*) AS cust_cnt
            ORDER BY rn""",
     )
+
+
+@register(
+    "cypher_varlen_weight_product",
+    "graph",
+    oracle=_UBO_SQL.format(edges=HIERARCHY_SQL),
+    notes=(
+        "var-length relationship LIST binding + reduce-over-path "
+        "(round-11 — the UBO sum-of-path-products idiom IN CYPHER, F2 "
+        "README.md:13, exactly as a migrating Neo4j user writes it): "
+        "`-[rs*1..6]->` binds the relationship list and `reduce(acc = "
+        "1.0, r IN rs | acc * r.weight)` (or the `relationships(p)` "
+        "spelling) compiles STATICALLY onto the per-path weight product "
+        "the trail machinery already carries (cypher._gfn_reduce_weight "
+        "→ `init * path_weight`) — zero extra plan cost, no list "
+        "materialization; `size(rs)` ≡ hops. Non-product reduce bodies "
+        "over a relationship list get a targeted subset error (only the "
+        "product is carried). The declared query IS graph_ubo in Cypher: "
+        "customer-rooted paths to depth 6, per-(owner, entity) "
+        "sum-of-products, 0.001 threshold — and shares graph_ubo's "
+        "recursive-CTE oracle verbatim (same threshold, same rounding). "
+        "Scale: identical plan family to graph_ubo's bounded traversal "
+        "(per-level equi-joins carrying the running product); the reduce "
+        "adds a literal multiply"
+    ),
+)
+def cypher_varlen_weight_product(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[rs*1..6]->(e)
+           WITH c.id AS owner, e.id AS entity,
+                reduce(acc = 1.0, r IN rs | acc * r.weight) AS frac
+           WITH owner, entity, sum(frac) AS s WHERE s >= 0.001
+           RETURN owner, entity, round(s, 6) AS effective_ownership""",
+    )

@@ -217,3 +217,53 @@ def test_anon_node_in_quoted_literal_untouched(spark):
 
     t = "MATCH (n) WHERE n.name = '()-[:X]->()' RETURN n"
     assert _name_anon_nodes(t) == t
+
+
+# ---- 7. var-length relationship list binding + reduce (round-11) --------
+
+
+def test_reduce_over_rs_equals_path_weight(spark):
+    q_reduce = """MATCH (c:Customer)-[rs:CUSTOMER_OF*1..2]->(n:Nation)
+                  RETURN c.id AS cid, reduce(acc = 1.0, r IN rs | acc * r.weight) AS w
+                  ORDER BY cid"""
+    q_pw = """MATCH (c:Customer)-[:CUSTOMER_OF*1..2]->(n:Nation)
+              RETURN c.id AS cid, path_weight AS w ORDER BY cid"""
+    assert (
+        api.cypher(spark, SF, q_reduce).collect()
+        == api.cypher(spark, SF, q_pw).collect()
+    )
+
+
+def test_reduce_over_relationships_path_applies_init(spark):
+    q = """MATCH p = (c:Customer)-[:CUSTOMER_OF*1..2]->(n:Nation)
+           RETURN c.id AS cid,
+                  reduce(acc = 2.0, r IN relationships(p) | acc * r.weight) AS w2,
+                  path_weight AS w ORDER BY cid LIMIT 5"""
+    for r in api.cypher(spark, SF, q).collect():
+        assert abs(r.w2 - 2.0 * r.w) < 1e-9
+
+
+def test_size_rs_is_hops(spark):
+    q = """MATCH (c:Customer)-[rs*1..2]->(e)
+           RETURN size(rs) AS h, hops ORDER BY h LIMIT 10"""
+    for r in api.cypher(spark, SF, q).collect():
+        assert r.h == r.hops
+
+
+def test_reduce_non_product_body_targeted_error(spark):
+    q = """MATCH (c:Customer)-[rs:CUSTOMER_OF*1..2]->(n)
+           RETURN reduce(acc = 0, r IN rs | acc + r.weight) AS w"""
+    with pytest.raises(CypherSyntaxError, match="weight-product form"):
+        api.cypher(spark, SF, q)
+
+
+def test_reduce_multi_segment_targeted_error(spark):
+    q = """MATCH (c:Customer)-[rs:CUSTOMER_OF*1..2]->(n)-[:NATION_OF]->(r2:Region)
+           RETURN reduce(acc = 1.0, r IN rs | acc * r.weight) AS w"""
+    with pytest.raises(CypherSyntaxError, match="single-"):
+        api.cypher(spark, SF, q)
+
+
+def test_generic_list_reduce_still_works(spark):
+    q = "MATCH (n:Nation) RETURN reduce(s = 0, x IN [1, 2, 3] | s + x) AS t LIMIT 1"
+    assert api.cypher(spark, SF, q).collect()[0].t == 6
