@@ -598,6 +598,138 @@ def _name_anon_nodes(query: str) -> str:
     return "".join(out)
 
 
+_ISO_DURATION = re.compile(
+    r"^P(?:(?P<y>\d+)Y)?(?:(?P<mo>\d+)M)?(?:(?P<w>\d+)W)?(?:(?P<d>\d+)D)?"
+    r"(?:T(?:(?P<h>\d+)H)?(?:(?P<mi>\d+)M)?(?:(?P<s>\d+(?:\.\d+)?)S)?)?$"
+)
+
+_TEMPORAL_KEYS = {
+    "date": (("year", None), ("month", 1), ("day", 1)),
+    "datetime": (
+        ("year", None), ("month", 1), ("day", 1),
+        ("hour", 0), ("minute", 0), ("second", 0),
+    ),
+}
+
+
+def _rewrite_temporals(query: str) -> str:
+    """Neo4j temporal value constructors (round-11):
+
+    - ``date({year: Y, month: M, day: D})`` → ``make_date(Y, M, D)``
+      (month/day default 1 — Neo4j's truncation defaults; year required);
+    - ``datetime({year, …, second})`` → ``make_timestamp(Y,M,D,h,m,s)``
+      (time components default 0);
+    - ``datetime('<iso>')`` → ``CAST('<iso>' AS TIMESTAMP)`` (Spark's
+      cast accepts the ISO-8601 'T' separator);
+    - ``<expr> ± duration('P…')`` → an INTERVAL chain
+      (``+ INTERVAL 'n' MONTH + INTERVAL 'n' DAY + INTERVAL 'n' SECOND``,
+      zero components omitted) — Spark separates year-month and day-time
+      interval types, so the chain is the composable spelling; weeks fold
+      into days, years into months (ISO-8601 semantics both engines
+      share).
+
+    A ``duration(…)`` anywhere else (standalone value, left operand,
+    non-literal argument) gets a targeted CypherSyntaxError, as does a
+    malformed map (unknown key, missing year, non-integer value) — these
+    used to leak Spark's raw PARSE_SYNTAX_ERROR. Quote-aware: literals
+    are never rewritten."""
+
+    def _seg(seg: str) -> str:
+        def _map_form(m: re.Match) -> str:
+            fn = m.group(1).lower()
+            body = m.group(2)
+            vals: dict[str, int] = {}
+            rest = body.strip()
+            for pm in re.finditer(r"(\w+)\s*:\s*(-?\d+)\s*(?:,|$)", rest):
+                vals[pm.group(1).lower()] = int(pm.group(2))
+            spec = _TEMPORAL_KEYS[fn]
+            known = {k for k, _ in spec}
+            bad = set(vals) - known
+            if bad or not re.fullmatch(
+                r"\s*(?:\w+\s*:\s*-?\d+\s*(?:,\s*\w+\s*:\s*-?\d+\s*)*)?", rest
+            ):
+                raise CypherSyntaxError(
+                    f"unsupported {fn}({{…}}) map: keys must be a subset "
+                    f"of {sorted(known)} with integer-literal values "
+                    f"(got: {body.strip()!r})"
+                )
+            if "year" not in vals:
+                raise CypherSyntaxError(
+                    f"{fn}({{…}}) requires a year component: {body.strip()!r}"
+                )
+            args = [str(vals.get(k, dflt)) for k, dflt in spec]
+            # make_timestamp_NTZ: Neo4j's datetime is zoned, but the
+            # engine pins session-zone-free timestamps for cross-engine
+            # value-hash parity (fn_date's discipline) — declared
+            # divergence, zone math is out of scope
+            target = "make_date" if fn == "date" else "make_timestamp_ntz"
+            return f"{target}({', '.join(args)})"
+
+        seg = re.sub(
+            r"\b(date|datetime)\s*\(\s*\{([^{}]*)\}\s*\)", _map_form, seg,
+            flags=re.I,
+        )
+        return seg
+
+    query = _outside_quotes(query, _seg)
+    # datetime('<iso literal>') — the string form needs the quoted
+    # argument, so it runs over the raw text with its own literal-aware
+    # pattern (the map form above already consumed datetime({…}))
+    query = re.sub(
+        r"\bdatetime\s*\(\s*'([^']*)'\s*\)",
+        lambda m: f"CAST('{m.group(1)}' AS TIMESTAMP_NTZ)",
+        query,
+        flags=re.I,
+    )
+
+    def _dur(m: re.Match) -> str:
+        sign, iso = m.group(1), m.group(2)
+        dm = _ISO_DURATION.match(iso)
+        if not dm or not any(dm.groups()):
+            raise CypherSyntaxError(
+                f"unsupported duration literal {iso!r} (ISO-8601 "
+                "P[nY][nM][nW][nD][T[nH][nM][nS]] with at least one "
+                "component)"
+            )
+        g = {k: v for k, v in dm.groupdict().items() if v}
+        months = int(g.get("y", 0)) * 12 + int(g.get("mo", 0))
+        days = int(g.get("w", 0)) * 7 + int(g.get("d", 0))
+        secs = (
+            int(g.get("h", 0)) * 3600
+            + int(g.get("mi", 0)) * 60
+            + float(g.get("s", 0))
+        )
+        # UNQUOTED interval literals (both engines accept them): the
+        # later toString()/toInteger() argument capture splits segments
+        # at quotes, so a quoted interval inside toString(...) would
+        # break the balanced-paren scan
+        parts = []
+        if months:
+            parts.append(f"INTERVAL {months} MONTH")
+        if days:
+            parts.append(f"INTERVAL {days} DAY")
+        if secs:
+            s_lit = int(secs) if float(secs).is_integer() else secs
+            parts.append(f"INTERVAL {s_lit} SECOND")
+        if not parts:
+            parts = ["INTERVAL 0 DAY"]
+        return "".join(f" {sign} {p}" for p in parts)
+
+    query = re.sub(r"([+-])\s*duration\s*\(\s*'([^']*)'\s*\)", _dur, query)
+    # any duration() left is unsupported placement/argument — targeted
+    # error instead of the raw Spark parse failure
+    leftover = re.search(
+        r"\bduration\s*\(", re.sub(r"'[^']*'", "''", query), re.I
+    )
+    if leftover:
+        raise CypherSyntaxError(
+            "duration(…) is only supported as `<date/timestamp expr> ± "
+            "duration('P…')` arithmetic with an ISO-8601 string literal "
+            "(a standalone duration value has no column type here)"
+        )
+    return query
+
+
 def _rewrite_in_lists(query: str) -> str:
     """``IN [a, b, …]`` list membership → SQL ``IN (a, b, …)`` — Cypher's
     list-literal membership test, one of the most common WHERE idioms.
@@ -737,6 +869,11 @@ _EXPR_ALLOW = {
     "date_add", "date_sub", "year", "month", "day", "dayofweek",
     "hour", "minute", "second", "quarter", "weekofyear", "last_day",
     "months_between", "add_months", "trunc", "date_trunc", "date_format",
+    # round-11: temporal value constructors — date({y,m,d}) /
+    # datetime({…}) rewrite to make_date/make_timestamp, duration('P…')
+    # arithmetic rewrites to INTERVAL literals (see _rewrite_temporals)
+    "make_date", "make_timestamp", "make_timestamp_ntz",
+    "timestamp_ntz", "interval",
 }
 
 
@@ -1682,6 +1819,12 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # variable-less node. Re-parses of rewritten substrings (EXISTS
     # bodies, CALL branches) find no anonymous nodes and are no-ops.
     query = _name_anon_nodes(query)
+    # temporal value constructors (round-11): date({y,m,d}) /
+    # datetime({…}) / datetime('iso') / ± duration('P…') — rewritten to
+    # make_date/make_timestamp/CAST/INTERVAL before any scanner;
+    # unsupported placements get targeted errors here instead of leaking
+    # Spark's raw PARSE_SYNTAX_ERROR downstream
+    query = _rewrite_temporals(query)
     # write clauses (round-7, r6 verdict task 6): the engine is a READ-ONLY
     # query layer over graph views DERIVED from the relational tables
     # (customer/supplier/nation edges are computed, not stored) — there is

@@ -5814,3 +5814,52 @@ def cypher_varlen_weight_product(spark, sf_dir):
            WITH owner, entity, sum(frac) AS s WHERE s >= 0.001
            RETURN owner, entity, round(s, 6) AS effective_ownership""",
     )
+
+
+@register(
+    "cypher_temporal_constructors",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm,
+               CAST(DATE '2020-01-01' AS VARCHAR) AS d0,
+               CAST(CAST(DATE '2020-01-01' + INTERVAL 1 MONTH
+                                           + INTERVAL 14 DAY AS DATE)
+                    AS VARCHAR) AS d1,
+               make_timestamp(2020, 3, 2, 12, 0, 0) AS t0,
+               CAST(TIMESTAMP '2020-01-01 06:30:00'
+                    - INTERVAL 5400 SECOND AS TIMESTAMP) AS t1
+        FROM nation n ORDER BY nm
+    """,
+    notes=(
+        "temporal value constructors (round-11 — the Time-Slider user's "
+        "daily idioms, F4 README.md:17): `date({year, month, day})` → "
+        "make_date (month/day default 1, Neo4j's truncation defaults), "
+        "`datetime({…})` → make_timestamp_ntz (session-zone-free for "
+        "cross-engine hash parity — declared divergence from Neo4j's "
+        "zoned datetime), `datetime('<iso>')` → CAST AS TIMESTAMP_NTZ, "
+        "and `<temporal> ± duration('P…')` → a composable INTERVAL "
+        "chain (years fold into months, weeks into days — Spark keeps "
+        "year-month and day-time intervals as separate types, so the "
+        "chain is the only spelling that composes both). All rewrites "
+        "are parse-time text (cypher._rewrite_temporals) — zero plan "
+        "cost, constant-folded by Catalyst. Malformed maps, unknown "
+        "keys, missing year, non-literal values, bad ISO strings and "
+        "standalone durations each get a targeted CypherSyntaxError "
+        "(the map form used to leak Spark's raw PARSE_SYNTAX_ERROR). "
+        "Oracle: the same constructors spelled in DuckDB SQL"
+    ),
+)
+def cypher_temporal_constructors(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (n:Nation)
+           RETURN n.name AS nm,
+                  toString(date({year: 2020, month: 1, day: 1})) AS d0,
+                  toString(date({year: 2020, month: 1, day: 1}) + duration('P1M2W')) AS d1,
+                  datetime({year: 2020, month: 3, day: 2, hour: 12}) AS t0,
+                  datetime('2020-01-01T06:30:00') - duration('PT1H30M') AS t1
+           ORDER BY nm""",
+    )

@@ -267,3 +267,55 @@ def test_reduce_multi_segment_targeted_error(spark):
 def test_generic_list_reduce_still_works(spark):
     q = "MATCH (n:Nation) RETURN reduce(s = 0, x IN [1, 2, 3] | s + x) AS t LIMIT 1"
     assert api.cypher(spark, SF, q).collect()[0].t == 6
+
+
+# ---- 8. temporal value constructors (round-11) ---------------------------
+
+
+def test_date_map_constructor(spark):
+    q = "MATCH (n:Nation) RETURN toString(date({year: 2020, month: 2, day: 29})) AS d LIMIT 1"
+    assert api.cypher(spark, SF, q).collect()[0].d == "2020-02-29"
+
+
+def test_date_map_defaults_month_day(spark):
+    q = "MATCH (n:Nation) RETURN toString(date({year: 2021})) AS d LIMIT 1"
+    assert api.cypher(spark, SF, q).collect()[0].d == "2021-01-01"
+
+
+def test_datetime_map_and_string_forms(spark):
+    q = """MATCH (n:Nation)
+           RETURN datetime({year: 2020, month: 3, day: 2, hour: 12}) AS t0,
+                  datetime('2020-01-01T06:30:00') AS t1 LIMIT 1"""
+    r = api.cypher(spark, SF, q).collect()[0]
+    assert str(r.t0) == "2020-03-02 12:00:00"
+    assert str(r.t1) == "2020-01-01 06:30:00"
+
+
+def test_duration_arithmetic(spark):
+    q = """MATCH (n:Nation)
+           RETURN toString(date({year: 2020, month: 1, day: 1}) + duration('P1Y2M3D')) AS a,
+                  datetime('2020-01-01T12:00:00') - duration('PT90M') AS b LIMIT 1"""
+    r = api.cypher(spark, SF, q).collect()[0]
+    assert r.a == "2021-03-04"
+    assert str(r.b) == "2020-01-01 10:30:00"
+
+
+def test_duration_weeks_fold_into_days(spark):
+    q = """MATCH (n:Nation)
+           RETURN toString(date({year: 2020, month: 1, day: 1}) + duration('P2W')) AS d LIMIT 1"""
+    assert api.cypher(spark, SF, q).collect()[0].d == "2020-01-15"
+
+
+@pytest.mark.parametrize(
+    "q,msg",
+    [
+        ("RETURN date({year: 2020, tz: 1}) AS d", "keys must be a subset"),
+        ("RETURN date({month: 5}) AS d", "requires a year"),
+        ("RETURN duration('P1D') AS d", "only supported as"),
+        ("RETURN date({year: 2020}) + duration('XX') AS d", "unsupported duration literal"),
+        ("RETURN date({year: n.acctbal}) AS d", "integer-literal"),
+    ],
+)
+def test_temporal_targeted_errors(spark, q, msg):
+    with pytest.raises(CypherSyntaxError, match=msg):
+        api.cypher(spark, SF, "MATCH (n:Nation) " + q)
