@@ -124,7 +124,7 @@ def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Node-attribute table for the hierarchy graph:
-    (id, label, name, acctbal, mktsegment).
+    (id, label, name, acctbal, mktsegment, nationkey, regionkey).
 
     The property side of the property-graph model (reference README.md:25 —
     Neo4j nodes carry labels + properties): namespaced ids matching
@@ -133,8 +133,11 @@ def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer + supplier balances; Neo4j semantics: a property absent on a
     label reads as null, so nation/region carry typed nulls) and
     ``mktsegment`` (customer-only string). Cypher property access
-    (``n.name``, ``n.acctbal``) resolves through this view via an
-    equi-join. Scale: four narrow projections + union — no shuffle; the
+    (``n.name``, ``n.acctbal``, ``n.nationkey``) resolves through this view
+    via an equi-join. Round-11 widened it again with the natural FK columns
+    a migrating user filters on first — ``nationkey`` (customer, supplier,
+    nation) and ``regionkey`` (nation, region), typed long, null off-label.
+    Scale: four narrow projections + union — no shuffle; the
     join against it is a plain equi-join on the node id that AQE sizes
     (the nation/region tiers are broadcast-small at any SF).
     """
@@ -144,6 +147,7 @@ def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = spark.table("region")
     null_d = F.lit(None).cast("double")
     null_s = F.lit(None).cast("string")
+    null_l = F.lit(None).cast("long")
     return (
         customer.select(
             F.concat(F.lit("c:"), F.col("c_custkey")).alias("id"),
@@ -151,6 +155,8 @@ def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("name"),
             F.col("c_acctbal").cast("double").alias("acctbal"),
             F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_nationkey").cast("long").alias("nationkey"),
+            null_l.alias("regionkey"),
         )
         .unionByName(
             supplier.select(
@@ -159,6 +165,8 @@ def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s_name").alias("name"),
                 F.col("s_acctbal").cast("double").alias("acctbal"),
                 null_s.alias("mktsegment"),
+                F.col("s_nationkey").cast("long").alias("nationkey"),
+                null_l.alias("regionkey"),
             )
         )
         .unionByName(
@@ -168,6 +176,8 @@ def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_name").alias("name"),
                 null_d.alias("acctbal"),
                 null_s.alias("mktsegment"),
+                F.col("n_nationkey").cast("long").alias("nationkey"),
+                F.col("n_regionkey").cast("long").alias("regionkey"),
             )
         )
         .unionByName(
@@ -177,6 +187,8 @@ def hierarchy_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("r_name").alias("name"),
                 null_d.alias("acctbal"),
                 null_s.alias("mktsegment"),
+                null_l.alias("nationkey"),
+                F.col("r_regionkey").cast("long").alias("regionkey"),
             )
         )
     )

@@ -836,7 +836,9 @@ def _rewrite_in_lists(query: str) -> str:
         pos = ostart + len(lit)
     return query
 
-_PROPS = ("name", "label", "acctbal", "mktsegment")
+_PROPS = (
+    "name", "label", "acctbal", "mktsegment", "nationkey", "regionkey",
+)
 _RESERVED = {"src", "dst", "hops", "path_weight", "id", "name", "label"}
 
 # bare identifiers allowed inside a scalar expression item (`expr AS x`):
@@ -2308,11 +2310,13 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         # + supplier, mktsegment on customer only — a property absent on
         # a label is NOT in its key set (Neo4j's heterogeneous map)
         lab = labels.get(v)
+        # round-11: + the natural FK columns (nationkey/regionkey)
         per_label = {
-            "customer": ("id", "label", "name", "acctbal", "mktsegment"),
-            "supplier": ("id", "label", "name", "acctbal"),
-            "nation": ("id", "label", "name"),
-            "region": ("id", "label", "name"),
+            "customer": ("id", "label", "name", "acctbal", "mktsegment",
+                         "nationkey"),
+            "supplier": ("id", "label", "name", "acctbal", "nationkey"),
+            "nation": ("id", "label", "name", "nationkey", "regionkey"),
+            "region": ("id", "label", "name", "regionkey"),
         }
         if fn == "keys":
             if lab:
@@ -2323,9 +2327,13 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             # prefix test is the same sargable form label filters use
             return (
                 f"CASE WHEN {v} LIKE 'c:%' THEN "
-                "array('id', 'label', 'name', 'acctbal', 'mktsegment') "
-                f"WHEN {v} LIKE 's:%' THEN array('id', 'label', 'name', 'acctbal') "
-                "ELSE array('id', 'label', 'name') END"
+                "array('id', 'label', 'name', 'acctbal', 'mktsegment', "
+                "'nationkey') "
+                f"WHEN {v} LIKE 's:%' THEN "
+                "array('id', 'label', 'name', 'acctbal', 'nationkey') "
+                f"WHEN {v} LIKE 'n:%' THEN "
+                "array('id', 'label', 'name', 'nationkey', 'regionkey') "
+                "ELSE array('id', 'label', 'name', 'regionkey') END"
             )
         # properties(v): the property map as a struct — field order matches
         # keys(). Statically-labeled variables get their exact per-label
@@ -2339,6 +2347,8 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 "name": f"{v}.name",
                 "acctbal": f"{v}.acctbal",
                 "mktsegment": f"{v}.mktsegment",
+                "nationkey": f"{v}.nationkey",
+                "regionkey": f"{v}.regionkey",
             }
             ks = per_label[lab]
             return (
@@ -2656,7 +2666,11 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 raise CypherSyntaxError(
                     f"unsupported relationship property (only .weight): {expr!r}"
                 )
-            raise CypherSyntaxError(f"unsupported property access in {ctx}: {expr!r}")
+            raise CypherSyntaxError(
+                f"unsupported property access in {ctx}: {expr!r} "
+                f"(known properties: id, {', '.join(_PROPS)}; a property "
+                "absent on a label reads as null)"
+            )
         low = expr.lower()
         if low in ("hops", "path_weight"):
             if not single:
@@ -3060,7 +3074,10 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         # identifier-start required: a decimal literal (0.5) is not a
         # property access
         if re.search(r"\b[A-Za-z_]\w*\.\w+\b", unquoted):
-            raise CypherSyntaxError(f"unsupported property access in WHERE: {where!r}")
+            raise CypherSyntaxError(
+                f"unsupported property access in WHERE: {where!r} "
+                f"(known properties: id, {', '.join(_PROPS)})"
+            )
 
         pred = _STARTS_WITH.sub(_sw, pred)
         pred = _ENDS_WITH.sub(_ew, pred)
@@ -3136,7 +3153,11 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     )
                 seg["need_weight"] = True
                 return f"{var}__w"
-            raise CypherSyntaxError(f"unsupported property access in {ctx}: {expr!r}")
+            raise CypherSyntaxError(
+                f"unsupported property access in {ctx}: {expr!r} "
+                f"(known properties: id, {', '.join(_PROPS)}; a property "
+                "absent on a label reads as null)"
+            )
 
         def _map_props_scoped(seg: str) -> str:
             for pm in sorted(

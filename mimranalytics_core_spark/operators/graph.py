@@ -4170,7 +4170,7 @@ def cypher_unwind_range(spark, sf_dir):
     "graph",
     oracle="""
         SELECT 'n:' || n_nationkey AS n,
-               'id,label,name' AS ks,
+               'id,label,name,nationkey,regionkey' AS ks,
                COUNT(*) AS n_cust
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE regexp_full_match(n_name, 'NATION_(1[0-9]|3)')
@@ -5202,10 +5202,11 @@ def cypher_call_subquery(spark, sf_dir):
     "graph",
     oracle="""
         SELECT ks, COUNT(*) AS n FROM (
-            SELECT 'id,label,name,acctbal,mktsegment' AS ks FROM customer
-            UNION ALL SELECT 'id,label,name,acctbal' FROM supplier
-            UNION ALL SELECT 'id,label,name' FROM nation
-            UNION ALL SELECT 'id,label,name' FROM region
+            SELECT 'id,label,name,acctbal,mktsegment,nationkey' AS ks
+            FROM customer
+            UNION ALL SELECT 'id,label,name,acctbal,nationkey' FROM supplier
+            UNION ALL SELECT 'id,label,name,nationkey,regionkey' FROM nation
+            UNION ALL SELECT 'id,label,name,regionkey' FROM region
         ) GROUP BY ks ORDER BY ks
     """,
     notes=(
@@ -5861,5 +5862,45 @@ def cypher_temporal_constructors(spark, sf_dir):
                   toString(date({year: 2020, month: 1, day: 1}) + duration('P1M2W')) AS d1,
                   datetime({year: 2020, month: 3, day: 2, hour: 12}) AS t0,
                   datetime('2020-01-01T06:30:00') - duration('PT1H30M') AS t1
+           ORDER BY nm""",
+    )
+
+
+@register(
+    "cypher_property_sets",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nm,
+               CAST(n.n_regionkey AS BIGINT) AS rk,
+               COUNT(*) AS k
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_nationkey IN (1, 2, 3, 5, 8)
+        GROUP BY nm, rk ORDER BY nm
+    """,
+    notes=(
+        "widened per-label property sets (round-11, r10 verdict #5): the "
+        "attribute view (catalog.hierarchy_nodes) now carries the "
+        "natural FK columns — nationkey (customer, supplier, nation) and "
+        "regionkey (nation, region), typed long, null off-label (Neo4j's "
+        "heterogeneous property map) — so the first filter a migrating "
+        "user writes (`WHERE n.nationkey IN [...]`) just works. "
+        "keys()/properties()/map projections widen consistently (the "
+        "static per-label sets in cypher._gfn_node_fns), and an "
+        "UNSUPPORTED property access now names the available property "
+        "set in its targeted error instead of a bare rejection. Scale: "
+        "unchanged — property access is the same label-pruned equi-join "
+        "against the four-projection union view; the new columns ride "
+        "the existing join. Oracle: the FK filter + grouped count in SQL"
+    ),
+)
+def cypher_property_sets(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WHERE n.nationkey IN [1, 2, 3, 5, 8]
+           RETURN n.name AS nm, n.regionkey AS rk, count(*) AS k
            ORDER BY nm""",
     )

@@ -164,10 +164,16 @@ def make_server(
                         "graphs": {
                             "hierarchy": {
                                 "labels": {
-                                    "Customer": ["id", "label", "name", "acctbal", "mktsegment"],
-                                    "Supplier": ["id", "label", "name", "acctbal"],
-                                    "Nation": ["id", "label", "name"],
-                                    "Region": ["id", "label", "name"],
+                                    # round-11: + the natural FK columns
+                                    "Customer": ["id", "label", "name",
+                                                 "acctbal", "mktsegment",
+                                                 "nationkey"],
+                                    "Supplier": ["id", "label", "name",
+                                                 "acctbal", "nationkey"],
+                                    "Nation": ["id", "label", "name",
+                                               "nationkey", "regionkey"],
+                                    "Region": ["id", "label", "name",
+                                               "regionkey"],
                                 },
                                 "relationship_types": [
                                     "CUSTOMER_OF", "SUPPLIER_OF", "NATION_OF",

@@ -235,7 +235,9 @@ def test_map_projection_star_is_properties(spark):
         SF,
         "MATCH (c:Customer) RETURN c {.*} AS cm, c.name AS nm ORDER BY nm LIMIT 1",
     ).collect()[0]
-    assert set(row.cm.asDict()) == {"id", "label", "name", "acctbal", "mktsegment"}
+    assert set(row.cm.asDict()) == {
+        "id", "label", "name", "acctbal", "mktsegment", "nationkey"
+    }
 
 
 def test_map_projection_id_selector(spark):

@@ -319,3 +319,42 @@ def test_duration_weeks_fold_into_days(spark):
 def test_temporal_targeted_errors(spark, q, msg):
     with pytest.raises(CypherSyntaxError, match=msg):
         api.cypher(spark, SF, "MATCH (n:Nation) " + q)
+
+
+# ---- 9. widened per-label property sets (round-11) -----------------------
+
+
+def test_nationkey_filter_and_projection(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation) WHERE n.nationkey IN [1, 2]
+           RETURN n.name AS nm, n.nationkey AS nk, n.regionkey AS rk
+           ORDER BY nk""",
+    ).collect()
+    assert [r.nk for r in rows] == [1, 2]
+    assert all(r.rk is not None for r in rows)
+
+
+def test_fk_consistency_customer_nation(spark):
+    k = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) "
+        "WHERE c.nationkey <> n.nationkey RETURN count(*) AS k",
+    ).collect()[0].k
+    assert k == 0
+
+
+def test_offlabel_property_reads_null(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        "MATCH (r2:Region) RETURN r2.name AS nm, r2.nationkey AS nk ORDER BY nm",
+    ).collect()
+    assert rows and all(r.nk is None for r in rows)
+
+
+def test_unknown_property_error_names_available_set(spark):
+    with pytest.raises(CypherSyntaxError, match="known properties.*nationkey"):
+        api.cypher(spark, SF, "MATCH (n:Nation) WHERE n.bogus = 1 RETURN n")

@@ -979,8 +979,15 @@ def test_keys_and_properties(spark):
         "MATCH (n:Nation {name: 'NATION_3'}) "
         "RETURN array_join(keys(n), ',') AS ks, properties(n) AS p",
     ).collect()
-    assert rows[0].ks == "id,label,name"
-    assert rows[0].p.asDict() == {"id": "n:3", "label": "nation", "name": "NATION_3"}
+    # round-11 widened the per-label sets with the natural FK columns
+    assert rows[0].ks == "id,label,name,nationkey,regionkey"
+    assert rows[0].p.asDict() == {
+        "id": "n:3",
+        "label": "nation",
+        "name": "NATION_3",
+        "nationkey": 3,
+        "regionkey": rows[0].p.regionkey,
+    }
 
 
 def test_timeline_metrics_matches_per_year_snapshot(spark):

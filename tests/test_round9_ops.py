@@ -16,8 +16,8 @@ def test_keys_labeled_fold_per_label(spark):
                   array_join(keys(n), ',') AS nk,
                   count(*) AS k""",
     ).collect()
-    assert rows[0].sk == "id,label,name,acctbal"
-    assert rows[0].nk == "id,label,name"
+    assert rows[0].sk == "id,label,name,acctbal,nationkey"
+    assert rows[0].nk == "id,label,name,nationkey,regionkey"
 
 
 def test_keys_unlabeled_runtime_case(spark):
@@ -29,9 +29,10 @@ def test_keys_unlabeled_runtime_case(spark):
            ORDER BY ks""",
     ).collect()
     got = {r.ks: r.n for r in rows}
-    assert got["id,label,name,acctbal,mktsegment"] > 0  # customers
-    assert got["id,label,name,acctbal"] > 0  # suppliers
-    assert got["id,label,name"] == 25 + 5  # nations + regions
+    assert got["id,label,name,acctbal,mktsegment,nationkey"] > 0  # customers
+    assert got["id,label,name,acctbal,nationkey"] > 0  # suppliers
+    assert got["id,label,name,nationkey,regionkey"] == 25  # nations
+    assert got["id,label,name,regionkey"] == 5  # regions
 
 
 def test_properties_labeled_carries_per_label_fields(spark):
@@ -42,10 +43,12 @@ def test_properties_labeled_carries_per_label_fields(spark):
            WHERE c.id = 'c:1'
            RETURN properties(c) AS cp, properties(n) AS np""",
     ).collect()[0]
-    assert set(row.cp.asDict()) == {"id", "label", "name", "acctbal", "mktsegment"}
+    assert set(row.cp.asDict()) == {
+        "id", "label", "name", "acctbal", "mktsegment", "nationkey"
+    }
     assert row.cp.id == "c:1" and row.cp.label == "customer"
     assert row.cp.acctbal is not None and row.cp.mktsegment is not None
-    assert set(row.np.asDict()) == {"id", "label", "name"}
+    assert set(row.np.asDict()) == {"id", "label", "name", "nationkey", "regionkey"}
 
 
 def test_with_skip_limit_without_order_by(spark):
