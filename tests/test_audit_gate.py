@@ -56,3 +56,45 @@ def test_gate_cli_green():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "GATE GREEN" in proc.stdout
+
+
+def test_exemption_annotates_but_still_caps():
+    # round-11: a DOCUMENTED exemption raises the cap for exactly that op
+    # — and the cap is still enforced (an exemption never uncaps)
+    sf01 = json.loads((REPO / "BENCH_LOCAL.json").read_text())
+    sf1 = copy.deepcopy(json.loads((REPO / "BENCH_SF1_LOCAL.json").read_text()))
+    victim = sorted(sf1["queries"])[0]
+    sf1["queries"][victim] = max(sf01["queries"][victim], 0.05) * 11
+    ex = {victim: {"max_ratio": 12.0, "reason": "test artifact"}}
+    _, hot = audit_gate.check(sf01=sf01, sf1=sf1, exemptions=ex)
+    assert victim not in hot  # 11x rides the 12x annotated cap
+    sf1["queries"][victim] = max(sf01["queries"][victim], 0.05) * 13
+    _, hot = audit_gate.check(sf01=sf01, sf1=sf1, exemptions=ex)
+    assert victim in hot  # 13x exceeds even the annotated cap
+
+
+def test_exemption_without_reason_is_ignored(tmp_path):
+    sf01 = json.loads((REPO / "BENCH_LOCAL.json").read_text())
+    sf1 = copy.deepcopy(json.loads((REPO / "BENCH_SF1_LOCAL.json").read_text()))
+    victim = sorted(sf1["queries"])[0]
+    sf1["queries"][victim] = max(sf01["queries"][victim], 0.05) * 11
+    # empty reason → the entry must NOT weaken the gate
+    _, hot = audit_gate.check(
+        sf01=sf01, sf1=sf1, exemptions={}
+    )
+    assert victim in hot
+    assert audit_gate.load_exemptions() == {
+        k: v for k, v in audit_gate.load_exemptions().items()
+        if str(v.get("reason", "")).strip() and float(v["max_ratio"]) > 0
+    }
+
+
+def test_committed_exemption_file_is_well_formed():
+    ex = audit_gate.load_exemptions()
+    for op, spec in ex.items():
+        assert len(str(spec["reason"]).strip()) >= 40, (
+            f"exemption for {op} needs a substantive reason"
+        )
+        assert 0 < float(spec["max_ratio"]) <= 15, (
+            f"exemption cap for {op} must stay in a detectable band"
+        )
