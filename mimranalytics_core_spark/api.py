@@ -315,6 +315,7 @@ def match_path(
     trail: bool = False,
     direction: str = "out",
     keep_edges: bool = False,
+    carry_cost: bool = False,
 ) -> DataFrame:
     """Declarative graph-pattern entry point — the Cypher-shaped surface.
 
@@ -371,6 +372,13 @@ def match_path(
             "keep_edges requires trail=True (walk mode aggregates per "
             "(src, dst) pair — there is no per-path edge list to keep)"
         )
+    if carry_cost and not trail:
+        raise ValueError(
+            "carry_cost requires trail=True (the additive per-path cost "
+            "is a per-path quantity; with non-negative weights a min-cost "
+            "path never repeats an edge, so trail mode IS the Dijkstra "
+            "search space)"
+        )
     e = _edge_frame(spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph)
     if direction not in ("out", "in", "both"):
         raise ValueError(f"unknown direction {direction!r} (out | in | both)")
@@ -382,11 +390,13 @@ def match_path(
     out = path_rows(
         e, min_hops=min_hops, max_hops=max_hops, src_pred=src_pred,
         unique_edges=trail, undirected=(direction == "both"),
-        keep_edges=keep_edges,
+        keep_edges=keep_edges, carry_cost=carry_cost,
     )
     if trail:
         # one row PER PATH (Cypher's match row stream), multiplicities kept
         extra = ["__edges"] if keep_edges else []
+        if carry_cost:
+            extra = [F.round("path_cost", 6).alias("path_cost"), *extra]
         if carry_weight:
             return out.select(
                 "src", "dst", "hops",

@@ -255,6 +255,39 @@ Grammar subset:
 - ``UNION`` / ``UNION ALL`` between complete queries (same RETURN column
   names required; plain UNION deduplicates; mixing the two is rejected —
   all Neo4j semantics).
+
+Round-11 additions:
+
+- **Anonymous node patterns** — ``()``, ``(:Label)``, ``({props})`` in
+  MATCH chains, EXISTS/COUNT/COLLECT bodies, bare pattern predicates and
+  pattern comprehensions. A parse-time rewrite (:func:`_name_anon_nodes`)
+  assigns each a fresh synthetic variable (``_anN``, unique across the
+  whole query so re-parsed subquery bodies never collide with outer
+  scopes) in structural node positions only — function calls, grouped
+  predicates and temporal map arguments are untouched. Two anonymous
+  nodes never co-refer (Neo4j semantics).
+- **Var-length relationship list binding** — ``-[rs:T*m..n]->`` binds;
+  ``reduce(acc = <n>, r IN rs | acc * r.weight)`` (or the
+  ``relationships(p)`` spelling) compiles statically onto the carried
+  per-path weight PRODUCT (``path_weight`` — the UBO idiom), and
+  ``acc + r.weight`` onto the per-path cost SUM (``path_cost``, a second
+  carried accumulator — the weighted-shortest-path idiom:
+  ``min(cost)`` over the bounded trail space is Dijkstra's relaxation).
+  ``size(rs)`` ≡ hops. Other reduce bodies over a relationship list get
+  targeted errors (only the two accumulators are carried).
+- **Temporal value constructors** (:func:`_rewrite_temporals`) —
+  ``date({year, month, day})`` → make_date (month/day default 1),
+  ``datetime({…})`` → make_timestamp_ntz (session-zone-free for
+  cross-engine parity; declared divergence from Neo4j's zoned datetime),
+  ``datetime('<iso>')`` → CAST AS TIMESTAMP_NTZ, and ``<temporal> ±
+  duration('P…')`` → an unquoted INTERVAL chain. Malformed maps /
+  missing year / non-literal values / bad ISO strings / standalone
+  durations are targeted parse errors.
+- **Widened per-label property sets** — ``nationkey`` (customer,
+  supplier, nation) and ``regionkey`` (nation, region) join
+  name/label/acctbal/mktsegment in the attribute view;
+  keys()/properties()/map projections widen consistently, and an
+  unsupported property access names the available set in its error.
 """
 
 from __future__ import annotations
@@ -2423,18 +2456,27 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     f"product is single-segment-only): {m.group(0)!r}"
                 )
             a, v, body = m.group("acc"), m.group("v"), m.group("body").strip()
-            if not re.fullmatch(
+            if re.fullmatch(
                 rf"{re.escape(a)}\s*\*\s*{re.escape(v)}\s*\.\s*weight"
                 rf"|{re.escape(v)}\s*\.\s*weight\s*\*\s*{re.escape(a)}",
                 body,
             ):
-                raise CypherSyntaxError(
-                    "only the weight-product form is supported over a "
-                    "relationship list: reduce(acc = <number>, r IN rs | "
-                    "acc * r.weight) — it compiles to the carried "
-                    f"per-path weight product: {m.group(0)!r}"
-                )
-            return f"({m.group('init')} * path_weight)"
+                return f"({m.group('init')} * path_weight)"
+            # additive form (round-11): Σ weight — the Dijkstra/weighted-
+            # shortest-path cost, carried as its own accumulator
+            if re.fullmatch(
+                rf"{re.escape(a)}\s*\+\s*{re.escape(v)}\s*\.\s*weight"
+                rf"|{re.escape(v)}\s*\.\s*weight\s*\+\s*{re.escape(a)}",
+                body,
+            ):
+                return f"({m.group('init')} + path_cost)"
+            raise CypherSyntaxError(
+                "only the weight-product and weight-sum forms are "
+                "supported over a relationship list: reduce(acc = "
+                "<number>, r IN rs | acc * r.weight) → the carried "
+                "per-path weight product, or acc + r.weight → the "
+                f"per-path cost sum: {m.group(0)!r}"
+            )
 
         return _REDUCE_W.sub(_one, s)
 
@@ -2672,15 +2714,15 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 "absent on a label reads as null)"
             )
         low = expr.lower()
-        if low in ("hops", "path_weight"):
+        if low in ("hops", "path_weight", "path_cost"):
             if not single:
                 raise CypherSyntaxError(
                     f"{low} is single-segment-only (multi-segment patterns bind "
                     "distinct variable assignments, not paths)"
                 )
-            if low == "path_weight" and shortest:
+            if low in ("path_weight", "path_cost") and shortest:
                 raise CypherSyntaxError(
-                    "path_weight is not defined for shortestPath() patterns"
+                    f"{low} is not defined for shortestPath() patterns"
                 )
             return low
         raise CypherSyntaxError(f"unsupported {ctx}: {expr!r}")
@@ -3053,6 +3095,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
 
     src_pred = post_pred = None
     carry_weight = False
+    carry_cost = False
     if where:
         pred = where
 
@@ -3092,6 +3135,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             bare = {w for w in re.findall(r"\b\w+\b", unquoted)} & {
                 "hops",
                 "path_weight",
+                "path_cost",
             }
             if bare:
                 raise CypherSyntaxError(
@@ -3102,12 +3146,19 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             raise CypherSyntaxError(
                 "path_weight is not defined for shortestPath() patterns"
             )
+        if shortest and "path_cost" in unquoted:
+            raise CypherSyntaxError(
+                "path_cost is not defined for shortestPath() patterns"
+            )
         if "path_weight" in unquoted:
             carry_weight = True
+        if "path_cost" in unquoted:
+            carry_cost = True
         mentioned = {
             w
             for w in re.findall(r"\b[A-Za-z_]\w*\b", unquoted)
-            if w in varset or "__" in w or w in ("hops", "path_weight")
+            if w in varset or "__" in w
+            or w in ("hops", "path_weight", "path_cost")
         }
         if segments and mentioned == {start_var} and f"{start_var}__" not in unquoted:
             src_pred = _outside_quotes(
@@ -4197,6 +4248,12 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         or (it["kind"] == "case" and "path_weight" in it["sql"])
         for it in scope0_items
     )
+    carry_cost = carry_cost or any(
+        it.get("col") == "path_cost"
+        or (it["kind"] == "case" and "path_cost" in it["sql"])
+        or "path_cost" in (it.get("sql") or "")
+        for it in scope0_items
+    )
 
     # ORDER BY: names must resolve to RETURN output columns (or project
     # as hidden sort columns — see below)
@@ -4319,6 +4376,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         "src_pred": src_pred,
         "post_pred": post_pred,
         "carry_weight": carry_weight,
+        "carry_cost": carry_cost,
         "need_path_nodes": need_path["nodes"],
         "need_path_rels": need_path["rels"],
         # legacy single-stage views of the pipe list (first pipe)
@@ -4875,6 +4933,7 @@ def _run_single(
             trail=True,  # real Cypher trail semantics, per-path rows
             direction=segs[0].get("direction", "out"),
             keep_edges=bool(need_pnodes or need_prels),
+            carry_cost=bool(p.get("carry_cost")),
         )
         cols = [
             F.col("src").alias(segs[0]["src"]),
@@ -4883,6 +4942,8 @@ def _run_single(
         ]
         if p["carry_weight"]:
             cols.append("path_weight")
+        if p.get("carry_cost"):
+            cols.append("path_cost")
         # path-variable projections (round-7): derived ROW-LOCALLY from the
         # edge-key array the trail machinery already carries — no extra
         # join or shuffle. nodes(p) replays the keys from src, picking the

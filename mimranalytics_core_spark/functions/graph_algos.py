@@ -64,9 +64,16 @@ def path_rows(
     unique_edges: bool = False,
     undirected: bool = False,
     keep_edges: bool = False,
+    carry_cost: bool = False,
 ) -> DataFrame:
     """Enumerate bounded directed paths as per-path rows
-    (src, dst, hops, path_weight = Π edge weight).
+    (src, dst, hops, path_weight = Π edge weight
+    [, path_cost = Σ edge weight with ``carry_cost``]).
+
+    ``carry_cost`` adds the ADDITIVE accumulator (round-11 — weighted
+    shortest-path/Dijkstra semantics read min over Σ, where the UBO
+    closure reads Σ over Π): same joins, one extra row-local addition
+    per hop, no extra shuffle.
 
     ``unique_edges=False``: **walk closure** — edges and nodes may repeat
     (the UBO/reach semantics). ``unique_edges=True``: **trail semantics** —
@@ -112,6 +119,7 @@ def path_rows(
         ekey = F.concat_ws(">", F.col("src"), F.col("dst"))
     frontier = e.select(
         "src", "dst", F.lit(1).alias("hops"), F.col("weight").alias("path_weight"),
+        F.col("weight").alias("path_cost"),
         F.array(ekey).alias("__epath"),
     )
     if src_pred is not None:
@@ -135,6 +143,7 @@ def path_rows(
             F.col("__d").alias("dst"),
             (F.col("hops") + 1).alias("hops"),
             (F.col("path_weight") * F.col("__w")).alias("path_weight"),
+            (F.col("path_cost") + F.col("__w")).alias("path_cost"),
             F.concat(F.col("__epath"), F.array(step_key)).alias("__epath"),
         )
         levels.append(frontier)
@@ -142,6 +151,8 @@ def path_rows(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     cols = ["src", "dst", "hops", "path_weight"]
+    if carry_cost:
+        cols.append("path_cost")
     if keep_edges:
         # expose the accumulated edge-key array (``__edges``) so callers can
         # enforce relationship uniqueness ACROSS pattern segments (Cypher:

@@ -250,11 +250,21 @@ def test_size_rs_is_hops(spark):
         assert r.h == r.hops
 
 
-def test_reduce_non_product_body_targeted_error(spark):
+def test_reduce_unsupported_body_targeted_error(spark):
+    # product and sum are the two carried accumulators; anything else
+    # (here: max-style comparison) gets the targeted subset error
     q = """MATCH (c:Customer)-[rs:CUSTOMER_OF*1..2]->(n)
-           RETURN reduce(acc = 0, r IN rs | acc + r.weight) AS w"""
-    with pytest.raises(CypherSyntaxError, match="weight-product form"):
+           RETURN reduce(acc = 0, r IN rs | acc - r.weight) AS w"""
+    with pytest.raises(CypherSyntaxError, match="weight-product and weight-sum"):
         api.cypher(spark, SF, q)
+
+
+def test_reduce_additive_body_now_supported(spark):
+    q = """MATCH (c:Customer)-[rs:CUSTOMER_OF*1..1]->(n)
+           RETURN c.id AS cid, reduce(acc = 0.0, r IN rs | acc + r.weight) AS w
+           ORDER BY cid LIMIT 2"""
+    rows = api.cypher(spark, SF, q).collect()
+    assert len(rows) == 2 and all(r.w is not None for r in rows)
 
 
 def test_reduce_multi_segment_targeted_error(spark):
@@ -358,3 +368,48 @@ def test_offlabel_property_reads_null(spark):
 def test_unknown_property_error_names_available_set(spark):
     with pytest.raises(CypherSyntaxError, match="known properties.*nationkey"):
         api.cypher(spark, SF, "MATCH (n:Nation) WHERE n.bogus = 1 RETURN n")
+
+
+# ---- 10. additive path cost + weighted shortest path (round-11) ----------
+
+
+def test_path_cost_equals_manual_sum(spark):
+    # 2-hop customer path: cost = fraction + 1.0, weight = fraction * 1.0
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[rs*2..2]->(e)
+           RETURN reduce(a1 = 1.0, r IN rs | a1 * r.weight) AS w,
+                  reduce(a2 = 0.0, r IN rs | a2 + r.weight) AS cost
+           ORDER BY w LIMIT 20""",
+    ).collect()
+    assert rows
+    for r in rows:
+        # hierarchy 2-hop = customer_of (fraction) then nation_of (1.0)
+        assert abs(r.cost - (r.w + 1.0)) < 1e-6
+
+
+def test_weighted_shortest_path_min_cost_le_any_path(spark):
+    per_path = api.cypher(
+        spark,
+        SF,
+        """MATCH (a:Customer)-[rs*1..3]-(b)
+           WHERE a.id = 'c:1'
+           WITH a.id AS src, b.id AS dst,
+                reduce(c = 0.0, r IN rs | c + r.weight) AS cost
+           RETURN src, dst, min(cost) AS min_cost ORDER BY dst""",
+    ).collect()
+    assert per_path
+    # min over an undirected 3-hop ball includes multi-route pairs: at
+    # least one pair must have a cheaper route than a pure-structural one
+    assert any(r.min_cost < 1.0 for r in per_path)
+
+
+def test_path_cost_rejected_for_shortest_path(spark):
+    with pytest.raises(CypherSyntaxError, match="path_cost"):
+        api.cypher(
+            spark,
+            SF,
+            "MATCH p = shortestPath((a)-[*..3]->(b)) "
+            "WHERE path_cost > 1 RETURN a, b",
+        )
