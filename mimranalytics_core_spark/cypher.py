@@ -279,10 +279,15 @@ Round-11 additions:
   ``date({year, month, day})`` → make_date (month/day default 1),
   ``datetime({…})`` → make_timestamp_ntz (session-zone-free for
   cross-engine parity; declared divergence from Neo4j's zoned datetime),
-  ``datetime('<iso>')`` → CAST AS TIMESTAMP_NTZ, and ``<temporal> ±
-  duration('P…')`` → an unquoted INTERVAL chain. Malformed maps /
+  ``localdatetime(…)`` ≡ datetime(…), ``datetime('<iso>')`` → CAST AS
+  TIMESTAMP_NTZ, and ``<temporal> ± duration('P…')`` / ``± duration(
+  {days, hours, …})`` → an unquoted INTERVAL chain. Malformed maps /
   missing year / non-literal values / bad ISO strings / standalone
   durations are targeted parse errors.
+- **Legacy pattern-argument exists()** —
+  ``exists((a)-[:R]->(b))`` desugars to ``EXISTS { … }`` and inherits
+  its whole placement machinery; ``exists(n.prop)`` keeps the
+  IS NOT NULL reading.
 - **Widened per-label property sets** — ``nationkey`` (customer,
   supplier, nation) and ``regionkey`` (nation, region) join
   name/label/acctbal/mktsegment in the attribute view;
@@ -661,11 +666,19 @@ def _rewrite_temporals(query: str) -> str:
       into days, years into months (ISO-8601 semantics both engines
       share).
 
+    ``localdatetime(…)`` is an alias of ``datetime(…)`` (the engine's
+    timestamps are already zone-free — see the NTZ note), and
+    ``duration({days: 3, hours: 2, …})`` (the map spelling) folds to the
+    same INTERVAL chain as the ISO string.
+
     A ``duration(…)`` anywhere else (standalone value, left operand,
     non-literal argument) gets a targeted CypherSyntaxError, as does a
     malformed map (unknown key, missing year, non-integer value) — these
     used to leak Spark's raw PARSE_SYNTAX_ERROR. Quote-aware: literals
     are never rewritten."""
+    query = _outside_quotes(
+        query, lambda t: re.sub(r"\blocaldatetime\s*\(", "datetime(", t, flags=re.I)
+    )
 
     def _seg(seg: str) -> str:
         def _map_form(m: re.Match) -> str:
@@ -748,6 +761,46 @@ def _rewrite_temporals(query: str) -> str:
             parts = ["INTERVAL 0 DAY"]
         return "".join(f" {sign} {p}" for p in parts)
 
+    def _dur_map(m: re.Match) -> str:
+        sign, body = m.group(1), m.group(2)
+        vals: dict[str, int] = {}
+        if not re.fullmatch(
+            r"\s*(?:\w+\s*:\s*-?\d+\s*(?:,\s*\w+\s*:\s*-?\d+\s*)*)?", body
+        ):
+            raise CypherSyntaxError(
+                f"unsupported duration({{…}}) map: integer-literal values "
+                f"only (got: {body.strip()!r})"
+            )
+        for pm in re.finditer(r"(\w+)\s*:\s*(-?\d+)", body):
+            vals[pm.group(1).lower()] = int(pm.group(2))
+        known = {"years", "months", "weeks", "days", "hours", "minutes", "seconds"}
+        bad = set(vals) - known
+        if bad or not vals:
+            raise CypherSyntaxError(
+                f"unsupported duration({{…}}) map keys {sorted(bad) or '(empty)'} "
+                f"(known: {sorted(known)})"
+            )
+        months = vals.get("years", 0) * 12 + vals.get("months", 0)
+        days = vals.get("weeks", 0) * 7 + vals.get("days", 0)
+        secs = (
+            vals.get("hours", 0) * 3600
+            + vals.get("minutes", 0) * 60
+            + vals.get("seconds", 0)
+        )
+        parts = []
+        if months:
+            parts.append(f"INTERVAL {months} MONTH")
+        if days:
+            parts.append(f"INTERVAL {days} DAY")
+        if secs:
+            parts.append(f"INTERVAL {secs} SECOND")
+        if not parts:
+            parts = ["INTERVAL 0 DAY"]
+        return "".join(f" {sign} {p}" for p in parts)
+
+    query = re.sub(
+        r"([+-])\s*duration\s*\(\s*\{([^{}]*)\}\s*\)", _dur_map, query
+    )
     query = re.sub(r"([+-])\s*duration\s*\(\s*'([^']*)'\s*\)", _dur, query)
     # any duration() left is unsupported placement/argument — targeted
     # error instead of the raw Spark parse failure
@@ -761,6 +814,54 @@ def _rewrite_temporals(query: str) -> str:
             "(a standalone duration value has no column type here)"
         )
     return query
+
+
+def _rewrite_exists_pattern_fn(query: str) -> str:
+    """Neo4j's LEGACY pattern-argument existence function (round-11):
+    ``exists((a)-[:R]->(b))`` → ``EXISTS { (a)-[:R]->(b) }`` — the
+    pre-9.x spelling migrating users still carry in saved queries. Only
+    fires when the argument OPENS with a node pattern ``(`` and contains
+    a rel bracket outside quotes; ``exists(n.prop)`` (→ IS NOT NULL) and
+    every other call shape pass through untouched. Quote-aware,
+    balanced-paren capture; the rewritten form inherits the whole
+    EXISTS{} placement machinery (conjunct semi-join, flag compilation,
+    targeted errors)."""
+    out: list[str] = []
+    i, n = 0, len(query)
+    while i < n:
+        ch = query[i]
+        if ch == "'":
+            j = query.find("'", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(query[i : j + 1])
+            i = j + 1
+            continue
+        m = re.match(r"exists\s*\(\s*(?=\()", query[i:], re.I)
+        boundary = i == 0 or not (query[i - 1].isalnum() or query[i - 1] == "_")
+        if m and boundary:
+            open_i = i + m.group(0).rindex("(")  # the exists(... paren
+            depth, k = 0, open_i
+            while k < n:
+                c2 = query[k]
+                if c2 == "'":
+                    j2 = query.find("'", k + 1)
+                    k = (n if j2 < 0 else j2) + 1
+                    continue
+                if c2 == "(":
+                    depth += 1
+                elif c2 == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            inner = query[open_i + 1 : k] if k < n else ""
+            if k < n and re.search(r"-\s*\[", re.sub(r"'[^']*'", "''", inner)):
+                out.append("EXISTS { " + inner.strip() + " }")
+                i = k + 1
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _rewrite_in_lists(query: str) -> str:
@@ -1860,6 +1961,9 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # unsupported placements get targeted errors here instead of leaking
     # Spark's raw PARSE_SYNTAX_ERROR downstream
     query = _rewrite_temporals(query)
+    # legacy pattern-argument exists((a)-[:R]->(b)) → EXISTS { … }
+    # (round-11): inherits the whole EXISTS placement machinery
+    query = _rewrite_exists_pattern_fn(query)
     # write clauses (round-7, r6 verdict task 6): the engine is a READ-ONLY
     # query layer over graph views DERIVED from the relational tables
     # (customer/supplier/nation edges are computed, not stored) — there is

@@ -413,3 +413,78 @@ def test_path_cost_rejected_for_shortest_path(spark):
             "MATCH p = shortestPath((a)-[*..3]->(b)) "
             "WHERE path_cost > 1 RETURN a, b",
         )
+
+
+# ---- 11. legacy exists(pattern), localdatetime, duration map ------------
+
+
+def test_exists_pattern_function_form(spark):
+    legacy = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer) WHERE exists((c)-[:CUSTOMER_OF]->(:Nation)) "
+        "RETURN count(*) AS k",
+    ).collect()[0].k
+    modern = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer) WHERE EXISTS { (c)-[:CUSTOMER_OF]->(:Nation) } "
+        "RETURN count(*) AS k",
+    ).collect()[0].k
+    assert legacy == modern == 150
+
+
+def test_exists_property_form_still_is_not_null(spark):
+    k = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) WHERE exists(n.name) RETURN count(*) AS k",
+    ).collect()[0].k
+    assert k == 25
+
+
+def test_not_exists_pattern_function_form(spark):
+    k = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) WHERE NOT exists((:Supplier)-[:SUPPLIER_OF]->(n)) "
+        "RETURN count(*) AS k",
+    ).collect()[0].k
+    k2 = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) WHERE NOT EXISTS { (s:Supplier)-[:SUPPLIER_OF]->(n) } "
+        "RETURN count(*) AS k",
+    ).collect()[0].k
+    assert k == k2
+
+
+def test_localdatetime_alias(spark):
+    r = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) RETURN localdatetime({year: 2020, month: 3, day: 2}) AS t "
+        "LIMIT 1",
+    ).collect()[0]
+    assert str(r.t) == "2020-03-02 00:00:00"
+
+
+def test_duration_map_form(spark):
+    r = api.cypher(
+        spark,
+        SF,
+        "MATCH (n:Nation) RETURN "
+        "toString(date({year: 2020, month: 1, day: 1}) "
+        "+ duration({months: 1, days: 14})) AS d LIMIT 1",
+    ).collect()[0]
+    assert r.d == "2020-02-15"
+
+
+def test_duration_map_bad_key_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="duration"):
+        api.cypher(
+            spark,
+            SF,
+            "MATCH (n:Nation) RETURN "
+            "date({year: 2020}) + duration({fortnights: 1}) AS d",
+        )
