@@ -178,12 +178,25 @@ Grammar subset:
   ``percentile*`` results are rounded to 6 places (the engine's
   float-hash discipline; per-pair path_weight is already round-6).
   ``id(n)`` resolves to the node identity (≡ ``n`` ≡ ``n.id``).
+- POST-AGGREGATION expressions (round-11): a scalar RETURN/WITH body may
+  EMBED aggregate calls — ``round(avg(x), 2)``, ``sum(a) / count(*)``,
+  ``max(x) - min(x)``, ``size(collect(x))``, ``collect(x)[0..3]``. Each
+  embedded aggregate hoists into a hidden aggregate item computed in the
+  grouped stage; the remaining body evaluates as a projection OVER the
+  aggregated frame. Subset limits (targeted errors): the aggregate
+  argument must be the simple ``[DISTINCT] var.prop`` shape, and
+  property access OUTSIDE the aggregate calls is rejected (it would be a
+  grouping key inside the expression — return it as its own item).
 - ``ORDER BY item [ASC|DESC], ...`` over RETURN output columns (aliases
   or default names) — or over a NON-returned property (round-7, Neo4j's
   ``RETURN c ORDER BY c.name``): the property is projected as a hidden
   column, sorted on, and dropped after paging; rejected under implicit
   grouping or RETURN DISTINCT (it would change the grouping/dedup
-  domain — Neo4j rejects those too). Then ``SKIP n`` / ``LIMIT n``.
+  domain — Neo4j rejects those too). ORDER BY an AGGREGATE expression
+  (round-11 — ``ORDER BY count(*) DESC``) maps to the matching RETURN
+  item when one exists, else computes as a hidden extra aggregate
+  (legal under implicit grouping; rejected under RETURN DISTINCT or
+  without an aggregating RETURN). Then ``SKIP n`` / ``LIMIT n``.
   Ties are NOT broken implicitly — order by a unique column (e.g. the
   entity id) before LIMIT for deterministic pagination, as the §2.6
   operators do.
@@ -238,6 +251,17 @@ Grammar subset:
   idiomatic `WHERE x.id IN $ids`).
 - ``WITH DISTINCT items`` dedupes the stage projection (RETURN DISTINCT's
   pipeline twin).
+- Boolean ``XOR`` (round-11): rewritten onto Spark SQL as ``(a) <> (b)``
+  (three-valued-null-faithful) by a precedence-aware pass — Cypher binds
+  ``OR < XOR < AND < NOT`` — that recurses into parenthesized groups and
+  shields ``CASE … END`` spans; chained XOR folds left-associatively
+  (boolean parity). Applies in every compiled predicate and expression
+  body (it rides the same final normalization pass as ``=~``).
+- List slices ``xs[a..b]`` (round-11): 0-based, start-inclusive,
+  end-EXCLUSIVE, either bound omissible, negative bounds offset from the
+  end — compiled to ``slice()`` with cardinality()-based clamping, on
+  any list-typed expression (WITH-carried lists, literals, and hoisted
+  ``collect()`` results). Literal-integer bounds only (subset limit).
 - String predicates: ``STARTS WITH`` / ``ENDS WITH`` / ``CONTAINS``
   compile to prefix/suffix/infix LIKE with escaped literals (ENDS WITH
   is masked during the pipeline scan, like STARTS WITH, so its WITH
@@ -1045,7 +1069,103 @@ def _rx_anchor(pred: str) -> str:
                 )
         out.append(pt)
         i += 1
-    return "".join(out)
+    return _rewrite_xor("".join(out))
+
+
+def _split_top_word(text: str, word: str) -> list[str]:
+    """Split ``text`` on top-level occurrences of keyword ``word``
+    (case-insensitive, word-bounded, outside quotes and brackets, and
+    outside ``CASE … END`` spans — a searched CASE is unparenthesized,
+    so its WHEN-body booleans are not top-level operands).
+    Returns the list of operand segments; a single-element list means
+    the keyword does not occur at the top level."""
+    parts, buf, depth, i, wl = [], [], 0, 0, len(word)
+
+    def _word_at(j: int, w: str) -> bool:
+        return (
+            text[j : j + len(w)].upper() == w
+            and (j == 0 or not (text[j - 1].isalnum() or text[j - 1] == "_"))
+            and (
+                j + len(w) >= len(text)
+                or not (text[j + len(w)].isalnum() or text[j + len(w)] == "_")
+            )
+        )
+
+    while i < len(text):
+        ch = text[i]
+        if ch == "'":
+            j = text.find("'", i + 1)
+            j = len(text) - 1 if j < 0 else j
+            buf.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        if _word_at(i, "CASE"):
+            depth += 1
+        elif _word_at(i, "END") and depth > 0:
+            depth -= 1
+        if depth == 0 and _word_at(i, word):
+            parts.append("".join(buf))
+            buf = []
+            i += wl
+            continue
+        buf.append(ch)
+        i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _rewrite_xor(pred: str) -> str:
+    """Rewrite Cypher's boolean ``XOR`` onto Spark SQL, which has no XOR
+    keyword: for booleans ``a XOR b ≡ (a) <> (b)`` (including the
+    three-valued null case — both read null when an operand is null).
+
+    Precedence-aware: Cypher binds ``OR < XOR < AND < NOT``, so the
+    predicate splits on top-level OR first, each disjunct on top-level
+    XOR, and XOR operands are parenthesized (an operand may carry ANDs,
+    which bind tighter than XOR but looser than a bare ``<>`` would
+    grab). Chained ``a XOR b XOR c`` folds left-associatively —
+    ``((a) <> (b)) <> (c)`` — which is exactly boolean parity. Quote-
+    and bracket-aware throughout; rides the same final normalization
+    pass as the ``=~`` rewrite so every compiled predicate and
+    expression body gets it."""
+    if not re.search(r"\bXOR\b", _unquoted(pred), re.I):
+        return pred
+    # recurse into parenthesized groups first — `a OR (b XOR c)` has no
+    # TOP-level XOR, but the group body still needs the rewrite; after
+    # this pass only top-level XORs remain for the precedence split
+    out0: list[str] = []
+    i0 = 0
+    while i0 < len(pred):
+        ch0 = pred[i0]
+        if ch0 == "'":
+            j0 = pred.find("'", i0 + 1)
+            j0 = len(pred) - 1 if j0 < 0 else j0
+            out0.append(pred[i0 : j0 + 1])
+            i0 = j0 + 1
+            continue
+        if ch0 == "(":
+            end0 = _balanced_end(pred, i0)
+            out0.append("(" + _rewrite_xor(pred[i0 + 1 : end0 - 1]) + ")")
+            i0 = end0
+            continue
+        out0.append(ch0)
+        i0 += 1
+    pred = "".join(out0)
+    disjuncts = []
+    for d in _split_top_word(pred, "OR"):
+        ops = _split_top_word(d, "XOR")
+        if len(ops) == 1:
+            disjuncts.append(d)
+            continue
+        folded = f"({ops[0].strip()})"
+        for op in ops[1:]:
+            folded = f"({folded} <> ({op.strip()}))"
+        disjuncts.append(f" {folded} ")
+    return "OR".join(disjuncts)
 
 
 class CypherSyntaxError(ValueError):
@@ -1347,6 +1467,43 @@ def _rewrite_list_exprs(text: str, list_vars: frozenset = frozenset()) -> str:
                     while k > 0 and (stripped[k - 1].isalnum() or stripped[k - 1] in "_."):
                         k -= 1
                 base = stripped[k:]
+                # list slice xs[a..b] (round-11): Cypher's range is
+                # 0-based, start-inclusive, end-EXCLUSIVE; either bound
+                # may be omitted (start→0, end→size) or negative
+                # (offset from the end). Spark's slice() is 1-based
+                # (start, length) — compute both bounds as 0-based
+                # expressions, clamp, and convert. Literal-int bounds
+                # only (subset limit: a dynamic bound would need the
+                # base expression repeated inside size(), which is fine,
+                # but Neo4j users overwhelmingly slice with literals).
+                sm_ = re.fullmatch(
+                    r"\s*(?P<a>-?\d+)?\s*\.\.\s*(?P<b>-?\d+)?\s*", body
+                )
+                if sm_ and (sm_.group("a") or sm_.group("b")):
+                    a_ = sm_.group("a")
+                    b_ = sm_.group("b")
+                    # cardinality(), not size(): _fn_rewrite later maps
+                    # Cypher's polymorphic size( → length( across the
+                    # whole item body, which would clobber generated SQL
+                    sz = f"cardinality({base})"
+                    if a_ is None:
+                        lo = "0"
+                    elif int(a_) >= 0:
+                        lo = a_
+                    else:
+                        lo = f"greatest(0, {sz} + ({a_}))"
+                    if b_ is None:
+                        hi = sz
+                    elif int(b_) >= 0:
+                        hi = f"least({sz}, {b_})"
+                    else:
+                        hi = f"greatest(0, {sz} + ({b_}))"
+                    acc = stripped[:k] + (
+                        f"slice({base}, ({lo}) + 1, "
+                        f"greatest(0, ({hi}) - ({lo})))"
+                    )
+                    i = end
+                    continue
                 idx = _rewrite_list_exprs(body.strip(), list_vars)
                 neg = re.fullmatch(r"-\d+", idx)
                 # negative index: try_element_at, not element_at — under
@@ -3421,8 +3578,116 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         else:
             post_pred = f"({post_pred}) AND {lp}" if post_pred else lp
 
+    def _mk_agg_item(am: re.Match, resolve, numeric_ok, ctx: str, item: str) -> dict:
+        """Validate one matched ``_AGG_ITEM`` aggregate call and build its
+        item dict — shared by the item grammar, by aggregate hoisting out
+        of scalar expressions (round-11), and by ORDER BY aggregate keys."""
+        fn = am.group("fn").lower()
+        arg = am.group("arg")
+        qv = am.group("q")
+        # percentile fns take (expr, q in [0,1]); everything else
+        # is single-argument (Neo4j signatures)
+        if fn in ("percentilecont", "percentiledisc"):
+            if qv is None:
+                raise CypherSyntaxError(
+                    f"{am.group('fn')}() needs a second percentile "
+                    f"argument in [0, 1]: {item!r}"
+                )
+            if not 0.0 <= float(qv) <= 1.0:
+                raise CypherSyntaxError(f"percentile must be in [0, 1]: {item!r}")
+        elif qv is not None:
+            raise CypherSyntaxError(
+                f"{am.group('fn')}() takes one argument: {item!r}"
+            )
+        if fn in ("stdev", "stdevp", "percentilecont", "percentiledisc") and am.group(
+            "distinct"
+        ):
+            raise CypherSyntaxError(
+                f"DISTINCT is not supported for {am.group('fn')}(): {item!r}"
+            )
+        if arg == "*":
+            if fn != "count":
+                raise CypherSyntaxError(f"only count(*) may take '*': {item!r}")
+            col, default = None, "count_star"
+        else:
+            col = resolve(arg, f"aggregate argument in {ctx}")
+            # sum/avg/stDev/percentile need numbers; min/max take any
+            # ORDERABLE value (Neo4j min/max work on strings too).
+            if fn in (
+                "sum", "avg", "stdev", "stdevp", "percentilecont", "percentiledisc"
+            ) and not numeric_ok(col):
+                raise CypherSyntaxError(
+                    f"{am.group('fn')}() needs a numeric argument "
+                    f"(hops/path_weight): {item!r}"
+                )
+            default = f"{fn}_{arg.replace('.', '_')}"
+        return {
+            "kind": "agg",
+            "fn": fn,
+            "col": col,
+            "q": float(qv) if qv is not None else None,
+            "distinct": bool(am.group("distinct")),
+            "name": am.group("alias") or default,
+        }
+
+    # aggregate-call heads for hoisting out of scalar expressions: same
+    # function set as _AGG_ITEM, matched at call position
+    _AGG_HEAD = re.compile(
+        r"\b(?:count|sum|min|max|avg|collect|stDev|stDevP|"
+        r"percentileCont|percentileDisc)\s*\(",
+        re.I,
+    )
+
+    def _hoist_aggs(expr: str, resolve, numeric_ok, ctx: str, counter: list):
+        """Scan a scalar item body for embedded aggregate calls (round-11
+        — ``round(avg(c.acctbal), 2)``, ``sum(a) / count(*)``,
+        ``collect(x)[0..3]``). Each call is hoisted into a HIDDEN
+        aggregate item and replaced by its generated column name; the
+        remaining expression compiles as an ordinary post-aggregation
+        projection over the grouped frame. Returns (rewritten_expr,
+        hidden_items) or None when the body carries no aggregate call.
+        Quote-aware; a call whose argument is not the simple
+        ``[DISTINCT] var.prop`` shape _AGG_ITEM accepts gets a targeted
+        subset error (nested expressions inside the aggregate argument
+        would need their own pre-aggregation projection stage)."""
+        hidden: list[dict] = []
+        out: list[str] = []
+        i = 0
+        while i < len(expr):
+            ch = expr[i]
+            if ch == "'":
+                j = expr.find("'", i + 1)
+                j = len(expr) - 1 if j < 0 else j
+                out.append(expr[i : j + 1])
+                i = j + 1
+                continue
+            hm = _AGG_HEAD.match(expr, i)
+            if hm and not (i > 0 and (expr[i - 1].isalnum() or expr[i - 1] in "_.")):
+                end = _balanced_end(expr, hm.end() - 1)
+                call = expr[i:end]
+                am2 = _AGG_ITEM.match(call)
+                if not am2:
+                    raise CypherSyntaxError(
+                        f"aggregates embedded in a {ctx} expression must "
+                        f"take a simple [DISTINCT] variable/property "
+                        f"argument: {call!r}"
+                    )
+                it2 = _mk_agg_item(am2, resolve, numeric_ok, ctx, call)
+                it2["name"] = f"__hag{counter[0]}"
+                counter[0] += 1
+                hidden.append(it2)
+                out.append(it2["name"])
+                i = end
+                continue
+            out.append(ch)
+            i += 1
+        if not hidden:
+            return None
+        return "".join(out), hidden
+
     def _parse_item_list(text: str, resolve, numeric_ok, ctx: str) -> list[dict]:
         items: list[dict] = []
+        _hag_counter = [0]  # mutable hidden-agg name counter for this list
         for item in _split_items(text):
             item = item.strip()
             if item == "*":
@@ -3757,6 +4022,74 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         raise
                     pass
 
+                # post-aggregation expressions (round-11): a scalar body
+                # carrying embedded aggregate calls — round(avg(x), 2),
+                # sum(a) / count(*), max(x) - min(x), collect(x)[0..3].
+                # Each aggregate hoists into a hidden agg item computed in
+                # the grouped stage; the remaining expression evaluates as
+                # a projection OVER the aggregated frame (_apply_items),
+                # exactly Neo4j's grouping rule (the aggregate calls are
+                # the aggregating parts; everything else must be constant
+                # or a grouping key).
+                hoisted = _hoist_aggs(
+                    xm.group("expr"), resolve, numeric_ok, ctx, _hag_counter
+                )
+                if hoisted:
+                    hexpr, hidden = hoisted
+                    hlists = frozenset(
+                        h["name"] for h in hidden if h["fn"] == "collect"
+                    )
+
+                    def _map_h(seg: str) -> str:
+                        pms = set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg))
+                        if pms:
+                            # a property reference OUTSIDE the aggregate
+                            # calls would be a grouping key inside the
+                            # expression — it resolves to a pre-agg column
+                            # the grouped frame no longer carries. Neo4j
+                            # groups on such sub-expressions; the subset
+                            # asks for an explicit key item instead.
+                            raise CypherSyntaxError(
+                                f"property access {sorted(pms)} outside the "
+                                f"aggregate calls of an aggregating {ctx} "
+                                "expression: return it as its own item "
+                                "(it is a grouping key), then combine in "
+                                "a later WITH"
+                            )
+                        return _fn_rewrite(seg)
+
+                    hsql = _outside_quotes(
+                        _rewrite_list_exprs(
+                            hexpr, scope_list_names["cur"] | hlists
+                        ),
+                        _map_h,
+                    )
+                    hsql = _rx_anchor(
+                        _CONTAINS.sub(
+                            _ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, hsql))
+                        )
+                    )
+                    for w in re.findall(r"\b[A-Za-z_]\w*\b", _unquoted(hsql)):
+                        if "__" in w or w.lower() in _EXPR_ALLOW:
+                            continue
+                        # non-aggregate names in a post-aggregation body
+                        # would silently act as grouping keys INSIDE the
+                        # expression — Neo4j rejects mixing; so do we
+                        raise CypherSyntaxError(
+                            f"non-aggregate name {w!r} in an aggregating "
+                            f"{ctx} expression: group by it as its own "
+                            "item, then combine in a later WITH"
+                        )
+                    items.append(
+                        {
+                            "kind": "postagg",
+                            "sql": hsql,
+                            "name": xm.group("alias"),
+                            "hidden": hidden,
+                        }
+                    )
+                    continue
+
                 def _map_x(seg: str) -> str:
                     for pm in sorted(
                         set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)),
@@ -3787,57 +4120,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 continue
             am = _AGG_ITEM.match(item)
             if am:
-                fn = am.group("fn").lower()
-                arg = am.group("arg")
-                qv = am.group("q")
-                # percentile fns take (expr, q in [0,1]); everything else
-                # is single-argument (Neo4j signatures)
-                if fn in ("percentilecont", "percentiledisc"):
-                    if qv is None:
-                        raise CypherSyntaxError(
-                            f"{am.group('fn')}() needs a second percentile "
-                            f"argument in [0, 1]: {item!r}"
-                        )
-                    if not 0.0 <= float(qv) <= 1.0:
-                        raise CypherSyntaxError(
-                            f"percentile must be in [0, 1]: {item!r}"
-                        )
-                elif qv is not None:
-                    raise CypherSyntaxError(
-                        f"{am.group('fn')}() takes one argument: {item!r}"
-                    )
-                if fn in ("stdev", "stdevp", "percentilecont", "percentiledisc") and am.group(
-                    "distinct"
-                ):
-                    raise CypherSyntaxError(
-                        f"DISTINCT is not supported for {am.group('fn')}(): {item!r}"
-                    )
-                if arg == "*":
-                    if fn != "count":
-                        raise CypherSyntaxError(f"only count(*) may take '*': {item!r}")
-                    col, default = None, "count_star"
-                else:
-                    col = resolve(arg, f"aggregate argument in {ctx}")
-                    # sum/avg/stDev/percentile need numbers; min/max take any
-                    # ORDERABLE value (Neo4j min/max work on strings too).
-                    if fn in (
-                        "sum", "avg", "stdev", "stdevp", "percentilecont", "percentiledisc"
-                    ) and not numeric_ok(col):
-                        raise CypherSyntaxError(
-                            f"{am.group('fn')}() needs a numeric argument "
-                            f"(hops/path_weight): {item!r}"
-                        )
-                    default = f"{fn}_{arg.replace('.', '_')}"
-                items.append(
-                    {
-                        "kind": "agg",
-                        "fn": fn,
-                        "col": col,
-                        "q": float(qv) if qv is not None else None,
-                        "distinct": bool(am.group("distinct")),
-                        "name": am.group("alias") or default,
-                    }
-                )
+                items.append(_mk_agg_item(am, resolve, numeric_ok, ctx, item))
                 continue
             # bare literal items (round-7): `RETURN 1 AS one`, and the
             # type(r) rewrite's folded `'CUSTOMER_OF' AS rel`
@@ -3947,7 +4230,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             if (it["kind"] == "agg" and it.get("fn") == "collect")
             or (it["kind"] == "plain" and it.get("col") in prev_lists)
             or (
-                it["kind"] == "case"
+                it["kind"] in ("case", "postagg")
                 and it.get("sql", "").lstrip().lower().startswith(
                     _LISTY_HEADS + ("array(",)
                 )
@@ -3997,7 +4280,10 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         sname = cand[0]
                     elif (
                         mapped
-                        and not any(it["kind"] == "agg" for it in with_items_i)
+                        and not any(
+                            it["kind"] in ("agg", "postagg")
+                            for it in with_items_i
+                        )
                         and not with_distinct
                     ):
                         sname = f"__sord{len(stage_order)}"
@@ -4349,12 +4635,11 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     scope0_items = pipes[0]["with_items"] if pipes else projection
     carry_weight = carry_weight or any(
         it.get("col") == "path_weight"
-        or (it["kind"] == "case" and "path_weight" in it["sql"])
+        or ("path_weight" in (it.get("sql") or ""))
         for it in scope0_items
     )
     carry_cost = carry_cost or any(
         it.get("col") == "path_cost"
-        or (it["kind"] == "case" and "path_cost" in it["sql"])
         or "path_cost" in (it.get("sql") or "")
         for it in scope0_items
     )
@@ -4383,9 +4668,52 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     key,
                     re.I | re.S,
                 )
+                # ORDER BY an AGGREGATE expression (round-11 — `ORDER BY
+                # count(*) DESC` is the most common Cypher ordering after
+                # plain aliases). If the same aggregate is a RETURN item,
+                # sort on its output column; otherwise compute it as a
+                # hidden extra aggregate — legal under implicit grouping
+                # (an extra aggregate never changes the grouping keys),
+                # but undefined under RETURN DISTINCT (it would have to
+                # aggregate over the pre-dedup rows) and without an
+                # aggregating RETURN (there is no grouped frame to sort).
+                am3 = _AGG_ITEM.match(xm2.group("expr").strip()) if xm2 else None
+                if am3:
+                    it3 = _mk_agg_item(
+                        am3, _ret_resolve, ret_numeric_ok, "ORDER BY", key
+                    )
+                    cand3 = [
+                        p["name"]
+                        for p in projection
+                        if p["kind"] == "agg"
+                        and all(
+                            p.get(f_) == it3.get(f_)
+                            for f_ in ("fn", "col", "q", "distinct")
+                        )
+                    ]
+                    if cand3:
+                        name3 = cand3[0]
+                    elif ret_distinct or not any(
+                        it["kind"] in ("agg", "postagg") for it in projection
+                    ):
+                        raise CypherSyntaxError(
+                            f"ORDER BY aggregate {key.strip()!r} needs an "
+                            "aggregating RETURN without DISTINCT (the "
+                            "aggregate sorts the grouped rows)"
+                        )
+                    else:
+                        name3 = f"__ord{len(order_by)}"
+                        projection.append({**it3, "name": name3})
+                        hidden_order_cols.append(name3)
+                    order_by.append(
+                        (name3, (xm2.group("dir") or "ASC").upper() == "ASC")
+                    )
+                    continue
                 if (
                     xm2
-                    and not any(it["kind"] == "agg" for it in projection)
+                    and not any(
+                        it["kind"] in ("agg", "postagg") for it in projection
+                    )
                     and not ret_distinct
                 ):
 
@@ -4433,7 +4761,9 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     name = cand[0]
                 elif (
                     mapped
-                    and not any(it["kind"] == "agg" for it in projection)
+                    and not any(
+                        it["kind"] in ("agg", "postagg") for it in projection
+                    )
                     and not ret_distinct
                 ):
                     # ORDER BY a NON-returned property (round-7 — Neo4j
@@ -4867,7 +5197,7 @@ def _run_single(
                     "branches of a correlated CALL UNION ALL must return "
                     f"the same column names (got {names})"
                 )
-            if any(it["kind"] == "agg" for pr in projs for it in pr):
+            if any(it["kind"] in ("agg", "postagg") for pr in projs for it in pr):
                 raise CypherSyntaxError(
                     "aggregates inside a correlated CALL UNION ALL branch "
                     "are not supported — aggregate after the CALL, or "
@@ -5264,6 +5594,7 @@ def _run_single(
                     sub = sub.filter(F.col(rk) <= lo + post["limit"])
                 sub = sub.drop(rk)
             aggs = [it for it in _c["_proj"] if it["kind"] == "agg"]
+            has_postagg = any(it["kind"] == "postagg" for it in _c["_proj"])
             # A body is "pure-aggregate" when every non-import projection
             # item is an aggregate. Only then does an empty per-anchor
             # frame still yield one row (count=0): that's the case that
@@ -5272,8 +5603,8 @@ def _run_single(
             # anchor in Neo4j (grouped aggregate over an empty frame), so
             # plain CALL inner-joins there; OPTIONAL CALL stays left but
             # without the coalesce (the null-extended row keeps nulls).
-            pure_agg = bool(aggs) and all(
-                it["kind"] == "agg" or it["name"] in _c["imports"]
+            pure_agg = bool(aggs or has_postagg) and all(
+                it["kind"] in ("agg", "postagg") or it["name"] in _c["imports"]
                 for it in _c["_proj"]
             )
             how = "left" if (pure_agg or _c.get("optional")) else "inner"
@@ -5370,12 +5701,16 @@ def _run_single(
             return F.col(it["col"]).alias(it["name"])
 
         aggs = [it for it in items if it["kind"] == "agg"]
-        if not aggs:
+        posts = [it for it in items if it["kind"] == "postagg"]
+        if not aggs and not posts:
             return df.select(*[_key_expr(it) for it in items])
-        # Cypher's implicit grouping: non-aggregate items are the keys
-        keys = [it for it in items if it["kind"] != "agg"]
+        # Cypher's implicit grouping: non-aggregate items are the keys.
+        # Post-aggregation expression items contribute their HIDDEN
+        # aggregates to the grouped stage, then evaluate as a projection
+        # over the aggregated frame (round-11).
+        keys = [it for it in items if it["kind"] not in ("agg", "postagg")]
         exprs = []
-        for it in aggs:
+        for it in aggs + [h for p_ in posts for h in p_["hidden"]]:
             if it["col"] is None:
                 e = F.count(F.lit(1))
             elif it["fn"] == "count":
@@ -5415,9 +5750,24 @@ def _run_single(
                 if it["fn"] in ("sum", "avg"):
                     e = F.round(e, 6)  # float-hash discipline (module docstring)
             exprs.append(e.alias(it["name"]))
-        if keys:
-            return df.groupBy(*[_key_expr(k) for k in keys]).agg(*exprs)
-        return df.agg(*exprs)
+        out = (
+            df.groupBy(*[_key_expr(k) for k in keys]).agg(*exprs)
+            if keys
+            else df.agg(*exprs)
+        )
+        if posts:
+            # evaluate each post-aggregation expression over the grouped
+            # frame, in the original item order; hidden agg columns are
+            # dropped by not being selected
+            out = out.select(
+                *[
+                    F.expr(it["sql"]).alias(it["name"])
+                    if it["kind"] == "postagg"
+                    else F.col(it["name"])
+                    for it in items
+                ]
+            )
+        return out
 
     # WITH pipeline stages, in order: each pipe projects/aggregates the
     # current frame (HAVING-style WHERE over the piped rows), then its

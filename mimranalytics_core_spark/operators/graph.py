@@ -5962,3 +5962,176 @@ def cypher_weighted_shortest_path(spark, sf_dir):
            RETURN src, dst, min(cost) AS min_cost
            ORDER BY src, dst""",
     )
+
+
+@register(
+    "cypher_agg_expression",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nation,
+               ROUND(ROUND(AVG(c.c_acctbal), 6), 2) AS avg_bal,
+               ROUND(MAX(c.c_acctbal) - MIN(c.c_acctbal), 2) AS bal_range,
+               ROUND(ROUND(SUM(c.c_acctbal), 6) / COUNT(*), 2) AS mean_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY nation
+    """,
+    notes=(
+        "post-aggregation expressions (round-11 — aggregates nested in "
+        "scalar RETURN/WITH bodies: `round(avg(x), 2)`, `sum(a) / "
+        "count(*)`, `max(x) - min(x)`; after plain aliases, the most "
+        "common aggregating item shape a migrating Neo4j user writes). "
+        "Each embedded aggregate call hoists into a HIDDEN aggregate "
+        "item (`__hagN`) computed in the grouped stage; the remaining "
+        "scalar body evaluates as a projection OVER the aggregated frame "
+        "(cypher._hoist_aggs + the postagg branch of _apply_items) — "
+        "exactly Neo4j's grouping rule, where the aggregate calls are "
+        "the aggregating parts. Property access OUTSIDE the aggregate "
+        "calls (an implicit grouping key inside the expression) and "
+        "non-simple aggregate arguments get targeted subset errors. "
+        "Scale: one partial+final hash aggregation plus a zero-shuffle "
+        "projection — identical plan family to the plain aggregate "
+        "form; the hidden columns never leave the stage. Oracle mirrors "
+        "the engine's float-hash discipline (sum/avg ROUND 6 inside, "
+        "expression ROUND 2 outside)"
+    ),
+)
+def cypher_agg_expression(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation,
+                  round(avg(c.acctbal), 2) AS avg_bal,
+                  round(max(c.acctbal) - min(c.acctbal), 2) AS bal_range,
+                  round(sum(c.acctbal) / count(*), 2) AS mean_bal
+           ORDER BY nation""",
+    )
+
+
+@register(
+    "cypher_order_by_agg",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nation, COUNT(*) AS members
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY SUM(c.c_acctbal) DESC, nation ASC LIMIT 5
+    """,
+    notes=(
+        "ORDER BY an aggregate expression (round-11 — `ORDER BY "
+        "count(*) DESC` is the most common Cypher ordering after plain "
+        "aliases, and Neo4j also allows ordering by an aggregate that "
+        "is NOT a RETURN item). A key that parses as an aggregate call "
+        "maps to the matching RETURN item's output column when one "
+        "exists; otherwise it computes as a HIDDEN extra aggregate "
+        "(legal under implicit grouping — an extra aggregate never "
+        "changes the grouping keys), sorted on and dropped after "
+        "paging. Undefined under RETURN DISTINCT or without an "
+        "aggregating RETURN — targeted errors. The declared query "
+        "exercises the hidden form: members returned, sum(acctbal) "
+        "ordering. Scale: the hidden aggregate rides the same "
+        "partial+final hash agg; sort+limit collapses to "
+        "TakeOrderedAndProject. Oracle: GROUP BY + ORDER BY SUM in SQL "
+        "(ordering only — round-6 vs exact sums cannot reorder groups "
+        "that differ by > 1e-6, and the nation tiebreak pins ties)"
+    ),
+)
+def cypher_order_by_agg(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation, count(*) AS members
+           ORDER BY sum(c.acctbal) DESC, nation ASC LIMIT 5""",
+    )
+
+
+@register(
+    "cypher_xor_where",
+    "graph",
+    oracle="""
+        SELECT c_mktsegment AS seg, COUNT(*) AS n
+        FROM customer
+        WHERE (c_acctbal > 5000) <> (c_acctbal < 9000 AND c_mktsegment = 'BUILDING')
+        GROUP BY seg ORDER BY seg
+    """,
+    notes=(
+        "boolean XOR in WHERE (round-11 — openCypher's fourth boolean "
+        "operator; previously leaked a raw Spark PARSE_SYNTAX_ERROR). "
+        "Spark SQL has no XOR keyword: for booleans `a XOR b ≡ (a) <> "
+        "(b)` including three-valued null (both read null when an "
+        "operand is null). cypher._rewrite_xor is precedence-aware — "
+        "Cypher binds OR < XOR < AND < NOT, so the compiled predicate "
+        "splits on top-level OR first, each disjunct on top-level XOR, "
+        "operands parenthesized; chained XOR folds left-associatively "
+        "(boolean parity). Quote/bracket/CASE-span aware; rides the "
+        "same final normalization pass as the =~ rewrite, so every "
+        "predicate and expression body gets it. The declared query "
+        "exercises the AND-binds-tighter case. Scale: pure expression "
+        "rewrite — the filter stays a pushed-down scan predicate. "
+        "Oracle: the same <> form in SQL (DuckDB boolean <> is XOR)"
+    ),
+)
+def cypher_xor_where(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)
+           WHERE c.acctbal > 5000 XOR c.acctbal < 9000 AND c.mktsegment = 'BUILDING'
+           RETURN c.mktsegment AS seg, count(*) AS n
+           ORDER BY seg""",
+    )
+
+
+@register(
+    "cypher_collect_slice",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nation,
+               MIN(c.c_name) AS first_top,
+               (list_sort(list(c.c_name)))[3] AS third_top,
+               LEAST(2, COUNT(*) - 1) AS mid_k
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY nation
+    """,
+    notes=(
+        "list slices + collect() composition (round-11): Cypher's "
+        "`xs[a..b]` range subscript — 0-based, start-inclusive, "
+        "end-EXCLUSIVE, either bound omissible, negative bounds offset "
+        "from the end — compiles to Spark `slice()` (1-based "
+        "start/length) with cardinality()-based clamping, on ANY "
+        "list-typed expression: WITH-carried lists, list literals, and "
+        "via the round-11 post-aggregation path `collect(x)[0..3]` "
+        "directly in an aggregating RETURN (the collect hoists to a "
+        "hidden aggregate; the slice, chained subscripts and head()/ "
+        "size() evaluate over the grouped frame). collect() order is "
+        "pinned lexically (array_sort — the engine's cross-run "
+        "determinism discipline), so the slice is deterministic; the "
+        "declared query projects SCALARS out of the sliced list (head, "
+        "chained [0..3][2], size) per the registry's hash-stable-cell "
+        "convention (list cells break the driver's pandas sort step — "
+        "same posture as agg_collect/pattern comprehensions). Scale: "
+        "slice of an already-aggregated list is row-local; nothing new "
+        "shuffles. Oracle: DuckDB list_sort + 1-based subscripts "
+        "(MIN ≡ head-of-sorted, [3] ≡ [0..3][2], LEAST ≡ clamped size)"
+    ),
+)
+def cypher_collect_slice(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation,
+                  head(collect(c.name)[0..3]) AS first_top,
+                  collect(c.name)[0..3][2] AS third_top,
+                  size(collect(c.name)[1..3]) AS mid_k
+           ORDER BY nation""",
+    )

@@ -86,6 +86,7 @@ def _query(draw):
         not shortest and not comma and nvars == 2 and draw(st.integers(0, 2)) == 0
     )
     unwound = False
+    unwind_numeric = True
     if shortest:
         q = f"MATCH p = shortestPath({pat})"
     elif pathvar:
@@ -106,6 +107,7 @@ def _query(draw):
             )
             q = f"UNWIND {lst} AS k " + q
             unwound = True
+            unwind_numeric = lst != "['c:1', 'c:2']"
     if draw(st.booleans()):
         wpred = draw(
             st.sampled_from(
@@ -114,6 +116,10 @@ def _query(draw):
                     "{v}.id IN ['c:1', 'c:2']",
                     "id({v}) = 'c:1'",
                     "toInteger(substring({v}.id, 2)) < 50",
+                    # round-11: boolean XOR (precedence-aware <> rewrite)
+                    "{v}.id STARTS WITH 'c:' XOR {v}.id ENDS WITH '1'",
+                    "{v}.id STARTS WITH 'c:' XOR "
+                    "({v}.id CONTAINS '1' AND {v}.id CONTAINS '2')",
                 ]
             )
         ).format(v=vs[0])
@@ -177,6 +183,10 @@ def _query(draw):
                             "stDev(r.weight) AS sd",
                             "percentileCont(r.weight, 0.5) AS p50",
                             "percentileDisc(r.weight, 0.9) AS p90",
+                            # round-11: post-aggregation expressions
+                            "round(avg(r.weight), 2) AS paw",
+                            "max(r.weight) - min(r.weight) AS prng",
+                            "size(collect(r.weight)) AS pk",
                         ]
                     )
                 )
@@ -219,6 +229,10 @@ def _query(draw):
                         "substring('abcdef', 1, 2) AS le10",
                         "'x' + 'y' AS le11",
                         "CASE 1 WHEN 1 THEN 'one' ELSE 'other' END AS le12",
+                        # round-11: list slices (0-based, end-exclusive)
+                        "[10, 20, 30, 40][1..3][0] AS le13",
+                        "['a', 'b', 'c'][-2..][0] AS le14",
+                        "size([1, 2, 3][..2]) AS le15",
                     ]
                 )
             )
@@ -263,7 +277,10 @@ def _query(draw):
         ref = "k" if unwound else f"{first}.id" if "(" not in first else "n"
         if "(" not in first:
             items.append(
-                f"CASE WHEN {ref} = {'1' if unwound else repr('c:1')} "
+                # the comparison literal must match k's element type —
+                # `k = 1` over a STRING unwind list is an ANSI cast error
+                f"CASE WHEN {ref} = "
+                f"{'1' if unwound and unwind_numeric else repr('c:1')} "
                 "THEN 'hit' ELSE 'miss' END AS flag"
             )
     # round-9: CALL { … } subqueries — uncorrelated prefix, a correlated
@@ -309,7 +326,10 @@ def _query(draw):
             )
             items.append("kn")
     q += " RETURN " + ", ".join(items)
-    if draw(st.booleans()):
+    if any(it.endswith("AS n_cnt") for it in items) and draw(st.integers(0, 2)) == 0:
+        # round-11: ORDER BY an aggregate expression (maps to the item)
+        q += " ORDER BY count(*) DESC"
+    elif draw(st.booleans()):
         q += f" ORDER BY {items[0].split(' ')[-1]} DESC"
     if draw(st.booleans()):
         q += f" LIMIT {draw(st.integers(1, 50))}"

@@ -488,3 +488,226 @@ def test_duration_map_bad_key_targeted_error(spark):
             "MATCH (n:Nation) RETURN "
             "date({year: 2020}) + duration({fortnights: 1}) AS d",
         )
+
+
+# ---- post-aggregation expressions (round-11 second half) --------------
+
+
+def test_postagg_round_avg(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation, round(avg(c.acctbal), 2) AS ab
+           ORDER BY nation""",
+    ).collect()
+    assert len(rows) > 0
+    # every value is rounded to 2 decimals
+    assert all(abs(r.ab - round(r.ab, 2)) < 1e-9 for r in rows)
+
+
+def test_postagg_ratio_matches_components(spark):
+    q_parts = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer) RETURN sum(c.acctbal) AS s, count(*) AS k",
+    ).collect()[0]
+    q_ratio = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer) RETURN sum(c.acctbal) / count(*) AS mean_bal",
+    ).collect()[0]
+    assert abs(q_ratio.mean_bal - q_parts.s / q_parts.k) < 1e-9
+
+
+def test_postagg_max_minus_min(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)
+           RETURN max(c.acctbal) - min(c.acctbal) AS rng,
+                  max(c.acctbal) AS hi, min(c.acctbal) AS lo""",
+    ).collect()
+    assert rows[0].rng == rows[0].hi - rows[0].lo
+
+
+def test_postagg_in_with_stage(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n.name AS nation, round(avg(c.acctbal), 1) AS ab
+           WHERE ab > 0
+           RETURN nation, ab ORDER BY ab DESC LIMIT 3""",
+    ).collect()
+    assert len(rows) == 3
+    assert rows[0].ab >= rows[1].ab >= rows[2].ab
+
+
+def test_postagg_size_of_collect(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation, size(collect(c.name)) AS k,
+                  count(*) AS k2
+           ORDER BY nation""",
+    ).collect()
+    assert all(r.k == r.k2 for r in rows)
+
+
+def test_postagg_property_outside_agg_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="outside the aggregate"):
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+               RETURN round(avg(c.acctbal), 2) + n.nationkey AS bad""",
+        )
+
+
+def test_postagg_complex_agg_arg_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="simple"):
+        api.cypher(
+            spark,
+            SF,
+            "MATCH (c:Customer) RETURN sum(c.acctbal * 2) / 2 AS bad",
+        )
+
+
+# ---- ORDER BY aggregate expressions ------------------------------------
+
+
+def test_order_by_agg_in_return(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation, count(*) AS members
+           ORDER BY count(*) DESC, nation ASC LIMIT 3""",
+    ).collect()
+    assert rows[0].members >= rows[1].members >= rows[2].members
+
+
+def test_order_by_hidden_agg(spark):
+    # sum(acctbal) is NOT a RETURN item — computed as a hidden aggregate,
+    # sorted on, dropped: output schema is exactly (nation, members)
+    df = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation, count(*) AS members
+           ORDER BY sum(c.acctbal) DESC, nation ASC LIMIT 3""",
+    )
+    assert df.columns == ["nation", "members"]
+    # cross-check the ordering against the explicit form
+    explicit = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation, sum(c.acctbal) AS s
+           ORDER BY s DESC, nation ASC LIMIT 3""",
+    ).collect()
+    assert [r.nation for r in df.collect()] == [r.nation for r in explicit]
+
+
+def test_order_by_agg_without_grouping_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="aggregating RETURN"):
+        api.cypher(
+            spark,
+            SF,
+            "MATCH (c:Customer) RETURN c.name AS name ORDER BY count(*) DESC",
+        )
+
+
+# ---- XOR ----------------------------------------------------------------
+
+
+def test_xor_truth_table(spark):
+    # a XOR b == (a OR b) AND NOT (a AND b), checked by re-counting
+    base = (
+        "MATCH (c:Customer) WHERE {pred} RETURN count(*) AS n"
+    )
+    a = "c.acctbal > 5000"
+    b = "c.mktsegment = 'BUILDING'"
+    n_xor = api.cypher(spark, SF, base.format(pred=f"{a} XOR {b}")).collect()[0].n
+    n_ref = (
+        api.cypher(
+            spark, SF, base.format(pred=f"({a} OR {b}) AND NOT ({a} AND {b})")
+        ).collect()[0].n
+    )
+    assert n_xor == n_ref
+
+
+def test_xor_binds_looser_than_and(spark):
+    # a XOR b AND c  ==  a XOR (b AND c)
+    a, b, c = "c.acctbal > 5000", "c.acctbal < 9000", "c.mktsegment = 'BUILDING'"
+    base = "MATCH (c:Customer) WHERE {pred} RETURN count(*) AS n"
+    n1 = api.cypher(spark, SF, base.format(pred=f"{a} XOR {b} AND {c}")).collect()[0].n
+    n2 = api.cypher(spark, SF, base.format(pred=f"{a} XOR ({b} AND {c})")).collect()[0].n
+    assert n1 == n2
+
+
+def test_xor_binds_tighter_than_or(spark):
+    # a OR b XOR c  ==  a OR (b XOR c)
+    a, b, c = "c.mktsegment = 'MACHINERY'", "c.acctbal > 5000", "c.acctbal > 9000"
+    base = "MATCH (c:Customer) WHERE {pred} RETURN count(*) AS n"
+    n1 = api.cypher(spark, SF, base.format(pred=f"{a} OR {b} XOR {c}")).collect()[0].n
+    n2 = api.cypher(spark, SF, base.format(pred=f"{a} OR ({b} XOR {c})")).collect()[0].n
+    assert n1 == n2
+
+
+def test_xor_chain_is_parity(spark):
+    from mimranalytics_core_spark.cypher import _rewrite_xor
+
+    out = _rewrite_xor("a XOR b XOR c")
+    assert out.count("<>") == 2
+    # left-assoc fold, operands parenthesized
+    assert "((a)" in out.replace(" ", "")
+
+
+def test_xor_inside_case_untouched():
+    from mimranalytics_core_spark.cypher import _split_top_word
+
+    parts = _split_top_word("CASE WHEN a XOR b THEN 1 END", "XOR")
+    assert len(parts) == 1  # the CASE..END span shields its body
+
+
+# ---- list slices ---------------------------------------------------------
+
+
+def test_slice_basic_and_negative(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer) WITH collect(c.name) AS names
+           RETURN names[0..3] AS first3, names[-2..] AS last2,
+                  names[..2] AS first2, size(names) AS n""",
+    ).collect()[0]
+    assert len(rows.first3) == 3 and len(rows.last2) == 2 and len(rows.first2) == 2
+    assert rows.first3[:2] == rows.first2
+
+
+def test_slice_out_of_range_clamps(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (n:Nation) WHERE n.name = 'NATION_0'
+           WITH collect(n.name) AS xs
+           RETURN xs[0..100] AS all_of_them, xs[5..9] AS beyond""",
+    ).collect()[0]
+    assert rows.all_of_them == ["NATION_0"] and rows.beyond == []
+
+
+def test_collect_slice_in_aggregating_return(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation,
+                  head(collect(c.name)[0..3]) AS first_top,
+                  size(collect(c.name)[1..3]) AS mid_k
+           ORDER BY nation""",
+    ).collect()
+    assert all(r.first_top is not None for r in rows)
+    assert all(0 <= r.mid_k <= 2 for r in rows)
