@@ -183,10 +183,17 @@ Grammar subset:
   ``max(x) - min(x)``, ``size(collect(x))``, ``collect(x)[0..3]``. Each
   embedded aggregate hoists into a hidden aggregate item computed in the
   grouped stage; the remaining body evaluates as a projection OVER the
-  aggregated frame. Subset limits (targeted errors): the aggregate
-  argument must be the simple ``[DISTINCT] var.prop`` shape, and
-  property access OUTSIDE the aggregate calls is rejected (it would be a
-  grouping key inside the expression — return it as its own item).
+  aggregated frame. Property access OUTSIDE the aggregate calls is
+  rejected with a targeted error (it would be a grouping key inside the
+  expression — return it as its own item).
+- Aggregates over EXPRESSION arguments (round-11): ``sum(x * 0.01)``,
+  ``count(DISTINCT substring(s, 0, 1))``, ``min(toUpper(s))``,
+  ``percentileCont(x / 10, 0.5)`` — the argument compiles through the
+  standard expression chain and lands as a hidden PRE-aggregation column
+  on the pattern frame; the aggregate runs over it. Composes with
+  post-aggregation hoisting (``round(avg(x / 100), 3)``). Nested
+  aggregates and missing aliases get targeted errors; argument TYPES are
+  checked by Spark analysis (unknowable at parse time).
 - ``ORDER BY item [ASC|DESC], ...`` over RETURN output columns (aliases
   or default names) — or over a NON-returned property (round-7, Neo4j's
   ``RETURN c ORDER BY c.name``): the property is projected as a hidden
@@ -196,7 +203,10 @@ Grammar subset:
   (round-11 — ``ORDER BY count(*) DESC``) maps to the matching RETURN
   item when one exists, else computes as a hidden extra aggregate
   (legal under implicit grouping; rejected under RETURN DISTINCT or
-  without an aggregating RETURN). Then ``SKIP n`` / ``LIMIT n``.
+  without an aggregating RETURN). Stage-level ``WITH … ORDER BY`` maps
+  aggregate keys the same way (``WITH n, count(*) AS c ORDER BY
+  count(*) DESC LIMIT 3`` — the top-k-then-rematch idiom as Neo4j users
+  write it). Then ``SKIP n`` / ``LIMIT n``.
   Ties are NOT broken implicitly — order by a unique column (e.g. the
   entity id) before LIMIT for deterministic pagination, as the §2.6
   operators do.
@@ -251,6 +261,11 @@ Grammar subset:
   idiomatic `WHERE x.id IN $ids`).
 - ``WITH DISTINCT items`` dedupes the stage projection (RETURN DISTINCT's
   pipeline twin).
+- Label membership ``'Customer' IN labels(x)`` (round-11): any
+  ``operand IN array(…)`` form (the compiled shape of labels()/list
+  constructors) rewrites to ``array_contains`` — Spark's ``IN`` takes
+  only value lists/subqueries; plain ``x IN [a, b]`` literals keep the
+  SQL ``IN (…)`` fold.
 - Boolean ``XOR`` (round-11): rewritten onto Spark SQL as ``(a) <> (b)``
   (three-valued-null-faithful) by a precedence-aware pass — Cypher binds
   ``OR < XOR < AND < NOT`` — that recurses into parenthesized groups and
@@ -1069,7 +1084,63 @@ def _rx_anchor(pred: str) -> str:
                 )
         out.append(pt)
         i += 1
-    return _rewrite_xor("".join(out))
+    return _rewrite_xor(_rewrite_in_array("".join(out)))
+
+
+def _rewrite_in_array(pred: str) -> str:
+    """Rewrite membership over an ARRAY-typed expression —
+    ``'Customer' IN array(initcap(n.label))`` (the compiled form of
+    Cypher's ``'Customer' IN labels(n)``) — to ``array_contains(arr,
+    operand)`` (round-11). Spark SQL's ``IN`` takes only a value list or
+    subquery, so the raw form dies with an opaque PARSE_SYNTAX_ERROR.
+    Plain ``x IN [a, b]`` list literals were already folded to SQL
+    ``IN (…)`` upstream; any ``IN array(`` remaining is the array-expr
+    case. Quote-aware; the left operand may be a quoted literal, an
+    identifier, or a balanced call."""
+    scan = 0
+    while True:
+        m = re.search(r"\bIN\s+(array\s*\()", pred[scan:], re.I)
+        if not m:
+            return pred
+        pos = scan + m.start()
+        # inside a quoted literal? count quotes before pos
+        if pred[:pos].count("'") % 2 == 1:
+            scan = pos + 2
+            continue
+        rhs_end = _balanced_end(pred, scan + m.end(1) - 1)
+        rhs = pred[scan + m.start(1) : rhs_end]
+        # walk back over the left operand
+        k = pos
+        while k > 0 and pred[k - 1] in " \t":
+            k -= 1
+        end_l = k
+        if k > 0 and pred[k - 1] == "'":
+            k -= 2
+            while k >= 0 and pred[k] != "'":
+                k -= 1
+        elif k > 0 and pred[k - 1] in ")]":
+            d = 0
+            k -= 1
+            while k >= 0:
+                if pred[k] in ")]":
+                    d += 1
+                elif pred[k] in "([":
+                    d -= 1
+                    if d == 0:
+                        break
+                k -= 1
+            while k > 0 and (pred[k - 1].isalnum() or pred[k - 1] in "_."):
+                k -= 1
+        else:
+            while k > 0 and (pred[k - 1].isalnum() or pred[k - 1] in "_."):
+                k -= 1
+        lhs = pred[k:end_l]
+        if not lhs.strip():
+            scan = rhs_end
+            continue
+        repl = f"array_contains({rhs}, {lhs})"
+        pred = pred[:k] + repl + pred[rhs_end:]
+        scan = k + len(repl)
 
 
 def _split_top_word(text: str, word: str) -> list[str]:
@@ -3638,6 +3709,98 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         re.I,
     )
 
+    def _mk_agg_item_expr(
+        call: str, resolve, ctx: str, counter: list, alias: str | None
+    ) -> dict | None:
+        """Aggregate over an EXPRESSION argument (round-11 second half —
+        ``sum(c.acctbal * 2)``, ``avg(r.weight * 100)``, ``collect(
+        toUpper(c.name))``: the everyday Neo4j shape the simple-argument
+        grammar rejects). The argument compiles through the standard
+        expression chain and lands as a HIDDEN pre-aggregation column
+        (``__pagN``) computed on the pattern frame BEFORE the grouped
+        stage; the aggregate then runs over that column — the mirror of
+        post-aggregation hoisting. Returns None when the call is not an
+        aggregate head or its argument is the simple shape _AGG_ITEM
+        already handles (those keep the cheaper direct-column path).
+        Argument types are checked by Spark analysis, not at parse time
+        (an expression's type is unknowable here); the error names the
+        offending column. DISTINCT and the percentile second argument
+        compose as in the simple form."""
+        hm = _AGG_HEAD.match(call)
+        if not hm or _AGG_ITEM.match(call):
+            return None
+        if _balanced_end(call, hm.end() - 1) != len(call):
+            return None  # trailing text after the call — not a bare aggregate
+        fn = re.match(r"\w+", call).group(0).lower()
+        inner = call[hm.end() : -1].strip()
+        dm = re.match(r"DISTINCT\s+", inner, re.I)
+        distinct = bool(dm)
+        if dm:
+            inner = inner[dm.end() :]
+        parts = _split_items(inner)
+        qv = None
+        if fn in ("percentilecont", "percentiledisc"):
+            if len(parts) != 2 or not re.fullmatch(
+                r"\s*[0-9]*\.?[0-9]+\s*", parts[1]
+            ):
+                raise CypherSyntaxError(
+                    f"{fn}() needs a second percentile argument in "
+                    f"[0, 1]: {call!r}"
+                )
+            qv = float(parts[1])
+            if not 0.0 <= qv <= 1.0:
+                raise CypherSyntaxError(f"percentile must be in [0, 1]: {call!r}")
+            inner = parts[0].strip()
+        elif len(parts) != 1:
+            raise CypherSyntaxError(f"{fn}() takes one argument: {call!r}")
+        if distinct and fn in ("stdev", "stdevp", "percentilecont", "percentiledisc"):
+            raise CypherSyntaxError(
+                f"DISTINCT is not supported for {fn}(): {call!r}"
+            )
+
+        if _AGG_HEAD.search(_unquoted(inner)):
+            raise CypherSyntaxError(
+                f"aggregates cannot nest inside an aggregate argument: {call!r}"
+            )
+
+        def _map_a(seg: str) -> str:
+            for pm in sorted(
+                set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)),
+                key=len,
+                reverse=True,
+            ):
+                seg = seg.replace(
+                    pm, resolve(pm, f"aggregate argument in {ctx}")
+                )
+            return _fn_rewrite(seg)
+
+        asql = _outside_quotes(
+            _rewrite_list_exprs(inner, scope_list_names["cur"]), _map_a
+        )
+        asql = _rx_anchor(
+            _CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, asql)))
+        )
+        for w in re.findall(r"\b[A-Za-z_]\w*\b", _unquoted(asql)):
+            if "__" in w or w.lower() in _EXPR_ALLOW:
+                continue
+            resolve(w, f"aggregate argument in {ctx}")
+        pre = f"__pag{counter[0]}"
+        counter[0] += 1
+        if alias is None:
+            raise CypherSyntaxError(
+                f"an aggregate over an expression needs an alias "
+                f"(`{call} AS name`): {call!r}"
+            )
+        return {
+            "kind": "agg",
+            "fn": fn,
+            "col": pre,
+            "pre_sql": asql,
+            "q": qv,
+            "distinct": distinct,
+            "name": alias,
+        }
+
     def _hoist_aggs(expr: str, resolve, numeric_ok, ctx: str, counter: list):
         """Scan a scalar item body for embedded aggregate calls (round-11
         — ``round(avg(c.acctbal), 2)``, ``sum(a) / count(*)``,
@@ -3666,13 +3829,18 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 end = _balanced_end(expr, hm.end() - 1)
                 call = expr[i:end]
                 am2 = _AGG_ITEM.match(call)
-                if not am2:
-                    raise CypherSyntaxError(
-                        f"aggregates embedded in a {ctx} expression must "
-                        f"take a simple [DISTINCT] variable/property "
-                        f"argument: {call!r}"
+                if am2:
+                    it2 = _mk_agg_item(am2, resolve, numeric_ok, ctx, call)
+                else:
+                    # expression argument — pre-aggregation hoist
+                    it2 = _mk_agg_item_expr(
+                        call, resolve, ctx, counter, f"__hagx{counter[0]}"
                     )
-                it2 = _mk_agg_item(am2, resolve, numeric_ok, ctx, call)
+                    if it2 is None:  # unreachable: _AGG_HEAD matched whole call
+                        raise CypherSyntaxError(
+                            f"unsupported aggregate call in a {ctx} "
+                            f"expression: {call!r}"
+                        )
                 it2["name"] = f"__hag{counter[0]}"
                 counter[0] += 1
                 hidden.append(it2)
@@ -4135,6 +4303,15 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 continue
             im = re.match(r"^(?P<expr>\S+)(?:\s+AS\s+(?P<alias>\w+))?$", item, re.I)
             if not im:
+                # an unaliased aggregate over an expression lands here (the
+                # argument's spaces break the bare-item shape) — name the
+                # actual fix instead of the generic rejection
+                hm0 = _AGG_HEAD.match(item)
+                if hm0 and _balanced_end(item, hm0.end() - 1) == len(item):
+                    raise CypherSyntaxError(
+                        f"an aggregate over an expression needs an alias "
+                        f"(`{item} AS name`): {item!r}"
+                    )
                 raise CypherSyntaxError(f"unsupported {ctx} item: {item!r}")
             expr = im.group("expr")
             col = resolve(expr, f"{ctx} item")
@@ -4256,6 +4433,50 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     r"^\s*(?P<name>[\w.]+)(?:\s+(?P<dir>ASC|DESC))?\s*$", key, re.I
                 )
                 if not km_:
+                    # stage ORDER BY an AGGREGATE expression (round-11 —
+                    # `WITH n, count(*) AS c ORDER BY count(*) DESC`):
+                    # same rules as the RETURN path — map to a matching
+                    # WITH item, else compute hidden (needs an
+                    # aggregating stage without DISTINCT)
+                    xm3 = re.match(
+                        r"^\s*(?P<expr>.+?)(?:\s+(?P<dir>ASC|DESC))?\s*$",
+                        key,
+                        re.I | re.S,
+                    )
+                    am4 = (
+                        _AGG_ITEM.match(xm3.group("expr").strip()) if xm3 else None
+                    )
+                    if am4:
+                        it4 = _mk_agg_item(
+                            am4, scope_resolve, scope_numeric_ok, "WITH ORDER BY", key
+                        )
+                        cand4 = [
+                            it["name"]
+                            for it in with_items_i
+                            if it["kind"] == "agg"
+                            and all(
+                                it.get(f_) == it4.get(f_)
+                                for f_ in ("fn", "col", "q", "distinct")
+                            )
+                        ]
+                        if cand4:
+                            sname4 = cand4[0]
+                        elif with_distinct or not any(
+                            it["kind"] in ("agg", "postagg")
+                            for it in with_items_i
+                        ):
+                            raise CypherSyntaxError(
+                                f"WITH ORDER BY aggregate {key.strip()!r} "
+                                "needs an aggregating WITH without DISTINCT"
+                            )
+                        else:
+                            sname4 = f"__sord{len(stage_order)}"
+                            with_items_i.append({**it4, "name": sname4})
+                            stage_hidden.append(sname4)
+                        stage_order.append(
+                            (sname4, (xm3.group("dir") or "ASC").upper() == "ASC")
+                        )
+                        continue
                     raise CypherSyntaxError(
                         f"WITH ORDER BY key must be a WITH output column: {key!r}"
                     )
@@ -5709,8 +5930,15 @@ def _run_single(
         # aggregates to the grouped stage, then evaluate as a projection
         # over the aggregated frame (round-11).
         keys = [it for it in items if it["kind"] not in ("agg", "postagg")]
+        all_aggs = aggs + [h for p_ in posts for h in p_["hidden"]]
+        # expression-argument aggregates (round-11): their argument lands
+        # as a hidden pre-aggregation column on the pattern frame first —
+        # a zero-shuffle projection Catalyst folds into the agg's child
+        for it in all_aggs:
+            if it.get("pre_sql"):
+                df = df.withColumn(it["col"], F.expr(it["pre_sql"]))
         exprs = []
-        for it in aggs + [h for p_ in posts for h in p_["hidden"]]:
+        for it in all_aggs:
             if it["col"] is None:
                 e = F.count(F.lit(1))
             elif it["fn"] == "count":

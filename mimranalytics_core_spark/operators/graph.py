@@ -6135,3 +6135,138 @@ def cypher_collect_slice(spark, sf_dir):
                   size(collect(c.name)[1..3]) AS mid_k
            ORDER BY nation""",
     )
+
+
+@register(
+    "cypher_expr_aggregates",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nation,
+               ROUND(SUM(c.c_acctbal * 0.01), 6) AS bal_pct,
+               COUNT(DISTINCT SUBSTRING(c.c_mktsegment, 1, 1)) AS seg_initials,
+               MIN(UPPER(c.c_name)) AS first_upper
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY nation
+    """,
+    notes=(
+        "aggregates over EXPRESSION arguments (round-11 second half — "
+        "`sum(x * 0.01)`, `count(DISTINCT substring(s, 0, 1))`, "
+        "`min(toUpper(s))`: the everyday Neo4j shape the simple-argument "
+        "grammar rejected). The argument compiles through the standard "
+        "expression chain and lands as a HIDDEN pre-aggregation column "
+        "(`__pagN`) computed on the pattern frame BEFORE the grouped "
+        "stage (cypher._mk_agg_item_expr); the aggregate runs over that "
+        "column — the mirror of post-aggregation hoisting, and the two "
+        "compose (`round(avg(x / 100), 3)`). Nested aggregates and "
+        "missing aliases get targeted errors. Scale: the pre-projection "
+        "is zero-shuffle (Catalyst folds it into the aggregate's child); "
+        "plan family identical to the plain aggregate form. Oracle: the "
+        "same expression aggregates in SQL (sum ROUND 6 — the engine's "
+        "float-hash discipline; Cypher substring is 0-based, SQL "
+        "SUBSTRING 1-based, same first character)"
+    ),
+)
+def cypher_expr_aggregates(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation,
+                  sum(c.acctbal * 0.01) AS bal_pct,
+                  count(DISTINCT substring(c.mktsegment, 0, 1)) AS seg_initials,
+                  min(toUpper(c.name)) AS first_upper
+           ORDER BY nation""",
+    )
+
+
+@register(
+    "cypher_stage_order_by_agg",
+    "graph",
+    oracle="""
+        WITH top3 AS (
+            SELECT n.n_name AS nation, COUNT(*) AS members
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+            ORDER BY COUNT(*) DESC, nation ASC LIMIT 3
+        )
+        SELECT t.nation, t.members, COUNT(*) AS suppliers
+        FROM top3 t
+        JOIN nation n ON n.n_name = t.nation
+        JOIN supplier s ON s.s_nationkey = n.n_nationkey
+        GROUP BY t.nation, t.members
+        ORDER BY t.nation
+    """,
+    notes=(
+        "stage-level ORDER BY over an aggregate expression (round-11 — "
+        "`WITH n, count(*) AS c ORDER BY count(*) DESC LIMIT 3` then "
+        "CONTINUE the pipeline: Cypher's top-k-then-rematch idiom written "
+        "the way Neo4j users actually write it, aggregate in the sort "
+        "key). Same mapping rules as the RETURN path: the key maps to a "
+        "matching WITH item, else computes as a hidden stage aggregate "
+        "(`__sordN`, dropped at the next projection); undefined under "
+        "WITH DISTINCT or a non-aggregating stage (targeted errors). The "
+        "declared query takes the top-3 nations by customer count, then "
+        "re-matches suppliers in those nations — the pruned-frontier "
+        "composition. Scale: sort+limit collapses to "
+        "TakeOrderedAndProject before the re-match join, so the probe "
+        "side is 3 rows, not 25. Oracle: CTE top-3 + supplier join"
+    ),
+)
+def cypher_stage_order_by_agg(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n, count(*) AS members ORDER BY count(*) DESC, n ASC LIMIT 3
+           MATCH (s:Supplier)-[:SUPPLIER_OF]->(n)
+           RETURN n.name AS nation, members, count(s) AS suppliers
+           ORDER BY nation""",
+    )
+
+
+@register(
+    "cypher_in_labels",
+    "graph",
+    oracle="""
+        SELECT 'customer' AS kind, COUNT(*) AS k FROM customer
+        UNION ALL
+        SELECT 'supplier' AS kind, COUNT(*) AS k FROM supplier
+        ORDER BY kind
+    """,
+    notes=(
+        "label membership predicates (round-11): `'Customer' IN "
+        "labels(x)` — the openCypher spelling of a label test over an "
+        "UNLABELED variable — previously leaked a raw Spark "
+        "PARSE_SYNTAX_ERROR (labels() compiles to an array() constructor "
+        "and Spark's IN takes only value lists/subqueries). "
+        "cypher._rewrite_in_array rewrites any `operand IN array(…)` "
+        "form to `array_contains(arr, operand)` in the same final "
+        "normalization pass as =~ and XOR (quote-aware, balanced-call "
+        "left-operand capture); plain `x IN [a, b]` literals keep the "
+        "upstream SQL IN (…) fold. The declared query runs the same "
+        "UNION twice with each label spelling to prove both paths. "
+        "Scale: for a statically labeled variable the test folds to a "
+        "literal array of one element — Catalyst constant-folds it to "
+        "the id-prefix filter's twin; no join, no shuffle. Oracle: "
+        "per-table counts"
+    ),
+)
+def cypher_in_labels(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (x)-[:CUSTOMER_OF|SUPPLIER_OF|NATION_OF]->()
+           WHERE 'Customer' IN labels(x)
+           RETURN 'customer' AS kind, count(*) AS k
+           UNION ALL
+           MATCH (y)-[:CUSTOMER_OF|SUPPLIER_OF|NATION_OF]->()
+           WHERE 'Supplier' IN labels(y)
+           RETURN 'supplier' AS kind, count(*) AS k
+           ORDER BY kind""",
+    )

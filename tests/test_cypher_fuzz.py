@@ -141,7 +141,9 @@ def _query(draw):
     if with_match:
         q += f" WITH {vs[0]} AS piped, count(*) AS n"
         if draw(st.integers(0, 2)) == 0:  # stage-level top-k / paging
-            q += " ORDER BY n DESC, piped ASC"
+            # round-11: the aggregate-expression spelling of the same key
+            nkey = "count(*)" if draw(st.integers(0, 2)) == 0 else "n"
+            q += f" ORDER BY {nkey} DESC, piped ASC"
             if draw(st.booleans()):
                 q += f" SKIP {draw(st.integers(0, 3))}"
             q += f" LIMIT {draw(st.integers(1, 20))}"
@@ -187,6 +189,9 @@ def _query(draw):
                             "round(avg(r.weight), 2) AS paw",
                             "max(r.weight) - min(r.weight) AS prng",
                             "size(collect(r.weight)) AS pk",
+                            # round-11: expression-argument aggregates
+                            "sum(r.weight * 2) AS sw2",
+                            "round(avg(r.weight * 100), 1) AS aw100",
                         ]
                     )
                 )

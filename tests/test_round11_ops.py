@@ -566,13 +566,17 @@ def test_postagg_property_outside_agg_targeted_error(spark):
         )
 
 
-def test_postagg_complex_agg_arg_targeted_error(spark):
-    with pytest.raises(CypherSyntaxError, match="simple"):
-        api.cypher(
-            spark,
-            SF,
-            "MATCH (c:Customer) RETURN sum(c.acctbal * 2) / 2 AS bad",
-        )
+def test_postagg_expression_arg_now_supported(spark):
+    # round-11 second half lifted the simple-argument limit: an embedded
+    # aggregate may take an expression argument (pre-aggregation hoist);
+    # sum(x * 2) / 2 == sum(x)
+    r = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer) "
+        "RETURN sum(c.acctbal * 2) / 2 AS halved, sum(c.acctbal) AS direct",
+    ).collect()[0]
+    assert abs(r.halved - r.direct) < 1e-6
 
 
 # ---- ORDER BY aggregate expressions ------------------------------------
@@ -711,3 +715,135 @@ def test_collect_slice_in_aggregating_return(spark):
     ).collect()
     assert all(r.first_top is not None for r in rows)
     assert all(0 <= r.mid_k <= 2 for r in rows)
+
+
+# ---- aggregates over expression arguments -------------------------------
+
+
+def test_expr_agg_sum_scales_linearly(spark):
+    r = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer) RETURN sum(c.acctbal * 2) AS dbl, sum(c.acctbal) AS one",
+    ).collect()[0]
+    assert abs(r.dbl - 2 * r.one) < 1e-6
+
+
+def test_expr_agg_count_distinct_expression(spark):
+    r = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer) "
+        "RETURN count(DISTINCT substring(c.mktsegment, 0, 1)) AS k",
+    ).collect()[0]
+    assert r.k == 5  # A/B/F/H/M — the five TPC-H segments' initials
+
+
+def test_expr_agg_composes_with_postagg(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation, round(avg(c.acctbal / 100), 3) AS pct
+           ORDER BY nation LIMIT 3""",
+    ).collect()
+    assert all(r.pct < 100 for r in rows)
+
+
+def test_expr_agg_nested_aggregate_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="nest inside"):
+        api.cypher(
+            spark, SF, "MATCH (c:Customer) RETURN sum(count(c.acctbal)) AS bad"
+        )
+
+
+def test_expr_agg_unaliased_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="needs an alias"):
+        api.cypher(spark, SF, "MATCH (c:Customer) RETURN sum(c.acctbal * 2)")
+
+
+# ---- stage-level ORDER BY aggregates -------------------------------------
+
+
+def test_stage_order_by_agg_mapped(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n.name AS nation, count(*) AS c ORDER BY count(*) DESC LIMIT 3
+           RETURN nation, c""",
+    ).collect()
+    assert len(rows) == 3
+    assert rows[0].c >= rows[1].c >= rows[2].c
+
+
+def test_stage_order_by_hidden_agg(spark):
+    # sum(c.acctbal) is not a WITH item — hidden stage aggregate; the
+    # output schema carries only the declared items
+    df = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n.name AS nation, count(*) AS c
+           ORDER BY sum(c.acctbal) DESC LIMIT 3
+           RETURN nation, c""",
+    )
+    assert df.columns == ["nation", "c"]
+    assert df.count() == 3
+
+
+def test_stage_order_by_agg_without_aggregating_stage_error(spark):
+    with pytest.raises(CypherSyntaxError, match="aggregating WITH"):
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (c:Customer)
+               WITH c.name AS name ORDER BY count(*) DESC LIMIT 3
+               RETURN name""",
+        )
+
+
+# ---- IN labels() membership ----------------------------------------------
+
+
+def test_in_labels_unlabeled_variable(spark):
+    k = (
+        api.cypher(
+            spark,
+            SF,
+            "MATCH (x) WHERE 'Customer' IN labels(x) RETURN count(*) AS k",
+        ).collect()[0].k
+    )
+    k_direct = (
+        api.cypher(spark, SF, "MATCH (x:Customer) RETURN count(*) AS k")
+        .collect()[0].k
+    )
+    assert k == k_direct > 0
+
+
+def test_in_labels_static_fold(spark):
+    # statically labeled variable: membership folds to a literal array
+    k = (
+        api.cypher(
+            spark,
+            SF,
+            "MATCH (x:Supplier) WHERE 'Supplier' IN labels(x) RETURN count(*) AS k",
+        ).collect()[0].k
+    )
+    assert k > 0
+
+
+def test_rewrite_in_array_units():
+    from mimranalytics_core_spark.cypher import _rewrite_in_array
+
+    assert (
+        _rewrite_in_array("'C' IN array(initcap(x.label))")
+        == "array_contains(array(initcap(x.label)), 'C')"
+    )
+    out = _rewrite_in_array("toLower(nm) IN array('a','b') AND y = 1")
+    assert out == "array_contains(array('a','b'), toLower(nm)) AND y = 1"
+    # value-list IN is untouched (already SQL form)
+    assert _rewrite_in_array("x IN (1, 2)") == "x IN (1, 2)"
+    # quoted 'IN array(' is data, not syntax
+    lit = "msg = ' IN array(x)'"
+    assert _rewrite_in_array(lit) == lit
