@@ -235,7 +235,11 @@ Grammar subset:
   as a RETURN / WITH item (Cypher's searched CASE): the body maps 1:1
   onto Spark SQL CASE after var.prop and string-predicate rewrites; a
   non-aggregate CASE item becomes a grouping key when aggregates are
-  present (Cypher's implicit grouping). The ``AS alias`` is REQUIRED
+  present (Cypher's implicit grouping). CASE over AGGREGATES (round-11 —
+  ``CASE WHEN count(*) > k THEN … END``, the conditional-bucketing
+  idiom) hoists the aggregate calls like scalar-expression bodies and
+  evaluates post-aggregation; property access outside the aggregates
+  gets the targeted grouping-key error. The ``AS alias`` is REQUIRED
   (subset limit).
 - Scalar expression items ``<expr> AS alias`` (parens or arithmetic):
   ``coalesce(s.name, 'none')``, ``round(r.weight * 100, 1)``,
@@ -4126,6 +4130,19 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 re.I | re.S,
             )
             if cs:
+                # CASE over AGGREGATES (round-11 — `CASE WHEN count(x) > 5
+                # THEN 'big' ELSE 'small' END AS bucket`, Neo4j's
+                # conditional-bucketing idiom): aggregate calls in the body
+                # hoist exactly like scalar-expression items; the whole
+                # CASE then evaluates as a post-aggregation projection.
+                case_body = cs.group("body")
+                case_hidden: list[dict] = []
+                if _AGG_HEAD.search(_unquoted(case_body)):
+                    hoisted_c = _hoist_aggs(
+                        case_body, resolve, numeric_ok, ctx, _hag_counter
+                    )
+                    if hoisted_c:
+                        case_body, case_hidden = hoisted_c
 
                 def _map_case(seg: str) -> str:
                     for pm in sorted(
@@ -4133,19 +4150,44 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         key=len,
                         reverse=True,
                     ):
+                        if case_hidden:
+                            # post-aggregation CASE: a property OUTSIDE
+                            # the hoisted aggregates would be a pre-agg
+                            # column the grouped frame no longer carries
+                            raise CypherSyntaxError(
+                                f"property access {pm!r} outside the "
+                                f"aggregate calls of an aggregating CASE "
+                                f"in {ctx}: return it as its own item "
+                                "(it is a grouping key), then combine in "
+                                "a later WITH"
+                            )
                         seg = seg.replace(pm, resolve(pm, f"CASE body in {ctx}"))
                     return _fn_rewrite(seg)
 
                 sql = _outside_quotes(
                     _rewrite_list_exprs(
-                        cs.group("body"), scope_list_names["cur"]
+                        case_body,
+                        scope_list_names["cur"]
+                        | frozenset(
+                            h["name"] for h in case_hidden if h["fn"] == "collect"
+                        ),
                     ),
                     _map_case,
                 )
                 sql = _rx_anchor(_CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, sql))))
-                items.append(
-                    {"kind": "case", "sql": f"CASE {sql}", "name": cs.group("alias")}
-                )
+                if case_hidden:
+                    items.append(
+                        {
+                            "kind": "postagg",
+                            "sql": f"CASE {sql}",
+                            "name": cs.group("alias"),
+                            "hidden": case_hidden,
+                        }
+                    )
+                else:
+                    items.append(
+                        {"kind": "case", "sql": f"CASE {sql}", "name": cs.group("alias")}
+                    )
                 continue
             # general scalar expression item: `expr AS alias` where expr
             # carries parens or arithmetic — coalesce(s.name, 'none'),

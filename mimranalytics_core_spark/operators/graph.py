@@ -6270,3 +6270,52 @@ def cypher_in_labels(spark, sf_dir):
            RETURN 'supplier' AS kind, count(*) AS k
            ORDER BY kind""",
     )
+
+
+@register(
+    "cypher_case_over_aggregates",
+    "graph",
+    oracle="""
+        SELECT bucket, COUNT(*) AS nations,
+               ROUND(ROUND(AVG(members), 6), 1) AS avg_members
+        FROM (
+            SELECT n.n_name AS nation,
+                   COUNT(*) AS members,
+                   CASE WHEN COUNT(*) > 8 THEN 'big'
+                        WHEN COUNT(*) > 4 THEN 'mid'
+                        ELSE 'small' END AS bucket
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        ) GROUP BY bucket ORDER BY bucket
+    """,
+    notes=(
+        "CASE over aggregates (round-11 — `CASE WHEN count(*) > k THEN "
+        "… END`, Neo4j's conditional-bucketing idiom): aggregate calls "
+        "inside a CASE body hoist into hidden aggregate items exactly "
+        "like scalar-expression bodies, and the whole CASE evaluates as "
+        "a post-aggregation projection over the grouped frame; property "
+        "access outside the aggregates gets the targeted grouping-key "
+        "error. Works in RETURN and WITH stages — the declared query "
+        "buckets nations by customer count in a WITH stage, then "
+        "re-aggregates per bucket (two grouped stages chained through "
+        "the pipeline, each partial+final hash agg; the CASE itself is "
+        "a zero-shuffle projection between them). Oracle: the same "
+        "nested GROUP BY in SQL with the engine's avg ROUND-6-then-"
+        "ROUND-1 float-hash discipline"
+    ),
+)
+def cypher_case_over_aggregates(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n.name AS nation, count(*) AS members,
+                CASE WHEN count(*) > 8 THEN 'big'
+                     WHEN count(*) > 4 THEN 'mid'
+                     ELSE 'small' END AS bucket
+           RETURN bucket, count(*) AS nations,
+                  round(avg(members), 1) AS avg_members
+           ORDER BY bucket""",
+    )

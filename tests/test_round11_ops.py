@@ -847,3 +847,63 @@ def test_rewrite_in_array_units():
     # quoted 'IN array(' is data, not syntax
     lit = "msg = ' IN array(x)'"
     assert _rewrite_in_array(lit) == lit
+
+
+# ---- CASE over aggregates -------------------------------------------------
+
+
+def test_case_over_aggregates_return(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation,
+                  CASE WHEN count(*) > 8 THEN 'big' ELSE 'small' END AS bucket
+           ORDER BY nation""",
+    ).collect()
+    assert {r.bucket for r in rows} <= {"big", "small"}
+    # cross-check one nation against the explicit count
+    explicit = {
+        r.nation: r.c
+        for r in api.cypher(
+            spark,
+            SF,
+            """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+               RETURN n.name AS nation, count(*) AS c""",
+        ).collect()
+    }
+    for r in rows:
+        assert r.bucket == ("big" if explicit[r.nation] > 8 else "small")
+
+
+def test_case_over_aggregates_in_with_stage(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WITH n.name AS nation,
+                CASE WHEN count(*) > 8 THEN 'big' ELSE 'small' END AS bucket
+           RETURN bucket, count(*) AS nations ORDER BY bucket""",
+    ).collect()
+    assert sum(r.nations for r in rows) == 25  # every nation lands in a bucket
+
+
+def test_case_over_aggregates_mixed_property_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="outside the aggregate"):
+        api.cypher(
+            spark,
+            SF,
+            """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+               RETURN CASE WHEN count(*) > 8 THEN n.name ELSE 'x' END AS bad""",
+        )
+
+
+def test_plain_case_unchanged(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)
+           RETURN CASE WHEN c.acctbal > 0 THEN 'pos' ELSE 'neg' END AS sign,
+                  count(*) AS k ORDER BY sign""",
+    ).collect()
+    assert [r.sign for r in rows] == ["neg", "pos"]
