@@ -276,6 +276,15 @@ Grammar subset:
   shields ``CASE … END`` spans; chained XOR folds left-associatively
   (boolean parity). Applies in every compiled predicate and expression
   body (it rides the same final normalization pass as ``=~``).
+- Temporal component accessors (round-11): ``date(x).year`` /
+  ``.quarter/.month/.week/.day`` and ``datetime(x).hour/.minute/
+  .second`` on call/parenthesized bases map to the extraction
+  functions; ``dayOfWeek`` → ``weekday()+1`` (ISO Monday=1).
+  ``duration.between(a, b).days`` → ``datediff(b, a)``; the
+  .months/.seconds normalization components get targeted errors.
+- Math functions (round-11): sqrt/exp/log (natural — Neo4j parity)/
+  log10/sin/cos/tan/asin/acos/atan/atan2/sign/pi()/e()/degrees/radians
+  (+ isEmpty and char_length aliases) through the expression grammar.
 - List slices ``xs[a..b]`` (round-11): 0-based, start-inclusive,
   end-EXCLUSIVE, either bound omissible, negative bounds offset from the
   end — compiled to ``slice()`` with cardinality()-based clamping, on
@@ -540,6 +549,16 @@ def _fn_rewrite(seg: str) -> str:
     seg = re.sub(
         r"\bexists\s*\(\s*([A-Za-z_]\w*)\s*\)", r"(\1 IS NOT NULL)", seg, flags=re.I
     )
+    # isEmpty(x) over a string token (round-11): Neo4j's empty test; a
+    # null operand reads null in both engines. List operands would need
+    # cardinality — the string form is the one node properties hit.
+    seg = re.sub(
+        r"\bisEmpty\s*\(\s*([A-Za-z_]\w*)\s*\)",
+        r"(length(\1) = 0)",
+        seg,
+        flags=re.I,
+    )
+    seg = re.sub(r"\bchar_length\s*\(", "length(", seg, flags=re.I)
     seg = re.sub(r"\btoLower\s*\(", "lower(", seg)
     seg = re.sub(r"\btoUpper\s*\(", "upper(", seg)
     seg = re.sub(r"\bsize\s*\(", "length(", seg, flags=re.I)
@@ -845,6 +864,85 @@ def _rewrite_temporals(query: str) -> str:
         r"([+-])\s*duration\s*\(\s*\{([^{}]*)\}\s*\)", _dur_map, query
     )
     query = re.sub(r"([+-])\s*duration\s*\(\s*'([^']*)'\s*\)", _dur, query)
+    # duration.between(a, b).days (round-11 — the Neo4j date-diff idiom)
+    # → datediff(b, a). Only the .days component is supported: .months /
+    # .seconds are duration NORMALIZATION components (calendar-aware
+    # carries) with no single-expression Spark twin — targeted error.
+    scan_b = 0
+    while True:
+        bm = re.search(
+            r"\bduration\s*\.\s*between\s*\(", query[scan_b:], re.I
+        )
+        if not bm:
+            break
+        bpos = scan_b + bm.start()
+        if query[:bpos].count("'") % 2 == 1:
+            scan_b = bpos + 2
+            continue
+        open_b = scan_b + bm.end() - 1
+        end_b = _balanced_end(query, open_b)
+        args_b = _split_items(query[open_b + 1 : end_b - 1])
+        acc_b = re.match(r"\s*\.\s*(\w+)", query[end_b:])
+        if len(args_b) != 2 or not acc_b:
+            raise CypherSyntaxError(
+                "duration.between(a, b) takes two temporal arguments and "
+                "must be followed by a component accessor (.days): "
+                f"{query[bpos:end_b]!r}"
+            )
+        if acc_b.group(1).lower() != "days":
+            raise CypherSyntaxError(
+                f"duration.between(…).{acc_b.group(1)} is not supported — "
+                "only .days (whole days between the dates); .months/"
+                ".seconds are calendar-normalized components with no "
+                "single-expression SQL twin"
+            )
+        repl_b = f"datediff({args_b[1].strip()}, {args_b[0].strip()})"
+        query = query[:bpos] + repl_b + query[end_b + acc_b.end() :]
+        scan_b = bpos + len(repl_b)
+    # temporal COMPONENT accessors on call results (round-11 —
+    # `date('2020-03-15').year`, `datetime({…}).hour`, the everyday
+    # Neo4j spelling): a `.field` whose base is a parenthesized/call
+    # expression rewrites to the extraction function. dayOfWeek maps to
+    # weekday()+1 (both ISO, Monday=1 — Spark's dayofweek() counts from
+    # Sunday). Restricted to the temporal field set, so map projections
+    # and var.prop access never match (their bases are not ')').
+    _TFIELDS = {
+        "year": "year({b})",
+        "quarter": "quarter({b})",
+        "month": "month({b})",
+        "week": "weekofyear({b})",
+        "day": "day({b})",
+        "dayofweek": "(weekday({b}) + 1)",
+        "dayofyear": "dayofyear({b})",
+        "hour": "hour({b})",
+        "minute": "minute({b})",
+        "second": "second({b})",
+    }
+    changed = True
+    while changed:
+        changed = False
+        for am_ in re.finditer(r"\)\s*\.\s*([A-Za-z]\w*)", query):
+            fld = am_.group(1).lower()
+            if fld not in _TFIELDS:
+                continue
+            if query[: am_.start()].count("'") % 2 == 1:
+                continue
+            d_, k_ = 0, am_.start()
+            while k_ >= 0:
+                if query[k_] == ")":
+                    d_ += 1
+                elif query[k_] == "(":
+                    d_ -= 1
+                    if d_ == 0:
+                        break
+                k_ -= 1
+            while k_ > 0 and (query[k_ - 1].isalnum() or query[k_ - 1] == "_"):
+                k_ -= 1
+            base_ = query[k_ : am_.start() + 1]
+            repl_ = _TFIELDS[fld].format(b=base_)
+            query = query[:k_] + repl_ + query[am_.end() :]
+            changed = True
+            break
     # any duration() left is unsupported placement/argument — targeted
     # error instead of the raw Spark parse failure
     leftover = re.search(
@@ -1053,6 +1151,15 @@ _EXPR_ALLOW = {
     # arithmetic rewrites to INTERVAL literals (see _rewrite_temporals)
     "make_date", "make_timestamp", "make_timestamp_ntz",
     "timestamp_ntz", "interval",
+    # round-11: Neo4j's math-function surface (all Spark builtins with
+    # identical semantics; Neo4j log() IS natural log, like Spark's
+    # one-argument log). rand() is nondeterministic by nature — allowed
+    # because Neo4j exposes it; oracle-checked ops must not use it.
+    "sqrt", "exp", "log", "ln", "log10", "log2", "sin", "cos", "tan",
+    "asin", "acos", "atan", "atan2", "sign", "pi", "e", "rand",
+    "degrees", "radians", "pow", "power", "mod",
+    # round-11: temporal accessors/diffs emitted by _rewrite_temporals
+    "weekday", "dayofyear",
 }
 
 

@@ -6319,3 +6319,96 @@ def cypher_case_over_aggregates(spark, sf_dir):
                   round(avg(members), 1) AS avg_members
            ORDER BY bucket""",
     )
+
+
+@register(
+    "cypher_temporal_accessors",
+    "graph",
+    oracle="""
+        SELECT year(DATE '2024-03-15') AS y,
+               quarter(DATE '2024-03-15') AS q,
+               month(DATE '2024-03-15') AS m,
+               weekofyear(DATE '2024-03-15') AS w,
+               day(DATE '2024-03-15') AS d,
+               isodow(DATE '2024-01-01') AS dw,
+               hour(TIMESTAMP '2024-03-15 10:30:45') AS h,
+               date_diff('day', DATE '2024-01-01', DATE '2024-03-15') AS diff_days,
+               month(DATE '2024-01-01' + INTERVAL 45 DAY) AS m_after
+    """,
+    notes=(
+        "temporal component accessors + duration.between (round-11 — "
+        "`date(x).year`, `datetime(x).hour`, `duration.between(a, "
+        "b).days`: the everyday Neo4j date-handling idioms; the accessor "
+        "forms previously died with Spark's INVALID_EXTRACT_BASE_FIELD "
+        "on the string/timestamp base). _rewrite_temporals maps a "
+        "`.field` whose base is a call/parenthesized expression onto the "
+        "extraction function (year/quarter/month/weekofyear/day/hour/"
+        "minute/second; dayOfWeek → weekday()+1, ISO Monday=1 — Spark's "
+        "dayofweek counts from Sunday), composing with the round-11 "
+        "constructors and duration arithmetic (`(date(x) + "
+        "duration('P45D')).month`). duration.between(a, b).days → "
+        "datediff(b, a); the .months/.seconds normalization components "
+        "get a targeted error (calendar-carry semantics with no "
+        "single-expression SQL twin). Scale: pure expression rewrites — "
+        "constant-folded here, plan-free. Oracle: DuckDB's extraction "
+        "twins (isodow ≡ weekday+1, date_diff ≡ datediff)"
+    ),
+)
+def cypher_temporal_accessors(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """RETURN date('2024-03-15').year AS y,
+                  date('2024-03-15').quarter AS q,
+                  date('2024-03-15').month AS m,
+                  date('2024-03-15').week AS w,
+                  date('2024-03-15').day AS d,
+                  date('2024-01-01').dayOfWeek AS dw,
+                  datetime('2024-03-15T10:30:45').hour AS h,
+                  duration.between(date('2024-01-01'), date('2024-03-15')).days AS diff_days,
+                  (date('2024-01-01') + duration('P45D')).month AS m_after""",
+    )
+
+
+@register(
+    "cypher_math_functions",
+    "graph",
+    oracle="""
+        SELECT n.n_name AS nation,
+               ROUND(SQRT(COUNT(*)), 6) AS root_k,
+               ROUND(ROUND(SUM(LN(1 + ABS(c.c_acctbal))), 6), 3) AS log_mass,
+               CAST(SIGN(MIN(c.c_acctbal)) AS DOUBLE) AS min_sign
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name ORDER BY nation
+    """,
+    notes=(
+        "Neo4j's math-function surface (round-11): sqrt/exp/log (natural "
+        "— Neo4j log() IS ln, like Spark's one-arg log)/log10/sin/cos/"
+        "tan/asin/acos/atan/atan2/sign/pi()/e()/degrees/radians, allowed "
+        "through the expression grammar (all Spark builtins with "
+        "identical semantics; rand() admitted for parity but "
+        "nondeterministic — never in oracle-checked ops). The declared "
+        "query composes them with round-11 aggregate hoisting: "
+        "sqrt(count(*)) is a post-aggregation expression, sum(log(1 + "
+        "abs(x))) an expression-argument aggregate, sign(min(x)) both. "
+        "Scale: scalar expressions inside whole-stage codegen — zero "
+        "plan cost over the plain aggregate. Oracle: the same math in "
+        "DuckDB (LN spelling; sum ROUND 6 then 3 — float-hash "
+        "discipline over a transcendental sum)"
+    ),
+)
+def cypher_math_functions(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           RETURN n.name AS nation,
+                  round(sqrt(count(*)), 6) AS root_k,
+                  round(sum(log(1 + abs(c.acctbal))), 3) AS log_mass,
+                  sign(min(c.acctbal)) AS min_sign
+           ORDER BY nation""",
+    )

@@ -907,3 +907,90 @@ def test_plain_case_unchanged(spark):
                   count(*) AS k ORDER BY sign""",
     ).collect()
     assert [r.sign for r in rows] == ["neg", "pos"]
+
+
+# ---- temporal accessors / duration.between / math surface ----------------
+
+
+def test_date_component_accessors(spark):
+    r = api.cypher(
+        spark,
+        SF,
+        "RETURN date('2020-03-15').year AS y, date('2020-03-15').month AS m, "
+        "date('2020-03-15').day AS d, date('2020-03-15').quarter AS q",
+    ).collect()[0]
+    assert (r.y, r.m, r.d, r.q) == (2020, 3, 15, 1)
+
+
+def test_datetime_time_accessors(spark):
+    r = api.cypher(
+        spark,
+        SF,
+        "RETURN datetime('2020-03-15T10:30:45').hour AS h, "
+        "datetime('2020-03-15T10:30:45').minute AS mi, "
+        "datetime('2020-03-15T10:30:45').second AS s",
+    ).collect()[0]
+    assert (r.h, r.mi, r.s) == (10, 30, 45)
+
+
+def test_dayofweek_is_iso_monday_1(spark):
+    # 2024-01-01 is a Monday; Neo4j dayOfWeek is ISO (Mon=1, Sun=7)
+    r = api.cypher(
+        spark,
+        SF,
+        "RETURN date('2024-01-01').dayOfWeek AS mon, "
+        "date('2024-01-07').dayOfWeek AS sun",
+    ).collect()[0]
+    assert (r.mon, r.sun) == (1, 7)
+
+
+def test_duration_between_days(spark):
+    r = api.cypher(
+        spark,
+        SF,
+        "RETURN duration.between(date('2020-01-01'), date('2020-03-01')).days AS d",
+    ).collect()[0]
+    assert r.d == 60  # 2020 is a leap year: 31 + 29
+
+
+def test_duration_between_months_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="only .days"):
+        api.cypher(
+            spark,
+            SF,
+            "RETURN duration.between(date('2020-01-01'), "
+            "date('2020-03-01')).months AS m",
+        )
+
+
+def test_accessor_composes_with_duration_arithmetic(spark):
+    r = api.cypher(
+        spark,
+        SF,
+        "RETURN (date('2020-01-01') + duration('P45D')).month AS m",
+    ).collect()[0]
+    assert r.m == 2
+
+
+def test_math_function_surface(spark):
+    r = api.cypher(
+        spark,
+        SF,
+        "RETURN round(sqrt(16.0), 1) AS q, round(exp(0.0), 1) AS e1, "
+        "round(log(1.0), 1) AS l, round(log10(100.0), 1) AS l10, "
+        "round(sin(pi() / 2), 1) AS s, sign(-5) AS sg, "
+        "round(atan2(1.0, 1.0), 6) AS a2",
+    ).collect()[0]
+    assert (r.q, r.e1, r.l, r.l10, r.s, r.sg) == (4.0, 1.0, 0.0, 2.0, 1.0, -1.0)
+    assert abs(r.a2 - 0.785398) < 1e-6
+
+
+def test_isempty_and_char_length(spark):
+    k = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer) WHERE NOT isEmpty(c.name) RETURN count(*) AS k",
+    ).collect()[0].k
+    assert k == 150
+    n = api.cypher(spark, SF, "RETURN char_length('abc') AS n").collect()[0].n
+    assert n == 3
