@@ -5003,15 +5003,23 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # path_weight can only be requested from pattern scope (stage 0): the
     # first pipe's WITH items, or RETURN itself when there is no pipe
     scope0_items = pipes[0]["with_items"] if pipes else projection
+    def _item_reads(it: dict, col: str) -> bool:
+        """Does this projection item (including its HIDDEN hoisted
+        aggregates — round-11: a `round(avg(r.weight), 2)` postagg item
+        carries the path_weight reference in it['hidden'], not at the
+        top level) read the named carried column?"""
+        if it.get("col") == col or col in (it.get("sql") or ""):
+            return True
+        return any(
+            h.get("col") == col or col in (h.get("pre_sql") or "")
+            for h in it.get("hidden") or []
+        )
+
     carry_weight = carry_weight or any(
-        it.get("col") == "path_weight"
-        or ("path_weight" in (it.get("sql") or ""))
-        for it in scope0_items
+        _item_reads(it, "path_weight") for it in scope0_items
     )
     carry_cost = carry_cost or any(
-        it.get("col") == "path_cost"
-        or "path_cost" in (it.get("sql") or "")
-        for it in scope0_items
+        _item_reads(it, "path_cost") for it in scope0_items
     )
 
     # ORDER BY: names must resolve to RETURN output columns (or project

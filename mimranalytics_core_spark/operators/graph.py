@@ -5969,9 +5969,9 @@ def cypher_weighted_shortest_path(spark, sf_dir):
     "graph",
     oracle="""
         SELECT n.n_name AS nation,
-               ROUND(ROUND(AVG(c.c_acctbal), 6), 2) AS avg_bal,
+               ROUND(AVG(c.c_acctbal), 6) AS avg_bal,
                ROUND(MAX(c.c_acctbal) - MIN(c.c_acctbal), 2) AS bal_range,
-               ROUND(ROUND(SUM(c.c_acctbal), 6) / COUNT(*), 2) AS mean_bal
+               ROUND(ROUND(SUM(c.c_acctbal), 6) / COUNT(*), 6) AS mean_bal
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name ORDER BY nation
     """,
@@ -5991,8 +5991,11 @@ def cypher_weighted_shortest_path(spark, sf_dir):
         "Scale: one partial+final hash aggregation plus a zero-shuffle "
         "projection — identical plan family to the plain aggregate "
         "form; the hidden columns never leave the stage. Oracle mirrors "
-        "the engine's float-hash discipline (sum/avg ROUND 6 inside, "
-        "expression ROUND 2 outside)"
+        "the engine's ROUND-6 float-hash discipline — round-2 over an "
+        "avg can land on an exact .xx5 tie where Spark (shortest-decimal "
+        "repr) and DuckDB (exact binary) round apart; 2-decimal inputs "
+        "make round-6 tie-free, and max-min keeps round-2 (exact at 2 "
+        "decimals, no tie possible)"
     ),
 )
 def cypher_agg_expression(spark, sf_dir):
@@ -6003,9 +6006,9 @@ def cypher_agg_expression(spark, sf_dir):
         sf_dir,
         """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
            RETURN n.name AS nation,
-                  round(avg(c.acctbal), 2) AS avg_bal,
+                  round(avg(c.acctbal), 6) AS avg_bal,
                   round(max(c.acctbal) - min(c.acctbal), 2) AS bal_range,
-                  round(sum(c.acctbal) / count(*), 2) AS mean_bal
+                  round(sum(c.acctbal) / count(*), 6) AS mean_bal
            ORDER BY nation""",
     )
 

@@ -994,3 +994,26 @@ def test_isempty_and_char_length(spark):
     assert k == 150
     n = api.cypher(spark, SF, "RETURN char_length('abc') AS n").collect()[0].n
     assert n == 3
+
+
+def test_hoisted_agg_over_carried_path_weight(spark):
+    # fuzz-found (round-11): a HIDDEN hoisted aggregate reading r.weight
+    # on a var-length segment resolves to the carried path_weight column
+    # — the carry detection must look inside postagg items' hidden
+    # aggregates, or the traversal drops the column before the grouped
+    # stage (UNRESOLVED_COLUMN at analysis)
+    r = api.cypher(
+        spark,
+        SF,
+        "MATCH (a)-[r:CUSTOMER_OF*1..1]->(b) WHERE a.id STARTS WITH 'c:' "
+        "RETURN a, round(avg(r.weight), 6) AS paw ORDER BY a LIMIT 2",
+    ).collect()
+    assert len(r) == 2 and all(row.paw is not None for row in r)
+    # the pre-aggregation (expression-argument) spelling reads it too
+    r2 = api.cypher(
+        spark,
+        SF,
+        "MATCH (a)-[r:CUSTOMER_OF*1..2]->(b) WHERE a.id STARTS WITH 'c:' "
+        "RETURN a, sum(r.weight * 2) AS sw2 ORDER BY a LIMIT 2",
+    ).collect()
+    assert len(r2) == 2
