@@ -203,6 +203,27 @@ SHOWCASE = [
         "concatenation with N branch scans and a single join, no "
         "per-row re-execution, no per-branch join fan-out.",
     ),
+    (
+        "cypher_expr_aggregates",
+        "Expression-argument aggregates (round-11): the hidden "
+        "pre-aggregation columns (__pagN) evaluate INSIDE the partial "
+        "hash-aggregate's child projection — one WholeStageCodegen span, "
+        "no extra exchange vs the plain-argument form.",
+    ),
+    (
+        "cypher_stage_order_by_agg",
+        "Stage-level ORDER BY over an aggregate (round-11): "
+        "sort+limit collapses to TakeOrderedAndProject over the grouped "
+        "frame BEFORE the re-match join — the probe side is k rows, not "
+        "every group (the top-k-then-rematch plan at any scale).",
+    ),
+    (
+        "cypher_case_over_aggregates",
+        "CASE over aggregates (round-11): bucket-then-reaggregate is two "
+        "chained partial+final hash aggregations with the CASE as a "
+        "zero-shuffle projection between them; the second agg runs over "
+        "|groups| rows.",
+    ),
 ]
 
 
