@@ -351,3 +351,50 @@ def test_msf_edge_build_broadcasts_dims(spark):
     upstream, so assert on the declared output's cartesian-freedom."""
     plan = _plan(spark, "graph_msf")
     assert "CartesianProduct" not in plan
+
+
+def test_expr_aggregate_pre_columns_stay_in_agg_child(spark):
+    """Expression-argument aggregates (round-11): the hidden __pagN
+    columns must evaluate as projections under the partial aggregate —
+    no Python evaluation, no nested-loop join, and the distinct-expand
+    is the only extra exchange vs the plain-argument form."""
+    plan = _plan(spark, "cypher_expr_aggregates")
+    assert "__pag" in plan  # the pre-aggregation projection is in-plan
+    assert plan.count("HashAggregate") >= 2  # partial+final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_postagg_projection_runs_over_grouped_frame(spark):
+    """Post-aggregation expressions (round-11): the scalar wrapper must
+    be a Project ABOVE the final aggregate (rows = |groups|), never a
+    re-aggregation or a join back to the input."""
+    plan = _plan(spark, "cypher_agg_expression")
+    # partial+final for the query's grouping (the hierarchy edge-weight
+    # normalization contributes its own pair upstream)
+    assert plan.count("HashAggregate") >= 2
+    # Catalyst COLLAPSES the post-agg projection into the aggregate
+    # itself (the hidden __hag aliases are pruned away) — the output
+    # expressions must still be the declared ones, with no extra
+    # aggregation stage or Python boundary added by the wrapper
+    assert "bal_range" in plan and "avg_bal" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_stage_order_by_agg_prunes_before_rematch(spark):
+    """WITH … ORDER BY count(*) LIMIT k then MATCH (round-11): the
+    top-k must collapse to TakeOrderedAndProject BEFORE the re-match
+    join, so the probe side is k rows."""
+    plan = _plan(spark, "cypher_stage_order_by_agg")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_xor_filter_stays_expression_level(spark):
+    """XOR rewrites to <> inside the ordinary filter — a pushed scan
+    predicate, not a join, UDF, or subquery."""
+    plan = _plan(spark, "cypher_xor_where")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") <= plan.count("HashAggregate") + 4  # no join blow-up
