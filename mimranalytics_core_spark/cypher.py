@@ -608,7 +608,12 @@ def _fn_rewrite(seg: str) -> str:
             spos = i
     # toString/toInteger/toFloat take ONE argument: rewrite the matching
     # close paren too (args may contain nested parens)
-    for fn, sqlty in (("toString", "STRING"), ("toInteger", "BIGINT"), ("toFloat", "DOUBLE")):
+    for fn, sqlty in (
+        ("toString", "STRING"),
+        ("toInteger", "BIGINT"),
+        ("toFloat", "DOUBLE"),
+        ("toBoolean", "BOOLEAN"),  # round-11: Neo4j's boolean cast
+    ):
         while True:
             m = re.search(rf"\b{fn}\s*\(", seg)
             if not m:
@@ -1160,6 +1165,8 @@ _EXPR_ALLOW = {
     "degrees", "radians", "pow", "power", "mod",
     # round-11: temporal accessors/diffs emitted by _rewrite_temporals
     "weekday", "dayofyear",
+    # round-11: string utility parity
+    "repeat",
 }
 
 

@@ -1017,3 +1017,13 @@ def test_hoisted_agg_over_carried_path_weight(spark):
         "RETURN a, sum(r.weight * 2) AS sw2 ORDER BY a LIMIT 2",
     ).collect()
     assert len(r2) == 2
+
+
+def test_repeat_and_toboolean(spark):
+    assert api.cypher(spark, SF, "RETURN repeat('ab', 3) AS r").collect()[0].r == "ababab"
+    # toBoolean over a column operand (quoted-literal args share toString's
+    # documented segment-crossing limit)
+    r = api.cypher(
+        spark, SF, "MATCH (c:Customer) WITH 'true' AS t RETURN toBoolean(t) AS b LIMIT 1"
+    ).collect()[0]
+    assert r.b is True
