@@ -265,6 +265,14 @@ Grammar subset:
   idiomatic `WHERE x.id IN $ids`).
 - ``WITH DISTINCT items`` dedupes the stage projection (RETURN DISTINCT's
   pipeline twin).
+- Scalar-WITH re-match (round-11): a MATCH after a PURELY AGGREGATING
+  WITH (every item an aggregate, no UNWIND — a one-row frame by
+  construction) needs no shared variable; it compiles to a broadcast
+  1×N cross join. Unlocks ``WITH collect(x) AS xs MATCH (y) WHERE
+  y.prop IN xs`` (membership over stage-carried lists →
+  array_contains; the post-WITH WHERE runs the full list-expression
+  rewriter) and ``WITH avg(x) AS m MATCH (y) WHERE y.v > m``. Keyed
+  stages and OPTIONAL keep the targeted rejection.
 - Label membership ``'Customer' IN labels(x)`` (round-11): any
   ``operand IN array(…)`` form (the compiled shape of labels()/list
   constructors) rewrites to ``array_contains`` — Spark's ``IN`` takes
@@ -1759,6 +1767,24 @@ def _rewrite_list_exprs(text: str, list_vars: frozenset = frozenset()) -> str:
             acc,
             lambda seg: re.sub(
                 r"\b(\w+)\s*\+\s*(\w+)\b", _lv_concat, seg
+            ),
+        )
+
+        # membership over a KNOWN list variable (round-11 — the
+        # collect-then-filter idiom `WHERE y.prop IN xs`): Spark's IN
+        # takes only value lists/subqueries, so a bare list-typed RHS
+        # must become array_contains. Literal lists were already folded
+        # to IN (…) upstream; a parenthesized RHS never matches \w+.
+        def _lv_in(m2: re.Match) -> str:
+            lhs, rhs = m2.group(1), m2.group(2)
+            if rhs in list_vars:
+                return f"array_contains({rhs}, {lhs})"
+            return m2.group(0)
+
+        acc = _outside_quotes(
+            acc,
+            lambda seg: re.sub(
+                r"([\w.]+)\s+IN\s+(\w+)\b", _lv_in, seg, flags=re.I
             ),
         )
     return acc
@@ -4861,11 +4887,32 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         "before the WITH)"
                     )
                 stage_prop_conjs += _cur_props["cur"]
+            cross_p = False
             if not (set(cvars) & bound_p):
-                raise CypherSyntaxError(
-                    "a MATCH after WITH must share a variable with the "
-                    "WITH outputs (or an earlier post-WITH clause)"
+                # a variable-free re-match is allowed after a SCALAR WITH
+                # (round-11 — every item an aggregate, no UNWIND: the
+                # piped frame is exactly ONE row by construction, so the
+                # cross join is 1×N — the `WITH collect(x) AS xs MATCH
+                # (y) WHERE y.prop IN xs` collect-then-filter idiom, and
+                # scale-safe: Spark broadcasts the single row). OPTIONAL
+                # keeps the rejection (an empty scalar frame would have
+                # to null-extend, which a cross join cannot express).
+                stage_scalar = (
+                    bool(with_items_i)
+                    and all(
+                        it["kind"] in ("agg", "postagg") for it in with_items_i
+                    )
+                    and not stage_unwinds
+                    and not pclauses
                 )
+                if pending_p or not stage_scalar:
+                    raise CypherSyntaxError(
+                        "a MATCH after WITH must share a variable with the "
+                        "WITH outputs (or an earlier post-WITH clause) — "
+                        "except after a purely aggregating WITH (a one-row "
+                        "scalar frame), whose re-match cross-joins"
+                    )
+                cross_p = True
             for seg in segs:
                 rv = seg.get("rvar")
                 if rv is None:
@@ -4885,6 +4932,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     "segments": segs,
                     "labels": _cur_labels["cur"],
                     "vars": list(cvars),
+                    "cross": cross_p,
                 }
             )
             vars_p += [v for v in cvars if v not in bound_p]
@@ -4931,7 +4979,14 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     seg = seg.replace(pm_, _res(pm_, "WHERE after MATCH"))
                 return _fn_rewrite(seg)
 
-            predp = _outside_quotes(predp, _map_props_p)
+            # list expressions in the post-WITH WHERE (round-11): slices,
+            # lambdas, and membership over stage-carried LIST outputs —
+            # `WHERE c2.name IN ns` after `WITH collect(...) AS ns` is
+            # the collect-then-filter idiom; array_contains, not SQL IN
+            predp = _outside_quotes(
+                _rewrite_list_exprs(predp, scope_list_names["cur"]),
+                _map_props_p,
+            )
             unqp = _unquoted(predp)
             if re.search(r"\b[A-Za-z_]\w*\.\w+\b", unqp):
                 raise CypherSyntaxError(
@@ -6228,6 +6283,12 @@ def _run_single(
             cframe = _clause_frame(clause, None)
             for lvar, label in clause.get("labels", {}).items():
                 cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
+            if clause.get("cross"):
+                # scalar-WITH re-match (round-11): the piped frame is one
+                # row by construction (all-aggregate stage) — broadcast
+                # it into a 1×N cross join; 0 piped rows → 0 out (Neo4j)
+                df = cframe.crossJoin(F.broadcast(df))
+                continue
             shared = [c for c in df.columns if c in cframe.columns]
             df = df.join(cframe, shared, "left" if clause["optional"] else "inner")
         if pipe["prop_vars"]:

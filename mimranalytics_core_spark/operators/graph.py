@@ -6415,3 +6415,53 @@ def cypher_math_functions(spark, sf_dir):
                   sign(min(c.acctbal)) AS min_sign
            ORDER BY nation""",
     )
+
+
+@register(
+    "cypher_scalar_rematch",
+    "graph",
+    oracle="""
+        WITH s AS (
+            SELECT list(c.c_name) AS ns, ROUND(AVG(c.c_acctbal), 6) AS m
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_0'
+        )
+        SELECT c2.c_mktsegment AS seg, COUNT(*) AS k
+        FROM customer c2, s
+        WHERE list_contains(s.ns, c2.c_name) OR c2.c_acctbal > s.m
+        GROUP BY seg ORDER BY seg
+    """,
+    notes=(
+        "scalar-WITH re-match + collect-then-filter (round-11): a MATCH "
+        "after a PURELY AGGREGATING WITH no longer needs a shared "
+        "variable — the piped frame is exactly ONE row by construction "
+        "(global aggregation), so the re-match compiles to a broadcast "
+        "1×N cross join (zero piped rows → zero out, as Neo4j). This "
+        "unlocks the two idioms every Neo4j migration hits: `WITH "
+        "collect(x) AS xs MATCH (y) WHERE y.prop IN xs` (membership "
+        "over a stage-carried LIST → array_contains, not SQL IN — the "
+        "post-WITH WHERE now runs the full list-expression rewriter) "
+        "and `WITH avg(x) AS m MATCH (y) WHERE y.v > m` (dynamic "
+        "threshold). Keyed WITH stages and OPTIONAL keep the targeted "
+        "rejection (a multi-row cross product / a null-extension a "
+        "cross join cannot express). Scale: the scalar side is one "
+        "broadcast row — the join adds no shuffle, and the group-bounded "
+        "collect list rides the broadcast. Oracle: the same one-row CTE "
+        "cross join in SQL (list_contains ≡ array_contains; avg ROUND 6 "
+        "per the float-hash discipline)"
+    ),
+)
+def cypher_scalar_rematch(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation)
+           WHERE n.name = 'NATION_0'
+           WITH collect(c.name) AS ns, avg(c.acctbal) AS m
+           MATCH (c2:Customer)
+           WHERE c2.name IN ns OR c2.acctbal > m
+           RETURN c2.mktsegment AS seg, count(*) AS k
+           ORDER BY seg""",
+    )

@@ -1027,3 +1027,76 @@ def test_repeat_and_toboolean(spark):
         spark, SF, "MATCH (c:Customer) WITH 'true' AS t RETURN toBoolean(t) AS b LIMIT 1"
     ).collect()[0]
     assert r.b is True
+
+
+# ---- scalar-WITH re-match (collect-then-filter) --------------------------
+
+
+def test_collect_then_filter_membership(spark):
+    k = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) WHERE n.name = 'NATION_0'
+           WITH collect(c.name) AS ns
+           MATCH (c2:Customer) WHERE c2.name IN ns
+           RETURN count(*) AS k""",
+    ).collect()[0].k
+    k_direct = api.cypher(
+        spark,
+        SF,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) "
+        "WHERE n.name = 'NATION_0' RETURN count(*) AS k",
+    ).collect()[0].k
+    assert k == k_direct > 0
+
+
+def test_scalar_threshold_rematch(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer) WITH avg(c.acctbal) AS m
+           MATCH (c2:Customer) WHERE c2.acctbal > m
+           RETURN count(*) AS k""",
+    ).collect()
+    assert 0 < rows[0].k < 150  # a mean threshold splits the population
+
+
+def test_zero_row_scalar_frame_propagates(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer) WHERE c.acctbal > 99999
+           WITH count(*) AS k WHERE k > 0
+           MATCH (n:Nation) RETURN count(*) AS nn""",
+    ).collect()
+    assert rows[0].nn == 0  # empty scalar frame -> zero rows out
+
+
+def test_keyed_with_rematch_still_rejected(spark):
+    with pytest.raises(CypherSyntaxError, match="purely aggregating"):
+        api.cypher(
+            spark,
+            SF,
+            "MATCH (c:Customer) WITH c.name AS nm MATCH (n:Nation) "
+            "RETURN count(*) AS k",
+        )
+
+
+def test_optional_rematch_after_scalar_still_rejected(spark):
+    with pytest.raises(CypherSyntaxError):
+        api.cypher(
+            spark,
+            SF,
+            "MATCH (c:Customer) WITH count(*) AS k OPTIONAL MATCH (n:Nation) "
+            "RETURN k, count(*) AS nn",
+        )
+
+
+def test_not_in_listvar_complement(spark):
+    q = """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation) WHERE n.name = 'NATION_0'
+           WITH collect(c.name) AS ns
+           MATCH (c2:Customer) WHERE {pred}
+           RETURN count(*) AS k"""
+    k_in = api.cypher(spark, SF, q.format(pred="c2.name IN ns")).collect()[0].k
+    k_out = api.cypher(spark, SF, q.format(pred="NOT c2.name IN ns")).collect()[0].k
+    assert k_in + k_out == 150
