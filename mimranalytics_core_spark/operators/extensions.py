@@ -661,8 +661,15 @@ def stream_stream_join(spark, sf_dir):
     views = jobs.events_stream(spark, sf_dir)
     purchases = jobs.events_stream(spark, sf_dir)
     name = f"ssj_demo_{uuid.uuid4().hex[:8]}"
+    # 8 state partitions (round-12, r11 VERDICT #7): the double-sided
+    # state store makes partition COUNT the wall-time driver on a replay
+    # (each partition is a state-store instance with per-batch
+    # maintenance); results are partitioning-independent — asserted
+    # against the batch twin in tests/test_streaming.py. At 100 TB the
+    # same knob turns UP with state volume.
     return jobs.run_available_now(
-        jobs.purchase_after_view_join(views, purchases), name, spark
+        jobs.purchase_after_view_join(views, purchases), name, spark,
+        shuffle_partitions=8,
     )
 
 

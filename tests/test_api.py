@@ -377,7 +377,7 @@ def test_cypher_second_match_clause_must_share_a_variable():
     import pytest as _pytest
 
     with _pytest.raises(CypherSyntaxError, match="share a variable"):
-        parse("MATCH (a)-[:X]->(b) OPTIONAL MATCH (u)-[:Y]->(v) RETURN a, u")
+        parse("MATCH (a)-[:CUSTOMER_OF]->(b) OPTIONAL MATCH (u)-[:SUPPLIER_OF]->(v) RETURN a, u")
 
 
 def test_cypher_plain_second_match_is_inner(spark):
@@ -416,7 +416,7 @@ def test_cypher_return_scopes_to_with_outputs():
     # after WITH, the pattern variable c is out of scope
     with _pytest.raises(CypherSyntaxError, match="WITH output"):
         parse(
-            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
+            "MATCH (c)-[:CUSTOMER_OF]->(n) WITH n AS nation, count(*) AS k "
             "WHERE k > 3 RETURN c, nation"
         )
 
@@ -489,20 +489,20 @@ def test_cypher_match_after_with_scope_rules():
     # stage-2 clause must share a variable with the WITH outputs
     with _pytest.raises(CypherSyntaxError, match="share a variable"):
         parse(
-            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
-            "MATCH (s)-[:Y]->(q) RETURN nation, s"
+            "MATCH (c)-[:CUSTOMER_OF]->(n) WITH n AS nation, count(*) AS k "
+            "MATCH (s)-[:SUPPLIER_OF]->(q) RETURN nation, s"
         )
     # stage-1 vars are out of scope after WITH even with a stage-2 MATCH
     with _pytest.raises(CypherSyntaxError):
         parse(
-            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
-            "MATCH (s)-[:Y]->(nation) RETURN c, nation"
+            "MATCH (c)-[:CUSTOMER_OF]->(n) WITH n AS nation, count(*) AS k "
+            "MATCH (s)-[:SUPPLIER_OF]->(nation) RETURN c, nation"
         )
     # hops is pattern-stage-scoped: not available in post-WITH WHERE
     with _pytest.raises(CypherSyntaxError, match="not available after WITH"):
         parse(
-            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
-            "MATCH (s)-[:Y*1..2]->(nation) WHERE hops = 2 RETURN nation"
+            "MATCH (c)-[:CUSTOMER_OF]->(n) WITH n AS nation, count(*) AS k "
+            "MATCH (s)-[:SUPPLIER_OF*1..2]->(nation) WHERE hops = 2 RETURN nation"
         )
 
 
@@ -542,13 +542,13 @@ def test_cypher_third_pipe_and_scope_expiry(spark):
     # `nation` died at the second pipe
     with _pytest.raises(CypherSyntaxError):
         parse(
-            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
+            "MATCH (c)-[:CUSTOMER_OF]->(n) WITH n AS nation, count(*) AS k "
             "WITH k AS n_customers RETURN nation"
         )
     # a second WHERE in one pipe without a MATCH between is rejected
     with _pytest.raises(CypherSyntaxError, match="second WHERE"):
         parse(
-            "MATCH (c)-[:X]->(n) WITH n AS nation, count(*) AS k "
+            "MATCH (c)-[:CUSTOMER_OF]->(n) WITH n AS nation, count(*) AS k "
             "WHERE k > 1 WHERE k > 2 RETURN nation"
         )
 
@@ -559,10 +559,10 @@ def test_cypher_rejects_bad_aggregates_and_order_keys():
     import pytest as _pytest
 
     for bad in (
-        "MATCH (a)-[:X]->(b) RETURN sum(b)",                    # non-numeric agg
-        "MATCH (a)-[:X]->(b) RETURN sum(*)",                    # * outside count
-        "MATCH (a)-[:X]->(b) RETURN count(*) AS n ORDER BY hops",  # hidden sort under aggregation
-        "MATCH (a)-[:X]->(b) RETURN a ORDER BY sideways",       # unknown key
+        "MATCH (a)-[:CUSTOMER_OF]->(b) RETURN sum(b)",                    # non-numeric agg
+        "MATCH (a)-[:CUSTOMER_OF]->(b) RETURN sum(*)",                    # * outside count
+        "MATCH (a)-[:CUSTOMER_OF]->(b) RETURN count(*) AS n ORDER BY hops",  # hidden sort under aggregation
+        "MATCH (a)-[:CUSTOMER_OF]->(b) RETURN a ORDER BY sideways",       # unknown key
     ):
         with _pytest.raises(CypherSyntaxError):
             parse(bad)
@@ -574,13 +574,13 @@ def test_cypher_rejects_out_of_subset():
     import pytest as _pytest
 
     for bad in (
-        "MATCH (a)-[:X*2..]->(b) RETURN a, b",          # unbounded
-        "MATCH (a)-[:X]->(a) RETURN a",                  # same var twice
-        "MATCH (a)-[:X]->(b) WHERE a.bogusprop > 0 RETURN a, b",  # unknown property
-        "CREATE (a)-[:X]->(b)",                          # not MATCH
-        "MATCH (a)-[:X]->(b) RETURN shortest_path",      # unknown item
-        "MATCH (a)-[:X]->(b)-[:Y]->(c) RETURN a, hops",  # hops is 1-segment-only
-        "MATCH (src)-[:X]->(b) RETURN src",              # reserved variable
+        "MATCH (a)-[:CUSTOMER_OF*2..]->(b) RETURN a, b",          # unbounded
+        "MATCH (a)-[:CUSTOMER_OF]->(a) RETURN a",                  # same var twice
+        "MATCH (a)-[:CUSTOMER_OF]->(b) WHERE a.bogusprop > 0 RETURN a, b",  # unknown property
+        "CREATE (a)-[:CUSTOMER_OF]->(b)",                          # not MATCH
+        "MATCH (a)-[:CUSTOMER_OF]->(b) RETURN shortest_path",      # unknown item
+        "MATCH (a)-[:CUSTOMER_OF]->(b)-[:SUPPLIER_OF]->(c) RETURN a, hops",  # hops is 1-segment-only
+        "MATCH (src)-[:CUSTOMER_OF]->(b) RETURN src",              # reserved variable
     ):
         with _pytest.raises(CypherSyntaxError):
             parse(bad)
@@ -661,9 +661,9 @@ def test_cypher_multi_segment_hops_in_where_is_parse_error():
     import pytest as _pytest
 
     for bad in (
-        "MATCH (a)-[:X]->(b)-[:Y]->(c) WHERE hops >= 2 RETURN a, c",
-        "MATCH (a)-[:X]->(b)-[:Y]->(c) WHERE path_weight > 0.5 RETURN a, c",
-        "MATCH (a)-[:X]->(b) OPTIONAL MATCH (b)-[:Y]->(c) WHERE hops = 1 RETURN a, c",
+        "MATCH (a)-[:CUSTOMER_OF]->(b)-[:SUPPLIER_OF]->(c) WHERE hops >= 2 RETURN a, c",
+        "MATCH (a)-[:CUSTOMER_OF]->(b)-[:SUPPLIER_OF]->(c) WHERE path_weight > 0.5 RETURN a, c",
+        "MATCH (a)-[:CUSTOMER_OF]->(b) OPTIONAL MATCH (b)-[:SUPPLIER_OF]->(c) WHERE hops = 1 RETURN a, c",
     ):
         with _pytest.raises(CypherSyntaxError, match="single-segment-only"):
             parse(bad)
@@ -782,16 +782,16 @@ def test_cypher_shortest_path_parse_rejections():
     import pytest as _pytest
 
     with _pytest.raises(CypherSyntaxError, match="single relationship pattern"):
-        parse("MATCH p = shortestPath((a)-[:X]->(b)-[:Y]->(c)) RETURN a, c")
+        parse("MATCH p = shortestPath((a)-[:CUSTOMER_OF]->(b)-[:SUPPLIER_OF]->(c)) RETURN a, c")
     with _pytest.raises(CypherSyntaxError, match="only MATCH clause"):
-        parse("MATCH p = shortestPath((a)-[:X*1..3]->(b)) MATCH (b)-[:Y]->(c) RETURN a, c")
+        parse("MATCH p = shortestPath((a)-[:CUSTOMER_OF*1..3]->(b)) MATCH (b)-[:SUPPLIER_OF]->(c) RETURN a, c")
     with _pytest.raises(CypherSyntaxError, match="path_weight"):
-        parse("MATCH p = shortestPath((a)-[:X*1..3]->(b)) RETURN a, b, path_weight")
+        parse("MATCH p = shortestPath((a)-[:CUSTOMER_OF*1..3]->(b)) RETURN a, b, path_weight")
     with _pytest.raises(CypherSyntaxError, match="closing shortestPath"):
-        parse("MATCH p = shortestPath((a)-[:X*1..3]->(b) RETURN a, b")
+        parse("MATCH p = shortestPath((a)-[:CUSTOMER_OF*1..3]->(b) RETURN a, b")
     # unbound path function name must not resolve
     with _pytest.raises(CypherSyntaxError):
-        parse("MATCH (a)-[:X*1..3]->(b) RETURN a, b, length(q)")
+        parse("MATCH (a)-[:CUSTOMER_OF*1..3]->(b) RETURN a, b, length(q)")
 
 
 def test_cypher_label_rejections():
@@ -800,10 +800,10 @@ def test_cypher_label_rejections():
     import pytest as _pytest
 
     with _pytest.raises(CypherSyntaxError, match="unknown node label"):
-        parse("MATCH (a:Widget)-[:X]->(b) RETURN a, b")
+        parse("MATCH (a:Widget)-[:CUSTOMER_OF]->(b) RETURN a, b")
     with _pytest.raises(CypherSyntaxError, match="different label"):
         parse(
-            "MATCH (a:Customer)-[:X]->(b) MATCH (a:Nation)-[:Y]->(d) RETURN a, b, d"
+            "MATCH (a:Customer)-[:CUSTOMER_OF]->(b) MATCH (a:Nation)-[:SUPPLIER_OF]->(d) RETURN a, b, d"
         )
 
 

@@ -86,3 +86,27 @@ def test_bench_emits_single_json_line(tmp_path):
     # byte-identical after the run.
     sidecar_after = (repo / "BENCH_LOCAL.json").read_bytes() if (repo / "BENCH_LOCAL.json").exists() else None
     assert sidecar_after == sidecar_before, "bench.py run from tests clobbered BENCH_LOCAL.json"
+
+
+def test_survey_registry_count_pinned():
+    """SURVEY.md §2's authoritative registry-count line must track the live
+    registry (round-12, r11 VERDICT #9 — the line had drifted one round
+    behind twice)."""
+    import re
+
+    from mimranalytics_core_spark.registry import all_ops
+
+    ops = all_ops()
+    total = len(ops)
+    oracled = sum(1 for o in ops.values() if o.oracle is not None)
+    text = open("SURVEY.md").read()
+    m = re.search(
+        r"Registry count \(authoritative, round \d+\): (\d+) declared "
+        r"queries, (\d+)\s*>?\s*oracle-checked",
+        text,
+    )
+    assert m, "SURVEY.md §2 registry-count line missing"
+    assert (int(m.group(1)), int(m.group(2))) == (total, oracled), (
+        f"SURVEY.md says {m.group(1)}/{m.group(2)}, registry has "
+        f"{total}/{oracled} — update the §2 line"
+    )

@@ -398,3 +398,36 @@ def test_xor_filter_stays_expression_level(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Join") <= plan.count("HashAggregate") + 4  # no join blow-up
+
+
+def test_natural_key_seek_pushdown(spark):
+    """{custkey: 1} property-map seek (round-12): the equality must reach
+    the parquet scan of the ONE label-pruned base table — at 100 TB a seek
+    that scans the whole customer table (or all six attribute-view tiers)
+    is wrong. The attribute view builds each tier from its base table with
+    the key column un-cast enough for Catalyst to push the literal."""
+    plan = _plan(spark, "cypher_natural_key_seek")
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_custkey,1)" in plan
+    # label pruning: the part/region tiers never enter the plan
+    assert "part.parquet" not in plan and "region.parquet" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_type_carry_join_is_equi_join(spark):
+    """type(r) on an untyped segment (round-12): the rel_type carry is one
+    extra (src, dst) equi-join on the filtered edge list — never a
+    cartesian, never a Python boundary."""
+    plan = _plan(spark, "cypher_type_discovery")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_order_patterns_plan_prunes_and_partially_aggregates(spark):
+    """The flagship business-graph query: order filter pushed to the scan,
+    partial+final aggregation, no cartesian."""
+    plan = _plan(spark, "cypher_order_patterns")
+    assert "HashAggregate" in plan
+    assert "GreaterThan(o_totalprice,100000" in plan
+    assert "CartesianProduct" not in plan

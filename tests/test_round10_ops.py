@@ -236,7 +236,7 @@ def test_map_projection_star_is_properties(spark):
         "MATCH (c:Customer) RETURN c {.*} AS cm, c.name AS nm ORDER BY nm LIMIT 1",
     ).collect()[0]
     assert set(row.cm.asDict()) == {
-        "id", "label", "name", "acctbal", "mktsegment", "nationkey"
+        "id", "label", "name", "acctbal", "mktsegment", "nationkey", "custkey"
     }
 
 

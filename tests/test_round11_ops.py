@@ -945,21 +945,40 @@ def test_dayofweek_is_iso_monday_1(spark):
 
 
 def test_duration_between_days(spark):
+    # round-12 (r11 ADVICE, high): Neo4j's duration.between NORMALIZES into
+    # months+days — 2020-01-01→2020-03-01 is P2M, so .days is 0 and
+    # .months is 2; the TOTAL day count (31+29, leap year) is the
+    # duration.inDays spelling
     r = api.cypher(
         spark,
         SF,
-        "RETURN duration.between(date('2020-01-01'), date('2020-03-01')).days AS d",
+        "RETURN duration.between(date('2020-01-01'), date('2020-03-01')).days AS d, "
+        "duration.between(date('2020-01-01'), date('2020-03-01')).months AS m, "
+        "duration.inDays(date('2020-01-01'), date('2020-03-01')).days AS t",
     ).collect()[0]
-    assert r.d == 60  # 2020 is a leap year: 31 + 29
+    assert (r.d, r.m, r.t) == (0, 2, 60)
 
 
-def test_duration_between_months_targeted_error(spark):
-    with pytest.raises(CypherSyntaxError, match="only .days"):
+def test_duration_between_day_remainder(spark):
+    # end day-of-month < start day-of-month: only 1 whole month fits
+    # (2020-01-31 + 1M = 2020-02-29 clamped), remainder 30 days
+    r = api.cypher(
+        spark,
+        SF,
+        "RETURN duration.between(date('2020-01-31'), date('2020-03-30')).days AS d, "
+        "duration.between(date('2020-01-31'), date('2020-03-30')).months AS m, "
+        "duration.inMonths(date('2020-01-15'), date('2021-04-20')).months AS im",
+    ).collect()[0]
+    assert (r.d, r.m, r.im) == (30, 1, 15)
+
+
+def test_duration_between_seconds_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="inDays"):
         api.cypher(
             spark,
             SF,
             "RETURN duration.between(date('2020-01-01'), "
-            "date('2020-03-01')).months AS m",
+            "date('2020-03-01')).seconds AS s",
         )
 
 

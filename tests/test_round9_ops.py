@@ -16,7 +16,7 @@ def test_keys_labeled_fold_per_label(spark):
                   array_join(keys(n), ',') AS nk,
                   count(*) AS k""",
     ).collect()
-    assert rows[0].sk == "id,label,name,acctbal,nationkey"
+    assert rows[0].sk == "id,label,name,acctbal,nationkey,suppkey"
     assert rows[0].nk == "id,label,name,nationkey,regionkey"
 
 
@@ -29,8 +29,8 @@ def test_keys_unlabeled_runtime_case(spark):
            ORDER BY ks""",
     ).collect()
     got = {r.ks: r.n for r in rows}
-    assert got["id,label,name,acctbal,mktsegment,nationkey"] > 0  # customers
-    assert got["id,label,name,acctbal,nationkey"] > 0  # suppliers
+    assert got["id,label,name,acctbal,mktsegment,nationkey,custkey"] > 0  # customers
+    assert got["id,label,name,acctbal,nationkey,suppkey"] > 0  # suppliers
     assert got["id,label,name,nationkey,regionkey"] == 25  # nations
     assert got["id,label,name,regionkey"] == 5  # regions
 
@@ -44,7 +44,7 @@ def test_properties_labeled_carries_per_label_fields(spark):
            RETURN properties(c) AS cp, properties(n) AS np""",
     ).collect()[0]
     assert set(row.cp.asDict()) == {
-        "id", "label", "name", "acctbal", "mktsegment", "nationkey"
+        "id", "label", "name", "acctbal", "mktsegment", "nationkey", "custkey"
     }
     assert row.cp.id == "c:1" and row.cp.label == "customer"
     assert row.cp.acctbal is not None and row.cp.mktsegment is not None

@@ -195,6 +195,17 @@ def test_schema_endpoint_matches_attribute_view(server, spark):
     assert {"acctbal", "mktsegment"} <= set(_PROPS)
     assert sch["universal_properties"] == ["id", "label", "name"]
     assert "CUSTOMER_OF" in h["relationship_types"]
+    # round-12: the business superset carries the fact tiers and declares
+    # its routing; its label/property claims match business_nodes
+    b = sch["graphs"]["business"]
+    assert set(b["labels"]) == {
+        "Customer", "Supplier", "Nation", "Region", "Order", "Part",
+    }
+    bcols = set(catalog.business_nodes(spark, SF_SMALL).columns)
+    for label, props in b["labels"].items():
+        assert set(props) <= bcols
+    assert {"PLACED", "CONTAINS"} <= set(b["relationship_types"])
+    assert {"custkey", "suppkey", "orderkey", "partkey"} <= set(_PROPS)
 
 
 def test_cypher_endpoint_call_subquery_with_now_param(server):
