@@ -6042,6 +6042,52 @@ def cypher_natural_key_seek(spark, sf_dir):
 
 
 @register(
+    "cypher_comma_cartesian",
+    "graph",
+    oracle="""
+        SELECT CAST(s.s_nationkey AS BIGINT) AS nk, COUNT(*) AS pairs
+        FROM supplier s JOIN customer c ON s.s_nationkey = c.c_nationkey
+        WHERE s.s_suppkey <= 100
+        GROUP BY nk ORDER BY nk
+    """,
+    notes=(
+        "disconnected comma patterns (round-12 — r11 VERDICT 'missing' "
+        "#6): `MATCH (a:Supplier), (b:Customer) WHERE a.nationkey = "
+        "b.nationkey` — Neo4j's cartesian-product multi-pattern, "
+        "previously a targeted rejection. Disconnected chains (node-only "
+        "or whole segment components) cross-join; the clause WHERE's "
+        "cross-component equality attaches to the FIRST join above the "
+        "cross (EliminateOuterJoin converts the attribute joins to inner "
+        "and the equality prunes there — no CartesianProduct node, "
+        "plan-asserted), but the id-frame cross below it still "
+        "ENUMERATES the pair space (the per-var Projects between joins "
+        "block ReorderJoin from lifting the equality to the bottom) — "
+        "which is exactly how Neo4j executes this pattern too (it emits "
+        "a cartesian-product WARNING and runs the product). The engine "
+        "posture: a disconnected pattern IS the user's deliberate "
+        "cartesian; a migrating user who wants the join plans it as one "
+        "connected pattern or a WITH pipeline. The DECLARED query bounds "
+        "one side by key (suppkey <= 100 — the trade_credit fixture "
+        "discipline) because same-nation pair enumeration is inherently "
+        "quadratic in SF (both sides grow linearly): measured 82×/decade "
+        "unbounded vs overhead-dominated with the bound. Oracle: the "
+        "same bounded equi-join + grouped count"
+    ),
+)
+def cypher_comma_cartesian(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (a:Supplier), (b:Customer)
+           WHERE a.nationkey = b.nationkey AND a.suppkey <= 100
+           RETURN a.nationkey AS nk, count(*) AS pairs
+           ORDER BY nk""",
+    )
+
+
+@register(
     "cypher_type_discovery",
     "graph",
     oracle="""

@@ -9,8 +9,12 @@ from hypothesis import given, settings, strategies as st
 from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 
 _VARS = st.sampled_from(["a", "b", "c", "n", "x", "y"])
-_TYPES = st.sampled_from(["CUSTOMER_OF", "NATION_OF", "SUPPLIER_OF"])
-_LABELS = st.sampled_from(["Customer", "Supplier", "Nation", "Region"])
+# PLACED routes a query onto the business graph (round-12 fact tiers) —
+# known everywhere, matches empty on the entity-only hierarchy
+_TYPES = st.sampled_from(["CUSTOMER_OF", "NATION_OF", "SUPPLIER_OF", "PLACED"])
+_LABELS = st.sampled_from(
+    ["Customer", "Supplier", "Nation", "Region", "Order", "Part"]
+)
 
 
 @st.composite
@@ -21,7 +25,10 @@ def _node(draw, var):
     if draw(st.integers(0, 3)) == 0:
         pmap = " " + draw(
             st.sampled_from(["{id: 'c:1'}", "{name: 'NATION_3'}", "{}",
-                             "{id: 'c:1', name: 'X Y'}"])
+                             "{id: 'c:1', name: 'X Y'}",
+                             # round-12: typed natural-key literals
+                             "{custkey: 1}", "{nationkey: 3}",
+                             "{orderstatus: 'O'}", "{acctbal: 100.5}"])
         )
     return f"({var}{label}{pmap})"
 
@@ -416,3 +423,46 @@ def test_generated_queries_execute(spark, q):
 
     df = api.cypher(spark, "/root/testdata/sf0.001", q)
     assert df.limit(5).count() >= 0
+
+
+_PM_KEYS = st.sampled_from(
+    ["id", "name", "label", "mktsegment", "orderstatus", "brand",  # string
+     "acctbal", "totalprice", "retailprice",                       # numeric
+     "custkey", "suppkey", "orderkey", "partkey",
+     "nationkey", "regionkey"]                                     # integer
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_PM_KEYS, st.sampled_from(["'txt'", "7", "2.5", "true"]), _LABELS)
+def test_typed_prop_map_literal_fuzz(key, lit, label):
+    """Round-12 (r11 VERDICT #1 done-criteria): every property-map literal
+    either type-checks against the attribute-view dtype or raises a
+    TARGETED CypherSyntaxError — never a foreign exception, and never a
+    deferred runtime ANSI cast failure (string-typed keys with non-string
+    literals, numeric keys with strings/bools, integer keys with floats
+    all reject at parse time)."""
+    from mimranalytics_core_spark.cypher import _PROP_TYPES
+
+    want = _PROP_TYPES[key]
+    got = (
+        "string" if lit.startswith("'")
+        else "boolean" if lit == "true"
+        else "integer" if lit == "7"
+        else "float"
+    )
+    ok = (
+        (want == "string" and got == "string")
+        or (want == "numeric" and got in ("integer", "float"))
+        or (want == "integer" and got == "integer")
+    )
+    q = f"MATCH (v:{label} {{{key}: {lit}}}) RETURN v.id AS i"
+    if ok:
+        p = parse(q)
+        assert p["projection"]
+    else:
+        try:
+            parse(q)
+            raise AssertionError(f"no parse error for {q}")
+        except CypherSyntaxError:
+            pass

@@ -431,3 +431,21 @@ def test_order_patterns_plan_prunes_and_partially_aggregates(spark):
     assert "HashAggregate" in plan
     assert "GreaterThan(o_totalprice,100000" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_comma_cartesian_equality_prunes_above_cross(spark):
+    """A disconnected comma pattern whose WHERE carries the cross-component
+    equality: the equality must attach as a JOIN CONDITION above the cross
+    (never a post-hoc filter over the full product), and no
+    CartesianProduct node may appear — the id-frame cross plans as a
+    codegen'd broadcast nested loop, Neo4j's own execution shape for this
+    pattern (round-12; the op notes document why the enumeration itself
+    is the user's deliberate cartesian)."""
+    plan = _plan(spark, "cypher_comma_cartesian")
+    assert "CartesianProduct" not in plan
+    # the equality is a JOIN condition (a line naming both), not a filter
+    # applied after the full product
+    assert any(
+        "Join" in ln and "nationkey" in ln for ln in plan.splitlines()
+    ), plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

@@ -115,15 +115,20 @@ def test_exists_or_count_mixed_gets_count_specific_error(spark):
 # ---- 4. unaliased / embedded pattern comprehensions -------------------
 
 
-@pytest.mark.parametrize(
-    "item",
-    [
-        "[(n)-[:NATION_OF]->(r) | r.name]",
-        "size([(n)-[:NATION_OF]->(r) | r.name]) + 1 AS x",
-    ],
-)
-def test_unaliased_pattern_comprehension_targeted_error(spark, item):
-    q = f"MATCH (n:Nation) RETURN {item}"
+def test_unaliased_pattern_comprehension_auto_names(spark):
+    # round-12: unaliased expression RETURN items auto-alias with the
+    # expression text (Neo4j column naming) — the round-11 targeted
+    # rejection is superseded for the bare form
+    q = "MATCH (n:Nation) RETURN [(n)-[:NATION_OF]->(r) | r.name] LIMIT 2"
+    df = api.cypher(spark, SF, q)
+    assert df.columns == ["[(n)-[:NATION_OF]->(r) | r.name]"]
+    assert all(len(row[0]) == 1 for row in df.collect())
+
+
+def test_embedded_pattern_comprehension_targeted_error(spark):
+    # EMBEDDED comprehensions (inside a wider expression) still carry the
+    # targeted subset error — the auto-alias cannot route those
+    q = "MATCH (n:Nation) RETURN size([(n)-[:NATION_OF]->(r) | r.name]) + 1 AS x"
     with pytest.raises(CypherSyntaxError, match="aliased"):
         api.cypher(spark, SF, q)
 
@@ -757,9 +762,12 @@ def test_expr_agg_nested_aggregate_targeted_error(spark):
         )
 
 
-def test_expr_agg_unaliased_targeted_error(spark):
-    with pytest.raises(CypherSyntaxError, match="needs an alias"):
-        api.cypher(spark, SF, "MATCH (c:Customer) RETURN sum(c.acctbal * 2)")
+def test_expr_agg_unaliased_auto_names(spark):
+    # round-12: unaliased expression-argument aggregates auto-alias with
+    # the expression text (the round-11 targeted rejection is superseded)
+    df = api.cypher(spark, SF, "MATCH (c:Customer) RETURN sum(c.acctbal * 2)")
+    assert df.columns == ["sum(c.acctbal * 2)"]
+    assert df.count() == 1
 
 
 # ---- stage-level ORDER BY aggregates -------------------------------------

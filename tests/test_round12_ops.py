@@ -298,3 +298,52 @@ def test_order_asof_snapshot(spark):
         "RETURN count(*) AS n",
     ).collect()[0]
     assert late.n > 0
+
+
+# ---- 8. disconnected comma patterns (VERDICT r11 missing #6) --------------
+
+
+def test_disconnected_comma_pattern_joins_via_where(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (a:Supplier), (b:Customer)
+           WHERE a.nationkey = b.nationkey
+           RETURN a.nationkey AS nk, count(*) AS pairs ORDER BY nk""",
+    ).collect()
+    assert len(rows) == 25 and all(r.pairs > 0 for r in rows)
+
+
+def test_disconnected_unfiltered_cartesian(spark):
+    n = (
+        api.cypher(
+            spark, SF, "MATCH (a:Nation), (r:Region) RETURN count(*) AS n"
+        )
+        .collect()[0]
+        .n
+    )
+    assert n == 125  # 25 nations x 5 regions — Neo4j cartesian semantics
+
+
+def test_disconnected_mixed_segment_and_node_chain(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation), (r:Region)
+           WHERE n.regionkey = r.regionkey
+           RETURN r.name AS region, count(*) AS members ORDER BY region""",
+    ).collect()
+    assert len(rows) == 5 and sum(r.members for r in rows) == 1500
+
+
+def test_disconnected_two_segment_components(spark):
+    r = api.cypher(
+        spark,
+        SF,
+        """MATCH (c:Customer)-[:CUSTOMER_OF]->(n:Nation),
+                 (s:Supplier)-[:SUPPLIER_OF]->(n2:Nation)
+           WHERE n.name = n2.name
+           RETURN count(*) AS pairs""",
+    ).collect()[0]
+    # one row per (customer, supplier) pair in the same nation
+    assert r.pairs == 5949

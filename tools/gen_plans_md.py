@@ -142,6 +142,24 @@ SHOWCASE = [
         "(cohort, age) key — three narrow shuffles, no fact re-scan.",
     ),
     (
+        "cypher_natural_key_seek",
+        "Round-12 business graph: a {custkey: 1} property-map seek "
+        "reaching the parquet scan as EqualTo(c_custkey,1) with the "
+        "label-pruned attribute view (one base table scanned, not six).",
+    ),
+    (
+        "cypher_order_patterns",
+        "Round-12 fact tier: typed PLACED + CUSTOMER_OF comma patterns — "
+        "per-type pre-join pruning, the order-property filter pushed to "
+        "the orders scan, partial+final aggregation.",
+    ),
+    (
+        "cypher_comma_cartesian",
+        "Round-12 disconnected comma pattern: the WHERE's cross-component "
+        "equality re-plans the cartesian as a plain hash join (no "
+        "CartesianProduct node in the executed plan).",
+    ),
+    (
         "join_range_bucketed",
         "PURE range join rewritten to the bucket form: explode to the 2 "
         "covering 7-day buckets, EQUI-join on bucket + residual range "
