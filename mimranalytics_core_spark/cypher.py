@@ -1060,6 +1060,39 @@ def _rewrite_temporals(query: str) -> str:
             query = query[:k_] + repl_ + query[am_.end() :]
             changed = True
             break
+    # temporal accessors on DATE-TYPED PROPERTY bases (round-12 —
+    # `o.orderdate.year`, the day-one spelling over the fact tier): the
+    # call-base loop above requires a ')' base, and var.prop bases must
+    # NOT match generally (map projections, ordinary property access), so
+    # this is restricted to the statically date-typed property set. Time
+    # components get a targeted error: a Neo4j Date has none.
+    _DATE_PROPS = ("orderdate",)
+
+    def _prop_acc(seg: str) -> str:
+        def _one(m: re.Match) -> str:
+            fld = m.group("fld").lower()
+            if fld in ("hour", "minute", "second"):
+                raise CypherSyntaxError(
+                    f"{m.group(0)}: a DATE property has no time-of-day "
+                    "components (Neo4j Date exposes year/quarter/month/"
+                    "week/day/dayOfWeek/dayOfYear)"
+                )
+            if fld not in _TFIELDS:
+                return m.group(0)  # not a temporal field — leave for
+                # the ordinary property-resolution error path
+            return _TFIELDS[fld].format(
+                b=f"{m.group('var')}.{m.group('prop')}"
+            )
+
+        return re.sub(
+            r"\b(?P<var>[A-Za-z_]\w*)\s*\.\s*"
+            rf"(?P<prop>{'|'.join(_DATE_PROPS)})\s*\.\s*"
+            r"(?P<fld>[A-Za-z]\w*)",
+            _one,
+            seg,
+        )
+
+    query = _outside_quotes(query, _prop_acc)
     # any duration() left is unsupported placement/argument — targeted
     # error instead of the raw Spark parse failure
     leftover = re.search(

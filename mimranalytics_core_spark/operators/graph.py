@@ -6128,6 +6128,47 @@ def cypher_type_discovery(spark, sf_dir):
 
 
 @register(
+    "cypher_order_seasonality",
+    "graph",
+    oracle="""
+        SELECT year(o.o_orderdate) AS yr,
+               quarter(o.o_orderdate) AS qtr,
+               COUNT(*) AS orders,
+               ROUND(SUM(o.o_totalprice), 2) AS volume
+        FROM orders o
+        GROUP BY yr, qtr ORDER BY yr, qtr
+    """,
+    notes=(
+        "temporal accessors on DATE-TYPED PROPERTY bases (round-12 — "
+        "`o.orderdate.year` / `.quarter`, the day-one seasonality "
+        "spelling found by live probing after the fact tier landed; the "
+        "round-11 accessor loop required a call-shaped base, so the "
+        "property form fell to the generic property-resolution error). "
+        "_rewrite_temporals restricts the var.prop.field form to the "
+        "statically date-typed property set — map projections and "
+        "ordinary property access never match — and time-of-day fields "
+        "get a targeted error (a Neo4j Date has none). The accessors "
+        "compose as implicit grouping keys (expression items group, "
+        "Cypher semantics). Scale: extraction functions inside "
+        "whole-stage codegen over the pushed-down orders scan; "
+        "partial+final hash agg on the bounded (year, quarter) key. "
+        "Oracle: the same extraction + grouped agg in SQL"
+    ),
+)
+def cypher_order_seasonality(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)
+           RETURN o.orderdate.year AS yr, o.orderdate.quarter AS qtr,
+                  count(*) AS orders, round(sum(o.totalprice), 2) AS volume
+           ORDER BY yr, qtr""",
+    )
+
+
+@register(
     "cypher_order_asof",
     "graph",
     oracle="""

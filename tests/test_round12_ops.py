@@ -347,3 +347,27 @@ def test_disconnected_two_segment_components(spark):
     ).collect()[0]
     # one row per (customer, supplier) pair in the same nation
     assert r.pairs == 5949
+
+
+# ---- 9. temporal accessors on date-typed property bases -------------------
+
+
+def test_date_prop_accessor(spark):
+    rows = api.cypher(
+        spark,
+        SF,
+        "MATCH (o:Order) RETURN o.orderdate.year AS y, count(*) AS n "
+        "ORDER BY y LIMIT 2",
+    ).collect()
+    assert all(1990 < r.y < 2005 and r.n > 0 for r in rows)
+    n = api.cypher(
+        spark,
+        SF,
+        "MATCH (o:Order) WHERE o.orderdate.year = 1995 RETURN count(*) AS n",
+    ).collect()[0].n
+    assert n > 0
+
+
+def test_date_prop_accessor_time_component_targeted(spark):
+    with pytest.raises(CypherSyntaxError, match="time-of-day"):
+        api.cypher(spark, SF, "MATCH (o:Order) RETURN o.orderdate.hour AS h")
