@@ -6167,7 +6167,7 @@ def _run_single(
         # (Neo4j: no relationship repeats anywhere in one MATCH pattern,
         # comma chains included; uniqueness does NOT span clauses).
         # Row-local array ops on <= max_hops keys — no extra shuffle.
-        def _node_frame(var):
+        def _node_frame(var, with_props: bool = False):
             # node-only chain (round-7): the frame is the node-id column
             # of the graph's node view. For the hierarchy graph that's
             # narrow projections + union (no shuffle); trade_credit
@@ -6196,7 +6196,23 @@ def _run_single(
                 lab = (clause.get("labels") or {}).get(var) or p["labels"].get(var)
                 if lab:
                     nodes = nodes.filter(F.col("label") == lab)
-                return nodes.select(F.col("id").alias(var))
+                sel = [F.col("id").alias(var)]
+                if with_props:
+                    # cross-join chains pre-attach the props the query
+                    # reads (round-12): they live on the SAME attribute
+                    # row (zero extra joins), and with them present the
+                    # per-side WHERE conjuncts push BELOW the cross and
+                    # the cross-component equality becomes a hash-join
+                    # condition — without this the id-frame cartesian
+                    # enumerates the full pair space first (measured
+                    # 78×/decade on the comma-cartesian op)
+                    prs = set(p["prop_vars"].get(var, ())) | set(
+                        (clause.get("where_props") or {}).get(var, ())
+                    )
+                    sel += [
+                        F.col(pr).alias(f"{var}__{pr}") for pr in sorted(prs)
+                    ]
+                return nodes.select(*sel)
             e = catalog.trade_credit_edges(spark, sf_dir)
             return (
                 e.select(F.col("src").alias(var))
@@ -6211,9 +6227,10 @@ def _run_single(
             # The clause WHERE usually carries the equality that turns the
             # cross into a hash join at planning time (Catalyst rewrites
             # filter-over-cross; plan-asserted in tests/test_plans.py).
-            cframe = _node_frame(clause["vars"][0])
+            multi = len(clause["vars"]) > 1
+            cframe = _node_frame(clause["vars"][0], with_props=multi)
             for var in clause["vars"][1:]:
-                cframe = cframe.crossJoin(_node_frame(var))
+                cframe = cframe.crossJoin(_node_frame(var, with_props=True))
             return cframe
         pending = list(enumerate(clause["segments"]))
         cframe = None
@@ -6286,7 +6303,7 @@ def _run_single(
         # their node frames in, same cartesian semantics as above
         for var in clause["vars"]:
             if var not in cframe.columns:
-                cframe = cframe.crossJoin(_node_frame(var))
+                cframe = cframe.crossJoin(_node_frame(var, with_props=True))
         for i in range(len(ep_cols)):
             for j in range(i + 1, len(ep_cols)):
                 cframe = cframe.filter(
@@ -6391,12 +6408,18 @@ def _run_single(
             if props:
                 attrs = _attr_view()
                 for var, prs in props.items():
+                    need = [
+                        pr for pr in prs
+                        if f"{var}__{pr}" not in cframe.columns
+                    ]  # cross-chain frames pre-attach theirs (round-12)
+                    if not need:
+                        continue
                     side = attrs
                     lab = p["labels"].get(var)
                     if lab:  # label pruning — see the node-only clause note
                         side = side.filter(F.col("label") == lab)
                     sel = [F.col("id").alias(var)] + [
-                        F.col(pr).alias(f"{var}__{pr}") for pr in prs
+                        F.col(pr).alias(f"{var}__{pr}") for pr in need
                     ]
                     cframe = cframe.join(side.select(*sel), var, "left")
             cframe = cframe.filter(F.expr(clause["where"]))
@@ -6624,12 +6647,18 @@ def _run_single(
     if p["prop_vars"]:
         attrs = _attr_view()
         for var, props in p["prop_vars"].items():
+            # node-only cross-join chains pre-attach their prop columns in
+            # the clause frame (round-12 — so per-side predicates prune
+            # BELOW the cross); join only what is still missing
+            need = [pr for pr in props if f"{var}__{pr}" not in df.columns]
+            if not need:
+                continue
             side = attrs
             lab = p["labels"].get(var)
             if lab:
                 side = side.filter(F.col("label") == lab)
             sel = [F.col("id").alias(var)] + [
-                F.col(pr).alias(f"{var}__{pr}") for pr in props
+                F.col(pr).alias(f"{var}__{pr}") for pr in need
             ]
             df = df.join(side.select(*sel), var, "left")
 
@@ -6832,12 +6861,17 @@ def _run_single(
         if pipe["prop_vars"]:
             attrs = _attr_view()
             for var, props in pipe["prop_vars"].items():
+                need = [
+                    pr for pr in props if f"{var}__{pr}" not in df.columns
+                ]  # cross-chain frames pre-attach theirs (round-12)
+                if not need:
+                    continue
                 side = attrs
                 lab = p["labels"].get(var)
                 if lab:  # label pruning — see the node-only clause note
                     side = side.filter(F.col("label") == lab)
                 sel = [F.col("id").alias(var)] + [
-                    F.col(pr).alias(f"{var}__{pr}") for pr in props
+                    F.col(pr).alias(f"{var}__{pr}") for pr in need
                 ]
                 df = df.join(side.select(*sel), var, "left")
         if pipe["post_pred"]:

@@ -433,19 +433,15 @@ def test_order_patterns_plan_prunes_and_partially_aggregates(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_comma_cartesian_equality_prunes_above_cross(spark):
+def test_comma_cartesian_replans_as_hash_join(spark):
     """A disconnected comma pattern whose WHERE carries the cross-component
-    equality: the equality must attach as a JOIN CONDITION above the cross
-    (never a post-hoc filter over the full product), and no
-    CartesianProduct node may appear — the id-frame cross plans as a
-    codegen'd broadcast nested loop, Neo4j's own execution shape for this
-    pattern (round-12; the op notes document why the enumeration itself
-    is the user's deliberate cartesian)."""
+    equality must execute as a HASH JOIN: the node frames pre-attach the
+    read property columns, so the equality pushes below the cross as a
+    join condition and NO product is ever enumerated (round-12 — without
+    the pre-attachment the id-frame cartesian measured 78×/decade)."""
     plan = _plan(spark, "cypher_comma_cartesian")
     assert "CartesianProduct" not in plan
-    # the equality is a JOIN condition (a line naming both), not a filter
-    # applied after the full product
+    assert "BroadcastNestedLoop" not in plan
     assert any(
         "Join" in ln and "nationkey" in ln for ln in plan.splitlines()
     ), plan
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan

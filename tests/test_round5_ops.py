@@ -139,11 +139,15 @@ def test_comma_pattern_parses_as_one_clause():
     assert {s["dst"] for s in p["clauses"][0]["segments"]} == {"n"}
 
 
-def test_comma_pattern_disconnected_rejected():
-    from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
+def test_comma_pattern_disconnected_parses(spark):
+    # round-12 (r11 VERDICT missing #6): disconnected comma chains are
+    # Neo4j cartesian products now — the parse succeeds and the frame
+    # cross-joins (hash-joined when the WHERE carries the equality; see
+    # tests/test_round12_ops.py and the plan assert)
+    from mimranalytics_core_spark.cypher import parse
 
-    with pytest.raises(CypherSyntaxError, match="share a variable"):
-        parse("MATCH (a)-[:CUSTOMER_OF]->(b), (x)-[:SUPPLIER_OF]->(y) RETURN a, x")
+    p = parse("MATCH (a)-[:CUSTOMER_OF]->(b), (x)-[:SUPPLIER_OF]->(y) RETURN a, x")
+    assert len(p["clauses"][0]["segments"]) == 2
 
 
 def test_per_clause_where_attaches_to_clause():
@@ -673,9 +677,9 @@ def test_case_expression_forms(spark):
            RETURN is1, count(*) AS cnt ORDER BY is1""",
     ).collect()
     assert [r.is1 for r in agg] == [0, 1] and all(r.cnt > 0 for r in agg)
-    # alias is required
-    with pytest.raises(CypherSyntaxError):
-        parse("MATCH (a)-[:CUSTOMER_OF]->(b) RETURN CASE WHEN a.id = 'c:1' THEN 1 ELSE 0 END")
+    # round-12: an unaliased CASE item auto-names with the expression text
+    p = parse("MATCH (a)-[:CUSTOMER_OF]->(b) RETURN CASE WHEN a.id = 'c:1' THEN 1 ELSE 0 END")
+    assert p["projection"][0]["name"].startswith("CASE WHEN")
 
 
 # ---- EXISTS { pattern } predicates ----
