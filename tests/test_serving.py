@@ -281,3 +281,22 @@ def test_cypher_endpoint_400_on_bad_now(server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(server, "/cypher", q="RETURN date() AS d", params='{"now": "6/1/1997"}')
     assert ei.value.code == 400
+
+
+def test_cypher_endpoint_fact_tier_and_typed_literal_400(server):
+    """Round-12 over HTTP: a fact-tier query routes onto the business
+    superset on the default graph; the {id: <int>} class surfaces as a
+    targeted 400, not a mid-job executor failure."""
+    got = _get(
+        server,
+        "/cypher",
+        q="MATCH (c:Customer)-[:PLACED]->(o:Order) RETURN count(*) AS n",
+    )
+    assert got["rows"][0]["n"] > 0
+    b = _get(server, "/cypher", q="MATCH (n) RETURN count(*) AS n", graph="business")
+    h = _get(server, "/cypher", q="MATCH (n) RETURN count(*) AS n")
+    assert b["rows"][0]["n"] > h["rows"][0]["n"]
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server, "/cypher", q="MATCH (c:Customer {id: 1}) RETURN c.name")
+    assert ei.value.code == 400
+    assert "string literal" in json.loads(ei.value.read())["error"]
