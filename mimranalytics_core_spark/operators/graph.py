@@ -6127,6 +6127,53 @@ def cypher_type_discovery(spark, sf_dir):
 
 
 @register(
+    "cypher_business_rollup",
+    "graph",
+    oracle="""
+        SELECT r.r_name AS region,
+               year(o.o_orderdate) AS yr,
+               COUNT(*) AS orders,
+               ROUND(SUM(o.o_totalprice), 2) AS volume
+        FROM region r
+        JOIN nation n ON n.n_regionkey = r.r_regionkey
+        JOIN customer c ON c.c_nationkey = n.n_nationkey
+        JOIN orders o ON o.o_custkey = c.c_custkey
+        WHERE year(o.o_orderdate) <= 1997
+        GROUP BY region, yr ORDER BY region, yr
+    """,
+    notes=(
+        "the round-12 flagship composition: one Cypher pattern walking "
+        "the WHOLE business graph — region←nation←customer→order, three "
+        "typed segments chained through shared variables, a date-property "
+        "accessor both as a FILTER (o.orderdate.year <= 1997 — evaluated "
+        "SCAN-LOCAL on the orders read, before any join; an extraction "
+        "predicate can't reach parquet row-group stats, and at 100 TB a "
+        "date-partitioned orders layout turns the same predicate into "
+        "partition pruning) and as an implicit GROUPING KEY, with the "
+        "per-region per-year volume rollup on top. This is the audit query the reference's "
+        "EntityLink product describes (ownership tiers × fact activity "
+        "over time) expressed as ONE MATCH. Scale: each typed segment "
+        "prunes to its edge view pre-join; the chain is three hash "
+        "equi-joins on node ids (nation/region sides broadcast-small at "
+        "any SF); partial+final agg on the bounded (region, year) key. "
+        "Oracle: the same three-join rollup in SQL"
+    ),
+)
+def cypher_business_rollup(spark, sf_dir):
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (r:Region)<-[:NATION_OF]-(n:Nation)<-[:CUSTOMER_OF]-(c:Customer)-[:PLACED]->(o:Order)
+           WHERE o.orderdate.year <= 1997
+           RETURN r.name AS region, o.orderdate.year AS yr,
+                  count(*) AS orders, round(sum(o.totalprice), 2) AS volume
+           ORDER BY region, yr""",
+    )
+
+
+@register(
     "cypher_order_seasonality",
     "graph",
     oracle="""

@@ -445,3 +445,20 @@ def test_comma_cartesian_replans_as_hash_join(spark):
     assert any(
         "Join" in ln and "nationkey" in ln for ln in plan.splitlines()
     ), plan
+
+
+def test_business_rollup_plan_shape(spark):
+    """The round-12 flagship (region←nation←customer→order rollup): all
+    hash joins (no cartesian/BNLJ anywhere in the 3-segment chain), the
+    year-extraction filter scan-local on the orders read, partial+final
+    aggregation."""
+    plan = _plan(spark, "cypher_business_rollup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 2
+    # the year filter sits in the orders FileScan's DataFilters — applied
+    # before any join touches the fact rows
+    scan = [ln for ln in plan.splitlines()
+            if "FileScan" in ln and "orders.parquet" in ln]
+    # several orders scans exist (the PLACED edge frame + the attribute
+    # side); the year filter must sit on at least one, pre-join
+    assert scan and any("year" in ln for ln in scan)
