@@ -38,6 +38,23 @@ def main() -> None:
     from mimranalytics_core_spark.registry import all_ops
     from mimranalytics_core_spark.session import get_spark
 
+    # ---- host-drift stamp (round-13, r12 VERDICT #5) ----
+    # This box is a shared VM with a documented ±30% noise band
+    # (BASELINE.md); round 12's suite wall rose 27% on UNCHANGED code and
+    # cost the judge a hand re-timing session. Record loadavg + cpu-steal
+    # around the run and a min-of-3 canary re-time at the end, so host
+    # drift vs code drift is separable mechanically from the artifact.
+    def _cpu_stat() -> tuple[int, int]:
+        try:
+            with open("/proc/stat") as fh:
+                vals = [int(x) for x in fh.readline().split()[1:]]
+            return sum(vals), vals[7] if len(vals) > 7 else 0
+        except OSError:
+            return 0, 0
+
+    load0 = os.getloadavg()
+    tot0, steal0 = _cpu_stat()
+
     spark = get_spark("mimranalytics-core-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -89,12 +106,33 @@ def main() -> None:
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # canary re-time: three cheap, shape-diverse, code-stable queries,
+    # min-of-3 AFTER the suite — compare across rounds to read host speed
+    # independently of registry growth (round-13, r12 VERDICT #5)
+    canary: dict[str, float] = {}
+    for cname in ("scan_parquet", "agg_groupby_hash", "win_rank"):
+        if cname in ops:
+            runs = [run_once(cname) for _ in range(3)]
+            good = [v for v in runs if v >= 0]
+            if good:
+                canary[cname] = min(good)
+    load1 = os.getloadavg()
+    tot1, steal1 = _cpu_stat()
+    env = {
+        "loadavg_start": [round(x, 2) for x in load0],
+        "loadavg_end": [round(x, 2) for x in load1],
+        "cpu_steal_pct": round(100.0 * (steal1 - steal0) / max(tot1 - tot0, 1), 3),
+        "canary_min3": canary,
+    }
+
     full = {
         "metric": "suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "env": env,
     }
     # Per-query detail goes to stderr + a sidecar file; stdout's LAST line is a
     # compact summary small enough to survive tail-truncating log captures
@@ -116,6 +154,11 @@ def main() -> None:
                 "sf": sf_val,
                 "n_queries": len(timings),
                 "n_failed": n_fail,
+                # host-drift stamp + pointer to the full per-query record
+                # (the driver tail-captures ~2 KB — 346 timings can't ride
+                # this line; they're committed in the sidecar)
+                "env": env,
+                "queries_file": out_name,
             }
         )
     )

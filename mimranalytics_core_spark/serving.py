@@ -197,12 +197,12 @@ def make_server(
                                 },
                                 "relationship_types": [
                                     "CUSTOMER_OF", "SUPPLIER_OF", "NATION_OF",
-                                    "PLACED", "CONTAINS",
+                                    "PLACED", "CONTAINS", "SUPPLIES",
                                 ],
                                 "routing": (
                                     "default-graph queries naming the fact "
-                                    "tier (:Order/:Part/:PLACED/:CONTAINS) "
-                                    "run here automatically"
+                                    "tier (:Order/:Part/:PLACED/:CONTAINS/"
+                                    ":SUPPLIES) run here automatically"
                                 ),
                             },
                             "trade_credit": {

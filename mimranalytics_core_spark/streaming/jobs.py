@@ -246,8 +246,15 @@ def run_available_now(
                 spark.conf.set(conf_key, prev)
             else:
                 spark.conf.unset(conf_key)
-        if shuffle_partitions is not None and prev_parts is not None:
-            spark.conf.set(part_key, prev_parts)
+        if shuffle_partitions is not None:
+            # mirror the provider-conf restore: UNSET when there was no
+            # previous value, else the 8-partition override would leak
+            # into the session for every later query (round-13, ADVICE —
+            # masked today only because session.py pins the conf)
+            if prev_parts is not None:
+                spark.conf.set(part_key, prev_parts)
+            else:
+                spark.conf.unset(part_key)
     return spark.table(name)
 
 

@@ -257,6 +257,13 @@ def _query(draw):
                         "length(p2) AS plen",
                         "nodes(p2) AS pn",
                         "relationships(p2) AS pr",
+                        # round-13: path functions COMPOSE inside any
+                        # expression, and count(p) aliases to count(*)
+                        "size(nodes(p2)) AS pns",
+                        "size(relationships(p2)) AS prs",
+                        "head(nodes(p2)) AS pnh",
+                        "length(p2) + 1 AS plen1",
+                        "count(p2) AS pcnt",
                     ]
                 ),
                 min_size=1,
