@@ -6024,8 +6024,10 @@ def _extract_calls(query: str) -> tuple[str, list[dict]]:
             if not m:
                 raise CypherSyntaxError(
                     "procedure CALL is out of scope: only CALL { … } "
-                    "subqueries are supported (the engine has no procedure "
-                    "registry — see SURVEY.md, Cypher subset)"
+                    "subqueries and the stand-alone schema procedures "
+                    "CALL db.labels() / db.relationshipTypes() / "
+                    "db.propertyKeys() are supported (see SURVEY.md, "
+                    "Cypher subset)"
                 )
             b = i + m.end() - 1  # index of '{'
             d2, k = 0, b
@@ -6267,6 +6269,70 @@ def _split_union(query: str) -> tuple[list[str], str | None]:
     return pieces, "all" if kinds[0] else "distinct"
 
 
+_SCHEMA_PROC_RE = re.compile(
+    r"^\s*CALL\s+db\.(labels|relationshipTypes|propertyKeys)\s*\(\s*\)"
+    r"\s*(?:YIELD\s+(?P<yield>[A-Za-z_]\w*)\s*)?;?\s*$",
+    re.I,
+)
+
+# graph-view schema contract, mirrored by serving.py's /schema payload —
+# static because the graph views are DERIVED (the schema IS the catalog
+# contract, no scan needed); tests/test_round13_ops.py pins these against
+# the live views
+_GRAPH_LABELS = {
+    "hierarchy": ["Customer", "Nation", "Region", "Supplier"],
+    "business": ["Customer", "Nation", "Order", "Part", "Region", "Supplier"],
+    "trade_credit": ["Customer", "Supplier"],
+}
+_GRAPH_RELTYPES = {
+    "hierarchy": ["CUSTOMER_OF", "NATION_OF", "SUPPLIER_OF"],
+    "business": [
+        "CONTAINS", "CUSTOMER_OF", "NATION_OF",
+        "PLACED", "SUPPLIER_OF", "SUPPLIES",
+    ],
+    "trade_credit": ["BUYS_FROM", "CO_LOCATED"],
+}
+
+
+def _schema_procedure(
+    spark: SparkSession, sf_dir: str, proc: str, yname: str | None, graph: str
+) -> DataFrame:
+    """The minimal schema-procedure registry (round-13, r12 VERDICT #4):
+    ``CALL db.labels()`` / ``db.relationshipTypes()`` / ``db.propertyKeys()``
+    — Neo4j client tooling fires these automatically on connect. Backed by
+    the same catalog metadata /schema serves; propertyKeys reads the routed
+    node view's COLUMN LIST (schema metadata only — never a scan). Column
+    names follow Neo4j (label / relationshipType / propertyKey); an
+    optional ``YIELD`` must name that column."""
+    from mimranalytics_core_spark import catalog
+
+    low = proc.lower()
+    if low == "labels":
+        col, vals = "label", _GRAPH_LABELS[graph]
+    elif low == "relationshiptypes":
+        col, vals = "relationshipType", _GRAPH_RELTYPES[graph]
+    else:
+        col = "propertyKey"
+        if graph == "trade_credit":
+            vals = ["id"]
+        else:
+            from mimranalytics_core_spark.operators._base import tables
+
+            tables(spark, sf_dir)
+            view = (
+                catalog.business_nodes(spark, sf_dir)
+                if graph == "business"
+                else catalog.hierarchy_nodes(spark, sf_dir)
+            )
+            vals = sorted(view.columns)
+    if yname is not None and yname != col:
+        raise CypherSyntaxError(
+            f"db.{proc}() yields one column named {col!r}: "
+            f"YIELD {yname} does not match"
+        )
+    return spark.createDataFrame([(v,) for v in vals], f"{col} string")
+
+
 def _join_clause(df: DataFrame, cframe: DataFrame, clause: dict) -> DataFrame:
     """Join an accumulated-bindings frame with the next clause frame on the
     VARIABLE columns only. Helper columns (``var__prop`` pre-attachments,
@@ -6306,6 +6372,11 @@ def run(
     (same RETURN column names required, as in Neo4j; plain UNION
     deduplicates)."""
     query = bind_params(query, params)
+    spm = _SCHEMA_PROC_RE.match(query)
+    if spm:
+        return _schema_procedure(
+            spark, sf_dir, spm.group(1), spm.group("yield"), graph
+        )
     pieces, kind = _split_union(query)
     if kind is None:
         return _run_single(spark, sf_dir, query, graph=graph)

@@ -3928,6 +3928,64 @@ def cypher_path_variable(spark, sf_dir):
 
 
 @register(
+    "cypher_schema_procedures",
+    "graph",
+    oracle="""
+        SELECT * FROM (VALUES
+            ('label', 'Customer'), ('label', 'Nation'),
+            ('label', 'Order'), ('label', 'Part'),
+            ('label', 'Region'), ('label', 'Supplier'),
+            ('relationshipType', 'CONTAINS'),
+            ('relationshipType', 'CUSTOMER_OF'),
+            ('relationshipType', 'NATION_OF'),
+            ('relationshipType', 'PLACED'),
+            ('relationshipType', 'SUPPLIER_OF'),
+            ('relationshipType', 'SUPPLIES')
+        ) AS t(kind, name)
+        ORDER BY kind, name
+    """,
+    notes=(
+        "the minimal schema-procedure registry (round-13, r12 VERDICT "
+        "#4): stand-alone `CALL db.labels()` / `db.relationshipTypes()` / "
+        "`db.propertyKeys()` — Neo4j client tooling fires these "
+        "automatically on connect, so their absence broke drop-in "
+        "drivers even though /schema served the same facts over HTTP. "
+        "Backed by the same catalog contract the /schema endpoint "
+        "serves; propertyKeys reads the routed node view's COLUMN LIST "
+        "(schema metadata, never a scan); optional YIELD must name the "
+        "procedure's one output column; every other procedure keeps the "
+        "targeted no-registry error, now naming the supported three. "
+        "Declared query unions labels + relationship types on the "
+        "business graph (propertyKeys is pinned by "
+        "tests/test_round13_ops.py against the live attribute view — "
+        "its column list is engine metadata, not table data, so the "
+        "VALUES oracle covers the data-shaped surface). Scale: all "
+        "three are literal-sized metadata relations — no scan at any SF. "
+        "Oracle: the same VALUES list"
+    ),
+)
+def cypher_schema_procedures(spark, sf_dir):
+    """CALL db.labels() + db.relationshipTypes() on the business graph,
+    unioned as (kind, name) rows — the connect-time introspection surface."""
+    from mimranalytics_core_spark import api
+
+    labs = api.cypher(spark, sf_dir, "CALL db.labels()", graph="business")
+    rels = api.cypher(
+        spark, sf_dir, "CALL db.relationshipTypes()", graph="business"
+    )
+    return (
+        labs.select(F.lit("label").alias("kind"), F.col("label").alias("name"))
+        .unionByName(
+            rels.select(
+                F.lit("relationshipType").alias("kind"),
+                F.col("relationshipType").alias("name"),
+            )
+        )
+        .orderBy("kind", "name")
+    )
+
+
+@register(
     "cypher_shortest_path_nodes",
     "graph",
     oracle=f"""

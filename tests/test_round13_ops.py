@@ -346,7 +346,63 @@ def test_business_edge_view_carries_supplies(spark):
     assert "supplies" in types
 
 
-# ---- 5. shuffle-partitions conf restore symmetry (r12 ADVICE low) ---------
+# ---- 5. schema procedures (r12 VERDICT #4) ---------------------------------
+
+
+def test_db_labels_hierarchy_and_business(spark):
+    # default graph → entity tiers only; business → + fact tiers
+    h = api.cypher(spark, SF_SMALL, "CALL db.labels()")
+    assert h.columns == ["label"]
+    assert [r.label for r in h.collect()] == [
+        "Customer", "Nation", "Region", "Supplier",
+    ]
+    b = api.cypher(spark, SF_SMALL, "CALL db.labels()", graph="business")
+    assert [r.label for r in b.collect()] == [
+        "Customer", "Nation", "Order", "Part", "Region", "Supplier",
+    ]
+
+
+def test_db_relationship_types_match_views(spark):
+    from mimranalytics_core_spark import catalog
+    from mimranalytics_core_spark.operators._base import tables
+
+    tables(spark, SF_SMALL)
+    b = api.cypher(
+        spark, SF_SMALL, "CALL db.relationshipTypes()", graph="business"
+    )
+    declared = {r.relationshipType for r in b.collect()}
+    live = {
+        r.rel_type.upper()
+        for r in catalog.business_edges(spark, SF_SMALL)
+        .select("rel_type")
+        .distinct()
+        .collect()
+    }
+    assert declared == live
+
+
+def test_db_property_keys_match_attribute_view(spark):
+    from mimranalytics_core_spark import catalog
+    from mimranalytics_core_spark.operators._base import tables
+
+    tables(spark, SF_SMALL)
+    pk = api.cypher(spark, SF_SMALL, "CALL db.propertyKeys()")
+    assert pk.columns == ["propertyKey"]
+    assert [r.propertyKey for r in pk.collect()] == sorted(
+        catalog.hierarchy_nodes(spark, SF_SMALL).columns
+    )
+
+
+def test_db_procedures_yield_and_errors(spark):
+    y = api.cypher(spark, SF_SMALL, "CALL db.labels() YIELD label")
+    assert y.count() == 4
+    with pytest.raises(CypherSyntaxError, match="yields one column"):
+        api.cypher(spark, SF_SMALL, "CALL db.labels() YIELD wrong")
+    with pytest.raises(CypherSyntaxError, match="db.labels"):
+        api.cypher(spark, SF_SMALL, "CALL db.schema.visualization()")
+
+
+# ---- 6. shuffle-partitions conf restore symmetry (r12 ADVICE low) ---------
 
 
 def test_run_available_now_unsets_leaked_shuffle_conf(spark):
