@@ -2159,6 +2159,26 @@ def _rewrite_list_exprs(text: str, list_vars: frozenset = frozenset()) -> str:
                 r"([\w.]+)\s+IN\s+(\w+)\b", _lv_in, seg, flags=re.I
             ),
         )
+
+        # the same idiom with a QUOTED-LITERAL left operand — `WHERE
+        # 'n:2' IN nodes(p)` / `'c:1' IN ids` (round-13; the
+        # _outside_quotes pass above never sees the literal, so the raw
+        # form leaked Spark's PARSE_SYNTAX_ERROR). Quote-split scan: a
+        # segment opening with `IN <listvar>` right after a string
+        # literal rewrites the pair to array_contains.
+        qparts = re.split(r"('(?:[^'])*')", acc)
+        for qi in range(1, len(qparts)):
+            if not qparts[qi - 1].startswith("'"):
+                continue
+            m3 = re.match(r"(\s+)IN\s+(\w+)\b", qparts[qi], re.I)
+            if m3 and m3.group(2) in list_vars:
+                lit = qparts[qi - 1]
+                qparts[qi - 1] = ""
+                qparts[qi] = (
+                    f"{m3.group(1)}array_contains({m3.group(2)}, {lit})"
+                    + qparts[qi][m3.end():]
+                )
+        acc = "".join(qparts)
     return acc
 
 
@@ -4954,6 +4974,10 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     "(" in xm.group("expr")
                     or "[" in _unquoted(xm.group("expr"))
                     or re.search(r"[+\-*/%]", _unquoted(xm.group("expr")))
+                    # list membership as a boolean ITEM (round-13 —
+                    # `RETURN 'c:1' IN ids AS has1`): routes through the
+                    # same list-expression rewriter as the WHERE forms
+                    or re.search(r"\sIN\s", _unquoted(xm.group("expr")), re.I)
                 )
             ):
                 # directly-resolvable forms keep the plain-column path

@@ -249,6 +249,7 @@ def test_type_fn_on_untyped_segment(spark):
     ).collect()
     assert [r.t for r in rows_b] == [
         "CONTAINS", "CUSTOMER_OF", "NATION_OF", "PLACED", "SUPPLIER_OF",
+        "SUPPLIES",  # round-13: the supplier→part fact edge
     ]
 
 

@@ -402,7 +402,52 @@ def test_db_procedures_yield_and_errors(spark):
         api.cypher(spark, SF_SMALL, "CALL db.schema.visualization()")
 
 
-# ---- 6. shuffle-partitions conf restore symmetry (r12 ADVICE low) ---------
+# ---- 6. quoted-literal IN <listvar> (round-13 probe find) ------------------
+
+
+def test_literal_in_path_nodes(spark):
+    # 'n:2' IN nodes(p) previously leaked Spark's raw PARSE_SYNTAX_ERROR
+    # (the outside-quotes list-membership pass never saw the literal LHS)
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = (c:Customer)-[*1..2]->(x) WHERE 'n:2' IN nodes(p) "
+        "RETURN count(*) AS n",
+    ).collect()
+    # paths touching n:2: one 1-hop + one 2-hop per customer of nation 2
+    import pyspark.sql.functions as F
+
+    n_cust2 = (
+        spark.read.parquet(f"{SF_SMALL}/customer.parquet")
+        .filter(F.col("c_nationkey") == 2)
+        .count()
+    )
+    assert rows[0].n == 2 * n_cust2
+
+
+def test_literal_in_collect_output(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) "
+        "WITH n, collect(c.id) AS ids WHERE 'c:1' IN ids "
+        "RETURN n.id AS nid",
+    ).collect()
+    assert len(rows) == 1 and rows[0].nid.startswith("n:")
+
+
+def test_literal_in_as_return_item(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n) "
+        "WITH n, collect(c.id) AS ids "
+        "RETURN n.id AS nid, 'c:1' IN ids AS has1 ORDER BY nid",
+    ).collect()
+    assert sum(1 for r in rows if r.has1) == 1
+
+
+# ---- 7. shuffle-partitions conf restore symmetry (r12 ADVICE low) ---------
 
 
 def test_run_available_now_unsets_leaked_shuffle_conf(spark):
