@@ -447,6 +447,25 @@ def test_comma_cartesian_replans_as_hash_join(spark):
     ), plan
 
 
+def test_supply_chain_plan_is_hash_join_only(spark):
+    """The round-13 tripartite conflict-of-interest rollup (5-variable
+    typed chain + comma chain closing the nation triangle): all hash
+    joins, never a cartesian/BNLJ — the contains⋈supplies part-key join
+    is the fan-out point and must stay an equi-join."""
+    plan = _plan(spark, "cypher_supply_chain")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("HashJoin") >= 4, plan
+
+
+def test_shortest_path_reconstruction_no_cartesian(spark):
+    """The predecessor-carrying BFS (round-13) must keep the same
+    level-synchronous join shape as the distance-only BFS."""
+    plan = _plan(spark, "cypher_shortest_path_nodes")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
 def test_business_rollup_plan_shape(spark):
     """The round-12 flagship (region←nation←customer→order rollup): all
     hash joins (no cartesian/BNLJ anywhere in the 3-segment chain), the
