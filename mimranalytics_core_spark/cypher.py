@@ -2407,7 +2407,9 @@ def _parse_list_literal(text: str) -> list[tuple[str, object]]:
     return vals
 
 
-def _parse_prop_map(var: str, body: str) -> list[str]:
+def _parse_prop_map(
+    var: str, body: str, refs_out: list | None = None
+) -> list[str]:
     """Desugar an inline node property map ``(v:Label {k: lit, …})`` into
     ``v.k = lit`` conjunct strings (Neo4j: a property map is sugar for
     equality predicates on the pattern — round-7). The conjuncts re-enter
@@ -2446,16 +2448,35 @@ def _parse_prop_map(var: str, body: str) -> list[str]:
     for it in items:
         m = re.match(
             r"^\s*([A-Za-z_]\w*)\s*:\s*"
-            r"(?P<v>'[^']*'|-?\d+(?:\.\d+)?|true|false)\s*$",
+            r"(?P<v>'[^']*'|-?\d+(?:\.\d+)?|true|false"
+            r"|(?P<ref>[A-Za-z_]\w*(?:\.\w+)?))\s*$",
             it,
             re.I,
         )
         if not m:
             raise CypherSyntaxError(
                 f"unsupported property-map entry: {it.strip()!r} "
-                "(expected key: string/number/boolean literal)"
+                "(expected key: string/number/boolean literal, a bound "
+                "variable, or var.prop)"
             )
         key = m.group(1)
+        if m.group("ref") and m.group("v").lower() not in ("true", "false"):
+            # VARIABLE-REFERENCE value (round-13 — `{custkey: i}` after
+            # UNWIND, `(o:Order {custkey: c.custkey})` join-style maps):
+            # same equality-conjunct desugar, no literal type check (the
+            # ordinary WHERE machinery resolves and type-checks the
+            # reference); the referenced base name is recorded for the
+            # parse-level scope validation (a typo must get a targeted
+            # error, not Spark's raw UNRESOLVED_COLUMN)
+            if key != "id" and key not in _PROPS:
+                raise CypherSyntaxError(
+                    f"unknown node property {key!r} in property map "
+                    f"(known: id, {', '.join(_PROPS)})"
+                )
+            if refs_out is not None:
+                refs_out.append(m.group("ref"))
+            conjs.append(f"{var}.{key} = {m.group('ref')}")
+            continue
         if key != "id" and key not in _PROPS:
             raise CypherSyntaxError(
                 f"unknown node property {key!r} in property map "
@@ -2922,13 +2943,16 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     labels: dict = {}  # var -> label, whole-query consistency check
     _cur_labels: dict = {"cur": {}}  # labels seen in the clause being parsed
     _cur_props: dict = {"cur": []}  # prop-map conjuncts of the clause being parsed
+    _propmap_refs: list = []  # variable-reference prop-map values (round-13)
 
     def _note_label(nm: re.Match) -> None:
         # inline property maps desugar to WHERE conjuncts, collected per
         # clause (round-7) — the clause loop routes them into per-clause /
         # trailing WHERE scope
         if nm.group("props") is not None:
-            _cur_props["cur"] += _parse_prop_map(nm.group(1), nm.group("props"))
+            _cur_props["cur"] += _parse_prop_map(
+                nm.group(1), nm.group("props"), refs_out=_propmap_refs
+            )
         if not nm.group(2):
             return
         var, label = nm.group(1), nm.group(2).lower()
@@ -3664,6 +3688,17 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             "an UNWIND variable collides with a pattern variable"
         )
     varset = set(vars_) | unwind_vars | set(extra_vars)
+    # variable-reference prop-map values (round-13): a bare identifier must
+    # be a bound name — an unbound typo would leak Spark's raw
+    # UNRESOLVED_COLUMN mid-job (var.prop refs validate through the
+    # ordinary property-resolution machinery instead). Stage-clause maps
+    # (post-WITH) parse later and validate through stage scope.
+    for _ref in _propmap_refs:
+        if "." not in _ref and _ref not in varset:
+            raise CypherSyntaxError(
+                f"unknown variable {_ref!r} in a property-map value "
+                "(values may be literals, bound variables, or var.prop)"
+            )
     scope_names["cur"] = (
         [v for v in vars_ if "__" not in v]
         + [u["var"] for u in unwinds if "__" not in u["var"]]

@@ -447,7 +447,51 @@ def test_literal_in_as_return_item(spark):
     assert sum(1 for r in rows if r.has1) == 1
 
 
-# ---- 7. shuffle-partitions conf restore symmetry (r12 ADVICE low) ---------
+# ---- 7. variable-reference property-map values (round-13 probe find) -------
+
+
+def test_prop_map_unwind_variable_value(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "UNWIND range(1, 5) AS i MATCH (c:Customer {custkey: i}) "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n == 5
+
+
+def test_prop_map_var_prop_join_style(spark):
+    # (o:Order {custkey: c.custkey}) — the join-style map Neo4j users
+    # write; must equal the explicit WHERE spelling
+    a = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order {custkey: c.custkey}) "
+        "RETURN count(*) AS n",
+    ).collect()[0].n
+    b = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+        "WHERE o.custkey = c.custkey RETURN count(*) AS n",
+    ).collect()[0].n
+    assert a == b > 0
+
+
+def test_prop_map_unbound_variable_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="unknown variable"):
+        api.cypher(
+            spark, SF_SMALL, "MATCH (c:Customer {custkey: qqq}) RETURN c.name"
+        )
+
+
+def test_prop_map_literal_checks_unchanged(spark):
+    # the round-12 literal/dtype checks must still fire
+    with pytest.raises(CypherSyntaxError, match="ids are strings"):
+        api.cypher(spark, SF_SMALL, "MATCH (c:Customer {id: 1}) RETURN c.name")
+
+
+# ---- 8. shuffle-partitions conf restore symmetry (r12 ADVICE low) ---------
 
 
 def test_run_available_now_unsets_leaked_shuffle_conf(spark):
