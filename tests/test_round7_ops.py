@@ -168,8 +168,13 @@ def test_property_map_unknown_key_rejected(spark):
 def test_property_map_bad_entry_rejected(spark):
     from mimranalytics_core_spark.cypher import CypherSyntaxError, parse
 
-    with pytest.raises(CypherSyntaxError, match="property-map entry"):
+    # round-13: an identifier value is now a VARIABLE REFERENCE — an
+    # unbound one gets the targeted unknown-variable error; a structurally
+    # bad entry keeps the original rejection
+    with pytest.raises(CypherSyntaxError, match="unknown variable"):
         parse("MATCH (c {id: foo})-[:CUSTOMER_OF]->(n) RETURN c")
+    with pytest.raises(CypherSyntaxError, match="property-map entry"):
+        parse("MATCH (c {id: 1 + 2})-[:CUSTOMER_OF]->(n) RETURN c")
 
 
 def test_property_map_empty_is_noop(spark):
@@ -297,9 +302,14 @@ def test_path_variable_guards(spark):
             "MATCH p = (a)-[:CUSTOMER_OF]->(b)-[:NATION_OF]->(c) "
             "RETURN nodes(p) AS x"
         )
+    # round-13: nodes(p) on shortestPath() RECONSTRUCTS the chain (the
+    # predecessor-carrying BFS) — the restriction now applies only to
+    # allShortestPaths (σ counts paths without enumerating them)
+    p7 = parse("MATCH p = shortestPath((a)-[*..3]->(b)) RETURN nodes(p) AS x")
+    assert p7["need_path_nodes"]
     with pytest.raises(CypherSyntaxError, match="not available"):
         parse(
-            "MATCH p = shortestPath((a)-[*..3]->(b)) RETURN nodes(p) AS x"
+            "MATCH p = allShortestPaths((a)-[*..3]->(b)) RETURN nodes(p) AS x"
         )
     with pytest.raises(CypherSyntaxError, match="collides"):
         parse("MATCH p = (p)-[:CUSTOMER_OF]->(b) RETURN b")
