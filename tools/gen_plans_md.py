@@ -242,6 +242,28 @@ SHOWCASE = [
         "zero-shuffle projection between them; the second agg runs over "
         "|groups| rows.",
     ),
+    (
+        "cypher_supply_chain",
+        "Round-13 tripartite fact rollup (:PLACED × :CONTAINS × "
+        ":SUPPLIES + the nation triangle): five hash joins end-to-end, "
+        "no cartesian/BNLJ — the contains⋈supplies part-key join is the "
+        "fan-out point and stays an equi-join; rel-type filters prune "
+        "each edge scan.",
+    ),
+    (
+        "cypher_path_projection",
+        "Round-13 composable path expressions: per-path rows with the "
+        "node array carried ROW-LOCALLY (no extra join), one explode for "
+        "UNWIND nodes(p), then partial+final hash aggregation — count(p) "
+        "is count(*) over the per-path stream.",
+    ),
+    (
+        "cypher_shortest_path_nodes",
+        "Round-13 shortestPath reconstruction: the level-synchronous "
+        "BFS carries an O(depth) path array per frontier row (join + "
+        "anti-join + array-min agg per level); no path-set enumeration "
+        "anywhere in the plan.",
+    ),
 ]
 
 
