@@ -204,8 +204,30 @@ def test_schema_endpoint_matches_attribute_view(server, spark):
     bcols = set(catalog.business_nodes(spark, SF_SMALL).columns)
     for label, props in b["labels"].items():
         assert set(props) <= bcols
-    assert {"PLACED", "CONTAINS"} <= set(b["relationship_types"])
+    assert {"PLACED", "CONTAINS", "SUPPLIES"} <= set(b["relationship_types"])
     assert {"custkey", "suppkey", "orderkey", "partkey"} <= set(_PROPS)
+
+
+def test_cypher_endpoint_schema_procedures(server):
+    # round-13: the connect-time procedures Neo4j drivers fire, through
+    # the same /cypher lifecycle every other query rides
+    labs = _get(server, "/cypher", q="CALL db.labels()")
+    assert [r["label"] for r in labs["rows"]] == [
+        "Customer", "Nation", "Region", "Supplier",
+    ]
+    rels = _get(server, "/cypher", q="CALL db.relationshipTypes()")
+    assert [r["relationshipType"] for r in rels["rows"]] == [
+        "CUSTOMER_OF", "NATION_OF", "SUPPLIER_OF",
+    ]
+
+
+def test_cypher_endpoint_supply_chain_routes(server):
+    # :SUPPLIES alone routes the default graph onto the business superset
+    got = _get(
+        server, "/cypher",
+        q="MATCH (s:Supplier)-[:SUPPLIES]->(p:Part) RETURN count(*) AS n",
+    )
+    assert got["rows"][0]["n"] > 0
 
 
 def test_cypher_endpoint_call_subquery_with_now_param(server):
