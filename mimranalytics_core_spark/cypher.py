@@ -4664,6 +4664,36 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 # raw capture aligned, else the rewritten item text
                 auto_names[syn] = raw_aligned[item_i] if raw_aligned else item
                 item = f"{item} AS {syn}"
+            if ctx == "WITH" and path_var and item == path_var:
+                # `WITH p` (round-13): pipe the path binding through the
+                # stage as its projection columns — hops always, plus
+                # path_nodes/path_rels when ANY later reference needs them
+                # (the tail path-function rewrite ran before item parsing,
+                # so need_path is already final). Downstream length(p)/
+                # nodes(p)/relationships(p) references were rewritten to
+                # these same tokens and resolve as stage outputs; `RETURN
+                # p` itself stays the targeted not-directly-returnable
+                # error, as at pattern scope.
+                if not single and not shortest:
+                    raise CypherSyntaxError(
+                        f"WITH {path_var} needs a single-clause, single-"
+                        "segment pattern (the path binding is the "
+                        "per-path row stream)"
+                    )
+                cols_p = ["hops"]
+                if need_path["nodes"]:
+                    cols_p.append("path_nodes")
+                if need_path["rels"]:
+                    cols_p.append("path_rels")
+                for cp in cols_p:
+                    items.append(
+                        {
+                            "kind": "plain",
+                            "col": resolve(cp, f"{ctx} item"),
+                            "name": cp,
+                        }
+                    )
+                continue
             if item == "*":
                 # RETURN * / WITH * (round-7): every visible name of the
                 # current scope, in binding order (Neo4j's star). Composes
@@ -5742,10 +5772,14 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 raise CypherSyntaxError(
                     f"unsupported property access in post-WITH WHERE: {predp!r}"
                 )
-            if {w for w in re.findall(r"\b\w+\b", unqp)} & {"hops", "path_weight"}:
+            # `WITH p` (round-13) pipes hops/path columns into stage
+            # scope under their own names — only UNPIPED tokens reject
+            _blocked_toks = {"hops", "path_weight"} - with_names
+            if {w for w in re.findall(r"\b\w+\b", unqp)} & _blocked_toks:
                 raise CypherSyntaxError(
                     "hops/path_weight are not available after WITH "
-                    "(pattern-stage scope only)"
+                    "(pattern-stage scope only — pipe the path variable: "
+                    "WITH p, …)"
                 )
             post_p = _rx_anchor(_CONTAINS.sub(_ct, _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, predp))))
             tpos += swm_.end()

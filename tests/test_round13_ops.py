@@ -491,7 +491,62 @@ def test_prop_map_literal_checks_unchanged(spark):
         api.cypher(spark, SF_SMALL, "MATCH (c:Customer {id: 1}) RETURN c.name")
 
 
-# ---- 8. shuffle-partitions conf restore symmetry (r12 ADVICE low) ---------
+# ---- 8. WITH p — piping the path binding through stages (round-13) --------
+
+
+def test_with_path_topk_then_project(spark):
+    # the top-k-paths-then-project idiom: WITH p ORDER BY length(p) LIMIT
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = (c:Customer)-[*1..2]->(x) "
+        "WITH p ORDER BY length(p) DESC LIMIT 3 RETURN nodes(p) AS ns",
+    ).collect()
+    assert len(rows) == 3 and all(len(r.ns) == 3 for r in rows)
+
+
+def test_with_path_where_length_after_pipe(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = (c:Customer)-[*1..2]->(x) WITH p, x "
+        "MATCH (x)-[:NATION_OF]->(r) WHERE length(p) = 1 "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n == 150  # 1-hop paths end at nations, all have regions
+
+
+def test_with_path_unwind_downstream(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = (c:Customer)-[*1..2]->(x) WITH p "
+        "UNWIND nodes(p) AS z RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n == 750  # 150×2 + 150×3
+
+
+def test_return_p_still_targeted_after_pipe(spark):
+    with pytest.raises(CypherSyntaxError):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH p = (c:Customer)-[*1..2]->(x) WITH p RETURN p",
+        )
+
+
+def test_unpiped_hops_after_with_still_targeted(spark):
+    # without `WITH p`, pattern-stage tokens stay out of post-WITH scope
+    with pytest.raises(CypherSyntaxError, match="pattern-stage scope"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH p = (c:Customer)-[*1..2]->(x) WITH x "
+            "MATCH (x)-[:NATION_OF]->(r) WHERE hops = 1 RETURN count(*) AS n",
+        )
+
+
+# ---- 9. shuffle-partitions conf restore symmetry (r12 ADVICE low) ---------
 
 
 def test_run_available_now_unsets_leaked_shuffle_conf(spark):
