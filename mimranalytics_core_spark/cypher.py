@@ -704,6 +704,54 @@ def _fn_rewrite(seg: str) -> str:
     return seg
 
 
+def _rewrite_conversions(text: str) -> str:
+    """Quote-aware WHOLE-STRING rewrite of Neo4j's to* conversions —
+    toString/toInteger/toFloat/toBoolean → CAST/TRY_CAST. The per-segment
+    copy inside _fn_rewrite breaks when the argument CONTAINS a quoted
+    literal (`toInteger(split(c.id, ':')[1])` — the quote-split segment
+    truncates the balanced-paren scan, so the call leaked Spark's raw
+    UNRESOLVED_ROUTINE at run time — round-13). This pass runs on the full
+    expression text, skipping quoted spans, and is applied by
+    _rewrite_list_exprs so every expression pipeline inherits it; the
+    segment copy stays as a no-op-after-this backstop."""
+    for fn, sqlty, op_ in (
+        ("toString", "STRING", "CAST"),
+        ("toInteger", "BIGINT", "TRY_CAST"),
+        ("toFloat", "DOUBLE", "TRY_CAST"),
+        ("toBoolean", "BOOLEAN", "TRY_CAST"),
+    ):
+        spos = 0
+        while True:
+            m = re.search(rf"\b{fn}\s*\(", text[spos:])
+            if not m:
+                break
+            start = spos + m.start()
+            if text[:start].count("'") % 2 == 1:  # inside a literal
+                spos = spos + m.end()
+                continue
+            i = spos + m.end()
+            depth = 1
+            while i < len(text) and depth:
+                c = text[i]
+                if c == "'":
+                    j = text.find("'", i + 1)
+                    if j < 0:
+                        break
+                    i = j + 1
+                    continue
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                i += 1
+            if depth:  # unbalanced — leave for the name check to reject
+                break
+            inner = text[spos + m.end() : i - 1]
+            text = f"{text[:start]}{op_}({inner} AS {sqlty}){text[i:]}"
+            spos = start
+    return text
+
+
 def _name_anon_nodes(query: str) -> str:
     """Give every anonymous node pattern a fresh synthetic variable —
     ``()``, ``(:Label)``, ``({props})``, ``(:Label {props})`` become
@@ -2179,7 +2227,10 @@ def _rewrite_list_exprs(text: str, list_vars: frozenset = frozenset()) -> str:
                     + qparts[qi][m3.end():]
                 )
         acc = "".join(qparts)
-    return acc
+    # to* conversions rewrite here — WHOLE-STRING and quote-aware — so an
+    # argument containing a quoted literal survives (round-13; see
+    # _rewrite_conversions)
+    return _rewrite_conversions(acc)
 
 
 def bind_params(query: str, params: dict | None) -> str:
@@ -2937,7 +2988,14 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             unwinds.append({"var": "__cy_unit", "values": [("i", 0)]})
         else:
             raise CypherSyntaxError(
-                f"unsupported Cypher (MATCH/UNWIND subset only): {query!r}"
+                (
+                    "a query cannot START with OPTIONAL MATCH (subset "
+                    "limit) — put a MATCH first, or drop OPTIONAL if a "
+                    "zero-match null row is not needed: "
+                    if re.match(r"\s*OPTIONAL\s+MATCH\b", query[upos:], re.I)
+                    else "unsupported Cypher (MATCH/UNWIND subset only): "
+                )
+                + repr(query)
             )
 
     labels: dict = {}  # var -> label, whole-query consistency check

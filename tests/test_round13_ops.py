@@ -546,7 +546,50 @@ def test_unpiped_hops_after_with_still_targeted(spark):
         )
 
 
-# ---- 9. shuffle-partitions conf restore symmetry (r12 ADVICE low) ---------
+# ---- 9. to* conversions with quoted literals in the argument --------------
+
+
+def test_conversion_arg_with_quoted_literal(spark):
+    # toInteger(split(c.id, ':')[1]) previously leaked Spark's raw
+    # UNRESOLVED_ROUTINE: the per-segment rewrite's balanced-paren scan
+    # was truncated at the quote (round-13; now whole-string, quote-aware)
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer) WHERE toInteger(split(c.id, ':')[1]) < 5 "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n == 5
+
+
+def test_conversion_as_return_item_with_quotes(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer) RETURN toInteger(split(c.id, ':')[1]) AS k "
+        "ORDER BY k LIMIT 2",
+    ).collect()
+    assert [r.k for r in rows] == [0, 1]
+
+
+def test_conversion_null_on_unparseable_still(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer) WHERE toInteger(c.name) IS NULL "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n == 150
+
+
+def test_leading_optional_match_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="START with OPTIONAL"):
+        api.cypher(
+            spark, SF_SMALL, "OPTIONAL MATCH (x:Customer) RETURN x.name AS n"
+        )
+
+
+# ---- 10. shuffle-partitions conf restore symmetry (r12 ADVICE low) --------
 
 
 def test_run_available_now_unsets_leaked_shuffle_conf(spark):
