@@ -4738,9 +4738,19 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         "segment pattern (the path binding is the "
                         "per-path row stream)"
                     )
-                cols_p = ["hops"]
-                if need_path["nodes"]:
-                    cols_p.append("path_nodes")
+                if shortest_all:
+                    raise CypherSyntaxError(
+                        f"WITH {path_var} is not available for "
+                        "allShortestPaths() patterns (σ counts paths "
+                        "without enumerating them)"
+                    )
+                # path_nodes ALWAYS rides the pipe: it is the engine's
+                # path identity (the trail machinery keys uniqueness on
+                # the node sequence), so `WITH DISTINCT p` dedups real
+                # paths — hops alone would collapse every same-length
+                # path into one row (round-13 guard test)
+                need_path["nodes"] = True
+                cols_p = ["hops", "path_nodes"]
                 if need_path["rels"]:
                     cols_p.append("path_rels")
                 for cp in cols_p:

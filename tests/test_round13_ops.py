@@ -526,6 +526,29 @@ def test_with_path_unwind_downstream(spark):
     assert rows[0].n == 750  # 150×2 + 150×3
 
 
+def test_with_distinct_p_dedups_paths_not_lengths(spark):
+    # path_nodes always rides the pipe: it is the engine's path identity,
+    # so DISTINCT p keeps all 300 distinct paths (hops alone would
+    # collapse them to 2 length groups)
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = (c:Customer)-[*1..2]->(x) WITH DISTINCT p "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n == 300
+
+
+def test_with_p_all_shortest_targeted(spark):
+    with pytest.raises(CypherSyntaxError, match="allShortestPaths"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH p = allShortestPaths((a)-[*1..4]->(b)) "
+            "WHERE a.id = 'c:1' WITH p RETURN count(*) AS n",
+        )
+
+
 def test_return_p_still_targeted_after_pipe(spark):
     with pytest.raises(CypherSyntaxError):
         api.cypher(
