@@ -4291,6 +4291,18 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         pred = _CONTAINS.sub(_ct, pred)
         pred = _rx_anchor(pred)
         unquoted = _unquoted(pred)
+        # bare-identifier validation (round-13): every non-generated,
+        # non-allow-listed word must resolve in pattern scope — a typo
+        # (`WHERE c.custkey = qqq`) previously leaked Spark's raw
+        # UNRESOLVED_COLUMN mid-analysis. Same discipline the expression
+        # items have carried since round-7; the extra keywords here are
+        # predicate-only syntax the item scan never sees.
+        _PRED_KWS = {"in", "between", "escape", "distinct", "div"}
+        for w_ in re.findall(r"\b[A-Za-z_]\w*\b", unquoted):
+            lw_ = w_.lower()
+            if "__" in w_ or lw_ in _EXPR_ALLOW or lw_ in _PRED_KWS:
+                continue
+            _map_expr(w_, "WHERE")  # raises the targeted unknown-name error
         # bare hops/path_weight in WHERE bypass _map_expr (it only sees
         # var.prop tokens) — enforce the single-segment guard here too, so
         # multi-segment queries fail at parse time with the same message

@@ -605,6 +605,17 @@ def test_conversion_null_on_unparseable_still(spark):
     assert rows[0].n == 150
 
 
+def test_where_bare_typo_targeted_error(spark):
+    # WHERE c.custkey = qqq previously leaked Spark's raw
+    # UNRESOLVED_COLUMN at analysis; now a parse-time targeted error
+    with pytest.raises(CypherSyntaxError, match="qqq"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (c:Customer) WHERE c.custkey = qqq RETURN count(*) AS n",
+        )
+
+
 def test_leading_optional_match_targeted_error(spark):
     with pytest.raises(CypherSyntaxError, match="START with OPTIONAL"):
         api.cypher(
