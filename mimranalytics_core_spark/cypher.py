@@ -3095,11 +3095,24 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         # Neo4j's most basic MATCH (round-7). The clause frame is the
         # node-id column of the graph's node view, label/property maps
         # filter it like any other clause predicate.
-        # within a clause each variable binds once; variables already bound
-        # by earlier clauses may reappear (they are the join anchors)
-        fresh = [v for v in cvars if v not in bound]
-        if len(set(fresh)) != len(fresh) or len(set(cvars)) != len(cvars):
-            raise CypherSyntaxError("pattern variables must be distinct within a clause")
+        # a variable may REPEAT within one chain to CLOSE A CYCLE —
+        # `(a)-[:X]->(b)-[:Y]->(a)`, Neo4j's cycle idiom (round-13): the
+        # repeated endpoint becomes a shared-column join between its two
+        # segments, which the multi-segment frame machinery performs
+        # anyway (the chain reads as a closed walk; trail uniqueness
+        # still applies across the whole clause). Only the IMMEDIATE
+        # self-loop stays rejected: no graph view carries self edges, and
+        # the segment frame would alias two columns the same name.
+        for sg_ in segs:
+            if sg_["src"] == sg_["dst"]:
+                raise CypherSyntaxError(
+                    f"self-loop pattern on {sg_['src']!r} is not supported "
+                    "(no graph view carries self edges; close a cycle "
+                    "through a distinct intermediate node instead)"
+                )
+        # dedupe the inventory (a cycle-closing repeat binds ONCE)
+        _seen_v: set = set()
+        cvars = [v for v in cvars if not (v in _seen_v or _seen_v.add(v))]
         bad = [v for v in cvars if v.lower() in _RESERVED]
         if bad:
             raise CypherSyntaxError(f"reserved pattern variable name(s): {bad}")

@@ -3928,6 +3928,59 @@ def cypher_path_variable(spark, sf_dir):
 
 
 @register(
+    "cypher_cycle_pattern",
+    "graph",
+    oracle="""
+        WITH bf AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey < 50 AND l.l_suppkey < 50
+        ),
+        cl AS (
+            SELECT DISTINCT s.s_suppkey AS s, c.c_custkey AS c
+            FROM supplier s JOIN customer c ON c.c_nationkey = s.s_nationkey
+            WHERE s.s_suppkey < 50 AND c.c_custkey < 50
+        )
+        SELECT 'c:' || bf.c AS a, COUNT(*) AS n_cycles
+        FROM bf JOIN cl ON bf.s = cl.s AND bf.c = cl.c
+        GROUP BY a
+        ORDER BY a
+    """,
+    notes=(
+        "CYCLE-CLOSING patterns (round-13): a node variable may repeat "
+        "within one chain — `(a)-[:BUYS_FROM]->(b)-[:CO_LOCATED]->(a)`, "
+        "Neo4j's cycle idiom, previously rejected by the within-chain "
+        "distinctness guard. The repeated endpoint is a shared-column "
+        "join between its two segments, which the multi-segment frame "
+        "machinery performs anyway (closed-walk semantics; trail "
+        "uniqueness still applies across the clause, so the same edge "
+        "never binds two relationship slots — verified: a duplicated "
+        "chain matches zero rows, as in Neo4j). Immediate self-loops "
+        "keep a targeted error (no graph view carries self edges). "
+        "Declared query: the trade-credit 2-cycles — customers buying "
+        "from suppliers co-located in their own nation (the "
+        "circular-ownership analog on the bounded cyclic digraph) — "
+        "grouped per customer. Scale: two rel-type-pruned edge scans "
+        "hash-joined on BOTH endpoints; the bounded subgraph posture of "
+        "the trade-credit view applies. Oracle: the same distinct-pair "
+        "joins relationally"
+    ),
+)
+def cypher_cycle_pattern(spark, sf_dir):
+    """(a)-[:BUYS_FROM]->(b)-[:CO_LOCATED]->(a) — cycle closure by
+    variable repetition (round-13; cypher.py chain-parse note)."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        "MATCH (a)-[:BUYS_FROM]->(b)-[:CO_LOCATED]->(a) "
+        "RETURN a, count(*) AS n_cycles ORDER BY a",
+        graph="trade_credit",
+    )
+
+
+@register(
     "cypher_schema_procedures",
     "graph",
     oracle="""

@@ -623,7 +623,43 @@ def test_leading_optional_match_targeted_error(spark):
         )
 
 
-# ---- 10. shuffle-partitions conf restore symmetry (r12 ADVICE low) --------
+# ---- 10. cycle-closing patterns (round-13 probe find) ----------------------
+
+
+def test_cycle_closure_by_repeated_variable(spark):
+    # (a)-->(b)-->(a) — Neo4j's cycle idiom; previously rejected by the
+    # within-chain distinctness guard. 21 two-hop trade-credit cycles at
+    # sf0.001, verified against the relational oracle.
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (a)-[:BUYS_FROM]->(b)-[:CO_LOCATED]->(a) "
+        "RETURN count(*) AS cycles",
+        graph="trade_credit",
+    ).collect()
+    assert rows[0].cycles == 21
+
+
+def test_cycle_closure_trail_uniqueness_still_applies(spark):
+    # the SAME edge cannot bind two relationship slots (Neo4j): a
+    # duplicated chain across the comma requires two distinct edges
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer)-[:CUSTOMER_OF]->(n)<-[:SUPPLIER_OF]-(s), "
+        "(c)-[:CUSTOMER_OF]->(n) RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n == 0
+
+
+def test_self_loop_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="self-loop"):
+        api.cypher(
+            spark, SF_SMALL, "MATCH (a)-[:CUSTOMER_OF]->(a) RETURN count(*) AS n"
+        )
+
+
+# ---- 11. shuffle-partitions conf restore symmetry (r12 ADVICE low) --------
 
 
 def test_run_available_now_unsets_leaked_shuffle_conf(spark):
