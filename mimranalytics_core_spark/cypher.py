@@ -1262,8 +1262,21 @@ def _rewrite_in_lists(query: str) -> str:
                         k = (j if j >= 0 else n - 1) + 1
                         continue
                     if c2 == "]":
+                        # a list COMPREHENSION as the IN right-operand
+                        # (round-14, r13 verdict #10): `x IN [n IN l | e]`
+                        # keeps its brackets — _rewrite_list_exprs turns it
+                        # into transform(...)/filter(...) and
+                        # _rewrite_in_array then maps the membership to
+                        # array_contains
+                        if re.match(
+                            r"\s*[A-Za-z_]\w*\s+IN\b", s[lb + 1 : k], re.I
+                        ):
+                            break
                         return i, lb, k
                     k += 1
+                if k < n and s[k] == "]":
+                    i = lb + 1  # step inside the comprehension and keep
+                    continue  # scanning (its binder list is guard-skipped)
                 return None  # unterminated — leave for downstream rejection
             i += 1
         return None
@@ -1467,11 +1480,14 @@ def _rewrite_in_array(pred: str) -> str:
     subquery, so the raw form dies with an opaque PARSE_SYNTAX_ERROR.
     Plain ``x IN [a, b]`` list literals were already folded to SQL
     ``IN (…)`` upstream; any ``IN array(`` remaining is the array-expr
-    case. Quote-aware; the left operand may be a quoted literal, an
-    identifier, or a balanced call."""
+    case. ``IN transform(`` / ``IN filter(`` (round-14, r13 verdict #10)
+    are the compiled forms of membership over a list COMPREHENSION —
+    ``'x' IN [n IN nodes(p) | e]`` — which _rewrite_list_exprs emits just
+    before this pass. Quote-aware; the left operand may be a quoted
+    literal, an identifier, or a balanced call."""
     scan = 0
     while True:
-        m = re.search(r"\bIN\s+(array\s*\()", pred[scan:], re.I)
+        m = re.search(r"\bIN\s+((?:array|transform|filter)\s*\()", pred[scan:], re.I)
         if not m:
             return pred
         pos = scan + m.start()
@@ -2040,7 +2056,24 @@ def _rewrite_list_exprs(text: str, list_vars: frozenset = frozenset()) -> str:
             end = _balanced_end(text, i)
             body = text[i + 1 : end - 1]
             prev = acc.rstrip()[-1:]
-            if prev and (prev.isalnum() or prev in "_)]"):
+            # `IN [n IN l | e]` — membership over a list comprehension
+            # (round-14, r13 verdict #10): the keyword IN before the
+            # bracket is NOT an indexing base; fall through to the
+            # comprehension branch (literal IN-lists were folded to
+            # parens at parse start, so only comprehensions reach here)
+            _tw = re.search(r"([A-Za-z_]\w*)\s*$", acc)
+            _membership = bool(
+                _tw
+                and _tw.group(1).upper() == "IN"
+                and (
+                    _tw.start(1) == 0
+                    or not (
+                        acc[_tw.start(1) - 1].isalnum()
+                        or acc[_tw.start(1) - 1] == "_"
+                    )
+                )
+            )
+            if prev and not _membership and (prev.isalnum() or prev in "_)]"):
                 # indexing: pop the base expression off the accumulator
                 stripped = acc.rstrip()
                 if prev in ")]":
@@ -2977,6 +3010,16 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             )
             upos = rg.end()
 
+    # leading OPTIONAL MATCH (round-14, r13 verdict #6): Neo4j allows a
+    # query to OPEN with OPTIONAL MATCH — zero pattern matches yield ONE
+    # all-null row. Consume the keyword here; clause 0 carries
+    # optional=True, executes through the generic clause loop (never the
+    # single-segment trail stream), and null-extends from a one-row unit
+    # frame after its pattern-scoped filters.
+    _om0 = re.match(r"^\s*OPTIONAL\s+(?=MATCH\b)", query[upos:], re.I)
+    leading_optional = bool(_om0)
+    if _om0:
+        upos += _om0.end()
     hm = _MATCH_HEAD.match(query[upos:])  # slice: the regex is ^-anchored
     if not hm and not unwinds:
         # MATCH-less expression queries (round-7): `RETURN 1 + 1 AS x`,
@@ -2988,15 +3031,14 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             unwinds.append({"var": "__cy_unit", "values": [("i", 0)]})
         else:
             raise CypherSyntaxError(
-                (
-                    "a query cannot START with OPTIONAL MATCH (subset "
-                    "limit) — put a MATCH first, or drop OPTIONAL if a "
-                    "zero-match null row is not needed: "
-                    if re.match(r"\s*OPTIONAL\s+MATCH\b", query[upos:], re.I)
-                    else "unsupported Cypher (MATCH/UNWIND subset only): "
-                )
+                "unsupported Cypher (MATCH/UNWIND subset only): "
                 + repr(query)
             )
+    if leading_optional and unwinds:
+        raise CypherSyntaxError(
+            "OPTIONAL MATCH after UNWIND is not supported (subset limit) "
+            "— put a plain MATCH first"
+        )
 
     labels: dict = {}  # var -> label, whole-query consistency check
     _cur_labels: dict = {"cur": {}}  # labels seen in the clause being parsed
@@ -3162,6 +3204,9 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     shortest = False
     shortest_all = False
     path_var: str | None = None
+    # round-14: a multi-segment fixed-hop linear chain bound to the path
+    # variable — {"nodes": written node order, "segs": its segments}
+    path_chain: dict | None = None
     sm = (
         re.match(
             r"(?:([A-Za-z_]\w*)\s*=\s*)?(allShortestPaths|shortestPath)\s*\(\s*",
@@ -3195,7 +3240,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # must not terminate the blanked span early.
     masked_q = _blank_braces(masked_q)
     masked_q = _blank_fn_bodies(masked_q)
-    pending_optional = False  # the first clause is the plain MATCH
+    pending_optional = leading_optional  # round-14: clause 0 may be OPTIONAL
     while hm:  # no MATCH head = pure-UNWIND query, zero pattern clauses
         _cur_labels["cur"] = {}
         _cur_props["cur"] = []
@@ -3239,12 +3284,44 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         "pattern variable"
                     )
                 if len(segs) != 1:
-                    raise CypherSyntaxError(
-                        "a path variable binds a single-chain, single-"
-                        "segment pattern (subset limit — like hops/"
-                        "path_weight, Cypher has no whole-pattern path "
-                        "variable in multi-chain MATCH here)"
+                    # multi-SEGMENT single chain (round-14, r13 verdict
+                    # #3): `p = (a)-[:X]->(b)-[:Y]->(c)` — when every
+                    # segment is a fixed single hop and the segments form
+                    # one written linear chain, the path is ROW-LOCAL:
+                    # nodes(p) is the array of the chain's node variables,
+                    # length(p) the segment count, relationships(p) the
+                    # per-segment edge keys. The tail rewrite (_pfn_sub)
+                    # emits those as plain SQL over the bound variables —
+                    # no per-path row stream needed. Var-length segments,
+                    # comma chains, and cycle-closing repeats keep the
+                    # targeted error (their paths are not row-local).
+                    _linear = (
+                        len(segs) >= 2
+                        and len(cvars) == len(segs) + 1
+                        and all(
+                            (sg["min_hops"], sg["max_hops"]) == (1, 1)
+                            for sg in segs
+                        )
+                        and all(
+                            {sg["src"], sg["dst"]}
+                            == {cvars[j], cvars[j + 1]}
+                            for j, sg in enumerate(segs)
+                        )
                     )
+                    if _linear:
+                        path_chain = {
+                            "nodes": list(cvars),
+                            "segs": list(segs),
+                        }
+                    else:
+                        raise CypherSyntaxError(
+                            "a path variable binds a single-chain pattern "
+                            "of fixed single-hop segments, or one "
+                            "(possibly var-length) segment (subset limit "
+                            "— var-length multi-segment chains, comma "
+                            "chains, and cycle-closing repeats do not "
+                            "bind a row-local path here)"
+                        )
         if clauses and not (set(cvars) & bound):
             raise CypherSyntaxError(
                 "a follow-up MATCH clause must share a variable with an "
@@ -3608,6 +3685,29 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             fn = (m.group(1) or m.group(2)).lower()
             if fn == "count":
                 return "count(*)"
+            if path_chain is not None:
+                # multi-segment fixed-hop chain (round-14, r13 verdict #3):
+                # the path is ROW-LOCAL — emit plain SQL over the chain's
+                # bound node variables; zero extra joins or shuffles, and
+                # every downstream expression surface (size(), IN,
+                # UNWIND …) composes over the ordinary array forms
+                if fn == "length":
+                    return str(len(path_chain["segs"]))
+                if fn == "nodes":
+                    return f"array({', '.join(path_chain['nodes'])})"
+                if any(
+                    sg["direction"] != "out" for sg in path_chain["segs"]
+                ):
+                    raise CypherSyntaxError(
+                        f"relationships({path_var}) over a multi-segment "
+                        "chain needs directed segments (an undirected "
+                        "hop's edge orientation is not row-local)"
+                    )
+                keys = ", ".join(
+                    f"concat({sg['src']}, '>', {sg['dst']})"
+                    for sg in path_chain["segs"]
+                )
+                return f"array({keys})"
             if fn == "length":
                 if not _single0 and not shortest:
                     raise CypherSyntaxError(
@@ -3752,6 +3852,9 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         len(clauses) == 1
         and len(segments) == 1
         and len(clauses[0]["vars"]) <= 2
+        # a leading OPTIONAL MATCH null-extends through the generic
+        # clause loop, never the single-segment trail stream (round-14)
+        and not clauses[0]["optional"]
     )
     unwind_vars = {u["var"] for u in unwinds}
     if unwind_vars & (set(vars_) | relvars):
@@ -4498,7 +4601,15 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # post filter is equivalent there and Catalyst pushes it down). Later
     # clauses keep their labels in clause["labels"]; run() filters that
     # clause's frame before joining it in.
-    for lvar, label in (clauses[0]["labels"].items() if clauses else ()):
+    # (round-14: an OPTIONAL clause 0 keeps its labels in clause["labels"]
+    # — they must filter the clause frame BEFORE null-extension, exactly
+    # like later optional clauses; a post_pred label would drop the
+    # zero-match null row)
+    for lvar, label in (
+        clauses[0]["labels"].items()
+        if clauses and not clauses[0]["optional"]
+        else ()
+    ):
         lp = f"{lvar} LIKE '{_LABEL_PREFIX[label]}%'"
         if lvar == start_var:
             sp = f"src LIKE '{_LABEL_PREFIX[label]}%'"
@@ -5746,6 +5857,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             _cur_labels["cur"] = {}
             _cur_props["cur"] = []
             cvars, segs, tpos = _parse_clause(tpos, bound_p, text=tail)
+            _prop_join_conjs: list[tuple[str, str, str]] = []
             if _cur_props["cur"]:
                 # stage clauses have no per-clause WHERE slot, so map
                 # conjuncts post-filter the joined stage frame — fine for
@@ -5759,7 +5871,28 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         "preceding stage or move the OPTIONAL MATCH "
                         "before the WITH)"
                     )
-                stage_prop_conjs += _cur_props["cur"]
+                # split ref-valued conjuncts that CORRELATE this clause to
+                # the piped frame (round-14, r13 verdict #5): those become
+                # the clause's equi-join keys at execution (a post-filter
+                # over a cross join would not push through the attr-view
+                # chain — measured: BroadcastNestedLoopJoin Cross on the
+                # raw fact scan). Literal/intra-clause conjuncts keep the
+                # post-filter path.
+                for _cj in _cur_props["cur"]:
+                    _mr = re.fullmatch(
+                        r"(\w+)\.(\w+) = ([A-Za-z_]\w*(?:\.\w+)?)", _cj
+                    )
+                    if (
+                        _mr
+                        and not (set(cvars) & bound_p)
+                        and _mr.group(1) in set(cvars)
+                        and _mr.group(3).partition(".")[0] in bound_p
+                    ):
+                        _prop_join_conjs.append(
+                            (_mr.group(1), _mr.group(2), _mr.group(3))
+                        )
+                    else:
+                        stage_prop_conjs.append(_cj)
             cross_p = False
             if not (set(cvars) & bound_p):
                 # a variable-free re-match is allowed after a SCALAR WITH
@@ -5778,14 +5911,21 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     and not stage_unwinds
                     and not pclauses
                 )
-                if pending_p or not stage_scalar:
+                # prop-map correlation (round-14, r13 verdict #5): the
+                # clause shares scope through a property-map variable
+                # reference — the conjunct becomes the clause's EQUI-JOIN
+                # keys at execution (propjoin below), a plain hash join
+                prop_shared = bool(_prop_join_conjs)
+                if pending_p or not (stage_scalar or prop_shared):
                     raise CypherSyntaxError(
                         "a MATCH after WITH must share a variable with the "
                         "WITH outputs (or an earlier post-WITH clause) — "
                         "except after a purely aggregating WITH (a one-row "
-                        "scalar frame), whose re-match cross-joins"
+                        "scalar frame), whose re-match cross-joins, or a "
+                        "clause correlated through a property-map variable "
+                        "reference ({key: var.prop})"
                     )
-                cross_p = True
+                cross_p = not prop_shared
             for seg in segs:
                 rv = seg.get("rvar")
                 if rv is None:
@@ -5806,6 +5946,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     "labels": _cur_labels["cur"],
                     "vars": list(cvars),
                     "cross": cross_p,
+                    "propjoin": _prop_join_conjs,
                 }
             )
             vars_p += [v for v in cvars if v not in bound_p]
@@ -6456,8 +6597,18 @@ def _split_union(query: str) -> tuple[list[str], str | None]:
 
 
 _SCHEMA_PROC_RE = re.compile(
+    # round-14 (r13 verdict #4): accept the three-clause form Neo4j Browser
+    # and drivers emit on connect — CALL db.proc() YIELD x RETURN x
+    # [ORDER BY x [ASC|DESC]] [LIMIT n]. RETURN/ORDER BY must name the
+    # yielded column (validated at the call site); DISTINCT is accepted as
+    # a no-op (the procedures emit distinct values by construction).
     r"^\s*CALL\s+db\.(labels|relationshipTypes|propertyKeys)\s*\(\s*\)"
-    r"\s*(?:YIELD\s+(?P<yield>[A-Za-z_]\w*)\s*)?;?\s*$",
+    r"\s*(?:YIELD\s+(?P<yield>[A-Za-z_]\w*)"
+    r"(?:\s+RETURN\s+(?:DISTINCT\s+)?(?P<ret>[A-Za-z_]\w*)"
+    r"(?:\s+ORDER\s+BY\s+(?P<ob>[A-Za-z_]\w*)(?:\s+(?P<dir>ASC|DESC))?)?"
+    r"(?:\s+LIMIT\s+(?P<lim>\d+))?"
+    r")?"
+    r"\s*)?;?\s*$",
     re.I,
 )
 
@@ -6560,9 +6711,27 @@ def run(
     query = bind_params(query, params)
     spm = _SCHEMA_PROC_RE.match(query)
     if spm:
-        return _schema_procedure(
+        df = _schema_procedure(
             spark, sf_dir, spm.group(1), spm.group("yield"), graph
         )
+        if spm.group("ret") is not None:
+            col = df.columns[0]
+            for role, nm in (("RETURN", spm.group("ret")),
+                             ("ORDER BY", spm.group("ob"))):
+                if nm is not None and nm != col:
+                    raise CypherSyntaxError(
+                        f"db.{spm.group(1)}() yields one column named "
+                        f"{col!r}: {role} {nm} does not match"
+                    )
+            if spm.group("ob") is not None:
+                c = F.col(col)
+                df = df.orderBy(
+                    c.desc() if (spm.group("dir") or "").upper() == "DESC"
+                    else c.asc()
+                )
+            if spm.group("lim") is not None:
+                df = df.limit(int(spm.group("lim")))
+        return df
     pieces, kind = _split_union(query)
     if kind is None:
         return _run_single(spark, sf_dir, query, graph=graph)
@@ -6659,6 +6828,7 @@ def _run_single(
         len(clauses) == 1
         and len(clauses[0]["segments"]) == 1
         and len(clauses[0]["vars"]) <= 2  # see parse()'s single note
+        and not clauses[0]["optional"]  # round-14: leading OPTIONAL MATCH
     )
 
 
@@ -6950,17 +7120,30 @@ def _run_single(
         df = None
         for ci, clause in enumerate(clauses):
             cframe = _clause_frame(clause, p["src_pred"] if ci == 0 else None)
-            if ci > 0:
+            if ci > 0 or clause.get("optional"):
                 # clause-scoped inline labels filter this clause's frame
                 # BEFORE it joins the accumulated bindings — for OPTIONAL
                 # MATCH this is what lets non-matching rows null-extend
-                # (Cypher label scoping; clause-0 labels ride src_pred/
-                # post_pred instead)
+                # (Cypher label scoping; non-optional clause-0 labels ride
+                # src_pred/post_pred instead)
                 for lvar, label in clause.get("labels", {}).items():
                     cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
             cframe = _scoped_where(cframe, clause)
             if df is None:
-                df = cframe
+                if clause.get("optional"):
+                    # leading OPTIONAL MATCH (round-14, r13 verdict #6):
+                    # null-extend from a one-row unit frame — zero pattern
+                    # matches yield ONE all-null row (Neo4j); otherwise the
+                    # left join is a pass-through (1-row build side)
+                    k0 = "__cy_opt0"
+                    df = (
+                        spark.range(1)
+                        .select(F.lit(1).alias(k0))
+                        .join(cframe.withColumn(k0, F.lit(1)), k0, "left")
+                        .drop(k0)
+                    )
+                else:
+                    df = cframe
             else:
                 df = _join_clause(df, cframe, clause)
 
@@ -7377,6 +7560,54 @@ def _run_single(
             cframe = _clause_frame(clause, None)
             for lvar, label in clause.get("labels", {}).items():
                 cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
+            if clause.get("propjoin"):
+                # prop-map-correlated re-match (round-14, r13 verdict #5):
+                # `WITH c … MATCH (o:Order {custkey: c.custkey})` — attach
+                # the referenced attribute to each side, then EQUI-JOIN on
+                # the conjunct keys (a plain shuffled hash join; the
+                # attr-view sides prune by label, and no cross join ever
+                # materializes — scale-safe on unbounded piped frames)
+                attrs_pj = _attr_view()
+                conds = []
+                for lvar, lprop, ref in clause["propjoin"]:
+                    lcol = lvar if lprop == "id" else f"{lvar}__{lprop}"
+                    if lcol not in cframe.columns:
+                        side = attrs_pj
+                        lab = clause.get("labels", {}).get(lvar)
+                        if lab:
+                            side = side.filter(F.col("label") == lab)
+                        cframe = cframe.join(
+                            side.select(
+                                F.col("id").alias(lvar),
+                                F.col(lprop).alias(lcol),
+                            ),
+                            lvar,
+                            "left",
+                        )
+                    rvar, _, rprop = ref.partition(".")
+                    if not rprop or rprop == "id":
+                        rcol = rvar  # a piped column / node id directly
+                    else:
+                        rcol = f"{rvar}__{rprop}"
+                        if rcol not in df.columns:
+                            side = attrs_pj
+                            lab = p["labels"].get(rvar)
+                            if lab:
+                                side = side.filter(F.col("label") == lab)
+                            df = df.join(
+                                side.select(
+                                    F.col("id").alias(rvar),
+                                    F.col(rprop).alias(rcol),
+                                ),
+                                rvar,
+                                "left",
+                            )
+                    conds.append(cframe[lcol] == df[rcol])
+                cond = conds[0]
+                for c2_ in conds[1:]:
+                    cond = cond & c2_
+                df = df.join(cframe, cond, "inner")
+                continue
             if clause.get("cross"):
                 # scalar-WITH re-match (round-11): the piped frame is one
                 # row by construction (all-aggregate stage) — broadcast

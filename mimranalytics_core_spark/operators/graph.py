@@ -7114,3 +7114,214 @@ def cypher_scalar_rematch(spark, sf_dir):
            RETURN c2.mktsegment AS seg, count(*) AS k
            ORDER BY seg""",
     )
+
+
+@register(
+    "cypher_multiseg_path_var",
+    "graph",
+    oracle="""
+        SELECT 'c:' || c.c_custkey AS src,
+               2 AS hops,
+               'c:' || c.c_custkey || '|n:' || c.c_nationkey
+                    || '|r:' || n.n_regionkey AS path_nodes,
+               'c:' || c.c_custkey || '>n:' || c.c_nationkey
+                    || '|n:' || c.c_nationkey || '>r:' || n.n_regionkey
+                    AS path_rels
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        ORDER BY src
+    """,
+    notes=(
+        "path variable over a MULTI-SEGMENT chain (round-14, r13 VERDICT "
+        "#3 / 'missing' #1): `p = (c)-[:X]->(n)-[:Y]->(r)` — the most "
+        "common tutorial spelling of F1 path extraction (reference "
+        "README.md:11). When every segment is a fixed single hop and the "
+        "segments form one written linear chain, the path is ROW-LOCAL: "
+        "nodes(p) compiles to array(c, n, r) over the bound variables, "
+        "length(p) to the literal segment count, relationships(p) to the "
+        "per-segment 'a>b' edge keys — plain SQL projections, zero extra "
+        "joins/shuffles beyond the pattern's own equi-joins (verified: "
+        "the plan is the same two broadcast hash joins the bare pattern "
+        "compiles to). Var-length multi-segment chains, comma chains, "
+        "and cycle repeats keep a targeted error (their paths are not "
+        "row-local). Scale: pure projection — nothing beyond the "
+        "pattern's joins at any SF. Oracle: the explicit customer⋈nation "
+        "join building the same string encodings. Declared query "
+        "stringifies the arrays for the driver's scalar-cell hash; the "
+        "Cypher surface returns real arrays (tests/test_round14_ops.py)"
+    ),
+)
+def cypher_multiseg_path_var(spark, sf_dir):
+    """MATCH p = (c:Customer)-[:CUSTOMER_OF]->(:Nation)-[:NATION_OF]->
+    (r:Region) with nodes(p)/length(p)/relationships(p) projections."""
+    from mimranalytics_core_spark import api
+
+    df = api.cypher(
+        spark,
+        sf_dir,
+        """MATCH p = (c:Customer)-[:CUSTOMER_OF]->(:Nation)
+                     -[:NATION_OF]->(r:Region)
+           RETURN c.id AS src, length(p) AS hops, nodes(p) AS pn,
+                  relationships(p) AS pr
+           ORDER BY src""",
+    )
+    return df.select(
+        "src",
+        "hops",
+        F.array_join("pn", "|").alias("path_nodes"),
+        F.array_join("pr", "|").alias("path_rels"),
+    )
+
+
+@register(
+    "cypher_schema_proc_yield_return",
+    "graph",
+    oracle="""
+        SELECT * FROM (VALUES ('Supplier'), ('Region'), ('Part'))
+            AS t(label)
+    """,
+    notes=(
+        "CALL db.<proc>() YIELD x RETURN x [ORDER BY x [DESC]] [LIMIT n] "
+        "(round-14, r13 VERDICT #4): the exact three-clause form Neo4j "
+        "Browser and drivers emit on connect — round-13 accepted YIELD "
+        "but rejected the trailing RETURN. The RETURN/ORDER BY names "
+        "must match the procedure's one yielded column (targeted error "
+        "otherwise); DISTINCT is accepted as a no-op (the procedures "
+        "emit distinct values by construction). Scale: literal-sized "
+        "metadata relation, no scan at any SF. Oracle: the same VALUES "
+        "list (business-graph labels, descending, top 3)"
+    ),
+)
+def cypher_schema_proc_yield_return(spark, sf_dir):
+    """CALL db.labels() YIELD label RETURN label ORDER BY label DESC
+    LIMIT 3 — the connect-time introspection form drivers emit."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        "CALL db.labels() YIELD label RETURN label ORDER BY label DESC "
+        "LIMIT 3",
+        graph="business",
+    )
+
+
+@register(
+    "cypher_propmap_correlated_match",
+    "graph",
+    oracle="""
+        SELECT 'c:' || c.c_custkey AS cust, COUNT(*) AS n_orders
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+        ORDER BY cust
+    """,
+    notes=(
+        "property-map-only correlation after WITH (round-14, r13 VERDICT "
+        "#5): `WITH c MATCH (o:Order {custkey: c.custkey})` previously "
+        "required a shared pattern VARIABLE. The ref-valued map conjunct "
+        "is now the stage clause's EQUI-JOIN key at execution: each side "
+        "attaches the referenced attribute from the label-pruned "
+        "attribute view, then a plain shuffled hash join on the equality "
+        "— verified NO BroadcastNestedLoopJoin/cartesian in the plan "
+        "even with an unbounded piped frame (a cross join + post-filter "
+        "would not push through the attr-view chain; measured before the "
+        "fix). Literal conjuncts in the same map keep the post-filter "
+        "path. Scale: one hash shuffle on the correlation key — the same "
+        "plan the explicit SQL join takes. Oracle: that explicit join"
+    ),
+)
+def cypher_propmap_correlated_match(spark, sf_dir):
+    """WITH c MATCH (o:Order {custkey: c.custkey}) — the re-match joins
+    through the property map alone (no shared pattern variable)."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer) WITH c
+           MATCH (o:Order {custkey: c.custkey})
+           RETURN c.id AS cust, count(o) AS n_orders
+           ORDER BY cust""",
+    )
+
+
+@register(
+    "cypher_optional_match_leading",
+    "graph",
+    oracle="""
+        SELECT CAST(NULL AS VARCHAR) AS cid, CAST(NULL AS VARCHAR) AS nid
+        UNION ALL
+        SELECT 'c:7', 'n:' || c_nationkey FROM customer WHERE c_custkey = 7
+    """,
+    notes=(
+        "leading OPTIONAL MATCH (round-14, r13 VERDICT #6): Neo4j allows "
+        "a query to OPEN with OPTIONAL MATCH — zero pattern matches "
+        "yield ONE all-null row. Executes through the generic clause "
+        "loop (never the single-segment trail stream): the clause frame "
+        "applies its labels, property maps, and clause-scoped WHERE "
+        "first (pattern scope — they must filter BEFORE null-extension), "
+        "then LEFT-joins from a one-row unit frame on a constant key "
+        "(1-row build side broadcast; pass-through when matches exist). "
+        "Scale: the unit join adds one broadcast of one row — nothing "
+        "else changes vs the plain MATCH plan. Oracle: a NULL row UNION "
+        "the matched chain. Declared query unions the zero-match form "
+        "(synthetic name) with a matched single-customer chain"
+    ),
+)
+def cypher_optional_match_leading(spark, sf_dir):
+    """A query opening with OPTIONAL MATCH: zero-match null row + a
+    matched variant, unioned."""
+    from mimranalytics_core_spark import api
+
+    a = api.cypher(
+        spark,
+        sf_dir,
+        "OPTIONAL MATCH (c:Customer {name: 'NoSuchCustomer#999'})"
+        "-[:CUSTOMER_OF]->(n:Nation) RETURN c.id AS cid, n.id AS nid",
+    )
+    b = api.cypher(
+        spark,
+        sf_dir,
+        "OPTIONAL MATCH (c:Customer {custkey: 7})-[:CUSTOMER_OF]->"
+        "(n:Nation) RETURN c.id AS cid, n.id AS nid",
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "cypher_in_comprehension",
+    "graph",
+    oracle="""
+        WITH c1 AS (
+            SELECT c_custkey FROM customer WHERE c_nationkey = 1
+        )
+        SELECT 'c:' || c_custkey AS src, 'n:1' AS dst, 1 AS hops FROM c1
+        UNION ALL
+        SELECT 'c:' || c1.c_custkey, 'r:' || n.n_regionkey, 2
+        FROM c1, nation n WHERE n.n_nationkey = 1
+        ORDER BY src, dst, hops
+    """,
+    notes=(
+        "membership over a list COMPREHENSION in WHERE (round-14, r13 "
+        "VERDICT #10): `'n:1' IN [z IN nodes(p) | z]` — the IN-list "
+        "folder now recognizes a comprehension body and leaves its "
+        "brackets for the list-expression rewriter (transform/filter), "
+        "and the IN-array rewrite maps membership over transform()/"
+        "filter() results to array_contains. Row-local lambda over the "
+        "O(hops) path array — no join, no shuffle beyond the traversal "
+        "itself. Oracle: paths through n:1 are exactly nation-1 "
+        "customers' 1-hop (→n:1) and 2-hop (→its region) walks"
+    ),
+)
+def cypher_in_comprehension(spark, sf_dir):
+    """WHERE 'n:1' IN [z IN nodes(p) | z] over an untyped 1..2-hop
+    traversal — the comprehension spelling of path membership."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH p = (c:Customer)-[*1..2]->(x)
+           WHERE 'n:1' IN [z IN nodes(p) | z]
+           RETURN c.id AS src, x.id AS dst, length(p) AS hops
+           ORDER BY src, dst, hops""",
+    )

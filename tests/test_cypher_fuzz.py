@@ -61,6 +61,21 @@ def _query(draw):
     shortest = nvars == 2 and draw(st.booleans())
     # single-segment patterns may bind a relationship variable
     rvar = "r" if nvars == 2 and not shortest and draw(st.booleans()) else ""
+    # round-14: multi-segment path variable — all segments forced fixed
+    # single-hop directed (the row-local chain subset)
+    chainpath = (
+        nvars >= 3
+        and not shortest
+        and not rvar
+        and draw(st.integers(0, 2)) == 0
+    )
+    # round-14: leading OPTIONAL MATCH (null-extends from a unit frame);
+    # EXISTS conjuncts anchored on its fresh vars are gated off below
+    leadopt = (
+        not shortest
+        and not chainpath
+        and draw(st.integers(0, 4)) == 0
+    )
     # a "simple" rvar rel (single-hop, one type, directed) unlocks the
     # round-7 introspection functions type()/startNode()/endNode()
     simple_rel = ""
@@ -80,9 +95,17 @@ def _query(draw):
             and not shortest
             and draw(st.integers(0, 2)) == 0
         )
+        if chainpath:
+            # fixed single-hop typed segment, either written direction —
+            # the row-local chain the path variable may bind (round-14)
+            arrow_c = draw(st.sampled_from(["out", "in"]))
+            body_c = f"[:{draw(_TYPES)}]"
+            rel_c = f"<-{body_c}-" if arrow_c == "in" else f"-{body_c}->"
+            pat += rel_c + draw(_node("" if anon else v))
+            continue
         pat += (simple_rel or draw(_rel(rvar))) + draw(_node("" if anon else v))
     comma = False
-    if not shortest and not rvar and draw(st.integers(0, 3)) == 0:
+    if not shortest and not rvar and not chainpath and draw(st.integers(0, 3)) == 0:
         # comma-separated multi-pattern sharing the first variable
         extra = draw(st.sampled_from(["q", "z"]))
         pat += f", ({extra})" + draw(_rel()) + f"({vs[0]})"
@@ -90,14 +113,23 @@ def _query(draw):
     # round-7: general path variable on a single-chain single-segment
     # first clause — p2 = (a)-[...]->(b)
     pathvar = (
-        not shortest and not comma and nvars == 2 and draw(st.integers(0, 2)) == 0
+        not shortest
+        and not comma
+        and not leadopt  # a path variable cannot bind an OPTIONAL clause
+        and nvars == 2
+        and draw(st.integers(0, 2)) == 0
     )
     unwound = False
     unwind_numeric = True
     if shortest:
         q = f"MATCH p = shortestPath({pat})"
+    elif chainpath:
+        # round-14: multi-segment fixed-hop chain binding a path variable
+        q = f"MATCH p3 = {pat}"
     elif pathvar:
         q = f"MATCH p2 = {pat}"
+    elif leadopt:
+        q = f"OPTIONAL MATCH {pat}"
     else:
         q = f"MATCH {pat}"
         if draw(st.integers(0, 3)) == 0:  # leading UNWIND (list or range)
@@ -131,7 +163,7 @@ def _query(draw):
             )
         ).format(v=vs[0])
         q += f" WHERE {wpred}"
-        if not shortest and draw(st.integers(0, 2)) == 0:
+        if not shortest and not leadopt and draw(st.integers(0, 2)) == 0:
             neg = "NOT " if draw(st.booleans()) else ""
             # round-11: anonymous / label-only nodes in EXISTS bodies
             e9n = draw(
@@ -140,7 +172,7 @@ def _query(draw):
                 )
             )
             q += f" AND {neg}EXISTS {{ {e9n}" + draw(_rel()) + f"({vs[0]}) }}"
-    elif not shortest and draw(st.integers(0, 3)) == 0:
+    elif not shortest and not leadopt and draw(st.integers(0, 3)) == 0:
         e9n = draw(st.sampled_from(["(e9)", "()", "(:Supplier)"]))
         q += f" WHERE EXISTS {{ {e9n}" + draw(_rel()) + f"({vs[0]}) }}"
     # optionally pipe through WITH, then optionally MATCH again (stage 2)
@@ -157,7 +189,7 @@ def _query(draw):
         if draw(st.booleans()):
             q += " WHERE n >= 2"
             # round-10: EXISTS/COUNT subquery conjuncts in the stage WHERE
-            if draw(st.integers(0, 2)) == 0:
+            if not leadopt and draw(st.integers(0, 2)) == 0:
                 q += draw(
                     st.sampled_from(
                         [
@@ -173,8 +205,13 @@ def _query(draw):
         items = ["piped", "n"]
         if stage2:
             fresh = draw(st.sampled_from(["u", "v", "w"]))
-            opt = "OPTIONAL " if draw(st.booleans()) else ""
-            q += f" {opt}MATCH ({fresh})" + draw(_rel()) + "(piped)"
+            if draw(st.integers(0, 2)) == 0:
+                # round-14: prop-map-only correlation after WITH — the
+                # conjunct is the clause's equi-join key (no shared var)
+                q += f" MATCH ({fresh}:Order {{custkey: piped.custkey}})"
+            else:
+                opt = "OPTIONAL " if draw(st.booleans()) else ""
+                q += f" {opt}MATCH ({fresh})" + draw(_rel()) + "(piped)"
             if draw(st.booleans()):  # chain a second pipe
                 q += " WITH piped, count(*) AS n2"
                 if draw(st.booleans()):
@@ -184,6 +221,15 @@ def _query(draw):
         # alias must not collide with a pattern variable: duplicate output
         # names are rejected at parse time (round-10 divergence check)
         items = [vs[0], "count(*) AS n_cnt"] if draw(st.booleans()) else list(vs[:2])
+        if chainpath and draw(st.booleans()):
+            # round-14: row-local multi-segment path projections
+            items.append(
+                draw(
+                    st.sampled_from(
+                        ["size(nodes(p3)) AS np3", "nodes(p3)[0] AS fn3"]
+                    )
+                )
+            )
         if rvar and draw(st.integers(0, 3)) == 0:  # round-7 aggregates
             items.append(
                 draw(

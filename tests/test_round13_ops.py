@@ -616,11 +616,19 @@ def test_where_bare_typo_targeted_error(spark):
         )
 
 
-def test_leading_optional_match_targeted_error(spark):
-    with pytest.raises(CypherSyntaxError, match="START with OPTIONAL"):
-        api.cypher(
-            spark, SF_SMALL, "OPTIONAL MATCH (x:Customer) RETURN x.name AS n"
-        )
+def test_leading_optional_match(spark):
+    # round-14 (r13 verdict #6): a query may OPEN with OPTIONAL MATCH —
+    # zero pattern matches yield ONE all-null row; matches pass through
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "OPTIONAL MATCH (x:Customer {name: 'nope'}) RETURN x.name AS n",
+    ).collect()
+    assert len(rows) == 1 and rows[0].n is None
+    rows = api.cypher(
+        spark, SF_SMALL, "OPTIONAL MATCH (x:Customer) RETURN count(x) AS n"
+    ).collect()
+    assert rows[0].n == 150
 
 
 # ---- 10. cycle-closing patterns (round-13 probe find) ----------------------

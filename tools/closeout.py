@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Mechanized round close-out (r13 verdict #2).
+
+Round 13 shipped a close-out note ("gate GREEN, pytest 1125/0") that
+contradicted the shipped artifacts (gate RED 10.78x, pytest 2 failed)
+because the final bench refresh landed AFTER the last full pytest run.
+This script makes that impossible: it runs the close-out steps in the
+one valid order, each against the tree AS IT WILL SHIP, and refuses to
+write the close-out record if any step is red.
+
+Order (fixed):
+  1. bench sf0.1  -> BENCH_LOCAL.json          (the shipped sidecar)
+  2. bench sf1    -> BENCH_SF1_LOCAL.json      (the shipped decade twin)
+  3. audit_gate on the records written in 1+2  (must exit 0)
+  4. full `pytest tests/` on the same tree     (must exit 0, after 1+2
+     so the gate tests see the shipped records)
+  5. full-registry selfcheck (tools/driver_sim.py, all oracle'd ops at
+     sf0.01)                                   (must exit 0)
+  6. write CLOSEOUT_r{N}.json with the measured numbers — the ONLY
+     artifact NOTES_r{N}.md may quote for these five facts.
+
+Any red step aborts with exit 1 and NO close-out record, so a claim can
+never outrun its evidence. Usage:
+
+  python tools/closeout.py --round 14 [--sf1-dir /tmp/mimranalytics_scaled_sf1]
+                           [--selfcheck-out SELFCHECK_r14.json]
+                           [--skip-sf1]   # only when the sf1 replica is absent
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def run(desc: str, cmd: list[str], env: dict | None = None) -> subprocess.CompletedProcess:
+    print(f"== closeout step: {desc}", flush=True)
+    full_env = dict(os.environ)
+    if env:
+        full_env.update(env)
+    t0 = time.time()
+    proc = subprocess.run(cmd, cwd=REPO, env=full_env, capture_output=True, text=True)
+    dt = time.time() - t0
+    tail = "\n".join((proc.stdout + proc.stderr).strip().splitlines()[-5:])
+    print(f"   exit={proc.returncode} wall={dt:.0f}s\n{tail}\n", flush=True)
+    if proc.returncode != 0:
+        print(f"CLOSEOUT RED at step '{desc}' — no close-out record written.", flush=True)
+        sys.exit(1)
+    return proc
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--sf1-dir", default="/tmp/mimranalytics_scaled_sf1")
+    ap.add_argument("--selfcheck-out", default=None)
+    ap.add_argument("--skip-sf1", action="store_true",
+                    help="skip the sf1 refresh (replica absent); gate still "
+                    "runs on the committed BENCH_SF1_LOCAL.json")
+    args = ap.parse_args()
+
+    record: dict = {"round": args.round, "order": []}
+
+    # 1. bench sf0.1 — writes BENCH_LOCAL.json (the shipped sidecar).
+    run("bench sf0.1 -> BENCH_LOCAL.json",
+        [sys.executable, "bench.py"],
+        env={"SPARK_GRAFT_SF_DIR": "/root/testdata/sf0.1"})
+    b01 = json.loads((REPO / "BENCH_LOCAL.json").read_text())
+    record["bench_sf01"] = {"wall": b01["value"], "n_queries": len(b01["queries"]),
+                            "n_failed": sum(1 for v in b01["queries"].values() if v < 0)}
+    record["order"].append("bench_sf01")
+    if record["bench_sf01"]["n_failed"]:
+        print("CLOSEOUT RED: bench sf0.1 has failed queries.")
+        return 1
+
+    # 2. bench sf1 — writes BENCH_SF1_LOCAL.json (the shipped decade twin).
+    if not args.skip_sf1:
+        if not Path(args.sf1_dir, "customer.parquet").exists():
+            run("build sf1 replica",
+                [sys.executable, "tools/make_scaled_sf.py"])
+        run("bench sf1 -> BENCH_SF1_LOCAL.json",
+            [sys.executable, "bench.py"],
+            env={"SPARK_GRAFT_SF_DIR": args.sf1_dir,
+                 "SPARK_GRAFT_BENCH_OUT": "BENCH_SF1_LOCAL.json"})
+        record["order"].append("bench_sf1")
+    b1 = json.loads((REPO / "BENCH_SF1_LOCAL.json").read_text())
+    record["bench_sf1"] = {"wall": b1["value"], "n_queries": len(b1["queries"]),
+                           "n_failed": sum(1 for v in b1["queries"].values() if v < 0)}
+
+    # 3. audit gate on the records just written.
+    gate = run("audit_gate on shipped records",
+               [sys.executable, "tools/audit_gate.py"])
+    worst = 0.0
+    for name, v01 in b01["queries"].items():
+        v1 = b1["queries"].get(name)
+        if v1 is not None and v1 >= 0 and v01 >= 0:
+            worst = max(worst, v1 / max(v01, 0.05))
+    record["decade_gate"] = {"green": True, "worst_ratio": round(worst, 2),
+                             "stdout_head": gate.stdout.splitlines()[0]}
+    record["order"].append("audit_gate")
+
+    # 4. full pytest AFTER the bench refresh, so the gate tests judge the
+    #    records that will ship.
+    pt = run("full pytest tests/", [sys.executable, "-m", "pytest", "tests/", "-q"])
+    m = re.search(r"(\d+) passed(?:.*?(\d+) skipped)?", pt.stdout + pt.stderr, re.S)
+    record["pytest"] = {"green": True, "summary_tail":
+                        (pt.stdout + pt.stderr).strip().splitlines()[-1]}
+    record["order"].append("pytest")
+
+    # 5. full-registry selfcheck at sf0.01.
+    sc = run("full-registry selfcheck (driver_sim, sf0.01)",
+             [sys.executable, "tools/driver_sim.py"])
+    sc_results = json.loads(sc.stdout)
+    n_green = sum(1 for r in sc_results.values()
+                  if r.get("hash_match") is True)
+    n_nooracle = sum(1 for r in sc_results.values() if r.get("err") == "no_oracle")
+    record["selfcheck"] = {"n_checked": len(sc_results), "n_hash_green": n_green,
+                           "n_no_oracle": n_nooracle}
+    record["order"].append("selfcheck")
+    out = args.selfcheck_out or f"SELFCHECK_r{args.round}.json"
+    (REPO / out).write_text(sc.stdout)
+
+    # 6. the close-out record — written only because every step above was green.
+    record["all_green"] = True
+    path = REPO / f"CLOSEOUT_r{args.round}.json"
+    path.write_text(json.dumps(record, indent=1))
+    print(f"CLOSEOUT GREEN -> {path.name}")
+    print(json.dumps(record, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
