@@ -64,6 +64,21 @@ def main() -> None:
 
     for df in tables(spark, sf_dir).values():
         df.select(df.columns[0]).limit(1).count()
+    # Warm the Python UDF workers too (round-14, r13 VERDICT #4 minor):
+    # the first Python-UDF op in a run was absorbing the per-executor
+    # daemon spin-up (measured: udf_scalar_py 2.2 s cold vs 0.18 s warm,
+    # flat across 3 warm reps) — one throwaway row-UDF invocation moves
+    # that one-time cost into the excluded session-start window, so UDF
+    # ops measure op cost, not daemon startup.
+    from pyspark.sql import functions as _F
+    from pyspark.sql.types import IntegerType as _Int
+
+    _warm = _F.udf(lambda x: x, returnType=_Int(), useArrow=True)
+    # write through the noop sink so the sink's one-time init is also
+    # excluded (the suite times every op through this sink)
+    spark.range(32).repartition(32).select(
+        _warm("id").alias("v")
+    ).write.format("noop").mode("overwrite").save()
 
     ops = all_ops()
     # SPARK_GRAFT_BENCH_ONLY: comma-separated op names — run just those.
