@@ -3721,8 +3721,10 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     f"{fn}({path_var}) is not available for "
                     "allShortestPaths() patterns (σ counts paths without "
                     "enumerating them — use shortestPath() for one "
-                    "reconstructed chain, or a plain variable-length "
-                    "pattern for all of them)"
+                    "reconstructed chain, a plain variable-length "
+                    "pattern for all of them, or the bounded-K "
+                    "enumeration api.k_shortest_paths / the "
+                    "graph_k_shortest_paths operator)"
                 )
             if not _single0 and not shortest:
                 raise CypherSyntaxError(
@@ -3984,8 +3986,10 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 raise CypherSyntaxError(
                     f"{low} is not available for allShortestPaths() "
                     "patterns (σ counts paths without enumerating them — "
-                    "use shortestPath() for one reconstructed chain, or a "
-                    "plain variable-length pattern for all of them)"
+                    "use shortestPath() for one reconstructed chain, a "
+                    "plain variable-length pattern for all of them, or "
+                    "the bounded-K enumeration api.k_shortest_paths / "
+                    "the graph_k_shortest_paths operator)"
                 )
             if not single and not shortest:
                 raise CypherSyntaxError(

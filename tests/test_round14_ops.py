@@ -309,3 +309,83 @@ def test_indexing_after_in_fix_unchanged(spark):
         "RETURN nodes(p)[0] AS first LIMIT 1",
     ).collect()
     assert rows[0].first.startswith("c:")
+
+
+# ---- 7. bounded-K allShortestPaths enumeration (r13 'missing' #6) ----------
+
+
+def test_k_shortest_paths_cap_is_exact(spark):
+    # hand-built diamond fan: s -> m1|m2|m3 -> t gives sigma=3; k=2 must
+    # keep exactly the 2 lexicographically-smallest paths while sigma
+    # stays the TRUE count
+    from mimranalytics_core_spark.functions.graph_algos import (
+        multi_source_k_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [("s", "m1"), ("s", "m2"), ("s", "m3"),
+         ("m1", "t"), ("m2", "t"), ("m3", "t")],
+        "src string, dst string",
+    )
+    sources = spark.createDataFrame([("s",)], "node string")
+    out = multi_source_k_shortest_paths(edges, sources, max_depth=2, k=2)
+    row = {r.node: r for r in out.collect()}
+    assert row["t"].sigma == 3
+    assert row["t"].paths == ["s|m1|t", "s|m2|t"]
+    assert row["m2"].paths == ["s|m2"] and row["m2"].sigma == 1
+
+
+def test_k_shortest_paths_min_hop_only(spark):
+    # a node reachable at hops 1 AND 2 reports only the min-hop paths
+    from mimranalytics_core_spark.functions.graph_algos import (
+        multi_source_k_shortest_paths,
+    )
+
+    edges = spark.createDataFrame(
+        [("s", "a"), ("s", "b"), ("a", "b")], "src string, dst string"
+    )
+    sources = spark.createDataFrame([("s",)], "node string")
+    out = multi_source_k_shortest_paths(edges, sources, max_depth=3, k=3)
+    row = {r.node: r for r in out.collect()}
+    assert row["b"].dist == 1 and row["b"].sigma == 1
+    assert row["b"].paths == ["s|b"]
+
+
+def test_graph_k_shortest_paths_cap_bites_at_sf001(spark):
+    from mimranalytics_core_spark.registry import all_ops
+
+    df = all_ops()["graph_k_shortest_paths"].fn(spark, SF)
+    import pyspark.sql.functions as F
+
+    capped = df.filter(F.col("sigma") > 3).count()
+    over = df.filter(
+        F.col("sigma") > F.size(F.split(F.col("paths_str"), ","))
+    ).count()
+    assert capped == 0  # sigma tops out at 3 on this fixture
+    assert over > 0  # …so with k=2 the cap visibly bites
+
+
+def test_api_k_shortest_paths_surface(spark):
+    rows = (
+        api.k_shortest_paths(
+            spark,
+            SF_SMALL,
+            k=2,
+            max_hops=2,
+            src_pred="src LIKE 'c:1'",
+        )
+        .orderBy("dst")
+        .collect()
+    )
+    assert rows and all(r.n_paths >= len(r.paths) for r in rows)
+    assert all(p.startswith("c:1|") for r in rows for p in r.paths)
+
+
+def test_allshortest_error_names_bounded_variant(spark):
+    with pytest.raises(CypherSyntaxError, match="k_shortest_paths"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH p = allShortestPaths((a)-[*1..3]->(b)) "
+            "RETURN nodes(p) AS ns",
+        )
