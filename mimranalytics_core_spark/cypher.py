@@ -4872,6 +4872,22 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 # these same tokens and resolve as stage outputs; `RETURN
                 # p` itself stays the targeted not-directly-returnable
                 # error, as at pattern scope.
+                if path_chain is not None:
+                    # multi-segment fixed-hop chain (round-14): the path
+                    # IS its node variables — pipe them under their own
+                    # names; downstream nodes(p)/relationships(p) were
+                    # rewritten to plain SQL over these names, and `WITH
+                    # DISTINCT p` dedups on the node sequence (the chain's
+                    # path identity)
+                    for v_ in path_chain["nodes"]:
+                        items.append(
+                            {
+                                "kind": "plain",
+                                "col": resolve(v_, f"{ctx} item"),
+                                "name": v_,
+                            }
+                        )
+                    continue
                 if not single and not shortest:
                     raise CypherSyntaxError(
                         f"WITH {path_var} needs a single-clause, single-"

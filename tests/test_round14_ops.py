@@ -389,3 +389,25 @@ def test_allshortest_error_names_bounded_variant(spark):
             "MATCH p = allShortestPaths((a)-[*1..3]->(b)) "
             "RETURN nodes(p) AS ns",
         )
+
+
+# ---- 8. WITH p over multi-segment chains -----------------------------------
+
+
+def test_with_p_multiseg_chain(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = (c:Customer)-[:CUSTOMER_OF]->(n:Nation)"
+        "-[:NATION_OF]->(r:Region) "
+        "WITH p WHERE 'n:1' IN nodes(p) RETURN count(*) AS cnt",
+    ).collect()
+    assert rows[0].cnt == 6
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH p = (c:Customer)-[:CUSTOMER_OF]->(n:Nation)"
+        "-[:NATION_OF]->(r:Region) "
+        "WITH DISTINCT p RETURN count(*) AS cnt",
+    ).collect()
+    assert rows[0].cnt == 150
