@@ -7176,7 +7176,41 @@ def _run_single(
             # pattern-scope row UNWIND (round-13): the expression reads the
             # matched frame's columns (path_nodes, collected lists…) — one
             # row-local explode, no shuffle, before the attribute joins so
-            # unwound node ids resolve properties downstream
+            # unwound node ids resolve properties downstream.
+            # round-14 probe find: the expression may itself read var.prop
+            # attributes (`UNWIND [c.custkey, c.nationkey] AS v`) — those
+            # var__prop columns attach AFTER this loop in the global
+            # attribute join, so pre-attach whatever the expression needs
+            # that isn't a frame column yet (the global join then skips
+            # them; same label-pruned build side)
+            _needed = {
+                (v_, pr_)
+                for v_, pr_ in re.findall(
+                    r"\b([A-Za-z_]\w*)__(\w+)\b", u["row_expr"]
+                )
+                if f"{v_}__{pr_}" not in df.columns
+                and v_ in df.columns
+                and pr_ in _PROPS
+            }
+            if _needed:
+                attrs_u = _attr_view()
+                for v_ in {v for v, _ in _needed}:
+                    prs_ = [pr for vv, pr in _needed if vv == v_]
+                    side_u = attrs_u
+                    lab_u = p["labels"].get(v_)
+                    if lab_u:
+                        side_u = side_u.filter(F.col("label") == lab_u)
+                    df = df.join(
+                        side_u.select(
+                            F.col("id").alias(v_),
+                            *[
+                                F.col(pr).alias(f"{v_}__{pr}")
+                                for pr in prs_
+                            ],
+                        ),
+                        v_,
+                        "left",
+                    )
             df = df.withColumn(u["var"], F.explode(F.expr(u["row_expr"])))
             continue
         if u.get("expr") is not None:

@@ -411,3 +411,19 @@ def test_with_p_multiseg_chain(spark):
         "WITH DISTINCT p RETURN count(*) AS cnt",
     ).collect()
     assert rows[0].cnt == 150
+
+
+# ---- 9. probe find: row UNWIND over var.prop lists -------------------------
+
+
+def test_row_unwind_over_prop_list(spark):
+    # UNWIND [c.custkey, c.nationkey] previously leaked Spark's raw
+    # UNRESOLVED_COLUMN (the explode ran before the attribute join); the
+    # needed attributes now pre-attach
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer {custkey: 1}) "
+        "UNWIND [c.custkey, c.nationkey] AS v RETURN v ORDER BY v",
+    ).collect()
+    assert [r.v for r in rows] == [1, 19]
