@@ -1531,6 +1531,78 @@ def _rewrite_in_array(pred: str) -> str:
         scan = k + len(repl)
 
 
+def _rewrite_cmp_chains(pred: str) -> str:
+    """Neo4j comparison CHAINING — ``1000 <= c.acctbal <= 2000`` means
+    ``1000 <= c.acctbal AND c.acctbal <= 2000`` (round-14 probe find: the
+    raw chain leaked Spark's DATATYPE_MISMATCH, comparing a boolean to a
+    number). Recurses through top-level AND/OR/XOR operands, NOT
+    prefixes, and enclosing parens; quote/bracket-aware; ``=~`` (regex
+    match), relationship arrows (``<-``/``->``), and atoms containing a
+    top-level CASE are never chain links. The middle operand is
+    duplicated textually — column refs and literals, the only shapes a
+    chain carries in practice."""
+    for kw in ("AND", "OR", "XOR"):
+        parts = _split_top_word(pred, kw)
+        if len(parts) > 1:
+            return f" {kw} ".join(_rewrite_cmp_chains(p) for p in parts)
+    s = pred.strip()
+    if not s:
+        return pred
+    nm = re.match(r"NOT\b\s*", s, re.I)
+    if nm:
+        inner = _rewrite_cmp_chains(s[nm.end() :])
+        if inner != s[nm.end() :]:
+            return f"{s[:nm.end()]}({inner})"
+        return pred
+    if s.startswith("("):
+        end = _balanced_end(s, 0)
+        if end == len(s):
+            return f"({_rewrite_cmp_chains(s[1:-1])})"
+    if re.search(r"\bCASE\b", _unquoted(s), re.I):
+        return pred  # WHEN-body comparisons are not chain links
+    ops: list[tuple[int, int]] = []
+    i, depth = 0, 0
+    while i < len(s):
+        ch = s[i]
+        if ch == "'":
+            j = s.find("'", i + 1)
+            i = (j if j >= 0 else len(s) - 1) + 1
+            continue
+        if ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0 and ch in "<>=!":
+            two = s[i : i + 2]
+            if two in ("<=", ">=", "<>", "!="):
+                ops.append((i, i + 2))
+                i += 2
+                continue
+            if two in ("=~", "<-"):
+                i += 2
+                continue
+            if ch == ">" and i > 0 and s[i - 1] == "-":
+                i += 1  # relationship arrow tail
+                continue
+            if ch in "<>=":
+                ops.append((i, i + 1))
+                i += 1
+                continue
+        i += 1
+    if len(ops) < 2:
+        return pred
+    bounds = [s[: ops[0][0]].strip()]
+    for k in range(len(ops) - 1):
+        bounds.append(s[ops[k][1] : ops[k + 1][0]].strip())
+    bounds.append(s[ops[-1][1] :].strip())
+    if not all(bounds):
+        return pred  # malformed — leave for downstream targeted errors
+    return " AND ".join(
+        f"({bounds[k]} {s[a:b]} {bounds[k + 1]})"
+        for k, (a, b) in enumerate(ops)
+    )
+
+
 def _split_top_word(text: str, word: str) -> list[str]:
     """Split ``text`` on top-level occurrences of keyword ``word``
     (case-insensitive, word-bounded, outside quotes and brackets, and
@@ -1953,6 +2025,16 @@ def _reduce_sql(body: str, lv: frozenset = frozenset()) -> str:
     lst = _maybe_array_literal(_rewrite_list_exprs(le[0].strip(), lv))
     expr = _rewrite_list_exprs(le[1].strip(), lv)
     expr = _subst_word(_subst_word(expr, acc, f"{acc}__"), var, f"{var}__")
+    # STRING-accumulator reduce (round-14 probe find): Cypher's + is
+    # polymorphic — with a string-literal init the accumulator is a
+    # string, so `acc + x` means concatenation; the raw + previously
+    # leaked Spark's DATATYPE_MISMATCH. Rewrite top-level + between
+    # terms to || only when the init is a quoted literal (the statically
+    # knowable case; numeric inits keep + — the declared subset rule).
+    if re.fullmatch(r"'(?:[^'])*'", init):
+        expr = _outside_quotes(
+            expr, lambda seg: re.sub(r"(?<![|+])\+(?![|+])", "||", seg)
+        )
     return f"aggregate({lst}, {init}, ({acc}__, {var}__) -> ({expr}))"
 
 
@@ -4390,6 +4472,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                 seg = seg.replace(pm, _map_expr(pm, "WHERE"))
             return _fn_rewrite(seg)
 
+        pred = _rewrite_cmp_chains(pred)
         pred = _rewrite_label_preds(pred, varset)
         # the list-expression surface applies in WHERE too (round-7 —
         # quantifiers/reduce/indexing/substring over properties and
@@ -4478,6 +4561,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             pt if pt.startswith("'") else _gfn_seg(pt)
             for pt in re.split(r"('(?:[^'])*')", raw)
         )
+        raw = _rewrite_cmp_chains(raw)
         raw = _rewrite_label_preds(raw, varset)
         raw = _rewrite_list_exprs(raw, scope_list_names["cur"])
         props_local: dict[str, set] = {}
@@ -5267,6 +5351,18 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     # `RETURN 'c:1' IN ids AS has1`): routes through the
                     # same list-expression rewriter as the WHERE forms
                     or re.search(r"\sIN\s", _unquoted(xm.group("expr")), re.I)
+                    # comparison / null-test / boolean-operator ITEMS
+                    # (round-14 probe find — `RETURN c.acctbal > 5000 AS
+                    # rich, count(*) AS n`, Neo4j's boolean grouping-key
+                    # idiom): same expression pipeline, same bare-name
+                    # validation
+                    or re.search(r"<=|>=|<>|!=|[=<>]", _unquoted(xm.group("expr")))
+                    or re.search(
+                        r"\bIS\s+(?:NOT\s+)?NULL\b|\b(?:AND|OR|NOT|XOR"
+                        r"|STARTS\s+WITH|ENDS\s+WITH|CONTAINS)\b",
+                        _unquoted(xm.group("expr")),
+                        re.I,
+                    )
                 )
             ):
                 # directly-resolvable forms keep the plain-column path
@@ -5806,7 +5902,9 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     )
                 # the stage WHERE gets the same expression surface as items:
                 # list lambdas / string predicates / scalar fn rewrites over
-                # the WITH outputs (round-7)
+                # the WITH outputs (round-7); comparison chains expand
+                # first (round-14)
+                having_i = _rewrite_cmp_chains(having_i)
                 having_i = _rewrite_list_exprs(having_i, scope_list_names["cur"])
                 having_i = _outside_quotes(having_i, _fn_rewrite)
                 having_i = _rx_anchor(
@@ -6005,6 +6103,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     f"unexpected second WHERE after WITH (no MATCH between): {query!r}"
                 )
             predp = _unmask(tail[tpos + swm_.start("p") : tpos + swm_.end("p")]).strip()
+            predp = _rewrite_cmp_chains(predp)
 
             def _map_props_p(seg: str, _res=_scope_resolve) -> str:
                 for pm_ in sorted(

@@ -7428,3 +7428,78 @@ def graph_k_shortest_paths(spark, sf_dir):
         "sigma",
         F.array_join("paths", ",").alias("paths_str"),
     ).orderBy("source", "node")
+
+
+@register(
+    "cypher_boolean_group_key",
+    "graph",
+    oracle="""
+        SELECT c_acctbal > 5000 AS rich,
+               c_mktsegment = 'BUILDING' AS bldg,
+               COUNT(*) AS cnt
+        FROM customer
+        GROUP BY 1, 2
+        ORDER BY rich, bldg
+    """,
+    notes=(
+        "boolean expressions as RETURN items / implicit grouping keys "
+        "(round-14 probe find): `RETURN c.acctbal > 5000 AS rich, "
+        "count(*) AS cnt` — Neo4j's boolean-bucketing idiom was rejected "
+        "('unsupported RETURN item') because the scalar-expression item "
+        "gate only admitted parens/brackets/arithmetic/IN; comparisons, "
+        "IS [NOT] NULL, and AND/OR/NOT/XOR/STARTS WITH/ENDS WITH/"
+        "CONTAINS now route through the same expression pipeline with "
+        "the same parse-time bare-name validation (a typo'd operand is "
+        "still a targeted error, not Spark's UNRESOLVED_COLUMN). Scale: "
+        "grouping on a computed boolean is the same two-phase hash agg "
+        "as any low-cardinality key. Oracle: the same grouped comparison"
+    ),
+)
+def cypher_boolean_group_key(spark, sf_dir):
+    """RETURN <comparison> AS key, count(*) — boolean bucketing."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)
+           RETURN c.acctbal > 5000 AS rich,
+                  c.mktsegment = 'BUILDING' AS bldg,
+                  count(*) AS cnt
+           ORDER BY rich, bldg""",
+    )
+
+
+@register(
+    "cypher_comparison_chain",
+    "graph",
+    oracle="""
+        SELECT c_mktsegment AS seg, COUNT(*) AS n
+        FROM customer
+        WHERE 1000 <= c_acctbal AND c_acctbal <= 5000
+        GROUP BY c_mktsegment
+        ORDER BY seg
+    """,
+    notes=(
+        "Neo4j comparison CHAINING (round-14 probe find): `1000 <= "
+        "c.acctbal <= 5000` means the conjunction of adjacent pairs — "
+        "the raw chain previously leaked Spark's DATATYPE_MISMATCH "
+        "(boolean <= number). _rewrite_cmp_chains expands depth-0 chains "
+        "per boolean atom (through AND/OR/XOR operands, NOT prefixes, "
+        "parens; =~, relationship arrows, and CASE atoms are never "
+        "links) in every WHERE site: stage-0, per-clause, stage WITH-"
+        "WHERE, post-WITH. Scale: the expansion is the same pushable "
+        "range conjunction the user meant — both bounds reach "
+        "PushedFilters. Oracle: the expanded conjunction"
+    ),
+)
+def cypher_comparison_chain(spark, sf_dir):
+    """WHERE 1000 <= c.acctbal <= 5000 — Neo4j operator chaining."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer) WHERE 1000 <= c.acctbal <= 5000
+           RETURN c.mktsegment AS seg, count(*) AS n ORDER BY seg""",
+    )

@@ -427,3 +427,84 @@ def test_row_unwind_over_prop_list(spark):
         "UNWIND [c.custkey, c.nationkey] AS v RETURN v ORDER BY v",
     ).collect()
     assert [r.v for r in rows] == [1, 19]
+
+
+# ---- 10. probe finds: boolean items + string reduce ------------------------
+
+
+def test_boolean_expression_items(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer) RETURN c.acctbal > 5000 AS rich, "
+        "count(*) AS cnt ORDER BY rich",
+    ).collect()
+    assert [(r.rich, r.cnt) for r in rows] == [(False, 84), (True, 66)]
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (n) RETURN n.acctbal IS NULL AS isnull, count(*) AS cnt "
+        "ORDER BY isnull",
+    ).collect()
+    assert [(r.isnull, r.cnt) for r in rows] == [(False, 160), (True, 30)]
+
+
+def test_boolean_item_typo_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="qqq"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (c:Customer) RETURN c.acctbal > qqq AS rich, "
+            "count(*) AS n",
+        )
+
+
+def test_string_reduce_concat(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "WITH ['a', 'bc'] AS xs "
+        "RETURN reduce(s = '<', x IN xs | s + x + '-') AS cat",
+    ).collect()
+    assert rows[0].cat == "<a-bc-"
+    # numeric reduce keeps +
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "WITH [1, 2, 3] AS xs RETURN reduce(s = 0, x IN xs | s + x) AS t",
+    ).collect()
+    assert rows[0].t == 6
+
+
+def test_comparison_chaining(spark):
+    import pyspark.sql.functions as F  # noqa: F401
+
+    base = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer) WHERE 1000 <= c.acctbal AND c.acctbal <= 2000 "
+        "RETURN count(*) AS n",
+    ).collect()[0].n
+    chained = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer) WHERE 1000 <= c.acctbal <= 2000 "
+        "RETURN count(*) AS n",
+    ).collect()[0].n
+    assert chained == base == 11
+    # NOT wraps the WHOLE chain
+    neg = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer) WHERE NOT 1000 <= c.acctbal <= 2000 "
+        "RETURN count(*) AS n",
+    ).collect()[0].n
+    assert neg == 150 - 11
+    # stage WHERE chains
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer) WITH c.acctbal AS bal WHERE 100 < bal < 1000 "
+        "RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n == 20
