@@ -4091,6 +4091,23 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     f"{low} is not defined for shortestPath() patterns"
                 )
             return low
+        if expr in relvars:
+            # round-14 probe find: `RETURN r` got the generic rejection —
+            # name what IS projectable from a relationship variable
+            seg_r = rvar_seg.get(expr)
+            var_len = bool(
+                seg_r and (seg_r["min_hops"], seg_r["max_hops"]) != (1, 1)
+            )
+            raise CypherSyntaxError(
+                f"a relationship variable is not directly returnable — "
+                f"project type({expr}), startNode({expr}), endNode({expr})"
+                + (
+                    f" (a var-length variable binds a relationship LIST "
+                    f"in Neo4j — subset limit)"
+                    if var_len
+                    else f", or {expr}.weight"
+                )
+            )
         raise CypherSyntaxError(f"unsupported {ctx}: {expr!r}")
 
     # WHERE: map property accesses to column tokens; a predicate naming only
@@ -5338,6 +5355,64 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
             # known column or an allow-listed Spark SQL function/keyword —
             # unknown names fail HERE with a CypherSyntaxError, not at
             # Spark analysis.
+            # MAP-LITERAL item (round-14 probe find): `RETURN {name:
+            # c.name, bal: c.acctbal} AS m` — the response-shaping idiom
+            # every driver tutorial uses. Compiles to named_struct; each
+            # value runs the same scalar pipeline + bare-name validation
+            # as any expression item. (Divergence note: a struct, not a
+            # dynamic map — keys are fixed at compile time, which is what
+            # a literal map is.)
+            ml_ = re.match(
+                r"^\{(?P<body>.*)\}\s+AS\s+(?P<alias>\w+)$", item, re.S
+            )
+            if ml_ is not None:
+                pairs_ml = []
+                for ent in _split_top(ml_.group("body"), r","):
+                    em_ = re.match(
+                        r"^\s*([A-Za-z_]\w*)\s*:\s*(.+?)\s*$", ent, re.S
+                    )
+                    if not em_:
+                        raise CypherSyntaxError(
+                            f"unsupported map-literal entry (expected "
+                            f"key: expr): {ent.strip()!r}"
+                        )
+
+                    def _map_ml(seg: str) -> str:
+                        for pm in sorted(
+                            set(re.findall(r"\b[A-Za-z_]\w*\.\w+\b", seg)),
+                            key=len,
+                            reverse=True,
+                        ):
+                            seg = seg.replace(
+                                pm, resolve(pm, f"map value in {ctx}")
+                            )
+                        return _fn_rewrite(seg)
+
+                    vsql = _outside_quotes(
+                        _rewrite_list_exprs(
+                            em_.group(2), scope_list_names["cur"]
+                        ),
+                        _map_ml,
+                    )
+                    vsql = _rx_anchor(
+                        _CONTAINS.sub(
+                            _ct,
+                            _ENDS_WITH.sub(_ew, _STARTS_WITH.sub(_sw, vsql)),
+                        )
+                    )
+                    for w in re.findall(r"\b[A-Za-z_]\w*\b", _unquoted(vsql)):
+                        if "__" in w or w.lower() in _EXPR_ALLOW:
+                            continue
+                        resolve(w, f"map value in {ctx}")
+                    pairs_ml.append(f"'{em_.group(1)}', {vsql}")
+                items.append(
+                    {
+                        "kind": "case",
+                        "sql": f"named_struct({', '.join(pairs_ml)})",
+                        "name": ml_.group("alias"),
+                    }
+                )
+                continue
             xm = re.match(r"^(?P<expr>.+)\s+AS\s+(?P<alias>\w+)$", item, re.I | re.S)
             if (
                 xm

@@ -508,3 +508,32 @@ def test_comparison_chaining(spark):
         "RETURN count(*) AS n",
     ).collect()
     assert rows[0].n == 20
+
+
+def test_map_literal_return_item(spark):
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer {custkey: 1}) "
+        "RETURN {name: c.name, bal: c.acctbal, rich: c.acctbal > 1000} AS m",
+    ).collect()
+    m = rows[0].m
+    assert m.name == "Customer#000000001" and m.rich is True
+    with pytest.raises(CypherSyntaxError, match="qqq"):
+        api.cypher(
+            spark, SF_SMALL,
+            "MATCH (c:Customer {custkey: 1}) RETURN {x: qqq} AS m",
+        )
+
+
+def test_rel_var_return_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match=r"type\(r\)"):
+        api.cypher(
+            spark, SF_SMALL,
+            "MATCH (a:Customer)-[r:CUSTOMER_OF]->(b) RETURN r LIMIT 1",
+        )
+    with pytest.raises(CypherSyntaxError, match="relationship LIST"):
+        api.cypher(
+            spark, SF_SMALL,
+            "MATCH (a:Customer)-[rs:CUSTOMER_OF*1..2]->(b) RETURN rs",
+        )
