@@ -297,9 +297,17 @@ def test_path_variable_guards(spark):
             "MATCH (a)-[:CUSTOMER_OF]->(b) "
             "OPTIONAL MATCH p = (b)-[:NATION_OF]->(c) RETURN a"
         )
-    with pytest.raises(CypherSyntaxError, match="single-chain"):
+    # round-14: a fixed single-hop multi-SEGMENT chain now BINDS a
+    # row-local path (nodes(p) → array(a, b, c)); the guard moved to
+    # var-length multi-segment chains, whose paths are not row-local
+    p14 = parse(
+        "MATCH p = (a)-[:CUSTOMER_OF]->(b)-[:NATION_OF]->(c) "
+        "RETURN nodes(p) AS x"
+    )
+    assert p14["projection"]
+    with pytest.raises(CypherSyntaxError, match="fixed single-hop"):
         parse(
-            "MATCH p = (a)-[:CUSTOMER_OF]->(b)-[:NATION_OF]->(c) "
+            "MATCH p = (a)-[:CUSTOMER_OF*1..2]->(b)-[:NATION_OF]->(c) "
             "RETURN nodes(p) AS x"
         )
     # round-13: nodes(p) on shortestPath() RECONSTRUCTS the chain (the
