@@ -6926,20 +6926,36 @@ def run(
             if spm.group("lim") is not None:
                 df = df.limit(int(spm.group("lim")))
         return df
-    pieces, kind = _split_union(query)
-    if kind is None:
-        return _run_single(spark, sf_dir, query, graph=graph)
-    dfs = [_run_single(spark, sf_dir, q, graph=graph) for q in pieces]
-    cols = dfs[0].columns
-    for d in dfs[1:]:
-        if d.columns != cols:
-            raise CypherSyntaxError(
-                f"UNION branches must return the same columns: {cols} vs {d.columns}"
-            )
-    out = dfs[0]
-    for d in dfs[1:]:
-        out = out.unionByName(d)
-    return out.distinct() if kind == "distinct" else out
+    # ParseException net (round-14): a degenerate-but-typed spelling can
+    # compile to a SQL fragment Spark's parser rejects (probe find:
+    # `WHERE x IS NULL IS NULL` → raw PARSE_SYNTAX_ERROR). Convert
+    # COMPILE-TIME parse failures of our generated SQL into the declared
+    # error type, keeping the engine's first message line for diagnosis.
+    # AnalysisException is NOT caught — masking a genuine resolution bug
+    # as "syntax" would hide defects.
+    from pyspark.errors import ParseException
+
+    try:
+        pieces, kind = _split_union(query)
+        if kind is None:
+            return _run_single(spark, sf_dir, query, graph=graph)
+        dfs = [_run_single(spark, sf_dir, q, graph=graph) for q in pieces]
+        cols = dfs[0].columns
+        for d in dfs[1:]:
+            if d.columns != cols:
+                raise CypherSyntaxError(
+                    f"UNION branches must return the same columns: {cols} vs {d.columns}"
+                )
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out.distinct() if kind == "distinct" else out
+    except ParseException as exc:
+        first = str(exc).strip().splitlines()[0]
+        raise CypherSyntaxError(
+            "unsupported expression composition (the compiled SQL "
+            f"fragment failed to parse: {first})"
+        ) from exc
 
 
 def _run_single(

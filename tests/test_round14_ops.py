@@ -537,3 +537,15 @@ def test_rel_var_return_targeted_error(spark):
             spark, SF_SMALL,
             "MATCH (a:Customer)-[rs:CUSTOMER_OF*1..2]->(b) RETURN rs",
         )
+
+
+def test_parse_exception_net(spark):
+    # degenerate-but-typed spellings that compile to SQL Spark's parser
+    # rejects surface as CypherSyntaxError, never a raw PARSE_SYNTAX_ERROR
+    with pytest.raises(CypherSyntaxError, match="failed to parse"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (c:Customer) WHERE c.acctbal IS NULL IS NULL "
+            "RETURN count(*) AS n",
+        )
