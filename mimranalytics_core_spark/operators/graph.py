@@ -7503,3 +7503,94 @@ def cypher_comparison_chain(spark, sf_dir):
         """MATCH (c:Customer) WHERE 1000 <= c.acctbal <= 5000
            RETURN c.mktsegment AS seg, count(*) AS n ORDER BY seg""",
     )
+
+
+@register(
+    "cypher_temporal_bare_match",
+    "graph",
+    oracle="""
+        SELECT 's:' || l_suppkey AS sup, COUNT(*) AS holders
+        FROM (
+            SELECT DISTINCT o_custkey, l_suppkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ) t
+        GROUP BY 1
+        ORDER BY holders DESC, sup
+        LIMIT 10
+    """,
+    notes=(
+        "bare (no-AS-OF) MATCH on the temporal ownership tier (round-15, "
+        "r14 VERDICT #1 — the one real defect found that round): "
+        "`MATCH (a)-[:OWNS_STAKE]->(b)` previously matched silently "
+        "EMPTY because owns_stake edges live only in the temporal view "
+        "and nothing routed a bare mention there (unlike the fact tiers' "
+        "_FACT_TIER_RE). api._edge_frame now routes any typed segment "
+        "naming owns_stake onto the temporal view with the as_of='*' "
+        "open-validity sentinel — bare semantics = every edge regardless "
+        "of [valid_from, valid_to], which is what Neo4j returns. Routing "
+        "is per SEGMENT, so untyped traversals keep the pruned entity "
+        "graph (100 TB posture unchanged) and AS OF queries are "
+        "byte-identical. Scale: same grouped-agg edge build + hash agg; "
+        "no validity filter simply means no filter. Oracle: the distinct "
+        "(custkey, suppkey) pair count per supplier"
+    ),
+)
+def cypher_temporal_bare_match(spark, sf_dir):
+    """MATCH (a)-[:OWNS_STAKE]->(b) without AS OF — all-validity edges."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (a)-[:OWNS_STAKE]->(b)
+           RETURN b.id AS sup, count(*) AS holders
+           ORDER BY holders DESC, sup LIMIT 10""",
+    )
+
+
+@register(
+    "cypher_temporal_bare_headline",
+    "graph",
+    oracle="""
+        WITH eo AS (
+            SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        es AS (
+            SELECT DISTINCT 's:' || l_suppkey AS src, 'n:' || s_nationkey AS dst
+            FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        )
+        SELECT hops, COUNT(*) AS n FROM (
+            SELECT 1 AS hops FROM eo
+            UNION ALL
+            SELECT 2 AS hops FROM eo JOIN es ON eo.dst = es.src
+        ) t
+        GROUP BY hops
+        ORDER BY hops
+    """,
+    notes=(
+        "MIGRATION.md's own headline example (round-15, r14 VERDICT #1): "
+        "`MATCH (a)-[:OWNS_STAKE|SUPPLIER_OF*1..4]->(b) WHERE a.id "
+        "STARTS WITH 'c:'` returned 0 rows as written before the "
+        "temporal-tier routing — and with SUPPLIER_OF in the alternation "
+        "it would have returned PARTIAL results silently had the entity "
+        "graph carried that type from customers. Now the whole "
+        "alternation resolves against the temporal view open-validity: "
+        "hops=1 is the c->s stake tier, hops=2 the c->s->n closure "
+        "(supplier_of has no outgoing edges in the type subset, so the "
+        "*1..4 bound saturates at 2 — the oracle needs no recursion). "
+        "Oracle: union of the 1-hop tier and the 2-hop join, counted per "
+        "hop"
+    ),
+)
+def cypher_temporal_bare_headline(spark, sf_dir):
+    """The MIGRATION.md headline Cypher string, run as written."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (a)-[:OWNS_STAKE|SUPPLIER_OF*1..4]->(b)
+           WHERE a.id STARTS WITH 'c:'
+           RETURN hops, count(*) AS n ORDER BY hops""",
+    )
