@@ -415,6 +415,7 @@ def match_path(
     keep_edges: bool = False,
     carry_cost: bool = False,
     carry_type: bool = False,
+    carry_weight_list: bool = False,
 ) -> DataFrame:
     """Declarative graph-pattern entry point — the Cypher-shaped surface.
 
@@ -481,6 +482,12 @@ def match_path(
             "path never repeats an edge, so trail mode IS the Dijkstra "
             "search space)"
         )
+    if carry_weight_list and not trail:
+        raise ValueError(
+            "carry_weight_list requires trail=True (the ordered per-hop "
+            "weight array is a per-path quantity — walk mode aggregates "
+            "per (src, dst) pair)"
+        )
     if carry_type:
         # round-12 (type(r) on UNTYPED single-hop segments — r11 VERDICT
         # "missing" #4): the traversal result joins the typed edge view
@@ -512,10 +519,20 @@ def match_path(
         e, min_hops=min_hops, max_hops=max_hops, src_pred=src_pred,
         unique_edges=trail, undirected=(direction == "both"),
         keep_edges=keep_edges, carry_cost=carry_cost,
+        keep_weights=carry_weight_list,
     )
     if trail:
         # one row PER PATH (Cypher's match row stream), multiplicities kept
         extra = ["__edges"] if keep_edges else []
+        if carry_weight_list:
+            # per-hop weights rounded like the scalar carries — the list
+            # is the `[r IN relationships(p) | r.weight]` surface
+            extra = [
+                F.transform("path_weights", lambda w: F.round(w, 6)).alias(
+                    "path_weights"
+                ),
+                *extra,
+            ]
         if carry_type:
             et = _edge_frame(
                 spark, sf_dir, edge_types=edge_types, as_of=as_of,

@@ -3752,6 +3752,94 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         for pt in re.split(r"('(?:[^'])*')", tail)
     )
 
+    # ---- relationship-list comprehensions (round-15, r14 VERDICT #2):
+    # `[r IN relationships(p) | r.weight]` / `[r IN rs | expr]` — the
+    # tutorial form for inspecting path edges. The trail machinery can
+    # carry the ordered per-hop weight array (path_rows keep_weights —
+    # the same row-local array append the edge-key path uses, no extra
+    # shuffle), so the comprehension compiles to a transform() over it:
+    # `[r IN rs WHERE pred | body]` → `transform(filter(path_weights,
+    # r -> pred'), r -> body')` with `r.weight` → the lambda binder.
+    # Only `.weight` is readable (the relationship's one stored property
+    # on var-length segments); anything else is a targeted error.
+    need_wlist = {"v": False}
+    _RLIST_COMP = re.compile(
+        r"\[\s*(?P<v>[A-Za-z_]\w*)\s+IN\s+"
+        r"(?P<src>relationships\s*\(\s*[A-Za-z_]\w*\s*\)|[A-Za-z_]\w*)"
+        r"\s*(?:WHERE\s+(?P<pred>[^\[\]|]+?))?"
+        r"\s*\|\s*(?P<body>[^\[\]]+?)\s*\]",
+        re.I,
+    )
+
+    def _rlist_comp_sub(m: re.Match) -> str:
+        src = m.group("src")
+        rm_ = re.match(r"relationships\s*\(\s*([A-Za-z_]\w*)\s*\)", src, re.I)
+        if rm_ is not None:
+            if not (path_var and rm_.group(1) == path_var):
+                return m.group(0)  # not our path variable
+        else:
+            seg_ = rvar_seg.get(src)
+            if seg_ is None:
+                return m.group(0)  # a generic list comprehension
+            if (seg_["min_hops"], seg_["max_hops"]) == (1, 1):
+                raise CypherSyntaxError(
+                    f"{src!r} is a single relationship, not a list — a "
+                    "comprehension needs a var-length segment "
+                    f"(`-[{src}:T*1..k]->`): {m.group(0)!r}"
+                )
+        if shortest:
+            raise CypherSyntaxError(
+                "relationship-list comprehensions are not defined for "
+                "shortestPath() patterns (the BFS computes distances, it "
+                "does not carry per-edge weights)"
+            )
+        if not (
+            len(clauses) == 1
+            and len(segments) == 1
+            and not clauses[0].get("optional")
+        ):
+            raise CypherSyntaxError(
+                "a relationship-list comprehension needs a single-clause, "
+                "single-segment, non-OPTIONAL pattern (the per-hop weight "
+                f"array is carried per path): {m.group(0)!r}"
+            )
+        v = m.group("v")
+        parts = {"pred": m.group("pred"), "body": m.group("body")}
+        for role, txt in list(parts.items()):
+            if txt is None:
+                continue
+            bad = re.search(rf"\b{re.escape(v)}\s*\.\s*(?!weight\b)(\w+)", txt)
+            if bad:
+                raise CypherSyntaxError(
+                    f"only {v}.weight is readable inside a relationship-"
+                    f"list comprehension ({v}.{bad.group(1)} is not a "
+                    f"stored relationship property): {m.group(0)!r}"
+                )
+            rewritten = re.sub(rf"\b{re.escape(v)}\s*\.\s*weight\b", v, txt)
+            if re.search(
+                rf"\b{re.escape(v)}\b\s*\.(?!\d)", rewritten
+            ):
+                raise CypherSyntaxError(
+                    f"unsupported use of {v!r} inside the comprehension "
+                    f"(read {v}.weight): {m.group(0)!r}"
+                )
+            parts[role] = rewritten.strip()
+        need_wlist["v"] = True
+        if parts["pred"] is None and re.fullmatch(
+            re.escape(v), parts["body"]
+        ):
+            return "path_weights"  # identity body — the array itself
+        # re-emit as a GENERIC list comprehension over the carried array:
+        # the ordinary list-expression compiler owns binder scoping and
+        # validation from here (transform/filter lowering included)
+        pred_txt = f" WHERE {parts['pred']}" if parts["pred"] else ""
+        return f"[{v} IN path_weights{pred_txt} | {parts['body']}]"
+
+    tail = "".join(
+        pt if pt.startswith("'") else _RLIST_COMP.sub(_rlist_comp_sub, pt)
+        for pt in re.split(r"('(?:[^'])*')", tail)
+    )
+
     # ---- path functions over the bound path variable (round-13, VERDICT
     # #1): nodes(p) / relationships(p) / length(p) rewrite HERE — before
     # the pipeline scanner — to the per-path row-stream column tokens
@@ -3932,7 +4020,9 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # path_nodes/path_rels are LIST-typed tokens: size() over them must
     # take the cardinality() path, and a WITH that pipes them keeps the
     # list-typedness on its output name (round-13)
-    scope_list_names: dict = {"cur": frozenset({"path_nodes", "path_rels"})}
+    scope_list_names: dict = {
+        "cur": frozenset({"path_nodes", "path_rels", "path_weights"})
+    }
     # ordered visible names of the current pipeline scope, for `*`
     # expansion (RETURN * / WITH * — round-7); internal __ names excluded
     scope_names: dict = {"cur": []}
@@ -4086,6 +4176,20 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     "(path functions read the per-path row stream)"
                 )
             need_path["nodes" if low == "path_nodes" else "rels"] = True
+            return low
+        if low == "path_weights":
+            # the relationship-list comprehension carry (round-15) — same
+            # per-path row-stream guards as path_nodes/path_rels
+            if shortest:
+                raise CypherSyntaxError(
+                    f"{low} is not defined for shortestPath() patterns"
+                )
+            if not single:
+                raise CypherSyntaxError(
+                    f"{low} needs a single-clause, single-segment pattern "
+                    "(the per-hop weight array is carried per path)"
+                )
+            need_wlist["v"] = True
             return low
         if low in ("hops", "path_weight", "path_cost"):
             if not single:
@@ -6472,6 +6576,7 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
         "carry_cost": carry_cost,
         "need_path_nodes": need_path["nodes"],
         "need_path_rels": need_path["rels"],
+        "need_weight_list": need_wlist["v"],
         # legacy single-stage views of the pipe list (first pipe)
         "with_items": pipes[0]["with_items"] if pipes else None,
         "having": pipes[0]["having"] if pipes else None,
@@ -7267,6 +7372,7 @@ def _run_single(
             keep_edges=bool(need_pnodes or need_prels),
             carry_cost=bool(p.get("carry_cost")),
             carry_type=bool(segs[0].get("need_type")),
+            carry_weight_list=bool(p.get("need_weight_list")),
         )
         cols = [
             F.col("src").alias(segs[0]["src"]),
@@ -7281,6 +7387,8 @@ def _run_single(
             cols.append("path_weight")
         if p.get("carry_cost"):
             cols.append("path_cost")
+        if p.get("need_weight_list"):
+            cols.append("path_weights")
         # path-variable projections (round-7): derived ROW-LOCALLY from the
         # edge-key array the trail machinery already carries — no extra
         # join or shuffle. nodes(p) replays the keys from src, picking the

@@ -65,10 +65,15 @@ def path_rows(
     undirected: bool = False,
     keep_edges: bool = False,
     carry_cost: bool = False,
+    keep_weights: bool = False,
 ) -> DataFrame:
     """Enumerate bounded directed paths as per-path rows
     (src, dst, hops, path_weight = Π edge weight
-    [, path_cost = Σ edge weight with ``carry_cost``]).
+    [, path_cost = Σ edge weight with ``carry_cost``]
+    [, path_weights = the ordered per-hop weight ARRAY with
+    ``keep_weights`` — round-15, the `[r IN relationships(p) |
+    r.weight]` comprehension surface; same row-local array append the
+    edge-key path uses, no extra shuffle]).
 
     ``carry_cost`` adds the ADDITIVE accumulator (round-11 — weighted
     shortest-path/Dijkstra semantics read min over Σ, where the UBO
@@ -121,6 +126,7 @@ def path_rows(
         "src", "dst", F.lit(1).alias("hops"), F.col("weight").alias("path_weight"),
         F.col("weight").alias("path_cost"),
         F.array(ekey).alias("__epath"),
+        *([F.array(F.col("weight")).alias("__wpath")] if keep_weights else []),
     )
     if src_pred is not None:
         frontier = frontier.filter(F.expr(src_pred))
@@ -145,6 +151,11 @@ def path_rows(
             (F.col("path_weight") * F.col("__w")).alias("path_weight"),
             (F.col("path_cost") + F.col("__w")).alias("path_cost"),
             F.concat(F.col("__epath"), F.array(step_key)).alias("__epath"),
+            *(
+                [F.concat(F.col("__wpath"), F.array(F.col("__w"))).alias("__wpath")]
+                if keep_weights
+                else []
+            ),
         )
         levels.append(frontier)
     out = levels[0]
@@ -153,6 +164,8 @@ def path_rows(
     cols = ["src", "dst", "hops", "path_weight"]
     if carry_cost:
         cols.append("path_cost")
+    if keep_weights:
+        cols.append(F.col("__wpath").alias("path_weights"))
     if keep_edges:
         # expose the accumulated edge-key array (``__edges``) so callers can
         # enforce relationship uniqueness ACROSS pattern segments (Cypher:

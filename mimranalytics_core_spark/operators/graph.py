@@ -7594,3 +7594,100 @@ def cypher_temporal_bare_headline(spark, sf_dir):
            WHERE a.id STARTS WITH 'c:'
            RETURN hops, count(*) AS n ORDER BY hops""",
     )
+
+
+@register(
+    "cypher_rel_list_comprehension",
+    "graph",
+    oracle="""
+        WITH RECURSIVE tedges AS (
+            SELECT 'c:' || o.o_custkey AS src, 's:' || l.l_suppkey AS dst,
+                   MIN(o.o_orderdate) AS valid_from,
+                   MAX(o.o_orderdate) AS valid_to,
+                   SUM(l.l_extendedprice) AS vol
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            WHERE o.o_custkey < 150
+            GROUP BY o.o_custkey, l.l_suppkey
+        ),
+        snap1 AS (
+            SELECT src, dst, vol / SUM(vol) OVER (PARTITION BY src) AS weight
+            FROM tedges
+            WHERE valid_from <= TIMESTAMP '1997-06-01 00:00:00'
+              AND TIMESTAMP '1997-06-01 00:00:00' <= valid_to
+        ),
+        sedges AS (
+            SELECT 's:' || l.l_suppkey AS src, 'n:' || s.s_nationkey AS dst,
+                   MIN(l.l_shipdate) AS valid_from,
+                   MAX(l.l_shipdate) AS valid_to
+            FROM supplier s JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+            GROUP BY l.l_suppkey, s.s_nationkey
+        ),
+        snap2 AS (
+            SELECT src, dst, CAST(1 AS DOUBLE) AS weight FROM sedges
+            WHERE valid_from <= TIMESTAMP '1997-06-01 00:00:00'
+              AND TIMESTAMP '1997-06-01 00:00:00' <= valid_to
+        ),
+        snap3 AS (
+            SELECT 'n:' || n_nationkey AS src, 'r:' || n_regionkey AS dst,
+                   CAST(1 AS DOUBLE) AS weight
+            FROM nation
+        ),
+        vedges AS (
+            SELECT * FROM snap1 UNION ALL SELECT * FROM snap2
+            UNION ALL SELECT * FROM snap3
+        ),
+        paths(owner, entity, wlist, depth) AS (
+            SELECT src, dst,
+                   printf('%.6f', FLOOR(weight * 1e6 + 0.5) / 1e6), 1
+            FROM vedges WHERE src LIKE 'c:%'
+            UNION ALL
+            SELECT p.owner, e.dst,
+                   p.wlist || '|'
+                       || printf('%.6f', FLOOR(e.weight * 1e6 + 0.5) / 1e6),
+                   p.depth + 1
+            FROM paths p JOIN vedges e ON e.src = p.entity
+            WHERE p.depth < 3
+        )
+        SELECT owner, entity, depth AS hops, wlist
+        FROM paths
+    """,
+    notes=(
+        "relationship-list comprehensions (round-15, r14 VERDICT #2): "
+        "`[r IN relationships(p) | r.weight]` / `[r IN rs | expr]` — the "
+        "tutorial form for inspecting path edges, previously a targeted "
+        "rejection (only the reduce weight-product/sum forms compiled). "
+        "The trail machinery now carries the ordered per-hop weight "
+        "array (path_rows keep_weights → api.match_path "
+        "carry_weight_list → the path_weights column): the same "
+        "row-local array append the edge-key path uses, zero extra "
+        "shuffle, built only when a comprehension asks for it. The "
+        "comprehension re-emits as a generic list comprehension over "
+        "path_weights, so the ordinary transform/filter lowering owns "
+        "binder scoping; `r.weight` maps to the lambda binder, any "
+        "other property is a targeted error. Oracle: recursive CTE "
+        "accumulating the per-hop weight string along each path — "
+        "per-path rows, no aggregation, list stringified '%.6f'-joined "
+        "on both sides"
+    ),
+)
+def cypher_rel_list_comprehension(spark, sf_dir):
+    """[r IN relationships(p) | r.weight] over OWNS_STAKE*1..3 AS OF."""
+    from mimranalytics_core_spark import api
+
+    df = api.cypher(
+        spark,
+        sf_dir,
+        """MATCH p = (a)-[:OWNS_STAKE|SUPPLIER_OF|NATION_OF*1..3]->(b)
+           AS OF '1997-06-01'
+           WHERE a.id STARTS WITH 'c:' AND a.custkey < 150
+           RETURN a.id AS owner, b.id AS entity, hops,
+                  [r IN relationships(p) | r.weight] AS ws""",
+    )
+    return df.select(
+        "owner",
+        "entity",
+        "hops",
+        F.concat_ws(
+            "|", F.transform("ws", lambda w: F.format_string("%.6f", w))
+        ).alias("wlist"),
+    )

@@ -310,6 +310,14 @@ def _query(draw):
                         "head(nodes(p2)) AS pnh",
                         "length(p2) + 1 AS plen1",
                         "count(p2) AS pcnt",
+                        # round-15: relationship-list comprehensions —
+                        # happy path on single-segment non-shortest
+                        # patterns, targeted error everywhere else
+                        "[r IN relationships(p2) | r.weight] AS prw",
+                        "[r IN relationships(p2) WHERE r.weight > 0.5 "
+                        "| r.weight] AS prwf",
+                        "size([r IN relationships(p2) | r.weight * 2]) "
+                        "AS prwn",
                     ]
                 ),
                 min_size=1,

@@ -106,6 +106,77 @@ def test_mixed_segment_query_routes_each_segment(spark):
     assert rows[0].n > 0
 
 
+# ---- 2. relationship-list comprehensions (r14 VERDICT #2) ------------------
+
+
+def test_rel_list_comprehension_weights(spark):
+    """[r IN relationships(p) | r.weight] returns the ordered per-hop
+    weight list; the product over it equals the carried path_weight."""
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH p = (a)-[:CUSTOMER_OF|NATION_OF*1..2]->(b)
+           WHERE a.id STARTS WITH 'c:'
+           RETURN a, b, hops, path_weight,
+                  [r IN relationships(p) | r.weight] AS ws""",
+    ).collect()
+    assert rows
+    for r in rows:
+        assert len(r.ws) == r.hops
+        prod = 1.0
+        for w in r.ws:
+            prod *= w
+        assert abs(prod - r.path_weight) < 1e-4
+
+
+def test_rel_var_list_comprehension_with_body_and_filter(spark):
+    """[r IN rs | expr] over the bound var-length rel var, with a WHERE
+    filter and a non-identity body."""
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        """MATCH (a)-[rs:NATION_OF*1..2]->(b)
+           RETURN [r IN rs WHERE r.weight > 0.5 | r.weight * 2] AS w2
+           LIMIT 5""",
+    ).collect()
+    assert rows and all(all(abs(w - 2.0) < 1e-9 for w in r.w2) for r in rows)
+
+
+def test_rel_list_comprehension_targeted_errors(spark):
+    with pytest.raises(CypherSyntaxError, match="single relationship"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            "MATCH (a)-[r:NATION_OF]->(b) RETURN [x IN r | x.weight] AS w",
+        )
+    with pytest.raises(CypherSyntaxError, match="only r.weight is readable"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            """MATCH p = (a)-[:NATION_OF*1..2]->(b)
+               RETURN [r IN relationships(p) | r.cost] AS w""",
+        )
+    with pytest.raises(CypherSyntaxError, match="shortestPath"):
+        api.cypher(
+            spark,
+            SF_SMALL,
+            """MATCH p = shortestPath((a)-[*1..3]->(b))
+               WHERE a.id = 'c:1'
+               RETURN [r IN relationships(p) | r.weight] AS w""",
+        )
+
+
+def test_generic_list_comprehension_untouched(spark):
+    """A comprehension over a literal list must not be claimed by the
+    relationship-list rewrite."""
+    rows = api.cypher(
+        spark,
+        SF_SMALL,
+        "MATCH (c:Customer) RETURN [x IN [1, 2, 3] | x * 10] AS xs LIMIT 1",
+    ).collect()
+    assert rows[0].xs == [10, 20, 30]
+
+
 def test_edge_frame_open_validity_sentinel(spark):
     """api._edge_frame(as_of='*') is the documented open-validity form:
     same edge set as the bare routed match, shares renormalized per src."""
