@@ -515,12 +515,65 @@ def match_path(
 
     from mimranalytics_core_spark.functions.graph_algos import path_rows
 
-    out = path_rows(
-        e, min_hops=min_hops, max_hops=max_hops, src_pred=src_pred,
-        unique_edges=trail, undirected=(direction == "both"),
-        keep_edges=keep_edges, carry_cost=carry_cost,
-        keep_weights=carry_weight_list,
-    )
+    # Cypher ZERO-LENGTH patterns (round-15, r14 VERDICT #3): `*0..n`
+    # includes the length-0 path binding a = b for EVERY graph node —
+    # relationship-type constraints are per-relationship and hold
+    # vacuously on an empty relationship list (Neo4j semantics). The
+    # zero tier is a node-view projection (no join, no shuffle) unioned
+    # under the ≥1-hop enumeration; path_weight is the multiplicative
+    # identity, path_cost the additive one, the edge/weight arrays empty.
+    if min_hops < 0:
+        raise ValueError(f"need 0 <= min_hops <= max_hops, got {min_hops}..{max_hops}")
+    zero = None
+    if min_hops == 0:
+        if graph == "trade_credit":
+            te = catalog.trade_credit_edges(spark, sf_dir)
+            nodes = (
+                te.select(F.col("src").alias("id"))
+                .unionByName(te.select(F.col("dst").alias("id")))
+                .distinct()
+            )
+        else:
+            nodes = (
+                catalog.business_nodes(spark, sf_dir)
+                if graph == "business"
+                else catalog.hierarchy_nodes(spark, sf_dir)
+            ).select("id")
+        zero = nodes.select(
+            F.col("id").alias("src"),
+            F.col("id").alias("dst"),
+            F.lit(0).alias("hops"),
+            F.lit(1.0).alias("path_weight"),
+            *([F.lit(0.0).alias("path_cost")] if carry_cost else []),
+            *(
+                [F.array().cast("array<double>").alias("path_weights")]
+                if carry_weight_list
+                else []
+            ),
+            *(
+                [F.array().cast("array<string>").alias("__edges")]
+                if keep_edges
+                else []
+            ),
+        )
+        if src_pred is not None:
+            zero = zero.filter(F.expr(src_pred))
+        min_hops = 1
+    if max_hops == 0:
+        if zero is None:
+            raise ValueError(
+                f"need 0 <= min_hops <= max_hops, got {min_hops}..{max_hops}"
+            )
+        out = zero
+    else:
+        out = path_rows(
+            e, min_hops=min_hops, max_hops=max_hops, src_pred=src_pred,
+            unique_edges=trail, undirected=(direction == "both"),
+            keep_edges=keep_edges, carry_cost=carry_cost,
+            keep_weights=carry_weight_list,
+        )
+        if zero is not None:
+            out = out.unionByName(zero)
     if trail:
         # one row PER PATH (Cypher's match row stream), multiplicities kept
         extra = ["__edges"] if keep_edges else []

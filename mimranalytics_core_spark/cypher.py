@@ -2912,6 +2912,15 @@ def _parse_bounds(rm: re.Match) -> tuple[int, int]:
             hi = int(rm.group("max"))
         else:
             hi = int(rm.group("min")) if rm.group("min") else 3  # bare * → 1..3
+        # bound sanity HERE, at pattern-parse time (round-15, r14 VERDICT
+        # #3): an inverted bound previously leaked the traversal layer's
+        # raw ValueError; min 0 is legal — zero-length patterns bind a = b
+        # (api.match_path's zero tier)
+        if lo > hi:
+            raise CypherSyntaxError(
+                f"variable-length bounds are inverted: *{lo}..{hi} "
+                f"(need min <= max)"
+            )
         return lo, hi
     return 1, 1
 

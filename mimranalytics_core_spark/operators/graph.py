@@ -7691,3 +7691,45 @@ def cypher_rel_list_comprehension(spark, sf_dir):
             "|", F.transform("ws", lambda w: F.format_string("%.6f", w))
         ).alias("wlist"),
     )
+
+
+@register(
+    "cypher_zero_length_path",
+    "graph",
+    oracle="""
+        SELECT 'n:' || n_nationkey AS src, 'n:' || n_nationkey AS dst,
+               0 AS hops
+        FROM nation
+        UNION ALL
+        SELECT 'n:' || n_nationkey, 'r:' || n_regionkey, 1
+        FROM nation
+        ORDER BY hops, src, dst
+    """,
+    notes=(
+        "zero-length variable paths `*0..n` (round-15, r14 VERDICT #3): "
+        "previously a RAW ValueError from the traversal layer — now real "
+        "Neo4j semantics: the length-0 path binds a = b for every graph "
+        "node (relationship-type constraints are per-relationship and "
+        "hold vacuously on an empty list), implemented as a node-view "
+        "projection unioned under the >=1-hop enumeration in "
+        "api.match_path (no join, no shuffle for the zero tier); "
+        "path_weight is the multiplicative identity, the edge/weight "
+        "arrays empty (so nodes(p) on a 0-hop row is the single node). "
+        "Inverted bounds (*3..1) are now a targeted parse error — the "
+        "engine's error contract, one layer lower than round-14's "
+        "ParseException net. Oracle: the self-row union of the nation "
+        "tier with its 1-hop closure"
+    ),
+)
+def cypher_zero_length_path(spark, sf_dir):
+    """MATCH (a)-[:NATION_OF*0..1]->(b) — zero-length path semantics."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (a)-[:NATION_OF*0..1]->(b)
+           WHERE a.id STARTS WITH 'n:'
+           RETURN a.id AS src, b.id AS dst, hops
+           ORDER BY hops, src, dst""",
+    )

@@ -177,6 +177,71 @@ def test_generic_list_comprehension_untouched(spark):
     assert rows[0].xs == [10, 20, 30]
 
 
+# ---- 3. zero-length variable paths (r14 VERDICT #3) ------------------------
+
+
+def test_zero_length_path_counts(spark):
+    """*0..n binds a = b for every graph node; *0..0 is the pure self-row
+    tier; counts decompose exactly."""
+    n0 = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:NATION_OF*0..0]->(b) RETURN count(*) AS n",
+    ).collect()[0].n
+    n1 = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:NATION_OF*1..1]->(b) RETURN count(*) AS n",
+    ).collect()[0].n
+    n01 = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:NATION_OF*0..1]->(b) RETURN count(*) AS n",
+    ).collect()[0].n
+    assert n0 > 0 and n1 > 0 and n01 == n0 + n1
+
+
+def test_zero_length_self_binding(spark):
+    """Every 0-hop row binds both endpoints to the same node."""
+    rows = api.cypher(
+        spark, SF_SMALL,
+        """MATCH (a)-[:NATION_OF*0..1]->(b)
+           WHERE a.id STARTS WITH 'n:'
+           RETURN a, b, hops""",
+    ).collect()
+    assert all(r.a == r.b for r in rows if r.hops == 0)
+    assert any(r.hops == 0 for r in rows) and any(r.hops == 1 for r in rows)
+
+
+def test_zero_length_path_nodes_single_element(spark):
+    """nodes(p) on a 0-hop path is the one bound node (empty edge array →
+    the aggregate seeds with src)."""
+    rows = api.cypher(
+        spark, SF_SMALL,
+        """MATCH p = (a)-[:NATION_OF*0..0]->(b)
+           RETURN size(nodes(p)) AS n LIMIT 3""",
+    ).collect()
+    assert rows and all(r.n == 1 for r in rows)
+
+
+def test_inverted_bounds_targeted_error(spark):
+    """*3..1 must be a CypherSyntaxError at parse time, never the
+    traversal layer's raw ValueError."""
+    with pytest.raises(CypherSyntaxError, match="inverted"):
+        api.cypher(
+            spark, SF_SMALL,
+            "MATCH (a)-[:NATION_OF*3..1]->(b) RETURN count(*) AS n",
+        )
+
+
+def test_shortest_path_zero_length(spark):
+    """shortestPath with *0.. includes the trivial self-path at length 0."""
+    rows = api.cypher(
+        spark, SF_SMALL,
+        """MATCH p = shortestPath((a)-[*0..3]->(b))
+           WHERE a.id = 'n:1'
+           RETURN b.id AS t, length(p) AS l ORDER BY l, t""",
+    ).collect()
+    assert rows[0].t == "n:1" and rows[0].l == 0
+
+
 def test_edge_frame_open_validity_sentinel(spark):
     """api._edge_frame(as_of='*') is the documented open-validity form:
     same edge set as the bare routed match, shares renormalized per src."""
