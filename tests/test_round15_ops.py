@@ -242,6 +242,98 @@ def test_shortest_path_zero_length(spark):
     assert rows[0].t == "n:1" and rows[0].l == 0
 
 
+# ---- 4. anonymous bare arrows (r14 VERDICT #4) -----------------------------
+
+
+def test_bare_undirected_hop_matches_bracketed(spark):
+    forms = [
+        "MATCH (a)--(b) RETURN count(*) AS n",
+        "MATCH (a)-[]-(b) RETURN count(*) AS n",
+        "MATCH (a)-[*1..1]-(b) RETURN count(*) AS n",
+    ]
+    counts = {api.cypher(spark, SF_SMALL, q).collect()[0].n for q in forms}
+    assert len(counts) == 1 and counts.pop() > 0
+
+
+def test_bare_directed_arrows(spark):
+    out = api.cypher(
+        spark, SF_SMALL, "MATCH (a)-->(b) RETURN count(*) AS n"
+    ).collect()[0].n
+    inn = api.cypher(
+        spark, SF_SMALL, "MATCH (a)<--(b) RETURN count(*) AS n"
+    ).collect()[0].n
+    both = api.cypher(
+        spark, SF_SMALL, "MATCH (a)--(b) RETURN count(*) AS n"
+    ).collect()[0].n
+    assert out == inn > 0 and both == 2 * out
+
+
+def test_bare_arrow_chain_and_quotes_untouched(spark):
+    rows = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)--(b)--(c) RETURN count(*) AS n",
+    ).collect()
+    assert rows[0].n > 0
+    # a quoted literal containing the arrow spelling must survive
+    lit = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (c:Customer) RETURN '(x)--(y)' AS s LIMIT 1",
+    ).collect()[0].s
+    assert lit == "(x)--(y)"
+
+
+# ---- 5. whole-node RETURN: the documented id-only rule (r14 VERDICT #5) ----
+
+
+def test_whole_node_return_is_id_and_mapproj_is_struct(spark):
+    """`RETURN n` projects the namespaced id (declared divergence, now
+    documented in MIGRATION.md); `n {.*}` is the property-map form."""
+    row = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (c:Customer) RETURN c ORDER BY c LIMIT 1",
+    ).collect()[0]
+    assert isinstance(row.c, str) and row.c.startswith("c:")
+    srow = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (c:Customer) RETURN c {.*} AS props ORDER BY c.custkey LIMIT 1",
+    ).collect()[0]
+    assert hasattr(srow.props, "name") and srow.props.name is not None
+
+
+# ---- 6. SKIP/LIMIT constant expressions (r14 VERDICT #6) -------------------
+
+
+def test_skip_limit_constant_folding(spark):
+    rows = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (c:Customer) RETURN c.name AS n ORDER BY n SKIP 1*2 LIMIT 6/2",
+    ).collect()
+    plain = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (c:Customer) RETURN c.name AS n ORDER BY n SKIP 2 LIMIT 3",
+    ).collect()
+    assert rows == plain and len(rows) == 3
+
+
+def test_skip_limit_fold_with_stage_and_errors(spark):
+    k = api.cypher(
+        spark, SF_SMALL,
+        """MATCH (c:Customer) WITH c.name AS n ORDER BY n LIMIT 10 - 5
+           RETURN count(*) AS k""",
+    ).collect()[0].k
+    assert k == 5
+    with pytest.raises(CypherSyntaxError, match="non-negative"):
+        api.cypher(
+            spark, SF_SMALL,
+            "MATCH (c:Customer) RETURN c.name AS n ORDER BY n LIMIT 1 - 2",
+        )
+    with pytest.raises(CypherSyntaxError, match="division by zero"):
+        api.cypher(
+            spark, SF_SMALL,
+            "MATCH (c:Customer) RETURN c.name AS n ORDER BY n LIMIT 1/0",
+        )
+
+
 def test_edge_frame_open_validity_sentinel(spark):
     """api._edge_frame(as_of='*') is the documented open-validity form:
     same edge set as the bare routed match, shares renormalized per src."""
