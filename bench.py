@@ -155,9 +155,17 @@ def main() -> None:
     # arrived unparseable).
     print(json.dumps(full), file=sys.stderr)
     # SPARK_GRAFT_BENCH_OUT overrides the sidecar path so scaling-pair
-    # runs (10x replica) don't clobber the recorded sf0.1 pair file
+    # runs (10x replica) don't clobber the recorded sf0.1 pair file.
+    # Round-15 guard: BENCH_LOCAL.json is BY CONTRACT the sf0.1 decade
+    # record (tools/audit_gate.py asserts it) — an ad-hoc run at any
+    # other SF without an explicit BENCH_OUT routes its sidecar to /tmp
+    # instead of silently clobbering the record.
     out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
-    with open(Path(__file__).resolve().parent / out_name, "w") as fh:
+    out_path = Path(__file__).resolve().parent / out_name
+    if out_name == "BENCH_LOCAL.json" and sf_val != 0.1:
+        out_path = Path(f"/tmp/BENCH_LOCAL_sf{sf_val}.json")
+        out_name = str(out_path)
+    with open(out_path, "w") as fh:
         json.dump(full, fh, indent=1)
     n_fail = sum(1 for v in timings.values() if v < 0)
     print(

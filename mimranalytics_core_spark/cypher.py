@@ -436,6 +436,39 @@ _KNOWN_RELS = {
     "buys_from", "co_located",                    # trade_credit
     "placed", "contains", "supplies",             # business fact tiers
 }
+# endpoint-tier pair per stored relationship type (node-id prefixes of the
+# catalog edge builders). Used by the clause-frame trail guard: edge keys
+# are `src>dst` strings, so two TYPED segments can only ever bind the same
+# relationship when their type sets intersect OR two of their types share
+# an (unordered) endpoint-tier pair — otherwise the pairwise
+# arrays_overlap uniqueness filter is provably always true and is elided,
+# along with the per-segment edge-key arrays it reads (round-15 perf:
+# cypher_supply_chain carried 10 no-op array filters plus five 600k-row
+# array columns through its join chain).
+_REL_TIERS = {
+    "customer_of": frozenset("cn"), "supplier_of": frozenset("sn"),
+    "nation_of": frozenset("nr"), "owns_stake": frozenset("cs"),
+    "placed": frozenset("co"), "contains": frozenset("op"),
+    "supplies": frozenset("sp"), "buys_from": frozenset("s"),
+    "co_located": frozenset("s"),
+}
+
+
+def _segs_could_share_rel(a: dict, b: dict) -> bool:
+    """Can two pattern segments bind the same stored relationship?
+    Conservative: untyped segments and unknown types always CAN."""
+    ta, tb = a.get("types"), b.get("types")
+    if ta is None or tb is None:
+        return True
+    if set(ta) & set(tb):
+        return True
+    if any(t not in _REL_TIERS for t in (*ta, *tb)):
+        return True
+    return bool(
+        {_REL_TIERS[t] for t in ta} & {_REL_TIERS[t] for t in tb}
+    )
+
+
 _REL_RE = re.compile(
     r"""\s*(?P<larr><)?\s*-\s*\[\s*
         (?P<rvar>[A-Za-z_]\w*)?\s*
@@ -7307,8 +7340,21 @@ def _run_single(
                 cframe = cframe.crossJoin(_node_frame(var, with_props=True))
             return cframe
         pending = list(enumerate(clause["segments"]))
+        # clause-level relationship uniqueness only binds between segment
+        # pairs that CAN share a relationship (round-15): typed segments
+        # with disjoint type sets over disjoint endpoint-tier pairs are
+        # provably key-disjoint, so both the pairwise arrays_overlap
+        # filter and the edge-key arrays feeding it are elided.
+        csegs = clause["segments"]
+        share_pairs = [
+            (i, j)
+            for i in range(len(csegs))
+            for j in range(i + 1, len(csegs))
+            if _segs_could_share_rel(csegs[i], csegs[j])
+        ]
+        need_ep = {i for pr in share_pairs for i in pr}
         cframe = None
-        ep_cols: list[str] = []
+        ep_col: dict[int, str] = {}
         while pending:
             pick = next(
                 (
@@ -7337,19 +7383,20 @@ def _run_single(
                 graph=graph,
                 direction=seg.get("direction", "out"),
                 trail=True,
-                keep_edges=True,
+                keep_edges=si in need_ep,
                 # a referenced rel variable on a 1..1 segment carries the
                 # edge weight as its own column (round-6, the path_weight
                 # discipline)
                 carry_weight=bool(seg.get("need_weight")),
                 carry_type=bool(seg.get("need_type")),
             )
-            ep = f"__ep{si}"
             sel = [
                 F.col("src").alias(seg["src"]),
                 F.col("dst").alias(seg["dst"]),
-                F.col("__edges").alias(ep),
             ]
+            if si in need_ep:
+                ep_col[si] = f"__ep{si}"
+                sel.append(F.col("__edges").alias(ep_col[si]))
             if seg.get("need_weight"):
                 sel.append(F.col("path_weight").alias(f"{seg['rvar']}__w"))
             if seg.get("need_type"):
@@ -7371,19 +7418,17 @@ def _run_single(
                     # equality re-plans it as a hash join
                     else cframe.crossJoin(part)
                 )
-            ep_cols.append(ep)
         # node-only chains riding a clause that also has segments
         # (round-12 — `MATCH (a)-[:R]->(b), (c:Customer)`): cross-join
         # their node frames in, same cartesian semantics as above
         for var in clause["vars"]:
             if var not in cframe.columns:
                 cframe = cframe.crossJoin(_node_frame(var, with_props=True))
-        for i in range(len(ep_cols)):
-            for j in range(i + 1, len(ep_cols)):
-                cframe = cframe.filter(
-                    ~F.arrays_overlap(F.col(ep_cols[i]), F.col(ep_cols[j]))
-                )
-        return cframe.drop(*ep_cols)
+        for i, j in share_pairs:
+            cframe = cframe.filter(
+                ~F.arrays_overlap(F.col(ep_col[i]), F.col(ep_col[j]))
+            )
+        return cframe.drop(*ep_col.values())
 
     if p["shortest"]:
         segs = clauses[0]["segments"]

@@ -300,6 +300,47 @@ def test_whole_node_return_is_id_and_mapproj_is_struct(spark):
     assert hasattr(srow.props, "name") and srow.props.name is not None
 
 
+# ---- trail-guard elision for key-disjoint segments (round-15 perf) ---------
+
+
+def test_same_type_comma_chain_keeps_uniqueness(spark):
+    """Two same-type segments CAN share a relationship — the pairwise
+    uniqueness filter must stay: the comma-chain pair count excludes the
+    diagonal (E^2 - E), Neo4j relationship isomorphism."""
+    e = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:CO_LOCATED]->(b) RETURN count(*) AS n",
+        graph="trade_credit",
+    ).collect()[0].n
+    pairs = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:CO_LOCATED]->(b), (c)-[:CO_LOCATED]->(d) "
+        "RETURN count(*) AS n",
+        graph="trade_credit",
+    ).collect()[0].n
+    assert e > 1 and pairs == e * e - e
+
+
+def test_disjoint_type_comma_chain_full_product(spark):
+    """Typed segments over disjoint endpoint tiers can never bind the
+    same relationship — the elided filter must not change the cartesian
+    count (full product, no diagonal exclusion)."""
+    n1 = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:NATION_OF]->(b) RETURN count(*) AS n",
+    ).collect()[0].n
+    n2 = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (s)-[:SUPPLIER_OF]->(m) RETURN count(*) AS n",
+    ).collect()[0].n
+    pairs = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:NATION_OF]->(b), (s)-[:SUPPLIER_OF]->(m) "
+        "RETURN count(*) AS n",
+    ).collect()[0].n
+    assert pairs == n1 * n2 > 0
+
+
 # ---- 6. SKIP/LIMIT constant expressions (r14 VERDICT #6) -------------------
 
 

@@ -79,6 +79,26 @@ def main() -> None:
         # ops (join_fuzzy_name_blocked / pipeline_entity_resolution)
         # quadratically in K — measured 197 s at K=10 vs 2.2 s at sf0.1
         # before this fix, pure fixture artifact.
+        # replica EMBEDDINGS are rotated, not duplicated (round-15, r14
+        # VERDICT #9): replica i > 0 applies a deterministic per-replica
+        # PERMUTATION of the 64 dims. An orthogonal transform preserves
+        # every WITHIN-replica cosine exactly (near-dup structure per
+        # replica is byte-identical to the source), while a permuted twin
+        # has near-zero cosine to its original — so the near-dup pair set
+        # grows linearly in K like real SF growth, instead of every
+        # vector gaining K-1 exact twins (the superlinear fixture
+        # artifact that forced the dedup_embedding_cosine decade-gate
+        # exemption since round 9).
+        def _embedding_sql(col: str) -> str:
+            import random
+
+            cases = []
+            for i in range(1, K):
+                idx = list(range(1, 65))  # DuckDB list indices are 1-based
+                random.Random(1000 + i).shuffle(idx)
+                cases.append(f"WHEN {i} THEN list_select({col}, {idx})")
+            return f"CASE r.i {' '.join(cases)} ELSE {col} END AS {col}"
+
         name_fixes = {
             ("customer", "c_name"): (
                 "printf('Customer#%09d', c_custkey + r.i * {o}) AS c_name",
@@ -100,7 +120,15 @@ def main() -> None:
                 # would silently rewrite it as timestamp[us] (TIMESTAMP_NTZ to
                 # Spark — breaks streaming watermarks). Emit epoch-nanos so the
                 # catalog's bigint→timestamp path applies identically.
-                else (f"epoch_ns({c}) AS {c}" if tbl == "events" and c == "ts" else c)
+                else (
+                    f"epoch_ns({c}) AS {c}"
+                    if tbl == "events" and c == "ts"
+                    else (
+                        _embedding_sql(c)
+                        if tbl == "embeddings" and c == "embedding"
+                        else c
+                    )
+                )
             )
             for c in cols
         )
