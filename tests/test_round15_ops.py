@@ -94,6 +94,27 @@ def test_untyped_traversal_still_prunes_to_entity_graph(spark):
     assert untyped == hierarchy_edge_count
 
 
+def test_mixed_alternation_never_drops_a_tier(spark):
+    """`:OWNS_STAKE|CUSTOMER_OF` must count BOTH tiers (round-15 probe
+    find: the first routing cut silently dropped customer_of because the
+    temporal view lacks it — open-validity routing now takes only the
+    temporal-exclusive type from the temporal view, everything else from
+    the regular graph)."""
+    n_os = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:OWNS_STAKE]->(b) RETURN count(*) AS n",
+    ).collect()[0].n
+    n_co = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:CUSTOMER_OF]->(b) RETURN count(*) AS n",
+    ).collect()[0].n
+    n_both = api.cypher(
+        spark, SF_SMALL,
+        "MATCH (a)-[:OWNS_STAKE|CUSTOMER_OF]->(b) RETURN count(*) AS n",
+    ).collect()[0].n
+    assert n_both == n_os + n_co
+
+
 def test_mixed_segment_query_routes_each_segment(spark):
     """A chain mixing an owns_stake hop with an entity-tier hop resolves
     each segment against its own view and joins on the shared variable."""
