@@ -1474,6 +1474,14 @@ _EXPR_ALLOW = {
     "weekday", "dayofyear",
     # round-11: string utility parity
     "repeat",
+    # round-15 probe find: `c.nationkey IN [1, 2, 3] AS inn` as a boolean
+    # RETURN item — the membership rewrite (_rewrite_in_lists) runs before
+    # item parsing, so the compiled SQL carries a bare IN the name-scan
+    # must admit (the WHERE path never scans names, which is why only the
+    # item position failed)
+    "in",
+    # round-15: the $now pin of Neo4j's no-arg timestamp() (epoch millis)
+    "unix_millis",
 }
 
 
@@ -2427,6 +2435,16 @@ def bind_params(query: str, params: dict | None) -> str:
             # function form (timestamp('…')), not literal form — the item
             # grammar routes parenthesized expressions to the allow-listed
             # general-expression path
+            # Neo4j timestamp() = milliseconds since epoch (round-15
+            # probe find: the form leaked Spark's WRONG_NUM_ARGS even
+            # with $now bound) — pin it FIRST, before the now|datetime
+            # rewrite emits timestamp('…') calls this regex must not eat
+            seg = re.sub(
+                r"\btimestamp\s*\(\s*\)",
+                f"unix_millis(timestamp('{nv}'))",
+                seg,
+                flags=re.I,
+            )
             seg = re.sub(
                 r"\b(?:now|datetime)\s*\(\s*\)", f"timestamp('{nv}')", seg, flags=re.I
             )
@@ -3092,6 +3110,22 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     # SKIP/LIMIT constant arithmetic (round-15): fold before any scanner
     # so every site (RETURN tail, WITH stages, CALL bodies) sees literals
     query = _fold_skip_limit_consts(query)
+    # no-arg temporal forms that survived bind_params are UNBOUND uses of
+    # wall-clock time (round-15 probe find: timestamp()/date() leaked
+    # Spark's raw WRONG_NUM_ARGS; now() got the generic rejection) —
+    # targeted error naming the $now session parameter that pins them
+    for _pt in re.split(r"('(?:[^'])*')", query):
+        if not _pt.startswith("'"):
+            _na = re.search(
+                r"\b(now|datetime|date|timestamp|localdatetime|localtime"
+                r"|time)\s*\(\s*\)", _pt, re.I
+            )
+            if _na:
+                raise CypherSyntaxError(
+                    f"no-arg {_na.group(1)}() reads the wall clock and is "
+                    "nondeterministic — bind the $now session parameter "
+                    "(params={'now': '<ISO timestamp>'}) to pin it"
+                )
     # anonymous node patterns (round-11): () / (:Label) / ({props}) get a
     # fresh synthetic variable each, AFTER the QPP desugar (so a node
     # following a quantifier sits after an ordinary `]->` tail) and

@@ -7772,3 +7772,36 @@ def cypher_anon_undirected_hop(spark, sf_dir):
            RETURN a.id AS nation, count(*) AS degree
            ORDER BY nation""",
     )
+
+
+@register(
+    "cypher_in_membership_item",
+    "graph",
+    oracle="""
+        SELECT c_nationkey IN (1, 2, 3) AS inn, COUNT(*) AS n
+        FROM customer
+        GROUP BY 1
+        ORDER BY inn
+    """,
+    notes=(
+        "list membership as a boolean RETURN item / implicit grouping "
+        "key (round-15 probe find): `RETURN c.nationkey IN [1, 2, 3] AS "
+        "inn, count(*)` — the membership rewrite ran before item parsing "
+        "so the compiled SQL carried a bare IN token the item name-scan "
+        "rejected; the WHERE position never scans names, which is why "
+        "only the item form failed. Same two-phase hash agg on a "
+        "computed boolean as the round-14 comparison-key idiom. Oracle: "
+        "the same grouped membership"
+    ),
+)
+def cypher_in_membership_item(spark, sf_dir):
+    """RETURN c.nationkey IN [1,2,3] AS inn, count(*) — IN bucketing."""
+    from mimranalytics_core_spark import api
+
+    return api.cypher(
+        spark,
+        sf_dir,
+        """MATCH (c:Customer)
+           RETURN c.nationkey IN [1, 2, 3] AS inn, count(*) AS n
+           ORDER BY inn""",
+    )

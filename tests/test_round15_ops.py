@@ -321,6 +321,34 @@ def test_whole_node_return_is_id_and_mapproj_is_struct(spark):
     assert hasattr(srow.props, "name") and srow.props.name is not None
 
 
+# ---- round-15 probe finds: IN items, no-arg temporal forms -----------------
+
+
+def test_in_membership_as_return_item(spark):
+    rows = api.cypher(
+        spark, SF_SMALL,
+        """MATCH (c:Customer)
+           RETURN c.nationkey IN [1, 2, 3] AS inn, count(*) AS n
+           ORDER BY inn""",
+    ).collect()
+    assert [r.inn for r in rows] == [False, True]
+    assert sum(r.n for r in rows) == 150
+
+
+def test_noarg_temporal_forms_targeted_error_and_now_pin(spark):
+    """Unbound no-arg now()/timestamp()/date() must be targeted errors
+    naming $now, never raw WRONG_NUM_ARGS; bound, timestamp() is Neo4j's
+    epoch-milliseconds."""
+    for fn in ("now", "timestamp", "date", "datetime"):
+        with pytest.raises(CypherSyntaxError, match=r"\$now"):
+            api.cypher(spark, SF_SMALL, f"RETURN {fn}() AS t")
+    t = api.cypher(
+        spark, SF_SMALL, "RETURN timestamp() AS t",
+        params={"now": "1997-06-01 00:00:00"},
+    ).collect()[0].t
+    assert t == 865123200000  # ms since epoch at 1997-06-01T00:00:00Z
+
+
 # ---- trail-guard elision for key-disjoint segments (round-15 perf) ---------
 
 
