@@ -403,6 +403,7 @@ from pyspark.sql import functions as F
 _MATCH_HEAD = re.compile(r"^\s*MATCH\s*", re.IGNORECASE)
 _NODE_RE = re.compile(
     r"\(\s*([A-Za-z_]\w*)\s*(?::\s*([A-Za-z_]\w*))?"
+    r"(?P<xlabels>(?::\s*[A-Za-z_]\w*)+)?"  # multi-label → targeted error
     r"(?:\s*\{(?P<props>[^{}]*)\})?\s*\)"
 )
 # node labels map to the namespaced id prefixes of the graph views. The
@@ -3281,6 +3282,20 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
     _propmap_refs: list = []  # variable-reference prop-map values (round-13)
 
     def _note_label(nm: re.Match) -> None:
+        # multi-label patterns `(x:A:B)` (round-15 probe find — the old
+        # regex fell to the generic "expected a node pattern" error):
+        # every node in this engine's graph views carries exactly ONE
+        # label, so a label intersection is empty by construction —
+        # targeted error naming the data-model rule instead of a silent
+        # 0-row result or a generic parse failure
+        if nm.group("xlabels"):
+            raise CypherSyntaxError(
+                f"multi-label pattern ({nm.group(1)}:{nm.group(2)}"
+                f"{nm.group('xlabels')}): nodes carry exactly one label "
+                "in this engine (Customer/Supplier/Nation/Region/Order/"
+                "Part), so a label intersection matches nothing — match "
+                "a single label"
+            )
         # inline property maps desugar to WHERE conjuncts, collected per
         # clause (round-7) — the clause loop routes them into per-clause /
         # trailing WHERE scope
@@ -6685,6 +6700,15 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     projection.append({"kind": "plain", "col": mapped, "name": hname})
                     hidden_order_cols.append(hname)
                     name = hname
+                elif (
+                    "." in name and name.split(".", 1)[0] in out_names
+                ):
+                    # ORDER BY a FIELD of a returned struct item (round-15
+                    # probe find — `RETURN c {.name, .acctbal} AS m ORDER
+                    # BY m.acctbal`, the map-projection ordering idiom):
+                    # F.col resolves the dotted name as struct-field
+                    # access on the projected output
+                    pass
                 else:
                     raise CypherSyntaxError(
                         f"ORDER BY key {name!r} is not a RETURN output column"

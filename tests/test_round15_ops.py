@@ -349,6 +349,30 @@ def test_noarg_temporal_forms_targeted_error_and_now_pin(spark):
     assert t == 865123200000  # ms since epoch at 1997-06-01T00:00:00Z
 
 
+def test_multi_label_pattern_targeted_error(spark):
+    with pytest.raises(CypherSyntaxError, match="exactly one label"):
+        api.cypher(
+            spark, SF_SMALL,
+            "MATCH (x:Customer:Nation) RETURN count(*) AS n",
+        )
+
+
+def test_order_by_struct_field_of_output(spark):
+    """ORDER BY m.acctbal on a map-projection output — the field resolves
+    as struct access on the projected column."""
+    top = api.cypher(
+        spark, SF_SMALL,
+        """MATCH (c:Customer) RETURN c {.name, .acctbal} AS m
+           ORDER BY m.acctbal DESC LIMIT 1""",
+    ).collect()[0].m
+    flat = api.cypher(
+        spark, SF_SMALL,
+        """MATCH (c:Customer) RETURN c.name AS n, c.acctbal AS b
+           ORDER BY b DESC LIMIT 1""",
+    ).collect()[0]
+    assert top.name == flat.n and top.acctbal == flat.b
+
+
 # ---- trail-guard elision for key-disjoint segments (round-15 perf) ---------
 
 
