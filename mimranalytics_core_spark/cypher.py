@@ -6701,14 +6701,34 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                     hidden_order_cols.append(hname)
                     name = hname
                 elif (
-                    "." in name and name.split(".", 1)[0] in out_names
+                    "." in name
+                    and name.split(".", 1)[0] in out_names
+                    and any(
+                        it["name"] == name.split(".", 1)[0]
+                        and str(it.get("sql", "")).lstrip().startswith("named_struct(")
+                        for it in projection
+                    )
                 ):
                     # ORDER BY a FIELD of a returned struct item (round-15
                     # probe find — `RETURN c {.name, .acctbal} AS m ORDER
                     # BY m.acctbal`, the map-projection ordering idiom):
                     # F.col resolves the dotted name as struct-field
-                    # access on the projected output
-                    pass
+                    # access on the projected output. Gated on the item
+                    # actually COMPILING to a struct (named_struct SQL) —
+                    # a dotted key over a scalar output (`RETURN n ... ORDER
+                    # BY n.name` under aggregation/DISTINCT) must keep the
+                    # targeted error below, not leak an AnalysisException.
+                    f = name.split(".", 1)[1]
+                    it = next(
+                        it for it in projection
+                        if it["name"] == name.split(".", 1)[0]
+                        and str(it.get("sql", "")).lstrip().startswith("named_struct(")
+                    )
+                    if f"'{f}'" not in it["sql"]:
+                        raise CypherSyntaxError(
+                            f"ORDER BY key {name!r}: field {f!r} is not in "
+                            f"the projected map {name.split('.', 1)[0]!r}"
+                        )
                 else:
                     raise CypherSyntaxError(
                         f"ORDER BY key {name!r} is not a RETURN output column"

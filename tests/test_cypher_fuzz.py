@@ -84,6 +84,7 @@ def _query(draw):
         body = f"[{rvar}:{draw(_TYPES)}]"
         simple_rel = f"<-{body}-" if arrow == "in" else f"-{body}->"
     pat = draw(_node(vs[0]))
+    rel_str = ""
     for idx, v in enumerate(vs[1:], start=1):
         # round-11: anonymous / label-only terminal nodes — the chain's
         # LAST node may drop its variable when nothing downstream
@@ -103,7 +104,13 @@ def _query(draw):
             rel_c = f"<-{body_c}-" if arrow_c == "in" else f"-{body_c}->"
             pat += rel_c + draw(_node("" if anon else v))
             continue
-        pat += (simple_rel or draw(_rel(rvar))) + draw(_node("" if anon else v))
+        rel_str = simple_rel or draw(_rel(rvar))
+        pat += rel_str + draw(_node("" if anon else v))
+    # r.weight-scalar items need a SINGLE-HOP rvar segment: a var-length
+    # relationship (`[r*..]` / quantified `{m,n}`) binds a LIST in Neo4j and
+    # the engine now rejects scalar property access on it with a targeted
+    # error (round-15) — the grammar must not pair the two.
+    rvar_scalar = bool(rvar) and "*" not in rel_str and "{" not in rel_str
     comma = False
     if not shortest and not rvar and not chainpath and draw(st.integers(0, 3)) == 0:
         # comma-separated multi-pattern sharing the first variable
@@ -230,7 +237,7 @@ def _query(draw):
                     )
                 )
             )
-        if rvar and draw(st.integers(0, 3)) == 0:  # round-7 aggregates
+        if rvar_scalar and draw(st.integers(0, 3)) == 0:  # round-7 aggregates
             items.append(
                 draw(
                     st.sampled_from(
@@ -249,7 +256,7 @@ def _query(draw):
                     )
                 )
             )
-    if rvar and not with_match and draw(st.booleans()):
+    if rvar_scalar and not with_match and draw(st.booleans()):
         items.append("r.weight AS w")
     if simple_rel and not with_match and draw(st.booleans()):
         # round-7 introspection over the simple single-hop typed rel
