@@ -27,10 +27,21 @@ from mimranalytics_core_spark.plans.pregel import iterate_fixpoint
 
 
 def undirect(edges: DataFrame) -> DataFrame:
-    """Symmetrize a directed edge list (columns src, dst preserved)."""
-    return edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    """Symmetrize a directed edge list (columns src, dst preserved).
+
+    Single evaluation of the input lineage (round-15): the union-of-two-
+    selects form computed the (often expensive — LSH pair generation,
+    windowed weight shares) upstream plan TWICE, once per branch. Exploding
+    a per-row 2-element struct array emits both directions from one pass;
+    the multiset of rows is identical.
+    """
+    both = F.explode(
+        F.array(
+            F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+            F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+        )
+    ).alias("e")
+    return edges.select(both).select(F.col("e.s").alias("src"), F.col("e.d").alias("dst"))
 
 
 def ubo_closure(edges: DataFrame, max_depth: int = 6, threshold: float = 0.0) -> DataFrame:

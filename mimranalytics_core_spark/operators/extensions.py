@@ -105,11 +105,19 @@ def udtf_expand(spark, sf_dir):
 
     t(spark, sf_dir, "orders")  # register the orders view
     spark.udtf.register("installments", Installments)
+    # Filter INSIDE the FROM clause: Catalyst will not push a WHERE below a
+    # BatchEvalPythonUDTF node (opaque Python boundary — guide §4), so the
+    # trailing-WHERE form shipped every order row through the Python worker
+    # and discarded ~96% of the expanded output afterwards. Pre-filtering
+    # lands the predicate in the parquet scan (PushedFilters) and only
+    # qualifying rows pay the JVM↔Python crossing. Same rows out: the
+    # predicate references only the UDTF's input column.
     return spark.sql(
         """
         SELECT o.o_orderkey, i.installment_no, i.amount
-        FROM orders o, LATERAL installments(o.o_totalprice) i
-        WHERE o.o_totalprice > 250000
+        FROM (SELECT o_orderkey, o_totalprice FROM orders
+              WHERE o_totalprice > 250000) o,
+             LATERAL installments(o.o_totalprice) i
         """
     )
 

@@ -322,11 +322,17 @@ def _cluster_pairs(pairs, nodes, max_rounds: int = 8):
     """
     from mimranalytics_core_spark.functions.graph_algos import connected_components
 
-    sym = pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst")).unionByName(
-        pairs.select(F.col("ib").alias("src"), F.col("ia").alias("dst"))
-    )
+    # Pass the DIRECTED pair list straight in (round-15): connected_components
+    # symmetrizes internally (undirect), so the explicit pre-symmetrize here
+    # both re-evaluated the (expensive — LSH candidate generation) pair
+    # lineage twice AND doubled every edge in each superstep join (undirect
+    # of an already-symmetric list). Same labels: min-propagation over the
+    # same undirected graph.
     comp = connected_components(
-        sym, max_iter=max_rounds, state_partitions=8, check_convergence=False
+        pairs.select(F.col("ia").alias("src"), F.col("ib").alias("dst")),
+        max_iter=max_rounds,
+        state_partitions=8,
+        check_convergence=False,
     )
     labeled = nodes.join(comp, "node", "left").select(
         F.col("node").alias("vec_id"),

@@ -828,10 +828,18 @@ def _minhash_pairs(spark, size_src, docs):
                 {"doc_id": ids, "band": bands_out, "band_sig": sigs_out}
             )
 
-    hashed_toks = doc_toks.select(
-        "doc_id", F.transform("toks", lambda x: F.xxhash64(x)).alias("hs")
-    )
-    banded = hashed_toks.mapInPandas(
+    # Materialize the hashed-token fingerprint table ONCE (round-15, guide
+    # §8 "decide with small rows"): without this the tokenize+hash pass ran
+    # FOUR times per invocation — the band-bucket self-join computes its
+    # whole subtree twice (plan-verified: two full scan→transform→
+    # MapInPandas→Exchange→Window chains), and the verify join's a/b sides
+    # re-tokenized twice more. One narrow (doc_id, int64[] hashes, sz)
+    # checkpoint feeds banding AND both verify sides; only 64-bit hashes are
+    # held, never the text.
+    hashed = doc_toks.select(
+        "doc_id", F.transform("toks", lambda x: F.xxhash64(x)).alias("toks"), "sz"
+    ).localCheckpoint(eager=True)
+    banded = hashed.select("doc_id", F.col("toks").alias("hs")).mapInPandas(
         band_sigs, schema="doc_id long, band int, band_sig long"
     )
     candidates = _band_bucket_candidates(banded)
@@ -846,9 +854,6 @@ def _minhash_pairs(spark, size_src, docs):
     # the corpus from the source parquet footprint; over threshold, leave the
     # join unhinted so it runs as a shuffle join on doc_id (and AQE may still
     # locally broadcast genuinely-small sides at runtime).
-    hashed = doc_toks.select(
-        "doc_id", F.transform("toks", lambda x: F.xxhash64(x)).alias("toks"), "sz"
-    )
     hint = _broadcast_if_small(spark, size_src, hashed)
     a = hint.select(
         F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"), F.col("sz").alias("a_sz")
@@ -1073,8 +1078,18 @@ def _canonicalize(pairs):
     # global min m has l0(m) = m, so min over contracted labels = m — the
     # same canonical choice. Measured 10.6 s → ~6 s at sf0.1.
     e2 = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        # explode-symmetrize (round-15): the union-of-two-selects form
+        # evaluated the whole MinHash pair pipeline TWICE inside this one
+        # checkpoint job — one pass emits both directions per pair row
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                    F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+                )
+            ).alias("e")
+        )
+        .select("e.a", "e.b")
         # materialize ONCE: l0 and the contraction both consume e2 — without
         # this the whole MinHash pipeline upstream is recomputed per consumer
         .localCheckpoint(eager=True)
