@@ -410,24 +410,33 @@ def weighted_sssp(edges: DataFrame, source: str, max_iter: int = 20) -> DataFram
     edges = edges.select("src", "dst", "weight").localCheckpoint(eager=True)
     state = edges.sparkSession.createDataFrame([(source, 0.0)], "node STRING, cost DOUBLE")
 
+    from mimranalytics_core_spark.plans.pregel import CHANGED_COL
+
     def step(costs):
+        # folded flag (round-15): the node's own carry-over row is tagged,
+        # so the relaxation aggregate also yields the old cost — changed =
+        # improved OR newly reached (no self row → __old null), replacing
+        # the per-check old-vs-new left join of the legacy protocol
         relaxed = (
             costs.join(edges, costs.node == edges.src)
             .select(F.col("dst").alias("node"), (F.col("cost") + F.col("weight")).alias("cost"))
         )
-        return (
-            costs.unionByName(relaxed)
+        mine = costs.select("node", "cost", F.lit(True).alias("__self"))
+        new = (
+            mine.unionByName(relaxed.withColumn("__self", F.lit(False)))
             .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
+            .agg(
+                F.min("cost").alias("cost"),
+                F.min(F.when(F.col("__self"), F.col("cost"))).alias("__old"),
+            )
+        )
+        return new.select(
+            "node",
+            "cost",
+            F.coalesce(F.col("cost") < F.col("__old"), F.lit(True)).alias(CHANGED_COL),
         )
 
-    def changed(old, new):
-        o = old.withColumnRenamed("cost", "old_cost")
-        return new.join(o, "node", "left").filter(
-            F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost"))
-        )
-
-    return iterate_fixpoint(state, step, changed, max_iter=max_iter)
+    return iterate_fixpoint(state, step, None, max_iter=max_iter)
 
 
 def connected_components(
@@ -443,13 +452,14 @@ def connected_components(
     semantics (depth-bounded closure: k rounds = min over ≤k-hop
     reachability) or when the caller knows the diameter bound.
 
-    With ``check_convergence=True`` the fixpoint test is a separate
-    old-vs-new equi-join per superstep (the ``changed`` callback below —
-    pregel.py's legacy protocol), i.e. one extra join+filter job per
-    iteration on the (node, component) state. A folded-flag variant (emit a
-    ``__changed`` bit from the min-aggregate itself) would save that join but
-    is not implemented; bounded-closure callers avoid the cost entirely via
-    ``check_convergence=False``.
+    With ``check_convergence=True`` the fixpoint test uses pregel.py's
+    FOLDED-FLAG protocol (round-15 — previously the legacy old-vs-new join):
+    the union feeding the min-aggregate tags each node's own carry-over row,
+    so the aggregate emits both the new label and the old one, and
+    ``__changed`` = new < old costs nothing beyond the agg the superstep
+    already runs. Convergence is then a filter scan on the materialized
+    checkpoint — no extra join, no extra shuffle. Labels are unchanged: the
+    same min over {old label} ∪ {incoming labels}.
     """
     # Materialize the symmetrized edge list once: every superstep joins
     # against it, and the upstream edge derivation (windowed weight shares,
@@ -462,25 +472,41 @@ def connected_components(
         "component", F.col("node")
     )
 
+    from mimranalytics_core_spark.plans.pregel import CHANGED_COL
+
     def step(labels):
         prop = und.join(labels, und.src == labels.node).select(
             F.col("dst").alias("node"), "component"
         )
-        return (
-            labels.select("node", "component")
-            .unionByName(prop)
+        if not check_convergence:
+            return (
+                labels.select("node", "component")
+                .unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+        # folded flag: tag the node's own carry-over row so the SAME
+        # aggregate yields old (min over self rows — exactly one per node)
+        # and new (min over all rows); changed = new < old
+        mine = labels.select("node", "component", F.lit(True).alias("__self"))
+        new = (
+            mine.unionByName(prop.withColumn("__self", F.lit(False)))
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("__self"), F.col("component"))).alias("__old"),
+            )
         )
-
-    def changed(old, new):
-        o = old.withColumnRenamed("component", "old_c")
-        return new.join(o, "node").filter(F.col("component") != F.col("old_c"))
+        return new.select(
+            "node",
+            "component",
+            (F.col("component") < F.col("__old")).alias(CHANGED_COL),
+        )
 
     return iterate_fixpoint(
         state,
         step,
-        changed if check_convergence else None,
+        None,
         max_iter=max_iter,
         state_partitions=state_partitions,
     )
@@ -868,17 +894,19 @@ def hits(edges: DataFrame, iters: int = 10, state_partitions: int | None = None)
     a = h
 
     def _phase(vec: DataFrame, key_in: str, key_out: str) -> DataFrame:
+        # No per-phase fill join (round-15): a node absent from `raw`
+        # has score exactly 0 and a zero score contributes nothing to the
+        # next phase's sums or to the L1 normalizer, so carrying the
+        # sparse vector through all 2·iters phases is value-identical —
+        # the old nodes-left-join-coalesce(0) per phase is done ONCE at
+        # the end instead (20 joins → 2 at iters=10).
         raw = (
             e.join(vec, F.col(key_in) == F.col("node"))
-            .groupBy(F.col(key_out).alias("n2"))
+            .groupBy(F.col(key_out).alias("node"))
             .agg(F.sum("v").alias("raw"))
         )
-        filled = (
-            nodes.join(raw, nodes.node == raw.n2, "left")
-            .select("node", F.coalesce("raw", F.lit(0.0)).alias("raw"))
-        )
-        tot = filled.agg(F.sum("raw").alias("tot"))
-        out = filled.crossJoin(F.broadcast(tot)).select(
+        tot = raw.agg(F.sum("raw").alias("tot"))
+        out = raw.crossJoin(F.broadcast(tot)).select(
             "node", (F.col("raw") / F.col("tot")).alias("v")
         )
         if state_partitions is not None:
@@ -890,10 +918,14 @@ def hits(edges: DataFrame, iters: int = 10, state_partitions: int | None = None)
         h = _phase(a, "dst", "src")   # hub from authorities over out-edges
     return (
         nodes.join(h.select(F.col("node").alias("hn"), F.col("v").alias("hub")),
-                   nodes.node == F.col("hn"))
+                   nodes.node == F.col("hn"), "left")
         .join(a.select(F.col("node").alias("an"), F.col("v").alias("authority")),
-              nodes.node == F.col("an"))
-        .select("node", "hub", "authority")
+              nodes.node == F.col("an"), "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("authority", F.lit(0.0)).alias("authority"),
+        )
     )
 
 
@@ -916,13 +948,14 @@ def eigenvector(
         return nodes.withColumn("eig", F.lit(0.0))
     x = nodes.withColumn("v", F.lit(1.0)).localCheckpoint(eager=True)
     for _ in range(iters):
-        raw = (
+        # No per-iteration fill join (round-15): the adjacency is
+        # SYMMETRIZED, so every node has ≥1 in-edge and the A·x aggregate
+        # always yields a row per node — the old nodes-left-join-coalesce(0)
+        # was provably a no-op costing one join per iteration.
+        filled = (
             e.join(x, e.src == x.node)
-            .groupBy(F.col("dst").alias("n2"))
+            .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("v").alias("raw"))
-        )
-        filled = nodes.join(raw, nodes.node == raw.n2, "left").select(
-            "node", F.coalesce("raw", F.lit(0.0)).alias("raw")
         )
         nrm = filled.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm"))
         x = filled.crossJoin(F.broadcast(nrm)).select(

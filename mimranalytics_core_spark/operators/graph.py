@@ -1705,12 +1705,23 @@ def graph_scc(spark, sf_dir):
             .join(e.alias("e2"), F.col("e2.src") == F.col("r.dst"))
             .select(F.col("r.src").alias("src"), F.col("e2.dst").alias("dst"))
         )
-        return reach.unionByName(ext).distinct()
+        # folded flag (round-15): tag carried-over pairs; the dedupe
+        # aggregate then knows which survivors are NEW (no tagged twin) —
+        # convergence becomes a filter on the checkpoint instead of the
+        # legacy per-check left_anti join against the previous closure
+        from mimranalytics_core_spark.plans.pregel import CHANGED_COL
 
-    def changed(old, new):
-        return new.join(old, ["src", "dst"], "left_anti")
+        mine = reach.select("src", "dst", F.lit(True).alias("__self"))
+        return (
+            mine.unionByName(ext.withColumn("__self", F.lit(False)))
+            .groupBy("src", "dst")
+            .agg(F.max("__self").alias("__existed"))
+            .select(
+                "src", "dst", (~F.col("__existed")).alias(CHANGED_COL)
+            )
+        )
 
-    reach = iterate_fixpoint(e, step, changed=changed, max_iter=12, state_partitions=8)
+    reach = iterate_fixpoint(e, step, None, max_iter=12, state_partitions=8)
     a = reach.alias("a")
     b = reach.alias("b")
     mutual = a.join(

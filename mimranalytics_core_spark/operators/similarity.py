@@ -238,10 +238,15 @@ def _hyperplane_buckets(e, bands: int, bits: int, bucket_cap: int, dim: int = 64
         .mapInPandas(sign_sigs, schema="vec_id long, sigs array<int>")
         .select("vec_id", F.posexplode("sigs").alias("band", "sig"))
     )
-    w = Window.partitionBy("band", "sig").orderBy("vec_id")
-    return banded.select("vec_id", "band", "sig", F.row_number().over(w).alias("rn")).filter(
-        F.col("rn") <= bucket_cap
-    ).drop("rn")
+    # Bucket membership as ONE grouped array per (band, sig) — round-15:
+    # the row_number window + downstream self-join computed the banded
+    # subtree twice and broadcast the whole bucket table; the caller now
+    # expands pairs row-locally from this array (see lsh_ann_pairs). The
+    # cap (first bucket_cap members by vec_id) is a slice of the sorted
+    # array — identical member set to the old rn <= cap filter.
+    return banded.groupBy("band", "sig").agg(
+        F.slice(F.array_sort(F.collect_list("vec_id")), 1, bucket_cap).alias("ids")
+    )
 
 
 @register(
@@ -284,17 +289,23 @@ def lsh_ann_pairs(
     """
     from mimranalytics_core_spark.functions.hints import broadcast_if_small
 
+    # Candidate pairs expand row-locally from each bucket's sorted member
+    # array (round-15): posexplode picks vec_a, a slice past its position
+    # yields every vec_b > vec_a in the same bucket — the exact pair set
+    # the old capped self-join produced, without the join, the broadcast,
+    # or the duplicate evaluation of the banding subtree. Arrays are
+    # bounded by bucket_cap, so per-row cost is capped at any corpus size.
     buckets = _hyperplane_buckets(e, bands, bits, bucket_cap)
-    l = buckets.alias("l")
-    r = buckets.alias("r")
+    members = (
+        buckets.select("ids")
+        .filter(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("p", "vec_a"), F.col("ids"))
+    )
     candidates = (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.sig") == F.col("r.sig"))
-            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        members.select(
+            "vec_a",
+            F.explode(F.expr("slice(ids, p + 2, size(ids))")).alias("vec_b"),
         )
-        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
         .distinct()
     )
     # Verify: join the (slim) candidate pairs back to the vectors. The

@@ -705,32 +705,34 @@ def _band_bucket_candidates(banded, cap: int = 512, stride: int = 256):
     Deterministic (rank = row_number over doc_id), one shuffle (the same
     band/band_sig exchange the join needs anyway).
     """
-    wp = Window.partitionBy("band", "band_sig")
-    wo = wp.orderBy("doc_id")
-    keep = (F.col("bsz") <= cap) | (
-        (F.col("rn") > F.col("band") * stride) & (F.col("rn") <= F.col("band") * stride + cap)
+    # Round-15 shape change (same pair set, ~half the plan): the previous
+    # form ran two windows (row_number + count) over the band exchange,
+    # then SELF-JOINED the capped frame on (band, band_sig) — a broadcast
+    # of the whole banded corpus plus a second evaluation of the window
+    # chain. One groupBy materializes each bucket's doc_id-sorted member
+    # array instead; the sliding member-window is a row-local slice()
+    # (rank k in the window == position k in the sorted array), and the
+    # within-bucket pairs expand row-locally via posexplode + slice —
+    # no join, no broadcast, one exchange (the same band/band_sig
+    # shuffle the window needed anyway). Arrays are bounded by the
+    # bucket cap (≤512 members), so per-row memory is bounded at any
+    # corpus size.
+    buckets = banded.groupBy("band", "band_sig").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
     )
-    capped = (
-        banded.select(
-            "doc_id",
-            "band",
-            "band_sig",
-            F.row_number().over(wo).alias("rn"),
-            F.count("*").over(wp).alias("bsz"),
-        )
-        .filter(keep)
-        .drop("rn", "bsz")
+    kept = F.when(F.size("ids") <= cap, F.col("ids")).otherwise(
+        F.slice("ids", F.col("band") * stride + 1, cap)
     )
-    l = capped.alias("l")
-    r = capped.alias("r")
+    members = (
+        buckets.select(kept.alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.posexplode("ids").alias("p", "doc_a"), F.col("ids"))
+    )
     return (
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        members.select(
+            "doc_a",
+            F.explode(F.expr("slice(ids, p + 2, size(ids))")).alias("doc_b"),
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
         .distinct()
     )
 
@@ -809,23 +811,47 @@ def _minhash_pairs(spark, size_src, docs):
     FOLD = (rng.integers(0, 2**63, rows_per_band, dtype=np.int64).astype(np.uint64) << 1) | 1
 
     def band_sigs(batches):
+        # Vectorized across the WHOLE batch (round-15, guide §4.2): the
+        # previous form looped doc-by-doc in Python — and the documents
+        # scan is one split at test scale, so 50k iterations ran on a
+        # single core. Now every doc's hash array is concatenated once and
+        # each of the 64 minhash rows is one multiply-add over the flat
+        # array + a segmented min (np.minimum.reduceat over the doc
+        # offsets). Same uint64 wraparound arithmetic element-for-element,
+        # so every signature is bit-identical; tokenless docs are filtered
+        # before the offsets (reduceat needs non-empty segments), matching
+        # the old per-doc skip.
         import pandas as pd
 
         for pdf in batches:
-            ids, bands_out, sigs_out = [], [], []
-            for doc_id, hs in zip(pdf["doc_id"], pdf["hs"]):
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                if not len(h):
-                    continue  # tokenless doc: no bands (cannot near-dup)
-                mins = (A[:, None] * h[None, :] + B[:, None]).min(axis=1)
-                folded = (mins.reshape(n_bands, rows_per_band) * FOLD).sum(
-                    axis=1, dtype=np.uint64
-                )
-                ids.extend([doc_id] * n_bands)
-                bands_out.extend(range(n_bands))
-                sigs_out.extend(folded.astype(np.int64))
+            arrs = [
+                np.asarray(h, dtype=np.int64).astype(np.uint64) for h in pdf["hs"]
+            ]
+            keep = [i for i, h in enumerate(arrs) if len(h)]
+            if not keep:
+                yield pd.DataFrame(
+                    {"doc_id": [], "band": [], "band_sig": []}
+                ).astype({"doc_id": "int64", "band": "int32", "band_sig": "int64"})
+                continue
+            ids = pdf["doc_id"].to_numpy()[keep]
+            segs = [arrs[i] for i in keep]
+            lens = np.fromiter((len(h) for h in segs), dtype=np.int64)
+            offs = np.zeros(len(segs), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            hcat = np.concatenate(segs)
+            mins = np.empty((n_hashes, len(segs)), dtype=np.uint64)
+            for j in range(n_hashes):
+                mins[j] = np.minimum.reduceat(A[j] * hcat + B[j], offs)
+            folded = (
+                mins.reshape(n_bands, rows_per_band, len(segs))
+                * FOLD[None, :, None]
+            ).sum(axis=1, dtype=np.uint64)
             yield pd.DataFrame(
-                {"doc_id": ids, "band": bands_out, "band_sig": sigs_out}
+                {
+                    "doc_id": np.repeat(ids, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(segs)),
+                    "band_sig": folded.T.reshape(-1).astype(np.int64),
+                }
             )
 
     # Materialize the hashed-token fingerprint table ONCE (round-15, guide

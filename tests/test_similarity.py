@@ -105,14 +105,14 @@ def test_lsh_ann_bucket_cap_bounds_bucket_size(spark):
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
     cap = 4
+    # round-15: buckets are grouped member ARRAYS now (pairs expand
+    # row-locally from them) — the cap bound is the max array size
     capped = _hyperplane_buckets(e, bands=6, bits=4, bucket_cap=cap)  # 16 buckets/band → overflow
-    maxsz = (
-        capped.groupBy("band", "sig").count().agg(F.max("count").alias("m")).first().m
-    )
+    maxsz = capped.agg(F.max(F.size("ids")).alias("m")).first().m
     assert maxsz <= cap, maxsz
     # sanity: uncapped form genuinely overflows the cap on this corpus
     full = _hyperplane_buckets(e, bands=6, bits=4, bucket_cap=10**9)
-    fullmax = full.groupBy("band", "sig").count().agg(F.max("count").alias("m")).first().m
+    fullmax = full.agg(F.max(F.size("ids")).alias("m")).first().m
     assert fullmax > cap, fullmax
 
 
