@@ -322,7 +322,13 @@ def pipeline_decontamination(spark, sf_dir):
         )
         .select(
             "doc_id",
-            F.array_join(F.slice(F.col("tk"), F.col("s"), 8), " ").alias("ngram"),
+            # equality-only payload → shuffle/broadcast the 64-bit hash,
+            # not the ~50-byte string (round-15, guide §2.3; the minhash
+            # verify tokens-as-hashes discipline — collision probability
+            # ~|grams|²/2⁶⁴ ≈ 0 at fixture scales)
+            F.xxhash64(
+                F.array_join(F.slice(F.col("tk"), F.col("s"), 8), " ")
+            ).alias("ngram"),
         )
         .distinct()
     )
@@ -331,7 +337,13 @@ def pipeline_decontamination(spark, sf_dir):
     )
     train = ng.filter(F.col("doc_id") % 10 != 0)
     return (
-        train.join(F.broadcast(bench), train.ngram == bench.b_ngram)
+        # size-conditional hint (round-15): the bench side is 10% of the
+        # CORPUS's 8-grams — broadcast-sized at test scale, an executor
+        # OOM at 100 TB. broadcast_if_small estimates from the source
+        # footprint and falls back to a shuffle join on the hash key.
+        train.join(
+            _broadcast_if_small(spark, d, bench), train.ngram == bench.b_ngram
+        )
         .groupBy("doc_id")
         .agg(
             F.countDistinct("ngram").alias("n_shared_ngrams"),
@@ -1772,26 +1784,42 @@ def text_ngram_novelty(spark, sf_dir):
         "doc_id",
         F.filter(F.split(F.lower("text"), " "), lambda x: x != "").alias("tk"),
     )
+    # Round-15 shuffle-bytes fix (guide §2.3 "shuffle keys, not payloads"):
+    # the 8-gram is only ever compared for EQUALITY, so it shuffles as its
+    # 64-bit xxhash64 instead of a ~50-byte string — the same
+    # tokens-as-hashes discipline the minhash verify stage already uses
+    # (collision probability ~|grams|²/2⁶⁴ ≈ 0 at fixture scales).
     grams = F.when(
         F.size("tk") >= 8,
         F.transform(
             F.sequence(F.lit(1), F.size("tk") - 7),
-            lambda i: F.concat_ws(" ", F.slice(F.col("tk"), i, 8)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("tk"), i, 8))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     ng = toks.select("doc_id", F.explode(grams).alias("g")).distinct()
-    fo = ng.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
-    return (
-        ng.join(fo, "g")
+    # No join-back on the gram key (round-15): a gram contributes one
+    # novel-count to exactly its MIN doc, so per-doc totals and per-doc
+    # novel counts are two independent narrow aggregates joined on the
+    # DOC key — the old ng⋈first-occurrence join re-shuffled the whole
+    # gram table a third time.
+    sizes = ng.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_ngrams"))
+    novel = (
+        ng.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_ngrams"),
-            novel.cast("bigint").alias("n_novel"),
-            (F.floor(novel * 1.0 / F.count("*") * 1e6 + F.lit(0.5)) / 1e6).alias(
-                "novelty_frac"
-            ),
-        )
+        .agg(F.count("*").cast("bigint").alias("n_novel"))
+    )
+    return sizes.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_ngrams",
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        (
+            F.floor(
+                F.coalesce("n_novel", F.lit(0)) * 1.0 / F.col("n_ngrams") * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("novelty_frac"),
     )
 
 

@@ -68,4 +68,14 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.cteRecursionRowLimit", str(100_000_000))
+    # Runtime-settable PERF confs (round-15): an externally-built session
+    # carries Spark's defaults (200 shuffle partitions, 10 MB broadcast
+    # threshold) — far off this engine's pinned posture. Both are
+    # session-settable, so driver-run queries now plan exactly like the
+    # bench session's (same parameterisation: the partition count follows
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS, with AQE coalescing making the
+    # initial number non-critical at any scale).
+    spark.conf.set("spark.sql.shuffle.partitions", str(DEFAULT_SHUFFLE_PARTITIONS))
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     return spark
