@@ -119,7 +119,13 @@ def test_minhash_signature_stage_has_no_shuffle_before_banding(spark):
                 break
             sub.append(line)
         assert not any("Exchange" in l for l in sub), sub
-        assert any("Scan parquet" in l for l in sub), sub
+        # round-15: the signature stage reads the CHECKPOINTED hashed-token
+        # fingerprint (Scan ExistingRDD) — the single tokenize+hash pass
+        # materialized once per query — rather than re-deriving from the
+        # parquet scan per consumer. Still scan-local: no Exchange above.
+        assert any(
+            "Scan parquet" in l or "Scan ExistingRDD" in l for l in sub
+        ), sub
 
 
 def test_catalog_variant_parses_json_once(spark):
