@@ -155,6 +155,17 @@ def centrality(spark: SparkSession, sf_dir: str, kind: str = "pagerank") -> Data
     )
 
 
+def _as_numeric_ids(e: DataFrame) -> DataFrame:
+    """Swap the namespaced string endpoints for their encoded-long twins
+    (same ``src``/``dst`` names, bigint type) so every downstream join,
+    shuffle and array op runs on 8-byte keys — round-16, guide §2.3/§3.
+    Catalyst prunes the unused concat branches out of the scans."""
+    rest = [c for c in e.columns if c not in ("src", "dst", "src_n", "dst_n")]
+    return e.select(
+        F.col("src_n").alias("src"), F.col("dst_n").alias("dst"), *rest
+    )
+
+
 def _edge_frame(
     spark: SparkSession,
     sf_dir: str,
@@ -162,6 +173,7 @@ def _edge_frame(
     as_of: str | None = None,
     graph: str = "hierarchy",
     keep_type: bool = False,
+    numeric: bool = False,
 ) -> DataFrame:
     """Shared edge-view selection for the pattern surface: pick the graph,
     apply the as-of validity filter (with snapshot renormalization of
@@ -217,13 +229,13 @@ def _edge_frame(
         )
         tot = F.sum("weight").over(Window.partitionBy("src"))
         t = t.withColumn("weight", F.col("weight") / tot).select(
-            "src", "dst", "rel_type", "weight"
+            "src", "dst", "rel_type", "weight", "src_n", "dst_n"
         )
         base = (
             catalog.business_edges(spark, sf_dir)
             if graph == "business"
             else catalog.hierarchy_edges(spark, sf_dir)
-        )
+        ).select("src", "dst", "rel_type", "weight", "src_n", "dst_n")
         e = t.unionByName(base)
     elif as_of is not None:
         e = catalog.temporal_ownership_edges(spark, sf_dir)
@@ -259,6 +271,8 @@ def _edge_frame(
             if graph == "business"
             else catalog.hierarchy_edges(spark, sf_dir)
         )
+    if numeric:
+        e = _as_numeric_ids(e)
     if edge_types is not None:
         e = e.filter(F.col("rel_type").isin(list(edge_types)))
     if keep_type:
@@ -440,6 +454,7 @@ def match_path(
     carry_cost: bool = False,
     carry_type: bool = False,
     carry_weight_list: bool = False,
+    numeric: bool = False,
 ) -> DataFrame:
     """Declarative graph-pattern entry point — the Cypher-shaped surface.
 
@@ -531,7 +546,10 @@ def match_path(
                 "carry_type is undefined on an undirected segment (the "
                 "traversal does not preserve the stored orientation)"
             )
-    e = _edge_frame(spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph)
+    e = _edge_frame(
+        spark, sf_dir, edge_types=edge_types, as_of=as_of, graph=graph,
+        numeric=numeric,
+    )
     if direction not in ("out", "in", "both"):
         raise ValueError(f"unknown direction {direction!r} (out | in | both)")
     if direction == "in":
@@ -550,11 +568,13 @@ def match_path(
         raise ValueError(f"need 0 <= min_hops <= max_hops, got {min_hops}..{max_hops}")
     zero = None
     if min_hops == 0:
+        idc = "id_n" if numeric else "id"
         if graph == "trade_credit":
             te = catalog.trade_credit_edges(spark, sf_dir)
+            sc, dc = ("src_n", "dst_n") if numeric else ("src", "dst")
             nodes = (
-                te.select(F.col("src").alias("id"))
-                .unionByName(te.select(F.col("dst").alias("id")))
+                te.select(F.col(sc).alias(idc))
+                .unionByName(te.select(F.col(dc).alias(idc)))
                 .distinct()
             )
         else:
@@ -562,10 +582,15 @@ def match_path(
                 catalog.business_nodes(spark, sf_dir)
                 if graph == "business"
                 else catalog.hierarchy_nodes(spark, sf_dir)
-            ).select("id")
+            ).select(idc)
+        # edge-key identity matches path_rows' per-representation choice:
+        # namespaced-string keys, or struct<src,dst> of the encoded longs
+        ek_type = (
+            "array<struct<src:bigint,dst:bigint>>" if numeric else "array<string>"
+        )
         zero = nodes.select(
-            F.col("id").alias("src"),
-            F.col("id").alias("dst"),
+            F.col(idc).alias("src"),
+            F.col(idc).alias("dst"),
             F.lit(0).alias("hops"),
             F.lit(1.0).alias("path_weight"),
             *([F.lit(0.0).alias("path_cost")] if carry_cost else []),
@@ -575,7 +600,7 @@ def match_path(
                 else []
             ),
             *(
-                [F.array().cast("array<string>").alias("__edges")]
+                [F.array().cast(ek_type).alias("__edges")]
                 if keep_edges
                 else []
             ),
@@ -613,7 +638,7 @@ def match_path(
         if carry_type:
             et = _edge_frame(
                 spark, sf_dir, edge_types=edge_types, as_of=as_of,
-                graph=graph, keep_type=True,
+                graph=graph, keep_type=True, numeric=numeric,
             )
             if direction == "in":
                 et = _directed_view(et, "in")

@@ -80,6 +80,49 @@ TABLES = (
     "embeddings",
 )
 
+# ---------------------------------------------------------------------------
+# Numeric node-id encoding (round-16 optimization, guide §2.3 "narrower
+# types" / §3 join keys). The namespaced STRING id (``c:17``) remains the
+# user-visible node identity everywhere; the views additionally carry the
+# same identity as ONE bigint — (tier_code << 48) | natural_key — so the
+# Cypher compiler can shuffle/hash-join 8-byte longs instead of strings and
+# synthesize the string form only where a value surfaces. The encoding is
+# bijective: keys are non-negative and < 2^48 at any scale factor (TPC-H
+# keys grow linearly with SF; 2^48 ≈ 2.8e14 is ~1.9e9× the sf100 custkey
+# space), so long equality ≡ string equality, and Catalyst prunes whichever
+# representation a consumer does not select (the concat never evaluates in
+# numeric-only plans and vice versa).
+# ---------------------------------------------------------------------------
+ID_PREFIXES = ("c:", "s:", "n:", "r:", "o:", "p:")
+ID_CODE = {pfx: i for i, pfx in enumerate(ID_PREFIXES)}
+_ID_SHIFT = 48
+ID_KEY_MASK = (1 << _ID_SHIFT) - 1
+
+
+def _nid(prefix: str, key) -> "F.Column":
+    """Encoded numeric node id for a tier prefix + natural-key column."""
+    col = F.col(key) if isinstance(key, str) else key
+    return (F.lit(ID_CODE[prefix] << _ID_SHIFT) + col.cast("long"))
+
+
+def decode_id_sql(col: str) -> str:
+    """SQL synthesizing the namespaced string id from the encoded long."""
+    arr = ",".join(f"'{p}'" for p in ID_PREFIXES)
+    return (
+        f"concat(element_at(array({arr}), "
+        f"cast(shiftright({col}, {_ID_SHIFT}) as int) + 1), "
+        f"cast(({col} & {ID_KEY_MASK}) as string))"
+    )
+
+
+def encode_id_sql(col: str) -> str:
+    """SQL encoding a namespaced string id back into the long form."""
+    pairs = ",".join(f"'{p[0]}',{c}L" for p, c in ID_CODE.items())
+    return (
+        f"(shiftleft(element_at(map({pairs}), split_part({col}, ':', 1)), "
+        f"{_ID_SHIFT}) + cast(split_part({col}, ':', 2) as bigint))"
+    )
+
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
@@ -149,6 +192,8 @@ def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("n:"), F.col("c_nationkey")).alias("dst"),
             F.lit("customer_of").alias("rel_type"),
             F.when(F.col("tot") > 0, F.col("bal") / F.col("tot")).otherwise(0.0).alias("weight"),
+            _nid("c:", "c_custkey").alias("src_n"),
+            _nid("n:", "c_nationkey").alias("dst_n"),
         )
     )
     s_edges = supplier.select(
@@ -156,12 +201,16 @@ def hierarchy_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("n:"), F.col("s_nationkey")).alias("dst"),
         F.lit("supplier_of").alias("rel_type"),
         F.lit(1.0).alias("weight"),
+        _nid("s:", "s_suppkey").alias("src_n"),
+        _nid("n:", "s_nationkey").alias("dst_n"),
     )
     n_edges = nation.select(
         F.concat(F.lit("n:"), F.col("n_nationkey")).alias("src"),
         F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
         F.lit("nation_of").alias("rel_type"),
         F.lit(1.0).alias("weight"),
+        _nid("n:", "n_nationkey").alias("src_n"),
+        _nid("r:", "n_regionkey").alias("dst_n"),
     )
     return c_edges.unionByName(s_edges).unionByName(n_edges)
 
@@ -193,6 +242,7 @@ def _node_branch(df: DataFrame, prefix: str, label: str, key: str, **cols) -> Da
     sel = [
         F.concat(F.lit(prefix), F.col(key)).alias("id"),
         F.lit(label).alias("label"),
+        _nid(prefix, key).alias("id_n"),
     ]
     for c in _NODE_COLS[2:]:
         sel.append(
@@ -319,6 +369,8 @@ def placed_edges(
         F.concat(F.lit("o:"), F.col("o_orderkey")).alias("dst"),
         F.lit("placed").alias("rel_type"),
         F.lit(1.0).alias("weight"),
+        _nid("c:", "o_custkey").alias("src_n"),
+        _nid("o:", "o_orderkey").alias("dst_n"),
         F.col("o_orderdate").cast("timestamp_ntz").alias("valid_from"),
         F.lit("9999-01-01 00:00:00").cast("timestamp_ntz").alias("valid_to"),
     )
@@ -346,6 +398,8 @@ def contains_edges(
             F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
             F.lit("contains").alias("rel_type"),
             F.col("qty").cast("double").alias("weight"),
+            _nid("o:", "l_orderkey").alias("src_n"),
+            _nid("p:", "l_partkey").alias("dst_n"),
             F.col("l_orderkey").alias("__ok"),
         )
     )
@@ -383,6 +437,8 @@ def supplies_edges(
         F.concat(F.lit("p:"), F.col("l_partkey")).alias("dst"),
         F.lit("supplies").alias("rel_type"),
         F.col("qty").cast("double").alias("weight"),
+        _nid("s:", "l_suppkey").alias("src_n"),
+        _nid("p:", "l_partkey").alias("dst_n"),
         F.col("first_ship").cast("timestamp_ntz").alias("valid_from"),
         F.lit("9999-01-01 00:00:00").cast("timestamp_ntz").alias("valid_to"),
     )
@@ -443,6 +499,8 @@ def temporal_ownership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
             F.lit("owns_stake").alias("rel_type"),
             F.col("vol").alias("weight"),  # renormalize per-src post-filter
+            _nid("c:", "o_custkey").alias("src_n"),
+            _nid("s:", "l_suppkey").alias("dst_n"),
             "valid_from",
             "valid_to",
         )
@@ -456,6 +514,8 @@ def temporal_ownership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("n:"), F.col("s_nationkey")).alias("dst"),
             F.lit("supplier_of").alias("rel_type"),
             F.lit(1.0).alias("weight"),
+            _nid("s:", "l_suppkey").alias("src_n"),
+            _nid("n:", "s_nationkey").alias("dst_n"),
             "valid_from",
             "valid_to",
         )
@@ -465,6 +525,8 @@ def temporal_ownership_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("r:"), F.col("n_regionkey")).alias("dst"),
         F.lit("nation_of").alias("rel_type"),
         F.lit(1.0).alias("weight"),
+        _nid("n:", "n_nationkey").alias("src_n"),
+        _nid("r:", "n_regionkey").alias("dst_n"),
         far_past.alias("valid_from"),
         far_future.alias("valid_to"),
     )
@@ -496,9 +558,14 @@ def trade_credit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+            _nid("c:", "o_custkey").alias("src_n"),
+            _nid("s:", "l_suppkey").alias("dst_n"),
         )
         .distinct()
-        .select("src", "dst", F.lit("buys_from").alias("rel_type"), F.lit(1.0).alias("weight"))
+        .select(
+            "src", "dst", F.lit("buys_from").alias("rel_type"),
+            F.lit(1.0).alias("weight"), "src_n", "dst_n",
+        )
     )
     colo = (
         supplier.filter(F.col("s_suppkey") < 50)
@@ -509,9 +576,14 @@ def trade_credit_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.concat(F.lit("s:"), F.col("s_suppkey")).alias("src"),
             F.concat(F.lit("c:"), F.col("c_custkey")).alias("dst"),
+            _nid("s:", "s_suppkey").alias("src_n"),
+            _nid("c:", "c_custkey").alias("dst_n"),
         )
         .distinct()
-        .select("src", "dst", F.lit("co_located").alias("rel_type"), F.lit(1.0).alias("weight"))
+        .select(
+            "src", "dst", F.lit("co_located").alias("rel_type"),
+            F.lit(1.0).alias("weight"), "src_n", "dst_n",
+        )
     )
     return buys.unionByName(colo)
 

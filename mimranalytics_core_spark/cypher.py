@@ -395,6 +395,7 @@ Round-12 additions:
 
 from __future__ import annotations
 
+import os
 import re
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -415,6 +416,86 @@ _LABEL_PREFIX = {
     "customer": "c:", "supplier": "s:", "nation": "n:", "region": "r:",
     "order": "o:", "part": "p:",
 }
+
+# ---------------------------------------------------------------------------
+# Numeric node-id execution (round-16 optimization, guide §2.3/§3).
+#
+# The namespaced STRING id ('c:17') stays the user-visible node identity —
+# id(n) ≡ n ≡ n.id — but internally the match frames carry the catalog's
+# encoded-long twin ((tier_code << 48) | key, catalog.ID_CODE): every
+# traversal hop, segment join, clause join, property-attachment join and
+# subquery anchor join hashes/shuffles an 8-byte long instead of a string.
+# The string form is SYNTHESIZED (decode_id_sql) exactly where a value
+# surfaces: inside compiled SQL fragments that reference a bare node var
+# (WHERE/ORDER BY/aggregate args/CASE/map projections — the textual
+# substitution below), and on the top-level RETURN projection. Because the
+# encoding is bijective, equality/grouping/DISTINCT on the long ≡ on the
+# string; every ORDER-BY-visible comparison decodes first, so row selection
+# under LIMIT/SKIP is unchanged. Queries whose semantics are tied to the
+# string representation end-to-end (shortestPath variants and the
+# nodes(p)/relationships(p) per-path arrays) keep the legacy string frames
+# — _numeric_mode() returns False for them and nothing changes.
+# ---------------------------------------------------------------------------
+from mimranalytics_core_spark.catalog import (  # noqa: E402
+    ID_CODE as _ID_CODE,
+    decode_id_sql as _dec_sql,
+    encode_id_sql as _enc_sql,
+)
+
+_LABEL_CODE = {lab: _ID_CODE[pfx] for lab, pfx in _LABEL_PREFIX.items()}
+
+# kill-switch (diagnostics/A-B only — ON by default; both representations
+# produce identical results, certified per-op against the DuckDB oracles)
+_NUMERIC_IDS = os.environ.get("SPARK_GRAFT_CYPHER_NUMERIC_IDS", "1") != "0"
+
+
+def _dec_col(name: str):
+    """The decoded string id of a numeric node-id column, as a Column."""
+    return F.expr(_dec_sql(name))
+
+
+_PFX_TO_CODE = {pfx[0]: code for pfx, code in _ID_CODE.items()}
+
+
+def _decode_vars_sql(sql: str, num_vars) -> str:
+    """Substitute every bare reference to a NUMERIC node-id column in a
+    compiled SQL fragment with the decode expression, quote-aware. Word
+    boundaries keep ``var__prop`` helpers intact; the lookarounds skip
+    function calls (``size(...)``) and dotted accesses (already rewritten
+    by the property machinery — a survivor would be invalid SQL either
+    way). Label-prefix predicates (``v LIKE 'c:%'`` — the compiled form of
+    ``v:Customer``) rewrite to a tier-code comparison on the long FIRST, so
+    the hot label filters never build a string at all."""
+    if not num_vars:
+        return sql
+    vs = [
+        v
+        for v in sorted(num_vars, key=len, reverse=True)
+        if re.search(rf"(?<![.\w]){re.escape(v)}\b", sql)
+    ]
+    if not vs:
+        return sql
+    # ONE combined pass (longest name first): a replacement is never
+    # rescanned, so decode text (which contains the var name and quoted
+    # prefix literals) cannot be re-substituted by a later variable. The
+    # leading quoted-string alternative consumes literals whole, so a var
+    # name inside quotes is never rewritten — and the LIKE branch can see
+    # its own quoted prefix (an _outside_quotes split would hide it).
+    alt = "|".join(re.escape(v) for v in vs)
+    rx = re.compile(
+        rf"'[^']*'|(?<![.\w])(?P<v>{alt})"
+        rf"(?:\s+LIKE\s+'(?P<pfx>[csnrop]):%'|\b(?!\s*[.(]))"
+    )
+
+    def _repl(m: re.Match) -> str:
+        v = m.group("v")
+        if v is None:
+            return m.group(0)  # quoted literal — untouched
+        if m.group("pfx"):
+            return f"(shiftright({v}, 48) = {_PFX_TO_CODE[m.group('pfx')]})"
+        return _dec_sql(v)
+
+    return rx.sub(_repl, sql)
 # the fact-tier names whose mention routes a default-graph query onto the
 # business superset (label or relationship position, quote-masked scan)
 _FACT_TIER_RE = re.compile(r":\s*(order|part|placed|contains|supplies)\b", re.I)
@@ -7166,7 +7247,13 @@ def _schema_procedure(
     return spark.createDataFrame([(v,) for v in vals], f"{col} string")
 
 
-def _join_clause(df: DataFrame, cframe: DataFrame, clause: dict) -> DataFrame:
+def _join_clause(
+    df: DataFrame,
+    cframe: DataFrame,
+    clause: dict,
+    num_vars: set | None = None,
+    cframe_numeric: bool = False,
+) -> DataFrame:
     """Join an accumulated-bindings frame with the next clause frame on the
     VARIABLE columns only. Helper columns (``var__prop`` pre-attachments,
     ``rvar__w``/``rvar__type`` — round-12) carry node attributes that may be
@@ -7184,6 +7271,13 @@ def _join_clause(df: DataFrame, cframe: DataFrame, clause: dict) -> DataFrame:
     ]
     if dup_helpers:
         cframe = cframe.drop(*dup_helpers)
+    if cframe_numeric and num_vars is not None:
+        # a re-match joining a piped column that is NOT an encoded node id
+        # (UNWIND values, string-mode CALL outputs): synthesize the string
+        # form on the fresh clause frame so the equi-join types agree
+        for c in shared:
+            if c not in num_vars:
+                cframe = cframe.withColumn(c, F.expr(_dec_sql(c)))
     return df.join(cframe, shared, "left" if clause["optional"] else "inner")
 
 
@@ -7193,6 +7287,7 @@ def run(
     query: str,
     graph: str = "hierarchy",
     params: dict | None = None,
+    _inner: bool = False,
 ) -> DataFrame:
     """Execute a Cypher string against a catalog graph view (``graph``:
     "hierarchy" — the ownership DAG; "business" — its superset with the
@@ -7240,7 +7335,11 @@ def run(
     try:
         pieces, kind = _split_union(query)
         if kind is None:
-            return _run_single(spark, sf_dir, query, graph=graph)
+            return _run_single(spark, sf_dir, query, graph=graph, _inner=_inner)
+        # UNION branches compile independently and may disagree on the
+        # internal node-id representation — decode every branch to the
+        # string form before unioning (the subquery-boundary adapters
+        # re-encode anchors when an outer numeric frame joins this result)
         dfs = [_run_single(spark, sf_dir, q, graph=graph) for q in pieces]
         cols = dfs[0].columns
         for d in dfs[1:]:
@@ -7261,9 +7360,19 @@ def run(
 
 
 def _run_single(
-    spark: SparkSession, sf_dir: str, query: str, graph: str = "hierarchy"
+    spark: SparkSession,
+    sf_dir: str,
+    query: str,
+    graph: str = "hierarchy",
+    _inner: bool = False,
 ) -> DataFrame:
-    """Execute one (UNION-free) Cypher MATCH string; see :func:`run`."""
+    """Execute one (UNION-free) Cypher MATCH string; see :func:`run`.
+
+    ``_inner`` marks a subquery invocation (EXISTS/COUNT/COLLECT bodies,
+    CALL blocks): node-id output columns then stay in their internal
+    encoded-long form (recorded on the result as ``_cy_node_cols``) so the
+    outer frame's anchor joins run numeric; the top-level call decodes
+    them to the namespaced string ids the user sees."""
     from mimranalytics_core_spark import api, catalog
 
     # FACT-TIER ROUTING (round-12, r11 VERDICT "missing" #1): a
@@ -7343,6 +7452,56 @@ def _run_single(
         and not clauses[0]["optional"]  # round-14: leading OPTIONAL MATCH
     )
 
+    # Numeric node-id mode (round-16 — see the module-level note at
+    # _decode_vars_sql). shortestPath variants and per-path node/rel
+    # arrays keep the legacy string frames: their path reconstruction and
+    # lexicographic tie-breaks are defined over the namespaced strings.
+    numeric = (
+        _NUMERIC_IDS
+        and not p["shortest"]
+        and not p["need_path_nodes"]
+        and not p["need_path_rels"]
+    )
+    # columns currently holding ENCODED-LONG node ids; every
+    # representation decision below keys off membership here
+    num_vars: set[str] = set()
+    if numeric:
+        for _cl in clauses:
+            num_vars.update(_cl["vars"])
+
+    def _attr_id_col(var: str):
+        """Attribute-view join key in the frame's representation of var."""
+        return F.col("id_n" if var in num_vars else "id").alias(var)
+
+    def _label_filter(fr: DataFrame, var: str, label: str) -> DataFrame:
+        if var in num_vars:
+            return fr.filter(
+                F.shiftright(F.col(var), 48) == F.lit(_LABEL_CODE[label])
+            )
+        return fr.filter(F.col(var).startswith(_LABEL_PREFIX[label]))
+
+    def _align_anchors(sub: DataFrame, anchors, sn=None) -> DataFrame:
+        """Convert a subquery result's anchor columns to THIS frame's
+        representation (encode strings / decode longs as needed). ``sn``
+        = the sub's node-col set, passed explicitly when transformations
+        already replaced the DataFrame object carrying the attribute."""
+        if sn is None:
+            sn = getattr(sub, "_cy_node_cols", frozenset())
+        for a in anchors:
+            if a in num_vars and a not in sn:
+                sub = sub.withColumn(a, F.expr(_enc_sql(a)))
+            elif a not in num_vars and a in sn:
+                sub = sub.withColumn(a, F.expr(_dec_sql(a)))
+        return sub
+
+    # the first-variable pushdown predicate references the traversal's
+    # ``src`` column — synthesize the string id inline under numeric mode
+    src_pred_c = (
+        _decode_vars_sql(p["src_pred"], {"src"})
+        if (numeric and p["src_pred"])
+        else p["src_pred"]
+    )
+
 
     def _clause_frame(clause, first_pred):
         # per-path rows per segment (trail mode, edge keys kept), joined
@@ -7381,7 +7540,7 @@ def _run_single(
                 lab = (clause.get("labels") or {}).get(var) or p["labels"].get(var)
                 if lab:
                     nodes = nodes.filter(F.col("label") == lab)
-                sel = [F.col("id").alias(var)]
+                sel = [F.col("id_n" if numeric else "id").alias(var)]
                 if with_props:
                     # cross-join chains pre-attach the props the query
                     # reads (round-12): they live on the SAME attribute
@@ -7399,9 +7558,10 @@ def _run_single(
                     ]
                 return nodes.select(*sel)
             e = catalog.trade_credit_edges(spark, sf_dir)
+            sc, dc = ("src_n", "dst_n") if numeric else ("src", "dst")
             return (
-                e.select(F.col("src").alias(var))
-                .unionByName(e.select(F.col("dst").alias(var)))
+                e.select(F.col(sc).alias(var))
+                .unionByName(e.select(F.col(dc).alias(var)))
                 .distinct()
             )
 
@@ -7467,6 +7627,7 @@ def _run_single(
                 # discipline)
                 carry_weight=bool(seg.get("need_weight")),
                 carry_type=bool(seg.get("need_type")),
+                numeric=numeric,
             )
             sel = [
                 F.col("src").alias(seg["src"]),
@@ -7514,7 +7675,7 @@ def _run_single(
             edge_types=segs[0]["types"],
             min_hops=segs[0]["min_hops"],
             max_hops=segs[0]["max_hops"],
-            src_pred=p["src_pred"],
+            src_pred=src_pred_c,
             as_of=p["as_of"],
             graph=graph,
             direction=segs[0].get("direction", "out"),
@@ -7565,7 +7726,7 @@ def _run_single(
             edge_types=segs[0]["types"],
             min_hops=segs[0]["min_hops"],
             max_hops=segs[0]["max_hops"],
-            src_pred=p["src_pred"],
+            src_pred=src_pred_c,
             as_of=p["as_of"],
             carry_weight=p["carry_weight"],
             graph=graph,
@@ -7575,6 +7736,7 @@ def _run_single(
             carry_cost=bool(p.get("carry_cost")),
             carry_type=bool(segs[0].get("need_type")),
             carry_weight_list=bool(p.get("need_weight_list")),
+            numeric=numeric,
         )
         cols = [
             F.col("src").alias(segs[0]["src"]),
@@ -7636,17 +7798,23 @@ def _run_single(
                     lab = p["labels"].get(var)
                     if lab:  # label pruning — see the node-only clause note
                         side = side.filter(F.col("label") == lab)
-                    sel = [F.col("id").alias(var)] + [
+                    sel = [_attr_id_col(var)] + [
                         F.col(pr).alias(f"{var}__{pr}") for pr in need
                     ]
                     cframe = cframe.join(side.select(*sel), var, "left")
-            cframe = cframe.filter(F.expr(clause["where"]))
+            cframe = cframe.filter(
+                F.expr(
+                    _decode_vars_sql(
+                        clause["where"], num_vars & set(cframe.columns)
+                    )
+                )
+            )
             drop = [f"{var}__{pr}" for var, prs in props.items() for pr in prs]
             return cframe.drop(*drop) if drop else cframe
 
         df = None
         for ci, clause in enumerate(clauses):
-            cframe = _clause_frame(clause, p["src_pred"] if ci == 0 else None)
+            cframe = _clause_frame(clause, src_pred_c if ci == 0 else None)
             if ci > 0 or clause.get("optional"):
                 # clause-scoped inline labels filter this clause's frame
                 # BEFORE it joins the accumulated bindings — for OPTIONAL
@@ -7654,7 +7822,7 @@ def _run_single(
                 # (Cypher label scoping; non-optional clause-0 labels ride
                 # src_pred/post_pred instead)
                 for lvar, label in clause.get("labels", {}).items():
-                    cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
+                    cframe = _label_filter(cframe, lvar, label)
             cframe = _scoped_where(cframe, clause)
             if df is None:
                 if clause.get("optional"):
@@ -7709,7 +7877,7 @@ def _run_single(
                         side_u = side_u.filter(F.col("label") == lab_u)
                     df = df.join(
                         side_u.select(
-                            F.col("id").alias(v_),
+                            _attr_id_col(v_),
                             *[
                                 F.col(pr).alias(f"{v_}__{pr}")
                                 for pr in prs_
@@ -7718,7 +7886,16 @@ def _run_single(
                         v_,
                         "left",
                     )
-            df = df.withColumn(u["var"], F.explode(F.expr(u["row_expr"])))
+            df = df.withColumn(
+                u["var"],
+                F.explode(
+                    F.expr(
+                        _decode_vars_sql(
+                            u["row_expr"], num_vars & set(df.columns)
+                        )
+                    )
+                ),
+            )
             continue
         if u.get("expr") is not None:
             # expression-form UNWIND: explode the compiled list expression
@@ -7813,7 +7990,8 @@ def _run_single(
             for pp in parts[1:]:
                 sub = sub.unionByName(pp)
         else:
-            sub = run(spark, sf_dir, _c["query"], graph=graph)
+            sub = run(spark, sf_dir, _c["query"], graph=graph, _inner=True)
+        sub_ncols = getattr(sub, "_cy_node_cols", frozenset())
         clash = set(_c["_new"]) & set(df.columns)
         if clash:
             raise CypherSyntaxError(
@@ -7843,11 +8021,19 @@ def _run_single(
                         f"correlated CALL ORDER BY references columns not "
                         f"returned by the body: {bad}"
                     )
+
+                def _ordc(nm):
+                    # encoded node ids order by their DECODED string form —
+                    # the page a LIMIT keeps must match string semantics
+                    return (
+                        F.expr(_dec_sql(nm)) if nm in sub_ncols else F.col(nm)
+                    )
+
                 keys = [
-                    F.col(nm).desc_nulls_first() if desc else F.col(nm).asc_nulls_last()
+                    _ordc(nm).desc_nulls_first() if desc else _ordc(nm).asc_nulls_last()
                     for nm, desc in post["order"]
                 ] + [
-                    F.col(c).asc_nulls_last()
+                    _ordc(c).asc_nulls_last()
                     for c in sub.columns
                     if c not in names and c not in _c["imports"]
                 ]
@@ -7880,6 +8066,8 @@ def _run_single(
                 for it in _c["_proj"]
             )
             how = "left" if (pure_agg or _c.get("optional")) else "inner"
+            sub = _align_anchors(sub, _c["imports"], sn=sub_ncols)
+            num_vars.update(set(_c["_new"]) & sub_ncols)
             df = df.join(sub, _c["imports"], how)
             for it in aggs if pure_agg else []:
                 # Neo4j: aggregates over an empty subquery frame read 0
@@ -7893,6 +8081,7 @@ def _run_single(
                         it["name"], F.coalesce(F.col(it["name"]), F.lit(0))
                     )
             return df
+        num_vars.update(set(_c["_new"]) & sub_ncols)
         if _c.get("optional"):
             # uncorrelated OPTIONAL CALL: an empty subquery result must
             # null-extend every outer row, which a cross join can't do —
@@ -7928,7 +8117,7 @@ def _run_single(
             lab = p["labels"].get(var)
             if lab:
                 side = side.filter(F.col("label") == lab)
-            sel = [F.col("id").alias(var)] + [
+            sel = [_attr_id_col(var)] + [
                 F.col(pr).alias(f"{var}__{pr}") for pr in need
             ]
             df = df.join(side.select(*sel), var, "left")
@@ -7938,7 +8127,8 @@ def _run_single(
     # FALSE, so the post predicate's boolean algebra (OR/NOT/parens) reads
     # the existence test as an ordinary column; dropped after the filter
     for fg in p.get("exists_flags") or []:
-        sub = _run_single(spark, sf_dir, fg["query"], graph=graph)
+        sub = _run_single(spark, sf_dir, fg["query"], graph=graph, _inner=True)
+        sub = _align_anchors(sub, fg["anchors"])
         side = (
             sub.select(*fg["anchors"]).distinct().withColumn(fg["col"], F.lit(True))
         )
@@ -7946,7 +8136,11 @@ def _run_single(
         df = df.withColumn(fg["col"], F.coalesce(F.col(fg["col"]), F.lit(False)))
 
     if p["post_pred"]:
-        df = df.filter(F.expr(p["post_pred"]))
+        df = df.filter(
+            F.expr(
+                _decode_vars_sql(p["post_pred"], num_vars & set(df.columns))
+            )
+        )
     if p.get("exists_flags"):
         df = df.drop(*[fg["col"] for fg in p["exists_flags"]])
 
@@ -7956,7 +8150,8 @@ def _run_single(
     # joins stop probing on first match (the plan shape that survives
     # scale; a naive inner-join-then-distinct would blow up first)
     for ex in p.get("exists_preds") or []:
-        sub = _run_single(spark, sf_dir, ex["query"], graph=graph)
+        sub = _run_single(spark, sf_dir, ex["query"], graph=graph, _inner=True)
+        sub = _align_anchors(sub, ex["anchors"])
         side = sub.select(*ex["anchors"]).distinct()
         df = df.join(side, ex["anchors"], "left_anti" if ex["negated"] else "left_semi")
 
@@ -7964,7 +8159,8 @@ def _run_single(
     # anchors (partial agg — degree math, never row multiplication),
     # LEFT-joined so zero/null-match rows read 0, filtered, helper dropped
     for cp in p.get("count_preds") or []:
-        sub = _run_single(spark, sf_dir, cp["query"], graph=graph)
+        sub = _run_single(spark, sf_dir, cp["query"], graph=graph, _inner=True)
+        sub = _align_anchors(sub, cp["anchors"])
         side = sub.groupBy(*cp["anchors"]).agg(F.count(F.lit(1)).alias(cp["col"]))
         df = df.join(side, cp["anchors"], "left")
         df = df.filter(
@@ -7972,11 +8168,26 @@ def _run_single(
         ).drop(cp["col"])
 
     def _apply_items(df: DataFrame, items: list) -> DataFrame:
+        nv = num_vars & set(df.columns)
+
         def _key_expr(it):
             # CASE items are in-plan SQL expressions; plain items are columns
+            # (an encoded node id passes through UNTOUCHED — grouping and
+            # DISTINCT are representation-invariant; value contexts below
+            # decode)
             if it["kind"] == "case":
-                return F.expr(it["sql"]).alias(it["name"])
+                return F.expr(_decode_vars_sql(it["sql"], nv)).alias(it["name"])
             return F.col(it["col"]).alias(it["name"])
+
+        def _agg_arg(it):
+            # aggregate ARGUMENTS are value contexts: min/max/collect over a
+            # node id read the string form (ordering and list contents are
+            # user-visible). count/count(DISTINCT) are bijection-invariant,
+            # so they keep the cheap long column.
+            c = it["col"]
+            if c in nv and it["fn"] != "count":
+                return F.expr(_dec_sql(c))
+            return c
 
         aggs = [it for it in items if it["kind"] == "agg"]
         posts = [it for it in items if it["kind"] == "postagg"]
@@ -7993,7 +8204,9 @@ def _run_single(
         # a zero-shuffle projection Catalyst folds into the agg's child
         for it in all_aggs:
             if it.get("pre_sql"):
-                df = df.withColumn(it["col"], F.expr(it["pre_sql"]))
+                df = df.withColumn(
+                    it["col"], F.expr(_decode_vars_sql(it["pre_sql"], nv))
+                )
         exprs = []
         for it in all_aggs:
             if it["col"] is None:
@@ -8004,7 +8217,7 @@ def _run_single(
                 # Cypher collect() guarantees no order — pin lexical order for
                 # cross-run determinism, as agg_collect does
                 base = (
-                    F.collect_set(it["col"]) if it["distinct"] else F.collect_list(it["col"])
+                    F.collect_set(_agg_arg(it)) if it["distinct"] else F.collect_list(_agg_arg(it))
                 )
                 e = F.array_sort(base)
             elif it["fn"] == "stdev":
@@ -8023,15 +8236,18 @@ def _run_single(
                 # here are key-bounded (Cypher implicit grouping over
                 # dimension keys); corpus-scale percentiles belong to the
                 # approx-sketch op (agg_approx_percentile).
+                _pc = (
+                    _dec_sql(it["col"]) if it["col"] in nv else it["col"]
+                )
                 e = F.round(
                     F.expr(
-                        f"element_at(array_sort(collect_list({it['col']})), "
-                        f"greatest(1, cast(ceil({it['q']} * count({it['col']})) as int)))"
+                        f"element_at(array_sort(collect_list({_pc})), "
+                        f"greatest(1, cast(ceil({it['q']} * count({_pc})) as int)))"
                     ),
                     6,
                 )
             else:
-                e = getattr(F, it["fn"])(it["col"])
+                e = getattr(F, it["fn"])(_agg_arg(it))
                 if it["fn"] in ("sum", "avg"):
                     e = F.round(e, 6)  # float-hash discipline (module docstring)
             exprs.append(e.alias(it["name"]))
@@ -8046,7 +8262,7 @@ def _run_single(
             # dropped by not being selected
             out = out.select(
                 *[
-                    F.expr(it["sql"]).alias(it["name"])
+                    F.expr(_decode_vars_sql(it["sql"], nv)).alias(it["name"])
                     if it["kind"] == "postagg"
                     else F.col(it["name"])
                     for it in items
@@ -8062,17 +8278,32 @@ def _run_single(
     # (Cypher clause scoping) — then attribute joins for the stage's
     # property accesses and the trailing WHERE over the joined frame.
     for pipe_i, pipe in enumerate(p.get("pipes") or []):
+        _plain_num = {
+            it["name"]
+            for it in pipe["with_items"]
+            if it["kind"] == "plain" and it["col"] in num_vars
+        }
         df = _apply_items(df, pipe["with_items"])
+        # a WITH stage re-scopes the columns: only bare node-var
+        # passthroughs stay encoded (every other item decoded in place)
+        num_vars.clear()
+        num_vars.update(_plain_num)
         if pipe.get("distinct"):
             df = df.distinct()  # WITH DISTINCT dedupes the projected rows
         # stage ORDER BY / SKIP / LIMIT before the WHERE subclause
         # (openCypher subclause order) — the top-k-then-continue idiom;
         # Catalyst collapses sort+limit to TakeOrderedAndProject
         if pipe.get("order_by"):
+
+            def _pordc(n):
+                # encoded node ids order by their decoded string form so
+                # the SKIP/LIMIT page matches string semantics
+                return F.expr(_dec_sql(n)) if n in num_vars else F.col(n)
+
             df = df.orderBy(
                 *[
                     # Neo4j treats null as the LARGEST value: last ASC, first DESC
-                    F.col(n).asc_nulls_last() if asc else F.col(n).desc_nulls_first()
+                    _pordc(n).asc_nulls_last() if asc else _pordc(n).desc_nulls_first()
                     for n, asc in pipe["order_by"]
                 ]
             )
@@ -8084,14 +8315,19 @@ def _run_single(
         # forms): joined BEFORE the filter so the predicate's boolean
         # algebra reads them as ordinary columns; dropped right after
         for fg2 in pipe.get("exists_flags") or []:
-            sub2 = _run_single(spark, sf_dir, fg2["query"], graph=graph)
+            sub2 = _run_single(spark, sf_dir, fg2["query"], graph=graph, _inner=True)
+            sub2 = _align_anchors(sub2, fg2["anchors"])
             side2 = (
                 sub2.select(*fg2["anchors"]).distinct().withColumn(fg2["col"], F.lit(True))
             )
             df = df.join(side2, fg2["anchors"], "left")
             df = df.withColumn(fg2["col"], F.coalesce(F.col(fg2["col"]), F.lit(False)))
         if pipe["having"]:
-            df = df.filter(F.expr(pipe["having"]))
+            df = df.filter(
+                F.expr(
+                    _decode_vars_sql(pipe["having"], num_vars & set(df.columns))
+                )
+            )
         if pipe.get("exists_flags"):
             df = df.drop(*[fg2["col"] for fg2 in pipe["exists_flags"]])
         # EXISTS/COUNT subquery conjuncts of the stage WHERE (round-10):
@@ -8099,13 +8335,15 @@ def _run_single(
         # multiplies rows; the count LEFT join reads 0 for matchless or
         # null-anchor rows (Neo4j's post-pipe scoping)
         for ex2 in pipe.get("exists_preds") or []:
-            sub2 = _run_single(spark, sf_dir, ex2["query"], graph=graph)
+            sub2 = _run_single(spark, sf_dir, ex2["query"], graph=graph, _inner=True)
+            sub2 = _align_anchors(sub2, ex2["anchors"])
             side2 = sub2.select(*ex2["anchors"]).distinct()
             df = df.join(
                 side2, ex2["anchors"], "left_anti" if ex2["negated"] else "left_semi"
             )
         for cp2 in pipe.get("count_preds") or []:
-            sub2 = _run_single(spark, sf_dir, cp2["query"], graph=graph)
+            sub2 = _run_single(spark, sf_dir, cp2["query"], graph=graph, _inner=True)
+            sub2 = _align_anchors(sub2, cp2["anchors"])
             side2 = sub2.groupBy(*cp2["anchors"]).agg(
                 F.count(F.lit(1)).alias(cp2["col"])
             )
@@ -8116,11 +8354,25 @@ def _run_single(
         for uvar2, uexpr in pipe.get("unwinds") or []:
             # stage UNWIND: one row per list element (Cypher: an empty or
             # null list yields zero rows — exactly explode's semantics)
-            df = df.withColumn(uvar2, F.explode(F.expr(uexpr)))
+            df = df.withColumn(
+                uvar2,
+                F.explode(
+                    F.expr(_decode_vars_sql(uexpr, num_vars & set(df.columns)))
+                ),
+            )
         for clause in pipe["clauses"]:
+            _pre_cols = set(df.columns)
             cframe = _clause_frame(clause, None)
             for lvar, label in clause.get("labels", {}).items():
-                cframe = cframe.filter(F.col(lvar).startswith(_LABEL_PREFIX[label]))
+                if numeric:
+                    cframe = cframe.filter(
+                        F.shiftright(F.col(lvar), 48)
+                        == F.lit(_LABEL_CODE[label])
+                    )
+                else:
+                    cframe = cframe.filter(
+                        F.col(lvar).startswith(_LABEL_PREFIX[label])
+                    )
             if clause.get("propjoin"):
                 # prop-map-correlated re-match (round-14, r13 verdict #5):
                 # `WITH c … MATCH (o:Order {custkey: c.custkey})` — attach
@@ -8139,7 +8391,7 @@ def _run_single(
                             side = side.filter(F.col("label") == lab)
                         cframe = cframe.join(
                             side.select(
-                                F.col("id").alias(lvar),
+                                F.col("id_n" if numeric else "id").alias(lvar),
                                 F.col(lprop).alias(lcol),
                             ),
                             lvar,
@@ -8157,25 +8409,42 @@ def _run_single(
                                 side = side.filter(F.col("label") == lab)
                             df = df.join(
                                 side.select(
-                                    F.col("id").alias(rvar),
+                                    _attr_id_col(rvar),
                                     F.col(rprop).alias(rcol),
                                 ),
                                 rvar,
                                 "left",
                             )
-                    conds.append(cframe[lcol] == df[rcol])
+                    # align the id-value representations across the equi-join
+                    # condition: an encoded-long side comparing against a
+                    # string/natural value decodes in place (id semantics are
+                    # STRING-equality; a long-vs-long pair stays numeric)
+                    _l_num = numeric and lprop == "id"
+                    _r_num = (not rprop or rprop == "id") and rvar in num_vars
+                    lc, rc = cframe[lcol], df[rcol]
+                    if _l_num and not _r_num:
+                        lc = F.expr(_dec_sql(f"`{lcol}`"))
+                    if _r_num and not _l_num:
+                        rc = F.expr(_dec_sql(f"`{rcol}`"))
+                    conds.append(lc == rc)
                 cond = conds[0]
                 for c2_ in conds[1:]:
                     cond = cond & c2_
                 df = df.join(cframe, cond, "inner")
+                if numeric:
+                    num_vars.update(set(clause["vars"]) - _pre_cols)
                 continue
             if clause.get("cross"):
                 # scalar-WITH re-match (round-11): the piped frame is one
                 # row by construction (all-aggregate stage) — broadcast
                 # it into a 1×N cross join; 0 piped rows → 0 out (Neo4j)
                 df = cframe.crossJoin(F.broadcast(df))
+                if numeric:
+                    num_vars.update(set(clause["vars"]) - _pre_cols)
                 continue
-            df = _join_clause(df, cframe, clause)
+            df = _join_clause(df, cframe, clause, num_vars, numeric)
+            if numeric:
+                num_vars.update(set(clause["vars"]) - _pre_cols)
         if pipe["prop_vars"]:
             attrs = _attr_view()
             for var, props in pipe["prop_vars"].items():
@@ -8188,12 +8457,18 @@ def _run_single(
                 lab = p["labels"].get(var)
                 if lab:  # label pruning — see the node-only clause note
                     side = side.filter(F.col("label") == lab)
-                sel = [F.col("id").alias(var)] + [
+                sel = [_attr_id_col(var)] + [
                     F.col(pr).alias(f"{var}__{pr}") for pr in need
                 ]
                 df = df.join(side.select(*sel), var, "left")
         if pipe["post_pred"]:
-            df = df.filter(F.expr(pipe["post_pred"]))
+            df = df.filter(
+                F.expr(
+                    _decode_vars_sql(
+                        pipe["post_pred"], num_vars & set(df.columns)
+                    )
+                )
+            )
         # CALLs textually after this WITH stage join its processed frame
         for _c in _calls:
             if _c["stage"] == pipe_i + 1:
@@ -8208,7 +8483,8 @@ def _run_single(
     # COUNT { … } scalar subqueries: grouped on the correlation anchors,
     # LEFT-joined (never multiplies rows), null-extended rows count 0
     for cs in p.get("count_subqueries") or []:
-        sub = _run_single(spark, sf_dir, cs["query"], graph=graph)
+        sub = _run_single(spark, sf_dir, cs["query"], graph=graph, _inner=True)
+        sub = _align_anchors(sub, cs["anchors"])
         side = sub.groupBy(*cs["anchors"]).agg(F.count(F.lit(1)).alias(cs["col"]))
         df = df.join(side, cs["anchors"], "left")
         df = df.withColumn(cs["col"], F.coalesce(F.col(cs["col"]), F.lit(0)))
@@ -8216,17 +8492,30 @@ def _run_single(
     # the returned expression collected (set under DISTINCT), sorted for
     # cross-run determinism, LEFT-joined; zero-match rows read [] (Neo4j)
     for cl in p.get("collect_subqueries") or []:
-        sub = _run_single(spark, sf_dir, cl["query"], graph=graph)
-        agg_ = F.collect_set(cl["inner_col"]) if cl["distinct"] else F.collect_list(
-            cl["inner_col"]
+        sub = _run_single(spark, sf_dir, cl["query"], graph=graph, _inner=True)
+        sub = _align_anchors(sub, cl["anchors"])
+        # the collected expression is a VALUE surface: an encoded node id
+        # decodes before it lands in the user-visible (sorted) list
+        # (anchor columns were just aligned to THIS frame's representation,
+        # so their numeric-ness reads from num_vars, not the sub's record)
+        _sn = getattr(sub, "_cy_node_cols", frozenset())
+        _ic_num = (
+            cl["inner_col"] in num_vars
+            if cl["inner_col"] in cl["anchors"]
+            else cl["inner_col"] in _sn
         )
+        _ic = (
+            F.expr(_dec_sql(cl["inner_col"])) if _ic_num else F.col(cl["inner_col"])
+        )
+        agg_ = F.collect_set(_ic) if cl["distinct"] else F.collect_list(_ic)
         side = sub.groupBy(*cl["anchors"]).agg(F.array_sort(agg_).alias(cl["col"]))
         df = df.join(side, cl["anchors"], "left")
         df = df.withColumn(cl["col"], F.coalesce(F.col(cl["col"]), F.array()))
     # EXISTS { … } items: distinct anchors carry a literal true; a row
     # with no match null-extends → false (NOT form flips it)
     for ei in p.get("exists_items") or []:
-        sub = _run_single(spark, sf_dir, ei["query"], graph=graph)
+        sub = _run_single(spark, sf_dir, ei["query"], graph=graph, _inner=True)
+        sub = _align_anchors(sub, ei["anchors"])
         side = (
             sub.select(*ei["anchors"]).distinct().withColumn(ei["col"], F.lit(True))
         )
@@ -8234,14 +8523,36 @@ def _run_single(
         flag = F.coalesce(F.col(ei["col"]), F.lit(False))
         df = df.withColumn(ei["col"], ~flag if ei["negated"] else flag)
     df = _apply_items(df, p["projection"])
+    # output columns still holding ENCODED node ids = bare-variable
+    # passthrough items; the top-level call synthesizes the namespaced
+    # string here — BEFORE ORDER BY/SKIP/LIMIT, so ordering (and the kept
+    # page) is over the user-visible strings. Inner (subquery) calls keep
+    # the longs and advertise them for the outer frame's anchor joins.
+    out_ncols = {
+        it["name"]
+        for it in p["projection"]
+        if it["kind"] == "plain" and it["col"] in num_vars
+    }
+    if out_ncols and not _inner:
+        df = df.select(
+            *[
+                F.expr(_dec_sql(f"`{c}`")).alias(c) if c in out_ncols else F.col(c)
+                for c in df.columns
+            ]
+        )
+        out_ncols = set()
     if p.get("ret_distinct"):
         df = df.distinct()
 
     if p["order_by"]:
+
+        def _fordc(n):
+            return F.expr(_dec_sql(f"`{n}`")) if n in out_ncols else F.col(n)
+
         df = df.orderBy(
             *[
                 # Neo4j treats null as the LARGEST value: last ASC, first DESC
-                    F.col(n).asc_nulls_last() if asc else F.col(n).desc_nulls_first()
+                _fordc(n).asc_nulls_last() if asc else _fordc(n).desc_nulls_first()
                 for n, asc in p["order_by"]
             ]
         )
@@ -8252,4 +8563,7 @@ def _run_single(
     if p.get("hidden_order_cols"):
         # non-returned ORDER BY properties: sorted on, then dropped
         df = df.drop(*p["hidden_order_cols"])
+        out_ncols -= set(p["hidden_order_cols"])
+    if _inner:
+        df._cy_node_cols = frozenset(out_ncols)
     return df

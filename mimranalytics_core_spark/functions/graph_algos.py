@@ -119,10 +119,24 @@ def path_rows(
     """
     if not 1 <= min_hops <= max_hops:
         raise ValueError(f"need 1 <= min_hops <= max_hops, got {min_hops}..{max_hops}")
+    # Edge identity for the trail guard: namespaced-string endpoints key as
+    # 'src>dst' strings (the user-visible relationship key the path
+    # functions replay); encoded-long endpoints (round-16 numeric Cypher
+    # frames) key as a struct<src,dst> of the two longs — 16 fixed bytes
+    # per key instead of a concatenated string, same uniqueness semantics.
+    from pyspark.sql.types import LongType
+
+    num_ids = isinstance(edges.schema["src"].dataType, LongType)
+
+    def _mk_key(s: str, d: str):
+        if num_ids:
+            return F.struct(F.col(s).alias("src"), F.col(d).alias("dst"))
+        return F.concat_ws(">", F.col(s), F.col(d))
+
     if undirected:
         # relationship identity = the original directed (src, dst) pair,
         # carried through both traversal directions
-        ident = F.concat_ws(">", F.col("src"), F.col("dst")).alias("__ek")
+        ident = _mk_key("src", "dst").alias("__ek")
         d0 = edges.select("src", "dst", "weight", ident)
         e = d0.unionByName(
             d0.select(
@@ -132,7 +146,7 @@ def path_rows(
         ekey = F.col("__ek")
     else:
         e = edges.select("src", "dst", "weight")
-        ekey = F.concat_ws(">", F.col("src"), F.col("dst"))
+        ekey = _mk_key("src", "dst")
     frontier = e.select(
         "src", "dst", F.lit(1).alias("hops"), F.col("weight").alias("path_weight"),
         F.col("weight").alias("path_cost"),
@@ -147,9 +161,7 @@ def path_rows(
         F.col("weight").alias("__w"),
         *([F.col("__ek").alias("__sk")] if undirected else []),
     )
-    step_key = (
-        F.col("__sk") if undirected else F.concat_ws(">", F.col("__m"), F.col("__d"))
-    )
+    step_key = F.col("__sk") if undirected else _mk_key("__m", "__d")
     levels = [frontier]
     for _ in range(max_hops - 1):
         step = frontier.join(nxt, frontier.dst == F.col("__m"))

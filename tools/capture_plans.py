@@ -1,8 +1,8 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") output for named queries into plans/r15/.
+"""Capture .explain("formatted") output for named queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> <op> [<op> ...]
-Writes plans/r15/<op>_<suffix>.txt for each op (suffix: before|after).
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<op>_<suffix>.txt (default r16; suffix: before|after).
 
 The judge cannot run Spark; these committed files are the evidence for
 every plan-shape claim in OPTIMIZATION_r15.md.
@@ -22,7 +22,7 @@ def main() -> None:
     suffix = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = REPO / "plans" / "r15"
+    out_dir = REPO / "plans" / os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
     out_dir.mkdir(parents=True, exist_ok=True)
 
     from mimranalytics_core_spark.registry import all_ops
