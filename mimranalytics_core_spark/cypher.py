@@ -8179,16 +8179,6 @@ def _run_single(
                 return F.expr(_decode_vars_sql(it["sql"], nv)).alias(it["name"])
             return F.col(it["col"]).alias(it["name"])
 
-        def _agg_arg(it):
-            # aggregate ARGUMENTS are value contexts: min/max/collect over a
-            # node id read the string form (ordering and list contents are
-            # user-visible). count/count(DISTINCT) are bijection-invariant,
-            # so they keep the cheap long column.
-            c = it["col"]
-            if c in nv and it["fn"] != "count":
-                return F.expr(_dec_sql(c))
-            return c
-
         aggs = [it for it in items if it["kind"] == "agg"]
         posts = [it for it in items if it["kind"] == "postagg"]
         if not aggs and not posts:
@@ -8207,28 +8197,32 @@ def _run_single(
                 df = df.withColumn(
                     it["col"], F.expr(_decode_vars_sql(it["pre_sql"], nv))
                 )
-        exprs = []
-        for it in all_aggs:
+        def _agg_expr(it, cname):
+            # build one aggregate over the physical column ``cname``
+            # (differs from it["col"] only under the multi-distinct split's
+            # renamed checkpoint). Value-context decode keys off the
+            # ORIGINAL column: count/count(DISTINCT) are
+            # bijection-invariant and keep the cheap long.
             if it["col"] is None:
-                e = F.count(F.lit(1))
-            elif it["fn"] == "count":
-                e = F.count_distinct(it["col"]) if it["distinct"] else F.count(it["col"])
+                return F.count(F.lit(1)).alias(it["name"])
+            dec = it["col"] in nv and it["fn"] != "count"
+            ac = F.expr(_dec_sql(cname)) if dec else F.col(cname)
+            if it["fn"] == "count":
+                e = F.count_distinct(ac) if it["distinct"] else F.count(ac)
             elif it["fn"] == "collect":
-                # Cypher collect() guarantees no order — pin lexical order for
-                # cross-run determinism, as agg_collect does
-                base = (
-                    F.collect_set(_agg_arg(it)) if it["distinct"] else F.collect_list(_agg_arg(it))
-                )
+                # Cypher collect() guarantees no order — pin lexical order
+                # for cross-run determinism, as agg_collect does
+                base = F.collect_set(ac) if it["distinct"] else F.collect_list(ac)
                 e = F.array_sort(base)
             elif it["fn"] == "stdev":
-                e = F.round(F.stddev_samp(it["col"]), 6)
+                e = F.round(F.stddev_samp(ac), 6)
             elif it["fn"] == "stdevp":
-                e = F.round(F.stddev_pop(it["col"]), 6)
+                e = F.round(F.stddev_pop(ac), 6)
             elif it["fn"] == "percentilecont":
                 # SQL-standard continuous percentile: interpolated at rank
                 # (n-1)*q — Spark's percentile() and DuckDB's
                 # quantile_cont() share this definition
-                e = F.round(F.percentile(it["col"], F.lit(it["q"])), 6)
+                e = F.round(F.percentile(ac, F.lit(it["q"])), 6)
             elif it["fn"] == "percentiledisc":
                 # SQL-standard discrete percentile: the smallest value
                 # whose cume_dist >= q, i.e. the sorted element at 1-based
@@ -8236,9 +8230,7 @@ def _run_single(
                 # here are key-bounded (Cypher implicit grouping over
                 # dimension keys); corpus-scale percentiles belong to the
                 # approx-sketch op (agg_approx_percentile).
-                _pc = (
-                    _dec_sql(it["col"]) if it["col"] in nv else it["col"]
-                )
+                _pc = _dec_sql(cname) if dec else cname
                 e = F.round(
                     F.expr(
                         f"element_at(array_sort(collect_list({_pc})), "
@@ -8247,15 +8239,75 @@ def _run_single(
                     6,
                 )
             else:
-                e = getattr(F, it["fn"])(_agg_arg(it))
+                e = getattr(F, it["fn"])(ac)
                 if it["fn"] in ("sum", "avg"):
                     e = F.round(e, 6)  # float-hash discipline (module docstring)
-            exprs.append(e.alias(it["name"]))
-        out = (
-            df.groupBy(*[_key_expr(k) for k in keys]).agg(*exprs)
-            if keys
-            else df.agg(*exprs)
-        )
+            return e.alias(it["name"])
+
+        # Multi-distinct split (round-16, guide §2.4/§3.3): two or more
+        # DISTINCT-count ARGUMENT groups make Spark plan an Expand —
+        # every input row replicated (n_groups + 1)× through the hash
+        # aggregate. Instead: materialize the narrow (keys + agg inputs)
+        # projection ONCE (within-query localCheckpoint, the same
+        # materialize-the-small-proxy pass as the round-15 minhash
+        # fingerprint), aggregate each distinct column separately (each
+        # plans as an Expand-free two-phase distinct aggregate), and
+        # null-safe equi-join the identical group-key sets back together.
+        dgroups: dict[str, list[int]] = {}
+        for i, it in enumerate(all_aggs):
+            if it["fn"] == "count" and it.get("distinct") and it["col"] is not None:
+                dgroups.setdefault(it["col"], []).append(i)
+        if len(dgroups) >= 2:
+            in_cols = sorted({it["col"] for it in all_aggs if it["col"] is not None})
+            keynames = [k["name"] for k in keys]
+            ren = {c: f"__din{j}" for j, c in enumerate(in_cols)}
+            base = df.select(
+                *[_key_expr(k) for k in keys],
+                *[F.col(c).alias(ren[c]) for c in in_cols],
+            ).localCheckpoint(eager=False)
+
+            def _gagg(idxs):
+                ex = [
+                    _agg_expr(all_aggs[i], ren.get(all_aggs[i]["col"]))
+                    for i in idxs
+                ]
+                return base.groupBy(*keynames).agg(*ex) if keynames else base.agg(*ex)
+
+            _d_idx = {i for idxs in dgroups.values() for i in idxs}
+            nd_idx = [i for i in range(len(all_aggs)) if i not in _d_idx]
+            parts = [_gagg(nd_idx)] if nd_idx else []
+            for c in sorted(dgroups):
+                parts.append(_gagg(dgroups[c]))
+            out = parts[0]
+            for pi, pp in enumerate(parts[1:], 1):
+                if keynames:
+                    # every part aggregates the same checkpointed base, so
+                    # the key sets are identical — inner join, null-safe
+                    # (SQL equality would drop null group keys); rename the
+                    # probe side's keys so self-join resolution stays
+                    # unambiguous
+                    pren = {k: f"{k}__dj{pi}" for k in keynames}
+                    pp = pp.select(
+                        *[F.col(c).alias(pren.get(c, c)) for c in pp.columns]
+                    )
+                    cond = None
+                    for k in keynames:
+                        c_ = out[k].eqNullSafe(pp[pren[k]])
+                        cond = c_ if cond is None else (cond & c_)
+                    out = out.join(pp, cond, "inner").drop(
+                        *[pren[k] for k in keynames]
+                    )
+                else:
+                    out = out.crossJoin(pp)
+            # restore the groupBy(...).agg(...) column order
+            out = out.select(*keynames, *[it["name"] for it in all_aggs])
+        else:
+            exprs = [_agg_expr(it, it["col"]) for it in all_aggs]
+            out = (
+                df.groupBy(*[_key_expr(k) for k in keys]).agg(*exprs)
+                if keys
+                else df.agg(*exprs)
+            )
         if posts:
             # evaluate each post-aggregation expression over the grouped
             # frame, in the original item order; hidden agg columns are
