@@ -41,6 +41,18 @@ from pyspark.sql import functions as F
 # cached (same class as operators/_base.py's table cache).
 # ---------------------------------------------------------------------------
 _VIEW_CACHE: dict[tuple, DataFrame] = {}
+# Invariant (round-16, ADVICE): the key's id(session) component is only
+# unique while the session object is alive — and it IS kept alive, because
+# every cached DataFrame pins its SparkSession. Entries are therefore never
+# reclaimed in a long-lived process that churns sessions/sf_dirs; callers
+# that cycle many sessions should call :func:`clear_view_cache` on session
+# teardown. For the engine's own lifecycles (one session per bench/driver
+# process, <= a few sf_dirs) the cache stays tens of entries.
+
+
+def clear_view_cache() -> None:
+    """Drop all memoized view plans (releases their pinned sessions)."""
+    _VIEW_CACHE.clear()
 
 
 def _memo_view(fn):
@@ -55,13 +67,18 @@ def _memo_view(fn):
             fn.__name__,
             extra,
         )
-        if key not in _VIEW_CACHE:
-            # Guarantee the temp views point at THIS sf_dir before the
-            # eager-analysis capture (a builder invoked while another SF's
-            # views were active would otherwise cache a wrong binding).
-            from mimranalytics_core_spark.operators._base import tables
+        # Re-point the session's temp views at THIS sf_dir on hit AND miss
+        # (two dict lookups when already active): the miss path needs it
+        # before the eager-analysis capture (a builder invoked while
+        # another SF's views were active would otherwise cache a wrong
+        # binding), and the hit path keeps the builder's pre-memo side
+        # effect — external code running spark.sql over the temp views
+        # after a builder call must never silently read another scale
+        # factor (round-16, ADVICE).
+        from mimranalytics_core_spark.operators._base import tables
 
-            tables(spark, sf_dir)
+        tables(spark, sf_dir)
+        if key not in _VIEW_CACHE:
             _VIEW_CACHE[key] = fn(spark, sf_dir, *args, **kwargs)
         return _VIEW_CACHE[key]
 

@@ -5763,6 +5763,17 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         "kind": "case",
                         "sql": f"named_struct({', '.join(pairs_ml)})",
                         "name": ml_.group("alias"),
+                        # authoritative key list for the ORDER BY
+                        # struct-field gate (round-16, ADVICE): a map value
+                        # holding a string literal equal to an ORDER BY
+                        # field name must not false-pass a substring probe
+                        # of the generated SQL
+                        "struct_keys": [
+                            re.match(
+                                r"^\s*([A-Za-z_]\w*)\s*:", ent
+                            ).group(1)
+                            for ent in _split_top(ml_.group("body"), r",")
+                        ],
                     }
                 )
                 continue
@@ -6805,7 +6816,16 @@ def parse(query: str, extra_vars: frozenset = frozenset()) -> dict:
                         if it["name"] == name.split(".", 1)[0]
                         and str(it.get("sql", "")).lstrip().startswith("named_struct(")
                     )
-                    if f"'{f}'" not in it["sql"]:
+                    # membership reads the item's recorded key list when
+                    # present (map literals — a value string literal equal
+                    # to the field name must not false-pass); the
+                    # generated-SQL substring probe remains only for
+                    # map-projection structs, whose values are column
+                    # tokens that cannot collide with a quoted key
+                    _sks = it.get("struct_keys")
+                    if (f not in _sks) if _sks is not None else (
+                        f"'{f}'" not in it["sql"]
+                    ):
                         raise CypherSyntaxError(
                             f"ORDER BY key {name!r}: field {f!r} is not in "
                             f"the projected map {name.split('.', 1)[0]!r}"

@@ -44,3 +44,23 @@ def broadcast_if_small(
     if est is not None and est * CORPUS_INFLATION <= threshold:
         return F.broadcast(hinted_df)
     return hinted_df
+
+
+def source_rows(df: DataFrame) -> int | None:
+    """Row count of ``df``'s parquet input files from footer metadata —
+    driver-side, no job. None if the inputs are not plain parquet files.
+    Compressed bytes are a poor scale proxy for replicated fixtures
+    (columnar encoding collapses duplicates), so row-count gates use this
+    instead of :func:`source_bytes`."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = df.inputFiles()
+        if not files:
+            return None
+        return sum(
+            pq.ParquetFile(p.removeprefix("file:")).metadata.num_rows
+            for p in files
+        )
+    except Exception:  # views/streams/non-parquet relations
+        return None

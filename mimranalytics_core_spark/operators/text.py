@@ -23,6 +23,23 @@ from mimranalytics_core_spark.functions.hints import broadcast_if_small as _broa
 from mimranalytics_core_spark.operators._base import t
 from mimranalytics_core_spark.registry import register
 
+# How the minhash hashed-token fingerprint table is pinned for its four
+# consumers (banding + both verify sides): "eager" materializes at
+# construction, "lazy" on first use, "off" recomputes the tokenize+hash
+# subtree per consumer, "auto" (default) picks by corpus size. Round-16
+# settled the r15 verdict's open question with interleaved same-session
+# A/Bs at BOTH scales: at sf0.1 the pin wins (pipeline_curation_gated_first
+# 8.16 -> 6.33 s min-of-2), at the 10x replica it LOSES (31.7 -> 36.6 s) —
+# the materialization cost grows with the corpus while the 4x-recompute
+# saving is fixed, so "auto" pins only under a row-count threshold
+# (spark.mimranalytics.fp_pin_max_rows, default 20k docs; parquet-footer
+# row count, because compressed BYTES collapse the replica's duplicated
+# rows and can't see scale). Unknown row count = too big = no pin, the
+# scale-safe default.
+_FP_PIN_MODE = "auto"
+_FP_PIN_ROWS_CONF = "spark.mimranalytics.fp_pin_max_rows"
+_FP_PIN_ROWS_DEFAULT = 20000
+
 # Tokenization used across all text ops: lowercase, split on whitespace.
 # documents.text is space-separated synthetic tokens (FIXTURES.md), so this
 # is exact; real corpora would swap in a regexp tokenizer here.
@@ -298,8 +315,13 @@ def text_fingerprint(spark, sf_dir):
         "benchmark doc is reported with its overlap breadth (distinct "
         "shared 8-grams, distinct benchmark docs hit). Shape: row-local "
         "n-gram explode on both sides (the chunker pattern), one "
-        "equi-join on the n-gram string, partial+final agg — one distinct "
-        "shuffle on (doc_id, n-gram) bounds the join input; at 100 TB the "
+        "equi-join on xxhash64(n-gram) — grams are equality-only here, so "
+        "the join/distinct/countDistinct keys are 8-byte hashes, not "
+        "~50-byte strings (round-15, guide §2.3; collision probability "
+        "~|grams|²/2⁶⁴ — at 1e12 grams ≈ 2.7e-2 expected colliding pairs, "
+        "orders of magnitude above any oracle-checked fixture) — "
+        "partial+final agg; one distinct "
+        "shuffle on (doc_id, gram-hash) bounds the join input; at 100 TB the "
         "benchmark side is tiny and broadcast, so the JOIN adds no corpus "
         "shuffle (the contamination join every training pipeline runs). "
         "Short docs (<8 tokens) emit no n-grams by construction "
@@ -876,7 +898,16 @@ def _minhash_pairs(spark, size_src, docs):
     # held, never the text.
     hashed = doc_toks.select(
         "doc_id", F.transform("toks", lambda x: F.xxhash64(x)).alias("toks"), "sz"
-    ).localCheckpoint(eager=True)
+    )
+    pin = _FP_PIN_MODE
+    if pin == "auto":
+        from mimranalytics_core_spark.functions.hints import source_rows
+
+        rows = source_rows(size_src)
+        limit = int(spark.conf.get(_FP_PIN_ROWS_CONF, str(_FP_PIN_ROWS_DEFAULT)))
+        pin = "eager" if rows is not None and rows <= limit else "off"
+    if pin != "off":
+        hashed = hashed.localCheckpoint(eager=(pin == "eager"))
     banded = hashed.select("doc_id", F.col("toks").alias("hs")).mapInPandas(
         band_sigs, schema="doc_id long, band int, band_sig long"
     )

@@ -285,3 +285,32 @@ def test_pipeline_decontamination_flags_only_train_docs(spark):
     # and nothing contaminated was missed
     want = {d for d, tk in docs.items() if d % 10 != 0 and ngrams(tk) & bench_all}
     assert set(got) == want
+
+
+def test_fp_pin_gate_flips_on_corpus_rows(spark):
+    """Round-16: the minhash fingerprint pin is corpus-size-gated — pinned
+    (checkpoint scan in the plan) below the row threshold, recomputed above
+    it. Pair identity must be invariant to the pin mode (the checkpoint is
+    a within-query materialization, never a semantic change)."""
+    from mimranalytics_core_spark.operators import text as T
+
+    def plan(sf):
+        return OPS["dedup_minhash_lsh"].fn(spark, sf)._jdf.queryExecution().toString()
+
+    # default threshold (20k docs): the 500-doc fixture pins
+    assert "ExistingRDD" in plan(SF_SMALL)
+    # force the threshold below the fixture: the pin must drop out
+    spark.conf.set(T._FP_PIN_ROWS_CONF, "1")
+    try:
+        assert "ExistingRDD" not in plan(SF_SMALL)
+        unpinned = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in OPS["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()
+        }
+    finally:
+        spark.conf.unset(T._FP_PIN_ROWS_CONF)
+    pinned = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in OPS["dedup_minhash_lsh"].fn(spark, SF_SMALL).collect()
+    }
+    assert pinned == unpinned and pinned
