@@ -67,6 +67,18 @@ def ubo_closure(edges: DataFrame, max_depth: int = 6, threshold: float = 0.0) ->
     return out.filter(F.col("effective_ownership") >= threshold)
 
 
+# Per-iteration rank-vector checkpoints in the pagerank family are LAZY
+# (round-16): eager forced one driver-blocking job per iteration; a lazy
+# localCheckpoint materializes on first use inside the consuming job with
+# identical lineage truncation and reuse (the dangling-mass branch still
+# reads the persisted partitions, never recomputes the superstep).
+# Interleaved A/B, min-of-reps: graph_pagerank_weighted 2.98 -> 2.79 s at
+# sf0.1 and 8.86 -> 7.71 s on the 10x replica; graph_pagerank 7.55 -> 6.59
+# at sf1. The once-computed frames (nodes/shares/dangling/teleport) stay
+# eager — they are consumed by many jobs including driver-side count().
+_PR_CKPT_EAGER = False
+
+
 def path_rows(
     edges: DataFrame,
     min_hops: int = 1,
@@ -605,10 +617,12 @@ def pagerank(
         # Checkpoint EVERY iteration: the next iteration's dangling-mass
         # aggregate re-reads ``ranks``; un-checkpointed, that branch would
         # recompute the whole previous superstep (join+agg) a second time —
-        # one cheap materialization beats one redundant shuffle.
+        # one cheap materialization beats one redundant shuffle. LAZY
+        # (round-16 A/B hook): eager forced one driver-blocking job per
+        # iteration; lazy materializes on first use with identical reuse.
         if state_partitions is not None:
             ranks = ranks.coalesce(state_partitions)
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=_PR_CKPT_EAGER)
     return ranks
 
 
@@ -724,7 +738,7 @@ def pagerank_personalized(
         )
         if state_partitions is not None:
             ranks = ranks.coalesce(state_partitions)
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.localCheckpoint(eager=_PR_CKPT_EAGER)
     return ranks
 
 
