@@ -30,6 +30,9 @@ from pyspark.sql import functions as F
 CHANGED_COL = "__changed"
 
 
+_STEP_CKPT_EAGER = False
+
+
 def iterate_fixpoint(
     state: DataFrame,
     step: Callable[[DataFrame], DataFrame],
@@ -75,7 +78,10 @@ def iterate_fixpoint(
         # Checkpoint every step: each step embeds a join against the previous
         # state and is evaluated at latest by the next convergence check —
         # materializing is strictly cheaper than recomputing a growing plan.
-        new_state = new_state.localCheckpoint(eager=True)
+        # LAZY since round-16: the checkpoint persists on first use (the
+        # convergence scan or the next superstep) with identical reuse,
+        # without one driver-blocking job per superstep.
+        new_state = new_state.localCheckpoint(eager=_STEP_CKPT_EAGER)
         if (i + 1) % check_every == 0 or i == max_iter - 1:
             if flagged:
                 if new_state.filter(F.col(CHANGED_COL)).isEmpty():
