@@ -212,6 +212,8 @@ def _edge_frame(
                 "as_of is only supported on the hierarchy/business graphs"
             )
         e = catalog.trade_credit_edges(spark, sf_dir)
+        if numeric:
+            e = _as_numeric_ids(e)
     elif as_of == "*":
         # OPEN-VALIDITY routing: only the TEMPORAL-EXCLUSIVE tier
         # (owns_stake) comes from the temporal view — with shares
@@ -227,16 +229,19 @@ def _edge_frame(
         t = catalog.temporal_ownership_edges(spark, sf_dir).filter(
             F.col("rel_type") == "owns_stake"
         )
-        tot = F.sum("weight").over(Window.partitionBy("src"))
-        t = t.withColumn("weight", F.col("weight") / tot).select(
-            "src", "dst", "rel_type", "weight", "src_n", "dst_n"
-        )
         base = (
             catalog.business_edges(spark, sf_dir)
             if graph == "business"
             else catalog.hierarchy_edges(spark, sf_dir)
-        ).select("src", "dst", "rel_type", "weight", "src_n", "dst_n")
-        e = t.unionByName(base)
+        )
+        if numeric:
+            # convert BEFORE the renormalization window so its exchange
+            # partitions on the 8-byte long, not the namespaced string
+            t, base = _as_numeric_ids(t), _as_numeric_ids(base)
+        tot = F.sum("weight").over(Window.partitionBy("src"))
+        t = t.withColumn("weight", F.col("weight") / tot)
+        cols = ["src", "dst", "rel_type", "weight"]
+        e = t.select(*cols).unionByName(base.select(*cols))
     elif as_of is not None:
         e = catalog.temporal_ownership_edges(spark, sf_dir)
         if graph == "business":
@@ -249,6 +254,8 @@ def _edge_frame(
             ).unionByName(
                 catalog.supplies_edges(spark, sf_dir, with_validity=True)
             )
+        if numeric:
+            e = _as_numeric_ids(e)
         at = F.lit(as_of).cast("timestamp_ntz")
         e = e.filter(
             (F.col("valid_from") <= at) & (at <= F.col("valid_to"))
@@ -271,8 +278,8 @@ def _edge_frame(
             if graph == "business"
             else catalog.hierarchy_edges(spark, sf_dir)
         )
-    if numeric:
-        e = _as_numeric_ids(e)
+        if numeric:
+            e = _as_numeric_ids(e)
     if edge_types is not None:
         e = e.filter(F.col("rel_type").isin(list(edge_types)))
     if keep_type:
